@@ -1,0 +1,548 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The analytical query surface the reference warehouse is built to answer
+  * (SURVEY.md §2.2): fact⋈dimension joins, key lookups, time-range scans,
+  * dashboard aggregations — expressed over the driver's TPC-H-ish testdata,
+  * Spark-first (declarative DataFrame plans; Catalyst does pushdown/pruning/
+  * join selection).
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §7.4):
+  *  - every float aggregate is an exact DECIMAL sum cast to DOUBLE at the end
+  *    → bit-identical across engines regardless of partition/summation order;
+  *  - computed integers are cast to BIGINT on both sides;
+  *  - every ORDER BY carries a unique tiebreak key.
+  *
+  * Scale posture (100 TB): all plans are shuffle-minimal — partial aggregation
+  * is automatic for hash aggregates; dimension joins take broadcast hints
+  * (region/nation/supplier/part/customer are the small sides at any SF where
+  * they fit the 10 MB–8 GB broadcast range; AQE re-plans when they don't);
+  * fact table scans push filters + prune columns into the parquet reader.
+  */
+object CoreAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val dec: DecimalType = DecimalType(18, 2)
+  /** Exact decimal sum surfaced as double (order-independent). */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+  /** lineitem net revenue: extendedprice * (1 - discount), exact decimal. */
+  private def revenue: Column =
+    col("l_extendedprice").cast(dec) * (lit(1.0) - col("l_discount")).cast(dec)
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+
+  /** q01: pricing summary (TPC-H Q1 shape) — the dashboard aggregation
+    * workload implied by Metabase (reference: docker-compose.yml:42-58,
+    * readme.md:115-118). Partial+final hash aggregate, no join.
+    */
+  private val q01: Q = (s, dir) => {
+    val disc = col("l_extendedprice").cast(dec) *
+      (lit(1.0) - col("l_discount")).cast(dec)
+    val charge = disc.cast(DecimalType(18, 4)) *
+      (lit(1.0) + col("l_tax")).cast(dec)
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast(DoubleType).as("sum_disc_price"),
+        sum(charge).cast(DoubleType).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02: revenue by market segment — the fact⋈dim⋈dim star join the FK
+    * indexes exist for (reference: init-db/init.sql:58-59,65-66). customer
+    * is broadcast (small dim); the lineitem⋈orders join shuffles on orderkey.
+    */
+  private val q02: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(revenue).cast(DoubleType).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q03: top-k customers by revenue — the top-k-by-sales flagship implied
+    * by the warehouse workload (SURVEY.md §2.3 sorts/limits). Global top-k
+    * is TakeOrderedAndProject: per-partition heaps + driver merge, no full
+    * sort at scale.
+    */
+  private val q03: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(10)
+  }
+
+  /** q04: monthly sales rollup — the time-grouped aggregation the
+    * date_vente index serves (reference: init-db/init.sql:67, readme.md:89).
+    * Output keys as BIGINT year/month to keep oracle types aligned.
+    */
+  private val q04: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(dsum(col("o_totalprice")).as("total_sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("yr", "mo")
+
+  /** q05: point lookup by business key — the unique-index lookup workload
+    * (reference: init-db/init.sql:63-64). Predicate pushed to parquet scan.
+    */
+  private val q05: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .filter(col("o_custkey") === lit(7L))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .orderBy("o_orderkey")
+
+  /** q06: time-range scan + monthly aggregation over the fact table
+    * (reference: init-db/init.sql:67). At scale the fact table is
+    * date-partitioned, so this filter is partition pruning, not a scan.
+    */
+  private val q06: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(month(col("l_shipdate")).cast(LongType).as("mo"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        sum(revenue).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("mo")
+
+  /** q07: referential-integrity / orphan check — the FK enforcement the
+    * reference delegates to Postgres (reference: init-db/init.sql:58-59),
+    * re-expressed as a left_anti join (SURVEY.md §2 O10).
+    */
+  private val q07: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val orphans = o.join(broadcast(c), o("o_custkey") === c("c_custkey"),
+      "left_anti")
+    orphans.agg(count(lit(1)).as("n_orphans"))
+  }
+
+  /** q08: top-3 orders per segment — ranked window (SURVEY.md §2.3 windows;
+    * used internally for SERIAL emulation, init-db/init.sql:12).
+    */
+  private val q08: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** q09: latest event per user — the latest-wins upsert semantics of the
+    * reference's metadata table (etl/app.py:55-89, SURVEY.md §2 O12) as an
+    * argmax window over the events table.
+    */
+  private val q09: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(desc("ts"), desc("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  /** q10: region→nation rollup of customer balances — Metabase-style
+    * drilldown (SURVEY.md §2.3 aggregations: rollup added since Spark has
+    * it natively). Dims broadcast.
+    */
+  private val q10: Q = (s, dir) => {
+    // Dataset.rollup over a join trips the failAmbiguousSelfJoin heuristic
+    // (Expand duplicates grouping attrs carrying dataset_id metadata), so
+    // this one goes through the SQL front-end — same Catalyst plan.
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "region").createOrReplaceTempView("region")
+    s.sql(
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | COUNT(*) AS n_customers
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** q11: status × priority cube over orders (drilldown surface). */
+  private val q11: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** q12: set operation — nations present in BOTH segments (SURVEY.md §2.3
+    * set ops; INTERSECT distinct semantics).
+    */
+  private val q12: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val b = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_nationkey"))
+    a.intersect(b).orderBy("c_nationkey")
+  }
+
+  /** q13: brand × returnflag pivot of shipped quantity — cross-tab
+    * (Metabase-style). Pivot values fixed → single-pass conditional agg.
+    */
+  private val q13: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("p_brand")
+  }
+
+  /** q14: scalar string functions (reference uses basename/lower/contains —
+    * etl/app.py:158,236-243; SURVEY.md §2.3 scalar functions).
+    */
+  private val q14: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lc"),
+        length(col("c_name")).cast(LongType).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        concat(col("c_mktsegment"), lit("#"),
+          col("c_nationkey").cast(StringType)).as("seg_nat"))
+      .orderBy("c_custkey")
+      .limit(100)
+
+  /** q15: date-part extraction (the date dimension the warehouse's
+    * date_vente column + index implies, init-db/init.sql:55,67).
+    */
+  private val q15: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr", "qtr")
+
+  /** q16: CASE-bucketed classification + aggregation. */
+  private val q16: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+
+  /** q17: EXISTS / semi-join — customers with at least one finished order
+    * (left_semi; SURVEY.md §2.3 joins).
+    */
+  private val q17: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q18: exact distinct counts per group (the uniqueness surface the
+    * reference enforces via UNIQUE keys, init-db/init.sql:23,37,50).
+    * Spark expands distinct aggs into a two-phase plan automatically.
+    */
+  private val q18: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q19: HAVING — post-aggregation filter. */
+  private val q19: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 100.0)
+      .orderBy("l_suppkey")
+
+  /** q20: JSON extraction from the events.props payload (semi-structured
+    * column; SURVEY.md §2.3 scalar functions — beyond-reference, the
+    * reference has no JSON).
+    */
+  private val q20: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** q21: Excel-serial→timestamp conversion — the reference's ventes
+    * fixture carries a raw Excel serial date (45787.604…, SURVEY.md §1.2;
+    * data/excel/ventes.xlsx). Re-expressed as a column op over a numeric
+    * column: serial days since 1899-12-30, fractional part = time of day.
+    */
+  private val q21: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        expr("timestamp'1899-12-30 00:00:00' + make_dt_interval(0, 0, 0, " +
+          "cast(round(value * 86400) as bigint))").as("serial_ts"))
+      .orderBy("event_id")
+      .limit(500)
+
+  /** q22: gap-based sessionization (30 min inactivity) — streaming-style
+    * state expressed as a batch window (SURVEY.md §2.3 streaming;
+    * beyond-reference, flagged as such).
+    */
+  private val q22: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast(DoubleType) - col("prev_ts").cast(DoubleType))
+            > 1800.0, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q23: as-of lookup — for each purchase, the most recent prior signup of
+    * the same user (SURVEY.md §2.3: no as-of join in the reference; added
+    * via composed window ops, preference (a) of the custom-operator ladder).
+    */
+  private val q23: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+      col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("sig_ts",
+        when(col("event_type") === "signup", col("ts")))
+      .withColumn("last_signup_raw", last(col("sig_ts"), ignoreNulls = true)
+        .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("last_signup_raw")).as("prev_signup"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_revenue_by_segment" -> q02,
+    "q03_topk_customers" -> q03,
+    "q04_monthly_sales" -> q04,
+    "q05_key_lookup" -> q05,
+    "q06_time_range_scan" -> q06,
+    "q07_orphan_check" -> q07,
+    "q08_window_rank" -> q08,
+    "q09_latest_event_per_user" -> q09,
+    "q10_rollup_region_nation" -> q10,
+    "q11_cube_status_priority" -> q11,
+    "q12_setop_intersect" -> q12,
+    "q13_pivot_brand_flag" -> q13,
+    "q14_string_funcs" -> q14,
+    "q15_date_parts" -> q15,
+    "q16_case_buckets" -> q16,
+    "q17_semijoin_exists" -> q17,
+    "q18_distinct_counts" -> q18,
+    "q19_having_filter" -> q19,
+    "q20_json_extract" -> q20,
+    "q21_excel_serial_ts" -> q21,
+    "q22_sessionize" -> q22,
+    "q23_asof_prev_signup" -> q23)
+
+  // =====================================================================
+  // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
+  // =====================================================================
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q03_topk_customers" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q04_monthly_sales" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q05_key_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders WHERE o_custkey = 7 ORDER BY o_orderkey""".stripMargin,
+    "q06_time_range_scan" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS mo,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY mo""".stripMargin,
+    "q07_orphan_check" ->
+      """SELECT COUNT(*) AS n_orphans FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""".stripMargin,
+    "q08_window_rank" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q09_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q10_rollup_region_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q11_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q12_setop_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c_nationkey""".stripMargin,
+    "q13_pivot_brand_flag" ->
+      """SELECT p_brand,
+        | CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+        | CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT c_custkey, lower(c_name) AS name_lc,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | substr(c_name, 1, 8) AS name_pfx,
+        | concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nat
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q15_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
+    "q16_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q17_semijoin_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q18_distinct_counts" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_having_filter" ->
+      """SELECT l_suppkey,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_excel_serial_ts" ->
+      """SELECT event_id,
+        | TIMESTAMP '1899-12-30 00:00:00'
+        |   + INTERVAL (CAST(round(value * 86400) AS BIGINT)) SECOND AS serial_ts
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q22_sessionize" ->
+      """SELECT user_id,
+        | CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_asof_prev_signup" ->
+      """SELECT event_id, user_id,
+        | CAST(date_trunc('second', last_signup_raw) AS TIMESTAMP) AS prev_signup FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_raw
+        | FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CoreAnalytics
+
+/** Per-operator sanity on sf0.001 (the DuckDB hash-match at sf0.01 is the
+  * full correctness gate; these specs pin invariants + shapes cheaply).
+  */
+class CoreAnalyticsSpec extends SparkSuite {
+
+  private def run(name: String) = CoreAnalytics.queries(name)(spark, sf)
+
+  test("every declared query has a distinct name and runs non-empty") {
+    // q05/q07-style lookups can legitimately be small but never error.
+    CoreAnalytics.queries.keys.foreach { name =>
+      val df = run(name)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("every oracle key matches a query key") {
+    val qs = CoreAnalytics.queries.keySet
+    assert(CoreAnalytics.oracles.keySet.subsetOf(qs))
+  }
+
+  test("q01 pricing summary: group count and positive sums") {
+    val rows = run("q01_pricing_summary").collect()
+    assert(rows.length === 6) // 3 returnflags × 2 linestatus
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_disc_price") <=
+        r.getAs[Double]("sum_base_price"))
+    }
+  }
+
+  test("q03 top-k is sorted desc by revenue with key tiebreak") {
+    val rev = run("q03_topk_customers").collect()
+      .map(_.getAs[Double]("revenue"))
+    assert(rev.length === 10)
+    assert(rev.sameElements(rev.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q07 orphan check: testdata has no orphan orders") {
+    assert(run("q07_orphan_check").collect().head.getAs[Long]("n_orphans")
+      === 0L)
+  }
+
+  test("q08 window rank emits exactly <=3 rows per segment") {
+    val bySeg = run("q08_window_rank").groupBy("c_mktsegment").count()
+      .collect()
+    bySeg.foreach(r => assert(r.getAs[Long]("count") <= 3))
+  }
+
+  test("q09 latest-event-per-user is one row per user") {
+    val df = run("q09_latest_event_per_user")
+    assert(df.count() === df.select("user_id").distinct().count())
+  }
+
+  test("q10 rollup contains grand-total row") {
+    val rows = run("q10_rollup_region_nation").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val totalCustomers = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n_customers")).sum
+    assert(grand.head.getAs[Long]("n_customers") === totalCustomers)
+  }
+
+  test("q12 intersect returns distinct keys") {
+    val df = run("q12_setop_intersect")
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("q22 sessionize: session count never exceeds event count") {
+    run("q22_sessionize").collect().foreach { r =>
+      assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_sessions") >= 1L)
+    }
+  }
+
+  test("q23 as-of: prev_signup is never after the purchase event") {
+    val e = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"))
+    val j = CoreAnalytics.queries("q23_asof_prev_signup")(spark, sf)
+      .join(e, "event_id")
+      .filter(col("prev_signup").isNotNull)
+      .filter(col("prev_signup") > col("ts"))
+    assert(j.count() === 0)
+  }
+}
