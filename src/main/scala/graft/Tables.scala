@@ -45,6 +45,7 @@ object Tables {
   val clientsSchema: StructType = StructType(Seq(
     StructField("client_id", StringType, nullable = false),
     StructField("nom", StringType),
+    StructField("prenom", StringType),
     StructField("email", StringType),
     StructField("telephone", StringType),
     StructField("adresse", StringType),
@@ -55,10 +56,11 @@ object Tables {
   /** warehouse.produits (init-db/init.sql:35-45). */
   val produitsSchema: StructType = StructType(Seq(
     StructField("produit_id", StringType, nullable = false),
-    StructField("nom_produit", StringType),
-    StructField("description", StringType),
+    StructField("nom", StringType),
+    StructField("categorie", StringType),
     StructField("prix_unitaire", DecimalType(10, 2)),
     StructField("stock_disponible", IntegerType),
+    StructField("description", StringType),
     StructField("source_file", StringType),
     StructField("imported_at", TimestampType)))
 
@@ -84,9 +86,10 @@ object Tables {
 
   /** Required-column ingest contracts (etl/app.py:150-155,179-184,208-213). */
   val requiredColumns: Map[String, Seq[String]] = Map(
-    "clients" -> Seq("client_id", "nom", "email", "telephone", "adresse"),
-    "produits" -> Seq("produit_id", "nom_produit", "description",
-      "prix_unitaire", "stock_disponible"),
+    "clients" -> Seq("client_id", "nom", "prenom", "email", "telephone",
+      "adresse"),
+    "produits" -> Seq("produit_id", "nom", "categorie", "prix_unitaire",
+      "stock_disponible", "description"),
     "ventes" -> Seq("vente_id", "client_id", "produit_id", "quantite",
       "prix_total", "date_vente"))
 }

@@ -1,0 +1,167 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Parquet-backed warehouse: the Spark port of the reference's Postgres
+  * `warehouse` schema + ETL poll loop (reference: init-db/init.sql,
+  * etl/app.py:249-278; lifecycle E1 in SURVEY.md §3).
+  *
+  * One poll cycle = `pollOnce(watchDir)`:
+  *   list csv + parquet files → drop lock files (O2) → incremental filter
+  *   against file_metadata (O3) → route by name (O11), dimensions before
+  *   facts (the FK ordering hazard, SURVEY.md §2.1) → per file: read →
+  *   validate (O5) → coerce (O7) → enrich lineage (O6) → dedupe (O9) →
+  *   FK orphan check for facts (O10) → append (O8) → metadata upsert
+  *   (O12) with success/error status (O13).
+  *
+  * At scale: tables are plain parquet dirs here; the same class fronts a
+  * date-partitioned fact + bucketed dims by changing only `append`.
+  */
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private val entities = Seq("clients", "produits", "ventes") // dims first
+  private def tablePath(name: String): String = s"$root/$name"
+  private val metadataPath = s"$root/file_metadata"
+
+  private val contracts: Map[String, StructType] = Map(
+    "clients" -> Tables.clientsSchema,
+    "produits" -> Tables.produitsSchema,
+    "ventes" -> Tables.ventesSchema)
+  private val businessKey: Map[String, String] = Map(
+    "clients" -> "client_id", "produits" -> "produit_id",
+    "ventes" -> "vente_id")
+
+  // -- table access -----------------------------------------------------
+
+  private def exists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  def table(name: String): Option[DataFrame] =
+    if (exists(tablePath(name))) Some(spark.read.parquet(tablePath(name)))
+    else None
+
+  def metadata: DataFrame =
+    if (exists(metadataPath)) spark.read.parquet(metadataPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.fileMetadataSchema)
+
+  /** O8 — append sink (etl/app.py:162,191,220 → to_sql append). */
+  private def append(name: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(tablePath(name))
+
+  // -- one poll cycle (etl/app.py:253-278) -------------------------------
+
+  /** Returns (filename → status) for every file considered this cycle. */
+  def pollOnce(watchDir: String): Map[String, String] = {
+    val fs = new Path(watchDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(watchDir))) return Map.empty
+    // Directory listing is driver-side by design — it mirrors the
+    // reference's glob (etl/app.py:261) and is O(#files), not O(data).
+    val listed = fs.listStatus(new Path(watchDir)).toSeq
+      .filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getPath.getName,
+        new java.sql.Timestamp(st.getModificationTime)))
+      .filterNot { case (_, name, _) => name.startsWith("~$") } // O2
+      .filter { case (_, name, _) =>
+        name.endsWith(".csv") || name.endsWith(".parquet") }
+
+    if (listed.isEmpty) return Map.empty
+
+    // O3 — incremental change detection against the control table.
+    import spark.implicits._
+    val listing = listed.map { case (_, name, mtime) => (name, mtime) }
+      .toDF("filename", "last_modified")
+    val toProcess = Ingest.filesNeedingProcessing(listing, metadata)
+      .select("filename").collect().map(_.getString(0)).toSet
+
+    val candidates = listed.filter(t => toProcess.contains(t._2))
+
+    // O11 + FK ordering: dimensions before facts (SURVEY.md §2.1 hazard).
+    val ordered = candidates.sortBy { case (_, name, _) =>
+      entities.indexOf(Ingest.entityFor(name).getOrElse("")) match {
+        case -1 => Int.MaxValue
+        case i => i
+      }
+    }
+
+    val results = ordered.flatMap { case (full, name, mtime) =>
+      Ingest.entityFor(name) match {
+        case None => None // unrecognized → warn + skip (etl/app.py:244-246)
+        case Some(entity) =>
+          val ok = processFile(entity, full, name)
+          Some((name, mtime, if (ok) "success" else "error"))
+      }
+    }
+
+    // O12/O13 — metadata upsert with per-file status.
+    if (results.nonEmpty) {
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val updates = results
+        .map { case (name, mtime, status) => (name, mtime, now, status) }
+        .toDF("filename", "last_modified", "last_processed", "status")
+      val merged = Ingest.upsertMetadata(metadata, updates)
+      // Small control table: rewrite-in-full is the plain-parquet MERGE.
+      val tmp = s"$metadataPath.__tmp"
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(metadataPath)
+      fs.delete(new Path(tmp), true)
+    }
+    results.map { case (name, _, status) => name -> status }.toMap
+  }
+
+  /** E1 steps 4-7 for one file; true = success, false = error status
+    * (validation failure, FK orphans, or read error — etl/app.py:168-170).
+    */
+  private def processFile(entity: String, fullPath: String,
+      filename: String): Boolean = {
+    try {
+      val raw =
+        if (fullPath.endsWith(".csv"))
+          spark.read.option("header", "true").csv(fullPath)
+        else spark.read.parquet(fullPath)
+
+      Ingest.validateColumns(raw, Tables.requiredColumns(entity)) match {
+        case Ingest.MissingColumns(_) => false
+        case Ingest.Valid =>
+          val contract = StructType(contracts(entity).fields
+            .filterNot(f => f.name == "source_file" ||
+              f.name == "imported_at" || f.name == "date_creation"))
+          // ventes.date_vente may arrive as an Excel serial (FIXTURES.md):
+          // coerce numeric-looking values through the serial conversion.
+          val prepared =
+            if (entity == "ventes")
+              raw.withColumn("date_vente",
+                when(col("date_vente").cast(DoubleType).isNotNull &&
+                  !col("date_vente").contains("-"),
+                  Ingest.excelSerialToTimestamp(
+                    col("date_vente").cast(DoubleType)))
+                  .otherwise(to_timestamp(col("date_vente"))))
+            else raw
+          val coerced = Ingest.coerceToContract(prepared, contract)
+          val enriched = Ingest.withLineage(coerced, filename)
+          val deduped = Ingest.dedupe(enriched, table(entity),
+            Seq(businessKey(entity)))
+          // O10 — FK check before appending a fact batch.
+          if (entity == "ventes") {
+            val badClients = table("clients")
+              .map(c => Ingest.orphans(deduped, c, "client_id").count())
+              .getOrElse(deduped.count())
+            val badProduits = table("produits")
+              .map(p => Ingest.orphans(deduped, p, "produit_id").count())
+              .getOrElse(deduped.count())
+            if (badClients > 0 || badProduits > 0) return false
+          }
+          append(entity, deduped)
+          true
+      }
+    } catch { case _: Exception => false }
+  }
+}

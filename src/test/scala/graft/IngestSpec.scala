@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ingest.{Ingest, Warehouse}
+
+/** Reference-parity ingest behavior on the shipped dirty fixtures
+  * (FIXTURES.md; reference: etl/app.py + init-db/init.sql constraints).
+  */
+class IngestSpec extends SparkSuite {
+  import org.apache.spark.sql.Row
+
+  // The three shipped Excel fixtures, re-created in-code (FIXTURES.md §1).
+  private def clientsCsv: String =
+    """client_id,nom,prenom,email,telephone,adresse
+      |CLI001,Dupont,Jean,jean.dupont@email.com,612345678," 1 rue de Paris, Paris"
+      |CLI002,Martin,Sophie,s.martin@email.com,723456789,"2 avenue Lyon, Lyon"
+      |CLI003,Dupont,Jean,jean.dupont@email.com,612345678," 1 rue de Paris, Paris"
+      |""".stripMargin
+  private def produitsCsv: String =
+    """produit_id,nom,categorie,prix_unitaire,stock_disponible,description
+      |PRO001,USB ,informatique,5000,100,une clé usb de qualité
+      |PRO002,Odinateur,informatique,5000,100,une clé usb de qualité
+      |""".stripMargin
+  private def ventesCsv: String =
+    """vente_id,client_id,produit_id,quantite,prix_total,date_vente
+      |VNT001,CLI001,PRO001,2,10000,45787.604166666664
+      |""".stripMargin
+
+  private def writeFile(dir: String, name: String, content: String): Unit =
+    Files.writeString(java.nio.file.Paths.get(dir, name), content)
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("O5 validate: accepts exact and superset columns, rejects missing") {
+    import spark.implicits._
+    val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(
+      "client_id", "nom", "prenom", "email", "telephone", "adresse")
+    assert(Ingest.validateColumns(ok, Tables.requiredColumns("clients"))
+      === Ingest.Valid)
+    val extra = ok.withColumn("extra", lit(1))
+    assert(Ingest.validateColumns(extra, Tables.requiredColumns("clients"))
+      === Ingest.Valid)
+    val bad = ok.drop("email")
+    assert(Ingest.validateColumns(bad, Tables.requiredColumns("clients"))
+      === Ingest.MissingColumns(Seq("email")))
+  }
+
+  test("§1.2 Excel serial 45787.604166666664 → 2025-05-10 14:30:00 UTC") {
+    import spark.implicits._
+    val got = Seq(45787.604166666664).toDF("serial")
+      .select(Ingest.excelSerialToTimestamp(col("serial")).as("ts"))
+      .collect().head.getTimestamp(0)
+    assert(got.toString === "2025-05-10 14:30:00.0")
+  }
+
+  test("O6 lineage: source_file + imported_at present and populated") {
+    import spark.implicits._
+    val df = Ingest.withLineage(Seq(1).toDF("x"), "clients.csv")
+    val row = df.collect().head
+    assert(row.getAs[String]("source_file") === "clients.csv")
+    assert(row.getAs[java.sql.Timestamp]("imported_at") != null)
+  }
+
+  test("O9 dedupe: in-batch dups dropped, existing keys anti-joined") {
+    import spark.implicits._
+    val batch = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("id", "v")
+    val noExisting = Ingest.dedupe(batch, None, Seq("id"))
+    assert(noExisting.count() === 2)
+    val existing = Seq(("k2", 9)).toDF("id", "v")
+    val after = Ingest.dedupe(batch, Some(existing), Seq("id"))
+    assert(after.select("id").collect().map(_.getString(0)).toSet
+      === Set("k1"))
+  }
+
+  test("O9 strict: duplicate key count vs existing (reject-batch parity)") {
+    import spark.implicits._
+    val batch = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
+    val existing = Seq(("k2", 9), ("k3", 8)).toDF("id", "v")
+    assert(Ingest.duplicateKeyCount(batch, existing, Seq("id")) === 1L)
+  }
+
+  test("O10 orphans: ventes referencing unknown client detected") {
+    import spark.implicits._
+    val ventes = Seq(("V1", "CLI001"), ("V2", "CLI999"))
+      .toDF("vente_id", "client_id")
+    val clients = Seq(("CLI001", "Dupont")).toDF("client_id", "nom")
+    val bad = Ingest.orphans(ventes, clients, "client_id")
+    assert(bad.collect().map(_.getAs[String]("vente_id")).toSeq
+      === Seq("V2"))
+  }
+
+  test("O12 metadata upsert: latest-wins per filename") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val existing = Seq(
+      ("a.csv", ts("2025-01-01 00:00:00"), ts("2025-01-01 00:00:01"),
+        "success")).toDF(
+      "filename", "last_modified", "last_processed", "status")
+    val updates = Seq(
+      ("a.csv", ts("2025-01-02 00:00:00"), ts("2025-01-02 00:00:01"),
+        "error"),
+      ("b.csv", ts("2025-01-02 00:00:00"), ts("2025-01-02 00:00:01"),
+        "success")).toDF(
+      "filename", "last_modified", "last_processed", "status")
+    val merged = Ingest.upsertMetadata(existing, updates).collect()
+      .map(r => r.getAs[String]("filename") -> r.getAs[String]("status"))
+      .toMap
+    assert(merged === Map("a.csv" -> "error", "b.csv" -> "success"))
+  }
+
+  test("O3 incremental: unseen or newer-mtime files selected, others skipped") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val listing = Seq(
+      ("old.csv", ts("2025-01-01 00:00:00")),
+      ("touched.csv", ts("2025-02-01 00:00:00")),
+      ("new.csv", ts("2025-01-15 00:00:00")))
+      .toDF("filename", "last_modified")
+    val meta = Seq(
+      ("old.csv", ts("2025-01-01 00:00:00"), ts("2025-01-01 00:01:00"),
+        "success"),
+      ("touched.csv", ts("2025-01-01 00:00:00"), ts("2025-01-01 00:01:00"),
+        "success")).toDF(
+      "filename", "last_modified", "last_processed", "status")
+    val need = Ingest.filesNeedingProcessing(listing, meta)
+      .select("filename").collect().map(_.getString(0)).toSet
+    assert(need === Set("touched.csv", "new.csv"))
+  }
+
+  test("O11 router: substring dispatch incl. unrecognized; O2 lock filter") {
+    assert(Ingest.entityFor("/w/clients_2025.csv") === Some("clients"))
+    assert(Ingest.entityFor("PRODUITS.csv") === Some("produits"))
+    assert(Ingest.entityFor("ventes-jan.parquet") === Some("ventes"))
+    assert(Ingest.entityFor("unknown.csv") === None)
+    import spark.implicits._
+    val names = Seq("/w/~$clients.csv", "/w/clients.csv").toDF("f")
+    val kept = names.filter(!Ingest.isLockFile(col("f")))
+      .collect().map(_.getString(0))
+    assert(kept === Array("/w/clients.csv"))
+  }
+
+  test("E1 end-to-end: poll cycle over fixture CSVs, then idempotent re-poll") {
+    val watch = tmpDir("watch")
+    val wh = new Warehouse(spark, tmpDir("wh"))
+    writeFile(watch, "clients.csv", clientsCsv)
+    writeFile(watch, "produits.csv", produitsCsv)
+    writeFile(watch, "ventes.csv", ventesCsv)
+    writeFile(watch, "~$clients.csv", "garbage") // lock artifact → ignored
+    writeFile(watch, "notes.csv", "a,b\n1,2\n") // unrecognized → skipped
+
+    val st = wh.pollOnce(watch)
+    assert(st === Map("clients.csv" -> "success",
+      "produits.csv" -> "success", "ventes.csv" -> "success"))
+    assert(wh.table("clients").get.count() === 3)
+    assert(wh.table("produits").get.count() === 2)
+    val ventes = wh.table("ventes").get.collect()
+    assert(ventes.length === 1)
+    // Excel serial converted + lineage present (FIXTURES.md quirks).
+    assert(ventes.head.getAs[java.sql.Timestamp]("date_vente").toString
+      === "2025-05-10 14:30:00.0")
+    assert(ventes.head.getAs[String]("source_file") === "ventes.csv")
+    // prix_total coerced to DECIMAL(10,2).
+    assert(wh.table("ventes").get.schema("prix_total").dataType
+      === DecimalType(10, 2))
+
+    // Second poll: nothing modified → nothing reprocessed (O3).
+    assert(wh.pollOnce(watch) === Map.empty)
+    assert(wh.table("clients").get.count() === 3)
+
+    // Touch clients.csv (reference reprocess procedure, readme.md:125-129):
+    // reprocessed but dedup keeps the table idempotent (O9).
+    val f = new java.io.File(watch, "clients.csv")
+    assert(f.setLastModified(f.lastModified() + 5000))
+    val st2 = wh.pollOnce(watch)
+    assert(st2 === Map("clients.csv" -> "success"))
+    assert(wh.table("clients").get.count() === 3)
+  }
+
+  test("E1 negative: missing column → error; FK orphan ventes → error") {
+    val watch = tmpDir("watch2")
+    val wh = new Warehouse(spark, tmpDir("wh2"))
+    // clients file missing 'email' → validation reject (etl/app.py:151-155)
+    writeFile(watch, "clients.csv",
+      "client_id,nom,prenom,telephone,adresse\nCLI001,D,J,1,2\n")
+    // ventes referencing unloaded dims → FK orphan → error
+    writeFile(watch, "ventes.csv", ventesCsv)
+    val st = wh.pollOnce(watch)
+    assert(st === Map("clients.csv" -> "error", "ventes.csv" -> "error"))
+    assert(wh.table("clients").isEmpty)
+    assert(wh.table("ventes").isEmpty)
+    // metadata recorded both outcomes (O13)
+    val meta = wh.metadata.collect()
+      .map(r => r.getAs[String]("filename") -> r.getAs[String]("status"))
+      .toMap
+    assert(meta === Map("clients.csv" -> "error", "ventes.csv" -> "error"))
+  }
+}

@@ -23,6 +23,6 @@ object SparkSuite {
 }
 
 trait SparkSuite extends AnyFunSuite {
-  def spark: SparkSession = SparkSuite.spark
+  lazy val spark: SparkSession = SparkSuite.spark
   def sf: String = SparkSuite.sf
 }
