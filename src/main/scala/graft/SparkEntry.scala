@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreAnalytics
+import graft.queries.{CoreAnalytics, LlmPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,13 +19,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreAnalytics.queries("q03_topk_customers")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (CoreAnalytics)
+    * plus the LLM-training-data pipeline surface (LlmPipeline: dedup,
+    * similarity search, text analysis over documents/embeddings).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreAnalytics.queries
+    CoreAnalytics.queries ++ LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used for non-SQL-expressible ops).
     */
-  def oracleSql: Map[String, String] = CoreAnalytics.oracles
+  def oracleSql: Map[String, String] =
+    CoreAnalytics.oracles ++ LlmPipeline.oracles
 }

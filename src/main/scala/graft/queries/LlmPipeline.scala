@@ -1,0 +1,693 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Large-scale training-data pipeline operators over the driver's
+  * `documents` / `embeddings` tables: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine), similarity search
+  * (brute-force + LSH-bucketed ANN), and text analysis (token stats,
+  * quality scoring, language/source stats, top terms, fingerprinting).
+  *
+  * The reference (Gbessaya-joseph/Datawarehouse1) signals intent for
+  * content-hash dedup — `hashlib` imported but dead at etl/app.py:8
+  * (SURVEY.md §2.1) — and delegates all analysis to the warehouse; these
+  * operators are the north-star extensions of SURVEY.md §7.2 module 4.
+  *
+  * Scale posture (100 TB):
+  *  - Signatures (minhash / simhash / fingerprints) are per-row
+  *    higher-order-function expressions (`transform`/`aggregate`/
+  *    `array_min`) — no UDFs, no shuffle, whole-stage codegen.
+  *  - Near-dup candidate generation NEVER does an all-pairs join: LSH
+  *    band keys (minhash) or signature bytes (simhash) are exploded and
+  *    the self-join shuffles on the band key only — each bucket is a
+  *    tiny candidate set; the shuffle key can be bucketed at rest.
+  *  - Similarity search broadcasts the (tiny) query side and takes
+  *    global top-k via TakeOrderedAndProject (per-partition heaps +
+  *    driver merge), never a full sort. The LSH-bucketed ANN variant
+  *    prunes candidates to the query's hyperplane-sign bucket first.
+  *  - Cross-engine determinism with the DuckDB oracle: all hashing is
+  *    md5 (hex string, byte-identical both engines; 60/32-bit integer
+  *    views via base-16 parse), all float math is double with identical
+  *    left-fold order, all ratios are int/int IEEE divisions, and every
+  *    ORDER BY carries a unique tiebreak.
+  */
+object LlmPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val dec: DecimalType = DecimalType(18, 2)
+
+  // --- shared text primitives (Spark-SQL expression text) --------------
+  // Word tokens of the lowercased text. Java and RE2 agree on \w+ over
+  // ASCII corpora.
+  private val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+  // 3-word shingles (w-shingling); requires size(toks) >= 3.
+  private val shinglesE =
+    "transform(sequence(1, size(toks) - 2), i -> " +
+      "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+      "element_at(toks, i + 2)))"
+
+  /** documents with `toks` + `sh` (3-gram shingle) arrays — the shared
+    * front of every text-dedup pipeline. Pure per-row projection.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(shinglesE))
+
+  private val MinhashK = 16 // signature width
+  private val Bands = 4     // LSH bands (rows per band = 16/4 = 4)
+
+  /** doc_id + minhash signature (array of 16 min-md5 hex strings) + the
+    * 4 LSH band keys. One md5-min per seed, all per-row expressions.
+    * MinHash permutation i ≈ ordering by md5("i:" || shingle); the min
+    * over a hex string is a valid minimum under that permutation and is
+    * byte-identical across engines (no integer conversion needed).
+    */
+  private def minhashed(s: SparkSession, dir: String): DataFrame = {
+    val sigCols = (0 until MinhashK).map { k =>
+      expr(s"array_min(transform(sh, x -> md5(concat('$k:', x))))").as(s"m$k")
+    }
+    val perBand = MinhashK / Bands
+    shingled(s, dir)
+      .select(col("doc_id") +: sigCols: _*)
+      .withColumn("sig", array((0 until MinhashK).map(k => col(s"m$k")): _*))
+      .withColumn("bands", array((0 until Bands).map { b =>
+        md5(concat_ws("|",
+          (0 until perBand).map(j => col(s"m${perBand * b + j}")): _*))
+      }: _*))
+      .select(col("doc_id"), col("sig"), col("bands"))
+  }
+
+  private val SimhashBits = 60 // 15 md5 hex digits; fits a signed 64-bit
+
+  /** doc_id → 60-bit SimHash over the token multiset (frequency-weighted
+    * by construction: tokens are exploded, not deduped). explode →
+    * groupBy(doc_id) is one shuffle with map-side partial aggregation;
+    * the 60 bit-vote sums are plain SUM(CASE) aggregates.
+    */
+  private def simhashed(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val votes = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$i")
+    }
+    val simhash = (0 until SimhashBits).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhash.cast(LongType).as("simhash"))
+  }
+
+  // =====================================================================
+  // Similarity search over embeddings (array<float>, 64-dim)
+  // =====================================================================
+
+  /** q24: brute-force cosine top-10 nearest to the vec_id=0 query vector.
+    * The query side is a 1-row broadcast; dot/norm are double left-folds
+    * over `zip_with`/`transform` (codegen, no UDF); global top-k is
+    * TakeOrderedAndProject. At 100 TB this is the exact-search baseline:
+    * one scan, no shuffle, k rows to the driver.
+    */
+  private val q24: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("nv",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nq",
+        expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        (col("dot") / (col("nv") * col("nq"))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** q25: LSH-bucketed ANN — random-hyperplane (axis-sign) bucket on the
+    * first 3 dimensions prunes candidates to ~1/8 of the corpus before
+    * the exact cosine re-rank. The scale path for similarity search: the
+    * bucket key is a partition/bucket column at rest, so a query probes
+    * one bucket instead of scanning 100 TB.
+    */
+  private val q25: Q = (s, dir) => {
+    def bucket(vcol: String): Column =
+      ((when(expr(s"element_at($vcol, 1) >= 0D"), 4).otherwise(0)) +
+        (when(expr(s"element_at($vcol, 2) >= 0D"), 2).otherwise(0)) +
+        (when(expr(s"element_at($vcol, 3) >= 0D"), 1).otherwise(0)))
+        .cast(LongType)
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("bucket", bucket("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("nv",
+        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nq",
+        expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id"), col("bucket"),
+        (col("dot") / (col("nv") * col("nq"))).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+
+  /** q26: embedding-cosine near-dup detection — hyperplane-sign LSH
+    * bucket, then within-bucket pairs (a < b) above a cosine threshold.
+    * The join shuffles on the bucket key only: no all-pairs. Threshold
+    * 0.3 is corpus-calibrated (synthetic embeddings are near-orthogonal).
+    */
+  private val q26: Q = (s, dir) => {
+    def side(tag: String): DataFrame =
+      t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .withColumn("bucket",
+          ((when(expr("element_at(v, 1) >= 0D"), 4).otherwise(0)) +
+            (when(expr("element_at(v, 2) >= 0D"), 2).otherwise(0)) +
+            (when(expr("element_at(v, 3) >= 0D"), 1).otherwise(0)))
+            .cast(LongType))
+        .select(col("vec_id").as(s"vec_$tag"), col("v").as(s"v_$tag"),
+          col("bucket"))
+    side("a").join(side("b"), "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("na", expr(
+        "sqrt(aggregate(transform(v_a, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("nb", expr(
+        "sqrt(aggregate(transform(v_b, x -> x * x), 0D, (a, x) -> a + x))"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.3)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // =====================================================================
+  // Deduplication over documents
+  // =====================================================================
+
+  /** q27: exact content dedup — md5 of whitespace-normalized lowercased
+    * text (the content-hash dedup the reference intended: dead `hashlib`
+    * import, etl/app.py:8). The corpus is unioned with itself to model
+    * re-delivery; the group-by proves one keeper (min doc_id) per
+    * content hash. Hash-groupBy with map-side combine; at 100 TB the
+    * hash is also the bucketing key for incremental dedup appends.
+    */
+  private val q27: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .withColumn("content_hash",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .select("doc_id", "content_hash")
+    d.unionByName(d)
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  /** q28: MinHash + LSH near-dup pairs — 16-perm signature, 4 bands × 4
+    * rows; candidate pairs share ≥1 band key; pairs kept when ≥8/16
+    * signature positions agree (est. Jaccard ≥ 0.5). The only shuffle is
+    * the band-key join. est_jaccard = n/16 is an exact binary fraction —
+    * bitwise-stable across engines.
+    */
+  private val q28: Q = (s, dir) => {
+    def side(tag: String): DataFrame =
+      minhashed(s, dir)
+        .select(col("doc_id").as(s"doc_$tag"), col("sig").as(s"sig_$tag"),
+          explode(col("bands")).as("bk"))
+    side("a").join(side("b"), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("n_match", expr(
+        "cast(aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), " +
+          "0, (a, x) -> a + x) as bigint)"))
+      .filter(col("n_match") >= 8)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast(DoubleType) / lit(16).cast(DoubleType))
+          .as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q29: per-document 60-bit SimHash (frequency-weighted bit votes). */
+  private val q29: Q = (s, dir) =>
+    simhashed(s, dir).orderBy("doc_id")
+
+  /** q30: SimHash near-dup pairs — the 60-bit signature split into 4
+    * 15-bit bands (pigeonhole: any pair with Hamming distance ≤ 3 shares
+    * at least one exact band); candidates join on the band value +
+    * position, verified by bit_count(xor) ≤ 3.
+    */
+  private val q30: Q = (s, dir) => {
+    def side(tag: String): DataFrame = {
+      val bandCols = array((0 until 4).map { b =>
+        // position-tag each 15-bit band so bands don't cross-match
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)) +
+          lit(32768L * b)
+      }: _*)
+      simhashed(s, dir)
+        .select(col("doc_id").as(s"doc_$tag"),
+          col("simhash").as(s"sh_$tag"),
+          explode(bandCols).as("bk"))
+    }
+    side("a").join(side("b"), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q31: exact n-gram Jaccard verification — candidates bucketed by the
+    * seed-0 minhash (docs sharing the global min shingle under that
+    * permutation), then exact |A∩B| / |A∪B| over distinct 3-gram sets.
+    * This is the verify stage a production near-dup pipeline runs after
+    * LSH; bucketing keeps it off the all-pairs cliff.
+    */
+  private val q31: Q = (s, dir) => {
+    def side(tag: String): DataFrame =
+      shingled(s, dir)
+        .withColumn("m0",
+          expr("array_min(transform(sh, x -> md5(concat('0:', x))))"))
+        .withColumn("shd", array_distinct(col("sh")))
+        .select(col("doc_id").as(s"doc_$tag"), col("shd").as(s"shd_$tag"),
+          col("m0"))
+    side("a").join(side("b"), "m0")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("shd_a"), col("shd_b"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("shd_a")) + size(col("shd_b"))).cast(LongType) -
+          col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // =====================================================================
+  // Text analysis over documents
+  // =====================================================================
+
+  /** q32: per-document token statistics — whitespace-regex token count,
+    * punctuation count, mean token length, distinct-token ratio. All
+    * per-row expressions; ratios are int/int IEEE divisions (exact
+    * cross-engine).
+    */
+  private val q32: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .filter(size(col("toks")) >= 1)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        expr("cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as bigint)")
+          .as("n_punct"),
+        (expr("cast(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) as double)")
+          / size(col("toks")).cast(DoubleType)).as("avg_token_len"),
+        (size(array_distinct(col("toks"))).cast(DoubleType)
+          / size(col("toks")).cast(DoubleType)).as("distinct_ratio"))
+      .orderBy("doc_id")
+
+  /** q33: corpus statistics by language × source — the per-slice health
+    * dashboard of a training-data pipeline. Partial+final hash agg.
+    */
+  private val q33: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast(LongType)).as("total_tokens"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+          .as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** q34: heuristic quality scoring — length score, punctuation ratio,
+    * stopword ratio, combined into a quality band (the filter stage of a
+    * pretraining-data pipeline). Weights applied in identical order both
+    * engines → bitwise-equal doubles.
+    */
+  private val q34: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_stop", expr(
+        "cast(size(filter(toks, x -> x = 'the' or x = 'a' or x = 'and' " +
+          "or x = 'of' or x = 'to')) as bigint)"))
+      .withColumn("punct_ratio",
+        expr("cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
+          / length(col("text")).cast(DoubleType))
+      .withColumn("stop_ratio",
+        col("n_stop").cast(DoubleType) / size(col("toks")).cast(DoubleType))
+      .withColumn("len_score",
+        least(length(col("text")).cast(DoubleType) / lit(500).cast(DoubleType),
+          lit(1.0)))
+      .withColumn("quality",
+        lit(0.5) * col("len_score") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * (lit(1.0) - col("stop_ratio")))
+      .withColumn("band",
+        when(col("quality") >= 0.75, "high")
+          .when(col("quality") >= 0.5, "medium")
+          .otherwise("low"))
+      .select("doc_id", "punct_ratio", "stop_ratio", "len_score",
+        "quality", "band")
+      .orderBy("doc_id")
+
+  /** q35: corpus top-20 terms after stopword removal — explode + count +
+    * TakeOrderedAndProject (never a full sort).
+    */
+  private val q35: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .select(explode(col("toks")).as("term"))
+      .filter(!col("term").isin("the", "a", "and", "of", "to"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("term"))
+      .limit(20)
+
+  /** q36: document fingerprint — min-md5 over character 8-grams of the
+    * normalized text (winnowing with window = document; SURVEY §7.2
+    * module 4 "document fingerprinting"). Per-row expression; the
+    * fingerprint doubles as a clustering key for shard-local dedup.
+    */
+  private val q36: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, length(norm) - 7), " +
+          "i -> md5(substring(norm, i, 8))))").as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** q37: heuristic language-ID — character-trigram overlap against tiny
+    * per-language profiles, scored per document; output is the
+    * (labelled × predicted) confusion matrix. Deterministic n-gram
+    * heuristic (the corpus is synthetic, so accuracy is incidental — the
+    * operator shape is what a real lang-ID pass uses: per-row profile
+    * score + argmax, no shuffle until the final tiny matrix agg).
+    */
+  private val q37: Q = (s, dir) => {
+    // Tiny fixed profiles: common function-word unigrams per language.
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "and", "value", "fast"),
+      "de" -> Seq("der", "und", "die", "hash", "batch"),
+      "fr" -> Seq("le", "la", "et", "query", "window"),
+      "es" -> Seq("el", "los", "y", "join", "table"),
+      "zh" -> Seq("de", "shi", "le", "spark", "data"))
+    val scored = profiles.foldLeft(
+      t(s, dir, "documents").withColumn("toks", expr(toksE))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", expr(
+          s"cast(size(filter(toks, x -> ${words.map(w => s"x = '$w'").mkString(" or ")})) as bigint)"))
+    }
+    // argmax with deterministic tie-break: lexicographically first lang
+    // among the max scores (greatest over reversed-name struct trick
+    // avoided; explicit nested whens keep both engines identical).
+    val langs = profiles.map(_._1)
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST lang in declaration order on
+    // ties (en > de > fr > es > zh) — mirror this exactly in the oracle.
+    scored
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  val queries: Map[String, Q] = Map(
+    "q24_cosine_topk" -> q24,
+    "q25_ann_lsh_bucket" -> q25,
+    "q26_embedding_neardup" -> q26,
+    "q27_exact_dedup" -> q27,
+    "q28_minhash_neardup" -> q28,
+    "q29_simhash" -> q29,
+    "q30_simhash_neardup" -> q30,
+    "q31_ngram_jaccard" -> q31,
+    "q32_token_stats" -> q32,
+    "q33_lang_source_stats" -> q33,
+    "q34_quality_score" -> q34,
+    "q35_top_terms" -> q35,
+    "q36_doc_fingerprint" -> q36,
+    "q37_lang_id_confusion" -> q37)
+
+  // =====================================================================
+  // DuckDB oracle SQL
+  // =====================================================================
+
+  // DuckDB-side shared fragments (RE2 regex, no backslash escaping in
+  // single-quoted strings; regexp_replace needs the 'g' flag).
+  private val dToks = "regexp_extract_all(lower(text), '\\w+')"
+  private val dDot =
+    "list_reduce(list_transform(list_zip(%A, %B), p -> p[1] * p[2]), (a, x) -> a + x)"
+  private def dot(a: String, b: String): String =
+    dDot.replace("%A", a).replace("%B", b)
+  private def norm(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, x) -> a + x))"
+
+  private val minhashSigSql: String = {
+    val mins = (0 until MinhashK).map { k =>
+      s"list_min(list_transform(sh, x -> md5('$k:' || x)))"
+    }
+    s"[${mins.mkString(", ")}]"
+  }
+  private val bandsSql: String = {
+    val perBand = MinhashK / Bands
+    val bands = (0 until Bands).map { b =>
+      val elems = (0 until perBand).map(j => s"sig[${perBand * b + j + 1}]")
+      s"md5(concat_ws('|', ${elems.mkString(", ")}))"
+    }
+    s"[${bands.mkString(", ")}]"
+  }
+  private val simhashSql: String = {
+    val votes = (0 until SimhashBits).map { i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val recomb = (0 until SimhashBits).map { i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, unnest($dToks) AS tok FROM documents
+       |), h AS (
+       | SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       | FROM tok
+       |), bits AS (
+       | SELECT doc_id, $votes FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q24_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
+         |FROM e CROSS JOIN q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q25_ann_lsh_bucket" ->
+      s"""WITH e AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  CAST((CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+         |       (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         |       (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         | FROM embeddings),
+         |q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket,
+         | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
+         |FROM e CROSS JOIN q WHERE vec_id <> 0 AND bucket = qbucket
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
+    "q26_embedding_neardup" ->
+      s"""WITH e AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+         |  (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         |  (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+         | FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | ${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")}) AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")}) >= CAST(0.3 AS DOUBLE)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q27_exact_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        | FROM documents
+        |), u AS (SELECT * FROM d UNION ALL SELECT * FROM d)
+        |SELECT content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM u GROUP BY content_hash ORDER BY keeper_id""".stripMargin,
+    "q28_minhash_neardup" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $dToks AS toks FROM documents
+         |), shg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM base WHERE len(toks) >= 3
+         |), sigs AS (
+         | SELECT doc_id, $minhashSigSql AS sig FROM shg
+         |), banded AS (
+         | SELECT doc_id, sig, unnest($bandsSql) AS bk FROM sigs
+         |), pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |), scored AS (
+         | SELECT doc_a, doc_b,
+         |  CAST(list_reduce(list_transform(list_zip(sig_a, sig_b),
+         |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (a, x) -> a + x)
+         |   AS BIGINT) AS n_match
+         | FROM pairs)
+         |SELECT doc_a, doc_b, n_match,
+         | CAST(n_match AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
+         |FROM scored WHERE n_match >= 8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_simhash" ->
+      (simhashSql + " ORDER BY doc_id"),
+    "q30_simhash_neardup" ->
+      s"""WITH sh AS ($simhashSql),
+         |banded AS (
+         | SELECT doc_id, simhash,
+         |  unnest([((simhash >> 0) & 32767) + 0,
+         |          ((simhash >> 15) & 32767) + 32768,
+         |          ((simhash >> 30) & 32767) + 65536,
+         |          ((simhash >> 45) & 32767) + 98304]) AS bk
+         | FROM sh
+         |), pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.simhash AS sh_a, b.simhash AS sh_b
+         | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_ngram_jaccard" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $dToks AS toks FROM documents
+         |), shg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM base WHERE len(toks) >= 3
+         |), keyed AS (
+         | SELECT doc_id, list_distinct(sh) AS shd,
+         |  list_min(list_transform(sh, x -> md5('0:' || x))) AS m0
+         | FROM shg
+         |), pairs AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_common,
+         |  CAST(len(a.shd) + len(b.shd) AS BIGINT)
+         |    - CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_union
+         | FROM keyed a JOIN keyed b ON a.m0 = b.m0 AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_common, n_union,
+         | CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+         |FROM pairs
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_token_stats" ->
+      s"""WITH base AS (SELECT doc_id, text, $dToks AS toks FROM documents)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+         | CAST(list_reduce(list_transform(toks, x -> length(x)), (a, x) -> a + x) AS DOUBLE)
+         |   / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+         | CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+         |FROM base WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
+    "q33_lang_source_stats" ->
+      s"""WITH base AS (SELECT lang, source, n_chars, $dToks AS toks FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         | CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+         | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         |FROM base GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q34_quality_score" ->
+      s"""WITH base AS (SELECT doc_id, text, $dToks AS toks FROM documents),
+         |scored AS (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a' OR x = 'and'
+         |    OR x = 'of' OR x = 'to')) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE)) AS len_score
+         | FROM base WHERE len(toks) >= 1)
+         |SELECT doc_id, punct_ratio, stop_ratio, len_score,
+         | CAST(0.5 AS DOUBLE) * len_score
+         |  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) AS quality,
+         | CASE WHEN CAST(0.5 AS DOUBLE) * len_score
+         |  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) >= CAST(0.75 AS DOUBLE)
+         |   THEN 'high'
+         |  WHEN CAST(0.5 AS DOUBLE) * len_score
+         |  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio) >= CAST(0.5 AS DOUBLE)
+         |   THEN 'medium' ELSE 'low' END AS band
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q35_top_terms" ->
+      s"""WITH tok AS (SELECT unnest($dToks) AS term FROM documents)
+         |SELECT term, COUNT(*) AS n FROM tok
+         |WHERE term NOT IN ('the', 'a', 'and', 'of', 'to')
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q36_doc_fingerprint" ->
+      """WITH n AS (
+        | SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id,
+        | list_min(list_transform(generate_series(1, length(norm) - 7),
+        |   i -> md5(substr(norm, i, 8)))) AS fingerprint
+        |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q37_lang_id_confusion" -> {
+      val profiles = Seq(
+        "en" -> Seq("the", "a", "and", "value", "fast"),
+        "de" -> Seq("der", "und", "die", "hash", "batch"),
+        "fr" -> Seq("le", "la", "et", "query", "window"),
+        "es" -> Seq("el", "los", "y", "join", "table"),
+        "zh" -> Seq("de", "shi", "le", "spark", "data"))
+      val scoreCols = profiles.map { case (l, ws) =>
+        s"CAST(len(list_filter(toks, x -> ${ws.map(w => s"x = '$w'").mkString(" OR ")})) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = profiles.map(_._1)
+      val maxE = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      // first-declared lang wins ties (matches the Spark foldRight).
+      val predE = langs.reverse.foldLeft("'unknown'") { (acc, l) =>
+        s"CASE WHEN score_$l = $maxE THEN '$l' ELSE $acc END"
+      }
+      s"""WITH base AS (SELECT lang, $dToks AS toks FROM documents),
+         |scored AS (SELECT lang,
+         |  $scoreCols
+         | FROM base)
+         |SELECT lang, $predE AS pred_lang, COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    })
+}
