@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
+/** Benchmark main — one JSON line on stdout (driver contract).
+  *
+  * Methodology: queries run in fixed (sorted-name) order; one full
+  * untimed warmup pass first (JVM/JIT + codegen caches + parquet footer
+  * cache), then one timed pass. Each execution checksums every column of
+  * every result row (xxhash64 → sum) — `count()` would let Catalyst
+  * prune computed columns and under-bill projection-only queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,14 +23,27 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def exec(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(sum("h")).collect()
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      try exec(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
+    }
+    val results = names.map { n =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try exec(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $n failed: ${e.getMessage}") }
+      n -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

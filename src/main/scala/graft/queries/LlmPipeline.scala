@@ -46,41 +46,65 @@ object LlmPipeline {
   // Word tokens of the lowercased text. Java and RE2 agree on \w+ over
   // ASCII corpora.
   private val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
-  // 3-word shingles (w-shingling); requires size(toks) >= 3.
-  private val shinglesE =
-    "transform(sequence(1, size(toks) - 2), i -> " +
-      "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
-      "element_at(toks, i + 2)))"
 
-  /** documents with `toks` + `sh` (3-gram shingle) arrays — the shared
-    * front of every text-dedup pipeline. Pure per-row projection.
+  /** One row per 3-word shingle: (doc_id, shingle). Tokens are EXPLODED
+    * first (the Generate materializes them — a deliberate barrier so
+    * Catalyst cannot inline the regexp per array element), then shingles
+    * are assembled with `lead()` windows partitioned by doc_id. The
+    * window shuffle is per-document (bounded partitions) and replaces a
+    * per-row `transform(sequence, i -> element_at(toks, i)…)` HOF whose
+    * collapsed projection re-ran the tokenizer regex ~3×|tokens| times
+    * per row (~6× slower end-to-end at sf0.1). Docs with < 3 tokens
+    * yield no shingles (lead(2) is null), matching the array form.
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     t(s, dir, "documents")
-      .withColumn("toks", expr(toksE))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", expr(shinglesE))
+      .select(col("doc_id"), posexplode(expr(toksE)).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+  }
 
   private val MinhashK = 16 // signature width
   private val Bands = 4     // LSH bands (rows per band = 16/4 = 4)
 
-  /** doc_id + minhash signature (array of 16 min-md5 hex strings) + the
-    * 4 LSH band keys. One md5-min per seed, all per-row expressions.
-    * MinHash permutation i ≈ ordering by md5("i:" || shingle); the min
-    * over a hex string is a valid minimum under that permutation and is
-    * byte-identical across engines (no integer conversion needed).
+  /** Universal-hash minhash: one md5 per shingle → 60-bit int `h`, then
+    * permutation k is the linear map (a_k·(h mod p) + b_k) mod p over the
+    * Mersenne prime p = 2^31−1. All products stay < 2^62, so the integer
+    * arithmetic is exact (and non-throwing) in both Spark and DuckDB.
+    */
+  private val MhP = 2147483647L // 2^31 - 1
+  private val MhAB: Seq[(Long, Long)] = (0 until MinhashK).map { k =>
+    (((k + 1) * 2654435761L) % MhP, ((k + 1) * 2246822519L) % MhP)
+  }
+  /** 60-bit integer view of md5(shingle) — identical in both engines. */
+  private val shingleHashE =
+    "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+
+  /** doc_id + minhash signature (array of 16 longs) + the 4 LSH band
+    * keys. Design for scale: shingles are EXPLODED once and hashed once
+    * (one md5 each), then the 16 permuted minima are plain codegen'd
+    * `min` aggregates with map-side partial aggregation — one shuffle of
+    * (doc_id, 16 longs). The earlier per-row form (16 higher-order
+    * array_min(transform(md5)) passes) was interpreted, 16× the md5
+    * work, and ~100× slower at sf0.1.
     */
   private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until MinhashK).map { k =>
-      expr(s"array_min(transform(sh, x -> md5(concat('$k:', x))))").as(s"m$k")
-    }
     val perBand = MinhashK / Bands
-    shingled(s, dir)
-      .select(col("doc_id") +: sigCols: _*)
+    val h = shingleRows(s, dir)
+      .withColumn("h", expr(s"$shingleHashE % $MhP"))
+    val aggs = MhAB.zipWithIndex.map { case ((a, b), k) =>
+      min(expr(s"($a * h + $b) % $MhP")).as(s"m$k")
+    }
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until MinhashK).map(k => col(s"m$k")): _*))
       .withColumn("bands", array((0 until Bands).map { b =>
-        md5(concat_ws("|",
-          (0 until perBand).map(j => col(s"m${perBand * b + j}")): _*))
+        concat_ws("|",
+          lit(b) +: (0 until perBand).map(j => col(s"m${perBand * b + j}")): _*)
       }: _*))
       .select(col("doc_id"), col("sig"), col("bands"))
   }
@@ -224,9 +248,10 @@ object LlmPipeline {
 
   /** q28: MinHash + LSH near-dup pairs — 16-perm signature, 4 bands × 4
     * rows; candidate pairs share ≥1 band key; pairs kept when ≥8/16
-    * signature positions agree (est. Jaccard ≥ 0.5). The only shuffle is
-    * the band-key join. est_jaccard = n/16 is an exact binary fraction —
-    * bitwise-stable across engines.
+    * signature positions agree (est. Jaccard ≥ 0.5). Two shuffles: the
+    * per-doc signature agg (map-side combined) and the band-key join.
+    * est_jaccard = n/16 is an exact binary fraction — bitwise-stable
+    * across engines.
     */
   private val q28: Q = (s, dir) => {
     def side(tag: String): DataFrame =
@@ -280,17 +305,19 @@ object LlmPipeline {
   }
 
   /** q31: exact n-gram Jaccard verification — candidates bucketed by the
-    * seed-0 minhash (docs sharing the global min shingle under that
-    * permutation), then exact |A∩B| / |A∪B| over distinct 3-gram sets.
-    * This is the verify stage a production near-dup pipeline runs after
-    * LSH; bucketing keeps it off the all-pairs cliff.
+    * global min shingle hash (docs sharing the overall-min 3-gram), then
+    * exact |A∩B| / |A∪B| over the distinct shingle-hash sets. This is
+    * the verify stage a production near-dup pipeline runs after LSH;
+    * bucketing keeps it off the all-pairs cliff. Shingles are hashed to
+    * 60-bit ints once each (explode + groupBy, codegen'd) so the
+    * set-intersection compares longs, not 30-char strings.
     */
   private val q31: Q = (s, dir) => {
     def side(tag: String): DataFrame =
-      shingled(s, dir)
-        .withColumn("m0",
-          expr("array_min(transform(sh, x -> md5(concat('0:', x))))"))
-        .withColumn("shd", array_distinct(col("sh")))
+      shingleRows(s, dir)
+        .withColumn("h", expr(shingleHashE))
+        .groupBy("doc_id")
+        .agg(collect_set(col("h")).as("shd"), min(col("h")).as("m0"))
         .select(col("doc_id").as(s"doc_$tag"), col("shd").as(s"shd_$tag"),
           col("m0"))
     side("a").join(side("b"), "m0")
@@ -392,17 +419,21 @@ object LlmPipeline {
 
   /** q36: document fingerprint — min-md5 over character 8-grams of the
     * normalized text (winnowing with window = document; SURVEY §7.2
-    * module 4 "document fingerprinting"). Per-row expression; the
-    * fingerprint doubles as a clustering key for shard-local dedup.
+    * module 4 "document fingerprinting"). The 8-gram positions are
+    * exploded (materializing `norm` once, below the Generate) and the
+    * min is a codegen'd aggregate — one md5 per position, never a
+    * re-inlined normalization regex. The fingerprint doubles as a
+    * clustering key for shard-local dedup.
     */
   private val q36: Q = (s, dir) =>
     t(s, dir, "documents")
-      .withColumn("norm",
-        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .filter(length(col("norm")) >= 8)
       .select(col("doc_id"),
-        expr("array_min(transform(sequence(1, length(norm) - 7), " +
-          "i -> md5(substring(norm, i, 8))))").as("fingerprint"))
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"), col("norm"),
+        explode(expr("sequence(1, length(norm) - 7)")).as("i"))
+      .groupBy("doc_id")
+      .agg(min(md5(expr("substring(norm, i, 8)"))).as("fingerprint"))
       .orderBy("doc_id")
 
   /** q37: heuristic language-ID — character-trigram overlap against tiny
@@ -477,17 +508,18 @@ object LlmPipeline {
   private def norm(a: String): String =
     s"sqrt(list_reduce(list_transform($a, x -> x * x), (a, x) -> a + x))"
 
-  private val minhashSigSql: String = {
-    val mins = (0 until MinhashK).map { k =>
-      s"list_min(list_transform(sh, x -> md5('$k:' || x)))"
-    }
-    s"[${mins.mkString(", ")}]"
-  }
+  // 60-bit integer view of md5(shingle) — byte-identical to Spark's
+  // conv(substring(md5, 1, 15), 16, 10).
+  private val dShingleHash = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+  private val minhashAggSql: String =
+    MhAB.zipWithIndex.map { case ((a, b), k) =>
+      s"min(($a * h + $b) % $MhP) AS m$k"
+    }.mkString(", ")
   private val bandsSql: String = {
     val perBand = MinhashK / Bands
     val bands = (0 until Bands).map { b =>
-      val elems = (0 until perBand).map(j => s"sig[${perBand * b + j + 1}]")
-      s"md5(concat_ws('|', ${elems.mkString(", ")}))"
+      val elems = (0 until perBand).map(j => s"m${perBand * b + j}")
+      s"concat_ws('|', $b, ${elems.mkString(", ")})"
     }
     s"[${bands.mkString(", ")}]"
   }
@@ -556,10 +588,17 @@ object LlmPipeline {
          | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
          |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
          | FROM base WHERE len(toks) >= 3
+         |), ex AS (
+         | SELECT doc_id, unnest(sh) AS shingle FROM shg
+         |), hs AS (
+         | SELECT doc_id, $dShingleHash % $MhP AS h FROM ex
+         |), mins AS (
+         | SELECT doc_id, $minhashAggSql FROM hs GROUP BY doc_id
          |), sigs AS (
-         | SELECT doc_id, $minhashSigSql AS sig FROM shg
+         | SELECT doc_id, [${(0 until MinhashK).map(k => s"m$k").mkString(", ")}] AS sig,
+         |  $bandsSql AS bands FROM mins
          |), banded AS (
-         | SELECT doc_id, sig, unnest($bandsSql) AS bk FROM sigs
+         | SELECT doc_id, sig, unnest(bands) AS bk FROM sigs
          |), pairs AS (
          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  a.sig AS sig_a, b.sig AS sig_b
@@ -598,10 +637,13 @@ object LlmPipeline {
          | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
          |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
          | FROM base WHERE len(toks) >= 3
+         |), ex AS (
+         | SELECT doc_id, unnest(sh) AS shingle FROM shg
+         |), hs AS (
+         | SELECT doc_id, $dShingleHash AS h FROM ex
          |), keyed AS (
-         | SELECT doc_id, list_distinct(sh) AS shd,
-         |  list_min(list_transform(sh, x -> md5('0:' || x))) AS m0
-         | FROM shg
+         | SELECT doc_id, list_distinct(list(h)) AS shd, min(h) AS m0
+         | FROM hs GROUP BY doc_id
          |), pairs AS (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_common,
