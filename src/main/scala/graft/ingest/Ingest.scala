@@ -90,15 +90,19 @@ object Ingest {
 
   /** O9 (idempotent variant — the readme's stated intent, readme.md:27
     * "évitement des doublons"): drop in-batch duplicates on the business
-    * key, then anti-join against already-loaded keys. `existing` should be
-    * a keys-only projection (column pruning keeps the shuffle narrow).
+    * key, then anti-join against already-loaded keys. The existing side
+    * is reduced to a keys-only distinct projection (column pruning keeps
+    * the scan narrow) with NO broadcast hint: at 100 TB the existing key
+    * set exceeds any broadcast budget, so the join must be free to
+    * shuffle on the key (or co-locate via a bucketed keys projection);
+    * AQE picks broadcast by itself when the table is actually small.
     */
   def dedupe(batch: DataFrame, existing: Option[DataFrame],
       keys: Seq[String]): DataFrame = {
     val inBatch = batch.dropDuplicates(keys)
     existing match {
       case Some(e) => inBatch.join(
-        broadcast(e.select(keys.map(col).toSeq: _*).distinct()),
+        e.select(keys.map(col).toSeq: _*).distinct(),
         keys, "left_anti")
       case None => inBatch
     }
@@ -137,8 +141,12 @@ object Ingest {
 
   /** O3 — incremental change detection (etl/app.py:36-52): a file needs
     * processing iff it has never been seen, or its mtime is strictly newer
-    * than the recorded last_modified (strict `>` at etl/app.py:49; the
-    * at-least-once bias on lookup error maps to the outer join's null arm).
+    * than the recorded watermark. Deliberate deviation: the reference
+    * compares mtime against `last_processed` (etl/app.py:49); we compare
+    * against the recorded `last_modified`, which additionally re-ingests a
+    * file modified *during* its own processing (safer; the reference would
+    * skip it until the next touch). The at-least-once bias on lookup error
+    * maps to the outer join's null arm.
     * `listing` = (filename, last_modified); `metadata` = the control table.
     */
   def filesNeedingProcessing(listing: DataFrame,

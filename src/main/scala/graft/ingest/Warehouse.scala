@@ -134,32 +134,50 @@ final class Warehouse(spark: SparkSession, root: String) {
           val contract = StructType(contracts(entity).fields
             .filterNot(f => f.name == "source_file" ||
               f.name == "imported_at" || f.name == "date_creation"))
-          // ventes.date_vente may arrive as an Excel serial (FIXTURES.md):
-          // coerce numeric-looking values through the serial conversion.
+          // ventes.date_vente may arrive as an Excel serial (FIXTURES.md).
+          // Only values in the plausible Excel-date range [1, 80000]
+          // (1900-01-01 .. ~2119) take the serial path — '20250510' or
+          // epoch-seconds strings would otherwise become far-future
+          // garbage; they fall through to to_timestamp (null on failure).
           val prepared =
-            if (entity == "ventes")
+            if (entity == "ventes") {
+              val serial = col("date_vente").cast(DoubleType)
               raw.withColumn("date_vente",
-                when(col("date_vente").cast(DoubleType).isNotNull &&
-                  !col("date_vente").contains("-"),
-                  Ingest.excelSerialToTimestamp(
-                    col("date_vente").cast(DoubleType)))
+                when(serial.isNotNull && !col("date_vente").contains("-") &&
+                  serial >= 1 && serial <= 80000,
+                  Ingest.excelSerialToTimestamp(serial))
                   .otherwise(to_timestamp(col("date_vente"))))
-            else raw
+            } else raw
           val coerced = Ingest.coerceToContract(prepared, contract)
           val enriched = Ingest.withLineage(coerced, filename)
           val deduped = Ingest.dedupe(enriched, table(entity),
             Seq(businessKey(entity)))
-          // O10 — FK check before appending a fact batch.
           if (entity == "ventes") {
-            val badClients = table("clients")
-              .map(c => Ingest.orphans(deduped, c, "client_id").count())
-              .getOrElse(deduped.count())
-            val badProduits = table("produits")
-              .map(p => Ingest.orphans(deduped, p, "produit_id").count())
-              .getOrElse(deduped.count())
-            if (badClients > 0 || badProduits > 0) return false
-          }
-          append(entity, deduped)
+            // O10 — FK check before appending a fact batch. One cached
+            // plan + ONE action for both orphan counts (left joins on the
+            // distinct dim keys, count the null arms) — the source file
+            // is read once, and a file mutated mid-cycle cannot slip
+            // unchecked rows into the append.
+            deduped.persist()
+            try {
+              def keysOf(name: String, key: String): DataFrame =
+                table(name).map(_.select(key).distinct())
+                  .getOrElse(spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    StructType(Seq(StructField(key, StringType)))))
+              val flagged = deduped
+                .join(broadcast(keysOf("clients", "client_id")
+                  .withColumn("__c", lit(1))), Seq("client_id"), "left")
+                .join(broadcast(keysOf("produits", "produit_id")
+                  .withColumn("__p", lit(1))), Seq("produit_id"), "left")
+              val counts = flagged.agg(
+                coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L)),
+                coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))).head()
+              if (counts.getLong(0) > 0 || counts.getLong(1) > 0)
+                return false
+              append(entity, deduped)
+            } finally deduped.unpersist()
+          } else append(entity, deduped)
           true
       }
     } catch { case _: Exception => false }

@@ -449,11 +449,13 @@ object CoreAnalytics {
         | FROM orders JOIN customer ON o_custkey = c_custkey) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q09_latest_event_per_user" ->
-      """SELECT user_id, event_id, event_type, value FROM (
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events)
+        |SELECT user_id, event_id, event_type, value FROM (
         | SELECT user_id, event_id, event_type, value,
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) t
+        | FROM ev) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q10_rollup_region_nation" ->
       """SELECT r_name, n_name,
@@ -527,22 +529,26 @@ object CoreAnalytics {
         |   + INTERVAL (CAST(round(value * 86400) AS BIGINT)) SECOND AS serial_ts
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "q22_sessionize" ->
-      """SELECT user_id,
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events)
+        |SELECT user_id,
         | CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
         |   THEN 1 ELSE 0 END AS new_session
-        | FROM events
+        | FROM ev
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q23_asof_prev_signup" ->
-      """SELECT event_id, user_id,
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events)
+        |SELECT event_id, user_id,
         | CAST(date_trunc('second', last_signup_raw) AS TIMESTAMP) AS prev_signup FROM (
         | SELECT event_id, user_id, event_type,
         |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_raw
-        | FROM events) t
+        | FROM ev) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
 }
