@@ -127,8 +127,28 @@ final class Warehouse(spark: SparkSession, root: String) {
         if (fullPath.endsWith(".csv"))
           spark.read.option("header", "true").csv(fullPath)
         else spark.read.parquet(fullPath)
+      ingestFrame(entity, raw, Ingest.withLineage(_, filename))
+    } catch { case _: Exception => false }
+  }
 
-      Ingest.validateColumns(raw, Tables.requiredColumns(entity)) match {
+  /** Streaming entry: ingest one micro-batch for an entity (called from
+    * `foreachBatch` — graft.streaming.Streams). Identical semantics to
+    * the batch path; lineage comes from `input_file_name()` since a
+    * micro-batch may span several source files. Streaming-mode change
+    * detection is the file-source checkpoint, so no metadata upsert here
+    * (documented divergence: the checkpoint never re-ingests a modified
+    * file; the batch path's mtime check does — SURVEY.md §7.4).
+    */
+  def ingestStreamBatch(entity: String, batch: DataFrame): Boolean =
+    try ingestFrame(entity, batch, (df: DataFrame) => Ingest.withLineage(df))
+    catch { case _: Exception => false }
+
+  /** Shared E1 core: validate (O5) → coerce (O7) → enrich (O6) → dedupe
+    * (O9) → FK check for facts (O10) → append (O8).
+    */
+  private def ingestFrame(entity: String, raw: DataFrame,
+      enrich: DataFrame => DataFrame): Boolean =
+    Ingest.validateColumns(raw, Tables.requiredColumns(entity)) match {
         case Ingest.MissingColumns(_) => false
         case Ingest.Valid =>
           val contract = StructType(contracts(entity).fields
@@ -149,7 +169,7 @@ final class Warehouse(spark: SparkSession, root: String) {
                   .otherwise(to_timestamp(col("date_vente"))))
             } else raw
           val coerced = Ingest.coerceToContract(prepared, contract)
-          val enriched = Ingest.withLineage(coerced, filename)
+          val enriched = enrich(coerced)
           val deduped = Ingest.dedupe(enriched, table(entity),
             Seq(businessKey(entity)))
           if (entity == "ventes") {
@@ -179,7 +199,5 @@ final class Warehouse(spark: SparkSession, root: String) {
             } finally deduped.unpersist()
           } else append(entity, deduped)
           true
-      }
-    } catch { case _: Exception => false }
-  }
+    }
 }

@@ -364,6 +364,16 @@ object CoreAnalytics {
       .orderBy("event_id")
   }
 
+  /** q38: event-time tumbling windows — the SAME pure function the
+    * Structured Streaming path runs (graft.streaming.Streams
+    * .windowedEventCounts, where the watermark bounds state); in batch
+    * the watermark is a no-op and the result is oracle-checkable.
+    * window(ts, '1 hour').start ≡ date_trunc('hour', ts).
+    */
+  private val q38: Q = (s, dir) =>
+    graft.streaming.Streams.windowedEventCounts(t(s, dir, "events"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -387,7 +397,8 @@ object CoreAnalytics {
     "q20_json_extract" -> q20,
     "q21_excel_serial_ts" -> q21,
     "q22_sessionize" -> q22,
-    "q23_asof_prev_signup" -> q23)
+    "q23_asof_prev_signup" -> q23,
+    "q38_event_time_windows" -> q38)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -550,5 +561,12 @@ object CoreAnalytics {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_raw
         | FROM ev) t
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q38_event_time_windows" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events)
+        |SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
 }

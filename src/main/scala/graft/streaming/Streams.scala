@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.ingest.{Ingest, Warehouse}
+
+/** Structured Streaming port of the reference's poll loop (reference:
+  * etl/app.py:253-278, operator O1 in SURVEY.md §2.1) plus the event-time
+  * windowed aggregation committed in SURVEY.md §2.3.
+  *
+  * Design (SURVEY.md §7.1): every transformation is the same pure
+  * `DataFrame => DataFrame` code the batch path runs — streaming is only
+  * the source (`readStream` file source) and the sink (`foreachBatch` →
+  * `Warehouse.ingestStreamBatch`). `Trigger.AvailableNow` makes one poll
+  * cycle = one bounded run over all unseen files (the faithful port of a
+  * single `main()` loop iteration); `Trigger.ProcessingTime` would run
+  * the loop forever at the reference's POLLING_INTERVAL.
+  *
+  * Scale posture: the file-source checkpoint (maxFilesPerTrigger
+  * partitionable) replaces the reference's per-file metadata SELECTs;
+  * state in the windowed aggregation is bounded by the watermark, so a
+  * 1000-executor streaming job ages out old windows instead of growing
+  * state forever.
+  */
+object Streams {
+
+  /** Router glob per entity (O11, etl/app.py:238-243). */
+  private val entityGlob: Map[String, String] = Map(
+    "clients" -> "*client*", "produits" -> "*produit*",
+    "ventes" -> "*vente*")
+
+  /** Raw (pre-coercion) schema: CSV files arrive untyped, like pandas'
+    * permissive read (SURVEY.md §1.2) — declared strings, cast later by
+    * `Ingest.coerceToContract`.
+    */
+  private def rawSchema(entity: String): StructType =
+    StructType(Tables.requiredColumns(entity)
+      .map(StructField(_, StringType)))
+
+  /** O1 — unbounded directory source for one entity: file stream with
+    * the router as a pathGlobFilter and the `~$` lock-file filter (O2)
+    * applied on the per-row filename.
+    */
+  def entityStream(spark: SparkSession, watchDir: String,
+      entity: String): DataFrame =
+    spark.readStream
+      .format("csv")
+      .option("header", "true")
+      .option("pathGlobFilter", entityGlob(entity))
+      .schema(rawSchema(entity))
+      .load(watchDir)
+      .filter(!Ingest.isLockFile(input_file_name()))
+
+  /** Wire one entity stream into the warehouse: every micro-batch runs
+    * the shared validate→coerce→enrich→dedupe→FK-check→append pipeline.
+    * One call = one poll cycle (AvailableNow drains all unseen files and
+    * stops); the checkpoint is the incremental-processing state (O3).
+    */
+  def ingestQuery(wh: Warehouse, stream: DataFrame, entity: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName(s"ingest_$entity")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.ingestStreamBatch(entity, batch); ()
+      }
+      .start()
+
+  /** One full poll cycle over a watch directory, dimensions before facts
+    * (the FK ordering hazard, SURVEY.md §2.1): start + drain the three
+    * entity streams sequentially.
+    */
+  def pollAvailableNow(spark: SparkSession, wh: Warehouse,
+      watchDir: String, checkpointRoot: String): Unit =
+    Seq("clients", "produits", "ventes").foreach { entity =>
+      ingestQuery(wh, entityStream(spark, watchDir, entity), entity,
+        s"$checkpointRoot/$entity").awaitTermination()
+    }
+
+  /** Event-time tumbling-window aggregation with a watermark (SURVEY.md
+    * §2.3 streaming commitment). Pure: in a streaming query the watermark
+    * bounds state and admits late data up to `watermarkDelay`; in a batch
+    * query `withWatermark` is a documented no-op and the result is
+    * oracle-checkable (q38). total_value sums as DECIMAL then casts to
+    * double so the result is order-independent (cross-engine exact).
+    */
+  def windowedEventCounts(events: DataFrame,
+      watermarkDelay: String = "30 minutes",
+      windowWidth: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowWidth), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+}

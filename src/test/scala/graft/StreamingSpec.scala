@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.Warehouse
+import graft.streaming.Streams
+
+/** Structured Streaming mode: the readStream→foreachBatch port of the
+  * reference's poll loop (etl/app.py:253-278) and the event-time windowed
+  * aggregation (SURVEY.md §2.3). Streaming results can't hash-match a
+  * batch DuckDB oracle, so this suite is the gate (VERDICT r1 item 6);
+  * the windowed agg itself is additionally oracle-checked in batch as
+  * q38.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeFile(dir: String, name: String, content: String): Unit =
+    Files.writeString(java.nio.file.Paths.get(dir, name), content)
+
+  private val clientsCsv =
+    """client_id,nom,prenom,email,telephone,adresse
+      |CLI001,Dupont,Jean,jean.dupont@email.com,612345678,"1 rue de Paris"
+      |CLI002,Martin,Sophie,s.martin@email.com,723456789,"2 avenue Lyon"
+      |""".stripMargin
+
+  test("O1 streaming: AvailableNow micro-batch ingests a clients file " +
+    "through the shared pipeline") {
+    val watch = tmpDir("stream-watch")
+    val whRoot = tmpDir("stream-wh")
+    val ckpt = tmpDir("stream-ckpt")
+    writeFile(watch, "clients_2025.csv", clientsCsv)
+    writeFile(watch, "~$clients_lock.csv", clientsCsv) // O2: must be skipped
+    val wh = new Warehouse(spark, whRoot)
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    val table = wh.table("clients").get
+    assert(table.count() === 2)
+    val cols = table.columns.toSet
+    assert(cols.contains("source_file") && cols.contains("imported_at"))
+    assert(table.filter(col("source_file") === "clients_2025.csv").count() === 2)
+  }
+
+  test("O3 streaming: checkpoint skips seen files; new files ingest " +
+    "incrementally; O9 dedup drops re-delivered keys") {
+    val watch = tmpDir("stream-watch2")
+    val whRoot = tmpDir("stream-wh2")
+    val ckpt = tmpDir("stream-ckpt2")
+    writeFile(watch, "clients_a.csv", clientsCsv)
+    val wh = new Warehouse(spark, whRoot)
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    assert(wh.table("clients").get.count() === 2)
+
+    // Second cycle, same checkpoint: nothing new → no change.
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    assert(wh.table("clients").get.count() === 2)
+
+    // New file re-delivering CLI002 plus a new key: dedup keeps only CLI003.
+    writeFile(watch, "clients_b.csv",
+      """client_id,nom,prenom,email,telephone,adresse
+        |CLI002,Martin,Sophie,s.martin@email.com,723456789,"2 avenue Lyon"
+        |CLI003,Durand,Luc,l.durand@email.com,634567890,"3 rue Centrale"
+        |""".stripMargin)
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    val table = wh.table("clients").get
+    assert(table.count() === 3)
+    assert(table.select("client_id").distinct().count() === 3)
+  }
+
+  test("§2.3 event-time windows: streaming run over event files matches " +
+    "the batch run of the same function (update-complete semantics)") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-events")
+    val events = Seq(
+      // (event_id, user_id, event_type, value, ts)
+      (1L, 1L, "view", 1.5, "2025-01-01 10:05:00"),
+      (2L, 1L, "view", 2.0, "2025-01-01 10:55:00"),
+      (3L, 2L, "purchase", 10.0, "2025-01-01 11:10:00"),
+      (4L, 2L, "view", 0.5, "2025-01-01 11:59:00"),
+      (5L, 1L, "purchase", 20.0, "2025-01-01 12:00:30"))
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    events.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val q = Streams.windowedEventCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_counts")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = Streams.windowedEventCounts(events)
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.length === 4) // 10h view, 11h purchase, 11h view, 12h purchase
+  }
+}
