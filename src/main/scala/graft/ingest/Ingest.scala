@@ -139,6 +139,36 @@ object Ingest {
       .drop("__rn")
   }
 
+  /** §1.2 — SERIAL surrogate-key emulation (init-db/init.sql:12,22,36,49):
+    * contiguous 1..N ids via row_number() over an explicit total order.
+    * COST: a global row_number forces a single-partition sort — use only
+    * where exact contiguous serials are a hard requirement (the reference
+    * surrogate ids). At scale prefer the business key, or
+    * `monotonically_increasing_id()` when ids only need uniqueness
+    * (distributed, but non-contiguous).
+    */
+  def withSerial(df: DataFrame, order: Seq[Column],
+      name: String = "id"): DataFrame =
+    df.withColumn(name,
+      row_number().over(Window.orderBy(order: _*)).cast(LongType))
+
+  /** O4 — read retry with backoff (etl/app.py:92-141: ≤3 retries, 2 s
+    * delay; the shadow-copy branch is Windows-lock specific and out of
+    * scope for a distributed FS). `sleep` is injectable for tests.
+    */
+  @annotation.tailrec
+  def withRetry[T](maxRetries: Int = 3, delayMs: Long = 2000,
+      sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    val attempt = try Right(f) catch { case e: Exception => Left(e) }
+    attempt match {
+      case Right(v) => v
+      case Left(e) =>
+        if (maxRetries <= 1) throw e
+        sleep(delayMs)
+        withRetry(maxRetries - 1, delayMs, sleep)(f)
+    }
+  }
+
   /** O3 — incremental change detection (etl/app.py:36-52): a file needs
     * processing iff it has never been seen, or its mtime is strictly newer
     * than the recorded watermark. Deliberate deviation: the reference

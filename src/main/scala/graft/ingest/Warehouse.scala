@@ -52,9 +52,49 @@ final class Warehouse(spark: SparkSession, root: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Tables.fileMetadataSchema)
 
-  /** O8 — append sink (etl/app.py:162,191,220 → to_sql append). */
+  /** O8 — append sink (etl/app.py:162,191,220 → to_sql append). The
+    * ventes fact is date-partitioned on sale_date (day of date_vente):
+    * the parquet analog of the reference's date_vente index
+    * (init-db/init.sql:67) — time-range scans prune whole partitions,
+    * which is what keeps q06-style queries sub-scan at 100 TB.
+    */
   private def append(name: String, df: DataFrame): Unit =
-    df.write.mode("append").parquet(tablePath(name))
+    if (name == "ventes")
+      df.withColumn("sale_date", to_date(col("date_vente")))
+        .write.mode("append").partitionBy("sale_date")
+        .parquet(tablePath(name))
+    else df.write.mode("append").parquet(tablePath(name))
+
+  // -- continuous service loop (etl/app.py:253-288) ----------------------
+
+  /** O14 — error-recovery loop: poll forever, sleeping `pollIntervalMs`
+    * between cycles (etl/app.py:278); a cycle-level failure is caught,
+    * backs off `errorBackoffMs` (the reference's 10 s, etl/app.py:282),
+    * and the loop continues. The reference also recreates its DB engine;
+    * the SparkSession is a resilient singleton, so reuse IS the port.
+    * `maxCycles` + injectable `sleep`/`cycle` exist for tests (prod uses
+    * the defaults); returns the number of successful cycles.
+    */
+  def pollForever(watchDir: String, pollIntervalMs: Long = 60000L,
+      errorBackoffMs: Long = 10000L, maxCycles: Long = Long.MaxValue,
+      sleep: Long => Unit = Thread.sleep,
+      cycle: String => Map[String, String] = this.pollOnce): Long = {
+    var cycles = 0L
+    var ok = 0L
+    while (cycles < maxCycles) {
+      try {
+        cycle(watchDir)
+        ok += 1
+        cycles += 1
+        if (cycles < maxCycles) sleep(pollIntervalMs)
+      } catch {
+        case _: Exception =>
+          cycles += 1
+          sleep(errorBackoffMs)
+      }
+    }
+    ok
+  }
 
   // -- one poll cycle (etl/app.py:253-278) -------------------------------
 
@@ -123,10 +163,12 @@ final class Warehouse(spark: SparkSession, root: String) {
   private def processFile(entity: String, fullPath: String,
       filename: String): Boolean = {
     try {
-      val raw =
+      // O4 — transient read failures retry with backoff (etl/app.py:92-141).
+      val raw = Ingest.withRetry() {
         if (fullPath.endsWith(".csv"))
           spark.read.option("header", "true").csv(fullPath)
         else spark.read.parquet(fullPath)
+      }
       ingestFrame(entity, raw, Ingest.withLineage(_, filename))
     } catch { case _: Exception => false }
   }
@@ -158,15 +200,17 @@ final class Warehouse(spark: SparkSession, root: String) {
           // Only values in the plausible Excel-date range [1, 80000]
           // (1900-01-01 .. ~2119) take the serial path — '20250510' or
           // epoch-seconds strings would otherwise become far-future
-          // garbage; they fall through to to_timestamp (null on failure).
+          // garbage; they fall through to to_timestamp. try_cast (not
+          // cast): under ANSI mode (Spark 4 default) a plain cast THROWS
+          // on non-numeric date strings instead of yielding null.
           val prepared =
             if (entity == "ventes") {
-              val serial = col("date_vente").cast(DoubleType)
+              val serial = expr("try_cast(date_vente as double)")
               raw.withColumn("date_vente",
                 when(serial.isNotNull && !col("date_vente").contains("-") &&
                   serial >= 1 && serial <= 80000,
                   Ingest.excelSerialToTimestamp(serial))
-                  .otherwise(to_timestamp(col("date_vente"))))
+                  .otherwise(expr("try_to_timestamp(date_vente)")))
             } else raw
           val coerced = Ingest.coerceToContract(prepared, contract)
           val enriched = enrich(coerced)
