@@ -474,6 +474,34 @@ object LlmPipeline {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q39: multimodal metadata extraction, oracle-checked — synthetic
+    * media payloads (printable RIFF..WAVE / ..ftyp container magics
+    * prepended per source slice) carried as opaque BINARY, then the REAL
+    * magic-byte sniffing from graft.multimodal.Multimodal plus
+    * byte-level features (length, header hex, content md5). Everything
+    * is a codegen'd expression on the distributed binary column — the
+    * payload never reaches the driver. (The decode stage itself is the
+    * stubbed FakeCodec boundary, gated by MultimodalSpec — no codec
+    * libs in this container.)
+    */
+  private val q39: Q = (s, dir) => {
+    val payload =
+      when(col("source").isin("src0", "src1", "src2"),
+        concat(lit("RIFF1234WAVE"), col("text")))
+        .when(col("source").isin("src3", "src4"),
+          concat(lit("0000ftyp"), col("text")))
+        .otherwise(col("text"))
+    val m = t(s, dir, "documents")
+      .withColumn("content", payload.cast(BinaryType))
+    graft.multimodal.Multimodal.withSniffedType(m)
+      .select(col("doc_id"),
+        length(col("content")).cast(LongType).as("n_bytes"),
+        substring(hex(col("content")), 1, 16).as("header_hex"),
+        md5(col("content")).as("content_hash"),
+        col("sniffed_type"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -492,7 +520,8 @@ object LlmPipeline {
     "q34_quality_score" -> q34,
     "q35_top_terms" -> q35,
     "q36_doc_fingerprint" -> q36,
-    "q37_lang_id_confusion" -> q37)
+    "q37_lang_id_confusion" -> q37,
+    "q39_media_sniff" -> q39)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -709,6 +738,27 @@ object LlmPipeline {
         | list_min(list_transform(generate_series(1, length(norm) - 7),
         |   i -> md5(substr(norm, i, 8)))) AS fingerprint
         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q39_media_sniff" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2')
+        |        THEN 'RIFF1234WAVE' || text
+        |       WHEN source IN ('src3', 'src4') THEN '0000ftyp' || text
+        |       ELSE text END AS payload
+        | FROM documents
+        |), h AS (
+        | SELECT doc_id, payload, hex(encode(payload)) AS hx FROM m)
+        |SELECT doc_id,
+        | CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+        | substr(hx, 1, 16) AS header_hex,
+        | md5(payload) AS content_hash,
+        | CASE WHEN hx LIKE '89504E47%' THEN 'image/png'
+        |      WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+        |      WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57415645'
+        |       THEN 'audio/wav'
+        |      WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+        |      ELSE 'application/octet-stream' END AS sniffed_type
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q37_lang_id_confusion" -> {
       val profiles = Seq(
         "en" -> Seq("the", "a", "and", "value", "fast"),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.DecodedImage
+
+/** Multimodal binary-column plumbing (brief: decode is stubbed, the
+  * Spark-side schema/partitioning/batch-shape is real and tested).
+  */
+class MultimodalSpec extends SparkSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def mediaRow(id: Long, mt: String, content: Array[Byte],
+      w: Int = 0, h: Int = 0, rate: Int = 0, durMs: Long = 0L): Row =
+    Row(id, mt, "fake", w, h, rate, durMs, content)
+
+  private def mediaDf(rows: Row*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq),
+      Multimodal.mediaSchema)
+
+  test("magic-byte sniffing: png/jpeg/wav/mp4/unknown") {
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3, 4)
+    val jpg = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0, 1, 2, 3, 4, 5, 6, 7)
+    val wav = "RIFF".getBytes ++ bytes(1, 2, 3, 4) ++ "WAVE".getBytes
+    val mp4 = bytes(0, 0, 0, 0x18) ++ "ftypisom".getBytes
+    val other = bytes(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val df = mediaDf(
+      mediaRow(1, "image/png", png), mediaRow(2, "image/jpeg", jpg),
+      mediaRow(3, "audio/wav", wav), mediaRow(4, "video/mp4", mp4),
+      mediaRow(5, "unknown", other))
+    val got = Multimodal.withSniffedType(df)
+      .select("media_id", "sniffed_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "image/png", 2L -> "image/jpeg",
+      3L -> "audio/wav", 4L -> "video/mp4",
+      5L -> "application/octet-stream"))
+  }
+
+  test("size-aware repartition: partition count = ceil(bytes/target)") {
+    val rows = (1L to 10L).map(i => mediaRow(i, "image/png",
+      Array.fill[Byte](1000)(i.toByte)))
+    val df = mediaDf(rows: _*)
+    assert(Multimodal.repartitionForDecode(df, 2500L)
+      .rdd.getNumPartitions === 4) // 10000 bytes / 2500
+    assert(Multimodal.repartitionForDecode(df, 1000000L)
+      .rdd.getNumPartitions === 1)
+  }
+
+  test("stubbed decode: deterministic fake pixels, real batch shape") {
+    val content = bytes(0, 51, 102, 153) // -> 0, .2, .4, .6 after /255
+    val df = mediaDf(mediaRow(7, "image/png", content, w = 2, h = 2))
+    val out = Multimodal.decodeImages(df).collect()
+    assert(out.length === 1)
+    val img = out.head
+    assert(img.media_id === 7 && img.width === 2 && img.height === 2)
+    assert(img.pixels.length === 4)
+    assert(img.pixels.toSeq === Seq(0f, 51 / 255f, 102 / 255f, 153 / 255f))
+  }
+
+  test("resize: 4x4 -> 2x2 average pooling is exact") {
+    import spark.implicits._
+    val pixels = (0 until 16).map(_.toFloat).toArray // row-major 4x4
+    val ds = Seq(DecodedImage(1L, 4, 4, pixels)).toDS()
+    val out = Multimodal.resizeImages(ds, 2, 2).collect().head
+    // boxes: (0,1,4,5) (2,3,6,7) (8,9,12,13) (10,11,14,15)
+    assert(out.pixels.toSeq === Seq(2.5f, 4.5f, 10.5f, 12.5f))
+    assert(out.width === 2 && out.height === 2)
+  }
+
+  test("audio features: windowed RMS over stub PCM, constant signal") {
+    // constant byte 64 -> sample 0.5 everywhere -> RMS 0.5 per window
+    val content = Array.fill[Byte](100)(64)
+    val df = mediaDf(mediaRow(9, "audio/wav", content,
+      rate = 8000, durMs = 64L)) // 512 samples -> 2 windows of 256
+    val out = Multimodal.audioFeatures(df, windowSize = 256).collect().head
+    assert(out.media_id === 9 && out.n_windows === 2)
+    assert(out.rms.toSeq.forall(v => math.abs(v - 0.5f) < 1e-6))
+  }
+
+  test("frame-sample plan: one row per everyMs tick, metadata only") {
+    val df = mediaDf(
+      mediaRow(1, "video/mp4", bytes(1), durMs = 1000L),
+      mediaRow(2, "image/png", bytes(1), durMs = 999L)) // not video: dropped
+    val got = Multimodal.frameSamplePlan(df, 250L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq.sorted ===
+      Seq((1L, 0L), (1L, 250L), (1L, 500L), (1L, 750L)))
+  }
+}
