@@ -18,8 +18,12 @@ import graft.Tables
   *   FK orphan check for facts (O10) → append (O8) → metadata upsert
   *   (O12) with success/error status (O13).
   *
-  * At scale: tables are plain parquet dirs here; the same class fronts a
-  * date-partitioned fact + bucketed dims by changing only `append`.
+  * At scale: dims are plain parquet dirs (broadcast-size by design); the
+  * ventes fact is date-partitioned on sale_date at append time, so
+  * time-range queries prune partitions (the reference's date_vente
+  * index, init-db/init.sql:67). A continuous deployment runs
+  * `pollForever` (O14) or the Structured Streaming mode
+  * (graft.streaming.Streams).
   */
 final class Warehouse(spark: SparkSession, root: String) {
 

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ingest.Ingest
+
+/** Property-based operator laws (SURVEY.md §5 commitment): ingest
+  * idempotence under arbitrary re-delivery, dedup uniqueness, and
+  * append-batching equivalence — checked over ScalaCheck-generated
+  * batches (deterministic seeds, bounded iterations: each sample runs
+  * real Spark jobs, so we trade sample count for suite latency).
+  */
+class PropertySpec extends SparkSuite {
+
+  private val keyGen: Gen[String] = Gen.oneOf((1 to 8).map(i => s"K$i"))
+  private val rowGen: Gen[(String, Int)] =
+    for { k <- keyGen; v <- Gen.choose(0, 100) } yield (k, v)
+  private val batchGen: Gen[List[(String, Int)]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, rowGen))
+
+  private val params = Gen.Parameters.default
+
+  /** Draw `n` deterministic samples of `g` (seeded; reproducible). */
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(params, Seed(seed + i)))
+
+  private def df(rows: List[(String, Int)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("dedup law: at most one row per key; key set preserved") {
+    for (rows <- samples(batchGen, 12, 1000L)) {
+      val out = Ingest.dedupe(df(rows), None, Seq("id"))
+      val ids = out.select("id").collect().map(_.getString(0)).toSeq
+      assert(ids.distinct.length === ids.length, s"dups in $rows")
+      assert(ids.toSet === rows.map(_._1).toSet, s"keys lost in $rows")
+    }
+  }
+
+  test("idempotence law: re-delivering a loaded batch adds nothing") {
+    for (rows <- samples(batchGen, 12, 2000L) if rows.nonEmpty) {
+      val loaded = Ingest.dedupe(df(rows), None, Seq("id"))
+      val redelivered = Ingest.dedupe(df(rows), Some(loaded), Seq("id"))
+      assert(redelivered.count() === 0L, s"re-delivery not empty for $rows")
+    }
+  }
+
+  test("batching law: load(A then B) keys == load(A union B) keys") {
+    val as = samples(batchGen, 8, 3000L)
+    val bs = samples(batchGen, 8, 4000L)
+    for ((a, b) <- as.zip(bs)) {
+      val loadedA = Ingest.dedupe(df(a), None, Seq("id"))
+      val thenB = Ingest.dedupe(df(b), Some(loadedA), Seq("id"))
+      val sequential = loadedA.select("id")
+        .unionByName(thenB.select("id"))
+        .collect().map(_.getString(0)).toSet
+      val together = Ingest.dedupe(df(a ++ b), None, Seq("id"))
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(sequential === together, s"batching mismatch for $a / $b")
+    }
+  }
+
+  test("serial law: ids are a contiguous 1..N permutation for any batch") {
+    for (rows <- samples(batchGen, 12, 5000L) if rows.nonEmpty) {
+      val unique = df(rows).dropDuplicates("id")
+      val n = rows.map(_._1).distinct.length
+      val ids = Ingest.withSerial(unique, Seq(col("id")), "sid")
+        .select("sid").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === (1L to n.toLong), s"non-contiguous serials for $rows")
+    }
+  }
+}
