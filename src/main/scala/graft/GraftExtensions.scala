@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{CosineSimilarity, Functions}
+
+/** SparkSessionExtensions entry point: inject the graft native functions
+  * into any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard deployment path on a shared cluster, where the session is
+  * constructed by the platform, not the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
+        "cosine_sim"),
+      Functions.cosineSimBuilder))
+}

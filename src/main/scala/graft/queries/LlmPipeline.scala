@@ -138,25 +138,22 @@ object LlmPipeline {
   // =====================================================================
 
   /** q24: brute-force cosine top-10 nearest to the vec_id=0 query vector.
-    * The query side is a 1-row broadcast; dot/norm are double left-folds
-    * over `zip_with`/`transform` (codegen, no UDF); global top-k is
+    * The query side is a 1-row broadcast; the similarity is the native
+    * codegen'd `cosine_sim` expression (graft.functions.CosineSimilarity
+    * — fused primitive loop, bit-identical to the `zip_with`/`aggregate`
+    * fold it replaced but inside whole-stage codegen); global top-k is
     * TakeOrderedAndProject. At 100 TB this is the exact-search baseline:
     * one scan, no shuffle, k rows to the driver.
     */
   private val q24: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     val e = t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("nv",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nq",
-        expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        (col("dot") / (col("nv") * col("nq"))).as("cosine"))
+        expr("cosine_sim(v, qv)").as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(10)
   }
@@ -178,25 +175,22 @@ object LlmPipeline {
       .withColumn("bucket", bucket("v"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    graft.functions.Functions.register(s)
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("nv",
-        expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nq",
-        expr("sqrt(aggregate(transform(qv, x -> x * x), 0D, (a, x) -> a + x))"))
       .select(col("vec_id"), col("bucket"),
-        (col("dot") / (col("nv") * col("nq"))).as("cosine"))
+        expr("cosine_sim(v, qv)").as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(5)
   }
 
   /** q26: embedding-cosine near-dup detection — hyperplane-sign LSH
-    * bucket, then within-bucket pairs (a < b) above a cosine threshold.
-    * The join shuffles on the bucket key only: no all-pairs. Threshold
-    * 0.3 is corpus-calibrated (synthetic embeddings are near-orthogonal).
+    * bucket, then within-bucket pairs (a < b) above a cosine threshold
+    * (native codegen'd cosine_sim — the hot inner loop of the pair
+    * verify). The join shuffles on the bucket key only: no all-pairs.
+    * Threshold 0.3 is corpus-calibrated (synthetic embeddings are
+    * near-orthogonal).
     */
   private val q26: Q = (s, dir) => {
     def side(tag: String): DataFrame =
@@ -209,15 +203,10 @@ object LlmPipeline {
             .cast(LongType))
         .select(col("vec_id").as(s"vec_$tag"), col("v").as(s"v_$tag"),
           col("bucket"))
+    graft.functions.Functions.register(s)
     side("a").join(side("b"), "bucket")
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-      .withColumn("na", expr(
-        "sqrt(aggregate(transform(v_a, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("nb", expr(
-        "sqrt(aggregate(transform(v_b, x -> x * x), 0D, (a, x) -> a + x))"))
-      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .withColumn("cosine", expr("cosine_sim(v_a, v_b)"))
       .filter(col("cosine") >= 0.3)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
