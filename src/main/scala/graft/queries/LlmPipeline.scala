@@ -212,6 +212,40 @@ object LlmPipeline {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q40: IVF-style ANN — the second scale path for similarity search
+    * (brief: "IVF or LSH-bucketed"; q25 is the LSH one). Vectors are
+    * assigned to their argmax-cosine centroid (the inverted list — at
+    * rest this is the partition/bucket column), the query probes its
+    * nprobe=2 nearest centroids, and only those lists are exact
+    * re-ranked. Centroids here are the fixed seed vectors vec_id 1..8 —
+    * k-means training is an offline concern orthogonal to the query
+    * plan; the plan shape (broadcast centroids → windowed argmax →
+    * probe-list join → TakeOrderedAndProject) is the production one.
+    */
+  private val q40: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .withColumn("crn", row_number().over(w))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val probes = ranked.filter(col("vec_id") === 0 && col("crn") <= 2)
+      .select(col("cid"), col("v").as("qv"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(v, qv)").as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+
   // =====================================================================
   // Deduplication over documents
   // =====================================================================
@@ -510,7 +544,8 @@ object LlmPipeline {
     "q35_top_terms" -> q35,
     "q36_doc_fingerprint" -> q36,
     "q37_lang_id_confusion" -> q37,
-    "q39_media_sniff" -> q39)
+    "q39_media_sniff" -> q39,
+    "q40_ann_ivf" -> q40)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -727,6 +762,25 @@ object LlmPipeline {
         | list_min(list_transform(generate_series(1, length(norm) - 7),
         |   i -> md5(substr(norm, i, 8)))) AS fingerprint
         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q40_ann_ivf" -> {
+      def cos(a: String, b: String): String =
+        s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+         |sims AS (
+         | SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS csim
+         | FROM e CROSS JOIN c),
+         |ranked AS (
+         | SELECT vec_id, v, cid, csim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+         | FROM sims),
+         |assigned AS (SELECT vec_id, v, cid FROM ranked WHERE crn = 1),
+         |probes AS (SELECT cid, v AS qv FROM ranked WHERE vec_id = 0 AND crn <= 2)
+         |SELECT a.vec_id, a.cid, ${cos("a.v", "p.qv")} AS cosine
+         |FROM assigned a JOIN probes p ON a.cid = p.cid
+         |WHERE a.vec_id <> 0
+         |ORDER BY cosine DESC, a.vec_id LIMIT 5""".stripMargin
+    },
     "q39_media_sniff" ->
       """WITH m AS (
         | SELECT doc_id,

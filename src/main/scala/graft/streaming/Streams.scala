@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ingest.{Ingest, Warehouse}
@@ -88,6 +88,69 @@ object Streams {
     * oracle-checkable (q38). total_value sums as DECIMAL then casts to
     * double so the result is order-independent (cross-engine exact).
     */
+  /** Input/output rows for stateful sessionization. */
+  final case class SessionEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp)
+  final case class SessionAgg(startMs: Long, endMs: Long, n: Long)
+  final case class UserSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Gap-based sessionization with CUSTOM state —
+    * `flatMapGroupsWithState` over per-user `GroupState` (the stateful
+    * operator the windowed-agg API can't express: sessions have dynamic,
+    * data-dependent extents). A session closes when the next event is
+    * > `gapSec` after the last, or when the event-time watermark passes
+    * the open session's end + gap (EventTimeTimeout) — so state is
+    * bounded: one small SessionAgg per ACTIVE user, aged out by the
+    * watermark, never a growing buffer of events. Batch q22 computes the
+    * same sessions via lag/sum windows; this is the streaming form.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapSec: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000L
+
+    def close(userId: Long, s: SessionAgg): UserSession =
+      UserSession(userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n)
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionAgg]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val out = Iterator(close(userId, state.get))
+        state.remove()
+        out
+      } else {
+        // Micro-batch delivery order is arbitrary: establish event time.
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur = cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              Some(SessionAgg(s.startMs, math.max(s.endMs, t), s.n + 1))
+            case Some(s) =>
+              out += close(userId, s)
+              Some(SessionAgg(t, t, 1))
+            case None => Some(SessionAgg(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        out.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",
       windowWidth: String = "1 hour"): DataFrame =

@@ -68,6 +68,48 @@ class StreamingSpec extends SparkSuite {
     assert(table.select("client_id").distinct().count() === 3)
   }
 
+  test("flatMapGroupsWithState sessionization: cross-batch state, " +
+    "gap-closed sessions emitted") {
+    import spark.implicits._
+    import graft.streaming.Streams.SessionEvent
+    def ev(id: Long, user: Long, ts: String) =
+      SessionEvent(user, id, java.sql.Timestamp.valueOf(ts))
+    val srcDir = tmpDir("stream-sess")
+    // Batch 1: user 1 has two events 5 min apart (one open session);
+    // user 2 has one event.
+    Seq(ev(1, 1, "2025-01-01 10:00:00"), ev(2, 1, "2025-01-01 10:05:00"),
+      ev(3, 2, "2025-01-01 10:10:00"))
+      .toDF().coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    // Batch 2 (same run — AvailableNow reads both files, but state must
+    // span users/files): user 1 returns 85 min later -> closes session A.
+    Seq(ev(4, 1, "2025-01-01 11:30:00"))
+      .toDF().coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+      .option("maxFilesPerTrigger", "1") // force one file per micro-batch
+      .parquet(s"$srcDir/*.parquet")
+      .as[SessionEvent]
+    val q = graft.streaming.Streams.sessionizeStream(stream, gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val closed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3)))
+    // Session A (user 1, 10:00-10:05, 2 events) must be closed by the
+    // 11:30 event arriving in a later micro-batch. The 11:30 session and
+    // user 2's singleton may stay open in state — that's correct.
+    assert(closed.contains(
+      (1L, "2025-01-01 10:00:00.0", "2025-01-01 10:05:00.0", 2L)))
+    assert(!closed.exists(_._1 == 2L) ||
+      closed.count(_._1 == 2L) <= 1) // user 2 at most its timeout close
+  }
+
   test("§2.3 event-time windows: streaming run over event files matches " +
     "the batch run of the same function (update-complete semantics)") {
     import spark.implicits._
