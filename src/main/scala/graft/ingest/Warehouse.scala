@@ -50,6 +50,37 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (exists(tablePath(name))) Some(spark.read.parquet(tablePath(name)))
     else None
 
+  // -- keys-only projection (scale path for O9 dedup) --------------------
+
+  private def keysPath(name: String): String = s"$root/_keys/$name"
+
+  /** Narrow business-key projection maintained alongside each table: the
+    * dedup anti-join's existing side reads THIS (one key column) instead
+    * of scanning the full table — at 100 TB the keys projection is a
+    * small fraction of the fact and is the natural bucketing candidate
+    * (bucket by key → co-located, shuffle-free anti-join). None ⇒ caller
+    * falls back to a keys projection of the full table (correct, wider
+    * scan).
+    */
+  def keyProjection(name: String): Option[DataFrame] =
+    if (exists(keysPath(name))) Some(spark.read.parquet(keysPath(name)))
+    else None
+
+  /** Append the batch's keys to the projection. On ANY failure the
+    * projection is deleted outright: a keys table missing rows would
+    * silently re-admit duplicates, a missing keys table only widens the
+    * next dedup scan (falls back to the full table). Fail towards
+    * correctness.
+    */
+  private def appendKeys(name: String, df: DataFrame): Unit =
+    try df.select(businessKey(name)).write.mode("append")
+      .parquet(keysPath(name))
+    catch {
+      case _: Exception =>
+        val p = new Path(keysPath(name))
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+
   def metadata: DataFrame =
     if (exists(metadataPath)) spark.read.parquet(metadataPath)
     else spark.createDataFrame(
@@ -218,7 +249,10 @@ final class Warehouse(spark: SparkSession, root: String) {
             } else raw
           val coerced = Ingest.coerceToContract(prepared, contract)
           val enriched = enrich(coerced)
-          val deduped = Ingest.dedupe(enriched, table(entity),
+          // Existing side of the dedup anti-join: the narrow keys
+          // projection when present, else the full table (fallback).
+          val existing = keyProjection(entity).orElse(table(entity))
+          val deduped = Ingest.dedupe(enriched, existing,
             Seq(businessKey(entity)))
           if (entity == "ventes") {
             // O10 — FK check before appending a fact batch. One cached
@@ -244,8 +278,12 @@ final class Warehouse(spark: SparkSession, root: String) {
               if (counts.getLong(0) > 0 || counts.getLong(1) > 0)
                 return false
               append(entity, deduped)
+              appendKeys(entity, deduped)
             } finally deduped.unpersist()
-          } else append(entity, deduped)
+          } else {
+            append(entity, deduped)
+            appendKeys(entity, deduped)
+          }
           true
     }
 }

@@ -41,6 +41,37 @@ class ServiceSpec extends SparkSuite {
     assert(oneDay.collect().head.getAs[String]("vente_id") === "VNT001")
   }
 
+  test("O9 scale path: keys projection maintained on append; dedup " +
+    "correct with and without it") {
+    val watch = tmpDir("keys-watch")
+    val whRoot = tmpDir("keys-wh")
+    val wh = new Warehouse(spark, whRoot)
+    writeFile(watch, "clients_a.csv",
+      "client_id,nom,prenom,email,telephone,adresse\nCLI001,D,J,e,1,2\nCLI002,M,S,e2,3,4\n")
+    assert(wh.pollOnce(watch) === Map("clients_a.csv" -> "success"))
+    // Narrow projection exists and matches the table's key set.
+    val keys = wh.keyProjection("clients").get
+    assert(keys.columns.toSeq === Seq("client_id"))
+    assert(keys.collect().map(_.getString(0)).sorted.toSeq
+      === Seq("CLI001", "CLI002"))
+    // Re-delivery dedups against the projection.
+    writeFile(watch, "clients_b.csv",
+      "client_id,nom,prenom,email,telephone,adresse\nCLI002,M,S,e2,3,4\nCLI003,X,Y,e3,5,6\n")
+    assert(wh.pollOnce(watch) === Map("clients_b.csv" -> "success"))
+    assert(wh.table("clients").get.count() === 3)
+    assert(wh.keyProjection("clients").get.count() === 3)
+    // Deleted projection -> fallback to the full table, still idempotent.
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$whRoot/_keys")).deleteRecursively()
+    assert(wh.keyProjection("clients").isEmpty)
+    writeFile(watch, "clients_c.csv",
+      "client_id,nom,prenom,email,telephone,adresse\nCLI003,X,Y,e3,5,6\nCLI004,Z,W,e4,7,8\n")
+    assert(wh.pollOnce(watch) === Map("clients_c.csv" -> "success"))
+    val ids = wh.table("clients").get.select("client_id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ids === Seq("CLI001", "CLI002", "CLI003", "CLI004"))
+  }
+
   test("O14 pollForever: failing cycle backs off and the loop recovers") {
     val wh = new Warehouse(spark, tmpDir("svc-wh2"))
     val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
