@@ -525,6 +525,46 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q41: token counting two ways (brief: "whitespace + a BPE-ish
+    * regex") — whitespace tokens and a GPT-2-style pretokenizer count
+    * (contraction suffixes, space-prefixed letter/digit runs,
+    * punctuation runs, whitespace runs). Java and RE2 both use
+    * leftmost-first alternation, so the counts agree cross-engine.
+    */
+  private val q41: Q = (s, dir) => {
+    val bpePat =
+      """'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"""
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q42: per-label embedding centroids — the class-prototype
+    * computation of a training-data pipeline (e.g. for outlier pruning
+    * or balanced sampling). posexplode to (label, dim, x) then one
+    * partial+final agg. Components are quantized to 1e-6 fixed-point
+    * (floor(x·1e6) as BIGINT) BEFORE summing: floor on a double is
+    * IEEE-exact in both engines, whereas double→DECIMAL casts differ in
+    * rounding mode at the last digit — integer sums make the mean
+    * order-independent AND engine-independent. At 100 TB: one narrow
+    * shuffle of (label × 64) partial sums, no vector on the driver.
+    */
+  private val q42: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      .agg(
+        (sum(expr("cast(floor(x * 1000000d) as bigint)")).cast(DoubleType)
+          / (lit(1000000d) * count(lit(1)))).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -545,7 +585,9 @@ object LlmPipeline {
     "q36_doc_fingerprint" -> q36,
     "q37_lang_id_confusion" -> q37,
     "q39_media_sniff" -> q39,
-    "q40_ann_ivf" -> q40)
+    "q40_ann_ivf" -> q40,
+    "q41_token_counting" -> q41,
+    "q42_label_centroids" -> q42)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -762,6 +804,23 @@ object LlmPipeline {
         | list_min(list_transform(generate_series(1, length(norm) - 7),
         |   i -> md5(substr(norm, i, 8)))) AS fingerprint
         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    "q41_token_counting" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text),
+        |  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+'))
+        |  AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_label_centroids" ->
+      """WITH e AS (
+        | SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+        | FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        | CAST(SUM(CAST(floor(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |  / (CAST(1000000 AS DOUBLE) * COUNT(*)) AS centroid,
+        | COUNT(*) AS n_vectors
+        |FROM e, generate_series(1, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q40_ann_ivf" -> {
       def cos(a: String, b: String): String =
         s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
