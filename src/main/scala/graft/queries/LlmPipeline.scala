@@ -453,33 +453,40 @@ object LlmPipeline {
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
       .filter(length(col("norm")) >= 8)
-      .select(col("doc_id"), col("norm"),
-        explode(expr("sequence(1, length(norm) - 7)")).as("i"))
+      // The generator emits the 8-grams themselves (8-char strings), not
+      // positions: `norm` is materialized in the child projection, so
+      // each output row carries 8 chars instead of the whole document.
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(norm) - 7), i -> substring(norm, i, 8))"))
+        .as("gram"))
       .groupBy("doc_id")
-      .agg(min(md5(expr("substring(norm, i, 8)"))).as("fingerprint"))
+      .agg(min(md5(col("gram"))).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** q37: heuristic language-ID — character-trigram overlap against tiny
-    * per-language profiles, scored per document; output is the
-    * (labelled × predicted) confusion matrix. Deterministic n-gram
-    * heuristic (the corpus is synthetic, so accuracy is incidental — the
-    * operator shape is what a real lang-ID pass uses: per-row profile
-    * score + argmax, no shuffle until the final tiny matrix agg).
+  /** q37: heuristic language-ID — character-trigram profile counts per
+    * language (one regexp alternation per profile, counted over the
+    * lowercased text), scored per document; output is the (labelled ×
+    * predicted) confusion matrix. Deterministic n-gram heuristic (the
+    * corpus is synthetic, so accuracy is incidental — the operator shape
+    * is what a real lang-ID pass uses: per-row profile score + argmax,
+    * no shuffle until the final tiny matrix agg). Both engines count
+    * non-overlapping leftmost matches with the same alternation order.
     */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "que", "eur", "ait", "ous"),
+    "es" -> Seq("los", "ado", "cio", "nte", "par"),
+    "zh" -> Seq("shi", "zhi", "ang", "eng", "ong"))
+
   private val q37: Q = (s, dir) => {
-    // Tiny fixed profiles: common function-word unigrams per language.
-    val profiles = Seq(
-      "en" -> Seq("the", "a", "and", "value", "fast"),
-      "de" -> Seq("der", "und", "die", "hash", "batch"),
-      "fr" -> Seq("le", "la", "et", "query", "window"),
-      "es" -> Seq("el", "los", "y", "join", "table"),
-      "zh" -> Seq("de", "shi", "le", "spark", "data"))
-    val scored = profiles.foldLeft(
-      t(s, dir, "documents").withColumn("toks", expr(toksE))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang", expr(
-          s"cast(size(filter(toks, x -> ${words.map(w => s"x = '$w'").mkString(" or ")})) as bigint)"))
+    val scored = trigramProfiles.foldLeft(t(s, dir, "documents")) {
+      case (df, (lang, grams)) =>
+        df.withColumn(s"score_$lang",
+          size(regexp_extract_all(lower(col("text")),
+            lit(grams.mkString("|")), lit(0))).cast(LongType))
     }
+    val profiles = trigramProfiles
     // argmax with deterministic tie-break: lexicographically first lang
     // among the max scores (greatest over reversed-name struct trick
     // avoided; explicit nested whens keep both engines identical).
@@ -862,25 +869,18 @@ object LlmPipeline {
         |      ELSE 'application/octet-stream' END AS sniffed_type
         |FROM h ORDER BY doc_id""".stripMargin,
     "q37_lang_id_confusion" -> {
-      val profiles = Seq(
-        "en" -> Seq("the", "a", "and", "value", "fast"),
-        "de" -> Seq("der", "und", "die", "hash", "batch"),
-        "fr" -> Seq("le", "la", "et", "query", "window"),
-        "es" -> Seq("el", "los", "y", "join", "table"),
-        "zh" -> Seq("de", "shi", "le", "spark", "data"))
-      val scoreCols = profiles.map { case (l, ws) =>
-        s"CAST(len(list_filter(toks, x -> ${ws.map(w => s"x = '$w'").mkString(" OR ")})) AS BIGINT) AS score_$l"
+      val scoreCols = trigramProfiles.map { case (l, gs) =>
+        s"CAST(len(regexp_extract_all(lower(text), '${gs.mkString("|")}')) AS BIGINT) AS score_$l"
       }.mkString(",\n  ")
-      val langs = profiles.map(_._1)
+      val langs = trigramProfiles.map(_._1)
       val maxE = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
       // first-declared lang wins ties (matches the Spark foldRight).
       val predE = langs.reverse.foldLeft("'unknown'") { (acc, l) =>
         s"CASE WHEN score_$l = $maxE THEN '$l' ELSE $acc END"
       }
-      s"""WITH base AS (SELECT lang, $dToks AS toks FROM documents),
-         |scored AS (SELECT lang,
+      s"""WITH scored AS (SELECT lang,
          |  $scoreCols
-         | FROM base)
+         | FROM documents)
          |SELECT lang, $predE AS pred_lang, COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
     })
