@@ -27,7 +27,11 @@ import graft.ingest.{Ingest, Warehouse}
   */
 object Streams {
 
-  /** Router glob per entity (O11, etl/app.py:238-243). */
+  /** Router glob per entity (O11, etl/app.py:238-243). `~$…` lock
+    * artifacts also match the glob (a leading `[!~]` class would
+    * wrongly consume the first letter of an unprefixed name), so O2 is
+    * enforced by the row-level filename filter below.
+    */
   private val entityGlob: Map[String, String] = Map(
     "clients" -> "*client*", "produits" -> "*produit*",
     "ventes" -> "*vente*")
@@ -52,7 +56,8 @@ object Streams {
       .option("pathGlobFilter", entityGlob(entity))
       .schema(rawSchema(entity))
       .load(watchDir)
-      .filter(!Ingest.isLockFile(input_file_name()))
+      .filter(!Ingest.isLockFile(input_file_name())) // O2
+
 
   /** Wire one entity stream into the warehouse: every micro-batch runs
     * the shared validate→coerce→enrich→dedupe→FK-check→append pipeline.
@@ -80,6 +85,19 @@ object Streams {
       ingestQuery(wh, entityStream(spark, watchDir, entity), entity,
         s"$checkpointRoot/$entity").awaitTermination()
     }
+
+  /** Streaming exact dedup — the streaming form of the O9/q27 dedup
+    * family: state-store-backed `dropDuplicatesWithinWatermark` keeps
+    * one state row per key only until the event-time watermark passes
+    * it, so (unlike plain streaming dropDuplicates) state is bounded at
+    * 100 TB/day ingest rates. Re-deliveries inside the watermark window
+    * are dropped; later ones are the at-least-once tail the batch
+    * anti-join (O9) catches downstream.
+    */
+  def streamingDedup(df: DataFrame, keys: Seq[String], eventTimeCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Event-time tumbling-window aggregation with a watermark (SURVEY.md
     * §2.3 streaming commitment). Pure: in a streaming query the watermark

@@ -68,6 +68,34 @@ class StreamingSpec extends SparkSuite {
     assert(table.select("client_id").distinct().count() === 3)
   }
 
+  test("streaming dedup: re-delivered keys within the watermark dropped " +
+    "across micro-batches") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-dedup")
+    def rows(ps: (Long, String)*) = ps.toSeq
+      .toDF("event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    rows((1L, "2025-01-01 10:00:00"), (2L, "2025-01-01 10:00:10"))
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    // second batch re-delivers event 2 and adds event 3
+    rows((2L, "2025-01-01 10:00:10"), (3L, "2025-01-01 10:00:20"))
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+    val q = graft.streaming.Streams
+      .streamingDedup(stream, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
+  }
+
   test("flatMapGroupsWithState sessionization: cross-batch state, " +
     "gap-closed sessions emitted") {
     import spark.implicits._
