@@ -376,6 +376,48 @@ object CoreAnalytics {
     graft.streaming.Streams.windowedEventCounts(t(s, dir, "events"))
       .orderBy("win_start", "event_type")
 
+  /** q43: exact percentiles (median / p90) per return flag — the
+    * dashboard distribution summary (Metabase workload). Spark's exact
+    * `percentile` aggregate = DuckDB's `quantile_cont`: both sort and
+    * linearly interpolate at (n−1)·p. Exact, not a sketch — the
+    * approx_percentile/t-digest path can't hash-match across engines.
+    */
+  private val q43: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("med_qty"),
+        expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
+      .orderBy("l_returnflag")
+
+  /** q44: correlated-aggregate filter (TPC-H Q17 shape) — orders more
+    * than 1.5× their own customer's average. A correlated scalar
+    * subquery decorrelates to exactly this agg+self-join; writing the
+    * join form keeps the average's decimal-exact (oracle-stable) form.
+    */
+  private val q44: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    o.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * lit(1.5))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("avg_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q45: set op — EXCEPT (distinct) complements q12's INTERSECT:
+    * customers with only finished orders (F) and no open ones (O).
+    */
+  private val q45: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -400,7 +442,10 @@ object CoreAnalytics {
     "q21_excel_serial_ts" -> q21,
     "q22_sessionize" -> q22,
     "q23_asof_prev_signup" -> q23,
-    "q38_event_time_windows" -> q38)
+    "q38_event_time_windows" -> q38,
+    "q43_percentiles" -> q43,
+    "q44_above_cust_avg" -> q44,
+    "q45_setop_except" -> q45)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -570,5 +615,26 @@ object CoreAnalytics {
         |SELECT date_trunc('hour', ts) AS win_start, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+        |FROM ev GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_extendedprice, 0.5) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_above_cust_avg" ->
+      """WITH avgs AS (
+        | SELECT o_custkey AS ck,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / COUNT(*) AS avg_price
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+        |FROM orders JOIN avgs ON o_custkey = ck
+        |WHERE o_totalprice > avg_price * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q45_setop_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin)
 }

@@ -29,10 +29,11 @@ import graft.Tables
   *    driver merge), never a full sort. The LSH-bucketed ANN variant
   *    prunes candidates to the query's hyperplane-sign bucket first.
   *  - Cross-engine determinism with the DuckDB oracle: all hashing is
-  *    md5 (hex string, byte-identical both engines; 60/32-bit integer
-  *    views via base-16 parse), all float math is double with identical
-  *    left-fold order, all ratios are int/int IEEE divisions, and every
-  *    ORDER BY carries a unique tiebreak.
+  *    md5 (hex string, byte-identical both engines; 60-bit integer view
+  *    via base-16 parse, reduced mod 2^31−1 for the minhash
+  *    permutations), all float math is double with identical left-fold
+  *    order, all ratios are int/int IEEE divisions, and every ORDER BY
+  *    carries a unique tiebreak.
   */
 object LlmPipeline {
   type Q = (SparkSession, String) => DataFrame
