@@ -573,6 +573,37 @@ object LlmPipeline {
         count(lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
+  /** q46: deterministic content-addressed sampling — a 20% per-document
+    * sample selected by `md5(doc_id) mod 100`, NOT `rand()`: the sample
+    * is stable across reruns, partitionings, and engines (reproducible
+    * training mixes, joinable across tables sampled the same way). The
+    * per-lang counts audit the stratification. At 100 TB this is a
+    * filter pushed to the scan — no shuffle to sample.
+    */
+  private val q46: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .filter(col("h") < 20)
+      .select(col("doc_id"), col("lang"), col("h").as("sample_slot"))
+      .orderBy("doc_id")
+
+  /** q47: HLL approximate distinct counts per lang — the sketch path
+    * for 100 TB cardinality (exact countDistinct = an expensive
+    * two-phase expand+shuffle; HLL++ merges tiny fixed-size sketches).
+    * NO DuckDB oracle on purpose: sketch implementations differ across
+    * engines, so the driver records the weaker rows-only check and
+    * LlmPipelineSpec gates the ≤5% relative-error bound against the
+    * exact count instead.
+    */
+  private val q47: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), explode(expr(toksE)).as("tok"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("tok"), 0.02).as("approx_terms"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("lang")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -595,7 +626,9 @@ object LlmPipeline {
     "q39_media_sniff" -> q39,
     "q40_ann_ivf" -> q40,
     "q41_token_counting" -> q41,
-    "q42_label_centroids" -> q42)
+    "q42_label_centroids" -> q42,
+    "q46_det_sample" -> q46,
+    "q47_approx_distinct" -> q47)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -812,6 +845,17 @@ object LlmPipeline {
         | list_min(list_transform(generate_series(1, length(norm) - 7),
         |   i -> md5(substr(norm, i, 8)))) AS fingerprint
         |FROM n WHERE length(norm) >= 8 ORDER BY doc_id""".stripMargin,
+    // q47_approx_distinct intentionally has NO oracle (sketch results are
+    // engine-specific); the driver's rows-only check + the spec's
+    // error-bound test gate it.
+    "q46_det_sample" ->
+      """SELECT doc_id, lang,
+        | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 100 AS sample_slot
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |  % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
     "q41_token_counting" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
