@@ -604,6 +604,53 @@ object LlmPipeline {
         count(lit(1)).as("n_tokens"))
       .orderBy("lang")
 
+  /** q48: PII scrubbing — email and long-digit-run redaction with
+    * deterministic regexes (the compliance pass every pretraining corpus
+    * runs). The synthetic corpus contains no PII, so a deterministic
+    * contact line (email + phone derived from doc_id) is injected into
+    * every 5th document first — q39's synthesize-then-operate pattern —
+    * and the redactor must scrub exactly those. Pure per-row projection:
+    * pushed to the scan, no shuffle; n_redactions audits the pass.
+    * Patterns avoid constructs where Java and RE2 diverge (no backrefs,
+    * no lookaround).
+    */
+  private val q48: Q = (s, dir) => {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val digits = "[0-9][0-9 ()+.-]{6,}[0-9]"
+    val withPii = t(s, dir, "documents")
+      .withColumn("raw",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com tel +33 1 23 45 67 "), col("doc_id")))
+          .otherwise(col("text")))
+    withPii
+      .select(col("doc_id"),
+        (size(regexp_extract_all(col("raw"), lit(email), lit(0))) +
+          size(regexp_extract_all(col("raw"), lit(digits), lit(0))))
+          .cast(LongType).as("n_redactions"),
+        regexp_replace(
+          regexp_replace(col("raw"), email, "<EMAIL>"),
+          digits, "<NUMBER>").as("redacted"))
+      .filter(col("n_redactions") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q49: repetition signal — each document's most frequent token's
+    * share of all tokens (a Gopher-style quality rule: high top-term
+    * share ⇒ boilerplate/spam). explode → per-(doc, tok) count →
+    * per-doc max/sum in one more agg; ratio is int/int IEEE-exact.
+    */
+  private val q49: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_term_n"),
+        sum(col("n")).as("n_tokens"),
+        (max(col("n")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+          .as("top_term_share"))
+      .orderBy("doc_id")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -628,7 +675,9 @@ object LlmPipeline {
     "q41_token_counting" -> q41,
     "q42_label_centroids" -> q42,
     "q46_det_sample" -> q46,
-    "q47_approx_distinct" -> q47)
+    "q47_approx_distinct" -> q47,
+    "q48_pii_redact" -> q48,
+    "q49_repetition" -> q49)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -856,6 +905,36 @@ object LlmPipeline {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "q48_pii_redact" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |   THEN text || ' contact user' || doc_id
+        |     || '@example.com tel +33 1 23 45 67 ' || doc_id
+        |   ELSE text END AS raw
+        | FROM documents
+        |), r AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |   + len(regexp_extract_all(raw, '[0-9][0-9 ()+.-]{6,}[0-9]'))
+        |   AS BIGINT) AS n_redactions,
+        |  regexp_replace(
+        |   regexp_replace(raw,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted
+        | FROM p)
+        |SELECT doc_id, n_redactions, redacted FROM r
+        |WHERE n_redactions > 0 ORDER BY doc_id""".stripMargin,
+    "q49_repetition" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest($dToks) AS tok FROM documents
+         |), cnt AS (
+         | SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, MAX(n) AS top_term_n,
+         | CAST(SUM(n) AS BIGINT) AS n_tokens,
+         | CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_term_share
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q41_token_counting" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
