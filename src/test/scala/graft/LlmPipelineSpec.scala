@@ -8,6 +8,16 @@ import graft.queries.LlmPipeline
   */
 class LlmPipelineSpec extends SparkSuite {
 
+  test("every SparkEntry query (all modules) executes at sf0.001; " +
+    "every oracle key names a declared query") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q47 approx distinct: within 5% relative error of exact, per lang") {
     val approx = LlmPipeline.queries("q47_approx_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "documents")
