@@ -25,7 +25,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def exec(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
         .agg(sum("h")).collect()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -41,8 +41,6 @@ object LlmPipeline {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val dec: DecimalType = DecimalType(18, 2)
-
   // --- shared text primitives (Spark-SQL expression text) --------------
   // Word tokens of the lowercased text. Java and RE2 agree on \w+ over
   // ASCII corpora.
