@@ -245,6 +245,32 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** q50: hybrid (filtered) vector search — cosine top-5 restricted to
+    * candidates whose joined document passes a metadata predicate
+    * (lang = 'en'): the classic hard case for ANN indexes, where
+    * pre-filtering guts an IVF/LSH bucket. The engine answer: push the
+    * metadata filter to the documents scan, join on the id, and
+    * exact-score only survivors with the native cosine — at rest the
+    * embeddings table shares partitioning with documents so this join
+    * is co-located.
+    */
+  private val q50: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .join(d, col("vec_id") === col("doc_id"))
+      .filter(col("lang") === "en")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("lang"), col("source"),
+        expr("cosine_sim(v, qv)").as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(5)
+  }
+
   // =====================================================================
   // Deduplication over documents
   // =====================================================================
@@ -675,7 +701,8 @@ object LlmPipeline {
     "q46_det_sample" -> q46,
     "q47_approx_distinct" -> q47,
     "q48_pii_redact" -> q48,
-    "q49_repetition" -> q49)
+    "q49_repetition" -> q49,
+    "q50_hybrid_search" -> q50)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -903,6 +930,16 @@ object LlmPipeline {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |  % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "q50_hybrid_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, lang, source,
+         | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
+         |FROM e
+         | JOIN documents ON vec_id = doc_id
+         | CROSS JOIN q
+         |WHERE vec_id <> 0 AND lang = 'en'
+         |ORDER BY cosine DESC, vec_id LIMIT 5""".stripMargin,
     "q48_pii_redact" ->
       """WITH p AS (
         | SELECT doc_id,
