@@ -418,6 +418,23 @@ object CoreAnalytics {
       .orderBy("o_custkey")
   }
 
+  /** q51: SLIDING event-time windows (1 h length, 30 min slide) — each
+    * event lands in exactly two overlapping windows; Spark's window()
+    * aligns starts to the epoch, so start ∈ {floor30(t), floor30(t)−30m}
+    * (the oracle enumerates exactly that pair via time_bucket). Streamable
+    * unchanged with withWatermark, like q38.
+    */
+  private val q51: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -445,7 +462,8 @@ object CoreAnalytics {
     "q38_event_time_windows" -> q38,
     "q43_percentiles" -> q43,
     "q44_above_cust_avg" -> q44,
-    "q45_setop_except" -> q45)
+    "q45_setop_except" -> q45,
+    "q51_sliding_windows" -> q51)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -636,5 +654,17 @@ object CoreAnalytics {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+    "q51_sliding_windows" ->
+      """WITH ev AS (SELECT event_type, value,
+        |  time_bucket(INTERVAL '30 minutes',
+        |   date_trunc('microseconds', ts)) AS tb
+        | FROM events),
+        |expanded AS (
+        | SELECT event_type, value,
+        |  unnest([tb, tb - INTERVAL '30 minutes']) AS win_start
+        | FROM ev)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
 }
