@@ -99,6 +99,28 @@ object Streams {
     df.withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join — the streaming form of the q23 as-of
+    * attribution: each purchase joins signups of the same user within
+    * the preceding `lookback`. Both sides carry watermarks and the join
+    * condition bounds event time on BOTH ends, so Spark can age out
+    * buffered state (unbounded stream-stream joins otherwise buffer
+    * forever). Expects `left` with (user_id, ts, …) and `right` with
+    * (user_id, ts, …); right columns come back `r_`-prefixed.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }
+    val r = r0.withWatermark("r_ts", watermarkDelay)
+    l.join(r, expr(
+      s"user_id = r_user_id AND " +
+        s"r_ts BETWEEN ts - INTERVAL $lookback AND ts"))
+      .drop("r_user_id")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark (SURVEY.md
     * §2.3 streaming commitment). Pure: in a streaming query the watermark
     * bounds state and admits late data up to `watermarkDelay`; in a batch

@@ -96,6 +96,41 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
   }
 
+  test("stream-stream interval join: purchases attribute to signups " +
+    "within the lookback, watermarked on both sides") {
+    import spark.implicits._
+    val dir = tmpDir("stream-ssj")
+    val purchases = Seq(
+      (1L, 101L, "2025-01-01 10:30:00"), // 30 min after signup -> match
+      (2L, 102L, "2025-01-01 12:00:00")) // no signup in window -> dropped
+      .toDF("user_id", "purchase_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val signups = Seq(
+      (1L, 201L, "2025-01-01 10:00:00"),
+      (2L, 202L, "2025-01-01 09:00:00")) // 3h before purchase -> outside
+      .toDF("user_id", "signup_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    purchases.coalesce(1).write.parquet(s"$dir/purchases")
+    signups.coalesce(1).write.parquet(s"$dir/signups")
+
+    val pStream = spark.readStream.schema(purchases.schema)
+      .parquet(s"$dir/purchases")
+    val sStream = spark.readStream.schema(signups.schema)
+      .parquet(s"$dir/signups")
+    val q = graft.streaming.Streams
+      .intervalJoinStreams(pStream, sStream, lookback = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("attrib")
+      .select("user_id", "purchase_id", "r_signup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 101L, 201L)))
+  }
+
   test("flatMapGroupsWithState sessionization: cross-batch state, " +
     "gap-closed sessions emitted") {
     import spark.implicits._
