@@ -435,6 +435,26 @@ object CoreAnalytics {
         col("n_events"), col("total_value"))
       .orderBy("win_start", "event_type")
 
+  /** q52: scalar math functions over the fact table — sqrt, abs, sign,
+    * floor/ceil/round, integer power. Restricted to IEEE-exact ops:
+    * sqrt is correctly-rounded per IEEE-754 in both engines, while
+    * log/exp/trig are libm-dependent in their last ulp and could never
+    * hash-match — the same reasoning that keeps sketches out of the
+    * oracle set.
+    */
+  private val q52: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        abs(col("l_discount") - lit(0.05)).as("abs_disc_delta"),
+        signum(col("l_extendedprice") - lit(30000.0)).as("price_sign"),
+        floor(col("l_extendedprice")).cast(LongType).as("floor_price"),
+        ceil(col("l_extendedprice")).cast(LongType).as("ceil_price"),
+        round(col("l_extendedprice"), 1).as("round_price"),
+        pow(col("l_quantity"), 2).as("qty_sq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -463,7 +483,8 @@ object CoreAnalytics {
     "q43_percentiles" -> q43,
     "q44_above_cust_avg" -> q44,
     "q45_setop_except" -> q45,
-    "q51_sliding_windows" -> q51)
+    "q51_sliding_windows" -> q51,
+    "q52_math_funcs" -> q52)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -666,5 +687,16 @@ object CoreAnalytics {
         | FROM ev)
         |SELECT win_start, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+        |FROM expanded GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q52_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | sqrt(l_quantity) AS sqrt_qty,
+        | abs(l_discount - 0.05) AS abs_disc_delta,
+        | CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        | round(l_extendedprice, 1) AS round_price,
+        | pow(l_quantity, 2) AS qty_sq
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
