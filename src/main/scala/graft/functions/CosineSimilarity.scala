@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Numerical contract (bit-exact with the DuckDB oracle and with the HOF
   * form it replaces): one left-to-right pass accumulating dot, |a|², |b|²
-  * in element order; result = dot / (sqrt(na) * sqrt(nb)). Null if either
-  * array (or any element read) is null; 0-length or 0-norm inputs yield
-  * NaN exactly like the fold-based form.
+  * in element order; result = dot / (sqrt(na) * sqrt(nb)). NULL if either
+  * array is null, the lengths differ, or any element is null — exactly
+  * the `aggregate(zip_with(...))` fold's behavior (zip_with pads the
+  * shorter side with nulls, and a null poisons the sum). 0-length or
+  * 0-norm inputs yield NaN exactly like the fold-based form.
   */
 final case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,14 +40,20 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // Can return null for NON-null inputs (length mismatch, null element)
+  // — the BinaryExpression default (inputs' nullability) would declare
+  // the output non-nullable and a folded null would read back as 0.0.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0d; var na = 0d; var nb = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i); val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -64,15 +72,24 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -46,8 +46,14 @@ final class Warehouse(spark: SparkSession, root: String) {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** None when absent OR unreadable (e.g. a directory with no parquet
+    * footers left by an interrupted/empty write) — callers treat both
+    * as "no data yet".
+    */
   def table(name: String): Option[DataFrame] =
-    if (exists(tablePath(name))) Some(spark.read.parquet(tablePath(name)))
+    if (exists(tablePath(name)))
+      try Some(spark.read.parquet(tablePath(name)))
+      catch { case _: Exception => None }
     else None
 
   // -- keys-only projection (scale path for O9 dedup) --------------------
@@ -66,16 +72,27 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (exists(keysPath(name))) Some(spark.read.parquet(keysPath(name)))
     else None
 
-  /** Append the batch's keys to the projection. On ANY failure the
-    * projection is deleted outright: a keys table missing rows would
-    * silently re-admit duplicates, a missing keys table only widens the
-    * next dedup scan (falls back to the full table). Fail towards
-    * correctness.
+  /** Maintain the keys projection after a data append. If the
+    * projection exists, append just the batch's keys; if it is MISSING
+    * (first append, or deleted after an earlier failure), rebuild it
+    * from the FULL table — rebuilding from only the current batch would
+    * leave earlier keys out and silently re-admit duplicates on
+    * re-delivery. On ANY failure the projection is deleted outright: a
+    * missing projection only widens the next dedup scan to the
+    * full-table fallback, a partial one would corrupt dedup. Fail
+    * towards correctness.
     */
   private def appendKeys(name: String, df: DataFrame): Unit =
-    try df.select(businessKey(name)).write.mode("append")
-      .parquet(keysPath(name))
-    catch {
+    try {
+      if (exists(keysPath(name)))
+        df.select(businessKey(name)).write.mode("append")
+          .parquet(keysPath(name))
+      else
+        // Full rebuild; the table already contains the just-appended
+        // batch, so the projection comes out complete.
+        table(name).foreach(_.select(businessKey(name))
+          .write.mode("overwrite").parquet(keysPath(name)))
+    } catch {
       case _: Exception =>
         val p = new Path(keysPath(name))
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -117,16 +134,15 @@ final class Warehouse(spark: SparkSession, root: String) {
     var cycles = 0L
     var ok = 0L
     while (cycles < maxCycles) {
-      try {
-        cycle(watchDir)
-        ok += 1
-        cycles += 1
-        if (cycles < maxCycles) sleep(pollIntervalMs)
-      } catch {
-        case _: Exception =>
-          cycles += 1
-          sleep(errorBackoffMs)
-      }
+      // NonFatal only: an InterruptedException from cycle() or sleep()
+      // must propagate, or the forever-loop could never be shut down.
+      val success =
+        try { cycle(watchDir); true }
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (success) ok += 1
+      cycles += 1
+      if (cycles < maxCycles)
+        sleep(if (success) pollIntervalMs else errorBackoffMs)
     }
     ok
   }
@@ -177,19 +193,31 @@ final class Warehouse(spark: SparkSession, root: String) {
     }
 
     // O12/O13 — metadata upsert with per-file status.
-    if (results.nonEmpty) {
-      val now = new java.sql.Timestamp(System.currentTimeMillis())
-      val updates = results
-        .map { case (name, mtime, status) => (name, mtime, now, status) }
-        .toDF("filename", "last_modified", "last_processed", "status")
-      val merged = Ingest.upsertMetadata(metadata, updates)
-      // Small control table: rewrite-in-full is the plain-parquet MERGE.
-      val tmp = s"$metadataPath.__tmp"
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(metadataPath)
-      fs.delete(new Path(tmp), true)
-    }
+    recordStatuses(results.map { case (name, mtime, status) =>
+      (name, mtime, status)
+    })
     results.map { case (name, _, status) => name -> status }.toMap
+  }
+
+  /** O12/O13 — upsert per-file (filename, last_modified, status) rows
+    * into the control table (latest-wins MERGE emulation; the small
+    * control table is rewritten in full — the plain-parquet MERGE).
+    */
+  def recordStatuses(
+      rows: Seq[(String, java.sql.Timestamp, String)]): Unit = {
+    if (rows.isEmpty) return
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val updates = rows
+      .map { case (name, mtime, status) => (name, mtime, now, status) }
+      .toDF("filename", "last_modified", "last_processed", "status")
+    val merged = Ingest.upsertMetadata(metadata, updates)
+    val tmp = s"$metadataPath.__tmp"
+    val fs = new Path(metadataPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(metadataPath)
+    fs.delete(new Path(tmp), true)
   }
 
   /** E1 steps 4-7 for one file; true = success, false = error status
@@ -198,13 +226,21 @@ final class Warehouse(spark: SparkSession, root: String) {
   private def processFile(entity: String, fullPath: String,
       filename: String): Boolean = {
     try {
-      // O4 — transient read failures retry with backoff (etl/app.py:92-141).
-      val raw = Ingest.withRetry() {
-        if (fullPath.endsWith(".csv"))
-          spark.read.option("header", "true").csv(fullPath)
-        else spark.read.parquet(fullPath)
+      // O4 — transient failures retry with backoff (etl/app.py:92-141).
+      // The retry wraps the WHOLE per-file ingest, not just the lazy
+      // DataFrame construction: the real reads happen inside the
+      // dedupe/FK/append actions, and a transient failure there would
+      // otherwise be recorded as a permanent 'error' (the strict-mtime
+      // check never retries an unchanged file). Idempotent under retry:
+      // validation returns false without throwing (no retry), and the
+      // dedup anti-join re-derives its existing side per attempt.
+      Ingest.withRetry() {
+        val raw =
+          if (fullPath.endsWith(".csv"))
+            spark.read.option("header", "true").csv(fullPath)
+          else spark.read.parquet(fullPath)
+        ingestFrame(entity, raw, Ingest.withLineage(_, filename))
       }
-      ingestFrame(entity, raw, Ingest.withLineage(_, filename))
     } catch { case _: Exception => false }
   }
 
@@ -212,13 +248,33 @@ final class Warehouse(spark: SparkSession, root: String) {
     * `foreachBatch` — graft.streaming.Streams). Identical semantics to
     * the batch path; lineage comes from `input_file_name()` since a
     * micro-batch may span several source files. Streaming-mode change
-    * detection is the file-source checkpoint, so no metadata upsert here
-    * (documented divergence: the checkpoint never re-ingests a modified
-    * file; the batch path's mtime check does — SURVEY.md §7.4).
+    * detection is the file-source checkpoint (documented divergence: the
+    * checkpoint never re-ingests a modified file; the batch path's
+    * mtime check does — SURVEY.md §7.4), but per-file STATUS tracking
+    * (O13) is kept: the checkpoint commits the batch either way, so
+    * without a status row a failed batch would be silent data loss with
+    * no operator signal.
     */
-  def ingestStreamBatch(entity: String, batch: DataFrame): Boolean =
-    try ingestFrame(entity, batch, (df: DataFrame) => Ingest.withLineage(df))
-    catch { case _: Exception => false }
+  def ingestStreamBatch(entity: String, batch: DataFrame): Boolean = {
+    // An empty micro-batch (e.g. every row of a file was routed to
+    // another entity) must be a no-op: appending an empty partitioned
+    // frame would create a schema-less table directory that breaks
+    // subsequent reads, and there is no file outcome to record.
+    if (batch.isEmpty) return true
+    val ok =
+      try ingestFrame(entity, batch, (df: DataFrame) => Ingest.withLineage(df))
+      catch { case _: Exception => false }
+    try {
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val files = batch
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty)
+        .map(f => f.split('/').last)
+      recordStatuses(files.toSeq
+        .map(f => (f, now, if (ok) "success" else "error")))
+    } catch { case _: Exception => () } // status write is best-effort
+    ok
+  }
 
   /** Shared E1 core: validate (O5) → coerce (O7) → enrich (O6) → dedupe
     * (O9) → FK check for facts (O10) → append (O8).

@@ -194,6 +194,10 @@ object Multimodal {
     */
   def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
     df.filter(col("media_type").startsWith("video/"))
+      // duration 0 (zero-length or metadata-less row) yields no frames;
+      // without the guard sequence(0, -1, +step) throws and kills the
+      // whole plan.
+      .filter(col("duration_ms") > 0)
       .select(col("media_id"), col("duration_ms"),
         explode(expr(s"sequence(0L, duration_ms - 1, ${everyMs}L)"))
           .as("frame_ts_ms"))

@@ -46,17 +46,39 @@ object Streams {
 
   /** O1 — unbounded directory source for one entity: file stream with
     * the router as a pathGlobFilter and the `~$` lock-file filter (O2)
-    * applied on the per-row filename.
+    * applied on the per-row filename. Files matching a HIGHER-priority
+    * entity token are excluded so a name like `clients_ventes.csv`
+    * routes to exactly one stream — mirroring the batch router's
+    * first-match if/else (Ingest.entityFor; reference
+    * etl/app.py:238-243).
+    *
+    * Documented divergence from the batch path: a streaming CSV source
+    * must use a DECLARED schema, which Spark maps to CSV columns
+    * POSITIONALLY (enforceSchema) — the producer contract is
+    * "contract-ordered columns". The batch path reads names from the
+    * header and tolerates reordered/extra columns; header-reordered
+    * files belong on that path.
     */
   def entityStream(spark: SparkSession, watchDir: String,
-      entity: String): DataFrame =
+      entity: String): DataFrame = {
+    // Batch-router parity: tokens earlier in the entityFor chain win.
+    val higherPriority: Map[String, Seq[String]] = Map(
+      "clients" -> Nil, "produits" -> Seq("client"),
+      "ventes" -> Seq("client", "produit"))
+    val base = element_at(split(input_file_name(), "/"), -1)
+    val excluded = higherPriority(entity)
+      .map(tok => lower(base).contains(tok))
+      .foldLeft(lit(false))(_ || _)
     spark.readStream
       .format("csv")
       .option("header", "true")
+      .option("enforceSchema", "true") // positional mapping, see scaladoc
       .option("pathGlobFilter", entityGlob(entity))
       .schema(rawSchema(entity))
       .load(watchDir)
       .filter(!Ingest.isLockFile(input_file_name())) // O2
+      .filter(!excluded) // O11 first-match routing
+  }
 
 
   /** Wire one entity stream into the warehouse: every micro-batch runs

@@ -45,6 +45,15 @@ class FunctionsSpec extends SparkSuite {
     val nulls = spark.sql(
       "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS c")
     assert(nulls.collect().head.isNullAt(0))
+    // mismatched lengths -> NULL (zip_with pads with null, sum poisons)
+    val mism = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D)) AS c")
+    assert(mism.collect().head.isNullAt(0))
+    // null element -> NULL, same reasoning
+    val nullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D)) AS c")
+    assert(nullElem.collect().head.isNullAt(0))
     // zero-norm -> NaN (exactly like the fold-based form)
     val nan = spark.sql(
       "SELECT cosine_sim(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS c")

@@ -70,6 +70,11 @@ class ServiceSpec extends SparkSuite {
     val ids = wh.table("clients").get.select("client_id")
       .collect().map(_.getString(0)).sorted.toSeq
     assert(ids === Seq("CLI001", "CLI002", "CLI003", "CLI004"))
+    // The rebuilt projection must be COMPLETE (from the full table) —
+    // a batch-only rebuild would re-admit CLI001-003 on re-delivery.
+    assert(wh.keyProjection("clients").get
+      .collect().map(_.getString(0)).sorted.toSeq
+      === Seq("CLI001", "CLI002", "CLI003", "CLI004"))
   }
 
   test("O14 pollForever: failing cycle backs off and the loop recovers") {

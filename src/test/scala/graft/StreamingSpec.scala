@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSuite {
     assert(table.select("client_id").distinct().count() === 3)
   }
 
+  test("O11 streaming router: ambiguous filename routes to exactly one " +
+    "entity (first-match parity with the batch router); failed batch " +
+    "recorded as error status") {
+    val watch = tmpDir("route-watch")
+    val whRoot = tmpDir("route-wh")
+    val ckpt = tmpDir("route-ckpt")
+    // Name matches both *client* and *vente*; batch router picks clients.
+    writeFile(watch, "clients_ventes.csv", clientsCsv)
+    val wh = new Warehouse(spark, whRoot)
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    assert(wh.table("clients").get.count() === 2)
+    assert(wh.table("ventes").isEmpty) // NOT double-ingested
+    // A ventes-only file whose rows orphan the FK check -> error status
+    // recorded (O13 parity), batch checkpointed but audited.
+    writeFile(watch, "ventes_x.csv",
+      """vente_id,client_id,produit_id,quantite,prix_total,date_vente
+        |VNT001,NOPE,MISSING,1,5,2025-05-10 14:30:00
+        |""".stripMargin)
+    Streams.pollAvailableNow(spark, wh, watch, ckpt)
+    assert(wh.table("ventes").isEmpty)
+    val status = wh.metadata.collect()
+      .map(r => r.getAs[String]("filename") -> r.getAs[String]("status"))
+      .toMap
+    assert(status("ventes_x.csv") === "error")
+    assert(status("clients_ventes.csv") === "success")
+  }
+
   test("streaming dedup: re-delivered keys within the watermark dropped " +
     "across micro-batches") {
     import spark.implicits._
