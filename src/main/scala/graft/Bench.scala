@@ -4,11 +4,15 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
 
 /** Benchmark main — one JSON line on stdout (driver contract).
   *
-  * Methodology: queries run in fixed (sorted-name) order; one full
-  * untimed warmup pass first (JVM/JIT + codegen caches + parquet footer
-  * cache), then one timed pass. Each execution checksums every column of
-  * every result row (xxhash64 → sum) — `count()` would let Catalyst
-  * prune computed columns and under-bill projection-only queries.
+  * Methodology: queries run in fixed (sorted-name) order; each query is
+  * warmed up untimed and then timed IMMEDIATELY (warmup-then-measure
+  * per query, not a global warmup pass: with 50+ queries the global
+  * pass overflows Spark's 100-entry codegen class cache, so by the
+  * time the timed pass re-reaches a query its compiled stages have
+  * been evicted and the "warmup" bought nothing — the cache size is
+  * also raised below). Each execution checksums every column of every
+  * result row (xxhash64 → sum) — `count()` would let Catalyst prune
+  * computed columns and under-bill projection-only queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +25,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 50+ queries × several codegen stages each overflow the default
+      // 100-entry compiled-class cache; evictions turn re-execution
+      // into recompilation.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def exec(name: String): Unit = {
@@ -29,12 +37,10 @@ object Bench {
         .agg(sum("h")).collect()
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      try exec(n)
+    val results = names.map { n =>
+      try exec(n) // warm this query (codegen + JIT + file footers)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
-    }
-    val results = names.map { n =>
       val t0 = System.nanoTime()
       try exec(n)
       catch { case e: Throwable =>
