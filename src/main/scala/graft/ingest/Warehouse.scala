@@ -46,14 +46,18 @@ final class Warehouse(spark: SparkSession, root: String) {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** None when absent OR unreadable (e.g. a directory with no parquet
-    * footers left by an interrupted/empty write) — callers treat both
-    * as "no data yet".
+  /** None when absent or when the directory exists but holds no parquet
+    * footers (interrupted/empty write) — "no data yet". ONLY the
+    * schema-inference AnalysisException is treated that way: a transient
+    * I/O failure must propagate (swallowing it would silently disable
+    * the dedup anti-join and re-admit duplicates as 'success').
     */
   def table(name: String): Option[DataFrame] =
     if (exists(tablePath(name)))
       try Some(spark.read.parquet(tablePath(name)))
-      catch { case _: Exception => None }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     else None
 
   // -- keys-only projection (scale path for O9 dedup) --------------------
@@ -202,9 +206,13 @@ final class Warehouse(spark: SparkSession, root: String) {
   /** O12/O13 — upsert per-file (filename, last_modified, status) rows
     * into the control table (latest-wins MERGE emulation; the small
     * control table is rewritten in full — the plain-parquet MERGE).
+    * Synchronized: the read-merge-overwrite is not atomic, and in a
+    * concurrent-streams deployment (Trigger.ProcessingTime, one query
+    * per entity in this JVM) two foreachBatch callbacks would otherwise
+    * race on the shared path and drop each other's rows.
     */
   def recordStatuses(
-      rows: Seq[(String, java.sql.Timestamp, String)]): Unit = {
+      rows: Seq[(String, java.sql.Timestamp, String)]): Unit = this.synchronized {
     if (rows.isEmpty) return
     import spark.implicits._
     val now = new java.sql.Timestamp(System.currentTimeMillis())
@@ -222,24 +230,31 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   /** E1 steps 4-7 for one file; true = success, false = error status
     * (validation failure, FK orphans, or read error — etl/app.py:168-170).
+    *
+    * O4 — transient failures retry with backoff (etl/app.py:92-141). The
+    * retry wraps the READ-ONLY phase (source read, validation, dedup
+    * derivation, FK checks — safe to re-run arbitrarily); the append is
+    * deliberately OUTSIDE it: a partially-committed append is not
+    * idempotent under retry (the keys projection only learns the batch
+    * after success, so a re-run would re-admit the committed part), and
+    * the reference likewise turns a load failure into a plain error
+    * status, not a re-load (etl/app.py:168-170).
     */
   private def processFile(entity: String, fullPath: String,
       filename: String): Boolean = {
     try {
-      // O4 — transient failures retry with backoff (etl/app.py:92-141).
-      // The retry wraps the WHOLE per-file ingest, not just the lazy
-      // DataFrame construction: the real reads happen inside the
-      // dedupe/FK/append actions, and a transient failure there would
-      // otherwise be recorded as a permanent 'error' (the strict-mtime
-      // check never retries an unchanged file). Idempotent under retry:
-      // validation returns false without throwing (no retry), and the
-      // dedup anti-join re-derives its existing side per attempt.
-      Ingest.withRetry() {
+      val prepared = Ingest.withRetry() {
         val raw =
           if (fullPath.endsWith(".csv"))
             spark.read.option("header", "true").csv(fullPath)
           else spark.read.parquet(fullPath)
-        ingestFrame(entity, raw, Ingest.withLineage(_, filename))
+        prepareBatch(entity, raw, Ingest.withLineage(_, filename))
+      }
+      prepared match {
+        case None => false
+        case Some(deduped) =>
+          try { commitBatch(entity, deduped); true }
+          finally deduped.unpersist(blocking = false)
       }
     } catch { case _: Exception => false }
   }
@@ -256,33 +271,60 @@ final class Warehouse(spark: SparkSession, root: String) {
     * no operator signal.
     */
   def ingestStreamBatch(entity: String, batch: DataFrame): Boolean = {
-    // An empty micro-batch (e.g. every row of a file was routed to
-    // another entity) must be a no-op: appending an empty partitioned
-    // frame would create a schema-less table directory that breaks
-    // subsequent reads, and there is no file outcome to record.
-    if (batch.isEmpty) return true
-    val ok =
-      try ingestFrame(entity, batch, (df: DataFrame) => Ingest.withLineage(df))
-      catch { case _: Exception => false }
     try {
-      val now = new java.sql.Timestamp(System.currentTimeMillis())
-      val files = batch
-        .select(input_file_name().as("f")).distinct()
-        .collect().map(_.getString(0)).filter(_.nonEmpty)
-        .map(f => f.split('/').last)
-      recordStatuses(files.toSeq
-        .map(f => (f, now, if (ok) "success" else "error")))
-    } catch { case _: Exception => () } // status write is best-effort
-    ok
+      // The batch is deliberately NOT persisted: input_file_name()
+      // evaluates at the FILE SCAN — computed on top of a cached
+      // materialization it comes back empty, which would break per-row
+      // lineage (O6). The cost is one extra micro-batch scan for this
+      // file-list collect.
+      //
+      // Per-file status (O13) uses the REAL file mtime (captured as
+      // __file_mtime by Streams.entityStream — _metadata resolves only
+      // at the source): stamping wall-clock would defeat the batch
+      // path's modified-during-processing re-ingest check in mixed-mode
+      // deployments. Fallback for non-entityStream callers: filename
+      // from the scan, mtime = now.
+      val hasMeta = batch.columns.contains("__source_file") &&
+        batch.columns.contains("__file_mtime")
+      val files =
+        (if (hasMeta)
+          batch.select(col("__source_file").as("f"),
+            col("__file_mtime").as("m"))
+        else batch.select(input_file_name().as("f"),
+          current_timestamp().cast("timestamp").as("m")))
+          .distinct()
+          .collect()
+          .filter(r => r.getString(0).nonEmpty)
+          .map(r => (r.getString(0).split('/').last, r.getTimestamp(1)))
+      // No surviving rows (e.g. every row routed to another entity) ⇒
+      // no-op: appending an empty partitioned frame would create a
+      // schema-less table directory, and there is no outcome to record.
+      if (files.isEmpty) return true
+      val ok =
+        try prepareBatch(entity, batch,
+          (df: DataFrame) => Ingest.withLineage(df)) match {
+          case None => false
+          case Some(deduped) =>
+            try { commitBatch(entity, deduped); true }
+            finally deduped.unpersist(blocking = false)
+        } catch { case _: Exception => false }
+      try recordStatuses(files.toSeq.map { case (f, m) =>
+        (f, m, if (ok) "success" else "error")
+      }) catch { case _: Exception => () } // status write is best-effort
+      ok
+    } catch { case _: Exception => false }
   }
 
-  /** Shared E1 core: validate (O5) → coerce (O7) → enrich (O6) → dedupe
-    * (O9) → FK check for facts (O10) → append (O8).
+  /** Shared E1 read-only core: validate (O5) → coerce (O7) → enrich
+    * (O6) → dedupe (O9) → FK check for facts (O10). NO writes — safe to
+    * retry arbitrarily. None ⇒ validation/FK failure (error status).
+    * A returned ventes frame is left persisted (the FK check cached it);
+    * the caller unpersists after commit.
     */
-  private def ingestFrame(entity: String, raw: DataFrame,
-      enrich: DataFrame => DataFrame): Boolean =
+  private def prepareBatch(entity: String, raw: DataFrame,
+      enrich: DataFrame => DataFrame): Option[DataFrame] =
     Ingest.validateColumns(raw, Tables.requiredColumns(entity)) match {
-        case Ingest.MissingColumns(_) => false
+        case Ingest.MissingColumns(_) => None
         case Ingest.Valid =>
           val contract = StructType(contracts(entity).fields
             .filterNot(f => f.name == "source_file" ||
@@ -311,35 +353,37 @@ final class Warehouse(spark: SparkSession, root: String) {
           val deduped = Ingest.dedupe(enriched, existing,
             Seq(businessKey(entity)))
           if (entity == "ventes") {
-            // O10 — FK check before appending a fact batch. One cached
-            // plan + ONE action for both orphan counts (left joins on the
-            // distinct dim keys, count the null arms) — the source file
-            // is read once, and a file mutated mid-cycle cannot slip
-            // unchecked rows into the append.
+            // O10 — FK check before the caller appends a fact batch. One
+            // cached plan + ONE action for both orphan counts (left
+            // joins on the distinct dim keys, count the null arms) — the
+            // source file is read once, and a file mutated mid-cycle
+            // cannot slip unchecked rows into the append.
             deduped.persist()
-            try {
-              def keysOf(name: String, key: String): DataFrame =
-                table(name).map(_.select(key).distinct())
-                  .getOrElse(spark.createDataFrame(
-                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                    StructType(Seq(StructField(key, StringType)))))
-              val flagged = deduped
-                .join(broadcast(keysOf("clients", "client_id")
-                  .withColumn("__c", lit(1))), Seq("client_id"), "left")
-                .join(broadcast(keysOf("produits", "produit_id")
-                  .withColumn("__p", lit(1))), Seq("produit_id"), "left")
-              val counts = flagged.agg(
-                coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L)),
-                coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))).head()
-              if (counts.getLong(0) > 0 || counts.getLong(1) > 0)
-                return false
-              append(entity, deduped)
-              appendKeys(entity, deduped)
-            } finally deduped.unpersist()
-          } else {
-            append(entity, deduped)
-            appendKeys(entity, deduped)
-          }
-          true
+            def keysOf(name: String, key: String): DataFrame =
+              table(name).map(_.select(key).distinct())
+                .getOrElse(spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  StructType(Seq(StructField(key, StringType)))))
+            val flagged = deduped
+              .join(broadcast(keysOf("clients", "client_id")
+                .withColumn("__c", lit(1))), Seq("client_id"), "left")
+              .join(broadcast(keysOf("produits", "produit_id")
+                .withColumn("__p", lit(1))), Seq("produit_id"), "left")
+            val counts = flagged.agg(
+              coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))).head()
+            if (counts.getLong(0) > 0 || counts.getLong(1) > 0) {
+              deduped.unpersist(blocking = false)
+              None
+            } else Some(deduped)
+          } else Some(deduped)
     }
+
+  /** Write phase (NOT retried — see processFile): data append (O8) then
+    * the keys-projection maintenance.
+    */
+  private def commitBatch(entity: String, deduped: DataFrame): Unit = {
+    append(entity, deduped)
+    appendKeys(entity, deduped)
+  }
 }

@@ -27,14 +27,19 @@ import graft.ingest.{Ingest, Warehouse}
   */
 object Streams {
 
-  /** Router glob per entity (O11, etl/app.py:238-243). `~$…` lock
-    * artifacts also match the glob (a leading `[!~]` class would
-    * wrongly consume the first letter of an unprefixed name), so O2 is
-    * enforced by the row-level filename filter below.
+  /** Router glob per entity (O11, etl/app.py:238-243), CASE-INSENSITIVE
+    * via per-letter bracket classes — the batch router lowercases the
+    * basename, and a case-sensitive glob would silently never read
+    * `Clients_mai.csv` (no stream, no status row, no signal). `~$…`
+    * lock artifacts still match (a leading `[!~]` class would wrongly
+    * consume the first letter of an unprefixed name), so O2 is enforced
+    * by the row-level filename filter below.
     */
+  private def ciGlob(token: String): String =
+    "*" + token.map(c => s"[${c.toLower}${c.toUpper}]").mkString + "*"
   private val entityGlob: Map[String, String] = Map(
-    "clients" -> "*client*", "produits" -> "*produit*",
-    "ventes" -> "*vente*")
+    "clients" -> ciGlob("client"), "produits" -> ciGlob("produit"),
+    "ventes" -> ciGlob("vente"))
 
   /** Raw (pre-coercion) schema: CSV files arrive untyped, like pandas'
     * permissive read (SURVEY.md §1.2) — declared strings, cast later by
@@ -76,6 +81,13 @@ object Streams {
       .option("pathGlobFilter", entityGlob(entity))
       .schema(rawSchema(entity))
       .load(watchDir)
+      // Captured HERE because the hidden _metadata column resolves only
+      // on the source relation — inside foreachBatch the micro-batch
+      // DataFrame no longer exposes it. Warehouse.ingestStreamBatch uses
+      // these for per-file status rows (O13) with real mtimes; the
+      // coercion step drops them from the appended data.
+      .withColumn("__source_file", input_file_name())
+      .withColumn("__file_mtime", col("_metadata.file_modification_time"))
       .filter(!Ingest.isLockFile(input_file_name())) // O2
       .filter(!excluded) // O11 first-match routing
   }

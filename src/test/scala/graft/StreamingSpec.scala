@@ -76,9 +76,17 @@ class StreamingSpec extends SparkSuite {
     val ckpt = tmpDir("route-ckpt")
     // Name matches both *client* and *vente*; batch router picks clients.
     writeFile(watch, "clients_ventes.csv", clientsCsv)
+    // Mixed case must still route (batch router lowercases; the stream
+    // glob is case-insensitive via bracket classes).
+    writeFile(watch, "Clients_Mai.csv",
+      """client_id,nom,prenom,email,telephone,adresse
+        |CLI009,Upper,Case,u@c.fr,9,"9 rue Haute"
+        |""".stripMargin)
     val wh = new Warehouse(spark, whRoot)
     Streams.pollAvailableNow(spark, wh, watch, ckpt)
-    assert(wh.table("clients").get.count() === 2)
+    assert(wh.table("clients").get.count() === 3)
+    assert(wh.table("clients").get
+      .filter(col("client_id") === "CLI009").count() === 1)
     assert(wh.table("ventes").isEmpty) // NOT double-ingested
     // A ventes-only file whose rows orphan the FK check -> error status
     // recorded (O13 parity), batch checkpointed but audited.
