@@ -243,21 +243,28 @@ final class Warehouse(spark: SparkSession, root: String) {
   private def processFile(entity: String, fullPath: String,
       filename: String): Boolean = {
     try {
-      val prepared = Ingest.withRetry() {
+      commitPrepared(entity, Ingest.withRetry() {
         val raw =
           if (fullPath.endsWith(".csv"))
             spark.read.option("header", "true").csv(fullPath)
           else spark.read.parquet(fullPath)
         prepareBatch(entity, raw, Ingest.withLineage(_, filename))
-      }
-      prepared match {
-        case None => false
-        case Some(deduped) =>
-          try { commitBatch(entity, deduped); true }
-          finally deduped.unpersist(blocking = false)
-      }
+      })
     } catch { case _: Exception => false }
   }
+
+  /** Commit phase shared by the batch and streaming entries: append the
+    * prepared frame (which prepareBatch left persisted and
+    * materialized), maintain the keys projection, always unpersist.
+    */
+  private def commitPrepared(entity: String,
+      prepared: Option[DataFrame]): Boolean =
+    prepared match {
+      case None => false
+      case Some(deduped) =>
+        try { commitBatch(entity, deduped); true }
+        finally deduped.unpersist(blocking = false)
+    }
 
   /** Streaming entry: ingest one micro-batch for an entity (called from
     * `foreachBatch` — graft.streaming.Streams). Identical semantics to
@@ -271,7 +278,7 @@ final class Warehouse(spark: SparkSession, root: String) {
     * no operator signal.
     */
   def ingestStreamBatch(entity: String, batch: DataFrame): Boolean = {
-    try {
+    {
       // The batch is deliberately NOT persisted: input_file_name()
       // evaluates at the FILE SCAN — computed on top of a cached
       // materialization it comes back empty, which would break per-row
@@ -296,30 +303,38 @@ final class Warehouse(spark: SparkSession, root: String) {
           .collect()
           .filter(r => r.getString(0).nonEmpty)
           .map(r => (r.getString(0).split('/').last, r.getTimestamp(1)))
-      // No surviving rows (e.g. every row routed to another entity) ⇒
-      // no-op: appending an empty partitioned frame would create a
-      // schema-less table directory, and there is no outcome to record.
-      if (files.isEmpty) return true
+      // Empty batch (e.g. every row routed to another entity) ⇒ no-op:
+      // appending an empty partitioned frame would create a schema-less
+      // table directory, and there is no outcome to record. files being
+      // empty is NOT sufficient — a non-file source has rows but blank
+      // filenames — so confirm with the batch itself.
+      if (files.isEmpty && batch.isEmpty) return true
       val ok =
-        try prepareBatch(entity, batch,
-          (df: DataFrame) => Ingest.withLineage(df)) match {
-          case None => false
-          case Some(deduped) =>
-            try { commitBatch(entity, deduped); true }
-            finally deduped.unpersist(blocking = false)
-        } catch { case _: Exception => false }
-      try recordStatuses(files.toSeq.map { case (f, m) =>
-        (f, m, if (ok) "success" else "error")
-      }) catch { case _: Exception => () } // status write is best-effort
+        try commitPrepared(entity, prepareBatch(entity, batch,
+          (df: DataFrame) => Ingest.withLineage(df)))
+        catch { case _: Exception => false }
+      if (files.nonEmpty)
+        try recordStatuses(files.toSeq.map { case (f, m) =>
+          (f, m, if (ok) "success" else "error")
+        }) catch { case _: Exception => () } // status write is best-effort
       ok
-    } catch { case _: Exception => false }
+    }
+    // NO blanket outer catch: a failure BEFORE ingest starts (the
+    // file-list collect) must propagate and fail the streaming query so
+    // the checkpoint does NOT commit — on restart the source redelivers
+    // the batch. Swallowing it would commit the offset with nothing
+    // ingested and no status row: silent, unrecoverable loss.
   }
 
   /** Shared E1 read-only core: validate (O5) → coerce (O7) → enrich
-    * (O6) → dedupe (O9) → FK check for facts (O10). NO writes — safe to
-    * retry arbitrarily. None ⇒ validation/FK failure (error status).
-    * A returned ventes frame is left persisted (the FK check cached it);
-    * the caller unpersists after commit.
+    * (O6) → dedupe (O9) → FK check for facts (O10), MATERIALIZED. No
+    * writes — safe to retry arbitrarily, and because the returned frame
+    * is persisted and force-computed here, the full source read happens
+    * INSIDE the retried phase for every entity (without it, a dim
+    * batch's first real scan would be the unretried append). None ⇒
+    * validation/FK failure (error status). The caller unpersists after
+    * commit; every failure path unpersists before propagating so
+    * retried attempts cannot leak cache entries.
     */
   private def prepareBatch(entity: String, raw: DataFrame,
       enrich: DataFrame => DataFrame): Option[DataFrame] =
@@ -352,31 +367,41 @@ final class Warehouse(spark: SparkSession, root: String) {
           val existing = keyProjection(entity).orElse(table(entity))
           val deduped = Ingest.dedupe(enriched, existing,
             Seq(businessKey(entity)))
-          if (entity == "ventes") {
-            // O10 — FK check before the caller appends a fact batch. One
-            // cached plan + ONE action for both orphan counts (left
-            // joins on the distinct dim keys, count the null arms) — the
-            // source file is read once, and a file mutated mid-cycle
-            // cannot slip unchecked rows into the append.
-            deduped.persist()
-            def keysOf(name: String, key: String): DataFrame =
-              table(name).map(_.select(key).distinct())
-                .getOrElse(spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  StructType(Seq(StructField(key, StringType)))))
-            val flagged = deduped
-              .join(broadcast(keysOf("clients", "client_id")
-                .withColumn("__c", lit(1))), Seq("client_id"), "left")
-              .join(broadcast(keysOf("produits", "produit_id")
-                .withColumn("__p", lit(1))), Seq("produit_id"), "left")
-            val counts = flagged.agg(
-              coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L)),
-              coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))).head()
-            if (counts.getLong(0) > 0 || counts.getLong(1) > 0) {
+          deduped.persist()
+          try {
+            if (entity == "ventes") {
+              // O10 — FK check before the caller appends a fact batch.
+              // One cached plan + ONE action for both orphan counts
+              // (left joins on the distinct dim keys, count the null
+              // arms) — the source file is read once, and a file
+              // mutated mid-cycle cannot slip unchecked rows into the
+              // append.
+              def keysOf(name: String, key: String): DataFrame =
+                table(name).map(_.select(key).distinct())
+                  .getOrElse(spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                    StructType(Seq(StructField(key, StringType)))))
+              val flagged = deduped
+                .join(broadcast(keysOf("clients", "client_id")
+                  .withColumn("__c", lit(1))), Seq("client_id"), "left")
+                .join(broadcast(keysOf("produits", "produit_id")
+                  .withColumn("__p", lit(1))), Seq("produit_id"), "left")
+              val counts = flagged.agg(
+                coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L)),
+                coalesce(sum(when(col("__p").isNull, 1L).otherwise(0L)), lit(0L))).head()
+              if (counts.getLong(0) > 0 || counts.getLong(1) > 0) {
+                deduped.unpersist(blocking = false)
+                None
+              } else Some(deduped)
+            } else {
+              deduped.count() // force the full read inside the retry
+              Some(deduped)
+            }
+          } catch {
+            case e: Throwable =>
               deduped.unpersist(blocking = false)
-              None
-            } else Some(deduped)
-          } else Some(deduped)
+              throw e
+          }
     }
 
   /** Write phase (NOT retried — see processFile): data append (O8) then
