@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan shape guards — the properties that make the flagship
+  * operators scale are pinned here so a future refactor cannot silently
+  * regress them (e.g. a top-k degenerating into a global sort, or a
+  * bucketed near-dup join degenerating into a cartesian product).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("registry: no key collisions between query modules") {
+    val core = graft.queries.CoreAnalytics.queries.keySet
+    val llm = graft.queries.LlmPipeline.queries.keySet
+    assert((core & llm).isEmpty, s"shadowed keys: ${core & llm}")
+    assert(SparkEntry.queries.size === core.size + llm.size)
+  }
+
+  test("top-k queries lower to TakeOrderedAndProject, never a full sort") {
+    for (q <- Seq("q03_topk_customers", "q24_cosine_topk",
+        "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search")) {
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q lost its top-k lowering")
+    }
+  }
+
+  test("near-dup candidate joins never degenerate into cartesian products") {
+    for (q <- Seq("q26_embedding_neardup", "q28_minhash_neardup",
+        "q30_simhash_neardup", "q31_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
+    }
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    // q06 filters a date range; q05 is a key lookup — both must reach
+    // the scan (PushedFilters), not evaluate post-scan only.
+    for (q <- Seq("q05_key_lookup", "q06_time_range_scan")) {
+      assert(plan(q).contains("PushedFilters: ["), s"$q lost pushdown")
+    }
+  }
+
+  test("star join prunes fact columns (no full-width lineitem read)") {
+    // q02 needs 3 lineitem columns; l_comment must not be read.
+    val p = plan("q02_revenue_by_segment")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"), "q02 reads unneeded fact columns")
+  }
+}
