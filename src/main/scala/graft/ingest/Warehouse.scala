@@ -310,9 +310,17 @@ final class Warehouse(spark: SparkSession, root: String) {
       // filenames — so confirm with the batch itself.
       if (files.isEmpty && batch.isEmpty) return true
       val ok =
-        try commitPrepared(entity, prepareBatch(entity, batch,
-          (df: DataFrame) => Ingest.withLineage(df)))
-        catch { case _: Exception => false }
+        try commitPrepared(entity, Ingest.withRetry() {
+          // O4 parity with the batch path: the retried phase includes
+          // the materializing reads inside prepareBatch.
+          prepareBatch(entity, batch, (df: DataFrame) => Ingest.withLineage(df))
+        }) catch {
+          // Swallow-and-record ONLY when a status row can witness the
+          // failure; with no attributable files (non-file source) the
+          // exception must fail the query so the checkpoint does not
+          // commit and the batch is redelivered.
+          case e: Exception => if (files.isEmpty) throw e else false
+        }
       if (files.nonEmpty)
         try recordStatuses(files.toSeq.map { case (f, m) =>
           (f, m, if (ok) "success" else "error")

@@ -34,18 +34,31 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  private def scans(name: String) =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+
   test("selective scans push their filters into the parquet reader") {
     // q06 filters a date range; q05 is a key lookup — both must reach
-    // the scan (PushedFilters), not evaluate post-scan only.
+    // the scan as a NON-EMPTY pushed-filter list (every scan prints
+    // 'PushedFilters:', so a substring check would be vacuous).
     for (q <- Seq("q05_key_lookup", "q06_time_range_scan")) {
-      assert(plan(q).contains("PushedFilters: ["), s"$q lost pushdown")
+      val pushed = scans(q).map(_.metadata.getOrElse("PushedFilters", "[]"))
+      assert(pushed.exists(p => p != "[]" && p.nonEmpty),
+        s"$q lost pushdown: $pushed")
     }
   }
 
   test("star join prunes fact columns (no full-width lineitem read)") {
-    // q02 needs 3 lineitem columns; l_comment must not be read.
-    val p = plan("q02_revenue_by_segment")
-    assert(p.contains("ReadSchema"))
-    assert(!p.contains("l_comment"), "q02 reads unneeded fact columns")
+    // q02 needs exactly 3 lineitem columns; inspect the scan node's
+    // schema programmatically (the rendered ReadSchema string truncates
+    // at 100 chars, which would hide a full-width regression).
+    val li = scans("q02_revenue_by_segment")
+      .map(_.schema.fieldNames.toSet)
+      .find(_.contains("l_extendedprice"))
+      .getOrElse(fail("no lineitem scan found"))
+    assert(li.subsetOf(Set("l_orderkey", "l_extendedprice", "l_discount")),
+      s"q02 reads unneeded fact columns: $li")
   }
 }
