@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 
 /** Benchmark main — one JSON line on stdout (driver contract).
   *
@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   * time the timed pass re-reaches a query its compiled stages have
   * been evicted and the "warmup" bought nothing — the cache size is
   * also raised below). Each execution checksums every column of every
-  * result row (xxhash64 → sum) — `count()` would let Catalyst prune
-  * computed columns and under-bill projection-only queries.
+  * result row (xxhash64 → BIT_XOR) — `count()` would let Catalyst
+  * prune computed columns and under-bill projection-only queries, and
+  * SUM of full-range 64-bit hashes overflows BIGINT under Spark 4's
+  * default ANSI mode (which aborted some r2 timings mid-run). BIT_XOR
+  * cannot overflow and still forces every row's every column. A query
+  * whose timed run throws is reported as -1 in `queries` and its
+  * message lands in the `errors` field — never a silent success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,23 +39,36 @@ object Bench {
     def exec(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
-        .agg(sum("h")).collect()
+        .agg(expr("bit_xor(h)")).collect()
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { n =>
       try exec(n) // warm this query (codegen + JIT + file footers)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
       val t0 = System.nanoTime()
-      try exec(n)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $n failed: ${e.getMessage}") }
-      n -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(n); true }
+        catch { case e: Throwable =>
+          errors(n) = String.valueOf(e.getMessage).take(300)
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          false
+        }
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

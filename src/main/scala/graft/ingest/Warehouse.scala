@@ -47,18 +47,31 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** None when absent or when the directory exists but holds no parquet
-    * footers (interrupted/empty write) — "no data yet". ONLY the
-    * schema-inference AnalysisException is treated that way: a transient
-    * I/O failure must propagate (swallowing it would silently disable
-    * the dedup anti-join and re-admit duplicates as 'success').
+    * data files anywhere below it (interrupted/empty write) — "no data
+    * yet". The no-data case is decided by an explicit file listing, NOT
+    * by catching AnalysisException: schema inference also throws that on
+    * a non-empty table with corrupt footers, and mapping it to "no data"
+    * would silently disable the dedup anti-join and re-admit every
+    * previously-loaded key as 'success'. Any exception from a directory
+    * that does hold data files therefore propagates.
     */
-  def table(name: String): Option[DataFrame] =
-    if (exists(tablePath(name)))
-      try Some(spark.read.parquet(tablePath(name)))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
+  def table(name: String): Option[DataFrame] = {
+    val p = new Path(tablePath(name))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      // Recursive so partitioned layouts (ventes/sale_date=…/*.parquet)
+      // are seen; _SUCCESS/.crc markers don't count as data.
+      val it = fs.listFiles(p, true)
+      var hasData = false
+      while (!hasData && it.hasNext) {
+        val n = it.next().getPath.getName
+        hasData = n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
       }
-    else None
+      if (hasData) Some(spark.read.parquet(tablePath(name))) else None
+    }
+  }
 
   // -- keys-only projection (scale path for O9 dedup) --------------------
 

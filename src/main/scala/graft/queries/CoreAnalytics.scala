@@ -440,7 +440,12 @@ object CoreAnalytics {
     * sqrt is correctly-rounded per IEEE-754 in both engines, while
     * log/exp/trig are libm-dependent in their last ulp and could never
     * hash-match — the same reasoning that keeps sketches out of the
-    * oracle set.
+    * oracle set. round_price is half-up rounding spelled as
+    * floor(x·10 + 0.5)/10 — the SAME IEEE operations in both engines —
+    * because the engines' native round(double, 1) differ (Spark rounds
+    * the shortest decimal representation via BigDecimal HALF_UP, DuckDB
+    * rounds the scaled double): tie-adjacent values could diverge by one
+    * last digit, so the built-in is not in the exact family.
     */
   private val q52: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -451,7 +456,8 @@ object CoreAnalytics {
         signum(col("l_extendedprice") - lit(30000.0)).as("price_sign"),
         floor(col("l_extendedprice")).cast(LongType).as("floor_price"),
         ceil(col("l_extendedprice")).cast(LongType).as("ceil_price"),
-        round(col("l_extendedprice"), 1).as("round_price"),
+        (floor(col("l_extendedprice") * lit(10.0) + lit(0.5))
+          .cast(DoubleType) / lit(10.0)).as("round_price"),
         pow(col("l_quantity"), 2).as("qty_sq"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -695,7 +701,7 @@ object CoreAnalytics {
         | CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign,
         | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
         | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
-        | round(l_extendedprice, 1) AS round_price,
+        | CAST(floor(l_extendedprice * 10 + 0.5) AS DOUBLE) / 10 AS round_price,
         | pow(l_quantity, 2) AS qty_sq
         |FROM lineitem WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
