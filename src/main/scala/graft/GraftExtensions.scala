@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{CosineSimilarity, Functions}
+import graft.functions.Functions
 
 /** SparkSessionExtensions entry point: inject the graft native functions
   * into any session built with
@@ -13,9 +13,10 @@ import graft.functions.{CosineSimilarity, Functions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =
-    extensions.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
-        "cosine_sim"),
-      Functions.cosineSimBuilder))
+    Functions.builders.foreach { case (name, cls, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getCanonicalName, name),
+        builder))
+    }
 }

@@ -110,10 +110,34 @@ object Functions {
       s"cosine_sim expects 2 arguments, got ${other.size}")
   }
 
+  private def unary(name: String,
+      mk: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(a) => mk(a)
+    case other => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${other.size}")
+  }
+
+  /** All graft native functions, keyed by SQL name. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity], cosineSimBuilder),
+    ("minhash_sig", classOf[MinhashSig],
+      unary("minhash_sig", MinhashSig.apply)),
+    ("simhash60", classOf[Simhash60], unary("simhash60", Simhash60.apply)),
+    ("shingle_hashes", classOf[ShingleHashes],
+      unary("shingle_hashes", ShingleHashes.apply)),
+    ("min_gram_md5", classOf[MinGramMd5], {
+      case Seq(a, b) => MinGramMd5(a, b)
+      case other => throw new IllegalArgumentException(
+        s"min_gram_md5 expects 2 arguments, got ${other.size}")
+    }))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
-        "cosine_sim"),
-      cosineSimBuilder)
+    builders.foreach { case (name, cls, builder) =>
+      if (!spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo(cls.getCanonicalName, name),
+          builder)
+    }
 }

@@ -1,0 +1,308 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row document-signature kernels as NATIVE codegen'd expressions
+  * (SURVEY custom-operator ladder step (b)).
+  *
+  * Why: the r2 signature pipelines computed minhash / simhash /
+  * fingerprints by EXPLODING tokens or n-grams and re-aggregating per
+  * doc_id — correct, but the Generate + groupBy puts a shuffle (and a
+  * few million generated rows) between the scan and the signature. At
+  * 100 TB that shuffle IS the job. A signature is a pure function of
+  * one document, so these kernels compute it in one pass per row inside
+  * whole-stage codegen: scan → signature, no Generate, no exchange; the
+  * only remaining shuffle in a near-dup pipeline is the band-key
+  * candidate join, which is the part that genuinely needs data movement.
+  *
+  * Numerical contract (bit-exact with the DuckDB oracles and with the
+  * explode-based forms they replace — gated by FunctionsSpec):
+  *  - tokens   = java.util.regex `\w+` over Spark-lowercased text
+  *    (identical to `regexp_extract_all(lower(text), '\\w+', 0)`);
+  *  - hash60(s) = first 15 hex digits of md5(s) as an unsigned long
+  *    (identical to `conv(substring(md5(s), 1, 15), 16, 10)`): the
+  *    first 8 digest bytes big-endian, shifted right 4;
+  *  - minhash  = min over 3-word shingles of (a_k·(h mod p) + b_k) mod p,
+  *    p = 2^31−1 (products < 2^62: exact long arithmetic);
+  *  - simhash  = 60 frequency-weighted bit votes over the token multiset,
+  *    bit set iff its vote sum is positive;
+  *  - fingerprint = lexicographic min of md5 hex over char 8-grams
+  *    (ASCII hex: Java String order == UTF8String binary order).
+  */
+object TextSignatures {
+  val MhP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val MinhashK = 16     // signature width
+  val Bands = 4         // LSH bands (rows per band = 4)
+  val MhAB: IndexedSeq[(Long, Long)] = (0 until MinhashK).map { k =>
+    (((k + 1) * 2654435761L) % MhP, ((k + 1) * 2246822519L) % MhP)
+  }
+  private val mhA = MhAB.map(_._1).toArray
+  private val mhB = MhAB.map(_._2).toArray
+
+  private val tokenPattern = Pattern.compile("\\w+")
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def tokenize(text: UTF8String): java.util.ArrayList[String] = {
+    // UTF8String.toLowerCase is what Spark's lower() evaluates — using
+    // it keeps the kernel identical to the SQL form on non-ASCII too.
+    val m = tokenPattern.matcher(text.toLowerCase.toString)
+    val out = new java.util.ArrayList[String]()
+    while (m.find()) out.add(m.group())
+    out
+  }
+
+  /** First 15 md5 hex digits as unsigned long (60 bits). */
+  private def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 16-long minhash signature; null when the text has < 3 tokens
+    * (such docs have no shingles and are absent from the explode form).
+    */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val n = toks.size
+    if (n < 3) return null
+    val mins = Array.fill(MinhashK)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - 3) {
+      sb.setLength(0)
+      sb.append(toks.get(i)).append(' ')
+        .append(toks.get(i + 1)).append(' ').append(toks.get(i + 2))
+      val h = md5Hash60(sb.toString) % MhP
+      var k = 0
+      while (k < MinhashK) {
+        val p = (mhA(k) * h + mhB(k)) % MhP
+        if (p < mins(k)) mins(k) = p
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 60-bit simhash; null when the text has no tokens. */
+  def simhash60(text: UTF8String): java.lang.Long = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.size) {
+      val h = md5Hash60(toks.get(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  /** Distinct sorted 60-bit hashes of the 3-word shingles; null when
+    * < 3 tokens. Sorted so array_min is element 0 and output is
+    * deterministic (collect_set order was not, but nothing downstream
+    * observed it).
+    */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val n = toks.size
+    if (n < 3) return null
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - 3) {
+      sb.setLength(0)
+      sb.append(toks.get(i)).append(' ')
+        .append(toks.get(i + 1)).append(' ').append(toks.get(i + 2))
+      set.add(java.lang.Long.valueOf(md5Hash60(sb.toString)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Lexicographic min of md5 hex over the character n-grams of the
+    * input (the q36 winnowing fingerprint); null when length < n.
+    */
+  def minGramMd5(text: UTF8String, gramLen: Int): UTF8String = {
+    val s = text.toString
+    if (s.length < gramLen) return null
+    var best: String = null
+    var i = 0
+    while (i + gramLen <= s.length) {
+      val hex = md5Hex(s.substring(i, i + gramLen))
+      if (best == null || hex.compareTo(best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+}
+
+/** Base for the string → signature expressions: null-safe, non-codegen
+  * fallback via nullSafeEval, codegen = one static call into
+  * [[TextSignatures]] (the kernel is a single compiled method, so the
+  * expression stays inside whole-stage codegen without inlining risk).
+  */
+sealed abstract class TextSignatureExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.simpleString}")
+  // All of these map some non-null inputs (too-short documents) to null.
+  override def nullable: Boolean = true
+
+  /** Java expression producing the (nullable, boxed) result from the
+    * input variable; the generated guard assigns isNull/value.
+    */
+  protected def kernelCall(input: String): String
+  protected def javaResultType: String
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sigResult")
+      s"""
+         |$javaResultType $r = ${kernelCall(c)};
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+}
+
+/** `minhash_sig(text)` → array<long> of 16 permuted minima. */
+final case class MinhashSig(child: Expression)
+    extends TextSignatureExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.minhashSig(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(input: String): String =
+    s"graft.functions.TextSignatures.minhashSig($input)"
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+}
+
+/** `simhash60(text)` → 60-bit simhash as long. */
+final case class Simhash60(child: Expression)
+    extends TextSignatureExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.simhash60(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(input: String): String =
+    s"graft.functions.TextSignatures.simhash60($input)"
+  override protected def javaResultType: String = "java.lang.Long"
+  override protected def withNewChildInternal(c: Expression): Simhash60 =
+    copy(child = c)
+}
+
+/** `shingle_hashes(text)` → distinct sorted array<long> of 60-bit
+  * 3-word-shingle hashes.
+  */
+final case class ShingleHashes(child: Expression)
+    extends TextSignatureExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.shingleHashes(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(input: String): String =
+    s"graft.functions.TextSignatures.shingleHashes($input)"
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** `min_gram_md5(text, n)` → lexicographic-min md5 hex over char
+  * n-grams. `n` must be a foldable positive integer literal (it shapes
+  * the kernel, not the data), so it participates in analysis as a
+  * normal child but is folded to a constant in the generated code.
+  */
+final case class MinGramMd5(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val gramLen: Int =
+    right.eval(null).asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"min_gram_md5 expects a string column, got ${left.dataType.simpleString}")
+    else if (!right.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(right.dataType) ||
+        right.eval(null) == null ||
+        right.eval(null).asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "min_gram_md5 gram length must be a positive integer literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_gram_md5"
+  // Maps non-null too-short inputs to null.
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any, len: Any): Any =
+    TextSignatures.minGramMd5(input.asInstanceOf[UTF8String], gramLen)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _) => {
+      val r = ctx.freshName("sigResult")
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $r =
+         |  graft.functions.TextSignatures.minGramMd5($c, $gramLen);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinGramMd5 =
+    copy(left = newLeft, right = newRight)
+}

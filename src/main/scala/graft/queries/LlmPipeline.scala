@@ -17,9 +17,10 @@ import graft.Tables
   * operators are the north-star extensions of SURVEY.md §7.2 module 4.
   *
   * Scale posture (100 TB):
-  *  - Signatures (minhash / simhash / fingerprints) are per-row
-  *    higher-order-function expressions (`transform`/`aggregate`/
-  *    `array_min`) — no UDFs, no shuffle, whole-stage codegen.
+  *  - Signatures (minhash / simhash / shingle sets / fingerprints) are
+  *    per-row NATIVE codegen'd kernels (graft.functions.TextSignatures)
+  *    — one fused pass per document at the scan, no UDFs, no Generate,
+  *    no shuffle; signature computation scales embarrassingly.
   *  - Near-dup candidate generation NEVER does an all-pairs join: LSH
   *    band keys (minhash) or signature bytes (simhash) are exploded and
   *    the self-join shuffles on the band key only — each bucket is a
@@ -46,90 +47,60 @@ object LlmPipeline {
   // ASCII corpora.
   private val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
 
-  /** One row per 3-word shingle: (doc_id, shingle). Tokens are EXPLODED
-    * first (the Generate materializes them — a deliberate barrier so
-    * Catalyst cannot inline the regexp per array element), then shingles
-    * are assembled with `lead()` windows partitioned by doc_id. The
-    * window shuffle is per-document (bounded partitions) and replaces a
-    * per-row `transform(sequence, i -> element_at(toks, i)…)` HOF whose
-    * collapsed projection re-ran the tokenizer regex ~3×|tokens| times
-    * per row (~6× slower end-to-end at sf0.1). Docs with < 3 tokens
-    * yield no shingles (lead(2) is null), matching the array form.
+  private val MinhashK = graft.functions.TextSignatures.MinhashK
+  private val Bands = graft.functions.TextSignatures.Bands
+  /** Universal-hash minhash permutation constants — single source of
+    * truth is the native kernel (graft.functions.TextSignatures); the
+    * oracle SQL below is generated from the same values.
     */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    t(s, dir, "documents")
-      .select(col("doc_id"), posexplode(expr(toksE)).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-  }
-
-  private val MinhashK = 16 // signature width
-  private val Bands = 4     // LSH bands (rows per band = 16/4 = 4)
-
-  /** Universal-hash minhash: one md5 per shingle → 60-bit int `h`, then
-    * permutation k is the linear map (a_k·(h mod p) + b_k) mod p over the
-    * Mersenne prime p = 2^31−1. All products stay < 2^62, so the integer
-    * arithmetic is exact (and non-throwing) in both Spark and DuckDB.
-    */
-  private val MhP = 2147483647L // 2^31 - 1
-  private val MhAB: Seq[(Long, Long)] = (0 until MinhashK).map { k =>
-    (((k + 1) * 2654435761L) % MhP, ((k + 1) * 2246822519L) % MhP)
-  }
-  /** 60-bit integer view of md5(shingle) — identical in both engines. */
-  private val shingleHashE =
-    "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
-
-  /** doc_id + minhash signature (array of 16 longs) + the 4 LSH band
-    * keys. Design for scale: shingles are EXPLODED once and hashed once
-    * (one md5 each), then the 16 permuted minima are plain codegen'd
-    * `min` aggregates with map-side partial aggregation — one shuffle of
-    * (doc_id, 16 longs). The earlier per-row form (16 higher-order
-    * array_min(transform(md5)) passes) was interpreted, 16× the md5
-    * work, and ~100× slower at sf0.1.
-    */
-  private def minhashed(s: SparkSession, dir: String): DataFrame = {
-    val perBand = MinhashK / Bands
-    val h = shingleRows(s, dir)
-      .withColumn("h", expr(s"$shingleHashE % $MhP"))
-    val aggs = MhAB.zipWithIndex.map { case ((a, b), k) =>
-      min(expr(s"($a * h + $b) % $MhP")).as(s"m$k")
-    }
-    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .withColumn("sig", array((0 until MinhashK).map(k => col(s"m$k")): _*))
-      .withColumn("bands", array((0 until Bands).map { b =>
-        concat_ws("|",
-          lit(b) +: (0 until perBand).map(j => col(s"m${perBand * b + j}")): _*)
-      }: _*))
-      .select(col("doc_id"), col("sig"), col("bands"))
-  }
-
+  private val MhP = graft.functions.TextSignatures.MhP
+  private val MhAB: Seq[(Long, Long)] = graft.functions.TextSignatures.MhAB
   private val SimhashBits = 60 // 15 md5 hex digits; fits a signed 64-bit
 
-  /** doc_id → 60-bit SimHash over the token multiset (frequency-weighted
-    * by construction: tokens are exploded, not deduped). explode →
-    * groupBy(doc_id) is one shuffle with map-side partial aggregation;
-    * the 60 bit-vote sums are plain SUM(CASE) aggregates.
+  /** doc_id + minhash signature (array of 16 longs) + one row per LSH
+    * band key. The signature is the native per-row `minhash_sig` kernel
+    * (graft.functions.MinhashSig): scan → signature with NO Generate and
+    * NO shuffle — r2's explode-shingles + 16-min groupBy moved every
+    * shingle through an exchange, which at 100 TB is the dominant cost;
+    * per-row it vanishes, and the only remaining shuffle in the near-dup
+    * pipeline is the band-key candidate join (the part that genuinely
+    * requires data movement). Band keys are built AFTER the signature is
+    * a materialized attribute (the Generate is an optimizer barrier), so
+    * the kernel runs once per document, not once per element reference.
+    */
+  private def minhashed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    val perBand = MinhashK / Bands
+    // explode(array(kernel)) is a one-row Generate whose only purpose is
+    // an optimizer barrier: the isNotNull filter on a plain projection
+    // alias would be pushed below it and re-evaluate the kernel (2× the
+    // md5 work per document); a generator output is an attribute the
+    // filter cannot be pushed past, so the kernel runs exactly once.
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(expr("minhash_sig(text)"))).as("sig"))
+      .filter(col("sig").isNotNull) // < 3 tokens ⇒ no shingles ⇒ no row
+    val bandKeys = (0 until Bands).map { b =>
+      concat_ws("|", lit(b) +: (0 until perBand).map(j =>
+        element_at(col("sig"), perBand * b + j + 1)): _*)
+    }
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** doc_id → 60-bit SimHash — the native per-row `simhash60` kernel
+    * (frequency-weighted bit votes over the token multiset, computed in
+    * one pass inside codegen). No tokens ⇒ null ⇒ filtered, matching the
+    * explode form where token-less docs simply had no rows to aggregate.
     */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .withColumn("toks", expr(toksE))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("h",
-        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
-    val votes = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$i")
-    }
-    val simhash = (0 until SimhashBits).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhash.cast(LongType).as("simhash"))
+    graft.functions.Functions.register(s)
+    // Same one-row-Generate barrier as minhashed: keeps the pushed-down
+    // null filter from re-running the kernel per row.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(expr("simhash60(text)"))).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   // =====================================================================
@@ -305,7 +276,7 @@ object LlmPipeline {
     def side(tag: String): DataFrame =
       minhashed(s, dir)
         .select(col("doc_id").as(s"doc_$tag"), col("sig").as(s"sig_$tag"),
-          explode(col("bands")).as("bk"))
+          col("bk"))
     side("a").join(side("b"), "bk")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")
@@ -327,7 +298,9 @@ object LlmPipeline {
   /** q30: SimHash near-dup pairs — the 60-bit signature split into 4
     * 15-bit bands (pigeonhole: any pair with Hamming distance ≤ 3 shares
     * at least one exact band); candidates join on the band value +
-    * position, verified by bit_count(xor) ≤ 3.
+    * position, verified by bit_count(xor) ≤ 3. The band explode sits
+    * ABOVE simhashed's projection, so the kernel output is a
+    * materialized attribute and runs once per document.
     */
   private val q30: Q = (s, dir) => {
     def side(tag: String): DataFrame = {
@@ -356,18 +329,22 @@ object LlmPipeline {
     * global min shingle hash (docs sharing the overall-min 3-gram), then
     * exact |A∩B| / |A∪B| over the distinct shingle-hash sets. This is
     * the verify stage a production near-dup pipeline runs after LSH;
-    * bucketing keeps it off the all-pairs cliff. Shingles are hashed to
-    * 60-bit ints once each (explode + groupBy, codegen'd) so the
-    * set-intersection compares longs, not 30-char strings.
+    * bucketing keeps it off the all-pairs cliff. The distinct hash set
+    * is the native per-row `shingle_hashes` kernel (sorted longs, so
+    * m0 = element 1) — r2's explode + collect_set shuffled every shingle
+    * to build the same set this computes scan-side in one pass.
     */
   private val q31: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    // One-row-Generate barrier again: without it both the pushed null
+    // filter AND the m0 projection would re-run the kernel (3× per row).
     def side(tag: String): DataFrame =
-      shingleRows(s, dir)
-        .withColumn("h", expr(shingleHashE))
-        .groupBy("doc_id")
-        .agg(collect_set(col("h")).as("shd"), min(col("h")).as("m0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(expr("shingle_hashes(text)"))).as("shd"))
+        .filter(col("shd").isNotNull)
         .select(col("doc_id").as(s"doc_$tag"), col("shd").as(s"shd_$tag"),
-          col("m0"))
+          element_at(col("shd"), 1).as("m0"))
     side("a").join(side("b"), "m0")
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("n_common",
@@ -467,26 +444,25 @@ object LlmPipeline {
 
   /** q36: document fingerprint — min-md5 over character 8-grams of the
     * normalized text (winnowing with window = document; SURVEY §7.2
-    * module 4 "document fingerprinting"). The 8-gram positions are
-    * exploded (materializing `norm` once, below the Generate) and the
-    * min is a codegen'd aggregate — one md5 per position, never a
-    * re-inlined normalization regex. The fingerprint doubles as a
-    * clustering key for shard-local dedup.
+    * module 4 "document fingerprinting"). The native per-row
+    * `min_gram_md5` kernel computes the min in one fused pass — r2's
+    * gram explode generated one row per character position (~|doc|
+    * rows/doc) and re-aggregated them through an exchange; this was the
+    * slowest query in BENCH_r02 (2.8 s of pure row-machinery at sf0.1),
+    * and the 100 TB version of that explode is ~100 TB of generated
+    * rows. The fingerprint doubles as a clustering key for shard-local
+    * dedup.
     */
-  private val q36: Q = (s, dir) =>
+  private val q36: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
       .filter(length(col("norm")) >= 8)
-      // The generator emits the 8-grams themselves (8-char strings), not
-      // positions: `norm` is materialized in the child projection, so
-      // each output row carries 8 chars instead of the whole document.
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(norm) - 7), i -> substring(norm, i, 8))"))
-        .as("gram"))
-      .groupBy("doc_id")
-      .agg(min(md5(col("gram"))).as("fingerprint"))
+      .select(col("doc_id"),
+        expr("min_gram_md5(norm, 8)").as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   /** q37: heuristic language-ID — character-trigram profile counts per
     * language (one regexp alternation per profile, counted over the

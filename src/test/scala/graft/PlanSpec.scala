@@ -50,6 +50,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("signature kernels run exactly once per side (no re-evaluation, " +
+      "no explode-aggregate shuffle)") {
+    // The per-row kernels must appear exactly once per pipeline side in
+    // the optimized plan: alias inlining (filter pushdown / project
+    // collapse) would silently multiply the per-document md5 work, and
+    // reintroducing the r2 explode+groupBy form would put a shuffle
+    // under the signature. q29/q36's only exchange is the final sort.
+    def opt(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
+    def cnt(s: String, pat: String): Int = pat.r.findAllIn(s).length
+    assert(cnt(opt("q29_simhash"), "simhash60") === 1)
+    assert(cnt(opt("q36_doc_fingerprint"), "min_gram_md5") === 1)
+    assert(cnt(opt("q28_minhash_neardup"), "minhash_sig") === 2) // 1/side
+    assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
+    assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
+    for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
+      val phys = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(cnt(phys, "Exchange") <= 1, s"$q grew a signature shuffle")
+      assert(!phys.contains("HashAggregate"), s"$q re-grew an aggregate")
+    }
+  }
+
   test("star join prunes fact columns (no full-width lineitem read)") {
     // q02 needs exactly 3 lineitem columns; inspect the scan node's
     // schema programmatically (the rendered ReadSchema string truncates
