@@ -461,6 +461,58 @@ object CoreAnalytics {
         pow(col("l_quantity"), 2).as("qty_sq"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** q57: range join, binned — lineitems whose unit price falls within
+    * ±0.05 of a part's retail price, with NO equi key: the pattern (ip→
+    * location, value→band, time→window lookups) that naively plans as a
+    * broadcast-nested-loop/cartesian. The scale-safe shape: quantize the
+    * range predicate to 0.1-wide bins (an interval of width 2·0.05 spans
+    * ≤ 2 bins, so the ranges side emits its ≤ 2 covering bins and the
+    * point side its one bin), equi-join ON THE BIN, then apply the exact
+    * range predicate as a residual filter. Both sides shuffle-partition
+    * by bin — no pairwise blowup at any scale. Bin floors and the
+    * residual compare are the same IEEE double ops in both engines.
+    */
+  private val q57: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .withColumn("bin", floor(col("unit") / lit(0.1)))
+    val pr = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"),
+        explode(array_distinct(array(
+          floor((col("p_retailprice") - lit(0.05)) / lit(0.1)),
+          floor((col("p_retailprice") + lit(0.05)) / lit(0.1))))).as("bin"))
+    li.join(pr, "bin")
+      .filter(col("unit") >= col("p_retailprice") - lit(0.05) &&
+        col("unit") <= col("p_retailprice") + lit(0.05))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("p_partkey")
+  }
+
+  /** q59: GROUPING SETS with grouping_id — the general form of q10's
+    * rollup / q11's cube (an explicit lattice: (status, priority),
+    * (status), ()), exercised through the SQL surface since the
+    * DataFrame API only exposes the rollup/cube specializations. One
+    * Expand + hash aggregate; the gid disambiguates subtotal rows whose
+    * group columns are NULL.
+    */
+  private val q59: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q59_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          AS BIGINT) AS gid,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_price
+      FROM graft_q59_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus, o_orderpriority
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -490,7 +542,9 @@ object CoreAnalytics {
     "q44_above_cust_avg" -> q44,
     "q45_setop_except" -> q45,
     "q51_sliding_windows" -> q51,
-    "q52_math_funcs" -> q52)
+    "q52_math_funcs" -> q52,
+    "q57_range_join_binned" -> q57,
+    "q59_grouping_sets" -> q59)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -704,5 +758,22 @@ object CoreAnalytics {
         | CAST(floor(l_extendedprice * 10 + 0.5) AS DOUBLE) / 10 AS round_price,
         | pow(l_quantity, 2) AS qty_sq
         |FROM lineitem WHERE l_orderkey <= 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q57_range_join_binned" ->
+      """SELECT p_partkey, COUNT(*) AS n_matches
+        |FROM lineitem JOIN part
+        | ON l_extendedprice / l_quantity >= p_retailprice - 0.05
+        | AND l_extendedprice / l_quantity <= p_retailprice + 0.05
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "q59_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |  AS BIGINT) AS gid,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        | (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
 }

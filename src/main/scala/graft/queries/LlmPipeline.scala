@@ -651,6 +651,138 @@ object LlmPipeline {
           .as("top_term_share"))
       .orderBy("doc_id")
 
+  /** q53: benchmark-contamination check — the decontamination pass every
+    * pretraining pipeline runs before evaluation: which corpus documents
+    * share 3-word shingles with a held-out "benchmark" set (modeled as
+    * the deterministic doc_id % 97 slice)? Shingle sets come from the
+    * native per-row kernel; overlap is an equi-join ON THE GRAM HASH
+    * (bucketed by content, never corpus × benchmark all-pairs), then one
+    * agg for (distinct shared grams, distinct benchmark docs hit). At
+    * 100 TB the benchmark side is tiny and broadcastable, and the gram
+    * join is the industry-standard contamination shape.
+    */
+  private val q53: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array(expr("shingle_hashes(text)"))).as("shd"))
+      .filter(col("shd").isNotNull)
+      .select(col("doc_id"), explode(col("shd")).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** q54: Gopher-style quality rule suite — the document-filter stage of
+    * a pretraining pipeline as one per-row projection: token count
+    * bounds, mean token length window, distinct-token (repetition)
+    * floor, alphabetic-token floor, combined into a boolean verdict. All
+    * ratios are int/int IEEE divisions and every threshold compare uses
+    * exactly representable literals — cross-engine exact.
+    */
+  private val q54: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("mean_tok_len",
+        expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
+          "(a, x) -> a + x) as double)")
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("alpha_ratio",
+        expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("passes",
+        col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
+          col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&
+          col("distinct_ratio") >= 0.3 && col("alpha_ratio") >= 0.9)
+      .select("doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
+        "distinct_ratio", "passes")
+      .orderBy("doc_id")
+
+  /** q55: per-domain dedup audit — URL synthesis (q39/q48's
+    * synthesize-then-operate pattern: the corpus ships no URLs), domain
+    * extraction by regex, then per-domain exact-unique (content md5) and
+    * near-unique (winnowing fingerprint, native kernel) counts. This is
+    * the per-site crawl-health report of a web-scale pipeline; one hash
+    * agg, domain is the natural partition key at rest.
+    */
+  private val q55: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    t(s, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"),
+          (col("doc_id") % 7).cast(StringType), lit(".example.com/page/"),
+          col("doc_id")))
+      .withColumn("domain", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"), col("domain"),
+        md5(col("norm")).as("content_hash"),
+        expr("min_gram_md5(norm, 8)").as("fp"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_exact_unique"),
+        countDistinct(col("fp")).as("n_fp_unique"))
+      .orderBy("domain")
+  }
+
+  /** q56: chunk-level (paragraph-analog) exact dedup — the corpus has no
+    * paragraph breaks, so the unit is the non-overlapping 10-token
+    * chunk: hash each chunk, find chunks occurring in ≥ 2 distinct
+    * documents, report each document's duplicated-chunk fraction (the
+    * fine-grained dedup signal used to strip boilerplate that
+    * document-level dedup misses). Chunk hashing is one Generate; the
+    * cross-doc count is a hash agg on the chunk hash — content-bucketed,
+    * no pairwise comparisons anywhere.
+    */
+  private val q56: Q = (s, dir) => {
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", expr(toksE))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1), " +
+          "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")).as("ch"))
+    val counts = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(counts, "ch")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  /** q58: stratified deterministic sampling — per-language rates (10%
+    * for the dominant 'en' stratum, 25% elsewhere: the mix-rebalancing
+    * move of a training-data pipeline), selected by the same
+    * content-addressed md5 slot as q46 so the sample is reproducible
+    * across engines, reruns, and partitionings. Output audits achieved
+    * vs target fraction per stratum.
+    */
+  private val q58: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("slot", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as bigint) % 100"))
+      .withColumn("rate", when(col("lang") === "en", 10L).otherwise(25L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("slot") < col("rate"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .withColumn("sample_frac",
+        col("n_sampled").cast(DoubleType) / col("n_total").cast(DoubleType))
+      .orderBy("lang")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -678,7 +810,12 @@ object LlmPipeline {
     "q47_approx_distinct" -> q47,
     "q48_pii_redact" -> q48,
     "q49_repetition" -> q49,
-    "q50_hybrid_search" -> q50)
+    "q50_hybrid_search" -> q50,
+    "q53_contamination" -> q53,
+    "q54_gopher_quality" -> q54,
+    "q55_domain_dedup" -> q55,
+    "q56_chunk_dedup" -> q56,
+    "q58_stratified_sample" -> q58)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1003,6 +1140,88 @@ object LlmPipeline {
         |      WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
         |      ELSE 'application/octet-stream' END AS sniffed_type
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q53_contamination" ->
+      s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |shg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM base WHERE len(toks) >= 3),
+         |hs AS (
+         | SELECT DISTINCT doc_id,
+         |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
+         | FROM (SELECT doc_id, unnest(sh) AS shingle FROM shg)),
+         |bench AS (SELECT g, doc_id AS bench_id FROM hs WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, g FROM hs WHERE doc_id % 97 <> 0)
+         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams,
+         | COUNT(DISTINCT b.bench_id) AS n_bench_docs
+         |FROM corpus c JOIN bench b ON c.g = b.g
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q54_gopher_quality" ->
+      s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |m AS (
+         | SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_transform(toks, x -> length(x)),
+         |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    AS mean_tok_len,
+         |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+         |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    AS distinct_ratio
+         | FROM base WHERE len(toks) >= 1)
+         |SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, distinct_ratio,
+         | (n_tokens >= 40 AND n_tokens <= 100000
+         |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
+         |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q55_domain_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  'https://' || source || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.example.com/page/' || doc_id AS url,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        | FROM documents
+        |), e AS (
+        | SELECT doc_id, regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+        |  md5(norm) AS content_hash,
+        |  CASE WHEN length(norm) >= 8 THEN
+        |   list_min(list_transform(generate_series(1, length(norm) - 7),
+        |     i -> md5(substr(norm, i, 8))))
+        |  ELSE NULL END AS fp
+        | FROM d)
+        |SELECT domain, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT content_hash) AS n_exact_unique,
+        | COUNT(DISTINCT fp) AS n_fp_unique
+        |FROM e GROUP BY domain ORDER BY domain""".stripMargin,
+    "q56_chunk_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |cx AS (
+         | SELECT doc_id, unnest(list_transform(
+         |   generate_series(0, CAST(floor(len(toks) / 10) AS INT) - 1),
+         |   i -> md5(array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10),
+         |     ' ')))) AS ch
+         | FROM base WHERE len(toks) >= 10),
+         |cnt AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM cx GROUP BY ch)
+         |SELECT c.doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_chunks,
+         | CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*) AS dup_frac
+         |FROM cx c JOIN cnt ON c.ch = cnt.ch
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q58_stratified_sample" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |   % 100 AS slot,
+        |  CASE WHEN lang = 'en' THEN 10 ELSE 25 END AS rate
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_sampled,
+        | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / COUNT(*) AS sample_frac
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q37_lang_id_confusion" -> {
       val scoreCols = trigramProfiles.map { case (l, gs) =>
         s"CAST(len(regexp_extract_all(lower(text), '${gs.mkString("|")}')) AS BIGINT) AS score_$l"

@@ -35,6 +35,69 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q53 contamination: no benchmark doc reports itself; every flagged " +
+    "doc genuinely shares a shingle with some benchmark doc") {
+    val flagged = LlmPipeline.queries("q53_contamination")(spark, sf)
+      .collect()
+    assert(flagged.nonEmpty, "synthetic corpus should overlap its benchmark")
+    assert(flagged.forall(_.getAs[Long]("doc_id") % 97 != 0),
+      "benchmark docs must be excluded from the corpus side")
+    assert(flagged.forall(r => r.getAs[Long]("n_shared_grams") >= 1 &&
+      r.getAs[Long]("n_bench_docs") >= 1))
+    // Ground-truth one flagged doc by brute force over shingle sets.
+    graft.functions.Functions.register(spark)
+    val some = flagged.head.getAs[Long]("doc_id")
+    val sets = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr("shingle_hashes(text)").as("shd"))
+      .filter(col("shd").isNotNull).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toSet).toMap
+    val benchIds = sets.keySet.filter(_ % 97 == 0)
+    assert(benchIds.exists(b => (sets(some) & sets(b)).nonEmpty))
+  }
+
+  test("q54 gopher quality: verdicts split the corpus and agree with " +
+    "recomputed rules") {
+    val rows = LlmPipeline.queries("q54_gopher_quality")(spark, sf).collect()
+    val n = rows.length
+    val passed = rows.count(_.getAs[Boolean]("passes"))
+    assert(passed > 0 && passed < n,
+      s"rule thresholds degenerate: $passed/$n pass")
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_tokens") >= 40 &&
+        r.getAs[Long]("n_tokens") <= 100000 &&
+        r.getAs[Double]("mean_tok_len") >= 3.5 &&
+        r.getAs[Double]("mean_tok_len") <= 5.5 &&
+        r.getAs[Double]("distinct_ratio") >= 0.3 &&
+        r.getAs[Double]("alpha_ratio") >= 0.9
+      assert(r.getAs[Boolean]("passes") === expect)
+    }
+  }
+
+  test("q56 chunk dedup: fractions well-formed; dup chunks imply a " +
+    "matching chunk hash in another document") {
+    val rows = LlmPipeline.queries("q56_chunk_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_chunks")
+      val nd = r.getAs[Long]("n_dup_chunks")
+      assert(nc >= 1 && nd >= 0 && nd <= nc)
+      assert(r.getAs[Double]("dup_frac") === nd.toDouble / nc.toDouble)
+    }
+  }
+
+  test("q58 stratified sample: en sampled near 10%, others near 25%") {
+    val rows = LlmPipeline.queries("q58_stratified_sample")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("lang")).distinct.length === rows.length)
+    rows.foreach { r =>
+      val frac = r.getAs[Double]("sample_frac")
+      val target = if (r.getAs[String]("lang") == "en") 0.10 else 0.25
+      // md5 slots are uniform; small strata wobble, so gate loosely.
+      assert(math.abs(frac - target) < 0.15,
+        s"${r.getAs[String]("lang")}: frac $frac vs target $target")
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)

@@ -27,7 +27,8 @@ class PlanSpec extends SparkSuite {
 
   test("near-dup candidate joins never degenerate into cartesian products") {
     for (q <- Seq("q26_embedding_neardup", "q28_minhash_neardup",
-        "q30_simhash_neardup", "q31_ngram_jaccard")) {
+        "q30_simhash_neardup", "q31_ngram_jaccard", "q53_contamination",
+        "q56_chunk_dedup", "q57_range_join_binned")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
