@@ -15,6 +15,9 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalog tables (bucketed-layout tests) land in tmp, not the repo.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
