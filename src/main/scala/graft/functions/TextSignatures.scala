@@ -164,14 +164,18 @@ object TextSignatures {
 
   /** Lexicographic min of md5 hex over the character n-grams of the
     * input (the q36 winnowing fingerprint); null when length < n.
+    * Grams are indexed by CODE POINT, not UTF-16 code unit — Spark's
+    * `substring`/`length` and DuckDB's `substr`/`length` both count code
+    * points, so a code-unit loop would diverge from the SQL forms (and
+    * split surrogate pairs) on supplementary characters.
     */
   def minGramMd5(text: UTF8String, gramLen: Int): UTF8String = {
-    val s = text.toString
-    if (s.length < gramLen) return null
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < gramLen) return null
     var best: String = null
     var i = 0
-    while (i + gramLen <= s.length) {
-      val hex = md5Hex(s.substring(i, i + gramLen))
+    while (i + gramLen <= cps.length) {
+      val hex = md5Hex(new String(cps, i, gramLen))
       if (best == null || hex.compareTo(best) < 0) best = hex
       i += 1
     }

@@ -61,13 +61,17 @@ final class Warehouse(spark: SparkSession, root: String) {
     if (!fs.exists(p)) None
     else {
       // Recursive so partitioned layouts (ventes/sale_date=…/*.parquet)
-      // are seen; _SUCCESS/.crc markers don't count as data.
+      // are seen. ANY non-marker file counts as data — not just
+      // *.parquet names: a table populated by an external tool with
+      // unsuffixed parquet files must fail LOUD on read problems, not
+      // be classified "empty" (which would silently disable the dedup
+      // anti-join). Only _SUCCESS/_temporary and hidden ./.crc entries
+      // are markers.
       val it = fs.listFiles(p, true)
       var hasData = false
       while (!hasData && it.hasNext) {
         val n = it.next().getPath.getName
-        hasData = n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".")
+        hasData = !n.startsWith("_") && !n.startsWith(".")
       }
       if (hasData) Some(spark.read.parquet(tablePath(name))) else None
     }

@@ -48,11 +48,17 @@ object Layout {
     * replicated side (S copies). Result is row-identical to
     * `left.join(right, key)` — salting only changes the shuffle
     * distribution. `right` grows S×, so pick S ≈ (hot-key rows /
-    * rows-per-task), not hundreds.
+    * rows-per-task), not hundreds. `left` must not contain MapType
+    * columns (xxhash64 cannot hash maps; analysis fails loud).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // The synthetic column is dropped from the output; a real column of
+    // the same name would be silently destroyed — refuse instead.
+    require(!left.columns.contains("__graft_salt") &&
+      !right.columns.contains("__graft_salt"),
+      "saltedJoin reserves the column name __graft_salt")
     val saltCol = pmod(
       xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts))
     val l = left.withColumn("__graft_salt", saltCol)

@@ -465,12 +465,19 @@ object CoreAnalytics {
     * ±0.05 of a part's retail price, with NO equi key: the pattern (ip→
     * location, value→band, time→window lookups) that naively plans as a
     * broadcast-nested-loop/cartesian. The scale-safe shape: quantize the
-    * range predicate to 0.1-wide bins (an interval of width 2·0.05 spans
-    * ≤ 2 bins, so the ranges side emits its ≤ 2 covering bins and the
-    * point side its one bin), equi-join ON THE BIN, then apply the exact
-    * range predicate as a residual filter. Both sides shuffle-partition
-    * by bin — no pairwise blowup at any scale. Bin floors and the
-    * residual compare are the same IEEE double ops in both engines.
+    * range predicate to 0.1-wide bins (the ranges side emits every bin
+    * its interval can touch, the point side its one bin), equi-join ON
+    * THE BIN, then apply the exact range predicate as a residual filter.
+    * Both sides shuffle-partition by bin — no pairwise blowup at any
+    * scale. Bin floors and the residual compare are the same IEEE
+    * double ops in both engines. Coverage proof: the residual keeps
+    * pairs with lo ≤ unit ≤ hi (the COMPUTED endpoint doubles);
+    * x ↦ floor(x/0.1) is monotone, so bin(unit) ∈ [bin(lo), bin(hi)] —
+    * the ranges side must emit EVERY integer bin in that inclusive span
+    * (`sequence`, not just the two endpoints: under IEEE rounding the
+    * endpoint bins can differ by 2 — retail 2048.15 spans bins
+    * 20480..20482 — and the missed middle bin is exactly where a unit
+    * equal to the retail price lands).
     */
   private val q57: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
@@ -479,9 +486,9 @@ object CoreAnalytics {
       .withColumn("bin", floor(col("unit") / lit(0.1)))
     val pr = t(s, dir, "part")
       .select(col("p_partkey"), col("p_retailprice"),
-        explode(array_distinct(array(
+        explode(sequence(
           floor((col("p_retailprice") - lit(0.05)) / lit(0.1)),
-          floor((col("p_retailprice") + lit(0.05)) / lit(0.1))))).as("bin"))
+          floor((col("p_retailprice") + lit(0.05)) / lit(0.1)))).as("bin"))
     li.join(pr, "bin")
       .filter(col("unit") >= col("p_retailprice") - lit(0.05) &&
         col("unit") <= col("p_retailprice") + lit(0.05))

@@ -57,6 +57,28 @@ object LlmPipeline {
   private val MhAB: Seq[(Long, Long)] = graft.functions.TextSignatures.MhAB
   private val SimhashBits = 60 // 15 md5 hex digits; fits a signed 64-bit
 
+  /** Content-addressed sampling slot in [0, 100) — md5 of doc_id, NOT
+    * rand(): stable across reruns, partitionings, and engines. Shared by
+    * q46 (uniform sample) and q58 (stratified rates) so their samples
+    * compose: q58's 10% 'en' stratum IS a subset of any ≥10% q46-style
+    * slice.
+    */
+  private val slotE =
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+      "as bigint) % 100"
+
+  /** One-row Generate barrier for an expensive per-row kernel: select
+    * (doc_id, kernel AS out) via explode(array(kernel)), then drop null
+    * signatures. The Generate makes `out` an attribute the null filter
+    * CANNOT be pushed past — a plain projection alias would be
+    * substituted into the pushed-down filter and re-run the kernel (2-3×
+    * the md5 work per document; PlanSpec pins kernel-count == 1/side).
+    */
+  private def kernelBarrier(df: DataFrame, kernel: String,
+      out: String): DataFrame =
+    df.select(col("doc_id"), explode(array(expr(kernel))).as(out))
+      .filter(col(out).isNotNull)
+
   /** doc_id + minhash signature (array of 16 longs) + one row per LSH
     * band key. The signature is the native per-row `minhash_sig` kernel
     * (graft.functions.MinhashSig): scan → signature with NO Generate and
@@ -71,15 +93,10 @@ object LlmPipeline {
   private def minhashed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.register(s)
     val perBand = MinhashK / Bands
-    // explode(array(kernel)) is a one-row Generate whose only purpose is
-    // an optimizer barrier: the isNotNull filter on a plain projection
-    // alias would be pushed below it and re-evaluate the kernel (2× the
-    // md5 work per document); a generator output is an attribute the
-    // filter cannot be pushed past, so the kernel runs exactly once.
-    val sigs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array(expr("minhash_sig(text)"))).as("sig"))
-      .filter(col("sig").isNotNull) // < 3 tokens ⇒ no shingles ⇒ no row
+    // kernelBarrier keeps the kernel at exactly one evaluation per doc;
+    // null sig = < 3 tokens ⇒ no shingles ⇒ no row (as the explode form).
+    val sigs = kernelBarrier(t(s, dir, "documents"), "minhash_sig(text)",
+      "sig")
     val bandKeys = (0 until Bands).map { b =>
       concat_ws("|", lit(b) +: (0 until perBand).map(j =>
         element_at(col("sig"), perBand * b + j + 1)): _*)
@@ -95,12 +112,7 @@ object LlmPipeline {
     */
   private def simhashed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.register(s)
-    // Same one-row-Generate barrier as minhashed: keeps the pushed-down
-    // null filter from re-running the kernel per row.
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array(expr("simhash60(text)"))).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    kernelBarrier(t(s, dir, "documents"), "simhash60(text)", "simhash")
   }
 
   // =====================================================================
@@ -336,13 +348,8 @@ object LlmPipeline {
     */
   private val q31: Q = (s, dir) => {
     graft.functions.Functions.register(s)
-    // One-row-Generate barrier again: without it both the pushed null
-    // filter AND the m0 projection would re-run the kernel (3× per row).
     def side(tag: String): DataFrame =
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array(expr("shingle_hashes(text)"))).as("shd"))
-        .filter(col("shd").isNotNull)
+      kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)", "shd")
         .select(col("doc_id").as(s"doc_$tag"), col("shd").as(s"shd_$tag"),
           element_at(col("shd"), 1).as("m0"))
     side("a").join(side("b"), "m0")
@@ -582,8 +589,7 @@ object LlmPipeline {
     */
   private val q46: Q = (s, dir) =>
     t(s, dir, "documents")
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100"))
+      .withColumn("h", expr(slotE))
       .filter(col("h") < 20)
       .select(col("doc_id"), col("lang"), col("h").as("sample_slot"))
       .orderBy("doc_id")
@@ -663,10 +669,8 @@ object LlmPipeline {
     */
   private val q53: Q = (s, dir) => {
     graft.functions.Functions.register(s)
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array(expr("shingle_hashes(text)"))).as("shd"))
-      .filter(col("shd").isNotNull)
+    val grams = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
+      "shd")
       .select(col("doc_id"), explode(col("shd")).as("g"))
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("g"), col("doc_id").as("bench_id"))
@@ -771,9 +775,7 @@ object LlmPipeline {
     */
   private val q58: Q = (s, dir) =>
     t(s, dir, "documents")
-      .withColumn("slot", expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
-          "as bigint) % 100"))
+      .withColumn("slot", expr(slotE))
       .withColumn("rate", when(col("lang") === "en", 10L).otherwise(25L))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),

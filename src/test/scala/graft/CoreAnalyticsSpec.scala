@@ -78,6 +78,39 @@ class CoreAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q57 binned range join equals the brute-force range join") {
+    // The bin quantization is pure optimization — the result must be
+    // IDENTICAL to the unbinned cross-join form. This specifically
+    // guards bin-coverage: under IEEE rounding an interval's endpoint
+    // bins can differ by 2, and emitting only the endpoints (not the
+    // full sequence) silently drops middle-bin matches — e.g. a unit
+    // price exactly equal to the part's retail price.
+    val li = Tables.load(spark, sf, "lineitem")
+      .select((col("l_extendedprice") / col("l_quantity")).as("unit"))
+    val pr = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val brute = li.crossJoin(pr)
+      .filter(col("unit") >= col("p_retailprice") - lit(0.05) &&
+        col("unit") <= col("p_retailprice") + lit(0.05))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_matches"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = run("q57_range_join_binned")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === brute)
+  }
+
+  test("q59 grouping sets: per-level counts reconcile") {
+    val rows = run("q59_grouping_sets").collect()
+    val detail = rows.filter(_.getAs[Long]("gid") == 0L)
+    val byStatus = rows.filter(_.getAs[Long]("gid") == 1L)
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1)
+    assert(detail.map(_.getAs[Long]("n_orders")).sum ===
+      grand.head.getAs[Long]("n_orders"))
+    assert(byStatus.map(_.getAs[Long]("n_orders")).sum ===
+      grand.head.getAs[Long]("n_orders"))
+  }
+
   test("q23 as-of: prev_signup is never after the purchase event") {
     val e = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("ts"))

@@ -66,6 +66,7 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q28_minhash_neardup"), "minhash_sig") === 2) // 1/side
     assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
     assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
+    assert(cnt(opt("q53_contamination"), "shingle_hashes") === 2)
     for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
       val phys = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
