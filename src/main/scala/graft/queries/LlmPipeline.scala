@@ -284,7 +284,11 @@ object LlmPipeline {
     * est_jaccard = n/16 is an exact binary fraction — bitwise-stable
     * across engines.
     */
-  private val q28: Q = (s, dir) => {
+  /** MinHash near-dup pairs (doc_a < doc_b, ≥ 8/16 signature agreement
+    * ≈ est. Jaccard ≥ 0.5) — shared by q28 (reporting) and q60
+    * (clustering).
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     def side(tag: String): DataFrame =
       minhashed(s, dir)
         .select(col("doc_id").as(s"doc_$tag"), col("sig").as(s"sig_$tag"),
@@ -297,11 +301,14 @@ object LlmPipeline {
         "cast(aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), " +
           "0, (a, x) -> a + x) as bigint)"))
       .filter(col("n_match") >= 8)
+  }
+
+  private val q28: Q = (s, dir) =>
+    minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         (col("n_match").cast(DoubleType) / lit(16).cast(DoubleType))
           .as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** q29: per-document 60-bit SimHash (frequency-weighted bit votes). */
   private val q29: Q = (s, dir) =>
@@ -785,6 +792,62 @@ object LlmPipeline {
         col("n_sampled").cast(DoubleType) / col("n_total").cast(DoubleType))
       .orderBy("lang")
 
+  /** q60: near-dup CLUSTERING — the step after pair detection that
+    * actually dedups a corpus: connected components over the q28
+    * minhash pairs, keeper = min doc_id per component (so "drop
+    * everything whose keeper ≠ itself" is the dedup action). Components
+    * are computed by iterative min-label propagation: every node starts
+    * as its own label; each round every node takes the min of its own
+    * and its neighbors' labels; fixpoint = per-component min, which is
+    * UNIQUE — deterministic regardless of execution order. Each round
+    * is one join + one agg (all distributed; the driver only checks the
+    * convergence count), and rounds needed = component diameter —
+    * near-dup clusters are shallow (pairs share ≥ half their shingles,
+    * so clusters are quasi-cliques), so this converges in 2-4 rounds
+    * where a 100 TB general graph would want the large-star/small-star
+    * variant. maxIter guards pathological chains: overrun fails loud
+    * rather than emitting a half-merged clustering.
+    */
+  private val q60: Q = (s, dir) => {
+    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").persist()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    val maxIter = 25
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val candidates = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(candidates)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"q60 label propagation did not converge in $maxIter rounds")
+    // The result depends only on `labels` (already materialized by the
+    // convergence counts); the pair/edge inputs can release their cache.
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_keeper"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -817,7 +880,8 @@ object LlmPipeline {
     "q54_gopher_quality" -> q54,
     "q55_domain_dedup" -> q55,
     "q56_chunk_dedup" -> q56,
-    "q58_stratified_sample" -> q58)
+    "q58_stratified_sample" -> q58,
+    "q60_neardup_clusters" -> q60)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -836,6 +900,39 @@ object LlmPipeline {
   // 60-bit integer view of md5(shingle) — byte-identical to Spark's
   // conv(substring(md5, 1, 15), 16, 10).
   private val dShingleHash = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+
+  /** Shared CTE chain: documents → shingles → minhash signatures →
+    * banded LSH candidates → scored pairs (`scored`: doc_a, doc_b,
+    * n_match). Used by the q28 (pairs) and q60 (clusters) oracles.
+    */
+  private lazy val minhashCtes: String =
+    s"""base AS (
+       | SELECT doc_id, $dToks AS toks FROM documents
+       |), shg AS (
+       | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+       |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+       | FROM base WHERE len(toks) >= 3
+       |), ex AS (
+       | SELECT doc_id, unnest(sh) AS shingle FROM shg
+       |), hs AS (
+       | SELECT doc_id, $dShingleHash % $MhP AS h FROM ex
+       |), mins AS (
+       | SELECT doc_id, $minhashAggSql FROM hs GROUP BY doc_id
+       |), sigs AS (
+       | SELECT doc_id, [${(0 until MinhashK).map(k => s"m$k").mkString(", ")}] AS sig,
+       |  $bandsSql AS bands FROM mins
+       |), banded AS (
+       | SELECT doc_id, sig, unnest(bands) AS bk FROM sigs
+       |), pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.sig AS sig_a, b.sig AS sig_b
+       | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |), scored AS (
+       | SELECT doc_a, doc_b,
+       |  CAST(list_reduce(list_transform(list_zip(sig_a, sig_b),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (a, x) -> a + x)
+       |   AS BIGINT) AS n_match
+       | FROM pairs)""".stripMargin
   private val minhashAggSql: String =
     MhAB.zipWithIndex.map { case ((a, b), k) =>
       s"min(($a * h + $b) % $MhP) AS m$k"
@@ -907,36 +1004,25 @@ object LlmPipeline {
         |SELECT content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
         |FROM u GROUP BY content_hash ORDER BY keeper_id""".stripMargin,
     "q28_minhash_neardup" ->
-      s"""WITH base AS (
-         | SELECT doc_id, $dToks AS toks FROM documents
-         |), shg AS (
-         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
-         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
-         | FROM base WHERE len(toks) >= 3
-         |), ex AS (
-         | SELECT doc_id, unnest(sh) AS shingle FROM shg
-         |), hs AS (
-         | SELECT doc_id, $dShingleHash % $MhP AS h FROM ex
-         |), mins AS (
-         | SELECT doc_id, $minhashAggSql FROM hs GROUP BY doc_id
-         |), sigs AS (
-         | SELECT doc_id, [${(0 until MinhashK).map(k => s"m$k").mkString(", ")}] AS sig,
-         |  $bandsSql AS bands FROM mins
-         |), banded AS (
-         | SELECT doc_id, sig, unnest(bands) AS bk FROM sigs
-         |), pairs AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  a.sig AS sig_a, b.sig AS sig_b
-         | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-         |), scored AS (
-         | SELECT doc_a, doc_b,
-         |  CAST(list_reduce(list_transform(list_zip(sig_a, sig_b),
-         |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END), (a, x) -> a + x)
-         |   AS BIGINT) AS n_match
-         | FROM pairs)
+      s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, n_match,
          | CAST(n_match AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard
          |FROM scored WHERE n_match >= 8 ORDER BY doc_a, doc_b""".stripMargin,
+    "q60_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |       UNION SELECT doc_b, doc_a FROM mpairs),
+         |reach AS (
+         | SELECT src, dst FROM e2
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |comp AS (
+         | SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_keeper
+         | FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_keeper,
+         | COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "q29_simhash" ->
       (simhashSql + " ORDER BY doc_id"),
     "q30_simhash_neardup" ->

@@ -98,6 +98,31 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q60 clusters: keeper is the component min, sizes reconcile, and " +
+    "every q28 pair lands in one cluster") {
+    val rows = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_keeper"),
+        r.getAs[Long]("cluster_size")))
+    assert(rows.nonEmpty)
+    val byKeeper = rows.groupBy(_._2)
+    byKeeper.foreach { case (keeper, members) =>
+      // keeper is a member and the minimum of its component
+      assert(members.map(_._1).min === keeper)
+      // every member agrees on the size = component cardinality
+      assert(members.forall(_._3 === members.length))
+    }
+    // clustering covers exactly the endpoints of the pair set, and both
+    // endpoints of every pair share a keeper (pairs are 1-hop edges).
+    val keeperOf = rows.map(r => r._1 -> r._2).toMap
+    val pairs = LlmPipeline.queries("q28_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).toSet === keeperOf.keySet)
+    pairs.foreach { case (a, b) =>
+      assert(keeperOf(a) === keeperOf(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
