@@ -800,13 +800,16 @@ object LlmPipeline {
     * as its own label; each round every node takes the min of its own
     * and its neighbors' labels; fixpoint = per-component min, which is
     * UNIQUE — deterministic regardless of execution order. Each round
-    * is one join + one agg (all distributed; the driver only checks the
-    * convergence count), and rounds needed = component diameter —
-    * near-dup clusters are shallow (pairs share ≥ half their shingles,
-    * so clusters are quasi-cliques), so this converges in 2-4 rounds
-    * where a 100 TB general graph would want the large-star/small-star
-    * variant. maxIter guards pathological chains: overrun fails loud
-    * rather than emitting a half-merged clustering.
+    * relaxes over BOTH the edges (one hop) and the current labels
+    * (pointer jumping: take your label's label), so convergence needs
+    * O(log diameter) rounds, not O(diameter) — the same doubling idea
+    * as large-star/small-star, which is what a 100 TB general graph
+    * would use outright. Convergence detection is O(1) driver work:
+    * min-label propagation only ever DECREASES labels, so the label sum
+    * is strictly monotone until the fixpoint — compare sums (exact
+    * DECIMAL, no join) instead of diffing rounds. maxIter guards
+    * pathological inputs: overrun fails loud rather than emitting a
+    * half-merged clustering.
     */
   private val q60: Q = (s, dir) => {
     val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").persist()
@@ -814,23 +817,37 @@ object LlmPipeline {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
+    // Each round is materialized with an EAGER localCheckpoint, which
+    // truncates lineage: persist+unpersist would CASCADE (unpersisting
+    // round N-1 invalidates round N's dependent cache, so every round
+    // silently recomputes the whole history — 3 branches per round made
+    // that exponential, observed 50 s/round by round 4 at sf0.1;
+    // checkpointed rounds stay ~0.5 s flat). A multi-node deployment
+    // uses reliable checkpoint() on HDFS instead; same structure.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     val maxIter = 25
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val candidates = edges
+      val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(candidates)
+      val jumped = labels.toDF("doc_id2", "label2")
+      val viaLabels = labels
+        .join(jumped, labels("label") === jumped("doc_id2"))
+        .select(labels("doc_id"), col("label2").as("label"))
+      val next = labels.unionByName(viaEdges).unionByName(viaLabels)
         .groupBy("doc_id").agg(min(col("label")).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"),
-        "doc_id").filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
+        .localCheckpoint(true) // old round's RDD is GC-released
+      val s2 = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s2 == prevSum
+      prevSum = s2
       i += 1
     }
     if (!converged)
