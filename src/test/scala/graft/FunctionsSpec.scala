@@ -88,34 +88,9 @@ class FunctionsSpec extends SparkSuite {
 
   private def docs = graft.Tables.load(spark, sf, "documents")
 
-  private val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
-  private val hash60 = // 60-bit view of an md5 hex string
-    (s: String) => s"cast(conv(substring(md5($s), 1, 15), 16, 10) as bigint)"
-
-  /** Old explode form: (doc_id, shingle) via lead windows. */
-  private def shingleRowsRef = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs.select(col("doc_id"), posexplode(expr(toksE)).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-  }
-
   test("minhash_sig matches the explode+groupBy minhash pipeline") {
     Functions.register(spark)
-    val ts = graft.functions.TextSignatures
-    val aggs = ts.MhAB.zipWithIndex.map { case ((a, b), k) =>
-      min(expr(s"($a * h + $b) % ${ts.MhP}")).as(s"m$k")
-    }
-    val ref = shingleRowsRef
-      .withColumn("h", expr(s"${hash60("shingle")} % ${ts.MhP}"))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .withColumn("ref_sig",
-        array((0 until ts.MinhashK).map(k => col(s"m$k")): _*))
-      .select("doc_id", "ref_sig")
+    val ref = SignatureRefs.minhashRef(docs)
     val native = docs
       .select(col("doc_id"), expr("minhash_sig(text)").as("sig"))
       .filter(col("sig").isNotNull)
@@ -126,35 +101,20 @@ class FunctionsSpec extends SparkSuite {
 
   test("simhash60 matches the explode+vote pipeline") {
     Functions.register(spark)
-    val tok = docs.select(col("doc_id"), explode(expr(toksE)).as("tok"))
-      .withColumn("h", expr(hash60("tok")))
-    val votes = (0 until 60).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$i")
-    }
-    val recomb = (0 until 60).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    val ref = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), recomb.cast("long").as("ref_sh"))
     val native = docs
       .select(col("doc_id"), expr("simhash60(text)").as("sh"))
       .filter(col("sh").isNotNull)
-    val joined = native.join(ref, "doc_id")
+    val joined = native.join(SignatureRefs.simhashRef(docs), "doc_id")
     assert(joined.count() === native.count())
     assert(joined.filter(col("sh") =!= col("ref_sh")).count() === 0)
   }
 
   test("shingle_hashes matches collect_set of hashed shingles (sorted)") {
     Functions.register(spark)
-    val ref = shingleRowsRef
-      .withColumn("h", expr(hash60("shingle")))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("ref_shd"))
     val native = docs
       .select(col("doc_id"), expr("shingle_hashes(text)").as("shd"))
       .filter(col("shd").isNotNull)
-    val joined = native.join(ref, "doc_id")
+    val joined = native.join(SignatureRefs.shingleSetRef(docs), "doc_id")
     assert(joined.count() === native.count())
     assert(joined.filter(col("shd") =!= col("ref_shd")).count() === 0)
   }
@@ -162,15 +122,10 @@ class FunctionsSpec extends SparkSuite {
   test("min_gram_md5 matches the gram-explode min(md5) pipeline") {
     Functions.register(spark)
     val normed = docs.select(col("doc_id"),
-      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
-      .filter(length(col("norm")) >= 8)
-    val ref = normed
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(norm) - 7), i -> substring(norm, i, 8))"))
-        .as("gram"))
-      .groupBy("doc_id").agg(min(md5(col("gram"))).as("ref_fp"))
-    val native = normed
-      .select(col("doc_id"), expr("min_gram_md5(norm, 8)").as("fp"))
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("text"))
+    val ref = SignatureRefs.fingerprintRef(normed, 8)
+    val native = normed.filter(length(col("text")) >= 8)
+      .select(col("doc_id"), expr("min_gram_md5(text, 8)").as("fp"))
     val joined = native.join(ref, "doc_id")
     assert(joined.count() === native.count())
     assert(joined.filter(col("fp") =!= col("ref_fp")).count() === 0)

@@ -63,6 +63,51 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("kernel law: native text signatures equal the SQL-builtin forms " +
+    "on arbitrary strings (incl. non-ASCII and astral chars)") {
+    // The corpus equivalence tests (FunctionsSpec) only see ASCII; this
+    // drives the kernels over generated strings mixing word chars,
+    // separators, accents, CJK, and a surrogate-pair emoji — the inputs
+    // where a code-unit/code-point or locale divergence would surface.
+    graft.functions.Functions.register(spark)
+    val charGen: Gen[String] = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.const(" "),
+      1 -> Gen.oneOf("_", ".", ",", "-", "!", "|"),
+      1 -> Gen.oneOf("É", "ß", "中", "文", "ñ"),
+      1 -> Gen.const("😀")) // astral: 2 UTF-16 units, 1 cp
+    val textGen: Gen[String] =
+      Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = samples(textGen, 120, 9000L).distinct
+    import spark.implicits._
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = docs.selectExpr("doc_id",
+      "minhash_sig(text) AS sig", "simhash60(text) AS sh",
+      "shingle_hashes(text) AS shd", "min_gram_md5(text, 8) AS fp")
+
+    def refMap[T](df: DataFrame, valueCol: String): Map[Long, T] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[T](valueCol)).toMap
+    val sigRef = refMap[Seq[Long]](SignatureRefs.minhashRef(docs), "ref_sig")
+    val shRef = refMap[Long](SignatureRefs.simhashRef(docs), "ref_sh")
+    val shdRef = refMap[Seq[Long]](SignatureRefs.shingleSetRef(docs), "ref_shd")
+    val fpRef = refMap[String](SignatureRefs.fingerprintRef(docs, 8), "ref_fp")
+
+    native.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val tx = texts(id.toInt)
+      assert(Option(r.getAs[Seq[Long]]("sig")) === sigRef.get(id),
+        s"minhash_sig diverges on ${tx.take(40)}")
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) ===
+        shRef.get(id), s"simhash60 diverges on ${tx.take(40)}")
+      assert(Option(r.getAs[Seq[Long]]("shd")) === shdRef.get(id),
+        s"shingle_hashes diverges on ${tx.take(40)}")
+      assert(Option(r.getAs[String]("fp")) === fpRef.get(id),
+        s"min_gram_md5 diverges on ${tx.take(40)}")
+    }
+  }
+
   test("serial law: ids are a contiguous 1..N permutation for any batch") {
     for (rows <- samples(batchGen, 12, 5000L) if rows.nonEmpty) {
       val unique = df(rows).dropDuplicates("id")
