@@ -133,6 +133,29 @@ object Streams {
     df.withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming CONTENT dedup — keys on the winnowing fingerprint of the
+    * whitespace/case-normalized text (the native `min_gram_md5` kernel:
+    * signature kernels are stateless per-row expressions, so they run
+    * unchanged inside a streaming plan), bounded by the watermark like
+    * [[streamingDedup]]. Formatting variants of the same content
+    * collapse to one row at ingest — the streaming edge of the q27/q36
+    * dedup family. Documents shorter than one gram fall back to an
+    * md5 of the normalized text (a NULL fingerprint key would collapse
+    * ALL short docs into one, since dropDuplicates treats nulls as
+    * equal).
+    */
+  def streamingContentDedup(df: DataFrame, textCol: String,
+      eventTimeCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val norm = s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"
+    streamingDedup(
+      df.withColumn("__content_fp", expr(
+        s"coalesce(min_gram_md5($norm, 8), concat('short:', md5($norm)))")),
+      Seq("__content_fp"), eventTimeCol, watermarkDelay)
+      .drop("__content_fp")
+  }
+
   /** Stream-stream interval join — the streaming form of the q23 as-of
     * attribution: each purchase joins signups of the same user within
     * the preceding `lookback`. Both sides carry watermarks and the join

@@ -131,6 +131,43 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
   }
 
+  test("streaming content dedup: formatting variants of one document " +
+    "collapse across micro-batches; short docs keep distinct keys") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-content-dedup")
+    def rows(ps: (Long, String, String)*) = ps.toSeq
+      .toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    rows(
+      (1L, "Hello   World from Spark", "2025-01-01 10:00:00"),
+      (2L, "a completely different document", "2025-01-01 10:00:05"),
+      (5L, "tiny", "2025-01-01 10:00:06")) // < 8 chars: md5 fallback
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    // batch 2: doc 3 is doc 1 re-formatted (case + whitespace), doc 4
+    // is new, doc 6 is a DIFFERENT short doc (must NOT collapse with 5)
+    rows(
+      (3L, "hello world  FROM   spark", "2025-01-01 10:00:10"),
+      (4L, "yet another novel text body", "2025-01-01 10:00:15"),
+      (6L, "wee", "2025-01-01 10:00:16"))
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+    val q = graft.streaming.Streams
+      .streamingContentDedup(stream, "text", "ts")
+      .writeStream.format("memory").queryName("content_dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("content_dedup_out")
+    assert(out.columns.toSeq === Seq("doc_id", "text", "ts")) // fp dropped
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L, 5L, 6L),
+      "doc 3 (reformatted doc 1) must dedup; both short docs survive")
+  }
+
   test("stream-stream interval join: purchases attribute to signups " +
     "within the lookback, watermarked on both sides") {
     import spark.implicits._
