@@ -65,13 +65,19 @@ final class Warehouse(spark: SparkSession, root: String) {
       // *.parquet names: a table populated by an external tool with
       // unsuffixed parquet files must fail LOUD on read problems, not
       // be classified "empty" (which would silently disable the dedup
-      // anti-join). Only _SUCCESS/_temporary and hidden ./.crc entries
-      // are markers.
+      // anti-join). Markers are judged on EVERY path component relative
+      // to the table root, not just the leaf: an interrupted write
+      // leaves part files under _temporary/…, and counting those as
+      // data would turn "no data yet" into a persistent read failure
+      // (Spark's own file index prunes _-/.-prefixed directories).
+      val qualifiedRoot = fs.makeQualified(p).toString
       val it = fs.listFiles(p, true)
       var hasData = false
       while (!hasData && it.hasNext) {
-        val n = it.next().getPath.getName
-        hasData = !n.startsWith("_") && !n.startsWith(".")
+        val f = it.next().getPath.toString
+        val rel = f.stripPrefix(qualifiedRoot).stripPrefix("/")
+        hasData = rel.nonEmpty && rel.split('/').forall(c =>
+          !c.startsWith("_") && !c.startsWith("."))
       }
       if (hasData) Some(spark.read.parquet(tablePath(name))) else None
     }

@@ -147,6 +147,11 @@ object Streams {
   def streamingContentDedup(df: DataFrame, textCol: String,
       eventTimeCol: String,
       watermarkDelay: String = "10 minutes"): DataFrame = {
+    // The synthetic key is dropped from the output; a real column of
+    // the same name would be silently destroyed — refuse instead (same
+    // contract as Layout.saltedJoin's reserved column).
+    require(!df.columns.contains("__content_fp"),
+      "streamingContentDedup reserves the column name __content_fp")
     graft.functions.Functions.register(df.sparkSession)
     val norm = s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"
     streamingDedup(

@@ -179,6 +179,36 @@ class IngestSpec extends SparkSuite {
     assert(wh.table("clients").get.count() === 3)
   }
 
+  test("table(): interrupted write leaving only _temporary files is " +
+    "'no data yet', not a persistent failure; committed data reads") {
+    val root = tmpDir("wh-tmp")
+    val wh = new Warehouse(spark, root)
+    // Simulate a killed write: part file exists ONLY under _temporary/.
+    // (Named so Spark's own output committer would not claim it if a
+    // real write later reused this directory.)
+    val tmpAttempt = java.nio.file.Paths.get(root,
+      "clients", "_temporary", "0", "_temporary", "attempt_1")
+    Files.createDirectories(tmpAttempt)
+    Files.writeString(tmpAttempt.resolve("part-00000.snappy.parquet"),
+      "not a real footer")
+    assert(wh.table("clients").isEmpty,
+      "_temporary leftovers must read as empty, not crash every poll")
+    // A committed file alongside the stale markers counts as data
+    // again: write a real parquet file elsewhere and move the part file
+    // in by hand (a Spark append would sweep our fake staging dir).
+    import spark.implicits._
+    val side = tmpDir("wh-side")
+    Seq(("CLI001", "n", "p", "e", "t", "a")).toDF("client_id", "nom",
+      "prenom", "email", "telephone", "adresse")
+      .coalesce(1).write.parquet(s"$side/out")
+    val part = Files.list(java.nio.file.Paths.get(side, "out"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part,
+      java.nio.file.Paths.get(root, "clients", part.getFileName.toString))
+    assert(wh.table("clients").get.count() === 1)
+  }
+
   test("E1 negative: missing column → error; FK orphan ventes → error") {
     val watch = tmpDir("watch2")
     val wh = new Warehouse(spark, tmpDir("wh2"))
