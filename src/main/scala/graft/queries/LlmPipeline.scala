@@ -792,6 +792,47 @@ object LlmPipeline {
         col("n_sampled").cast(DoubleType) / col("n_total").cast(DoubleType))
       .orderBy("lang")
 
+  /** q61: lexical (keyword) search — the missing half of q50's hybrid
+    * story: rank documents for a term query by a TF×IDF-shaped score.
+    * IDF is the LINEAR rarity ratio N/df, not log(N/df): log is
+    * libm-dependent in its last ulp and could never hash-match the
+    * oracle (the q52/q47 reasoning), and for ranking the monotone
+    * transform is irrelevant. Exactness: tf and df are exact longs, N
+    * is a 1-row broadcast count, and per-term contributions are
+    * quantized to 1e-6 fixed-point BEFORE summing (the q42 pattern:
+    * floor of a double is IEEE-exact, integer sums are
+    * order-independent — a raw double SUM over the 3 per-term rows
+    * would be summation-order-dependent and could diverge between
+    * engines). Plan: tokens explode once, the
+    * tiny query-term list prunes immediately, df is a partial+final agg
+    * over doc-distinct terms, top-k lowers to TakeOrderedAndProject. At
+    * 100 TB the (term → df) side is the inverted-index statistics
+    * table you would maintain incrementally at ingest.
+    */
+  private val q61: Q = (s, dir) => {
+    val queryTerms = Seq("spark", "shuffle", "sort")
+    val d = t(s, dir, "documents")
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val tf = d
+      .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib_fp", expr(
+        "cast(floor(cast(tf as double) * " +
+          "(cast(n_docs as double) / cast(df as double)) * 1000000d) " +
+          "as bigint)"))
+      .groupBy("doc_id")
+      .agg((sum(col("contrib_fp")).cast(DoubleType) / lit(1000000d))
+        .as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
   /** q60: near-dup CLUSTERING — the step after pair detection that
     * actually dedups a corpus: connected components over the q28
     * minhash pairs, keeper = min doc_id per component (so "drop
@@ -898,7 +939,8 @@ object LlmPipeline {
     "q55_domain_dedup" -> q55,
     "q56_chunk_dedup" -> q56,
     "q58_stratified_sample" -> q58,
-    "q60_neardup_clusters" -> q60)
+    "q60_neardup_clusters" -> q60,
+    "q61_lexical_search" -> q61)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1314,6 +1356,22 @@ object LlmPipeline {
          |  / COUNT(*) AS dup_frac
          |FROM cx c JOIN cnt ON c.ch = cnt.ch
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q61_lexical_search" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest($dToks) AS tok FROM documents
+         |), tf AS (
+         | SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+         | WHERE tok IN ('spark', 'shuffle', 'sort') GROUP BY doc_id, tok
+         |), df AS (
+         | SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT doc_id,
+         | CAST(SUM(CAST(floor(CAST(tf.tf AS DOUBLE)
+         |   * (CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |   * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS score,
+         | COUNT(*) AS n_terms_hit
+         |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q58_stratified_sample" ->
       """WITH s AS (
         | SELECT lang,

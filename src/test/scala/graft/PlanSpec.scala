@@ -19,7 +19,8 @@ class PlanSpec extends SparkSuite {
 
   test("top-k queries lower to TakeOrderedAndProject, never a full sort") {
     for (q <- Seq("q03_topk_customers", "q24_cosine_topk",
-        "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search")) {
+        "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search",
+        "q61_lexical_search")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q lost its top-k lowering")
     }
