@@ -76,7 +76,10 @@ final class Warehouse(spark: SparkSession, root: String) {
       while (!hasData && it.hasNext) {
         val f = it.next().getPath.toString
         val rel = f.stripPrefix(qualifiedRoot).stripPrefix("/")
-        hasData = rel.nonEmpty && rel.split('/').forall(c =>
+        // rel empty ⇒ the table path IS a single data file (externally
+        // materialized single-file table) — data, not a marker: the
+        // root's own name is the table name, never _-/.-prefixed.
+        hasData = rel.isEmpty || rel.split('/').forall(c =>
           !c.startsWith("_") && !c.startsWith("."))
       }
       if (hasData) Some(spark.read.parquet(tablePath(name))) else None

@@ -56,8 +56,9 @@ object Layout {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     // The synthetic column is dropped from the output; a real column of
     // the same name would be silently destroyed — refuse instead.
-    require(!left.columns.contains("__graft_salt") &&
-      !right.columns.contains("__graft_salt"),
+    // Case-insensitive to match Spark's default column resolution.
+    require(!(left.columns ++ right.columns)
+        .exists(_.equalsIgnoreCase("__graft_salt")),
       "saltedJoin reserves the column name __graft_salt")
     val saltCol = pmod(
       xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(salts))

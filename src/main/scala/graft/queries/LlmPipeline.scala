@@ -817,8 +817,9 @@ object LlmPipeline {
       .select(col("doc_id"), explode(expr(toksE)).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("tok")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf is one row per (doc_id, tok) by construction: a plain count IS
+    // the distinct-doc count, without the distinct-aggregate Expand.
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), "tok")
       .crossJoin(broadcast(n))
       .withColumn("contrib_fp", expr(
@@ -1363,7 +1364,7 @@ object LlmPipeline {
          | SELECT doc_id, tok, COUNT(*) AS tf FROM tok
          | WHERE tok IN ('spark', 'shuffle', 'sort') GROUP BY doc_id, tok
          |), df AS (
-         | SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+         | SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
          |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
          |SELECT doc_id,
          | CAST(SUM(CAST(floor(CAST(tf.tf AS DOUBLE)

@@ -150,7 +150,10 @@ object Streams {
     // The synthetic key is dropped from the output; a real column of
     // the same name would be silently destroyed — refuse instead (same
     // contract as Layout.saltedJoin's reserved column).
-    require(!df.columns.contains("__content_fp"),
+    // Case-insensitive: Spark's default resolver would let withColumn
+    // REPLACE a differently-cased real column right past an exact-case
+    // check.
+    require(!df.columns.exists(_.equalsIgnoreCase("__content_fp")),
       "streamingContentDedup reserves the column name __content_fp")
     graft.functions.Functions.register(df.sparkSession)
     val norm = s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"

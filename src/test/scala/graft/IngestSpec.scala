@@ -201,9 +201,11 @@ class IngestSpec extends SparkSuite {
     Seq(("CLI001", "n", "p", "e", "t", "a")).toDF("client_id", "nom",
       "prenom", "email", "telephone", "adresse")
       .coalesce(1).write.parquet(s"$side/out")
-    val part = Files.list(java.nio.file.Paths.get(side, "out"))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(java.nio.file.Paths.get(side, "out"))
+    val part =
+      try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
     Files.copy(part,
       java.nio.file.Paths.get(root, "clients", part.getFileName.toString))
     assert(wh.table("clients").get.count() === 1)
