@@ -834,6 +834,38 @@ object LlmPipeline {
       .limit(10)
   }
 
+  /** q62: int8 embedding quantization — the compressed-at-rest form of
+    * a 100 TB vector store (4× smaller scans for the ANN probes of
+    * q25/q40). Symmetric per-vector scheme: scale = max|x|/127,
+    * code_i = floor(x_i/scale + 0.5) (half-up spelled in IEEE ops — the
+    * q52 reasoning; native round() differs between engines), plus the
+    * reconstruction-error audit every quantization pipeline reports.
+    * The scale is materialized behind a one-row Generate barrier so the
+    * per-element lambdas don't re-inline the array_max (the HOF
+    * CollapseProject trap: 64 re-evaluations per row). All-zero vectors
+    * get scale 0 and code 0 explicitly — x/0 is NaN and ANSI mode
+    * throws on casting NaN.
+    */
+  private val q62: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val scaled = e.select(col("vec_id"), col("v"),
+      explode(array(expr(
+        "array_max(transform(v, x -> abs(x))) / 127.0d"))).as("scale"))
+    scaled
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(if(scale = 0.0d, 0L, " +
+          "floor(x / scale + 0.5d)) as bigint))"))
+      .select(col("vec_id"), col("scale"),
+        expr("cast(aggregate(codes, 0L, (a, c) -> a + c) as bigint)")
+          .as("code_sum"),
+        expr("array_max(transform(codes, c -> abs(c)))").as("code_max"),
+        expr("array_max(zip_with(v, codes, " +
+          "(x, c) -> abs(x - cast(c as double) * scale)))")
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
   /** q60: near-dup CLUSTERING — the step after pair detection that
     * actually dedups a corpus: connected components over the q28
     * minhash pairs, keeper = min doc_id per component (so "drop
@@ -941,7 +973,8 @@ object LlmPipeline {
     "q56_chunk_dedup" -> q56,
     "q58_stratified_sample" -> q58,
     "q60_neardup_clusters" -> q60,
-    "q61_lexical_search" -> q61)
+    "q61_lexical_search" -> q61,
+    "q62_embedding_quantize" -> q62)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1357,6 +1390,24 @@ object LlmPipeline {
          |  / COUNT(*) AS dup_frac
          |FROM cx c JOIN cnt ON c.ch = cnt.ch
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q62_embedding_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        | SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        | FROM e
+        |), c AS (
+        | SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(CASE WHEN scale = 0.0 THEN 0
+        |    ELSE floor(x / scale + 0.5) END AS BIGINT)) AS codes
+        | FROM s)
+        |SELECT vec_id, scale,
+        | CAST(list_reduce(codes, (a, x) -> a + x) AS BIGINT) AS code_sum,
+        | list_max(list_transform(codes, x -> abs(x))) AS code_max,
+        | list_max(list_transform(list_zip(v, codes),
+        |   p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) AS max_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q61_lexical_search" ->
       s"""WITH tok AS (
          | SELECT doc_id, unnest($dToks) AS tok FROM documents

@@ -123,6 +123,21 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q62 quantization: codes fit int8, reconstruction error bounded " +
+    "by scale/2") {
+    val rows = LlmPipeline.queries("q62_embedding_quantize")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(r.getAs[Long]("code_max") <= 127L,
+        s"vec ${r.getAs[Long]("vec_id")} code out of int8 range")
+      // half-up rounding: |x - code*scale| <= scale/2 (+1 ulp slack)
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 * 1.0000001,
+        s"vec ${r.getAs[Long]("vec_id")} error ${r.getAs[Double]("max_abs_err")} > ${scale / 2}")
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
