@@ -1403,7 +1403,9 @@ object LlmPipeline {
         |    ELSE floor(x / scale + 0.5) END AS BIGINT)) AS codes
         | FROM s)
         |SELECT vec_id, scale,
-        | CAST(list_reduce(codes, (a, x) -> a + x) AS BIGINT) AS code_sum,
+        | CAST(CASE WHEN len(codes) = 0 THEN 0
+        |  ELSE list_reduce(codes, (a, x) -> a + x) END AS BIGINT)
+        |  AS code_sum,
         | list_max(list_transform(codes, x -> abs(x))) AS code_max,
         | list_max(list_transform(list_zip(v, codes),
         |   p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) AS max_abs_err

@@ -46,17 +46,21 @@ class LayoutSpec extends SparkSuite {
     "join shuffle-free (the scaladoc's 100 TB claim, demonstrated)") {
     graft.functions.Functions.register(spark)
     // The banded signature frame a production pipeline would maintain
-    // incrementally at ingest: (doc_id, sig, band key).
+    // incrementally at ingest: (doc_id, sig, band key). Banding derives
+    // from the SAME constants as the production pipeline (retuning
+    // MinhashK/Bands must not silently detach this demonstration).
+    val ts = graft.functions.TextSignatures
+    val perBand = ts.MinhashK / ts.Bands
+    val elems = (1 to perBand)
+      .map(k => s"element_at(sig, b * $perBand + $k)").mkString(", ")
     val banded = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
         explode(org.apache.spark.sql.functions.array(
           expr("minhash_sig(text)"))).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(expr(
-        "transform(sequence(0, 3), b -> concat_ws('|', b, " +
-          "element_at(sig, b * 4 + 1), element_at(sig, b * 4 + 2), " +
-          "element_at(sig, b * 4 + 3), element_at(sig, b * 4 + 4)))"))
-        .as("bk"))
+        s"transform(sequence(0, ${ts.Bands - 1}), " +
+          s"b -> concat_ws('|', b, $elems))")).as("bk"))
     Layout.writeBucketed(banded, "graft_bucketed_bands", 8, "bk")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
