@@ -866,6 +866,30 @@ object LlmPipeline {
       .orderBy("vec_id")
   }
 
+  /** q63: vocabulary building — the tokenizer-prep step of a training
+    * pipeline: top-64 corpus terms by frequency assigned CONTIGUOUS ids
+    * in (count desc, term) order. The id assignment is the SERIAL
+    * emulation pattern (row_number over an explicit total order,
+    * SURVEY §1.2): the single-partition window sort is applied only
+    * AFTER TakeOrderedAndProject has bounded the frame to 64 rows, so
+    * the scale cost lives in the distributed count agg, not the window.
+    * (n desc, term) is a strict total order — the vocabulary cut and
+    * ids are deterministic, so downstream token-id datasets are
+    * reproducible.
+    */
+  private val q63: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), col("term"))
+    t(s, dir, "documents")
+      .select(explode(expr(toksE)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("term"))
+      .limit(64)
+      .withColumn("token_id", row_number().over(w).cast(LongType))
+      .select("token_id", "term", "n")
+      .orderBy("token_id")
+  }
+
   /** q60: near-dup CLUSTERING — the step after pair detection that
     * actually dedups a corpus: connected components over the q28
     * minhash pairs, keeper = min doc_id per component (so "drop
@@ -974,7 +998,8 @@ object LlmPipeline {
     "q58_stratified_sample" -> q58,
     "q60_neardup_clusters" -> q60,
     "q61_lexical_search" -> q61,
-    "q62_embedding_quantize" -> q62)
+    "q62_embedding_quantize" -> q62,
+    "q63_vocab_build" -> q63)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1390,6 +1415,14 @@ object LlmPipeline {
          |  / COUNT(*) AS dup_frac
          |FROM cx c JOIN cnt ON c.ch = cnt.ch
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q63_vocab_build" ->
+      s"""WITH cnt AS (
+         | SELECT term, COUNT(*) AS n
+         | FROM (SELECT unnest($dToks) AS term FROM documents)
+         | GROUP BY term ORDER BY n DESC, term LIMIT 64)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+         |  AS token_id, term, n
+         |FROM cnt ORDER BY token_id""".stripMargin,
     "q62_embedding_quantize" ->
       """WITH e AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
