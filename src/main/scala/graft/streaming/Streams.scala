@@ -142,7 +142,13 @@ object Streams {
     * dedup family. Documents shorter than one gram fall back to an
     * md5 of the normalized text (a NULL fingerprint key would collapse
     * ALL short docs into one, since dropDuplicates treats nulls as
-    * equal).
+    * equal). NULL text is normalized to the empty string FIRST —
+    * deliberately: a null-text document has empty content, so all
+    * null/empty-text rows are exact content duplicates of each other
+    * and collapse to one keeper, same as any other identical-content
+    * group (without the coalesce, lower(null) would propagate to a
+    * null key and the collapse would happen silently via the
+    * null-keys-are-equal quirk instead of by contract).
     */
   def streamingContentDedup(df: DataFrame, textCol: String,
       eventTimeCol: String,
@@ -156,7 +162,8 @@ object Streams {
     require(!df.columns.exists(_.equalsIgnoreCase("__content_fp")),
       "streamingContentDedup reserves the column name __content_fp")
     graft.functions.Functions.register(df.sparkSession)
-    val norm = s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"
+    val norm =
+      s"trim(regexp_replace(lower(coalesce($textCol, '')), '\\\\s+', ' '))"
     streamingDedup(
       df.withColumn("__content_fp", expr(
         s"coalesce(min_gram_md5($norm, 8), concat('short:', md5($norm)))")),

@@ -80,6 +80,24 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q62_embedding_quantize"), "/ 127\\.0") === 1)
   }
 
+  test("tokenization runs exactly once per document (toks Generate barrier)") {
+    // The shared `toks` array must be a generator attribute, never an
+    // inlined alias: CollapseProject/PushDownPredicates would substitute
+    // the regexp tokenization into every downstream reference (3-5× the
+    // regex work per document — the r3 hot spot in q32/q34/q54).
+    def opt(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
+    def cnt(s: String): Int = "regexp_extract_all".r.findAllIn(s).length
+    assert(cnt(opt("q32_token_stats")) === 2, "q32: toks + n_punct")
+    assert(cnt(opt("q34_quality_score")) === 2, "q34: toks + punct_ratio")
+    assert(cnt(opt("q54_gopher_quality")) === 1, "q54: toks only")
+    // q61's token explode lives entirely inside the eagerly-checkpointed
+    // tf frame: the final plan re-reads the materialized RDD and must
+    // contain NO tokenization at all (r3 ran the corpus explode twice).
+    assert(cnt(opt("q61_lexical_search")) === 0,
+      "q61: tokenization must be checkpointed out of the final plan")
+  }
+
   test("star join prunes fact columns (no full-width lineitem read)") {
     // q02 needs exactly 3 lineitem columns; inspect the scan node's
     // schema programmatically (the rendered ReadSchema string truncates
