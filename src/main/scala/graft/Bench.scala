@@ -63,12 +63,19 @@ object Bench {
         }
       n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    // 3-decimal timings: 63 full-precision doubles push the line past
+    // the driver's ~3 kB tail-capture window and the JSON arrives
+    // truncated (BENCH_r03..r05 all record "parsed": null). 1 ms
+    // resolution is below run-to-run noise anyway.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v) }
       .mkString("{", ",", "}")
-    val errJson = errors
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,7 +192,8 @@ final class Warehouse(spark: SparkSession, root: String) {
         new java.sql.Timestamp(st.getModificationTime)))
       .filterNot { case (_, name, _) => name.startsWith("~$") } // O2
       .filter { case (_, name, _) =>
-        name.endsWith(".csv") || name.endsWith(".parquet") }
+        name.endsWith(".csv") || name.endsWith(".parquet") ||
+          name.endsWith(".xlsx") }
 
     if (listed.isEmpty) return Map.empty
 
@@ -273,6 +274,7 @@ final class Warehouse(spark: SparkSession, root: String) {
         val raw =
           if (fullPath.endsWith(".csv"))
             spark.read.option("header", "true").csv(fullPath)
+          else if (fullPath.endsWith(".xlsx")) Xlsx.read(spark, fullPath)
           else spark.read.parquet(fullPath)
         prepareBatch(entity, raw, Ingest.withLineage(_, filename))
       })

@@ -1,0 +1,206 @@
+package graft.ingest
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal pure-JVM `.xlsx` reader — the reference's actual source format
+  * (`/root/reference/etl/app.py:103` reads the xlsx files under
+  * `data/excel/` via `pd.read_excel`). xlsx is a zip of XML parts;
+  * `java.util.zip` +
+  * `javax.xml.stream` (both in the JDK) cover the whole format surface
+  * the ingest contract needs — shared/inline strings, numeric cells,
+  * sparse cell references, ragged rows — with zero added dependencies.
+  *
+  * Output mirrors the CSV leg of the router: every value is a STRING
+  * column named by the header row; the warehouse's existing validation /
+  * type-coercion / Excel-serial-date stages (Ingest.scala O5/O7) do the
+  * typing downstream, so `.xlsx` and `.csv` deliveries of the same data
+  * coerce identically.
+  *
+  * Scale posture: one workbook parses on the DRIVER, like the
+  * reference's `pd.read_excel` — xlsx is a single-machine format by
+  * construction (Excel caps a sheet at 2^20 rows ⇒ low-tens of MB of
+  * XML). Many-file deliveries parallelize across files via the poll
+  * loop; bulk data lands as parquet/CSV, which take the distributed
+  * scan path.
+  */
+object Xlsx {
+
+  /** Read the first worksheet of an xlsx file into a DataFrame of
+    * strings (header row = column names; empty cells = null).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes =
+      try in.readAllBytes()
+      finally in.close()
+    val (header, rows) = parseWorkbook(bytes)
+    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
+      StructField(if (h == null || h.isEmpty) s"_c$i" else h, StringType,
+        nullable = true)
+    })
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), schema)
+  }
+
+  /** Parse workbook bytes → (header, data rows), all strings, data rows
+    * padded / truncated to the header width (the reference's produits
+    * fixture ships a ragged row with a trailing empty cell).
+    */
+  private[graft] def parseWorkbook(
+      bytes: Array[Byte]): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
+    var sharedBytes: Array[Byte] = null
+    var sheetBytes: Array[Byte] = null
+    var sheetName: String = null
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var e = zin.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (name == "xl/sharedStrings.xml") sharedBytes = zin.readAllBytes()
+      else if (name.startsWith("xl/worksheets/sheet") &&
+          name.endsWith(".xml") && (sheetName == null || name < sheetName)) {
+        sheetName = name // lowest-named sheet = sheet1.xml in practice
+        sheetBytes = zin.readAllBytes()
+      }
+      e = zin.getNextEntry
+    }
+    require(sheetBytes != null, "xlsx: no xl/worksheets/sheet*.xml part")
+    val shared =
+      if (sharedBytes == null) IndexedSeq.empty[String]
+      else parseSharedStrings(sharedBytes)
+    val rows = parseSheet(sheetBytes, shared)
+    require(rows.nonEmpty, "xlsx: worksheet has no rows")
+    val header = rows.head
+    val width = header.length
+    val data = rows.tail.map { r =>
+      if (r.length == width) r
+      else if (r.length > width) r.take(width)
+      else r ++ IndexedSeq.fill(width - r.length)(null: String)
+    }
+    (header, data)
+  }
+
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // XXE hardening: a workbook is untrusted input.
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f
+  }
+
+  /** sharedStrings.xml: one entry per `<si>`; rich-text runs concatenate
+    * their `<r><t>` fragments; phonetic `<rPh>` blocks are skipped.
+    * `xml:space="preserve"` whitespace survives (StAX never trims text
+    * events) — the clients fixture's leading-space `adresse` depends on
+    * it.
+    */
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val out = ArrayBuffer[String]()
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try {
+      var sb: StringBuilder = null
+      var skip = 0
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => sb = new StringBuilder
+              case "rPh" | "phoneticPr" => skip += 1
+              case "t" if skip == 0 && sb != null =>
+                sb.append(r.getElementText)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "si" => out += sb.toString(); sb = null
+              case "rPh" | "phoneticPr" => skip -= 1
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.toIndexedSeq
+  }
+
+  /** sheetN.xml: `<row>` of `<c r="B3" t="...">` cells. Handled cell
+    * types: shared string (`t="s"`), inline string (`t="inlineStr"`),
+    * formula-cached string (`t="str"`), and the numeric/general default
+    * — values stay EXACTLY as stored (`45787.604166666664` reaches the
+    * serial-date coercion untouched). Sparse references leave nulls in
+    * the gap; a missing `r` attribute means "next column".
+    */
+  private def parseSheet(bytes: Array[Byte],
+      shared: IndexedSeq[String]): Seq[IndexedSeq[String]] = {
+    val rows = ArrayBuffer[IndexedSeq[String]]()
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try {
+      var row: ArrayBuffer[String] = null
+      var cellIdx = 0
+      var cellType = ""
+      var value: String = null
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = ArrayBuffer[String]()
+              case "c" if row != null =>
+                val ref = attr(r, "r")
+                cellIdx = if (ref == null) row.length else colIndex(ref)
+                cellType = Option(attr(r, "t")).getOrElse("")
+                value = null
+              case "v" => value = r.getElementText
+              case "t" if row != null => value = r.getElementText // <is><t>
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "c" if row != null =>
+                val v = cellType match {
+                  case "s" if value != null => shared(value.toInt)
+                  case _ => value
+                }
+                while (row.length < cellIdx) row += null
+                row += (if (v == null || v.isEmpty) null else v)
+              case "row" =>
+                rows += row.toIndexedSeq
+                row = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    rows.toSeq
+  }
+
+  private def attr(r: XMLStreamReader, name: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  /** "BC12" → 0-based column 54 (letters are bijective base-26). */
+  private[graft] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+}

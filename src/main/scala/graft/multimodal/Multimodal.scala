@@ -11,20 +11,23 @@ import org.apache.spark.sql.types._
   * per partition, rows streamed in batch shape, no per-row UDF dispatch.
   *
   * The reference has no media path at all (SURVEY.md §2.3: no binary
-  * types); this module is a north-star extension. The codec itself is
-  * STUBBED — this container ships no image/audio libraries — behind
-  * [[FakeCodec]], a deterministic stand-in with the same signature,
-  * batch shape, and output schema a real (javax.imageio / FFM-based)
-  * decoder would have. Everything around the stub — schemas, magic-byte
-  * sniffing, size-aware partitioning, resize pooling math, frame
-  * sampling — is real and tested (MultimodalSpec).
+  * types); this module is a north-star extension. Image and audio decode
+  * are REAL: [[Codec]] wraps the JDK's own codecs — `javax.imageio`
+  * (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV/PCM) ship with
+  * every JRE, so decode needs zero external dependencies. The one
+  * remaining stub boundary is VIDEO bitstream decode ([[frameSamplePlan]]
+  * plans frames from metadata only): no MP4/H.264 codec exists in the
+  * JDK, so planned frames would hand off to an external decoder in a
+  * real deployment.
   *
   * Scale posture (100 TB of media): decode parallelism is sized by
   * BYTES, not row count ([[repartitionForDecode]]) — media rows are
   * wildly skewed (a 4 KB icon vs a 40 MB clip) and a row-count
   * repartition OOMs the unlucky executor. Metadata-only queries
   * (sniffing, frame planning) never touch `content` — column pruning
-  * keeps the binary out of the scan entirely.
+  * keeps the binary out of the scan entirely. Decode failures are data,
+  * not exceptions: undecodable payloads surface as dropped rows a
+  * side audit can count, never as a task-killing throw.
   */
 object Multimodal {
 
@@ -68,8 +71,8 @@ object Multimodal {
     df.repartition(parts)
   }
 
-  /** Decoded image batch row (what a real decoder would emit: CHW-less
-    * grayscale float plane, row-major).
+  /** Decoded image row: grayscale float plane in [0,1], row-major, with
+    * the dimensions read from the payload itself (not trusted metadata).
     */
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       pixels: Array[Float])
@@ -78,59 +81,150 @@ object Multimodal {
   final case class AudioFeatures(media_id: Long, n_windows: Int,
       rms: Array[Float])
 
-  /** ======================== STUB BOUNDARY =========================
-    * Deterministic fake codec. A real build replaces exactly this
-    * object (javax.imageio, a JNI/ffmpeg binding, …) — signatures and
-    * shapes are the production ones; the byte→value mapping is fake.
+  /** Real JDK codecs. Everything here is executor-side, allocation-lean,
+    * and total: malformed payloads return None instead of throwing (a
+    * poisoned row must not kill a 100 TB decode stage).
+    *
+    * Thread-safety: `ImageIO.read`/`AudioSystem.getAudioInputStream`
+    * construct fresh reader instances per call — safe under Spark's
+    * many-tasks-per-JVM execution. `ImageIO.setUseCache(false)` keeps
+    * the codec off the local disk (the default spills >8 KB streams to
+    * temp files — pure overhead for in-memory byte arrays).
     */
-  object FakeCodec {
-    /** STUB for image decode: pixel(i) = content[i mod len] / 255 — the
-      * real implementation would inflate the compressed payload.
+  object Codec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    // -- images (javax.imageio: PNG/JPEG/BMP/GIF) -----------------------
+
+    /** Decode to an 8-bit grayscale plane: (width, height, pixel 0-255
+      * ints, row-major). Color inputs are converted through the JDK's
+      * own TYPE_BYTE_GRAY color pipeline; grayscale inputs round-trip
+      * bit-exactly (PNG is lossless).
       */
-    def decodeImage(content: Array[Byte], width: Int,
-        height: Int): Array[Float] = {
-      val n = width * height
-      val out = new Array[Float](n)
-      if (content.nonEmpty) {
-        var i = 0
-        while (i < n) {
-          out(i) = (content(i % content.length) & 0xff) / 255f
-          i += 1
+    def decodeGray8(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content))
+        if (img == null) None // no registered reader claimed the bytes
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val gray =
+            if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              img
+            else {
+              val g = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val gc = g.createGraphics()
+              try gc.drawImage(img, 0, 0, null) finally gc.dispose()
+              g
+            }
+          val px = gray.getRaster.getSamples(0, 0, w, h, 0,
+            null: Array[Int])
+          Some((w, h, px))
         }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode an 8-bit grayscale plane as PNG (lossless — the decode
+      * side reads back the exact sample values). `pixel(x, y)` must
+      * return 0-255.
+      */
+    def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, pixel(x, y)); x += 1 }
+        y += 1
       }
-      out
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    /** STUB for PCM decode: sample(i) = signed byte at i mod len / 128. */
-    def decodeAudio(content: Array[Byte], nSamples: Int): Array[Float] = {
-      val out = new Array[Float](nSamples)
-      if (content.nonEmpty) {
-        var i = 0
-        while (i < nSamples) {
-          out(i) = content(i % content.length) / 128f
-          i += 1
-        }
-      }
-      out
+    // -- audio (javax.sound.sampled: WAV/PCM) ---------------------------
+
+    /** Decode a WAV payload to (sampleRate, 16-bit signed samples,
+      * channel-0 only). Non-PCM or malformed payloads → None. The JDK
+      * parses the RIFF/fmt/data chunk structure; this only unpacks the
+      * little-endian frames.
+      */
+    def decodePcm16(content: Array[Byte]): Option[(Int, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val frameSize = fmt.getFrameSize // 2 * channels
+            val n = bytes.length / frameSize
+            val out = new Array[Int](n)
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val o = i * frameSize // channel 0 = first 2 bytes of frame
+              out(i) =
+                if (le) ((bytes(o + 1) << 8) | (bytes(o) & 0xff))
+                else ((bytes(o) << 8) | (bytes(o + 1) & 0xff))
+              i += 1
+            }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode 16-bit signed mono PCM as a canonical 44-byte-header WAV.
+      * (Kept by hand rather than via AudioSystem.write so tests and
+      * synthetic corpora control the exact container layout.)
+      */
+    def encodeWavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { buf.putShort(samples(i).toShort); i += 1 }
+      buf.array()
     }
   }
-  /* ======================= END STUB BOUNDARY ======================= */
 
-  /** Decode stage: (media_id, width, height, content) → DecodedImage,
-    * one streamed iterator per partition (mapInPandas batch shape).
+  /** Decode stage: content → DecodedImage, one streamed iterator per
+    * partition (mapInPandas batch shape). Dimensions come from the
+    * payload, not the metadata columns; undecodable rows are dropped
+    * (audit by anti-joining media_ids against the input).
     */
   def decodeImages(df: DataFrame): Dataset[DecodedImage] = {
     import df.sparkSession.implicits._
-    df.select(col("media_id"), col("width"), col("height"), col("content"))
-      .as[(Long, Int, Int, Array[Byte])]
-      .mapPartitions(_.map { case (id, w, h, c) =>
-        DecodedImage(id, w, h, FakeCodec.decodeImage(c, w, h))
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodeGray8(c).map { case (w, h, px) =>
+          val f = new Array[Float](px.length)
+          var i = 0
+          while (i < px.length) { f(i) = px(i) / 255f; i += 1 }
+          DecodedImage(id, w, h, f)
+        }
       })
   }
 
-  /** Resize by average pooling — REAL math over the decoded plane (the
-    * part a real pipeline keeps when swapping the codec). Output pixel
-    * (x,y) averages its source box; exact for integer scale factors.
+  /** Resize by average pooling — real math over the decoded plane.
+    * Output pixel (x,y) averages its source box; exact for integer
+    * scale factors.
     */
   def resizeImages(decoded: Dataset[DecodedImage], newW: Int,
       newH: Int): Dataset[DecodedImage] = {
@@ -161,36 +255,47 @@ object Multimodal {
     })
   }
 
-  /** Audio feature extraction: windowed RMS envelope over (stub-)decoded
-    * PCM — decode stub, envelope math real.
+  /** Audio feature extraction: windowed RMS envelope over real decoded
+    * PCM (samples normalized to [-1,1); window length in samples).
+    * Undecodable payloads are dropped, like [[decodeImages]].
     */
   def audioFeatures(df: DataFrame, windowSize: Int = 256): Dataset[AudioFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col("media_id"), col("sample_rate"), col("duration_ms"),
-        col("content"))
-      .as[(Long, Int, Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, rate, durMs, c) =>
-        val nSamples = (rate.toLong * durMs / 1000).toInt
-        val pcm = FakeCodec.decodeAudio(c, nSamples)
-        val nWin = math.max(1, nSamples / windowSize)
-        val rms = new Array[Float](nWin)
-        var w = 0
-        while (w < nWin) {
-          var acc = 0d
-          var i = w * windowSize
-          val end = math.min((w + 1) * windowSize, nSamples)
-          while (i < end) { acc += pcm(i).toDouble * pcm(i); i += 1 }
-          rms(w) = math.sqrt(acc / math.max(1, end - w * windowSize)).toFloat
-          w += 1
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodePcm16(c).map { case (_, pcm) =>
+          val nSamples = pcm.length
+          val nWin = math.max(1, nSamples / windowSize)
+          val rms = new Array[Float](nWin)
+          var w = 0
+          while (w < nWin) {
+            var acc = 0d
+            var i = w * windowSize
+            val end = math.min((w + 1) * windowSize, nSamples)
+            while (i < end) {
+              val s = pcm(i) / 32768d
+              acc += s * s
+              i += 1
+            }
+            rms(w) = math.sqrt(acc / math.max(1, end - w * windowSize)).toFloat
+            w += 1
+          }
+          AudioFeatures(id, nWin, rms)
         }
-        AudioFeatures(id, nWin, rms)
       })
   }
 
   /** Frame-sample plan for video rows: one row per frame timestamp every
     * `everyMs` — pure metadata (sequence + explode), the binary column
-    * is never read, so the scan prunes it entirely. The decode of each
-    * planned frame is the same [[FakeCodec]] stub boundary.
+    * is never read, so the scan prunes it entirely.
+    *
+    * ===================== STUB BOUNDARY (video only) ====================
+    * Decoding each planned frame needs an H.264/VP9 bitstream decoder,
+    * which the JDK does not ship; a real deployment hands the
+    * (media_id, frame_ts_ms) plan to an external decode service or a
+    * JNI/ffmpeg binding with the same mapPartitions batch shape as
+    * [[decodeImages]].
     */
   def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
     df.filter(col("media_type").startsWith("video/"))

@@ -574,6 +574,83 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q64: REAL image decode audit — a deterministic grayscale raster per
+    * document is encoded as PNG (ImageIO, Deflate-compressed) and then
+    * decoded back through the production decode path
+    * (graft.multimodal.Multimodal.Codec / javax.imageio), emitting
+    * payload-derived dimensions plus exact integer pixel aggregates.
+    * The DuckDB oracle computes the same aggregates ANALYTICALLY from
+    * the generation formula — a defect anywhere in the encode/decode
+    * round trip breaks the hash match. mapPartitions batch shape
+    * (the mapInPandas analog); only (doc_id, 4 ints) leaves the stage,
+    * never a pixel plane. A decode failure is a poisoned-row marker
+    * (-1 dims), not a task kill.
+    */
+  private val q64: Q = (s, dir) => {
+    import s.implicits._
+    // Codec accessed fully-qualified INSIDE the lambda: static module
+    // access, so the non-serializable object is never closure-captured.
+    import graft.multimodal.Multimodal.{Codec => C}
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val png = C.encodePng(w, h, (x, y) => ((x * 7 + y * 13 + id) % 256).toInt)
+        C.decodeGray8(png) match {
+          case Some((dw, dh, px)) =>
+            var sum = 0L
+            var wsum = 0L
+            var i = 0
+            while (i < px.length) {
+              sum += px(i); wsum += i.toLong * px(i); i += 1
+            }
+            (id, dw, dh, sum, wsum)
+          case None => (id, -1, -1, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "width", "height", "px_sum", "px_wsum")
+      .orderBy("doc_id")
+  }
+
+  /** q65: REAL audio decode audit — q64's pattern for WAV/PCM16: a
+    * formula-generated sample vector is wrapped in a canonical WAV
+    * container and decoded back through javax.sound.sampled
+    * (graft.multimodal.Multimodal.Codec.decodePcm16 — the JDK parses
+    * the RIFF chunk structure), emitting the container-derived sample
+    * rate and exact integer energy/weighted sums the oracle recomputes
+    * analytically.
+    */
+  private val q65: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + (id % 5) * 64).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples =
+          Array.tabulate(n)(i => ((id * 31 + i * 17) % 4096 - 2048).toInt)
+        val wav = C.encodeWavPcm16(samples, rate)
+        C.decodePcm16(wav) match {
+          case Some((drate, pcm)) =>
+            var energy = 0L
+            var wsum = 0L
+            var i = 0
+            while (i < pcm.length) {
+              energy += pcm(i).toLong * pcm(i); wsum += i.toLong * pcm(i)
+              i += 1
+            }
+            (id, drate, pcm.length, energy, wsum)
+          case None => (id, -1, -1, -1L, -1L)
+        }
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "energy", "s_wsum")
+      .orderBy("doc_id")
+  }
+
   /** q41: token counting two ways (brief: "whitespace + a BPE-ish
     * regex") — whitespace tokens and a GPT-2-style pretokenizer count
     * (contraction suffixes, space-prefixed letter/digit runs,
@@ -1045,7 +1122,9 @@ object LlmPipeline {
     "q60_neardup_clusters" -> q60,
     "q61_lexical_search" -> q61,
     "q62_embedding_quantize" -> q62,
-    "q63_vocab_build" -> q63)
+    "q63_vocab_build" -> q63,
+    "q64_image_decode" -> q64,
+    "q65_audio_decode" -> q65)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1461,6 +1540,41 @@ object LlmPipeline {
          |  / COUNT(*) AS dup_frac
          |FROM cx c JOIN cnt ON c.ch = cnt.ch
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // q64/q65: the oracle recomputes the pixel/sample aggregates
+    // ANALYTICALLY from the generation formulas — the Spark side must
+    // reproduce them through a real PNG / WAV encode→decode round trip.
+    // generate_series is constant-bounded (DuckDB 1.0 rejects lateral
+    // column bounds); the WHERE trims each row's series to w*h / n.
+    "q64_image_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |        CAST(8 + doc_id % 7 AS INT) AS h
+        | FROM documents WHERE doc_id % 5 = 0)
+        |SELECT m.doc_id, m.w AS width, m.h AS height,
+        | CAST(SUM(((s.i % m.w) * 7 + (s.i // m.w) * 13 + m.doc_id) % 256)
+        |  AS BIGINT) AS px_sum,
+        | CAST(SUM(s.i *
+        |   (((s.i % m.w) * 7 + (s.i // m.w) * 13 + m.doc_id) % 256))
+        |  AS BIGINT) AS px_wsum
+        |FROM m, generate_series(0, 223) s(i)
+        |WHERE s.i < m.w * m.h
+        |GROUP BY m.doc_id, m.w, m.h
+        |ORDER BY m.doc_id""".stripMargin,
+    "q65_audio_decode" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(256 + (doc_id % 5) * 64 AS INT) AS n,
+        |        CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+        | FROM documents WHERE doc_id % 4 = 1)
+        |SELECT m.doc_id, m.rate AS sample_rate, m.n AS n_samples,
+        | CAST(SUM(((m.doc_id * 31 + s.i * 17) % 4096 - 2048) *
+        |          ((m.doc_id * 31 + s.i * 17) % 4096 - 2048))
+        |  AS BIGINT) AS energy,
+        | CAST(SUM(s.i * ((m.doc_id * 31 + s.i * 17) % 4096 - 2048))
+        |  AS BIGINT) AS s_wsum
+        |FROM m, generate_series(0, 511) s(i)
+        |WHERE s.i < m.n
+        |GROUP BY m.doc_id, m.rate, m.n
+        |ORDER BY m.doc_id""".stripMargin,
     "q63_vocab_build" ->
       s"""WITH cnt AS (
          | SELECT term, COUNT(*) AS n

@@ -49,15 +49,43 @@ class MultimodalSpec extends SparkSuite {
       .rdd.getNumPartitions === 1)
   }
 
-  test("stubbed decode: deterministic fake pixels, real batch shape") {
-    val content = bytes(0, 51, 102, 153) // -> 0, .2, .4, .6 after /255
-    val df = mediaDf(mediaRow(7, "image/png", content, w = 2, h = 2))
+  test("real PNG decode: lossless pixel round trip through javax.imageio") {
+    // encode a known 2x2 grayscale raster, decode it back through the
+    // distributed decode stage — values and payload-derived dims exact
+    val px = Seq(0, 51, 102, 153) // row-major
+    val content = Multimodal.Codec.encodePng(2, 2, (x, y) => px(y * 2 + x))
+    assert(content.take(4).toSeq ===
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) // real PNG
+    val df = mediaDf(mediaRow(7, "image/png", content))
     val out = Multimodal.decodeImages(df).collect()
     assert(out.length === 1)
     val img = out.head
     assert(img.media_id === 7 && img.width === 2 && img.height === 2)
-    assert(img.pixels.length === 4)
-    assert(img.pixels.toSeq === Seq(0f, 51 / 255f, 102 / 255f, 153 / 255f))
+    assert(img.pixels.toSeq === px.map(_ / 255f))
+  }
+
+  test("real JPEG decode: dims exact, values within lossy tolerance") {
+    val buf = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      buf.getRaster.setSample(x, y, 0, 128)
+    val os = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(buf, "jpg", os)
+    val df = mediaDf(mediaRow(8, "image/jpeg", os.toByteArray))
+    val out = Multimodal.decodeImages(df).collect().head
+    assert(out.width === 4 && out.height === 4)
+    // flat 128 plane survives JPEG within a couple of quantization steps
+    assert(out.pixels.forall(p => math.abs(p - 128 / 255f) < 0.05f))
+  }
+
+  test("undecodable payloads are dropped, not thrown") {
+    val good = Multimodal.Codec.encodePng(2, 2, (_, _) => 7)
+    val df = mediaDf(
+      mediaRow(1, "image/png", good),
+      mediaRow(2, "image/png", bytes(1, 2, 3, 4, 5)), // garbage
+      mediaRow(3, "image/png", Array.empty[Byte]))
+    val out = Multimodal.decodeImages(df).collect()
+    assert(out.map(_.media_id).toSeq === Seq(1L))
   }
 
   test("resize: 4x4 -> 2x2 average pooling is exact") {
@@ -70,11 +98,24 @@ class MultimodalSpec extends SparkSuite {
     assert(out.width === 2 && out.height === 2)
   }
 
-  test("audio features: windowed RMS over stub PCM, constant signal") {
-    // constant byte 64 -> sample 0.5 everywhere -> RMS 0.5 per window
-    val content = Array.fill[Byte](100)(64)
+  test("real WAV decode: PCM16 round trip through javax.sound.sampled") {
+    val samples = Array(0, 1000, -1000, 32767, -32768, 12345)
+    val wav = Multimodal.Codec.encodeWavPcm16(samples, 8000)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val got = Multimodal.Codec.decodePcm16(wav)
+    assert(got.isDefined)
+    val (rate, decoded) = got.get
+    assert(rate === 8000)
+    assert(decoded.toSeq === samples.toSeq)
+    assert(Multimodal.Codec.decodePcm16(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audio features: windowed RMS over real decoded PCM") {
+    // constant sample 16384 = 0.5 full-scale -> RMS 0.5 per window
+    val content = Multimodal.Codec.encodeWavPcm16(
+      Array.fill(512)(16384), 8000) // 512 samples -> 2 windows of 256
     val df = mediaDf(mediaRow(9, "audio/wav", content,
-      rate = 8000, durMs = 64L)) // 512 samples -> 2 windows of 256
+      rate = 8000, durMs = 64L))
     val out = Multimodal.audioFeatures(df, windowSize = 256).collect().head
     assert(out.media_id === 9 && out.n_windows === 2)
     assert(out.rms.toSeq.forall(v => math.abs(v - 0.5f) < 1e-6))

@@ -1,0 +1,214 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.types.DecimalType
+import graft.ingest.{Warehouse, Xlsx}
+
+/** Pure-JVM xlsx reader (O4 parity: the reference's actual source format,
+  * etl/app.py:103 pd.read_excel). Fixtures are re-created in-code from
+  * FIXTURES.md §1 — byte layout mirrors real Excel output (namespaced
+  * parts, shared strings, xml:space="preserve") — plus a direct parse of
+  * the reference's own shipped workbooks when present.
+  */
+class XlsxSpec extends SparkSuite {
+
+  // -- in-test xlsx writer ----------------------------------------------
+
+  private sealed trait Cell
+  private case class S(v: String) extends Cell // shared string
+  private case class N(v: String) extends Cell // numeric/general, raw
+  private case object E extends Cell // empty cell, still materialized
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      sb.insert(0, ('A' + (n - 1) % 26).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Build workbook bytes the way Excel lays them out (the parts our
+    * reader and real readers consume; namespace on every part).
+    */
+  private def xlsxBytes(rows: Seq[Seq[Cell]]): Array[Byte] = {
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val shared = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def sidx(s: String): Int =
+      shared.getOrElseUpdate(s, shared.size)
+    val sheetXml = new StringBuilder(
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<worksheet xmlns="$ns"><sheetData>""")
+    rows.zipWithIndex.foreach { case (cells, ri) =>
+      sheetXml.append(s"""<row r="${ri + 1}">""")
+      cells.zipWithIndex.foreach { case (c, ci) =>
+        val ref = s"${colRef(ci)}${ri + 1}"
+        c match {
+          case S(v) => sheetXml.append(
+            s"""<c r="$ref" t="s"><v>${sidx(v)}</v></c>""")
+          case N(v) => sheetXml.append(s"""<c r="$ref"><v>$v</v></c>""")
+          case E => sheetXml.append(s"""<c r="$ref"/>""")
+        }
+      }
+      sheetXml.append("</row>")
+    }
+    sheetXml.append("</sheetData></worksheet>")
+    val sstXml = new StringBuilder(
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<sst xmlns="$ns" count="${shared.size}" """ +
+        s"""uniqueCount="${shared.size}">""")
+    shared.keys.foreach { s =>
+      val pre = if (s != s.trim) """ xml:space="preserve"""" else ""
+      sstXml.append(s"<si><t$pre>${esc(s)}</t></si>")
+    }
+    sstXml.append("</sst>")
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns="$ns"><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
+    put("xl/worksheets/sheet1.xml", sheetXml.toString)
+    put("xl/sharedStrings.xml", sstXml.toString)
+    z.close()
+    bos.toByteArray
+  }
+
+  private def writeXlsx(dir: String, name: String,
+      rows: Seq[Seq[Cell]]): Unit = {
+    val f = new FileOutputStream(new java.io.File(dir, name))
+    try f.write(xlsxBytes(rows)) finally f.close()
+  }
+
+  // FIXTURES.md §1 rows, with the quirks that matter: numeric telephone
+  // (leading 0 already lost in the Excel cell), preserved leading space
+  // in adresse, ragged produits row (trailing empty 7th cell), ventes
+  // date as a raw Excel serial number.
+  private def clientsRows: Seq[Seq[Cell]] = Seq(
+    Seq("client_id", "nom", "prenom", "email", "telephone", "adresse").map(S(_)),
+    Seq(S("CLI001"), S("Dupont"), S("Jean"), S("jean.dupont@email.com"),
+      N("612345678"), S(" 1 rue de Paris, Paris")),
+    Seq(S("CLI002"), S("Martin"), S("Sophie"), S("s.martin@email.com"),
+      N("723456789"), S("2 avenue Lyon, Lyon")),
+    Seq(S("CLI003"), S("Dupont"), S("Jean"), S("jean.dupont@email.com"),
+      N("612345678"), S(" 1 rue de Paris, Paris")))
+  private def produitsRows: Seq[Seq[Cell]] = Seq(
+    Seq("produit_id", "nom", "categorie", "prix_unitaire",
+      "stock_disponible", "description").map(S(_)),
+    Seq(S("PRO001"), S("USB "), S("informatique"), N("5000"), N("100"),
+      S("une clé usb de qualité")),
+    Seq(S("PRO002"), S("Odinateur"), S("informatique"), N("5000"), N("100"),
+      S("une clé usb de qualité"), E)) // ragged: 7th empty cell
+  private def ventesRows: Seq[Seq[Cell]] = Seq(
+    Seq("vente_id", "client_id", "produit_id", "quantite", "prix_total",
+      "date_vente").map(S(_)),
+    Seq(S("VNT001"), S("CLI001"), S("PRO001"), N("2"), N("10000"),
+      N("45787.604166666664")))
+
+  // -- parser unit behavior ---------------------------------------------
+
+  test("colIndex: A=0, Z=25, AA=26, BC12=54") {
+    assert(Xlsx.colIndex("A1") === 0)
+    assert(Xlsx.colIndex("Z9") === 25)
+    assert(Xlsx.colIndex("AA3") === 26)
+    assert(Xlsx.colIndex("BC12") === 54)
+  }
+
+  test("parse: shared strings, preserved space, numerics kept verbatim") {
+    val (header, rows) = Xlsx.parseWorkbook(xlsxBytes(clientsRows))
+    assert(header === Seq("client_id", "nom", "prenom", "email",
+      "telephone", "adresse"))
+    assert(rows.length === 3)
+    assert(rows.head === Seq("CLI001", "Dupont", "Jean",
+      "jean.dupont@email.com", "612345678", " 1 rue de Paris, Paris"))
+  }
+
+  test("parse: ragged row truncates to header width; trailing space kept") {
+    val (header, rows) = Xlsx.parseWorkbook(xlsxBytes(produitsRows))
+    assert(header.length === 6)
+    assert(rows.forall(_.length === 6))
+    assert(rows.head(1) === "USB ") // trailing space survives
+    assert(rows(1).head === "PRO002")
+  }
+
+  test("parse: sparse cell refs leave nulls in the gap, short rows pad") {
+    // hand-build a sheet with an explicit gap: A2 then C2 (B2 omitted)
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(
+      (s"""<worksheet xmlns="$ns"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>b</t></is></c>""" +
+        """<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>3</v></c></row>""" +
+        """<row r="3"><c r="A3"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""").getBytes("UTF-8"))
+    z.closeEntry()
+    z.close()
+    val (header, data) = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(header === Seq("a", "b", "c"))
+    assert(data(0) === Seq("1", null, "3")) // gap at B2
+    assert(data(1) === Seq("7", null, null)) // short row padded
+  }
+
+  // -- end-to-end through the warehouse ---------------------------------
+
+  test("E1 end-to-end over .xlsx deliveries: router, serial date, lock file") {
+    val watch = Files.createTempDirectory("watch-xlsx").toString
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-xlsx").toString)
+    writeXlsx(watch, "clients.xlsx", clientsRows)
+    writeXlsx(watch, "produits.xlsx", produitsRows)
+    writeXlsx(watch, "ventes.xlsx", ventesRows)
+    // Excel lock artifact (the reference dir ships these too) → filtered
+    Files.write(java.nio.file.Paths.get(watch, "~$clients.xlsx"),
+      Array[Byte](1, 2, 3))
+
+    val st = wh.pollOnce(watch)
+    assert(st === Map("clients.xlsx" -> "success",
+      "produits.xlsx" -> "success", "ventes.xlsx" -> "success"))
+    assert(wh.table("clients").get.count() === 3) // CLI003 near-dup kept
+    assert(wh.table("produits").get.count() === 2)
+    val ventes = wh.table("ventes").get.collect()
+    assert(ventes.length === 1)
+    assert(ventes.head.getAs[java.sql.Timestamp]("date_vente").toString
+      === "2025-05-10 14:30:00.0") // Excel serial → timestamp (O7)
+    assert(ventes.head.getAs[String]("source_file") === "ventes.xlsx")
+    assert(wh.table("ventes").get.schema("prix_total").dataType
+      === DecimalType(10, 2))
+    // idempotent re-poll: nothing modified → nothing reprocessed (O3)
+    assert(wh.pollOnce(watch) === Map.empty)
+  }
+
+  test("reads the reference's own shipped workbooks (when present)") {
+    val dir = new java.io.File("/root/reference/data/excel")
+    assume(dir.isDirectory, "reference fixtures not mounted")
+    val bytes = Files.readAllBytes(
+      new java.io.File(dir, "clients.xlsx").toPath)
+    val (header, rows) = Xlsx.parseWorkbook(bytes)
+    assert(header === Seq("client_id", "nom", "prenom", "email",
+      "telephone", "adresse"))
+    assert(rows.length === 3)
+    assert(rows.head.take(4) === Seq("CLI001", "Dupont", "Jean",
+      "jean.dupont@email.com"))
+    assert(rows.head(5) === " 1 rue de Paris, Paris") // preserved space
+    val (vh, vr) = Xlsx.parseWorkbook(Files.readAllBytes(
+      new java.io.File(dir, "ventes.xlsx").toPath))
+    assert(vh.contains("date_vente"))
+    // the raw serial reaches coercion verbatim
+    assert(vr.head(vh.indexOf("date_vente")).startsWith("45787.604166666"))
+  }
+}
