@@ -35,8 +35,15 @@ object Streams {
     * consume the first letter of an unprefixed name), so O2 is enforced
     * by the row-level filename filter below.
     */
+  /** `.csv` suffix is part of the glob: the streaming leg is a CSV file
+    * source, and a bare `*token*` would also sweep up `.xlsx` deliveries
+    * (first-class on the BATCH path via graft.ingest.Xlsx since r6) and
+    * shred their zip bytes through the CSV parser. xlsx belongs on
+    * `Warehouse.pollOnce`; Spark's file source cannot parse it.
+    */
   private def ciGlob(token: String): String =
-    "*" + token.map(c => s"[${c.toLower}${c.toUpper}]").mkString + "*"
+    "*" + token.map(c => s"[${c.toLower}${c.toUpper}]").mkString +
+      "*.[cC][sS][vV]"
   private val entityGlob: Map[String, String] = Map(
     "clients" -> ciGlob("client"), "produits" -> ciGlob("produit"),
     "ventes" -> ciGlob("vente"))

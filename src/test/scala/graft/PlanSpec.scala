@@ -98,6 +98,18 @@ class PlanSpec extends SparkSuite {
       "q61: tokenization must be checkpointed out of the final plan")
   }
 
+  test("media decode audits scan doc_id only (text never reaches decode)") {
+    // q64/q65 synthesize payloads from doc_id alone; a pruning
+    // regression that drags `text` (the wide column) through the
+    // mapPartitions decode stage would 100×-scale the scan bytes.
+    for (q <- Seq("q64_image_decode", "q65_audio_decode")) {
+      val ss = scans(q)
+      assert(ss.nonEmpty, s"no documents scan in $q")
+      for (cols <- ss.map(_.schema.fieldNames.toSet))
+        assert(cols === Set("doc_id"), s"$q reads unneeded columns: $cols")
+    }
+  }
+
   test("star join prunes fact columns (no full-width lineitem read)") {
     // q02 needs exactly 3 lineitem columns; inspect the scan node's
     // schema programmatically (the rendered ReadSchema string truncates

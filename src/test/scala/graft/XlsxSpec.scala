@@ -193,6 +193,25 @@ class XlsxSpec extends SparkSuite {
     assert(wh.pollOnce(watch) === Map.empty)
   }
 
+  test("streaming router leaves .xlsx to the batch path (no CSV shredding)") {
+    // An xlsx in a streamed watch dir must NOT be parsed as CSV: the
+    // entity glob is suffix-anchored to .csv.
+    val watch = Files.createTempDirectory("watch-mixed").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("wh-mixed").toString)
+    writeXlsx(watch, "clients.xlsx", clientsRows)
+    Files.writeString(java.nio.file.Paths.get(watch, "clients_extra.csv"),
+      "client_id,nom,prenom,email,telephone,adresse\n" +
+        "CLI009,Durand,Luc,l.durand@email.com,699999999,3 rue X\n")
+    graft.streaming.Streams.pollAvailableNow(spark, wh, watch,
+      Files.createTempDirectory("ckpt-mixed").toString)
+    val got = wh.table("clients").get.collect()
+    assert(got.map(_.getAs[String]("client_id")).toSeq === Seq("CLI009"))
+    // ...and the batch poll then picks the xlsx up normally.
+    assert(wh.pollOnce(watch).get("clients.xlsx").contains("success"))
+    assert(wh.table("clients").get.count() === 4)
+  }
+
   test("reads the reference's own shipped workbooks (when present)") {
     val dir = new java.io.File("/root/reference/data/excel")
     assume(dir.isDirectory, "reference fixtures not mounted")
