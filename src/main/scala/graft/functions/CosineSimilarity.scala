@@ -125,6 +125,8 @@ object Functions {
     ("simhash60", classOf[Simhash60], unary("simhash60", Simhash60.apply)),
     ("shingle_hashes", classOf[ShingleHashes],
       unary("shingle_hashes", ShingleHashes.apply)),
+    ("quantize_i8", classOf[QuantizeI8],
+      unary("quantize_i8", QuantizeI8.apply)),
     ("min_gram_md5", classOf[MinGramMd5], {
       case Seq(a, b) => MinGramMd5(a, b)
       case other => throw new IllegalArgumentException(

@@ -953,29 +953,27 @@ object LlmPipeline {
     * code_i = floor(x_i/scale + 0.5) (half-up spelled in IEEE ops — the
     * q52 reasoning; native round() differs between engines), plus the
     * reconstruction-error audit every quantization pipeline reports.
-    * The scale is materialized behind a one-row Generate barrier so the
-    * per-element lambdas don't re-inline the array_max (the HOF
-    * CollapseProject trap: 64 re-evaluations per row). All-zero vectors
-    * get scale 0 and code 0 explicitly — x/0 is NaN and ANSI mode
-    * throws on casting NaN.
+    *
+    * r6: the whole computation is ONE native codegen'd kernel call
+    * (graft.functions.QuantizeKernel — the r3 signature-kernel pattern):
+    * the r4 HOF form was CodegenFallback and walked the vector five
+    * times through interpreted lambdas; the kernel fuses abs-max /
+    * quantize / sum / max / reconstruction-error into two compiled
+    * passes, bit-equal by FunctionsSpec. The struct is materialized
+    * behind a one-row Generate barrier so the four field extractions
+    * don't re-inline the kernel (the CollapseProject trap); all-zero
+    * vectors get scale 0 and code 0 explicitly — x/0 is NaN and ANSI
+    * mode throws on casting NaN.
     */
   private val q62: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    graft.functions.Functions.register(s)
+    t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
-    val scaled = e.select(col("vec_id"), col("v"),
-      explode(array(expr(
-        "array_max(transform(v, x -> abs(x))) / 127.0d"))).as("scale"))
-    scaled
-      .withColumn("codes", expr(
-        "transform(v, x -> cast(if(scale = 0.0d, 0L, " +
-          "floor(x / scale + 0.5d)) as bigint))"))
-      .select(col("vec_id"), col("scale"),
-        expr("cast(aggregate(codes, 0L, (a, c) -> a + c) as bigint)")
-          .as("code_sum"),
-        expr("array_max(transform(codes, c -> abs(c)))").as("code_max"),
-        expr("array_max(zip_with(v, codes, " +
-          "(x, c) -> abs(x - cast(c as double) * scale)))")
-          .as("max_abs_err"))
+      .select(col("vec_id"), explode(array(expr("quantize_i8(v)"))).as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.code_sum").as("code_sum"),
+        col("q.code_max").as("code_max"),
+        col("q.max_abs_err").as("max_abs_err"))
       .orderBy("vec_id")
   }
 

@@ -163,4 +163,39 @@ class FunctionsSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("literal") ||
       e.getMessage.toLowerCase.contains("min_gram_md5"))
   }
+
+  test("quantize_i8 is bit-identical to the HOF quantization pipeline") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(64)(Array.fill(64)(rnd.nextDouble() * 2 - 1)) ++
+      Seq(Array.fill(64)(0.0), // all-zero: scale 0, codes 0
+        Array(0.5), Array.empty[Double]) // single element; empty
+    val df = vecs.toDF("v")
+      .select(col("v"), expr("quantize_i8(v)").as("q"),
+        expr("array_max(transform(v, x -> abs(x))) / 127.0d").as("scale"))
+      .withColumn("codes", expr(
+        "transform(v, x -> cast(if(scale = 0.0d, 0L, " +
+          "floor(x / scale + 0.5d)) as bigint))"))
+      .select(col("q"), col("scale"),
+        expr("cast(aggregate(codes, 0L, (a, c) -> a + c) as bigint)")
+          .as("code_sum"),
+        expr("array_max(transform(codes, c -> abs(c)))").as("code_max"),
+        expr("array_max(zip_with(v, codes, " +
+          "(x, c) -> abs(x - cast(c as double) * scale)))")
+          .as("max_abs_err"))
+    df.collect().foreach { r =>
+      val q = r.getStruct(0)
+      def bitsEq(a: Double, b: Double) =
+        java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b)
+      if (r.isNullAt(1)) assert(q.isNullAt(0)) // empty: null scale
+      else assert(bitsEq(q.getDouble(0), r.getDouble(1)))
+      assert(q.getLong(1) === r.getLong(2)) // code_sum (0 when empty)
+      if (r.isNullAt(3)) assert(q.isNullAt(2))
+      else assert(q.getLong(2) === r.getLong(3))
+      if (r.isNullAt(4)) assert(q.isNullAt(3))
+      else assert(bitsEq(q.getDouble(3), r.getDouble(4)))
+    }
+  }
 }

@@ -74,10 +74,10 @@ class PlanSpec extends SparkSuite {
       assert(cnt(phys, "Exchange") <= 1, s"$q grew a signature shuffle")
       assert(!phys.contains("HashAggregate"), s"$q re-grew an aggregate")
     }
-    // q62's per-vector scale sits behind the same barrier: collapsing it
-    // back into the element lambdas would re-evaluate the array_max
-    // 64x per row. Exactly one scale expression in the optimized plan.
-    assert(cnt(opt("q62_embedding_quantize"), "/ 127\\.0") === 1)
+    // q62's struct result sits behind the same barrier: collapsing it
+    // into the four field extractions would re-run the kernel 4x per
+    // row. Exactly one kernel call in the optimized plan.
+    assert(cnt(opt("q62_embedding_quantize"), "quantize_i8") === 1)
   }
 
   test("tokenization runs exactly once per document (toks Generate barrier)") {
