@@ -651,6 +651,66 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q66: image RESIZE audit through the production decode→resize path
+    * (Multimodal.decodeImages → Multimodal.resizeImages, average
+    * pooling to 4×4). Source dims are multiples of 4, so every output
+    * pixel pools a uniform (w/4)×(h/4) box and `pooled · 255 · boxCount`
+    * is an exact integer (the box's raw-pixel sum) recoverable through
+    * float accumulation error (≪ 0.5) by round-half — which is what
+    * lets a DuckDB oracle check REAL codec + pooling output exactly.
+    * The j-weighted sum pins the box↔output-index mapping, not just
+    * conservation of mass.
+    */
+  private val q66: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + 4 * (id % 3)).toInt // 8/12/16
+        val h = (8 + 4 * (id % 2)).toInt // 8/12
+        (id, C.encodePng(w, h, (x, y) => ((x * 5 + y * 11 + id) % 256).toInt))
+      }).toDF("media_id", "content")
+    Multimodal.resizeImages(Multimodal.decodeImages(media), 4, 4)
+      .mapPartitions(_.map { img =>
+        val id = img.media_id
+        val cnt = ((8 + 4 * (id % 3)) / 4 * ((8 + 4 * (id % 2)) / 4)).toInt
+        var sum = 0L
+        var wsum = 0L
+        var j = 0
+        while (j < 16) {
+          val fp = math.floor(img.pixels(j).toDouble * 255 * cnt + 0.5).toLong
+          sum += fp; wsum += j.toLong * fp
+          j += 1
+        }
+        (id, img.width, img.height, sum, wsum)
+      })
+      .toDF("doc_id", "out_w", "out_h", "pool_sum", "pool_wsum")
+      .orderBy("doc_id")
+  }
+
+  /** q67: video frame-sample planning (Multimodal.frameSamplePlan) —
+    * the metadata-only stage that fans a video row out to one row per
+    * frame timestamp; the binary column is never read (PlanSpec pins
+    * the pruning for the decode audits; this one has no binary at all).
+    * Aggregated per media so the oracle is closed-form over the
+    * synthesized durations.
+    */
+  private val q67: Q = (s, dir) => {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 2, lit("video/mp4"))
+          .otherwise(lit("image/png")).as("media_type"),
+        (lit(500L) + (col("doc_id") * 7) % 5000).as("duration_ms"))
+    graft.multimodal.Multimodal.frameSamplePlan(media, 250L)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("frame_ts_ms").as("ts_sum"))
+      .orderBy("media_id")
+  }
+
   /** q41: token counting two ways (brief: "whitespace + a BPE-ish
     * regex") — whitespace tokens and a GPT-2-style pretokenizer count
     * (contraction suffixes, space-prefixed letter/digit runs,
@@ -1122,7 +1182,9 @@ object LlmPipeline {
     "q62_embedding_quantize" -> q62,
     "q63_vocab_build" -> q63,
     "q64_image_decode" -> q64,
-    "q65_audio_decode" -> q65)
+    "q65_audio_decode" -> q65,
+    "q66_image_resize" -> q66,
+    "q67_frame_plan" -> q67)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1573,6 +1635,37 @@ object LlmPipeline {
         |WHERE s.i < m.n
         |GROUP BY m.doc_id, m.rate, m.n
         |ORDER BY m.doc_id""".stripMargin,
+    // q66: each output pixel's box sum is recovered exactly from the
+    // pooled float (round-half; accumulated error bounds in the q66
+    // scaladoc), so the oracle sums the generation formula per box.
+    // j = output index of source pixel (x, y); boxes are uniform
+    // because w and h are multiples of 4.
+    "q66_image_resize" ->
+      """WITH m AS (
+        | SELECT doc_id, CAST(8 + 4 * (doc_id % 3) AS INT) AS w,
+        |        CAST(8 + 4 * (doc_id % 2) AS INT) AS h
+        | FROM documents WHERE doc_id % 5 = 2),
+        |px AS (
+        | SELECT m.doc_id,
+        |  ((s.i // m.w) // (m.h // 4)) * 4 +
+        |    ((s.i % m.w) // (m.w // 4)) AS j,
+        |  ((s.i % m.w) * 5 + (s.i // m.w) * 11 + m.doc_id) % 256 AS k
+        | FROM m, generate_series(0, 191) s(i)
+        | WHERE s.i < m.w * m.h)
+        |SELECT doc_id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+        | CAST(SUM(k) AS BIGINT) AS pool_sum,
+        | CAST(SUM(j * k) AS BIGINT) AS pool_wsum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q67: closed-form frame count/timestamp sum per synthesized video.
+    "q67_frame_plan" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, 500 + (doc_id * 7) % 5000 AS dur
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id,
+        | CAST((dur - 1) // 250 + 1 AS BIGINT) AS n_frames,
+        | CAST(250 * ((dur - 1) // 250 + 1) * ((dur - 1) // 250) // 2
+        |  AS BIGINT) AS ts_sum
+        |FROM m ORDER BY media_id""".stripMargin,
     "q63_vocab_build" ->
       s"""WITH cnt AS (
          | SELECT term, COUNT(*) AS n
