@@ -923,12 +923,17 @@ object LlmPipeline {
     * no pairwise comparisons anywhere.
     */
   private val q56: Q = (s, dir) => {
+    // chunks is read TWICE (per-chunk counts + the self-join back);
+    // materialize it once (q61's eager-localCheckpoint pattern) or the
+    // corpus tokenizes twice — the two consumers shuffle on the same
+    // key but one aggregates, so exchange reuse never kicks in.
     val chunks = t(s, dir, "documents")
       .withColumn("toks", expr(toksE))
       .filter(size(col("toks")) >= 10)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1), " +
           "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")).as("ch"))
+      .localCheckpoint(true)
     val counts = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("nd"))
     chunks.join(counts, "ch")
