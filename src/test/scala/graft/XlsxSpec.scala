@@ -193,6 +193,59 @@ class XlsxSpec extends SparkSuite {
     assert(wh.pollOnce(watch) === Map.empty)
   }
 
+  test("property: arbitrary cell grids round-trip through the parser") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // XML 1.0 forbids control chars; everything else (unicode, quotes,
+    // &<>, leading/trailing spaces) must survive byte-exactly.
+    val cellText: Gen[String] = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '&', '<', '>', '"',
+          '\'', 'é', '漢', 'ß'))))
+    val cell: Gen[Cell] = Gen.frequency(
+      5 -> cellText.map(S(_)),
+      2 -> Gen.chooseNum(-1e6, 1e6).map(d => N(d.toString)),
+      1 -> Gen.const(E))
+    val grid: Gen[(Seq[String], Seq[Seq[Cell]])] = for {
+      nCols <- Gen.chooseNum(1, 6)
+      header <- Gen.listOfN(nCols, Gen.identifier.map(_.take(8)))
+        .retryUntil(h => h.distinct.size == h.size)
+      nRows <- Gen.chooseNum(0, 8)
+      rows <- Gen.listOfN(nRows, // ragged: rows may be short or long
+        Gen.chooseNum(0, nCols + 1).flatMap(Gen.listOfN(_, cell)))
+    } yield (header, rows)
+    val params = Gen.Parameters.default
+    (0 until 40).foreach { i =>
+      val (header, rows) = grid.pureApply(params, Seed(1234L + i))
+      val all = header.map(S(_): Cell) +: rows
+      val (gotHeader, gotRows) = Xlsx.parseWorkbook(xlsxBytes(all))
+      assert(gotHeader === header)
+      assert(gotRows.length === rows.length)
+      gotRows.zip(rows).foreach { case (got, src) =>
+        val expected = src.map {
+          case S(v) => if (v.isEmpty) null else v
+          case N(v) => v
+          case E => null
+        }.padTo(header.length, null).take(header.length)
+        assert(got === expected)
+      }
+    }
+  }
+
+  test("corrupt workbook → error status, not a crashed poll cycle") {
+    val watch = Files.createTempDirectory("watch-bad").toString
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("wh-bad").toString)
+    Files.write(java.nio.file.Paths.get(watch, "clients.xlsx"),
+      Array[Byte](1, 2, 3, 4, 5)) // not a zip
+    writeXlsx(watch, "produits.xlsx", produitsRows)
+    val st = wh.pollOnce(watch) // O4 retry exhausts, O13 records error
+    assert(st === Map("clients.xlsx" -> "error",
+      "produits.xlsx" -> "success"))
+    assert(wh.table("clients").isEmpty)
+    assert(wh.table("produits").get.count() === 2)
+  }
+
   test("streaming router leaves .xlsx to the batch path (no CSV shredding)") {
     // An xlsx in a streamed watch dir must NOT be parsed as CSV: the
     // entity glob is suffix-anchored to .csv.
