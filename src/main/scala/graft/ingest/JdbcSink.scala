@@ -47,14 +47,13 @@ object JdbcSink {
     */
   def append(df: DataFrame, url: String, table: String,
       props: Properties = new Properties, maxConnections: Int = 8): Unit = {
-    val bounded =
-      if (df.rdd.getNumPartitions > maxConnections)
-        df.coalesce(maxConnections)
-      else df
-    val w = bounded.write.mode("append")
+    val w = df.write.mode("append")
     columnDdl.get(table)
       .map(ddl => w.option("createTableColumnTypes", ddl))
       .getOrElse(w)
+      // the JDBC writer's own fan-in cap (coalesces internally when the
+      // frame is wider — no extra planning pass, AQE-safe)
+      .option("numPartitions", maxConnections)
       .option("batchsize", 1000) // rows per INSERT round trip
       .jdbc(url, table, props)
   }

@@ -52,28 +52,43 @@ object Xlsx {
       java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), schema)
   }
 
-  /** Parse workbook bytes → (header, data rows), all strings, data rows
-    * padded / truncated to the header width (the reference's produits
-    * fixture ships a ragged row with a trailing empty cell).
+  /** Parse workbook bytes → (header, data rows), all strings. Short data
+    * rows pad with nulls; over-wide rows are accepted ONLY when the
+    * overflow cells are empty (the reference's produits fixture ships a
+    * ragged row with a trailing empty cell) — a non-empty cell beyond
+    * the header is data the load would silently drop, so it fails the
+    * file instead (pandas keeps it as an `Unnamed:` column and the
+    * reference's insert then rejects the batch; error status either
+    * way).
     */
   private[graft] def parseWorkbook(
       bytes: Array[Byte]): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
     var sharedBytes: Array[Byte] = null
-    var sheetBytes: Array[Byte] = null
-    var sheetName: String = null
+    var workbookBytes: Array[Byte] = null
+    var relsBytes: Array[Byte] = null
+    val sheets = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var e = zin.getNextEntry
     while (e != null) {
-      val name = e.getName
-      if (name == "xl/sharedStrings.xml") sharedBytes = zin.readAllBytes()
-      else if (name.startsWith("xl/worksheets/sheet") &&
-          name.endsWith(".xml") && (sheetName == null || name < sheetName)) {
-        sheetName = name // lowest-named sheet = sheet1.xml in practice
-        sheetBytes = zin.readAllBytes()
+      e.getName match {
+        case "xl/sharedStrings.xml" => sharedBytes = zin.readAllBytes()
+        case "xl/workbook.xml" => workbookBytes = zin.readAllBytes()
+        case "xl/_rels/workbook.xml.rels" => relsBytes = zin.readAllBytes()
+        case n if n.startsWith("xl/worksheets/") && n.endsWith(".xml") =>
+          sheets(n) = zin.readAllBytes()
+        case _ =>
       }
       e = zin.getNextEntry
     }
-    require(sheetBytes != null, "xlsx: no xl/worksheets/sheet*.xml part")
+    require(sheets.nonEmpty, "xlsx: no xl/worksheets/*.xml part")
+    // "First" sheet = first tab in WORKBOOK order (what pd.read_excel
+    // reads), resolved via workbook.xml's first <sheet r:id> and the
+    // rels part — part NAMES do not track tab order (deleting Sheet1
+    // in Excel can leave the only tab stored as sheet2.xml). Falls back
+    // to the lowest part name when either part is absent.
+    val sheetBytes = firstSheetPart(workbookBytes, relsBytes)
+      .flatMap(sheets.get)
+      .getOrElse(sheets(sheets.keys.toSeq.min))
     val shared =
       if (sharedBytes == null) IndexedSeq.empty[String]
       else parseSharedStrings(sharedBytes)
@@ -83,10 +98,48 @@ object Xlsx {
     val width = header.length
     val data = rows.tail.map { r =>
       if (r.length == width) r
-      else if (r.length > width) r.take(width)
-      else r ++ IndexedSeq.fill(width - r.length)(null: String)
+      else if (r.length > width) {
+        require(r.drop(width).forall(_ == null),
+          s"xlsx: row carries non-empty cells beyond the $width-column " +
+            "header (would be silently dropped)")
+        r.take(width)
+      } else r ++ IndexedSeq.fill(width - r.length)(null: String)
     }
     (header, data)
+  }
+
+  /** Resolve the first workbook tab to its worksheet part name:
+    * workbook.xml's first `<sheet>` carries an `r:id` that the rels part
+    * maps to a target like `worksheets/sheet2.xml`. None when either
+    * part is missing/unresolvable.
+    */
+  private def firstSheetPart(workbook: Array[Byte],
+      rels: Array[Byte]): Option[String] = {
+    if (workbook == null || rels == null) return None
+    var firstRid: String = null
+    var r = factory.createXMLStreamReader(new ByteArrayInputStream(workbook))
+    try {
+      while (firstRid == null && r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet")
+          firstRid = attr(r, "id") // r:id — matched on local name
+      }
+    } finally r.close()
+    if (firstRid == null) return None
+    var target: String = null
+    r = factory.createXMLStreamReader(new ByteArrayInputStream(rels))
+    try {
+      while (target == null && r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            attr(r, "Id") == firstRid)
+          target = attr(r, "Target")
+      }
+    } finally r.close()
+    Option(target).map { t =>
+      if (t.startsWith("/")) t.stripPrefix("/") // absolute part name
+      else "xl/" + t // relative to xl/
+    }
   }
 
   private val factory: XMLInputFactory = {
@@ -149,6 +202,7 @@ object Xlsx {
       var cellIdx = 0
       var cellType = ""
       var value: String = null
+      var skip = 0 // depth inside <rPh>/<phoneticPr> (ignored content)
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
@@ -160,7 +214,12 @@ object Xlsx {
                 cellType = Option(attr(r, "t")).getOrElse("")
                 value = null
               case "v" => value = r.getElementText
-              case "t" if row != null => value = r.getElementText // <is><t>
+              case "rPh" | "phoneticPr" => skip += 1
+              case "t" if row != null && skip == 0 =>
+                // <is> inline string: rich-text runs carry several <t>
+                // fragments — CONCATENATE (mirrors parseSharedStrings),
+                // don't overwrite.
+                value = (if (value == null) "" else value) + r.getElementText
               case _ =>
             }
           case XMLStreamConstants.END_ELEMENT =>
@@ -172,6 +231,7 @@ object Xlsx {
                 }
                 while (row.length < cellIdx) row += null
                 row += (if (v == null || v.isEmpty) null else v)
+              case "rPh" | "phoneticPr" => skip -= 1
               case "row" =>
                 rows += row.toIndexedSeq
                 row = null

@@ -552,9 +552,9 @@ object LlmPipeline {
     * magic-byte sniffing from graft.multimodal.Multimodal plus
     * byte-level features (length, header hex, content md5). Everything
     * is a codegen'd expression on the distributed binary column — the
-    * payload never reaches the driver. (The decode stage itself is the
-    * stubbed FakeCodec boundary, gated by MultimodalSpec — no codec
-    * libs in this container.)
+    * payload never reaches the driver. (Actual decode is REAL as of r6
+    * — Multimodal.Codec over the JDK's own javax.imageio /
+    * javax.sound.sampled, audited end-to-end by q64/q65.)
     */
   private val q39: Q = (s, dir) => {
     val payload =

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.multimodal.Multimodal.DecodedImage
 
-/** Multimodal binary-column plumbing (brief: decode is stubbed, the
-  * Spark-side schema/partitioning/batch-shape is real and tested).
+/** Multimodal binary-column plumbing: schema/partitioning/batch shape
+  * plus REAL image/audio decode through the JDK's own codecs
+  * (javax.imageio, javax.sound.sampled); only video bitstream decode
+  * remains an external-decoder boundary.
   */
 class MultimodalSpec extends SparkSuite {
 

@@ -211,8 +211,11 @@ class XlsxSpec extends SparkSuite {
       header <- Gen.listOfN(nCols, Gen.identifier.map(_.take(8)))
         .retryUntil(h => h.distinct.size == h.size)
       nRows <- Gen.chooseNum(0, 8)
-      rows <- Gen.listOfN(nRows, // ragged: rows may be short or long
-        Gen.chooseNum(0, nCols + 1).flatMap(Gen.listOfN(_, cell)))
+      rows <- Gen.listOfN(nRows, for { // ragged short rows + empty overflow
+        len <- Gen.chooseNum(0, nCols)
+        cells <- Gen.listOfN(len, cell)
+        overflow <- Gen.oneOf(true, false)
+      } yield if (overflow) cells :+ (E: Cell) else cells)
     } yield (header, rows)
     val params = Gen.Parameters.default
     (0 until 40).foreach { i =>
@@ -230,6 +233,62 @@ class XlsxSpec extends SparkSuite {
         assert(got === expected)
       }
     }
+  }
+
+  test("over-wide row with NON-empty overflow fails the file (no silent drop)") {
+    val rows = produitsRows.map(identity) :+
+      (Seq(S("PRO003"), S("X"), S("c"), N("1"), N("1"), S("d"),
+        S("surprise")): Seq[Cell]) // 7th NON-empty cell
+    val e = intercept[IllegalArgumentException](
+      Xlsx.parseWorkbook(xlsxBytes(rows)))
+    assert(e.getMessage.contains("beyond the 6-column header"))
+  }
+
+  test("inline rich-text runs concatenate; phonetic blocks are skipped") {
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write((s"""<worksheet xmlns="$ns"><sheetData>""" +
+      """<row><c t="inlineStr"><is><t>h</t></is></c></row>""" +
+      """<row><c t="inlineStr"><is><r><t>foo</t></r><r><t>bar</t></r>""" +
+      """<rPh sb="0" eb="6"><t>PHONETIC</t></rPh></is></c></row>""" +
+      """</sheetData></worksheet>""").getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    val (_, data) = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(data.head === Seq("foobar")) // not "bar", not "PHONETIC"
+  }
+
+  test("first sheet = first WORKBOOK tab, not lowest part name") {
+    // tab order says sheet2.xml is the (only) visible first tab —
+    // Excel leaves this layout behind when the original Sheet1 is
+    // deleted; pd.read_excel follows tab order and so must we.
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    def sheetXml(v: String) =
+      s"""<worksheet xmlns="$ns"><sheetData><row>""" +
+        s"""<c t="inlineStr"><is><t>$v</t></is></c>""" +
+        """</row><row><c><v>1</v></c></row></sheetData></worksheet>"""
+    put("xl/workbook.xml",
+      s"""<workbook xmlns="$ns" xmlns:r="$rns"><sheets>""" +
+        """<sheet name="Current" sheetId="2" r:id="rId7"/>""" +
+        """<sheet name="Old" sheetId="1" r:id="rId3"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId3" Type="t" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId7" Type="t" Target="worksheets/sheet2.xml"/>""" +
+        """</Relationships>""")
+    put("xl/worksheets/sheet1.xml", sheetXml("stale"))
+    put("xl/worksheets/sheet2.xml", sheetXml("current"))
+    z.close()
+    val (header, _) = Xlsx.parseWorkbook(bos.toByteArray)
+    assert(header === Seq("current"))
   }
 
   test("corrupt workbook → error status, not a crashed poll cycle") {
