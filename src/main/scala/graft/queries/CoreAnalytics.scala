@@ -403,6 +403,27 @@ object CoreAnalytics {
         expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
       .orderBy("l_returnflag")
 
+  /** q68: the SKETCH flank of q43 — approx_percentile with a bounded
+    * error budget (accuracy 10000 ⇒ rank error ≤ 1e-4·n). Exact
+    * `percentile` is a sort-based aggregate: correct, oracle-stable,
+    * and the right call when the group count is small — but at 100 TB
+    * the per-group sort is the bottleneck and the mergeable KLL-style
+    * sketch is the production path (fixed-size partials, one narrow
+    * shuffle). No DuckDB oracle BY DESIGN (sketches are
+    * engine-specific, the q47 precedent): the driver records rows-only
+    * and CoreAnalyticsSpec gates the values against the exact q43
+    * answers instead.
+    */
+  private val q68: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5D, 10000)").as("med_qty"),
+        expr("approx_percentile(l_quantity, 0.9D, 10000)").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
+          .as("med_price"))
+      .orderBy("l_returnflag")
+
   /** q44: correlated-aggregate filter (TPC-H Q17 shape) — orders more
     * than 1.5× their own customer's average. A correlated scalar
     * subquery decorrelates to exactly this agg+self-join; writing the
@@ -558,6 +579,7 @@ object CoreAnalytics {
     "q23_asof_prev_signup" -> q23,
     "q38_event_time_windows" -> q38,
     "q43_percentiles" -> q43,
+    "q68_approx_percentiles" -> q68,
     "q44_above_cust_avg" -> q44,
     "q45_setop_except" -> q45,
     "q51_sliding_windows" -> q51,

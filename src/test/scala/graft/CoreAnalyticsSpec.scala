@@ -19,6 +19,25 @@ class CoreAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q68 approx percentiles track the exact q43 answers") {
+    // The sketch flank must stay within its rank-error budget of the
+    // exact sort-based aggregate; at accuracy 10000 over sf0.001 the
+    // answers are near-identical — gate at 2% relative value error.
+    def byFlag(name: String) = CoreAnalytics.queries(name)(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag("q43_percentiles")
+    val approx = byFlag("q68_approx_percentiles")
+    assert(approx.keySet === exact.keySet)
+    for (k <- exact.keys) {
+      val (e1, e2, e3) = exact(k)
+      val (a1, a2, a3) = approx(k)
+      for ((e, a) <- Seq((e1, a1), (e2, a2), (e3, a3)))
+        assert(math.abs(a - e) <= 0.02 * math.abs(e),
+          s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("every oracle key matches a query key") {
     val qs = CoreAnalytics.queries.keySet
     assert(CoreAnalytics.oracles.keySet.subsetOf(qs))
