@@ -102,7 +102,8 @@ class PlanSpec extends SparkSuite {
     // q64/q65 synthesize payloads from doc_id alone; a pruning
     // regression that drags `text` (the wide column) through the
     // mapPartitions decode stage would 100×-scale the scan bytes.
-    for (q <- Seq("q64_image_decode", "q65_audio_decode")) {
+    for (q <- Seq("q64_image_decode", "q65_audio_decode",
+        "q66_image_resize")) {
       val ss = scans(q)
       assert(ss.nonEmpty, s"no documents scan in $q")
       for (cols <- ss.map(_.schema.fieldNames.toSet))
