@@ -52,6 +52,42 @@ object Xlsx {
       java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), schema)
   }
 
+  /** Scale path for MANY workbooks: xlsx caps a sheet at 2^20 rows, so
+    * volume arrives as file count, not file size — and file count is
+    * exactly what distributes. One task per file (`binaryFiles`), the
+    * whole parse executor-side; only the schema probe (header of the
+    * first file) runs on the driver. All files must share that header —
+    * a mismatched delivery fails the JOB (loud), it does not silently
+    * mis-map columns.
+    */
+  def readMany(spark: SparkSession, pattern: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val first = fs.globStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("~$"))
+      .map(_.getPath.toString).sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"xlsx: no workbooks match $pattern"))
+    val in = fs.open(new org.apache.hadoop.fs.Path(first))
+    val header =
+      try parseWorkbook(in.readAllBytes())._1
+      finally in.close()
+    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
+      StructField(if (h == null || h.isEmpty) s"_c$i" else h, StringType,
+        nullable = true)
+    })
+    val rows = spark.sparkContext.binaryFiles(pattern)
+      .filter { case (path, _) =>
+        !path.split('/').last.startsWith("~$") } // O2 lock artifacts
+      .flatMap { case (path, pds) =>
+        val (h, data) = parseWorkbook(pds.toArray())
+        require(h == header,
+          s"xlsx: $path header $h does not match first-file header $header")
+        data.map(r => Row.fromSeq(r))
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Parse workbook bytes → (header, data rows), all strings. Short data
     * rows pad with nulls; over-wide rows are accepted ONLY when the
     * overflow cells are empty (the reference's produits fixture ships a

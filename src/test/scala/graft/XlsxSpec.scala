@@ -291,6 +291,26 @@ class XlsxSpec extends SparkSuite {
     assert(header === Seq("current"))
   }
 
+  test("readMany: executor-side parse across files, header contract enforced") {
+    val dir = Files.createTempDirectory("xlsx-many").toString
+    for (i <- 1 to 3)
+      writeXlsx(dir, s"clients_batch$i.xlsx", clientsRows)
+    Files.write(java.nio.file.Paths.get(dir, "~$clients_batch1.xlsx"),
+      Array[Byte](9, 9)) // lock artifact skipped, not parsed
+    val df = Xlsx.readMany(spark, s"$dir/*.xlsx")
+    assert(df.columns.toSeq === Seq("client_id", "nom", "prenom", "email",
+      "telephone", "adresse"))
+    assert(df.count() === 9) // 3 files x 3 rows, all parsed on executors
+    assert(df.filter(df("client_id") === "CLI001").count() === 3)
+    // a delivery with a DIFFERENT header fails the job loudly
+    writeXlsx(dir, "clients_rogue.xlsx", Seq(
+      Seq(S("wrong"), S("header")), Seq(S("a"), S("b"))))
+    val e = intercept[org.apache.spark.SparkException](
+      Xlsx.readMany(spark, s"$dir/*.xlsx").count())
+    assert(e.getMessage.contains("does not match") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not match")))
+  }
+
   test("corrupt workbook → error status, not a crashed poll cycle") {
     val watch = Files.createTempDirectory("watch-bad").toString
     val wh = new Warehouse(spark,
