@@ -44,13 +44,17 @@ object Xlsx {
       try in.readAllBytes()
       finally in.close()
     val (header, rows) = parseWorkbook(bytes)
-    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*),
+      headerSchema(header))
+  }
+
+  /** One naming rule for both the single-file and many-file paths. */
+  private def headerSchema(header: IndexedSeq[String]): StructType =
+    StructType(header.zipWithIndex.map { case (h, i) =>
       StructField(if (h == null || h.isEmpty) s"_c$i" else h, StringType,
         nullable = true)
     })
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows.map(r => Row.fromSeq(r)): _*), schema)
-  }
 
   /** Scale path for MANY workbooks: xlsx caps a sheet at 2^20 rows, so
     * volume arrives as file count, not file size — and file count is
@@ -63,29 +67,37 @@ object Xlsx {
   def readMany(spark: SparkSession, pattern: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(pattern)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val first = fs.globStatus(p)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("~$"))
+    // Expand a bare directory argument (binaryFiles accepts both) and
+    // apply the SAME visibility rule Hadoop's FileInputFormat applies
+    // on the executor side — `_`/`.`-prefixed files are markers/hidden
+    // and are skipped by binaryFiles no matter what the driver lists,
+    // so the probe must agree or the two sides see different files.
+    def visible(name: String): Boolean =
+      !name.startsWith("~$") && !name.startsWith("_") &&
+        !name.startsWith(".")
+    val statuses = Option(fs.globStatus(p))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath)
+        else Array(st))
+    val first = statuses
+      .filter(st => st.isFile && visible(st.getPath.getName))
       .map(_.getPath.toString).sorted.headOption
       .getOrElse(throw new IllegalArgumentException(
         s"xlsx: no workbooks match $pattern"))
+    // Header-only probe: parse stops after the first sheet row.
     val in = fs.open(new org.apache.hadoop.fs.Path(first))
     val header =
-      try parseWorkbook(in.readAllBytes())._1
+      try parseWorkbook(in.readAllBytes(), maxDataRows = 0)._1
       finally in.close()
-    val schema = StructType(header.zipWithIndex.map { case (h, i) =>
-      StructField(if (h == null || h.isEmpty) s"_c$i" else h, StringType,
-        nullable = true)
-    })
     val rows = spark.sparkContext.binaryFiles(pattern)
-      .filter { case (path, _) =>
-        !path.split('/').last.startsWith("~$") } // O2 lock artifacts
+      .filter { case (path, _) => visible(path.split('/').last) }
       .flatMap { case (path, pds) =>
         val (h, data) = parseWorkbook(pds.toArray())
         require(h == header,
           s"xlsx: $path header $h does not match first-file header $header")
         data.map(r => Row.fromSeq(r))
       }
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows, headerSchema(header))
   }
 
   /** Parse workbook bytes → (header, data rows), all strings. Short data
@@ -97,8 +109,9 @@ object Xlsx {
     * reference's insert then rejects the batch; error status either
     * way).
     */
-  private[graft] def parseWorkbook(
-      bytes: Array[Byte]): (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
+  private[graft] def parseWorkbook(bytes: Array[Byte],
+      maxDataRows: Int = Int.MaxValue)
+      : (IndexedSeq[String], Seq[IndexedSeq[String]]) = {
     var sharedBytes: Array[Byte] = null
     var workbookBytes: Array[Byte] = null
     var relsBytes: Array[Byte] = null
@@ -128,7 +141,9 @@ object Xlsx {
     val shared =
       if (sharedBytes == null) IndexedSeq.empty[String]
       else parseSharedStrings(sharedBytes)
-    val rows = parseSheet(sheetBytes, shared)
+    val rows = parseSheet(sheetBytes, shared,
+      maxRows = if (maxDataRows == Int.MaxValue) Int.MaxValue
+        else maxDataRows + 1) // + the header row
     require(rows.nonEmpty, "xlsx: worksheet has no rows")
     val header = rows.head
     val width = header.length
@@ -229,8 +244,8 @@ object Xlsx {
     * serial-date coercion untouched). Sparse references leave nulls in
     * the gap; a missing `r` attribute means "next column".
     */
-  private def parseSheet(bytes: Array[Byte],
-      shared: IndexedSeq[String]): Seq[IndexedSeq[String]] = {
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+      maxRows: Int = Int.MaxValue): Seq[IndexedSeq[String]] = {
     val rows = ArrayBuffer[IndexedSeq[String]]()
     val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
     try {
@@ -239,7 +254,7 @@ object Xlsx {
       var cellType = ""
       var value: String = null
       var skip = 0 // depth inside <rPh>/<phoneticPr> (ignored content)
-      while (r.hasNext) {
+      while (rows.length < maxRows && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {

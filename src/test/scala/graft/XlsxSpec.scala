@@ -297,6 +297,10 @@ class XlsxSpec extends SparkSuite {
       writeXlsx(dir, s"clients_batch$i.xlsx", clientsRows)
     Files.write(java.nio.file.Paths.get(dir, "~$clients_batch1.xlsx"),
       Array[Byte](9, 9)) // lock artifact skipped, not parsed
+    // _-/.-prefixed files are hidden to Hadoop's executor-side listing;
+    // the driver probe applies the same rule (would otherwise become
+    // the header-probe file and then silently contribute no rows)
+    writeXlsx(dir, "_staging.xlsx", clientsRows)
     val df = Xlsx.readMany(spark, s"$dir/*.xlsx")
     assert(df.columns.toSeq === Seq("client_id", "nom", "prenom", "email",
       "telephone", "adresse"))
@@ -309,6 +313,11 @@ class XlsxSpec extends SparkSuite {
       Xlsx.readMany(spark, s"$dir/*.xlsx").count())
     assert(e.getMessage.contains("does not match") ||
       Option(e.getCause).exists(_.getMessage.contains("does not match")))
+    // a bare directory argument works too (no trailing glob needed)
+    val dir2 = Files.createTempDirectory("xlsx-dir").toString
+    writeXlsx(dir2, "clients_a.xlsx", clientsRows)
+    writeXlsx(dir2, "clients_b.xlsx", clientsRows)
+    assert(Xlsx.readMany(spark, dir2).count() === 6)
   }
 
   test("corrupt workbook → error status, not a crashed poll cycle") {
