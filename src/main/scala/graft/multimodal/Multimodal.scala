@@ -179,6 +179,23 @@ object Multimodal {
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Deflate-compressed size of a byte payload (level 6, raw stream,
+      * deterministic for a given JDK zlib) — the compression-ratio
+      * quality signal's kernel (q69). Counts bytes without keeping the
+      * compressed output.
+      */
+    def deflatedSize(raw: Array[Byte]): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total
+      } finally d.end()
+    }
+
     /** Encode 16-bit signed mono PCM as a canonical 44-byte-header WAV.
       * (Kept by hand rather than via AudioSystem.write so tests and
       * synthetic corpora control the exact container layout.)

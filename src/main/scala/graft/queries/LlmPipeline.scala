@@ -711,6 +711,35 @@ object LlmPipeline {
       .orderBy("media_id")
   }
 
+  /** q69: compression-ratio quality signal — deflate(text).size /
+    * text.size per document, the corpus-filtering heuristic for
+    * boilerplate/repetition (pathologically repetitive text compresses
+    * far below prose; random noise compresses above it). Pure JDK
+    * (java.util.zip.Deflater, level 6, raw stream), mapPartitions batch
+    * shape; only (doc_id, 2 ints, ratio) leaves the stage. NO DuckDB
+    * oracle by design (no SQL deflate — the q47/q68 sketch precedent):
+    * driver records rows-only; LlmPipelineSpec gates the signal's
+    * ordering properties (repetitive < prose < incompressible) and
+    * determinism instead. At 100 TB: embarrassingly parallel scan-side
+    * work; a production build pools one Deflater per task thread —
+    * per-row construction here keeps the example allocation-honest
+    * without a cleanup hook.
+    */
+  private val q69: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = if (text == null) Array.empty[Byte]
+          else text.getBytes("UTF-8")
+        val n = graft.multimodal.Multimodal.Codec.deflatedSize(raw)
+        (id, raw.length.toLong, n,
+          if (raw.length == 0) 1.0 else n.toDouble / raw.length)
+      })
+      .toDF("doc_id", "n_bytes", "n_deflated", "compression_ratio")
+      .orderBy("doc_id")
+  }
+
   /** q41: token counting two ways (brief: "whitespace + a BPE-ish
     * regex") — whitespace tokens and a GPT-2-style pretokenizer count
     * (contraction suffixes, space-prefixed letter/digit runs,
@@ -1189,7 +1218,8 @@ object LlmPipeline {
     "q64_image_decode" -> q64,
     "q65_audio_decode" -> q65,
     "q66_image_resize" -> q66,
-    "q67_frame_plan" -> q67)
+    "q67_frame_plan" -> q67,
+    "q69_compression_ratio" -> q69)
 
   // =====================================================================
   // DuckDB oracle SQL

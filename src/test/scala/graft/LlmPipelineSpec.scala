@@ -18,6 +18,31 @@ class LlmPipelineSpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q69 compression ratio: repetitive < prose < incompressible") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val docs = Seq(
+      (1L, "spam " * 400), // pathological repetition
+      (2L, "The quick brown fox jumps over the lazy dog. " * 40 +
+        "Some varied prose with different words appearing here."),
+      (3L, Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString))
+    val dir = java.nio.file.Files.createTempDirectory("q69").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = LlmPipeline.queries("q69_compression_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < 0.05, s"repetition should crush: ${out(1L)}")
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"ordering violated: $out")
+    assert(out(3L) > 0.7, s"random noise near-incompressible: ${out(3L)}")
+    // deterministic across runs (rows-only gate leans on this)
+    val again = LlmPipeline.queries("q69_compression_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again === out)
+  }
+
   test("q47 approx distinct: within 5% relative error of exact, per lang") {
     val approx = LlmPipeline.queries("q47_approx_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "documents")
