@@ -270,6 +270,48 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Incrementally-maintained (term, document-frequency) stats table —
+    * the side input of the lexical-search ranking (LlmPipeline q61),
+    * kept fresh AT INGEST instead of recomputed from the corpus per
+    * query. Each micro-batch counts each term's distinct documents
+    * WITHIN the batch and merges additively into the parquet stats
+    * table; the file source's exactly-once tracking means an appended
+    * document is counted in exactly one batch, so per-batch df values
+    * add. At 100 TB the merge is a tiny shuffle over the vocabulary
+    * (≪ corpus) — the full corpus tokenization never re-runs. The
+    * read-merge-overwrite is the same plain-parquet MERGE emulation as
+    * the warehouse control table; a transactional table format would
+    * make it a real MERGE INTO.
+    */
+  def maintainTermStats(docs: DataFrame, statsPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .queryName("term_stats")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchDf = batch
+          .select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+              .as("term"))
+          .distinct() // df counts documents, not occurrences
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val fs = new org.apache.hadoop.fs.Path(statsPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
+            spark.read.parquet(statsPath).unionByName(batchDf)
+              .groupBy("term").agg(sum(col("df")).as("df"))
+          else batchDf
+        val tmp = s"$statsPath.__tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(statsPath)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+      .start()
+
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",
       windowWidth: String = "1 hour"): DataFrame =

@@ -245,6 +245,45 @@ class StreamingSpec extends SparkSuite {
       closed.count(_._1 == 2L) <= 1) // user 2 at most its timeout close
   }
 
+  test("incremental (term, df) stats: two streamed batches equal one batch recompute") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("term-stats").toString + "/stats"
+    val ckpt = java.nio.file.Files.createTempDirectory("stats-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = {
+      val q = graft.streaming.Streams.maintainTermStats(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        statsPath, ckpt)
+      q.awaitTermination()
+    }
+    val batch1 = Seq((1L, "spark shuffle sort"), (2L, "spark spark join"))
+    val batch2 = Seq((3L, "sort merge JOIN"), (4L, "Spark"))
+    deliver("b1", batch1)
+    drain()
+    deliver("b2", batch2)
+    drain() // second AvailableNow pass sees only the new files
+    val got = spark.read.parquet(statsPath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch recompute over ALL docs: df = distinct docs containing term
+    val expected = (batch1 ++ batch2)
+      .flatMap { case (id, tx) =>
+        tx.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.map(_ -> id)
+      }
+      .groupBy(_._1).map { case (term, xs) => term -> xs.map(_._2).distinct.size.toLong }
+    assert(got === expected)
+    assert(got("spark") === 3L && got("join") === 2L && got("sort") === 2L)
+  }
+
   test("§2.3 event-time windows: streaming run over event files matches " +
     "the batch run of the same function (update-complete semantics)") {
     import spark.implicits._
