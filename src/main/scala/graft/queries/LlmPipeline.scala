@@ -740,6 +740,29 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q70: overlapping token-window emission — the sharding step between
+    * cleaning and sequence packing in a training-data pipeline: each
+    * document fans out to fixed-size token windows (40 tokens, stride
+    * 20 ⇒ 50% overlap) with a content hash per window (the join key for
+    * window-level dedup/packing). Tokenization runs ONCE behind the
+    * shared Generate barrier; the window fan-out is a second Generate
+    * over precomputed window indices — no per-window re-tokenization,
+    * no shuffle at all (scan-side fan-out; at 100 TB the only data
+    * movement is whatever consumes the windows).
+    */
+  private val q70: Q = (s, dir) =>
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          "sequence(0, cast(floor((size(toks) - 1) / 20) as int))"))
+          .as("win_id"))
+      .select(col("doc_id"), col("win_id").cast(LongType).as("win_id"),
+        expr("slice(toks, win_id * 20 + 1, 40)").as("w"))
+      .select(col("doc_id"), col("win_id"),
+        size(col("w")).cast(LongType).as("n_win_tokens"),
+        md5(concat_ws(" ", col("w"))).as("win_hash"))
+      .orderBy("doc_id", "win_id")
+
   /** q41: token counting two ways (brief: "whitespace + a BPE-ish
     * regex") — whitespace tokens and a GPT-2-style pretokenizer count
     * (contraction suffixes, space-prefixed letter/digit runs,
@@ -1219,7 +1242,8 @@ object LlmPipeline {
     "q65_audio_decode" -> q65,
     "q66_image_resize" -> q66,
     "q67_frame_plan" -> q67,
-    "q69_compression_ratio" -> q69)
+    "q69_compression_ratio" -> q69,
+    "q70_token_windows" -> q70)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1701,6 +1725,22 @@ object LlmPipeline {
         | CAST(250 * ((dur - 1) // 250 + 1) * ((dur - 1) // 250) // 2
         |  AS BIGINT) AS ts_sum
         |FROM m ORDER BY media_id""".stripMargin,
+    // q70: list_slice(l, a, b) is INCLUSIVE == Spark slice(l, a, b-a+1);
+    // window starts come from a constant-bounded series (max 100 tokens
+    // per doc across all SFs => at most 5 windows; bound 9 is safe).
+    "q70_token_windows" ->
+      s"""WITH t AS (
+         | SELECT doc_id, $dToks AS toks, len($dToks) AS n
+         | FROM documents WHERE len($dToks) >= 1)
+         |SELECT t.doc_id, CAST(s.i AS BIGINT) AS win_id,
+         | CAST(len(list_slice(t.toks, s.i * 20 + 1, s.i * 20 + 40))
+         |  AS BIGINT) AS n_win_tokens,
+         | md5(array_to_string(
+         |   list_slice(t.toks, s.i * 20 + 1, s.i * 20 + 40), ' '))
+         |  AS win_hash
+         |FROM t, generate_series(0, 9) s(i)
+         |WHERE s.i * 20 < t.n
+         |ORDER BY doc_id, win_id""".stripMargin,
     "q63_vocab_build" ->
       s"""WITH cnt AS (
          | SELECT term, COUNT(*) AS n
