@@ -96,6 +96,9 @@ class PlanSpec extends SparkSuite {
     // contain NO tokenization at all (r3 ran the corpus explode twice).
     assert(cnt(opt("q61_lexical_search")) === 0,
       "q61: tokenization must be checkpointed out of the final plan")
+    // q70 fans out to ~5 windows per document: an inlined tokenization
+    // would re-run the regex per window.
+    assert(cnt(opt("q70_token_windows")) === 1, "q70: toks only")
   }
 
   test("media decode audits scan doc_id only (text never reaches decode)") {
