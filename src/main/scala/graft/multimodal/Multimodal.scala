@@ -182,18 +182,25 @@ object Multimodal {
     /** Deflate-compressed size of a byte payload (level 6, raw stream,
       * deterministic for a given JDK zlib) — the compression-ratio
       * quality signal's kernel (q69). Counts bytes without keeping the
-      * compressed output.
+      * compressed output. The Deflater (native zlib state) and scratch
+      * buffer are pooled per thread — one Spark task = one thread, so
+      * the hot corpus scan pays reset(), not native init/teardown, per
+      * row.
       */
+    private val deflaterLocal =
+      new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+        override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+          (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
+      }
+
     def deflatedSize(raw: Array[Byte]): Long = {
-      val d = new java.util.zip.Deflater(6, true)
-      try {
-        d.setInput(raw)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total
-      } finally d.end()
+      val (d, buf) = deflaterLocal.get()
+      d.reset()
+      d.setInput(raw)
+      d.finish()
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
     }
 
     /** Encode 16-bit signed mono PCM as a canonical 44-byte-header WAV.

@@ -45,7 +45,7 @@ object LlmPipeline {
   // --- shared text primitives (Spark-SQL expression text) --------------
   // Word tokens of the lowercased text. Java and RE2 agree on \w+ over
   // ASCII corpora.
-  private val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+  private[graft] val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
 
   private val MinhashK = graft.functions.TextSignatures.MinhashK
   private val Bands = graft.functions.TextSignatures.Bands
@@ -721,9 +721,9 @@ object LlmPipeline {
     * driver records rows-only; LlmPipelineSpec gates the signal's
     * ordering properties (repetitive < prose < incompressible) and
     * determinism instead. At 100 TB: embarrassingly parallel scan-side
-    * work; a production build pools one Deflater per task thread —
-    * per-row construction here keeps the example allocation-honest
-    * without a cleanup hook.
+    * work; the Deflater and its scratch buffer are thread-pooled in the
+    * kernel (one task = one thread), so each row pays a reset, not a
+    * native init/teardown.
     */
   private val q69: Q = (s, dir) => {
     import s.implicits._
@@ -744,10 +744,14 @@ object LlmPipeline {
     * cleaning and sequence packing in a training-data pipeline: each
     * document fans out to fixed-size token windows (40 tokens, stride
     * 20 ⇒ 50% overlap) with a content hash per window (the join key for
-    * window-level dedup/packing). Tokenization runs ONCE behind the
-    * shared Generate barrier; the window fan-out is a second Generate
-    * over precomputed window indices — no per-window re-tokenization,
-    * no shuffle at all (scan-side fan-out; at 100 TB the only data
+    * window-level dedup/packing). A trailing window that would be a
+    * pure suffix-subset of its predecessor (every token already covered
+    * — any start past token 1 with ≤ 20 tokens left) is NOT emitted:
+    * it adds zero new coverage and would over-represent document tails
+    * in the packed shards. Tokenization runs ONCE behind the shared
+    * Generate barrier; the window fan-out is a second Generate over
+    * precomputed window indices — no per-window re-tokenization, no
+    * shuffle at all (scan-side fan-out; at 100 TB the only data
     * movement is whatever consumes the windows).
     */
   private val q70: Q = (s, dir) =>
@@ -756,6 +760,11 @@ object LlmPipeline {
         explode(expr(
           "sequence(0, cast(floor((size(toks) - 1) / 20) as int))"))
           .as("win_id"))
+      // keep a window iff it covers a token its predecessor did not:
+      // win k>0 ends at min(20k+40, n) and must exceed win k-1's end
+      // 20k+20 — i.e. n > 20k+20
+      .filter(col("win_id") === 0 ||
+        size(col("toks")) > col("win_id") * 20 + 20)
       .select(col("doc_id"), col("win_id").cast(LongType).as("win_id"),
         expr("slice(toks, win_id * 20 + 1, 40)").as("w"))
       .select(col("doc_id"), col("win_id"),
@@ -1739,7 +1748,7 @@ object LlmPipeline {
          |   list_slice(t.toks, s.i * 20 + 1, s.i * 20 + 40), ' '))
          |  AS win_hash
          |FROM t, generate_series(0, 9) s(i)
-         |WHERE s.i * 20 < t.n
+         |WHERE s.i * 20 < t.n AND (s.i = 0 OR t.n > s.i * 20 + 20)
          |ORDER BY doc_id, win_id""".stripMargin,
     "q63_vocab_build" ->
       s"""WITH cnt AS (

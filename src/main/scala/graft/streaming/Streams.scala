@@ -274,14 +274,26 @@ object Streams {
     * the side input of the lexical-search ranking (LlmPipeline q61),
     * kept fresh AT INGEST instead of recomputed from the corpus per
     * query. Each micro-batch counts each term's distinct documents
-    * WITHIN the batch and merges additively into the parquet stats
-    * table; the file source's exactly-once tracking means an appended
-    * document is counted in exactly one batch, so per-batch df values
-    * add. At 100 TB the merge is a tiny shuffle over the vocabulary
-    * (≪ corpus) — the full corpus tokenization never re-runs. The
-    * read-merge-overwrite is the same plain-parquet MERGE emulation as
-    * the warehouse control table; a transactional table format would
-    * make it a real MERGE INTO.
+    * WITHIN the batch and merges additively; the file source's
+    * exactly-once tracking means an appended document belongs to
+    * exactly one batch, so per-batch df values add. Tokenization is
+    * LlmPipeline.toksE — the SAME expression q61 ranks with, shared so
+    * the stats can never drift from their consumer.
+    *
+    * Durability contract (foreachBatch is at-least-once, and a plain
+    * overwrite would have a delete-then-rewrite crash window):
+    * each merge commits to a fresh `batch=<id>` subdirectory — the
+    * previous version is untouched until the new one has its _SUCCESS
+    * marker, and only then are older versions pruned. A REPLAYED batch
+    * id (restart before the streaming commit log recorded it) finds
+    * its own committed directory, or recomputes the merge from the
+    * still-present previous version — never a double count, never a
+    * reset. Readers take [[readTermStats]] = latest committed version.
+    * One maintaining query per statsPath (same single-writer contract
+    * as the warehouse control table).
+    *
+    * Scale: the merge shuffles only the vocabulary (≪ corpus), written
+    * with normal parallelism — no single-task coalesce.
     */
   def maintainTermStats(docs: DataFrame, statsPath: String,
       checkpointDir: String): StreamingQuery =
@@ -289,28 +301,62 @@ object Streams {
       .queryName("term_stats")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val batchDf = batch
-          .select(col("doc_id"),
-            explode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
-              .as("term"))
-          .distinct() // df counts documents, not occurrences
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val fs = new org.apache.hadoop.fs.Path(statsPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statsPath)))
-            spark.read.parquet(statsPath).unionByName(batchDf)
-              .groupBy("term").agg(sum(col("df")).as("df"))
-          else batchDf
-        val tmp = s"$statsPath.__tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(statsPath)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val root = new org.apache.hadoop.fs.Path(statsPath)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val target = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+        val committed = committedVersions(fs, root)
+        if (!committed.contains(batchId)) { // replayed & committed → skip
+          val batchDf = batch
+            .select(col("doc_id"),
+              explode(expr(graft.queries.LlmPipeline.toksE)).as("term"))
+            .distinct() // df counts documents, not occurrences
+            .groupBy("term").agg(count(lit(1)).as("df"))
+          // merge with the latest version committed BEFORE this batch —
+          // a replay of batch N must not merge into N's own output
+          val prev = committed.filter(_ < batchId).sorted.lastOption
+          val merged = prev match {
+            case Some(v) =>
+              spark.read
+                .parquet(new org.apache.hadoop.fs.Path(root, s"batch=$v")
+                  .toString)
+                .unionByName(batchDf)
+                .groupBy("term").agg(sum(col("df")).as("df"))
+            case None => batchDf
+          }
+          fs.delete(target, true) // partial leftovers from a crash
+          merged.write.parquet(target.toString) // _SUCCESS = commit
+          committedVersions(fs, root).filter(_ < batchId).foreach(v =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$v"),
+              true))
+        }
         ()
       }
       .start()
+
+  /** Latest committed (term, df) snapshot maintained by
+    * [[maintainTermStats]]; empty schema-less read errors are the
+    * caller's signal that no batch has committed yet.
+    */
+  def readTermStats(spark: SparkSession, statsPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val latest = committedVersions(fs, root).sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed term stats under $statsPath"))
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(root, s"batch=$latest").toString)
+  }
+
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
 
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",

@@ -245,7 +245,7 @@ class StreamingSpec extends SparkSuite {
       closed.count(_._1 == 2L) <= 1) // user 2 at most its timeout close
   }
 
-  test("incremental (term, df) stats: two streamed batches equal one batch recompute") {
+  test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
     val statsPath = java.nio.file.Files
@@ -259,21 +259,21 @@ class StreamingSpec extends SparkSuite {
     def deliver(name: String, rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").coalesce(1).write
         .mode("overwrite").parquet(s"$srcDir/$name")
-    def drain(): Unit = {
-      val q = graft.streaming.Streams.maintainTermStats(
+    def drain(checkpoint: String = ckpt): Unit =
+      graft.streaming.Streams.maintainTermStats(
         spark.readStream.schema(schema)
           .option("recursiveFileLookup", "true").parquet(srcDir),
-        statsPath, ckpt)
-      q.awaitTermination()
-    }
+        statsPath, checkpoint).awaitTermination()
+    def stats(): Map[String, Long] =
+      graft.streaming.Streams.readTermStats(spark, statsPath)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val batch1 = Seq((1L, "spark shuffle sort"), (2L, "spark spark join"))
     val batch2 = Seq((3L, "sort merge JOIN"), (4L, "Spark"))
     deliver("b1", batch1)
     drain()
     deliver("b2", batch2)
     drain() // second AvailableNow pass sees only the new files
-    val got = spark.read.parquet(statsPath)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = stats()
     // batch recompute over ALL docs: df = distinct docs containing term
     val expected = (batch1 ++ batch2)
       .flatMap { case (id, tx) =>
@@ -282,6 +282,14 @@ class StreamingSpec extends SparkSuite {
       .groupBy(_._1).map { case (term, xs) => term -> xs.map(_._2).distinct.size.toLong }
     assert(got === expected)
     assert(got("spark") === 3L && got("join") === 2L && got("sort") === 2L)
+    // at-least-once replay: wipe the checkpoint so the NEXT run replays
+    // the same files under an already-committed batch id — the merge
+    // must skip it (no double counting), not add it again
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(stats() === got, "replayed batch must not double-count")
   }
 
   test("§2.3 event-time windows: streaming run over event files matches " +
