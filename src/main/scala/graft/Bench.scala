@@ -47,7 +47,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Local-profiling convenience: SPARK_GRAFT_ONLY=q60,q61 restricts
+    // the run to a comma-separated prefix-match list. The driver never
+    // sets it, so contract runs always cover every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { n =>
       try exec(n) // warm this query (codegen + JIT + file footers)

@@ -72,6 +72,11 @@ object Xlsx {
     // on the executor side — `_`/`.`-prefixed files are markers/hidden
     // and are skipped by binaryFiles no matter what the driver lists,
     // so the probe must agree or the two sides see different files.
+    // Directory expansion is ONE LEVEL on both sides: FileInputFormat
+    // is non-recursive by default, and this probe mirrors that with a
+    // non-recursive listStatus — nested workbooks need an explicit glob
+    // down to the leaf level (a nested DIRECTORY inside a matched one
+    // fails the binaryFiles job loudly rather than being half-seen).
     def visible(name: String): Boolean =
       !name.startsWith("~$") && !name.startsWith("_") &&
         !name.startsWith(".")
@@ -278,6 +283,15 @@ object Xlsx {
               case "c" if row != null =>
                 val v = cellType match {
                   case "s" if value != null => shared(value.toInt)
+                  // booleans are stored as "1"/"0"; pandas surfaces
+                  // Python bools, whose string form is True/False —
+                  // match that so downstream coercion sees the same
+                  // tokens the reference's ingest would
+                  case "b" if value != null =>
+                    if (value.trim == "1") "True" else "False"
+                  // t="e" passes through the cached error text
+                  // ("#DIV/0!"), which is exactly what openpyxl's
+                  // data-only read hands pandas
                   case _ => value
                 }
                 while (row.length < cellIdx) row += null

@@ -185,7 +185,11 @@ object Multimodal {
       * compressed output. The Deflater (native zlib state) and scratch
       * buffer are pooled per thread — one Spark task = one thread, so
       * the hot corpus scan pays reset(), not native init/teardown, per
-      * row.
+      * row. The pooled Deflater is deliberately never end()ed: its
+      * native zlib state (~256 KiB) lives for the owning task thread's
+      * lifetime, bounded by the executor thread count — executors with
+      * fixed thread pools (the Spark default) make this a constant, not
+      * a leak.
       */
     private val deflaterLocal =
       new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {

@@ -1173,9 +1173,15 @@ object LlmPipeline {
         .localCheckpoint(true)
       (out, obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
     }
+    // The seed already folds in one edge relaxation (label₀ = min of
+    // self and direct neighbors): the seed action has to scan the edge
+    // list to enumerate nodes anyway, so the first hop rides that same
+    // groupBy for free and the loop starts one round further along.
     var (labels, prevSum) = checkpointed(
-      edges.select(col("src").as("doc_id"))
-        .distinct().withColumn("label", col("doc_id")), -1)
+      edges.select(col("src").as("doc_id"), col("dst").as("label"))
+        .unionByName(edges.select(col("src").as("doc_id"),
+          col("src").as("label")))
+        .groupBy("doc_id").agg(min(col("label")).as("label")), -1)
     val maxIter = 25
     var converged = false
     var i = 0
@@ -1194,6 +1200,8 @@ object LlmPipeline {
       converged = s2 == prevSum
       prevSum = s2
       i += 1
+      if (sys.env.contains("GRAFT_Q60_DEBUG"))
+        System.err.println(s"[q60] round $i sum=$s2 converged=$converged")
     }
     if (!converged)
       throw new IllegalStateException(
@@ -1735,20 +1743,26 @@ object LlmPipeline {
         |  AS BIGINT) AS ts_sum
         |FROM m ORDER BY media_id""".stripMargin,
     // q70: list_slice(l, a, b) is INCLUSIVE == Spark slice(l, a, b-a+1);
-    // window starts come from a constant-bounded series (max 100 tokens
-    // per doc across all SFs => at most 5 windows; bound 9 is safe).
+    // window starts come from the LIST form of generate_series (the
+    // table-function form can't take lateral column args), so the bound
+    // is derived per-document from len(toks) — no fixed document-length
+    // assumption baked into the oracle.
     "q70_token_windows" ->
       s"""WITH t AS (
          | SELECT doc_id, $dToks AS toks, len($dToks) AS n
-         | FROM documents WHERE len($dToks) >= 1)
-         |SELECT t.doc_id, CAST(s.i AS BIGINT) AS win_id,
-         | CAST(len(list_slice(t.toks, s.i * 20 + 1, s.i * 20 + 40))
+         | FROM documents WHERE len($dToks) >= 1),
+         |w AS (
+         | SELECT doc_id, toks, n,
+         |  unnest(generate_series(0, CAST((n - 1) // 20 AS BIGINT))) AS i
+         | FROM t)
+         |SELECT doc_id, CAST(i AS BIGINT) AS win_id,
+         | CAST(len(list_slice(toks, i * 20 + 1, i * 20 + 40))
          |  AS BIGINT) AS n_win_tokens,
          | md5(array_to_string(
-         |   list_slice(t.toks, s.i * 20 + 1, s.i * 20 + 40), ' '))
+         |   list_slice(toks, i * 20 + 1, i * 20 + 40), ' '))
          |  AS win_hash
-         |FROM t, generate_series(0, 9) s(i)
-         |WHERE s.i * 20 < t.n AND (s.i = 0 OR t.n > s.i * 20 + 20)
+         |FROM w
+         |WHERE i = 0 OR n > i * 20 + 20
          |ORDER BY doc_id, win_id""".stripMargin,
     "q63_vocab_build" ->
       s"""WITH cnt AS (

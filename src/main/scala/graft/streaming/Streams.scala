@@ -327,7 +327,10 @@ object Streams {
           }
           fs.delete(target, true) // partial leftovers from a crash
           merged.write.parquet(target.toString) // _SUCCESS = commit
-          committedVersions(fs, root).filter(_ < batchId).foreach(v =>
+          // retain the immediately-previous committed version: a reader
+          // that resolved it as latest just before this commit can still
+          // finish its scan (single-writer, but readers are concurrent)
+          committedVersions(fs, root).filter(_ < batchId - 1).foreach(v =>
             fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$v"),
               true))
         }
