@@ -754,7 +754,7 @@ object LlmPipeline {
     * shuffle at all (scan-side fan-out; at 100 TB the only data
     * movement is whatever consumes the windows).
     */
-  private val q70: Q = (s, dir) =>
+  private def tokenWindows(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .select(col("doc_id"), col("toks"),
         explode(expr(
@@ -770,7 +770,9 @@ object LlmPipeline {
       .select(col("doc_id"), col("win_id"),
         size(col("w")).cast(LongType).as("n_win_tokens"),
         md5(concat_ws(" ", col("w"))).as("win_hash"))
-      .orderBy("doc_id", "win_id")
+
+  private val q70: Q = (s, dir) =>
+    tokenWindows(s, dir).orderBy("doc_id", "win_id")
 
   /** q41: token counting two ways (brief: "whitespace + a BPE-ish
     * regex") — whitespace tokens and a GPT-2-style pretokenizer count
@@ -1218,6 +1220,174 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q71: BPE merge-pair counting — the inner statistic of tokenizer
+    * training (the most frequent adjacent pair is the next merge rule):
+    * frequency of every adjacent token pair, top 50 with a total-order
+    * tiebreak. One Generate over positions of the shared tokenization
+    * frame (the pair is two O(1) array reads — no re-tokenization), a
+    * (pair, count) hash agg with map-side combine, then
+    * TakeOrderedAndProject — per-partition heaps, never a full sort.
+    * At 100 TB the pair domain is bounded by vocab², so the agg output
+    * is tiny regardless of corpus size; the agg is the only shuffle.
+    */
+  private val q71: Q = (s, dir) =>
+    tokenized(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("toks"),
+        explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+      .select(concat_ws(" ", expr("element_at(toks, i)"),
+        expr("element_at(toks, i + 1)")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+
+  /** q72: URL canonicalization + dedup — the crawl-frontier dedup of a
+    * web-scale pipeline: raw URLs differ in scheme/host case, tracking
+    * params, trailing slashes, and fragments while naming the same
+    * resource. URLs are synthesized deterministically from doc_id (the
+    * corpus ships none — q55's synthesize-then-operate pattern) with
+    * those four kinds of mess injected by doc_id residues, then
+    * canonicalized by per-row regex (fragment strip → scheme+host
+    * lowercase → tracking-param drop → pre-query slash strip) and
+    * grouped: n_docs and n_raw_variants per canonical URL. All per-row
+    * work at the scan plus ONE hash agg on the canonical key — the
+    * canonical URL is the natural at-rest bucket key for a frontier.
+    */
+  private val q72: Q = (s, dir) => {
+    // one shared page key (doc_id % 50) for path AND id param: distinct
+    // doc_ids DO collide on the canonical form (that's the point of a
+    // frontier dedup), while the %2/%3/%5/%7 residues inject four
+    // independent kinds of surface mess into the raw form
+    val docs = t(s, dir, "documents")
+      .withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0,
+          upper(concat(col("source"), lit(".example.com"))))
+          .otherwise(concat(col("source"), lit(".example.com"))),
+        lit("/page/"), (col("doc_id") % 50).cast(StringType),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 1, "?utm_source=feed&id=")
+          .otherwise("?id="),
+        (col("doc_id") % 50).cast(StringType),
+        when(col("doc_id") % 7 === 0, "#sec").otherwise("")))
+    docs
+      .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("u2", concat(
+        lower(regexp_extract(col("u1"), "^([^/]+//[^/]+)", 1)),
+        regexp_extract(col("u1"), "^[^/]+//[^/]+(.*)$", 1)))
+      .withColumn("u3", regexp_replace(col("u2"), "utm_[^&]*&", ""))
+      .withColumn("canon_url", regexp_replace(col("u3"), "/\\?", "?"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy("canon_url")
+  }
+
+  /** q73: sequence packing — q70's overlapping windows concatenated
+    * shard-by-shard and chopped into fixed-capacity 512-token training
+    * sequences: each window is assigned the sequence (bin) its START
+    * offset falls in, from a running token count. The running sum is
+    * PARTITIONED by shard (64-doc doc_id ranges — the at-rest layout of
+    * a packed corpus), so at 100 TB this is thousands of independent
+    * range-partition windows, never one global sort; shard count grows
+    * with the corpus while per-shard state stays constant.
+    */
+  private val q73: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "win_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tokenWindows(s, dir)
+      .withColumn("shard", floor(col("doc_id") / 64))
+      .withColumn("off", sum(col("n_win_tokens")).over(w)
+        - col("n_win_tokens"))
+      .select(col("shard"), col("doc_id"), col("win_id"),
+        col("n_win_tokens"),
+        floor(col("off") / 512).as("bin_id"),
+        (col("off") % 512).as("bin_offset"))
+      .orderBy("shard", "doc_id", "win_id")
+  }
+
+  /** q74: corpus mix re-weighting — the data-mixing step of pretraining:
+    * per-language actual share vs a uniform target mix, and the
+    * importance weight (target/actual) a sampler would apply to hit the
+    * target at unchanged corpus size. Two tiny aggs + a broadcast of the
+    * one-row totals frame; weights are int-exact products under IEEE
+    * division so they hash-match cross-engine.
+    */
+  private val q74: Q = (s, dir) => {
+    val perLang = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = perLang.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .as("actual_share"),
+        (col("n_total").cast(DoubleType)
+          / (col("n_langs") * col("n_docs")).cast(DoubleType)).as("weight"))
+      .orderBy("lang")
+  }
+
+  /** q75: n-gram novelty — per document, the fraction of its distinct
+    * 3-token shingles already present in any EARLIER document (doc_id
+    * order = ingest order): the incremental-dedup / memorization-risk
+    * signal that tells a pipeline how much of a new batch is genuinely
+    * new text. Shingle sets are the native `shingle_hashes` kernel (one
+    * scan, no re-tokenization); first-seen resolution is a window MIN
+    * over the gram hash — ONE shuffle on the content key and no
+    * self-join, so the corpus is scanned exactly once. At 100 TB the
+    * gram-hash shuffle is the same content-bucketed movement every
+    * dedup query here rides; the doc-level re-agg is narrow.
+    */
+  private val q75: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)", "shd")
+      .select(col("doc_id"), explode(col("shd")).as("h"))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        (col("n_seen").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("seen_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q76: inverted-index construction — posting lists for the 20
+    * highest-document-frequency terms: df plus the first 50 doc_ids
+    * (ascending) as a preview string. The per-term doc list is bounded
+    * BEFORE collection by a row_number window (≤ 50 rows of state per
+    * term, not the full posting list — "the" at 100 TB would otherwise
+    * collect billions of ids into one agg buffer); the window and the
+    * agg shuffle on the same key so Catalyst plans one exchange. A full
+    * index build would write every (term, doc) pair partitioned by term
+    * — this query is the bounded interactive view of it.
+    */
+  private val q76: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(expr(toksE)))
+        .as("term"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      // numeric sort BEFORE stringification ("10" < "2" lexically);
+      // the transform HOF is interpreted but runs over ≤ 50-element
+      // arrays of the final 20 rows only
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("rn") <= 50, col("doc_id"))))
+          .as("parr"))
+      .select(col("term"), col("df"),
+        expr("array_join(transform(parr, x -> cast(x as string)), ',')")
+          .as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1260,7 +1430,13 @@ object LlmPipeline {
     "q66_image_resize" -> q66,
     "q67_frame_plan" -> q67,
     "q69_compression_ratio" -> q69,
-    "q70_token_windows" -> q70)
+    "q70_token_windows" -> q70,
+    "q71_bpe_merge_pairs" -> q71,
+    "q72_url_canonical" -> q72,
+    "q73_sequence_packing" -> q73,
+    "q74_mix_weights" -> q74,
+    "q75_ngram_novelty" -> q75,
+    "q76_posting_lists" -> q76)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1821,6 +1997,99 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*) AS sample_frac
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q71_bpe_merge_pairs" ->
+      s"""WITH t AS (
+         | SELECT $dToks AS toks FROM documents WHERE len($dToks) >= 2),
+         |p AS (
+         | SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1]))) AS pair
+         | FROM t)
+         |SELECT pair, COUNT(*) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "q72_url_canonical" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |  || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |    THEN upper(source || '.example.com')
+        |    ELSE source || '.example.com' END)
+        |  || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed&id='
+        |      ELSE '?id=' END)
+        |  || CAST(doc_id % 50 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        | FROM documents),
+        |c1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u1 FROM u),
+        |c2 AS (SELECT url,
+        |  lower(regexp_extract(u1, '^([^/]+//[^/]+)', 1))
+        |   || regexp_extract(u1, '^[^/]+//[^/]+(.*)$', 1) AS u2 FROM c1),
+        |c3 AS (SELECT url,
+        |  regexp_replace(u2, 'utm_[^&]*&', '') AS u3 FROM c2),
+        |c4 AS (SELECT url,
+        |  regexp_replace(u3, '/\?', '?') AS canon_url FROM c3)
+        |SELECT canon_url, COUNT(*) AS n_docs,
+        | CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM c4 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+    "q73_sequence_packing" ->
+      s"""WITH t AS (
+         | SELECT doc_id, $dToks AS toks, len($dToks) AS n
+         | FROM documents WHERE len($dToks) >= 1),
+         |w AS (
+         | SELECT doc_id, toks, n,
+         |  unnest(generate_series(0, CAST((n - 1) // 20 AS BIGINT))) AS i
+         | FROM t),
+         |f AS (
+         | SELECT doc_id, CAST(i AS BIGINT) AS win_id,
+         |  CAST(len(list_slice(toks, i * 20 + 1, i * 20 + 40)) AS BIGINT)
+         |   AS n_win_tokens
+         | FROM w WHERE i = 0 OR n > i * 20 + 20),
+         |o AS (
+         | SELECT doc_id // 64 AS shard, doc_id, win_id, n_win_tokens,
+         |  CAST(SUM(n_win_tokens) OVER (PARTITION BY doc_id // 64
+         |    ORDER BY doc_id, win_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |   - n_win_tokens AS off
+         | FROM f)
+         |SELECT CAST(shard AS BIGINT) AS shard, doc_id, win_id,
+         | n_win_tokens, off // 512 AS bin_id, off % 512 AS bin_offset
+         |FROM o ORDER BY shard, doc_id, win_id""".stripMargin,
+    "q74_mix_weights" ->
+      """WITH per AS (
+        | SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |tot AS (
+        | SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        |  COUNT(*) AS n_langs FROM per)
+        |SELECT lang, n_docs,
+        | CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS actual_share,
+        | CAST(n_total AS DOUBLE) / CAST(n_langs * n_docs AS DOUBLE)
+        |  AS weight
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "q75_ngram_novelty" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $dToks AS toks FROM documents),
+         |shg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM base WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shg),
+         |hs AS (SELECT DISTINCT doc_id, $dShingleHash AS h FROM ex),
+         |w AS (SELECT doc_id, h,
+         |  MIN(doc_id) OVER (PARTITION BY h) AS first_doc FROM hs)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         | CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_seen,
+         | CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+         |  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS seen_frac
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q76_posting_lists" ->
+      s"""WITH p AS (
+         | SELECT DISTINCT doc_id, term FROM (
+         |  SELECT doc_id, unnest($dToks) AS term FROM documents))
+         |SELECT term, COUNT(*) AS df,
+         | array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',')
+         |  AS postings
+         |FROM p GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "q37_lang_id_confusion" -> {
       val scoreCols = trigramProfiles.map { case (l, gs) =>
         s"CAST(len(regexp_extract_all(lower(text), '${gs.mkString("|")}')) AS BIGINT) AS score_$l"

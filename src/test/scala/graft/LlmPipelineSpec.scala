@@ -163,6 +163,42 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q73 packing: offsets in [0,512), bins contiguous from 0 per " +
+    "shard, window set identical to q70") {
+    val rows = LlmPipeline.queries("q73_sequence_packing")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("bin_offset")
+      assert(off >= 0 && off < 512, s"offset $off outside bin capacity")
+    }
+    // every shard's bins are 0..max with no gaps (chop never skips a
+    // sequence), and packing neither invents nor drops windows
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin_id")).distinct.sorted
+      assert(bins === (0L to bins.max), s"shard $sh bins not contiguous")
+    }
+    val q70n = LlmPipeline.queries("q70_token_windows")(spark, sf).count()
+    assert(rows.length.toLong === q70n, "packing changed the window set")
+  }
+
+  test("q72 canonicalization: variants collapse (fewer canonical urls " +
+    "than docs), every canonical url is clean") {
+    val rows = LlmPipeline.queries("q72_url_canonical")(spark, sf)
+      .collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(rows.length < nDocs, "no URL collisions — synthesis broken?")
+    assert(rows.exists(_.getAs[Long]("n_raw_variants") > 1),
+      "canonicalization never merged distinct raw forms")
+    rows.map(_.getAs[String]("canon_url")).foreach { u =>
+      assert(u.startsWith("https://"), s"scheme not normalized: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains("/?"),
+        s"mess survived canonicalization: $u")
+      assert(u == u.toLowerCase, s"case survived: $u")
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)

@@ -20,7 +20,7 @@ class PlanSpec extends SparkSuite {
   test("top-k queries lower to TakeOrderedAndProject, never a full sort") {
     for (q <- Seq("q03_topk_customers", "q24_cosine_topk",
         "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search",
-        "q61_lexical_search")) {
+        "q61_lexical_search", "q71_bpe_merge_pairs", "q76_posting_lists")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q lost its top-k lowering")
     }
@@ -99,6 +99,25 @@ class PlanSpec extends SparkSuite {
     // q70 fans out to ~5 windows per document: an inlined tokenization
     // would re-run the regex per window.
     assert(cnt(opt("q70_token_windows")) === 1, "q70: toks only")
+    // q71 reads the array twice per pair row (element_at ×2) and q73
+    // fans out like q70 — both must keep the single Generate barrier.
+    assert(cnt(opt("q71_bpe_merge_pairs")) === 1, "q71: toks only")
+    assert(cnt(opt("q73_sequence_packing")) === 1, "q73: toks only")
+    // q76's tokenization is a single explode argument — one evaluation.
+    assert(cnt(opt("q76_posting_lists")) === 1, "q76: toks only")
+  }
+
+  test("q75 novelty resolves first-seen with a window, not a self-join") {
+    // The window-MIN form scans and shingles the corpus ONCE; a
+    // groupBy+join rewrite would re-run the shingle kernel (and the
+    // corpus scan) a second time.
+    def opt(name: String): String =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
+    def cnt(s: String, pat: String): Int = pat.r.findAllIn(s).length
+    assert(cnt(opt("q75_ngram_novelty"), "shingle_hashes") === 1,
+      "q75 must shingle the corpus exactly once")
+    assert(!plan("q75_ngram_novelty").contains("Join"),
+      "q75 grew a self-join")
   }
 
   test("media decode audits scan doc_id only (text never reaches decode)") {
