@@ -553,6 +553,68 @@ object CoreAnalytics {
     """)
   }
 
+  /** q77: distribution windows — ntile quartile, percent_rank, and
+    * cume_dist of every customer's balance within its nation: the
+    * percentile-band segmentation a dashboard drilldown runs. One
+    * shuffle on the partition key; rank ratios are int/int IEEE exact.
+    * The window order carries the unique c_custkey tiebreak — balance
+    * ties would otherwise make ntile nondeterministic.
+    */
+  private val q77: Q = (s, dir) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast(LongType)
+        .as("c_nationkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  /** q78: running totals — cumulative daily revenue per order priority
+    * (the burn-up chart every ops dashboard draws). Daily totals first
+    * (partial+final hash agg), then a cumulative window PARTITIONED by
+    * priority — the frame never grows with corpus size beyond the date
+    * domain, and decimal addition keeps the running sum order-exact.
+    */
+  private val q78: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("day_total"))
+      .withColumn("running_total",
+        sum(col("day_total")).over(w).cast(DoubleType))
+      .select(col("o_orderpriority"), col("d"),
+        col("day_total").cast(DoubleType).as("day_total"),
+        col("running_total"))
+      .orderBy("o_orderpriority", "d")
+  }
+
+  /** q79: month-over-month deltas — lag() over the monthly sales series
+    * (q04's output shape): absolute and relative change per month. The
+    * lag window is a single partition, but over the POST-AGGREGATE
+    * frame whose row count is the month domain (~80 rows at any corpus
+    * size) — bounded driver-independent state, not a scale hazard.
+    */
+  private val q79: Q = (s, dir) => {
+    val w = Window.orderBy(col("yr"), col("mo"))
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .select(col("yr"), col("mo"), col("t").cast(DoubleType).as("total"),
+        col("prev").cast(DoubleType).as("prev_total"),
+        (col("t") - col("prev")).cast(DoubleType).as("delta"),
+        ((col("t") - col("prev")).cast(DoubleType)
+          / col("prev").cast(DoubleType)).as("mom_change"))
+      .orderBy("yr", "mo")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -580,6 +642,9 @@ object CoreAnalytics {
     "q38_event_time_windows" -> q38,
     "q43_percentiles" -> q43,
     "q68_approx_percentiles" -> q68,
+    "q77_balance_quartiles" -> q77,
+    "q78_running_totals" -> q78,
+    "q79_mom_deltas" -> q79,
     "q44_above_cust_avg" -> q44,
     "q45_setop_except" -> q45,
     "q51_sliding_windows" -> q51,
@@ -592,6 +657,41 @@ object CoreAnalytics {
   // =====================================================================
 
   val oracles: Map[String, String] = Map(
+    "q77_balance_quartiles" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | c_acctbal,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q78_running_totals" ->
+      """WITH d AS (
+        | SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, d,
+        | CAST(day_total AS DOUBLE) AS day_total,
+        | CAST(SUM(day_total) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |  AS running_total
+        |FROM d ORDER BY o_orderpriority, d""".stripMargin,
+    "q79_mom_deltas" ->
+      """WITH m AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        | FROM orders GROUP BY 1, 2),
+        |l AS (
+        | SELECT yr, mo, t, lag(t, 1) OVER (ORDER BY yr, mo) AS prev
+        | FROM m)
+        |SELECT yr, mo, CAST(t AS DOUBLE) AS total,
+        | CAST(prev AS DOUBLE) AS prev_total,
+        | CAST(t - prev AS DOUBLE) AS delta,
+        | CAST(t - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_change
+        |FROM l ORDER BY yr, mo""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

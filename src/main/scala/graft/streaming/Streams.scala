@@ -200,6 +200,25 @@ object Streams {
       .drop("r_user_id")
   }
 
+  /** Stream-static dimension enrichment — the streaming form of the
+    * fact⋈dim star join the reference's FK indexes exist for
+    * (init-db/init.sql:58-59): every micro-batch of the fact stream
+    * joins the static dimension snapshot. The dimension side is
+    * stateless (re-planned per batch, so a refreshed dim path is picked
+    * up on restart) and explicitly broadcast — per-batch join work is
+    * map-side only, no shuffle of the stream and NO streaming state at
+    * all (unlike a stream-stream join there is nothing to buffer).
+    * Inner by default; left_outer keeps unmatched facts (the streaming
+    * analog of the O10 orphan check routing them onward with null dim
+    * columns instead of failing the batch).
+    */
+  def enrichStream(facts: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"enrichStream: unsupported join type $joinType")
+    facts.join(broadcast(dim), Seq(key), joinType)
+  }
+
   /** Event-time tumbling-window aggregation with a watermark (SURVEY.md
     * §2.3 streaming commitment). Pure: in a streaming query the watermark
     * bounds state and admits late data up to `watermarkDelay`; in a batch

@@ -131,6 +131,47 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
   }
 
+  test("stream-static enrichment: micro-batched facts join the dim " +
+    "snapshot; left_outer keeps orphans; streaming == batch") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-enrich")
+    def facts(ps: (Long, Long, Double)*) = ps.toSeq
+      .toDF("order_id", "cust_id", "amount")
+    facts((1L, 10L, 5.0), (2L, 11L, 7.0))
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    facts((3L, 12L, 9.0)) // cust 12 missing from the dim → orphan
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    val dim = Seq((10L, "BUILDING"), (11L, "AUTO"))
+      .toDF("cust_id", "segment")
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+    val q = Streams.enrichStream(stream, dim, "cust_id", "left_outer")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out")
+      .select("order_id", "segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(1L -> Some("BUILDING"), 2L -> Some("AUTO"),
+      3L -> None))
+    // the same pure function over the batch read gives the same rows
+    val batch = Streams.enrichStream(
+      spark.read.parquet(s"$srcDir/*.parquet"), dim, "cust_id",
+      "left_outer")
+      .select("order_id", "segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(batch === got)
+    intercept[IllegalArgumentException] {
+      Streams.enrichStream(stream, dim, "cust_id", "full_outer")
+    }
+  }
+
   test("streaming content dedup: formatting variants of one document " +
     "collapse across micro-batches; short docs keep distinct keys") {
     import spark.implicits._
