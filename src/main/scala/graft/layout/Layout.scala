@@ -67,4 +67,53 @@ object Layout {
       explode(array((0 until salts).map(s => lit(s)): _*)))
     l.join(r, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * micro-batch ingest needs: the poll/stream sinks (O8) append one
+    * file per batch, and a year of 5-minute polls turns a partition
+    * into ~10⁵ KB-sized files whose per-file open/footer/split costs
+    * dominate every downstream scan. Rewrites one leaf table (or
+    * partition) directory into ≈ totalBytes/targetFileBytes files and
+    * swaps it in ATOMICALLY at the directory level: write to a `.tmp`
+    * sibling, rename away the old dir, rename the new one in — a
+    * reader lists the old or the new layout, never a mix. Single
+    * maintenance writer assumed (same contract as the metadata upsert,
+    * Warehouse.scala); concurrent READERS are safe either side of the
+    * swap. Already-compact directories (file count would not shrink)
+    * are left untouched — a no-op rewrite would only churn file mtimes
+    * and invalidate scan caches. Uses coalesce, not repartition: a
+    * merge of co-located splits with NO shuffle — compaction cost is
+    * one read+write of the partition, which is the floor.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(path).toSeq.filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val before = dataFiles.size
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (want >= before) return (before, before) // already compact
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact.old")
+    fs.delete(tmp, true) // leftovers from a crashed prior run
+    fs.delete(old, true)
+    spark.read.parquet(dir).coalesce(want)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val after = fs.listStatus(tmp).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    // two renames: the only non-atomic window is "dir absent", which a
+    // retrying reader tolerates; a half-written MIX is never visible
+    require(fs.rename(path, old), s"compact: could not retire $dir")
+    require(fs.rename(tmp, path), s"compact: could not install $tmp")
+    fs.delete(old, true)
+    (before, after)
+  }
 }

@@ -118,4 +118,32 @@ class LayoutSpec extends SparkSuite {
     val b = salted.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     assert(a === b && a.length === 1000)
   }
+
+  test("compaction merges a micro-batched directory, preserves rows, " +
+    "and no-ops when already compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact")
+      .resolve("t").toString
+    // 12 one-row micro-batch appends = 12 tiny files
+    for (i <- 1 to 12)
+      Seq((i.toLong, s"row$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles.toSeq
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dataFiles.size === 12)
+    val (before, after) = Layout.compact(spark, dir, 1L << 20)
+    assert(before === 12 && after === 1, s"($before, $after)")
+    assert(dataFiles.size === 1)
+    // swap is complete: no tmp/old siblings left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(!parent.exists(_.contains("compact.")), parent.toSeq)
+    // content identical
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === (1 to 12).map(i => (i.toLong, s"row$i")))
+    // second pass: already compact → untouched (same file name survives)
+    val fileBefore = dataFiles
+    assert(Layout.compact(spark, dir, 1L << 20) === ((1, 1)))
+    assert(dataFiles === fileBefore)
+  }
 }
