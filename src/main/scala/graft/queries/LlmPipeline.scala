@@ -108,11 +108,19 @@ object LlmPipeline {
     */
   private def minhashed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.register(s)
+    minhashedOf(t(s, dir, "documents"))
+  }
+
+  /** [[minhashed]] over an arbitrary (doc_id, text, …) frame — the
+    * pipeline-composition entry (q80 runs it over quality+exact-dedup
+    * survivors, not the raw corpus). Caller must have registered the
+    * kernel functions on the session.
+    */
+  private def minhashedOf(docs: DataFrame): DataFrame = {
     val perBand = MinhashK / Bands
     // kernelBarrier keeps the kernel at exactly one evaluation per doc;
     // null sig = < 3 tokens ⇒ no shingles ⇒ no row (as the explode form).
-    val sigs = kernelBarrier(t(s, dir, "documents"), "minhash_sig(text)",
-      "sig")
+    val sigs = kernelBarrier(docs, "minhash_sig(text)", "sig")
     val bandKeys = (0 until Bands).map { b =>
       concat_ws("|", lit(b) +: (0 until perBand).map(j =>
         element_at(col("sig"), perBand * b + j + 1)): _*)
@@ -320,8 +328,14 @@ object LlmPipeline {
     * (clustering).
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Functions.register(s)
+    minhashPairsOf(t(s, dir, "documents"))
+  }
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text, …) frame. */
+  private def minhashPairsOf(docs: DataFrame): DataFrame = {
     def side(tag: String): DataFrame =
-      minhashed(s, dir)
+      minhashedOf(docs)
         .select(col("doc_id").as(s"doc_$tag"), col("sig").as(s"sig_$tag"),
           col("bk"))
     side("a").join(side("b"), "bk")
@@ -1149,7 +1163,25 @@ object LlmPipeline {
     * half-merged clustering.
     */
   private val q60: Q = (s, dir) => {
-    val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").persist()
+    val labels = connectedComponents(
+      minhashPairs(s, dir).select("doc_a", "doc_b"))
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_keeper"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected pair list (doc_a, doc_b)
+    * → (doc_id, label) for every endpoint, label = component-min
+    * doc_id. The iterative min-label propagation documented on q60;
+    * shared with the q80 end-to-end pipeline. The returned frame is
+    * eagerly materialized (localCheckpoint) — callers can reference it
+    * any number of times without re-running the loop.
+    */
+  private def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -1207,17 +1239,12 @@ object LlmPipeline {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"q60 label propagation did not converge in $maxIter rounds")
+        s"label propagation did not converge in $maxIter rounds")
     // The result depends only on `labels` (already materialized by the
     // convergence counts); the pair/edge inputs can release their cache.
     pairs.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    val sizes = labels.groupBy("label")
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_keeper"),
-        col("cluster_size"))
-      .orderBy("doc_id")
+    labels
   }
 
   /** q71: BPE merge-pair counting — the inner statistic of tokenizer
@@ -1388,6 +1415,54 @@ object LlmPipeline {
       .limit(20)
   }
 
+  /** q80: the END-TO-END curation pipeline — the composition a user of
+    * this library actually runs, wired from the operators the previous
+    * queries verify in isolation: Gopher-style quality gate (q54's
+    * rules) → exact content dedup keepers (q27's hash, min-doc_id
+    * winner via a window over the content hash) → near-dup keepers
+    * (q28's banded minhash pairs among the SURVIVORS, q60's connected
+    * components; a doc survives if it is untouched by any pair or is
+    * its component's min). Output: the curated corpus membership.
+    * Stage order matters and mirrors production: quality first (cheap
+    * per-row, biggest cut), exact dedup second (one hash agg), banded
+    * near-dup last (the only shuffle-join, now over the smallest set).
+    * The survivor frame is eagerly materialized once and referenced by
+    * both the pair join and the final output — the corpus is scanned
+    * once, not once per stage consumer.
+    */
+  private val q80: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val passed = tokenized(s, dir, "text", "n_chars")
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("mean_tok_len",
+        expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
+          "(a, x) -> a + x) as double)")
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("alpha_ratio",
+        expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
+          / col("n_tokens").cast(DoubleType))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType))
+      .filter(col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
+        col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&
+        col("distinct_ratio") >= 0.3 && col("alpha_ratio") >= 0.9)
+    val exact = passed
+      .withColumn("h",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("keeper", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "n_chars")
+      .localCheckpoint(true)
+    val labels = connectedComponents(
+      minhashPairsOf(exact).select("doc_a", "doc_b"))
+    exact.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1436,7 +1511,8 @@ object LlmPipeline {
     "q73_sequence_packing" -> q73,
     "q74_mix_weights" -> q74,
     "q75_ngram_novelty" -> q75,
-    "q76_posting_lists" -> q76)
+    "q76_posting_lists" -> q76,
+    "q80_pipeline_e2e" -> q80)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1458,11 +1534,14 @@ object LlmPipeline {
 
   /** Shared CTE chain: documents → shingles → minhash signatures →
     * banded LSH candidates → scored pairs (`scored`: doc_a, doc_b,
-    * n_match). Used by the q28 (pairs) and q60 (clusters) oracles.
+    * n_match). Used by the q28 (pairs) and q60 (clusters) oracles;
+    * [[minhashCtesFrom]] runs the same chain over any (doc_id, text)
+    * CTE (q80 runs it over pipeline survivors).
     */
-  private lazy val minhashCtes: String =
+  private lazy val minhashCtes: String = minhashCtesFrom("documents")
+  private def minhashCtesFrom(src: String): String =
     s"""base AS (
-       | SELECT doc_id, $dToks AS toks FROM documents
+       | SELECT doc_id, $dToks AS toks FROM $src
        |), shg AS (
        | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
        |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
@@ -1997,6 +2076,51 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*) AS sample_frac
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    // q80: the stage expressions are copied verbatim from the q54
+    // (quality), q27 (content hash), and q60 (components) oracles so
+    // the composed result can only diverge if the COMPOSITION itself
+    // diverges.
+    "q80_pipeline_e2e" ->
+      s"""WITH RECURSIVE base0 AS (
+         | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),
+         |m AS (
+         | SELECT doc_id, text, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_transform(toks, x -> length(x)),
+         |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    AS mean_tok_len,
+         |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+         |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+         | FROM base0 WHERE len(toks) >= 1),
+         |q AS (
+         | SELECT doc_id, text, n_chars FROM m
+         | WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
+         |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9),
+         |hkeep AS (
+         | SELECT doc_id, text, n_chars, MIN(doc_id) OVER (PARTITION BY
+         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |  AS keeper
+         | FROM q),
+         |survivors AS (
+         | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
+         |${minhashCtesFrom("survivors")},
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+         |       UNION SELECT doc_b, doc_a FROM mpairs),
+         |reach AS (
+         | SELECT src, dst FROM e2
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |comp AS (
+         | SELECT src AS doc_id, least(src, MIN(dst)) AS label
+         | FROM reach GROUP BY src)
+         |SELECT s.doc_id, s.n_chars
+         |FROM survivors s LEFT JOIN comp c ON s.doc_id = c.doc_id
+         |WHERE c.label IS NULL OR c.label = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
     "q71_bpe_merge_pairs" ->
       s"""WITH t AS (
          | SELECT $dToks AS toks FROM documents WHERE len($dToks) >= 2),
