@@ -1299,16 +1299,25 @@ object LlmPipeline {
         (col("doc_id") % 50).cast(StringType),
         when(col("doc_id") % 7 === 0, "#sec").otherwise("")))
     docs
-      .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
-      .withColumn("u2", concat(
-        lower(regexp_extract(col("u1"), "^([^/]+//[^/]+)", 1)),
-        regexp_extract(col("u1"), "^[^/]+//[^/]+(.*)$", 1)))
-      .withColumn("u3", regexp_replace(col("u2"), "utm_[^&]*&", ""))
-      .withColumn("canon_url", regexp_replace(col("u3"), "/\\?", "?"))
+      .withColumn("canon_url", canonicalUrl(col("url")))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url")).as("n_raw_variants"))
       .orderBy("canon_url")
+  }
+
+  /** q72's canonicalization chain as a reusable column expression:
+    * fragment strip → scheme+host lowercase → tracking-param drop →
+    * pre-query slash strip. Idempotent (PropertySpec law) — safe to
+    * re-apply at every pipeline stage that touches a URL.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u1 = regexp_replace(url, "#.*$", "")
+    val u2 = concat(
+      lower(regexp_extract(u1, "^([^/]+//[^/]+)", 1)),
+      regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1))
+    val u3 = regexp_replace(u2, "utm_[^&]*&", "")
+    regexp_replace(u3, "/\\?", "?")
   }
 
   /** q73: sequence packing — q70's overlapping windows concatenated

@@ -107,6 +107,20 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q76_posting_lists")) === 1, "q76: toks only")
   }
 
+  test("q80 pipeline: heavy stages are checkpointed out of the final plan") {
+    // The survivor frame (tokenization + quality rules + content hash)
+    // and the component labels are both eagerly materialized; the final
+    // keeper join must re-read those RDDs, not re-run the corpus scan —
+    // the optimized plan may contain NO tokenization and NO signature
+    // kernel.
+    val opt = SparkEntry.queries("q80_pipeline_e2e")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("regexp_extract_all"),
+      "q80 re-tokenizes past the checkpoint")
+    assert(!opt.contains("minhash_sig"),
+      "q80 re-runs the signature kernel past the checkpoint")
+  }
+
   test("q75 novelty resolves first-seen with a window, not a self-join") {
     // The window-MIN form scans and shingles the corpus ONCE; a
     // groupBy+join rewrite would re-run the shingle kernel (and the

@@ -117,4 +117,33 @@ class PropertySpec extends SparkSuite {
       assert(ids === (1L to n.toLong), s"non-contiguous serials for $rows")
     }
   }
+
+  test("canonicalization law: canonicalUrl is idempotent and mess-free " +
+    "for any generated raw URL") {
+    import spark.implicits._
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("https", "HTTPS", "Https")
+      host <- Gen.oneOf("news.example.com", "NEWS.EXAMPLE.COM",
+        "Blog.Example.Com")
+      page <- Gen.choose(0, 30)
+      slash <- Gen.oneOf("", "/")
+      utm <- Gen.oneOf("", "utm_source=feed&", "utm_campaign=x&")
+      frag <- Gen.oneOf("", "#sec", "#a1")
+    } yield s"$scheme://$host/page/$page$slash?${utm}id=$page$frag"
+    val urls = samples(urlGen, 60, 9000L).distinct
+    val out = urls.toDF("url")
+      .select(col("url"),
+        graft.queries.LlmPipeline.canonicalUrl(col("url")).as("c1"))
+      .withColumn("c2",
+        graft.queries.LlmPipeline.canonicalUrl(col("c1")))
+      .collect()
+    out.foreach { r =>
+      val (raw, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 === c2, s"not idempotent: $raw -> $c1 -> $c2")
+      assert(!c1.contains("#") && !c1.contains("utm_") &&
+        !c1.contains("/?"), s"mess survived: $raw -> $c1")
+      assert(c1.takeWhile(_ != '/') === c1.takeWhile(_ != '/').toLowerCase,
+        s"scheme case survived: $c1")
+    }
+  }
 }
