@@ -52,6 +52,7 @@ object Bench {
     // sets it, so contract runs always cover every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank var = unset, never "run nothing"
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -79,7 +79,14 @@ object Layout {
     * reader lists the old or the new layout, never a mix. Single
     * maintenance writer assumed (same contract as the metadata upsert,
     * Warehouse.scala); concurrent READERS are safe either side of the
-    * swap. Already-compact directories (file count would not shrink)
+    * swap. An APPENDER racing the rewrite is detected by re-listing the
+    * input after the rewrite and aborting the swap (no-op return; the
+    * next maintenance cycle retries) — schedule compaction on closed
+    * partitions (yesterday's date partition) to avoid churning; the
+    * residual re-list→rename window is what the single-writer contract
+    * covers. A crash between the two swap renames is repaired on the
+    * next invocation (the retired copy is restored before anything
+    * destructive runs). Already-compact directories (file count would not shrink)
     * are left untouched — a no-op rewrite would only churn file mtimes
     * and invalidate scan caches. Uses coalesce, not repartition: a
     * merge of co-located splits with NO shuffle — compaction cost is
@@ -90,27 +97,58 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val path0 = new org.apache.hadoop.fs.Path(dir)
+    val fs = path0.getFileSystem(spark.sessionState.newHadoopConf())
+    // resolve through the fs so tmp/old are SIBLINGS even when the
+    // caller passes a trailing slash or relative path — string-suffix
+    // concatenation would nest them inside the directory being swapped
+    val path = fs.makeQualified(path0)
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + ".compact.old")
+    // crash recovery BEFORE anything destructive: a death between the
+    // two swap renames leaves the data only in `.compact.old` — restore
+    // it; never delete `.compact.old` while it is the sole copy (a
+    // blind entry-time delete would destroy the table exactly when a
+    // crashed prior run needs it back).
+    if (fs.exists(old) && !fs.exists(path))
+      require(fs.rename(old, path), s"compact: could not restore $old")
+    fs.delete(tmp, true) // a half-written rewrite is always discardable
+    def listNames(): Set[String] = fs.listStatus(path).toSeq.filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
     val dataFiles = fs.listStatus(path).toSeq.filter(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
+    val names0 = dataFiles.map(_.getPath.getName).toSet
     val before = dataFiles.size
     val totalBytes = dataFiles.map(_.getLen).sum
     val want = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (want >= before) return (before, before) // already compact
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact.tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + ".compact.old")
-    fs.delete(tmp, true) // leftovers from a crashed prior run
-    fs.delete(old, true)
-    spark.read.parquet(dir).coalesce(want)
+    if (want >= before) { // already compact
+      fs.delete(old, true) // table intact ⇒ leftover .old is garbage
+      return (before, before)
+    }
+    // mergeSchema: an appender that evolved the schema must not have
+    // new columns silently dropped by a footer-sampled narrow schema
+    spark.read.option("mergeSchema", "true").parquet(path.toString)
+      .coalesce(want)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // abort if an appender raced the rewrite: files added after the
+    // input listing are NOT in tmp, and the swap would destroy them.
+    // Compaction is a retryable maintenance pass — losing rows is not.
+    if (listNames() != names0) {
+      fs.delete(tmp, true)
+      return (before, before)
+    }
     val after = fs.listStatus(tmp).count(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
-    // two renames: the only non-atomic window is "dir absent", which a
-    // retrying reader tolerates; a half-written MIX is never visible
+    // two renames: the only non-atomic window is "dir absent" (repaired
+    // by the entry-time restore above on the next run); a half-written
+    // MIX is never visible
+    fs.delete(old, true) // table intact here ⇒ any .old is garbage
     require(fs.rename(path, old), s"compact: could not retire $dir")
     require(fs.rename(tmp, path), s"compact: could not install $tmp")
     fs.delete(old, true)

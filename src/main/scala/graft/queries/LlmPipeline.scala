@@ -95,6 +95,35 @@ object LlmPipeline {
         explode(array(expr(toksE))).as("toks"): _*)
       .filter(size(col("toks")) >= 1)
 
+  /** Content address of a document: md5 of the whitespace/case-
+    * normalized text — q27's dedup key, shared by q80 so the pipeline's
+    * exact-dedup stage cannot drift from the operator it composes.
+    */
+  private def contentHash(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Gopher-style quality metrics over a [[tokenized]] frame, and the
+    * pass predicate over them — ONE definition shared by q54
+    * (reporting) and q80 (filtering): a threshold tweak reaches both or
+    * neither.
+    */
+  private def gopherMetrics(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(col("toks")).cast(LongType))
+    .withColumn("mean_tok_len",
+      expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
+        "(a, x) -> a + x) as double)")
+        / col("n_tokens").cast(DoubleType))
+    .withColumn("alpha_ratio",
+      expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
+        / col("n_tokens").cast(DoubleType))
+    .withColumn("distinct_ratio",
+      size(array_distinct(col("toks"))).cast(DoubleType)
+        / col("n_tokens").cast(DoubleType))
+  private def gopherPass: Column =
+    col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
+      col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&
+      col("distinct_ratio") >= 0.3 && col("alpha_ratio") >= 0.9
+
   /** doc_id + minhash signature (array of 16 longs) + one row per LSH
     * band key. The signature is the native per-row `minhash_sig` kernel
     * (graft.functions.MinhashSig): scan → signature with NO Generate and
@@ -307,7 +336,7 @@ object LlmPipeline {
   private val q27: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .withColumn("content_hash",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+        contentHash(col("text")))
       .select("doc_id", "content_hash")
     d.unionByName(d)
       .groupBy("content_hash")
@@ -943,22 +972,8 @@ object LlmPipeline {
     * exactly representable literals — cross-engine exact.
     */
   private val q54: Q = (s, dir) =>
-    tokenized(s, dir)
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("mean_tok_len",
-        expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
-          "(a, x) -> a + x) as double)")
-          / col("n_tokens").cast(DoubleType))
-      .withColumn("alpha_ratio",
-        expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
-          / col("n_tokens").cast(DoubleType))
-      .withColumn("distinct_ratio",
-        size(array_distinct(col("toks"))).cast(DoubleType)
-          / col("n_tokens").cast(DoubleType))
-      .withColumn("passes",
-        col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
-          col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&
-          col("distinct_ratio") >= 0.3 && col("alpha_ratio") >= 0.9)
+    gopherMetrics(tokenized(s, dir))
+      .withColumn("passes", gopherPass)
       .select("doc_id", "n_tokens", "mean_tok_len", "alpha_ratio",
         "distinct_ratio", "passes")
       .orderBy("doc_id")
@@ -1308,16 +1323,28 @@ object LlmPipeline {
 
   /** q72's canonicalization chain as a reusable column expression:
     * fragment strip → scheme+host lowercase → tracking-param drop →
-    * pre-query slash strip. Idempotent (PropertySpec law) — safe to
-    * re-apply at every pipeline stage that touches a URL.
+    * trailing-slash strip. The query string is handled SEPARATELY from
+    * the path (utm params anywhere — first, middle, last, repeated, or
+    * the only param — are dropped without ever touching a path segment
+    * that happens to contain "utm_"; an emptied query loses its "?").
+    * Idempotent (PropertySpec law) — safe to re-apply at every pipeline
+    * stage that touches a URL.
     */
   def canonicalUrl(url: Column): Column = {
     val u1 = regexp_replace(url, "#.*$", "")
     val u2 = concat(
       lower(regexp_extract(u1, "^([^/]+//[^/]+)", 1)),
       regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1))
-    val u3 = regexp_replace(u2, "utm_[^&]*&", "")
-    regexp_replace(u3, "/\\?", "?")
+    // split at the first '?': params are matched against a '&' sentinel
+    // so every utm param needs exactly one pattern regardless of
+    // position ("&utm_x" after prepending '&' to the query string)
+    val path = regexp_extract(u2, "^([^?]*)", 1)
+    val qs = regexp_extract(u2, "\\?(.*)$", 1)
+    val cleaned = regexp_replace(
+      regexp_replace(concat(lit("&"), qs), "&utm_[^&]*", ""), "^&", "")
+    concat(
+      regexp_replace(path, "/$", ""),
+      when(cleaned === "", "").otherwise(concat(lit("?"), cleaned)))
   }
 
   /** q73: sequence packing — q70's overlapping windows concatenated
@@ -1335,12 +1362,15 @@ object LlmPipeline {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     tokenWindows(s, dir)
-      .withColumn("shard", floor(col("doc_id") / 64))
+      // `div` = exact integer division: floor(x / 64) goes through a
+      // DOUBLE and diverges from the oracle's `//` above 2^53 (64-bit
+      // hash-derived doc ids are plausible at production scale)
+      .withColumn("shard", expr("doc_id div 64"))
       .withColumn("off", sum(col("n_win_tokens")).over(w)
         - col("n_win_tokens"))
       .select(col("shard"), col("doc_id"), col("win_id"),
         col("n_win_tokens"),
-        floor(col("off") / 512).as("bin_id"),
+        expr("off div 512").as("bin_id"),
         (col("off") % 512).as("bin_offset"))
       .orderBy("shard", "doc_id", "win_id")
   }
@@ -1442,24 +1472,10 @@ object LlmPipeline {
   private val q80: Q = (s, dir) => {
     graft.functions.Functions.register(s)
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val passed = tokenized(s, dir, "text", "n_chars")
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("mean_tok_len",
-        expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
-          "(a, x) -> a + x) as double)")
-          / col("n_tokens").cast(DoubleType))
-      .withColumn("alpha_ratio",
-        expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
-          / col("n_tokens").cast(DoubleType))
-      .withColumn("distinct_ratio",
-        size(array_distinct(col("toks"))).cast(DoubleType)
-          / col("n_tokens").cast(DoubleType))
-      .filter(col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
-        col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&
-        col("distinct_ratio") >= 0.3 && col("alpha_ratio") >= 0.9)
+    val passed = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
+      .filter(gopherPass)
     val exact = passed
-      .withColumn("h",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("h", contentHash(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text", "n_chars")
@@ -2159,9 +2175,15 @@ object LlmPipeline {
         |  lower(regexp_extract(u1, '^([^/]+//[^/]+)', 1))
         |   || regexp_extract(u1, '^[^/]+//[^/]+(.*)$', 1) AS u2 FROM c1),
         |c3 AS (SELECT url,
-        |  regexp_replace(u2, 'utm_[^&]*&', '') AS u3 FROM c2),
+        |  regexp_extract(u2, '^([^?]*)', 1) AS path,
+        |  regexp_replace(regexp_replace(
+        |    '&' || regexp_extract(u2, '\?(.*)$', 1),
+        |    '&utm_[^&]*', '', 'g'), '^&', '') AS cleaned
+        | FROM c2),
         |c4 AS (SELECT url,
-        |  regexp_replace(u3, '/\?', '?') AS canon_url FROM c3)
+        |  regexp_replace(path, '/$', '')
+        |   || (CASE WHEN cleaned = '' THEN ''
+        |       ELSE '?' || cleaned END) AS canon_url FROM c3)
         |SELECT canon_url, COUNT(*) AS n_docs,
         | CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
         |FROM c4 GROUP BY canon_url ORDER BY canon_url""".stripMargin,

@@ -146,4 +146,27 @@ class LayoutSpec extends SparkSuite {
     assert(Layout.compact(spark, dir, 1L << 20) === ((1, 1)))
     assert(dataFiles === fileBefore)
   }
+
+  test("compaction recovers a crash between the swap renames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-crash")
+      .resolve("t").toString
+    for (i <- 1 to 4)
+      Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    // simulate a death after rename(dir -> .compact.old): the table
+    // exists ONLY as the retired copy
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact.old")
+    assert(f.renameTo(old))
+    assert(!f.exists && old.exists)
+    // next maintenance invocation restores it BEFORE doing anything
+    // destructive, then compacts normally
+    val (before, after) = Layout.compact(spark, dir, 1L << 20)
+    assert(before === 4 && after === 1, s"($before, $after)")
+    assert(!old.exists)
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === (1 to 4).map(i => (i.toLong, s"r$i")))
+  }
 }

@@ -121,16 +121,23 @@ class PropertySpec extends SparkSuite {
   test("canonicalization law: canonicalUrl is idempotent and mess-free " +
     "for any generated raw URL") {
     import spark.implicits._
+    // utm params in EVERY position: absent, first, last, repeated, the
+    // only param — plus a path segment containing "utm_" that must
+    // survive untouched
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("https", "HTTPS", "Https")
       host <- Gen.oneOf("news.example.com", "NEWS.EXAMPLE.COM",
         "Blog.Example.Com")
+      seg <- Gen.oneOf("page", "utm_page")
       page <- Gen.choose(0, 30)
       slash <- Gen.oneOf("", "/")
-      utm <- Gen.oneOf("", "utm_source=feed&", "utm_campaign=x&")
+      qs <- Gen.oneOf("", "?id=%d", "?utm_source=feed&id=%d",
+        "?id=%d&utm_source=feed", "?utm_only=1",
+        "?utm_a=1&utm_b=2&id=%d", "?id=%d&utm_a=1&utm_b=2")
       frag <- Gen.oneOf("", "#sec", "#a1")
-    } yield s"$scheme://$host/page/$page$slash?${utm}id=$page$frag"
-    val urls = samples(urlGen, 60, 9000L).distinct
+    } yield s"$scheme://$host/$seg/$page$slash" +
+      qs.replace("%d", page.toString) + frag
+    val urls = samples(urlGen, 80, 9000L).distinct
     val out = urls.toDF("url")
       .select(col("url"),
         graft.queries.LlmPipeline.canonicalUrl(col("url")).as("c1"))
@@ -140,10 +147,24 @@ class PropertySpec extends SparkSuite {
     out.foreach { r =>
       val (raw, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
       assert(c1 === c2, s"not idempotent: $raw -> $c1 -> $c2")
-      assert(!c1.contains("#") && !c1.contains("utm_") &&
-        !c1.contains("/?"), s"mess survived: $raw -> $c1")
+      assert(!c1.contains("#") && !c1.contains("?utm_") &&
+        !c1.contains("&utm_") && !c1.contains("/?"),
+        s"mess survived: $raw -> $c1")
       assert(c1.takeWhile(_ != '/') === c1.takeWhile(_ != '/').toLowerCase,
         s"scheme case survived: $c1")
+      if (raw.contains("/utm_page/"))
+        assert(c1.contains("/utm_page/"), s"path mangled: $raw -> $c1")
     }
+    // position-independence: the same resource canonicalizes identically
+    // wherever the tracking param sits
+    val variants = Seq(
+      "https://a.example.com/p/1?utm_source=feed&id=1",
+      "https://a.example.com/p/1?id=1&utm_source=feed",
+      "https://a.example.com/p/1?utm_a=x&id=1&utm_b=y",
+      "HTTPS://A.EXAMPLE.COM/p/1/?id=1#frag")
+    val canons = variants.toDF("url")
+      .select(graft.queries.LlmPipeline.canonicalUrl(col("url")))
+      .collect().map(_.getString(0)).distinct
+    assert(canons.toSeq === Seq("https://a.example.com/p/1?id=1"), canons)
   }
 }
