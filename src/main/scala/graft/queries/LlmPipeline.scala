@@ -96,10 +96,11 @@ object LlmPipeline {
       .filter(size(col("toks")) >= 1)
 
   /** Content address of a document: md5 of the whitespace/case-
-    * normalized text — q27's dedup key, shared by q80 so the pipeline's
-    * exact-dedup stage cannot drift from the operator it composes.
+    * normalized text — q27's dedup key, shared by q80 (pipeline) and
+    * ingest.DedupStore (cross-run) so no dedup stage can drift from the
+    * operator it composes.
     */
-  private def contentHash(c: Column): Column =
+  private[graft] def contentHash(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
   /** Gopher-style quality metrics over a [[tokenized]] frame, and the

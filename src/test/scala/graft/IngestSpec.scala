@@ -31,6 +31,34 @@ class IngestSpec extends SparkSuite {
   private def writeFile(dir: String, name: String, content: String): Unit =
     Files.writeString(java.nio.file.Paths.get(dir, name), content)
 
+  test("cross-run content dedup: new batches drop everything ever seen, " +
+    "formatting variants included; unrecorded batches re-deliver") {
+    import spark.implicits._
+    val store = tmpDir("dedupstore") + "/hashes"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // batch 1: three docs, one internal re-delivery (same content)
+    val b1 = batch((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA  beta"))
+    val n1 = graft.ingest.DedupStore.newUnique(b1, "text", "doc_id", store)
+    assert(n1.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L)) // 3 is a formatting variant of 1 → min-id keeper
+    // crash before recordHashes: the SAME batch re-delivers in full
+    val again = graft.ingest.DedupStore.newUnique(b1, "text", "doc_id",
+      store)
+    assert(again.count() === 2)
+    graft.ingest.DedupStore.recordHashes(n1, "text", store)
+    // batch 2: one overlap with run 1 (different doc_id, same content),
+    // one genuinely new
+    val b2 = batch((9L, "gamma"), (10L, "delta epsilon"))
+    val n2 = graft.ingest.DedupStore.newUnique(b2, "text", "doc_id", store)
+    assert(n2.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(10L))
+    graft.ingest.DedupStore.recordHashes(n2, "text", store)
+    // batch 3: everything already seen → empty
+    val b3 = batch((20L, "ALPHA BETA"), (21L, "delta  epsilon"))
+    assert(graft.ingest.DedupStore
+      .newUnique(b3, "text", "doc_id", store).count() === 0)
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
