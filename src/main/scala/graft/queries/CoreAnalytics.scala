@@ -615,6 +615,27 @@ object CoreAnalytics {
       .orderBy("yr", "mo")
   }
 
+  /** q82: FULL OUTER join — the reconciliation shape (every key from
+    * BOTH sides, nulls where absent) that completes the join-type
+    * surface: per-nation customer counts vs supplier counts, including
+    * nations with only one side present. Two tiny aggs then a full
+    * outer on the group key; at scale both sides are already reduced
+    * before the join, so the shuffle moves group rows, not facts.
+    */
+  private val q82: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast(LongType).as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = t(s, dir, "supplier")
+      .groupBy(col("s_nationkey").cast(LongType).as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -645,6 +666,7 @@ object CoreAnalytics {
     "q77_balance_quartiles" -> q77,
     "q78_running_totals" -> q78,
     "q79_mom_deltas" -> q79,
+    "q82_full_outer_recon" -> q82,
     "q44_above_cust_avg" -> q44,
     "q45_setop_except" -> q45,
     "q51_sliding_windows" -> q51,
@@ -657,6 +679,18 @@ object CoreAnalytics {
   // =====================================================================
 
   val oracles: Map[String, String] = Map(
+    "q82_full_outer_recon" ->
+      """WITH c AS (
+        | SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |  COUNT(*) AS n_customers FROM customer GROUP BY 1),
+        |s AS (
+        | SELECT CAST(s_nationkey AS BIGINT) AS nk,
+        |  COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        | COALESCE(n_customers, 0) AS n_customers,
+        | COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
     "q77_balance_quartiles" ->
       """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
         | c_acctbal,

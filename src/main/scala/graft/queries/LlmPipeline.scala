@@ -1489,6 +1489,24 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q81: document-length histogram — corpus token counts in power-of-2
+    * buckets (the length-distribution report that drives packing
+    * capacity and truncation policy). The bucket is computed INTEGER-
+    * exactly as bit-length − 1 (= floor(log2 n)): floating log2 is
+    * libm-dependent and would not hash-match across engines. One
+    * narrow hash agg over per-row arithmetic.
+    */
+  private val q81: Q = (s, dir) =>
+    tokenized(s, dir)
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n"))
+      .withColumn("bucket",
+        (length(bin(col("n"))) - 1).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy("bucket")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1538,7 +1556,8 @@ object LlmPipeline {
     "q74_mix_weights" -> q74,
     "q75_ngram_novelty" -> q75,
     "q76_posting_lists" -> q76,
-    "q80_pipeline_e2e" -> q80)
+    "q80_pipeline_e2e" -> q80,
+    "q81_length_histogram" -> q81)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2102,6 +2121,16 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*) AS sample_frac
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q81_length_histogram" ->
+      s"""WITH t AS (
+         | SELECT doc_id, len($dToks) AS n FROM documents
+         | WHERE len($dToks) >= 1)
+         |SELECT CAST(length(bin(CAST(n AS BIGINT))) - 1 AS BIGINT)
+         |  AS bucket,
+         | COUNT(*) AS n_docs,
+         | CAST(MIN(n) AS BIGINT) AS min_tokens,
+         | CAST(MAX(n) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
     // q80: the stage expressions are copied verbatim from the q54
     // (quality), q27 (content hash), and q60 (components) oracles so
     // the composed result can only diverge if the COMPOSITION itself
