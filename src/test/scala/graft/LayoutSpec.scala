@@ -147,6 +147,29 @@ class LayoutSpec extends SparkSuite {
     assert(dataFiles === fileBefore)
   }
 
+  test("date-partitioned fact scans prune to the filtered partition") {
+    import spark.implicits._
+    // the Warehouse fact layout (partitionBy date): a day-filtered read
+    // must touch ONE partition's files, not scan-and-discard all days
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    Seq(("2025-01-01", 1L), ("2025-01-01", 2L), ("2025-01-02", 3L),
+      ("2025-01-03", 4L))
+      .toDF("sale_date", "v")
+      .write.partitionBy("sale_date").parquet(s"$dir/fact")
+    val q = spark.read.parquet(s"$dir/fact")
+      .filter(col("sale_date") === "2025-01-02")
+    // collect() drives q's OWN queryExecution, so the scan node below
+    // carries the executed metrics (count() would plan separately)
+    assert(q.collect().length === 1)
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata.getOrElse("PartitionFilters", "[]") != "[]",
+      "date filter did not become a partition filter")
+    assert(scan.metrics("numFiles").value === 1,
+      s"read ${scan.metrics("numFiles").value} files; pruning lost")
+  }
+
   test("compaction recovers a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact-crash")
