@@ -11,7 +11,7 @@ import graft.Tables
   * etl/app.py:249-278; lifecycle E1 in SURVEY.md §3).
   *
   * One poll cycle = `pollOnce(watchDir)`:
-  *   list csv + parquet files → drop lock files (O2) → incremental filter
+  *   list csv/parquet/xlsx/jsonl files → drop lock files (O2) → incremental filter
   *   against file_metadata (O3) → route by name (O11), dimensions before
   *   facts (the FK ordering hazard, SURVEY.md §2.1) → per file: read →
   *   validate (O5) → coerce (O7) → enrich lineage (O6) → dedupe (O9) →
@@ -193,7 +193,7 @@ final class Warehouse(spark: SparkSession, root: String) {
       .filterNot { case (_, name, _) => name.startsWith("~$") } // O2
       .filter { case (_, name, _) =>
         name.endsWith(".csv") || name.endsWith(".parquet") ||
-          name.endsWith(".xlsx") }
+          name.endsWith(".xlsx") || name.endsWith(".jsonl") }
 
     if (listed.isEmpty) return Map.empty
 
@@ -275,6 +275,11 @@ final class Warehouse(spark: SparkSession, root: String) {
           if (fullPath.endsWith(".csv"))
             spark.read.option("header", "true").csv(fullPath)
           else if (fullPath.endsWith(".xlsx")) Xlsx.read(spark, fullPath)
+          // JSONL (line-delimited JSON) — the standard corpus delivery
+          // format; Spark's json source IS line-delimited by default.
+          // Inferred types then flow through the same validate/coerce
+          // pipeline as the other formats (pandas-read parity).
+          else if (fullPath.endsWith(".jsonl")) spark.read.json(fullPath)
           else spark.read.parquet(fullPath)
         prepareBatch(entity, raw, Ingest.withLineage(_, filename))
       })

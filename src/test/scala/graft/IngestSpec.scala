@@ -31,6 +31,32 @@ class IngestSpec extends SparkSuite {
   private def writeFile(dir: String, name: String, content: String): Unit =
     Files.writeString(java.nio.file.Paths.get(dir, name), content)
 
+  test("O4/O11 jsonl: a line-delimited JSON delivery ingests through " +
+    "the same validate/coerce/dedup pipeline as csv") {
+    val watch = tmpDir("watch-jsonl")
+    val wh = new Warehouse(spark, tmpDir("wh-jsonl"))
+    // one duplicate business key (CLI001) — idempotent dedup must keep 2
+    writeFile(watch, "clients.jsonl",
+      """{"client_id":"CLI001","nom":"Dupont","prenom":"Jean","email":"j@e.com","telephone":"612","adresse":"1 rue"}
+        |{"client_id":"CLI002","nom":"Martin","prenom":"Sophie","email":"s@e.com","telephone":"723","adresse":"2 av"}
+        |{"client_id":"CLI001","nom":"Dupont","prenom":"Jean","email":"j@e.com","telephone":"612","adresse":"1 rue"}
+        |""".stripMargin)
+    assert(wh.pollOnce(watch) === Map("clients.jsonl" -> "success"))
+    val got = wh.table("clients").get
+    assert(got.count() === 2)
+    assert(got.schema("client_id").dataType
+      === org.apache.spark.sql.types.StringType)
+    assert(got.select("source_file").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("clients.jsonl"))
+    // a jsonl file missing a required column → error status, no append
+    writeFile(watch, "produits.jsonl",
+      """{"produit_id":"P1","nom":"Stylo"}
+        |""".stripMargin)
+    assert(wh.pollOnce(watch) === Map("produits.jsonl" -> "error"))
+    assert(wh.table("produits").isEmpty
+      || wh.table("produits").get.count() === 0)
+  }
+
   test("cross-run content dedup: new batches drop everything ever seen, " +
     "formatting variants included; unrecorded batches re-deliver") {
     import spark.implicits._
