@@ -278,7 +278,10 @@ final class Warehouse(spark: SparkSession, root: String) {
           // JSONL (line-delimited JSON) — the standard corpus delivery
           // format; Spark's json source IS line-delimited by default.
           // Inferred types then flow through the same validate/coerce
-          // pipeline as the other formats (pandas-read parity).
+          // pipeline as the other formats (pandas-read parity). NOTE:
+          // inference is a full extra pass over the file — correct for
+          // the reference's file-sized deliveries; a high-volume corpus
+          // feed should pass the declared entity schema instead.
           else if (fullPath.endsWith(".jsonl")) spark.read.json(fullPath)
           else spark.read.parquet(fullPath)
         prepareBatch(entity, raw, Ingest.withLineage(_, filename))

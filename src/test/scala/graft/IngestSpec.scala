@@ -83,6 +83,26 @@ class IngestSpec extends SparkSuite {
     val b3 = batch((20L, "ALPHA BETA"), (21L, "delta  epsilon"))
     assert(graft.ingest.DedupStore
       .newUnique(b3, "text", "doc_id", store).count() === 0)
+    // null text == empty content: one keeper now, suppressed forever
+    // after (md5(null) would be an unmatchable null key)
+    val b4 = batch((30L, null), (31L, ""))
+    val n4 = graft.ingest.DedupStore.newUnique(b4, "text", "doc_id", store)
+    assert(n4.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(30L))
+    graft.ingest.DedupStore.recordHashes(n4, "text", store)
+    assert(graft.ingest.DedupStore
+      .newUnique(batch((40L, null)), "text", "doc_id", store)
+      .count() === 0)
+  }
+
+  test("cross-run content dedup: an empty store DIRECTORY (crashed " +
+    "first append) degrades to an empty store, not an error") {
+    import spark.implicits._
+    val store = tmpDir("dedupstore-empty") + "/hashes"
+    assert(new java.io.File(store).mkdirs()) // dir exists, no data files
+    val docs = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val n = graft.ingest.DedupStore.newUnique(docs, "text", "doc_id", store)
+    assert(n.count() === 1) // empty store ⇒ everything is new
   }
 
   private def tmpDir(prefix: String): String =
