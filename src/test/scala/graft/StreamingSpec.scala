@@ -131,6 +131,43 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Seq(1L, 2L, 3L)) // each key exactly once
   }
 
+  test("streaming corpus feed composes with the cross-run dedup store " +
+    "across micro-batches (foreachBatch two-phase)") {
+    import spark.implicits._
+    val srcDir = tmpDir("stream-corpus")
+    val store = tmpDir("stream-corpus-store") + "/hashes"
+    val outDir = tmpDir("stream-corpus-out") + "/docs"
+    def docs(ps: (Long, String)*) = ps.toSeq.toDF("doc_id", "text")
+    docs((1L, "alpha beta"), (2L, "gamma")) // batch 1
+      .coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    docs((3L, "ALPHA  beta"), (4L, "delta")) // batch 2: 3 dups 1 cross-run
+      .coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    val schema = spark.read.parquet(s"$srcDir/b1.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("stream-corpus-ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // production shape: persist survivors FIRST, then record
+        val fresh = graft.ingest.DedupStore
+          .newUnique(batch, "text", "doc_id", store)
+          .localCheckpoint(true)
+        fresh.drop("content_hash")
+          .write.mode("append").parquet(outDir)
+        graft.ingest.DedupStore.recordHashes(fresh, "text", store)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // doc 3 (formatting variant of doc 1 from the PREVIOUS micro-batch)
+    // is suppressed by the store, not by streaming state
+    val kept = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L))
+  }
+
   test("stream-static enrichment: micro-batched facts join the dim " +
     "snapshot; left_outer keeps orphans; streaming == batch") {
     import spark.implicits._
