@@ -1216,7 +1216,7 @@ object LlmPipeline {
     // q60 alone was 21% of the whole bench.
     def checkpointed(df: DataFrame, round: Int)
         : (DataFrame, java.math.BigDecimal) = {
-      val obs = org.apache.spark.sql.Observation(s"q60_labelsum_$round")
+      val obs = org.apache.spark.sql.Observation(s"cc_labelsum_$round")
       val out = df
         .observe(obs, sum(col("label").cast(DecimalType(38, 0)))
           .as("label_sum"))
@@ -1250,8 +1250,8 @@ object LlmPipeline {
       converged = s2 == prevSum
       prevSum = s2
       i += 1
-      if (sys.env.contains("GRAFT_Q60_DEBUG"))
-        System.err.println(s"[q60] round $i sum=$s2 converged=$converged")
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i sum=$s2 converged=$converged")
     }
     if (!converged)
       throw new IllegalStateException(
