@@ -245,7 +245,8 @@ object LlmPipeline {
     * all-pairs. Threshold 0.3 is corpus-calibrated (synthetic
     * embeddings are near-orthogonal).
     */
-  private def embeddingNeardup(bits: Int): Q = (s, dir) => {
+  private def embeddingNeardup(bits: Int)(s: SparkSession,
+      dir: String): DataFrame = {
     def side(tag: String): DataFrame =
       t(s, dir, "embeddings")
         .withColumn("v", col("embedding").cast("array<double>"))
@@ -258,10 +259,10 @@ object LlmPipeline {
       .withColumn("cosine", expr("cosine_sim(v_a, v_b)"))
       .filter(col("cosine") >= 0.3)
       .select("vec_a", "vec_b", "cosine")
-      .orderBy("vec_a", "vec_b")
   }
 
-  private val q26: Q = embeddingNeardup(DefaultBucketBits)
+  private val q26: Q = (s, dir) =>
+    embeddingNeardup(DefaultBucketBits)(s, dir).orderBy("vec_a", "vec_b")
 
   /** q40: IVF-style ANN — the second scale path for similarity search
     * (brief: "IVF or LSH-bucketed"; q25 is the LSH one). Vectors are
@@ -1489,6 +1490,26 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q83: SEMANTIC dedup clusters — the embedding-space analog of q60
+    * (the SemDeDup shape: documents whose embeddings are near-parallel
+    * are semantic rephrasings; keep one per cluster): connected
+    * components over the q26 hyperplane-bucketed cosine pairs, keeper =
+    * component min. Reuses the shared min-label-propagation loop — the
+    * pair generation is the only embedding-specific part, and it stays
+    * bucketed (never all-pairs) exactly as q26 plans it.
+    */
+  private val q83: Q = (s, dir) => {
+    val labels = connectedComponents(
+      embeddingNeardup(DefaultBucketBits)(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id").as("vec_id"),
+        col("label").as("cluster_keeper"), col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   /** q81: document-length histogram — corpus token counts in power-of-2
     * buckets (the length-distribution report that drives packing
     * capacity and truncation policy). The bucket is computed INTEGER-
@@ -1557,7 +1578,8 @@ object LlmPipeline {
     "q75_ngram_novelty" -> q75,
     "q76_posting_lists" -> q76,
     "q80_pipeline_e2e" -> q80,
-    "q81_length_histogram" -> q81)
+    "q81_length_histogram" -> q81,
+    "q83_semantic_clusters" -> q83)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2121,6 +2143,32 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slot < rate THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*) AS sample_frac
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    // q83: the pair CTE is the q26 oracle verbatim; component labels by
+    // the same recursive transitive closure as the q60 oracle.
+    "q83_semantic_clusters" ->
+      s"""WITH RECURSIVE e AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END) +
+         |  (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         |  (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS bucket
+         | FROM embeddings),
+         |epairs AS (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | WHERE ${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")})
+         |  >= CAST(0.3 AS DOUBLE)),
+         |e2 AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
+         |       UNION SELECT vec_b, vec_a FROM epairs),
+         |reach AS (
+         | SELECT src, dst FROM e2
+         | UNION
+         | SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src),
+         |comp AS (
+         | SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_keeper
+         | FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_keeper,
+         | COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
+         |FROM comp ORDER BY vec_id""".stripMargin,
     "q81_length_histogram" ->
       s"""WITH t AS (
          | SELECT doc_id, len($dToks) AS n FROM documents
