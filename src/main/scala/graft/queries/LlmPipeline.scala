@@ -1179,15 +1179,21 @@ object LlmPipeline {
     * pathological inputs: overrun fails loud rather than emitting a
     * half-merged clustering.
     */
-  private val q60: Q = (s, dir) => {
-    val labels = connectedComponents(
-      minhashPairs(s, dir).select("doc_a", "doc_b"))
+  private val q60: Q = (s, dir) =>
+    clustered(connectedComponents(
+      minhashPairs(s, dir).select("doc_a", "doc_b")), "doc_id")
+
+  /** Cluster report over [[connectedComponents]] labels: one row per
+    * node with its keeper and cluster size — the epilogue q60 and q83
+    * share (`idOut` renames the node column per domain).
+    */
+  private def clustered(labels: DataFrame, idOut: String): DataFrame = {
     val sizes = labels.groupBy("label")
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_keeper"),
+      .select(col("doc_id").as(idOut), col("label").as("cluster_keeper"),
         col("cluster_size"))
-      .orderBy("doc_id")
+      .orderBy(idOut)
   }
 
   /** Connected components over an undirected pair list (doc_a, doc_b)
@@ -1498,17 +1504,11 @@ object LlmPipeline {
     * pair generation is the only embedding-specific part, and it stays
     * bucketed (never all-pairs) exactly as q26 plans it.
     */
-  private val q83: Q = (s, dir) => {
-    val labels = connectedComponents(
+  private val q83: Q = (s, dir) =>
+    clustered(connectedComponents(
       embeddingNeardup(DefaultBucketBits)(s, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-    val sizes = labels.groupBy("label")
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("doc_id").as("vec_id"),
-        col("label").as("cluster_keeper"), col("cluster_size"))
-      .orderBy("vec_id")
-  }
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
+      "vec_id")
 
   /** q81: document-length histogram — corpus token counts in power-of-2
     * buckets (the length-distribution report that drives packing
@@ -1606,6 +1606,23 @@ object LlmPipeline {
     * CTE (q80 runs it over pipeline survivors).
     */
   private lazy val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** Recursive transitive-closure CTE block shared by the q60 / q80 /
+    * q83 cluster oracles: pairs in CTE `src` (columns `$a`, `$b`) →
+    * `comp` (node `$idOut`, `cluster_keeper` = component min). The
+    * enclosing WITH must be RECURSIVE.
+    */
+  private def componentClosureSql(src: String, a: String, b: String,
+      idOut: String): String =
+    s"""e2 AS (SELECT $a AS src, $b AS dst FROM $src
+       |       UNION SELECT $b, $a FROM $src),
+       |reach AS (
+       | SELECT src, dst FROM e2
+       | UNION
+       | SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src),
+       |comp AS (
+       | SELECT src AS $idOut, least(src, MIN(dst)) AS cluster_keeper
+       | FROM reach GROUP BY src)""".stripMargin
   private def minhashCtesFrom(src: String): String =
     s"""base AS (
        | SELECT doc_id, $dToks AS toks FROM $src
@@ -1712,15 +1729,7 @@ object LlmPipeline {
     "q60_neardup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
-         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
-         |       UNION SELECT doc_b, doc_a FROM mpairs),
-         |reach AS (
-         | SELECT src, dst FROM e2
-         | UNION
-         | SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
-         |comp AS (
-         | SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_keeper
-         | FROM reach GROUP BY src)
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")}
          |SELECT doc_id, cluster_keeper,
          | COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
@@ -2157,15 +2166,7 @@ object LlmPipeline {
          | FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          | WHERE ${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")})
          |  >= CAST(0.3 AS DOUBLE)),
-         |e2 AS (SELECT vec_a AS src, vec_b AS dst FROM epairs
-         |       UNION SELECT vec_b, vec_a FROM epairs),
-         |reach AS (
-         | SELECT src, dst FROM e2
-         | UNION
-         | SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src),
-         |comp AS (
-         | SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_keeper
-         | FROM reach GROUP BY src)
+         |${componentClosureSql("epairs", "vec_a", "vec_b", "vec_id")}
          |SELECT vec_id, cluster_keeper,
          | COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
          |FROM comp ORDER BY vec_id""".stripMargin,
@@ -2211,18 +2212,10 @@ object LlmPipeline {
          | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
          |${minhashCtesFrom("survivors")},
          |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
-         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
-         |       UNION SELECT doc_b, doc_a FROM mpairs),
-         |reach AS (
-         | SELECT src, dst FROM e2
-         | UNION
-         | SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
-         |comp AS (
-         | SELECT src AS doc_id, least(src, MIN(dst)) AS label
-         | FROM reach GROUP BY src)
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")}
          |SELECT s.doc_id, s.n_chars
          |FROM survivors s LEFT JOIN comp c ON s.doc_id = c.doc_id
-         |WHERE c.label IS NULL OR c.label = s.doc_id
+         |WHERE c.cluster_keeper IS NULL OR c.cluster_keeper = s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
     "q71_bpe_merge_pairs" ->
       s"""WITH t AS (

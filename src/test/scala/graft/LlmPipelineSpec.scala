@@ -163,6 +163,26 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q83 semantic clusters: keeper is the component min, sizes " +
+    "reconcile, and every q26 pair shares a keeper") {
+    val rows = LlmPipeline.queries("q83_semantic_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_keeper"),
+        r.getAs[Long]("cluster_size")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(members.map(_._1).min === keeper)
+      assert(members.forall(_._3 === members.length))
+    }
+    val keeperOf = rows.map(r => r._1 -> r._2).toMap
+    val pairs = LlmPipeline.queries("q26_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).toSet === keeperOf.keySet)
+    pairs.foreach { case (a, b) =>
+      assert(keeperOf(a) === keeperOf(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
   test("q73 packing: offsets in [0,512), bins contiguous from 0 per " +
     "shard, window set identical to q70") {
     val rows = LlmPipeline.queries("q73_sequence_packing")(spark, sf)
