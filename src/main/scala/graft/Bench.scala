@@ -82,7 +82,15 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // a filtered run must be self-identifying: without this, a leaked
+    // SPARK_GRAFT_ONLY would produce a partial artifact that looks like
+    // a full contract run
+    val onlyJson = only.map(fs =>
+      ",\"only\":" + fs.map(jstr).mkString("[", ",", "]")).getOrElse("")
+    only.foreach(fs => System.err.println(
+      s"[bench] PARTIAL RUN: SPARK_GRAFT_ONLY=${fs.mkString(",")} " +
+        s"restricted the surface to ${names.size} queries"))
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson$onlyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,34 @@ object DedupStore {
     val hashes =
       if (docs.columns.contains("content_hash")) docs.select("content_hash")
       else docs.select(hashOf(textCol).as("content_hash"))
-    hashes.distinct().write.mode(SaveMode.Append).parquet(storePath)
+    // materialize BEFORE the append: a caller that passes newUnique's
+    // lazy output straight in has storePath in its plan, and an append
+    // whose input plan scans the directory being appended would bank on
+    // the file listing resolving before new files land. The checkpoint
+    // pins the batch's hashes first, so the store scan can never
+    // overlap the store append.
+    val mat = hashes.distinct().localCheckpoint(true)
+    try mat.write.mode(SaveMode.Append).parquet(storePath)
+    finally mat.unpersist()
+  }
+
+  /** Maintenance: rewrite the store to one row per hash. At-least-once
+    * re-delivery after a crash (the two-phase contract above) re-appends
+    * hashes the store already holds — the anti-join stays CORRECT, but
+    * without this pass the store's row count (and so its scan cost and
+    * shuffle width) grows past the unique-hash count forever, and
+    * [[graft.layout.Layout.compact]] alone merges files without
+    * dropping the duplicate rows. Same crash-safe atomic directory swap
+    * as compact (shared machinery); schedule it with the file-count
+    * compaction, e.g. nightly. Returns (filesBefore, filesAfter);
+    * missing/never-written store is a no-op.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (0, 0)
+    graft.layout.Layout.rewriteInPlace(spark, storePath,
+      targetFileBytes)(_.distinct())
   }
 }

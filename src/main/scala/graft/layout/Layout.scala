@@ -82,9 +82,12 @@ object Layout {
     * swap. An APPENDER racing the rewrite is detected by re-listing the
     * input after the rewrite and aborting the swap (no-op return; the
     * next maintenance cycle retries) — schedule compaction on closed
-    * partitions (yesterday's date partition) to avoid churning; the
-    * residual re-list→rename window is what the single-writer contract
-    * covers. A crash between the two swap renames is repaired on the
+    * partitions (yesterday's date partition) to avoid churning. A file
+    * that slips in between that re-list and the retire rename is NOT
+    * lost either: an input-file manifest written before the retire lets
+    * the post-install rescue (or, across a crash, the next invocation)
+    * move late arrivals from the retired copy into the installed dir.
+    * A crash between the two swap renames is repaired on the
     * next invocation (the retired copy is restored before anything
     * destructive runs). Already-compact directories (file count would not shrink)
     * are left untouched — a no-op rewrite would only churn file mtimes
@@ -95,7 +98,24 @@ object Layout {
     * Returns (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    rewriteInPlace(spark, dir, targetFileBytes,
+      skipIfAlreadyCompact = true)(identity)
+
+  /** The crash-safe atomic-swap rewrite underneath [[compact]],
+    * generalized: read the directory, apply `transform`, write the
+    * result back as ≈ inputBytes/targetFileBytes files, and swap it in
+    * with the full late-appender/crash-recovery protocol documented on
+    * [[compact]]. `skipIfAlreadyCompact` short-circuits when the file
+    * count would not shrink — correct for a pure merge, wrong for a
+    * content-changing transform (duplicate rows hide INSIDE compact
+    * files), so content rewrites like DedupStore's distinct pass it
+    * false. Returns (filesBefore, filesAfter).
+    */
+  def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetFileBytes: Long = 128L << 20,
+      skipIfAlreadyCompact: Boolean = false)(
+      transform: DataFrame => DataFrame): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path0 = new org.apache.hadoop.fs.Path(dir)
     val fs = path0.getFileSystem(spark.sessionState.newHadoopConf())
@@ -107,14 +127,27 @@ object Layout {
       path.getName + ".compact.tmp")
     val old = new org.apache.hadoop.fs.Path(path.getParent,
       path.getName + ".compact.old")
+    val manifest = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + ".compact.names")
     // crash recovery BEFORE anything destructive: a death between the
     // two swap renames leaves the data only in `.compact.old` — restore
     // it; never delete `.compact.old` while it is the sole copy (a
     // blind entry-time delete would destroy the table exactly when a
-    // crashed prior run needs it back).
-    if (fs.exists(old) && !fs.exists(path))
+    // crashed prior run needs it back). A death AFTER the install but
+    // before the late-appender rescue leaves `.compact.old` holding
+    // files an appender added during the swap window — the manifest
+    // (written before the retire rename) says which files were
+    // compaction inputs, so everything else moves forward.
+    if (fs.exists(old) && !fs.exists(path)) {
       require(fs.rename(old, path), s"compact: could not restore $old")
+      fs.delete(manifest, false)
+    } else if (fs.exists(old) && fs.exists(manifest)) {
+      rescueLate(fs, old, path, readNames(fs, manifest))
+      fs.delete(old, true)
+      fs.delete(manifest, false)
+    }
     fs.delete(tmp, true) // a half-written rewrite is always discardable
+    fs.delete(manifest, false) // any survivor here is a stale leftover
     def listNames(): Set[String] = fs.listStatus(path).toSeq.filter(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
@@ -126,13 +159,14 @@ object Layout {
     val totalBytes = dataFiles.map(_.getLen).sum
     val want = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (want >= before) { // already compact
+    if (skipIfAlreadyCompact && want >= before) {
       fs.delete(old, true) // table intact ⇒ leftover .old is garbage
       return (before, before)
     }
     // mergeSchema: an appender that evolved the schema must not have
     // new columns silently dropped by a footer-sampled narrow schema
-    spark.read.option("mergeSchema", "true").parquet(path.toString)
+    transform(spark.read.option("mergeSchema", "true")
+        .parquet(path.toString))
       .coalesce(want)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // abort if an appender raced the rewrite: files added after the
@@ -149,9 +183,56 @@ object Layout {
     // by the entry-time restore above on the next run); a half-written
     // MIX is never visible
     fs.delete(old, true) // table intact here ⇒ any .old is garbage
+    // manifest first: after the retire rename, a file that an appender
+    // slipped in between the re-list above and the rename lives ONLY in
+    // `.compact.old` — the rescue below (and the entry-time recovery,
+    // if we die first) needs the input-file list to tell late arrivals
+    // apart from the compacted-away originals.
+    writeNames(fs, manifest, names0)
     require(fs.rename(path, old), s"compact: could not retire $dir")
     require(fs.rename(tmp, path), s"compact: could not install $tmp")
+    val rescued = rescueLate(fs, old, path, names0)
     fs.delete(old, true)
-    (before, after)
+    fs.delete(manifest, false)
+    (before, after + rescued)
+  }
+
+  /** Move data files in `retired` that are NOT compaction inputs
+    * (late-appended during the swap window) into `installed`. Per-file
+    * rename is atomic and idempotent across a crash-retry (a moved file
+    * is simply absent from `retired` on the rerun). Returns the count.
+    */
+  private def rescueLate(fs: org.apache.hadoop.fs.FileSystem,
+      retired: org.apache.hadoop.fs.Path,
+      installed: org.apache.hadoop.fs.Path,
+      inputNames: Set[String]): Int = {
+    if (!fs.exists(retired)) return 0
+    val late = fs.listStatus(retired).toSeq.filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        !inputNames.contains(st.getPath.getName))
+    late.foreach { st =>
+      val dest = new org.apache.hadoop.fs.Path(installed,
+        st.getPath.getName)
+      require(fs.rename(st.getPath, dest),
+        s"compact: could not rescue late append ${st.getPath}")
+    }
+    late.size
+  }
+
+  private def writeNames(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, names: Set[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readNames(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
   }
 }

@@ -1340,9 +1340,14 @@ object LlmPipeline {
     */
   def canonicalUrl(url: Column): Column = {
     val u1 = regexp_replace(url, "#.*$", "")
-    val u2 = concat(
-      lower(regexp_extract(u1, "^([^/]+//[^/]+)", 1)),
-      regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1))
+    // a URL with no scheme//host prefix (malformed or relative) passes
+    // through case-preserved rather than collapsing to "" — otherwise
+    // every bad input would merge into ONE empty canonical key and a
+    // frontier dedup would drop all but one of them
+    val head = regexp_extract(u1, "^([^/]+//[^/]+)", 1)
+    val u2 = when(head === "", u1).otherwise(concat(
+      lower(head),
+      regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1)))
     // split at the first '?': params are matched against a '&' sentinel
     // so every utm param needs exactly one pattern regardless of
     // position ("&utm_x" after prepending '&' to the query string)

@@ -95,6 +95,30 @@ class IngestSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("cross-run content dedup: compactStore collapses re-delivered " +
+    "hash rows to one per hash without changing anti-join answers") {
+    import spark.implicits._
+    val store = tmpDir("dedupstore-compact") + "/hashes"
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val n1 = graft.ingest.DedupStore.newUnique(b1, "text", "doc_id", store)
+    // at-least-once: the same survivors recorded twice (crash between
+    // persist and record, then the retry records again)
+    graft.ingest.DedupStore.recordHashes(n1, "text", store)
+    graft.ingest.DedupStore.recordHashes(n1, "text", store)
+    assert(spark.read.parquet(store).count() === 4) // 2 hashes × 2
+    val (_, _) = graft.ingest.DedupStore.compactStore(spark, store, 1L << 20)
+    assert(spark.read.parquet(store).count() === 2)
+    assert(spark.read.parquet(store).distinct().count() === 2)
+    // dedup answers unchanged: old content still suppressed, new passes
+    val b2 = Seq((3L, "ALPHA"), (4L, "gamma")).toDF("doc_id", "text")
+    assert(graft.ingest.DedupStore
+      .newUnique(b2, "text", "doc_id", store)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // missing store path: maintenance is a no-op, not an error
+    assert(graft.ingest.DedupStore
+      .compactStore(spark, tmpDir("dedupstore-none") + "/never") === ((0, 0)))
+  }
+
   test("cross-run content dedup: an empty store DIRECTORY (crashed " +
     "first append) degrades to an empty store, not an error") {
     import spark.implicits._

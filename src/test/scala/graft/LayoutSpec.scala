@@ -170,6 +170,44 @@ class LayoutSpec extends SparkSuite {
       s"read ${scan.metrics("numFiles").value} files; pruning lost")
   }
 
+  test("compaction rescues a file appended between the race re-list " +
+    "and the retire rename (recovered from the crash state)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-late")
+      .resolve("t").toString
+    for (i <- 1 to 4)
+      Seq((i.toLong, s"r$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    def names(d: String) = new java.io.File(d).listFiles.toSeq
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val names0 = names(dir)
+    // reconstruct the worst-case swap state: install already happened,
+    // but the process died BEFORE the late-file rescue — the retired
+    // copy holds the 4 compaction inputs PLUS one file an appender
+    // slipped in after the race re-list, and the manifest (written
+    // before the retire rename) records which 4 were inputs
+    val inst = dir + ".inst"
+    spark.read.parquet(dir).coalesce(1).write.parquet(inst)
+    val f = new java.io.File(dir)
+    val old = new java.io.File(dir + ".compact.old")
+    assert(f.renameTo(old) && new java.io.File(inst).renameTo(f))
+    Seq((99L, "late")).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(old.getPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir + ".compact.names"),
+      names0.sorted.mkString("\n").getBytes("UTF-8"))
+    // next maintenance invocation: rescue the late file into the
+    // installed dir (NOT the retired originals — that would duplicate
+    // every row), then compact normally
+    val (before, after) = Layout.compact(spark, dir, 1L << 20)
+    assert(before === 2 && after === 1, s"($before, $after)")
+    assert(!old.exists)
+    assert(!new java.io.File(dir + ".compact.names").exists)
+    val got = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === (1 to 4).map(i => (i.toLong, s"r$i")) :+ (99L, "late"))
+  }
+
   test("compaction recovers a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact-crash")

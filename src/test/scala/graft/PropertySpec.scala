@@ -166,5 +166,25 @@ class PropertySpec extends SparkSuite {
       .select(graft.queries.LlmPipeline.canonicalUrl(col("url")))
       .collect().map(_.getString(0)).distinct
     assert(canons.toSeq === Seq("https://a.example.com/p/1?id=1"), canons)
+    // malformed/schemeless inputs pass through (fragment/utm/slash rules
+    // still applied) instead of ALL collapsing to the "" canonical key —
+    // a frontier dedup would otherwise keep one of them and drop the rest
+    val weird = Seq(
+      "example.com/a/?utm_source=x&id=1#f",
+      "not a url",
+      "relative/path/",
+      "ftp:/one-slash/z")
+    val weirdOut = weird.toDF("url")
+      .select(col("url"),
+        graft.queries.LlmPipeline.canonicalUrl(col("url")).as("c1"))
+      .withColumn("c2", graft.queries.LlmPipeline.canonicalUrl(col("c1")))
+      .collect()
+    weirdOut.foreach { r =>
+      assert(r.getString(1).nonEmpty, s"collapsed to empty: ${r.getString(0)}")
+      assert(r.getString(1) === r.getString(2),
+        s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+    assert(weirdOut.map(_.getString(1)).distinct.length === weird.length)
+    assert(weirdOut.head.getString(1) === "example.com/a?id=1")
   }
 }
