@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   * cannot overflow and still forces every row's every column. A query
   * whose timed run throws is reported as -1 in `queries` and its
   * message lands in the `errors` field — never a silent success.
+  *
+  * r9: each query is timed THREE times after its warmup; `queries`
+  * reports the per-query MEDIAN and a sibling `spread` object reports
+  * max−min of the three runs, so a one-off GC/compilation stall is
+  * visible as spread instead of masquerading as a regression (the
+  * q60/q73/q74 round-over-round ambiguity of r7/r8). `value` is the
+  * sum of medians. Keys are shortened to the qNN prefix ("q60", not
+  * "q60_neardup_clusters" — full names in SparkEntry.queries): the
+  * driver captures only a ~3 kB output tail, and the r8 full-name
+  * line already overflowed it, truncating the JSON head ("parsed":
+  * null). Short keys + spreads fit with room to spare.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,27 +66,45 @@ object Bench {
       .filter(_.nonEmpty) // empty/blank var = unset, never "run nothing"
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // qNN prefix, unique today; any collision falls back to full names
+    // for the colliding pair rather than silently merging two queries.
+    val shortOf: Map[String, String] = {
+      val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+      val dup = pref.groupBy(_._2).filter(_._2.size > 1).keySet
+      names.map(n => n -> (if (dup(pref(n))) n else pref(n))).toMap
+    }
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { n =>
+    // (name, median, spread)
+    val results: Seq[(String, Double, Double)] = names.map { n =>
       try exec(n) // warm this query (codegen + JIT + file footers)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(n); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { exec(n); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          errors(n) = String.valueOf(e.getMessage).take(300)
+          errors.getOrElseUpdate(shortOf(n),
+            String.valueOf(e.getMessage).take(200))
           System.err.println(s"[bench] $n failed: ${e.getMessage}")
-          false
+          None
         }
-      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.isEmpty) (n, -1.0, 0.0)
+      else {
+        val s = times.sorted
+        (n, s(s.size / 2), s.last - s.head)
+      }
     }
-    // 3-decimal timings: 63 full-precision doubles push the line past
+    // 3-decimal timings: 63+ full-precision doubles push the line past
     // the driver's ~3 kB tail-capture window and the JSON arrives
-    // truncated (BENCH_r03..r05 all record "parsed": null). 1 ms
+    // truncated (BENCH_r03..r05 recorded "parsed": null). 1 ms
     // resolution is below run-to-run noise anyway.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f3(v) }
+    val qs = results.map { case (k, v, _) => jstr(shortOf(k)) + ":" + f3(v) }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, d) => jstr(shortOf(k)) + ":" + f3(d) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
@@ -90,7 +119,7 @@ object Bench {
     only.foreach(fs => System.err.println(
       s"[bench] PARTIAL RUN: SPARK_GRAFT_ONLY=${fs.mkString(",")} " +
         s"restricted the surface to ${names.size} queries"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs$errJson$onlyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp$errJson$onlyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,11 +13,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * The store is a plain parquet directory of (content_hash) rows,
   * appended once per committed batch — append-only, no merge, so a
   * batch commit is one parquet write. Periodic Layout.compact keeps the
-  * file count flat. The anti-join shuffles both sides on the hash; to
-  * make that exchange-free at 100 TB the store must live in the session
-  * catalog as a table bucketed by content_hash (Layout.writeBucketed +
-  * spark.table) — a PATH-read parquet store like this one always plans
-  * a store-side shuffle, which is still one narrow (hash-only) column.
+  * file count flat. The anti-join shuffles both sides on the hash; a
+  * PATH-read parquet store like this one always plans a store-side
+  * shuffle, which is still one narrow (hash-only) column — but at
+  * 100 TB the store's row count dwarfs every batch, so re-shuffling it
+  * per batch is the dominant cost. The BUCKETED form fixes that:
+  * [[ensureBucketedStore]]/[[newUniqueBucketed]]/[[recordHashesBucketed]]
+  * keep the store in the session catalog as a parquet table bucketed by
+  * content_hash; the bucketed scan satisfies the anti-join's required
+  * hash distribution straight off the files, so ONLY the (small) batch
+  * side shuffles — zero exchange on the store side, at any store size
+  * (LayoutSpec pins the plan).
   *
   * Two-phase by design: [[newUnique]] answers "which rows are new";
   * [[recordHashes]] marks them seen. Callers persist the survivors
@@ -64,7 +70,16 @@ object DedupStore {
     * content-bucketed movement as q27; nothing touches the driver.
     */
   def newUnique(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String): DataFrame = {
+      storePath: String): DataFrame =
+    keepers(docs, textCol, idCol)
+      .join(storeHashes(docs.sparkSession, storePath),
+        Seq("content_hash"), "left_anti")
+
+  /** Within-batch dedup shared by both store forms: hash every row,
+    * keep one row per hash.
+    */
+  private def keepers(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     for (reserved <- Seq("content_hash", "__rn"))
       require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
         s"DedupStore reserves the column name $reserved")
@@ -73,15 +88,13 @@ object DedupStore {
     // never satisfies `id === min(id)` (null comparison), so an
     // all-null-id group would silently disappear from the output —
     // neither returned nor recorded. rank 1 always exists.
-    val keepers = hashed
+    hashed
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("content_hash")
           .orderBy(col(idCol).asc_nulls_last)))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    keepers.join(storeHashes(docs.sparkSession, storePath),
-      Seq("content_hash"), "left_anti")
   }
 
   /** Mark `docs` seen: append their content hashes to the store. Call
@@ -109,6 +122,44 @@ object DedupStore {
     finally mat.unpersist()
   }
 
+  /** [[recordHashes]] without the localCheckpoint: stages the batch's
+    * hashes to a sibling temp directory (a durable parquet write — no
+    * executor-memory blocks to lose), then MOVES the staged data files
+    * into the store with per-file atomic renames. Use on long-running
+    * clusters where executor loss / dynamic-allocation decommission
+    * between checkpoint and append is a real event; the extra cost is
+    * one staged write of a hash-only projection. The staged write never
+    * scans the store directory it appends to (different path), so the
+    * self-scan race recordHashes checkpoints around cannot occur. A
+    * crash before any rename loses nothing (at-least-once re-delivery);
+    * a crash mid-rename re-delivers the remaining hashes as duplicates,
+    * which [[compactStore]] reclaims — same contract as recordHashes.
+    * Staged part-file names carry the write job's UUID, so they cannot
+    * collide with existing store files.
+    */
+  def recordHashesStaged(docs: DataFrame, textCol: String,
+      storePath: String): Unit = {
+    val spark = docs.sparkSession
+    val hashes =
+      if (docs.columns.contains("content_hash")) docs.select("content_hash")
+      else docs.select(hashOf(textCol).as("content_hash"))
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val qual = fs.makeQualified(store)
+    val stage = new org.apache.hadoop.fs.Path(qual.getParent,
+      qual.getName + s".stage-${java.util.UUID.randomUUID()}")
+    hashes.distinct().write.parquet(stage.toString)
+    try {
+      fs.mkdirs(qual) // first-ever append: store dir may not exist yet
+      for (st <- fs.listStatus(stage)
+           if st.isFile && !st.getPath.getName.startsWith("_") &&
+             !st.getPath.getName.startsWith("."))
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(qual, st.getPath.getName)),
+          s"recordHashesStaged: could not move ${st.getPath} into $qual")
+    } finally fs.delete(stage, true)
+  }
+
   /** Maintenance: rewrite the store to one row per hash. At-least-once
     * re-delivery after a crash (the two-phase contract above) re-appends
     * hashes the store already holds — the anti-join stays CORRECT, but
@@ -127,5 +178,115 @@ object DedupStore {
     if (!fs.exists(p)) return (0, 0)
     graft.layout.Layout.rewriteInPlace(spark, storePath,
       targetFileBytes)(_.distinct())
+  }
+
+  // ── bucketed-catalog store form (the 100 TB path) ──────────────────
+  //
+  // Same two-phase contract as the path form; the store lives in the
+  // session catalog as a parquet table bucketed by content_hash
+  // (Layout.writeBucketed's layout). The bucketed scan satisfies the
+  // anti-join's hash distribution straight off the files: only the
+  // batch side shuffles, the ever-growing store side NEVER does.
+
+  private def bucketsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"dedup store table $table is not bucketed — create it with " +
+          "ensureBucketedStore"))
+
+  /** Create the bucketed store table if absent (idempotent; recovers a
+    * compaction crash first). `buckets` is fixed at creation — size it
+    * for the store's TARGET volume (hash rows / ~1 GB per bucket), not
+    * the first batch; an existing table's bucket count wins.
+    */
+  def ensureBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit = {
+    recoverBucketedSwap(spark, table)
+    if (!spark.catalog.tableExists(table))
+      graft.layout.Layout.writeBucketed(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          storeSchema),
+        table, buckets, "content_hash")
+  }
+
+  /** [[newUnique]] against the bucketed store table. The store side of
+    * the anti-join plans ZERO exchanges (LayoutSpec asserts it) — at
+    * 100 TB this is the difference between re-shuffling the full
+    * history every batch and a local per-bucket join.
+    */
+  def newUniqueBucketed(docs: DataFrame, textCol: String, idCol: String,
+      table: String): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    keepers(docs, textCol, idCol)
+      .join(spark.table(table), Seq("content_hash"), "left_anti")
+  }
+
+  /** [[recordHashes]] into the bucketed store table: one bucketed
+    * append of the batch's distinct hashes. The same pre-append
+    * localCheckpoint pins the batch's hashes before the append job
+    * starts scanning the table it extends.
+    */
+  def recordHashesBucketed(docs: DataFrame, textCol: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val b = bucketsOf(spark, table)
+    val hashes =
+      if (docs.columns.contains("content_hash")) docs.select("content_hash")
+      else docs.select(hashOf(textCol).as("content_hash"))
+    val mat = hashes.distinct().localCheckpoint(true)
+    try mat.write.mode(SaveMode.Append)
+      .bucketBy(b, "content_hash").sortBy("content_hash")
+      .format("parquet").saveAsTable(table)
+    finally mat.unpersist()
+  }
+
+  /** [[compactStore]] for the bucketed table: rewrite to one row per
+    * hash via a staging table + catalog rename swap (the directory-swap
+    * protocol cannot apply — the catalog owns the table location).
+    * Crash between DROP and RENAME is repaired by the entry-time
+    * recovery in [[ensureBucketedStore]]/[[compactBucketedStore]].
+    * Single maintenance writer assumed, same as Layout.compact; a
+    * concurrent APPENDER's rows written after the staging read would be
+    * lost — schedule against a quiesced store. Returns (rowsBefore,
+    * rowsAfter).
+    */
+  def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Long) = {
+    recoverBucketedSwap(spark, table)
+    if (!spark.catalog.tableExists(table)) return (0L, 0L)
+    val b = bucketsOf(spark, table)
+    val staging = stagingOf(table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging") // stale pre-drop leftover
+    val before = spark.table(table).count()
+    graft.layout.Layout.writeBucketed(
+      spark.table(table).distinct(), staging, b, "content_hash")
+    val after = spark.table(staging).count()
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    (before, after)
+  }
+
+  private def stagingOf(table: String): String = table + "_compact_stage"
+
+  /** A death between compaction's DROP and RENAME leaves the data only
+    * in the staging table — install it before anything else touches the
+    * store. A staging table WITH the store still present is a pre-drop
+    * leftover and is torn down by the next compaction instead (it may
+    * be mid-write; the store is intact, so it is garbage, not the sole
+    * copy).
+    */
+  private def recoverBucketedSwap(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val staging = stagingOf(table)
+    if (spark.catalog.tableExists(staging) &&
+        !spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
   }
 }

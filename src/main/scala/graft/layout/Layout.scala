@@ -110,7 +110,16 @@ object Layout {
     * count would not shrink — correct for a pure merge, wrong for a
     * content-changing transform (duplicate rows hide INSIDE compact
     * files), so content rewrites like DedupStore's distinct pass it
-    * false. Returns (filesBefore, filesAfter).
+    * false. A directory with ZERO data files (e.g. a crashed first
+    * append left only `_temporary`) is a no-op for any transform —
+    * there are no rows to rewrite, and reading zero parquet files
+    * cannot infer a schema. NOTE for content-changing transforms: a
+    * file appended during the swap window is rescued VERBATIM (moved,
+    * not re-read — see [[rescueLate]]), so `transform` must be
+    * idempotent/optional per-row (distinct qualifies: an unrescued
+    * duplicate row is re-dropped by the next pass; a redaction or
+    * schema migration would NOT qualify without a follow-up pass).
+    * Returns (filesBefore, filesAfter).
     */
   def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetFileBytes: Long = 128L << 20,
@@ -159,6 +168,13 @@ object Layout {
     val totalBytes = dataFiles.map(_.getLen).sum
     val want = math.max(1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (before == 0) {
+      // nothing to rewrite — and spark.read over zero data files would
+      // throw UNABLE_TO_INFER_SCHEMA, wedging e.g. DedupStore.compactStore
+      // on the crashed-first-append state storeHashes degrades on
+      fs.delete(old, true)
+      return (0, 0)
+    }
     if (skipIfAlreadyCompact && want >= before) {
       fs.delete(old, true) // table intact ⇒ leftover .old is garbage
       return (before, before)
@@ -201,6 +217,8 @@ object Layout {
     * (late-appended during the swap window) into `installed`. Per-file
     * rename is atomic and idempotent across a crash-retry (a moved file
     * is simply absent from `retired` on the rerun). Returns the count.
+    * Rescued files BYPASS the caller's `transform` (they are moved, not
+    * re-read) — see the idempotence note on [[rewriteInPlace]].
     */
   private def rescueLate(fs: org.apache.hadoop.fs.FileSystem,
       retired: org.apache.hadoop.fs.Path,

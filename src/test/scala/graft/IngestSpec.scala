@@ -127,6 +127,85 @@ class IngestSpec extends SparkSuite {
     val docs = Seq((1L, "alpha")).toDF("doc_id", "text")
     val n = graft.ingest.DedupStore.newUnique(docs, "text", "doc_id", store)
     assert(n.count() === 1) // empty store ⇒ everything is new
+    // maintenance on the same zero-data-file state: a no-op, not an
+    // UNABLE_TO_INFER_SCHEMA error (distinct() bypasses the
+    // already-compact early return, so this exercises rewriteInPlace's
+    // own zero-file guard)
+    assert(graft.ingest.DedupStore.compactStore(spark, store) === ((0, 0)))
+  }
+
+  test("cross-run content dedup: staged record (no localCheckpoint) is " +
+    "append-equivalent — durable for executor-loss windows") {
+    import spark.implicits._
+    val store = tmpDir("dedupstore-staged") + "/hashes"
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val n1 = graft.ingest.DedupStore.newUnique(b1, "text", "doc_id", store)
+    graft.ingest.DedupStore.recordHashesStaged(n1, "text", store)
+    // no staging siblings left behind
+    val parent = new java.io.File(store).getParentFile.listFiles.map(_.getName)
+    assert(!parent.exists(_.contains(".stage-")), parent.toSeq)
+    // recorded hashes suppress re-delivery, new content passes
+    val b2 = Seq((3L, "ALPHA"), (4L, "gamma")).toDF("doc_id", "text")
+    val n2 = graft.ingest.DedupStore.newUnique(b2, "text", "doc_id", store)
+    assert(n2.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // a second staged record of the same survivors (at-least-once
+    // retry) is reclaimed by compaction, same as the checkpoint form
+    graft.ingest.DedupStore.recordHashesStaged(n1, "text", store)
+    graft.ingest.DedupStore.compactStore(spark, store)
+    assert(spark.read.parquet(store).count() === 2)
+  }
+
+  test("bucketed dedup store: same cross-run semantics as the path " +
+    "form; compaction collapses re-deliveries; a crashed swap recovers") {
+    import spark.implicits._
+    val table = "graft_dedup_lifecycle"
+    val staging = table + "_compact_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    try {
+      val D = graft.ingest.DedupStore
+      val b1 = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA  beta"))
+        .toDF("doc_id", "text")
+      val n1 = D.newUniqueBucketed(b1, "text", "doc_id", table)
+      assert(n1.select("doc_id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L)) // formatting variant collapses to min-id keeper
+      // crash before record: the same batch re-delivers in full
+      assert(D.newUniqueBucketed(b1, "text", "doc_id", table).count() === 2)
+      // at-least-once: the persisted survivor set recorded twice (crash
+      // mid-record, retry re-records). Pinned first — the contract says
+      // record from the persisted read-back, not the live anti-join
+      // plan, which would see its own first record and go empty.
+      val n1mat = n1.localCheckpoint(true)
+      D.recordHashesBucketed(n1mat, "text", table)
+      D.recordHashesBucketed(n1mat, "text", table)
+      assert(spark.table(table).count() === 4) // 2 hashes × 2 deliveries
+      assert(D.compactBucketedStore(spark, table) === ((4L, 2L)))
+      assert(spark.table(table).count() === 2)
+      // the swapped-in table kept its bucket spec: a bucketed append
+      // still works (it would throw on a non-bucketed table)…
+      val b2 = Seq((9L, "gamma"), (10L, "delta")).toDF("doc_id", "text")
+      val n2 = D.newUniqueBucketed(b2, "text", "doc_id", table)
+      assert(n2.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(10L))
+      D.recordHashesBucketed(n2, "text", table)
+      // …and the catalog agrees
+      assert(spark.sql(s"DESCRIBE TABLE EXTENDED $table").collect()
+        .exists(r => r.getString(0) == "Num Buckets"))
+      // crashed swap (death between DROP and RENAME): only the staging
+      // table exists — entry-time recovery installs it
+      val hashesBefore = spark.table(table).collect()
+        .map(_.getString(0)).sorted.toSeq
+      graft.layout.Layout.writeBucketed(
+        spark.table(table).localCheckpoint(true), staging, 8, "content_hash")
+      spark.sql(s"DROP TABLE $table")
+      D.ensureBucketedStore(spark, table)
+      assert(spark.table(table).collect().map(_.getString(0)).sorted.toSeq
+        === hashesBefore)
+      assert(!spark.catalog.tableExists(staging))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
   }
 
   private def tmpDir(prefix: String): String =

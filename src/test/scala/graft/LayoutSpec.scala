@@ -81,6 +81,47 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("bucketed dedup store: the anti-join plans ZERO exchanges on the " +
+    "store side (the ever-growing side never re-shuffles)") {
+    import spark.implicits._
+    val table = "graft_bucketed_dedup_store"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.ingest.DedupStore.ensureBucketedStore(spark, table, buckets = 8)
+      val hist = (1 to 200).map(i => (i.toLong, s"doc number $i"))
+        .toDF("doc_id", "text")
+      graft.ingest.DedupStore.recordHashesBucketed(hist, "text", table)
+      // Force a shuffle-based join: broadcasting the store would hide
+      // the claim under test (and is exactly what CANNOT happen at
+      // 100 TB — the store is the big side).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = (150 to 250).map(i => (i.toLong, s"doc number $i"))
+        .toDF("doc_id", "text")
+      val nu = graft.ingest.DedupStore
+        .newUniqueBucketed(batch, "text", "doc_id", table)
+      val plan = nu.queryExecution.sparkPlan
+      val anti = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, s"no anti-join in plan:\n$plan")
+      val storeSideExchanges = anti.head.right.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(storeSideExchanges.isEmpty,
+        s"store side of the anti-join shuffles:\n$plan")
+      // and the answer is right: 150..200 are suppressed, 201..250 new
+      assert(nu.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === (201 to 250).map(_.toLong))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("salted join is row-identical to the plain join on a skewed key") {
     import spark.implicits._
     // 90% of the big side carries one hot key — the shape that melts a

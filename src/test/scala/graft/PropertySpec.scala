@@ -187,4 +187,53 @@ class PropertySpec extends SparkSuite {
     assert(weirdOut.map(_.getString(1)).distinct.length === weird.length)
     assert(weirdOut.head.getString(1) === "example.com/a?id=1")
   }
+
+  test("compaction race law: a LIVE appender racing compact never loses " +
+    "a committed row — abort, rescue, or clean pass, across interleavings") {
+    import spark.implicits._
+    // LayoutSpec covers the RECONSTRUCTED crash states; this is the real
+    // thing: a writer thread appending one-row batches non-stop while
+    // compact runs. The law: every append whose write() RETURNED must be
+    // readable afterwards (an append that THREW mid-swap is the
+    // appender's retry problem — at-least-once, not silent loss).
+    for (trial <- 1 to 4) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"compact-race-$trial").resolve("t").toString
+      for (i <- 1 to 6)
+        Seq((i.toLong, s"seed$i")).toDF("id", "s")
+          .coalesce(1).write.mode("append").parquet(dir)
+      @volatile var stop = false
+      val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val appender = new Thread(() => {
+        var i = 0L
+        while (!stop) {
+          val id = 1000L * trial + i
+          try {
+            Seq((id, s"live$id")).toDF("id", "s")
+              .coalesce(1).write.mode("append").parquet(dir)
+            committed.add(id) // only a RETURNED write joins the law
+          } catch { case _: Throwable => () } // thrown = not committed
+          i += 1
+        }
+      })
+      appender.start()
+      try {
+        // vary the interleaving: let the appender get ahead by a
+        // trial-dependent amount before compaction starts
+        Thread.sleep(50L * trial)
+        graft.layout.Layout.compact(spark, dir, 1L << 20)
+        graft.layout.Layout.compact(spark, dir, 1L << 20)
+      } finally {
+        stop = true
+        appender.join(60000)
+      }
+      import scala.jdk.CollectionConverters._
+      val want = (1 to 6).map(_.toLong).toSet ++
+        committed.iterator().asScala.toSet
+      val got = spark.read.parquet(dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(want.subsetOf(got),
+        s"trial $trial lost committed rows: ${want.diff(got)}")
+    }
+  }
 }
