@@ -160,7 +160,7 @@ final class Warehouse(spark: SparkSession, root: String) {
   def pollForever(watchDir: String, pollIntervalMs: Long = 60000L,
       errorBackoffMs: Long = 10000L, maxCycles: Long = Long.MaxValue,
       sleep: Long => Unit = Thread.sleep,
-      cycle: String => Map[String, String] = this.pollOnce): Long = {
+      cycle: String => Map[String, String] = this.pollOnce(_)): Long = {
     var cycles = 0L
     var ok = 0L
     while (cycles < maxCycles) {
@@ -179,29 +179,52 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   // -- one poll cycle (etl/app.py:253-278) -------------------------------
 
-  /** Returns (filename → status) for every file considered this cycle. */
-  def pollOnce(watchDir: String): Map[String, String] = {
+  /** Returns (filename → status) for every file considered this cycle.
+    *
+    * Driver-side listing, bounded: the listing itself mirrors the
+    * reference's glob (etl/app.py:261) and is O(#files in watchDir) in
+    * driver memory — names + mtimes only, streamed through
+    * listStatusIterator with non-matching entries dropped as they
+    * arrive, so the resident set is the MATCHING files, never the raw
+    * directory. `maxFilesPerCycle` then caps how many files one cycle
+    * processes (oldest mtime first — FIFO, nothing starves): a
+    * crawl-frontier-sized backlog drains across cycles at a bounded
+    * per-cycle cost instead of turning cycle one into an unbounded
+    * collect+process marathon. A directory too large to even LIST
+    * belongs on the streaming path (Streams.fileStream) or should be
+    * date-partitioned into per-day watch dirs — a flat 10⁷-file dir is
+    * a layout bug no poller can absorb.
+    */
+  def pollOnce(watchDir: String,
+      maxFilesPerCycle: Int = 10000): Map[String, String] = {
+    require(maxFilesPerCycle > 0, "maxFilesPerCycle must be positive")
     val fs = new Path(watchDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(watchDir))) return Map.empty
-    // Directory listing is driver-side by design — it mirrors the
-    // reference's glob (etl/app.py:261) and is O(#files), not O(data).
-    val listed = fs.listStatus(new Path(watchDir)).toSeq
-      .filter(_.isFile)
-      .map(st => (st.getPath.toString, st.getPath.getName,
-        new java.sql.Timestamp(st.getModificationTime)))
-      .filterNot { case (_, name, _) => name.startsWith("~$") } // O2
-      .filter { case (_, name, _) =>
-        name.endsWith(".csv") || name.endsWith(".parquet") ||
-          name.endsWith(".xlsx") || name.endsWith(".jsonl") }
+    val it = fs.listStatusIterator(new Path(watchDir))
+    val listedB = Seq.newBuilder[(String, String, java.sql.Timestamp)]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("~$") && // O2
+        (name.endsWith(".csv") || name.endsWith(".parquet") ||
+          name.endsWith(".xlsx") || name.endsWith(".jsonl")))
+        listedB += ((st.getPath.toString, name,
+          new java.sql.Timestamp(st.getModificationTime)))
+    }
+    val listed = listedB.result()
 
     if (listed.isEmpty) return Map.empty
 
     // O3 — incremental change detection against the control table.
+    // The collect is bounded to maxFilesPerCycle rows (oldest first),
+    // not the full needs-processing backlog.
     import spark.implicits._
     val listing = listed.map { case (_, name, mtime) => (name, mtime) }
       .toDF("filename", "last_modified")
     val toProcess = Ingest.filesNeedingProcessing(listing, metadata)
+      .orderBy(col("last_modified").asc, col("filename").asc)
+      .limit(maxFilesPerCycle)
       .select("filename").collect().map(_.getString(0)).toSet
 
     val candidates = listed.filter(t => toProcess.contains(t._2))

@@ -1076,22 +1076,36 @@ object LlmPipeline {
     * table you would maintain incrementally at ingest.
     */
   private val q61: Q = (s, dir) => {
-    val queryTerms = Seq("spark", "shuffle", "sort")
     val d = t(s, dir, "documents")
-    val n = d.select(count(lit(1)).as("n_docs"))
-    // tf is materialized ONCE (eager localCheckpoint): both df_ and the
-    // final join read the tiny checkpointed frame (only query-term rows
-    // survive the isin filter) instead of each re-running the full
-    // token explode over the corpus — which was 2× the scan and made
-    // q61 the slowest non-iterative query in BENCH_r03.
-    val tf = d
-      .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+    val tf = termFreq(d, LexicalQueryTerms)
+    // tf is one row per (doc_id, tok) by construction: a plain count IS
+    // the distinct-doc count, without the distinct-aggregate Expand.
+    lexicalRank(d, tf, tf.groupBy("tok").agg(count(lit(1)).as("df")))
+  }
+
+  /** Default lexical-search query terms (q61 and its store-fed form). */
+  val LexicalQueryTerms: Seq[String] = Seq("spark", "shuffle", "sort")
+
+  /** Per-document term frequency of the query terms, materialized ONCE
+    * (eager localCheckpoint): both the df recompute and the final join
+    * read the tiny checkpointed frame (only query-term rows survive the
+    * isin filter) instead of each re-running the full token explode
+    * over the corpus — which was 2× the scan and made q61 the slowest
+    * non-iterative query in BENCH_r03.
+    */
+  private def termFreq(d: DataFrame, queryTerms: Seq[String]): DataFrame =
+    d.select(col("doc_id"), explode(expr(toksE)).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    // tf is one row per (doc_id, tok) by construction: a plain count IS
-    // the distinct-doc count, without the distinct-aggregate Expand.
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** q61's ranking epilogue over a (doc_id, tok, tf) frame and a
+    * (tok, df) side — shared by the recomputed and store-fed forms so
+    * the score arithmetic can never drift between them.
+    */
+  private def lexicalRank(d: DataFrame, tf: DataFrame,
+      df_ : DataFrame): DataFrame = {
+    val n = d.select(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df_), "tok")
       .crossJoin(broadcast(n))
       .withColumn("contrib_fp", expr(
@@ -1104,6 +1118,26 @@ object LlmPipeline {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(10)
+  }
+
+  /** q61 fed from the incrementally-maintained (term, df) store
+    * (graft.streaming.Streams.maintainTermStats) instead of recomputing
+    * df from the corpus — the at-scale path q61's doc names: at 100 TB
+    * the df side is inverted-index statistics kept fresh AT INGEST, and
+    * the query-time cost drops to the tf explode of the query terms
+    * plus a broadcast of |queryTerms| df rows. Identical scores to q61
+    * when the store was maintained over the same corpus (same
+    * tokenization expression, same df definition — StreamingSpec pins
+    * the equality).
+    */
+  def lexicalSearchWithStats(s: SparkSession, dir: String,
+      statsPath: String,
+      queryTerms: Seq[String] = LexicalQueryTerms): DataFrame = {
+    val d = t(s, dir, "documents")
+    val dfStats = graft.streaming.Streams.readTermStats(s, statsPath)
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term").as("tok"), col("df"))
+    lexicalRank(d, termFreq(d, queryTerms), dfStats)
   }
 
   /** q62: int8 embedding quantization — the compressed-at-rest form of
@@ -1209,25 +1243,38 @@ object LlmPipeline {
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
-    // Each round is materialized with an EAGER localCheckpoint, which
+    // Each round is materialized with an EAGER checkpoint, which
     // truncates lineage: persist+unpersist would CASCADE (unpersisting
     // round N-1 invalidates round N's dependent cache, so every round
     // silently recomputes the whole history — 3 branches per round made
     // that exponential, observed 50 s/round by round 4 at sf0.1;
-    // checkpointed rounds stay ~0.5 s flat). A multi-node deployment
-    // uses reliable checkpoint() on HDFS instead; same structure.
-    // Each round runs ONE Spark action: the label sum used for the
-    // convergence check rides the checkpoint materialization as an
+    // checkpointed rounds stay ~0.5 s flat). When the session has a
+    // checkpoint directory configured (setCheckpointDir — a cluster
+    // deployment sets one as a matter of course), rounds use the
+    // RELIABLE checkpoint: blocks live on the cluster FS, so executor
+    // loss / dynamic-allocation decommission mid-loop recovers instead
+    // of failing the job. Without one, the faster executor-memory
+    // localCheckpoint (single-JVM local mode loses blocks only by
+    // dying entirely). LlmPipelineSpec pins that both modes produce
+    // identical labels.
+    // Each round runs ONE driver-visible action: the label sum used for
+    // the convergence check rides the checkpoint materialization as an
     // observed metric (CollectMetrics accumulator) instead of a second
     // job re-reading the checkpoint — r3 paid two actions per round and
-    // q60 alone was 21% of the whole bench.
+    // q60 alone was 21% of the whole bench. (Reliable mode pays one
+    // extra internal job: RDD checkpointing recomputes the round to
+    // write it — durability's price, not a plan defect.)
+    val reliable =
+      pairsIn.sparkSession.sparkContext.getCheckpointDir.isDefined
     def checkpointed(df: DataFrame, round: Int)
         : (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation(s"cc_labelsum_$round")
-      val out = df
+      val observed = df
         .observe(obs, sum(col("label").cast(DecimalType(38, 0)))
           .as("label_sum"))
-        .localCheckpoint(true)
+      val out =
+        if (reliable) observed.checkpoint(true)
+        else observed.localCheckpoint(true)
       (out, obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
     }
     // The seed already folds in one edge relaxation (label₀ = min of
@@ -1341,13 +1388,25 @@ object LlmPipeline {
   def canonicalUrl(url: Column): Column = {
     val u1 = regexp_replace(url, "#.*$", "")
     // a URL with no scheme//host prefix (malformed or relative) passes
-    // through case-preserved rather than collapsing to "" — otherwise
-    // every bad input would merge into ONE empty canonical key and a
-    // frontier dedup would drop all but one of them
+    // through rather than collapsing to "" — otherwise every bad input
+    // would merge into ONE empty canonical key and a frontier dedup
+    // would drop all but one of them. An AUTHORITY-LOOKING prefix is
+    // still lowercased in the pass-through branch (protocol-relative
+    // "//Host/x", or a dotted bare host "EXAMPLE.com/a"): those are the
+    // same resource as their lowercase form, and case-preserving them
+    // would keep two frontier entries per host spelling. Prefixes that
+    // do not look like an authority (no dot, or a non-// scheme-ish
+    // head like "ftp:/x") stay verbatim.
     val head = regexp_extract(u1, "^([^/]+//[^/]+)", 1)
-    val u2 = when(head === "", u1).otherwise(concat(
-      lower(head),
-      regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1)))
+    val auth = regexp_extract(u1,
+      "^(//[^/?]+|[A-Za-z0-9-]+(?:\\.[A-Za-z0-9.-]+)+(?::[0-9]+)?)(?=[/?]|$)",
+      1)
+    val u2 = when(head =!= "", concat(
+        lower(head),
+        regexp_extract(u1, "^[^/]+//[^/]+(.*)$", 1)))
+      .when(auth =!= "", concat(
+        lower(auth), u1.substr(length(auth) + lit(1), length(u1))))
+      .otherwise(u1)
     // split at the first '?': params are matched against a '&' sentinel
     // so every utm param needs exactly one pattern regardless of
     // position ("&utm_x" after prepending '&' to the query string)

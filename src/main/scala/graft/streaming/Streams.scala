@@ -178,6 +178,64 @@ object Streams {
       .drop("__content_fp")
   }
 
+  /** Streamed CROSS-RUN content dedup — the glue that makes
+    * [[graft.ingest.DedupStore]] consumable from a stream: every
+    * micro-batch runs the two-phase check-persist-record cycle against
+    * the store, writing each batch's survivors to its own
+    * `batch=<id>` subdirectory of `outDir` (readable as one table —
+    * Spark exposes `batch` as a partition column).
+    *
+    * Delivery semantics, per crash window (foreachBatch replays are
+    * at-least-once):
+    *  - survivors in `outDir` are EXACTLY-ONCE: a replayed batch id
+    *    that already has its `_SUCCESS` marker is not rewritten (a
+    *    replay AFTER the store recorded the hashes would recompute an
+    *    EMPTY survivor set and overwrite data with nothing), and a
+    *    half-written directory (no marker) is recomputed from the
+    *    unchanged store and overwritten cleanly;
+    *  - store hash rows are AT-LEAST-ONCE: hashes are recorded from the
+    *    committed survivor directory (the persisted read-back the
+    *    DedupStore contract asks for), re-recorded on replay — never
+    *    lost, duplicates reclaimed by DedupStore.compactStore.
+    * Within-batch + cross-batch + cross-RESTART duplicates all collapse;
+    * StreamingSpec drives the crash matrix. `outDir` + `checkpointDir`
+    * are ONE unit (batch ids name the subdirectories): reset both or
+    * neither — a fresh checkpoint against a populated outDir sees old
+    * batch directories as committed, which is exactly what makes a
+    * full-history replay a no-op instead of a data loss.
+    */
+  def dedupThroughStore(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .queryName("dedup_through_store")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        if (!committed) {
+          val fresh = graft.ingest.DedupStore
+            .newUnique(batch, textCol, idCol, storePath)
+            .localCheckpoint(true) // one evaluation feeds the write
+          try fresh.write.mode("overwrite").parquet(target.toString)
+          finally fresh.unpersist()
+        }
+        // record from the COMMITTED read-back (explicit schema: a batch
+        // with zero survivors commits a data-file-less directory that
+        // schema inference cannot read)
+        graft.ingest.DedupStore.recordHashes(
+          spark.read.schema(batch.schema
+              .add("content_hash", org.apache.spark.sql.types.StringType))
+            .parquet(target.toString),
+          textCol, storePath)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join — the streaming form of the q23 as-of
     * attribution: each purchase joins signups of the same user within
     * the preceding `lookback`. Both sides carry watermarks and the join

@@ -319,6 +319,27 @@ class IngestSpec extends SparkSuite {
     assert(kept === Array("/w/clients.csv"))
   }
 
+  test("pollOnce bounds each cycle to maxFilesPerCycle oldest-first; " +
+    "the backlog drains across cycles with nothing starved") {
+    val watch = tmpDir("watch-capped")
+    val wh = new Warehouse(spark, tmpDir("wh-capped"))
+    writeFile(watch, "clients.csv", clientsCsv)
+    writeFile(watch, "produits.csv", produitsCsv)
+    // distinct mtimes so oldest-first is deterministic: clients oldest
+    val fc = new java.io.File(watch, "clients.csv")
+    val fp = new java.io.File(watch, "produits.csv")
+    assert(fc.setLastModified(System.currentTimeMillis() - 60000))
+    assert(fp.setLastModified(System.currentTimeMillis() - 30000))
+    val st1 = wh.pollOnce(watch, maxFilesPerCycle = 1)
+    assert(st1 === Map("clients.csv" -> "success"))
+    val st2 = wh.pollOnce(watch, maxFilesPerCycle = 1)
+    assert(st2 === Map("produits.csv" -> "success"))
+    // backlog drained: nothing left for cycle three
+    assert(wh.pollOnce(watch, maxFilesPerCycle = 1) === Map.empty)
+    assert(wh.table("clients").get.count() === 3)
+    assert(wh.table("produits").get.count() === 2)
+  }
+
   test("E1 end-to-end: poll cycle over fixture CSVs, then idempotent re-poll") {
     val watch = tmpDir("watch")
     val wh = new Warehouse(spark, tmpDir("wh"))

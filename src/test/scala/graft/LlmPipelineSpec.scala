@@ -148,6 +148,29 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q60 through a RELIABLE checkpoint dir (cluster durability mode) " +
+    "produces identical labels to the localCheckpoint mode") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "shared test session unexpectedly has a checkpoint dir; this test " +
+        "must run the localCheckpoint leg first")
+    def run() = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_keeper"),
+        r.getAs[Long]("cluster_size"))).sortBy(_._1).toSeq
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    sc.setCheckpointDir(dir) // no public unset: set AFTER the local leg
+    val viaReliable = run()
+    assert(viaReliable === viaLocal)
+    // the reliable path actually engaged: round RDDs were written to it
+    def ckptFiles(d: java.io.File): Int =
+      d.listFiles.toSeq.map(f =>
+        if (f.isDirectory) ckptFiles(f) else 1).sum
+    assert(ckptFiles(new java.io.File(dir)) > 0,
+      "checkpoint dir untouched — the loop silently used localCheckpoint")
+  }
+
   test("q62 quantization: codes fit int8, reconstruction error bounded " +
     "by scale/2") {
     val rows = LlmPipeline.queries("q62_embedding_quantize")(spark, sf)

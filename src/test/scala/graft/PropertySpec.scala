@@ -186,6 +186,22 @@ class PropertySpec extends SparkSuite {
     }
     assert(weirdOut.map(_.getString(1)).distinct.length === weird.length)
     assert(weirdOut.head.getString(1) === "example.com/a?id=1")
+    // schemeless/protocol-relative authority case: the SAME host spelled
+    // in different case must canonicalize together (it is one resource),
+    // while non-authority prefixes stay verbatim
+    val authPairs = Seq(
+      ("EXAMPLE.com/a", "example.com/a"),
+      ("//HOST.example/x", "//host.example/x"),
+      ("api.Example.COM:8080/v1?id=2", "api.example.com:8080/v1?id=2"))
+    val authOut = authPairs.map(_._1).toDF("url")
+      .select(graft.queries.LlmPipeline.canonicalUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(authOut === authPairs.map(_._2))
+    val verbatim = Seq("Not a url", "Relative-thing/path", "ftp:/One/z")
+    val verbOut = verbatim.toDF("url")
+      .select(graft.queries.LlmPipeline.canonicalUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(verbOut === verbatim)
   }
 
   test("compaction race law: a LIVE appender racing compact never loses " +

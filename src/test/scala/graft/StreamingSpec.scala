@@ -370,6 +370,91 @@ class StreamingSpec extends SparkSuite {
     assert(stats() === got, "replayed batch must not double-count")
   }
 
+  test("streamed cross-run dedup through the store: every batch drops " +
+    "everything ever seen; a full replay neither duplicates survivors " +
+    "nor loses hashes") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("dedup-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("dedup-out").toString + "/docs"
+    val store = java.nio.file.Files
+      .createTempDirectory("dedup-store").toString + "/hashes"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("dedup-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.dedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", store, outDir, ckpt).awaitTermination()
+    def survivors(): Seq[(Long, String)] = spark.read.parquet(outDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // batch 1: one internal formatting-variant duplicate
+    deliver("b1", Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA  beta")))
+    drain()
+    assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma")))
+    // batch 2: one cross-batch duplicate, one genuinely new
+    deliver("b2", Seq((9L, "GAMMA"), (10L, "delta")))
+    drain()
+    assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
+      (10L, "delta")))
+    // outDir reads as a batch-partitioned table
+    assert(spark.read.parquet(outDir).columns.contains("batch"))
+    // full-history replay (checkpoint wiped): committed batch dirs are
+    // skipped — survivors unchanged, hashes re-recorded not lost
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
+      (10L, "delta")))
+    // store is compactable back to one row per unique content
+    graft.ingest.DedupStore.compactStore(spark, store)
+    assert(spark.read.parquet(store).count() === 3)
+    // and the store still suppresses everything ever seen
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((99L, "delta"), (100L, "alpha  BETA")).toDF("doc_id", "text"),
+      "text", "doc_id", store).count() === 0)
+  }
+
+  test("q61 fed from the maintained (term, df) store ranks identically " +
+    "to the corpus-recomputed form") {
+    // maintain the stats over the REAL documents table (streamed in),
+    // then the store-fed lexical search must reproduce q61 exactly —
+    // same tokenization, same df definition, same score arithmetic.
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("term-stats-q61").toString + "/stats"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stats-q61-ckpt").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    // documents.parquet is a flat file; the file stream source wants a
+    // directory of arriving files — stage a copy as one "arrival"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("docs-q61-src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"),
+      java.nio.file.Paths.get(srcDir, "documents.parquet"))
+    graft.streaming.Streams.maintainTermStats(
+      spark.readStream.schema(docs.schema).parquet(srcDir),
+      statsPath, ckpt).awaitTermination()
+    val recomputed = graft.queries.LlmPipeline
+      .queries("q61_lexical_search")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaStore = graft.queries.LlmPipeline
+      .lexicalSearchWithStats(spark, sf, statsPath)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore === recomputed)
+    assert(recomputed.nonEmpty)
+  }
+
   test("§2.3 event-time windows: streaming run over event files matches " +
     "the batch run of the same function (update-complete semantics)") {
     import spark.implicits._
