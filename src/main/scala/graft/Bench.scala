@@ -93,6 +93,13 @@ object Bench {
       }
       if (times.isEmpty) (n, -1.0, 0.0)
       else {
+        // per-rep timings to stderr: when a spread is large, the JSON
+        // alone can't tell one 30 s environmental stall from three
+        // mediocre runs — the raw reps make the outlier attributable
+        // (observed r9: host-level stalls of ~30 s on single reps
+        // while the other two sat at the steady-state median).
+        System.err.println(s"[bench] ${shortOf(n)} reps: " +
+          times.map(t => f"$t%.3f").mkString(" "))
         val s = times.sorted
         (n, s(s.size / 2), s.last - s.head)
       }

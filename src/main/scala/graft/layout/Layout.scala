@@ -68,6 +68,87 @@ object Layout {
     l.join(r, Seq(key, "__graft_salt")).drop("__graft_salt")
   }
 
+  /** Z-ORDER clustering — the multi-dimensional generalization of
+    * sort-on-write: a linear sort bounds per-file min/max on ONE column
+    * (files 1..k cover disjoint key ranges; every other column spans
+    * the whole domain in every file, so a predicate on it reads
+    * everything). Interleaving the bits of several columns' RANKS
+    * (Morton order) and range-partitioning on that interleaved key
+    * gives every file a bounded box in ALL z dimensions at once, so
+    * footer min/max statistics prune scans on ANY of them — in plain
+    * parquet that materializes as row-group skipping under pushed
+    * filters; in a table format with file-level stats it is file
+    * skipping outright. This is the standard layout answer for "we
+    * filter events by user AND by time AND by amount" at 100 TB, where
+    * only one of those can win the linear sort.
+    *
+    * Ranks, not raw values: equal-FREQUENCY quantile buckets
+    * (`approxQuantile` boundaries, a driver-side array of 2^bits − 1
+    * doubles per column — KB-sized at any data scale) rather than
+    * equal-width, so a skewed column (crawl domains, power-law users)
+    * still spreads across the bucket space instead of collapsing into
+    * one bucket. Per-row bucketing is a rank count over the boundary
+    * literal (one `aggregate` HOF pass — see the note in [[zOrderKey]]
+    * on why not a chained-`when` binary search). The morton
+    * key itself is shift/mask arithmetic. One `repartitionByRange` on
+    * the key (the only shuffle) + `sortWithinPartitions` then lays
+    * files out along the curve. Nulls rank lowest (bucket 0).
+    *
+    * `zCols` must be castable to double; 2–4 columns is the useful
+    * range (each extra dimension dilutes every file's per-column
+    * selectivity — k dims at f files give ~f^(1/k) pruning per dim).
+    * `bitsPerCol` defaults to 8 (256 ranks per column), plenty while
+    * files ≪ 2^(8k).
+    */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
+      files: Int, bitsPerCol: Int = 8): Unit = {
+    require(zCols.size >= 2, "z-order needs >= 2 columns (use sortBy for 1)")
+    require(files >= 1, s"files must be >= 1, got $files")
+    require(bitsPerCol >= 1 && bitsPerCol * zCols.size <= 60,
+      s"bitsPerCol * zCols must fit a long, got $bitsPerCol * ${zCols.size}")
+    df.withColumn("__graft_z", zOrderKey(df, zCols, bitsPerCol))
+      .repartitionByRange(files, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** The interleaved-rank (Morton) key underlying [[writeZOrdered]],
+    * exposed for callers that want to cluster within an existing
+    * partitioning scheme (e.g. sortWithinPartitions of a date
+    * partition). Runs one `approxQuantile` driver action per call.
+    */
+  def zOrderKey(df: DataFrame, zCols: Seq[String],
+      bitsPerCol: Int = 8): org.apache.spark.sql.Column = {
+    val k = zCols.size
+    val n = (1 << bitsPerCol) - 1 // boundaries per column
+    val probs = (1 to n).map(_.toDouble / (n + 1)).toArray
+    // approxQuantile ignores nulls; relativeError trades one pass's
+    // accuracy for memory — 1/(4n) keeps neighboring buckets distinct.
+    val buckets = zCols.zipWithIndex.map { case (c, ci) =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.25 / (n + 1))
+      val bLit = array(bounds.toIndexedSeq.map(lit): _*)
+      val x = col(c).cast("double")
+      // bucket = |{j : bounds(j) <= x}| — one linear `aggregate` pass
+      // over the boundary literal. A chained-`when` binary search would
+      // be O(bits) probes and codegen'd, but every expression-level
+      // formulation of it duplicates the accumulator ~4× per level
+      // (Column trees are trees, not DAGs) — 4^bits nodes hangs
+      // Catalyst long before the data costs anything. 2^bits
+      // comparisons per row through the interpreted HOF is the honest
+      // price, paid once at WRITE time per relayout (drop bitsPerCol
+      // if the write path ever dominates; 64 ranks per column is still
+      // ample while files ≪ 2^(6k)).
+      val bucket = aggregate(bLit, lit(0L),
+        (acc, b) => acc + when(b <= x, lit(1L)).otherwise(lit(0L)))
+      // interleave: bit b of column ci lands at position b*k + ci
+      (0 until bitsPerCol).map { b =>
+        shiftleft(shiftright(bucket, b).bitwiseAND(lit(1L)), b * k + ci)
+      }.reduce(_ bitwiseOR _)
+    }
+    buckets.reduce(_ bitwiseOR _)
+  }
+
   /** Small-file compaction — the table-maintenance pass every
     * micro-batch ingest needs: the poll/stream sinks (O8) append one
     * file per batch, and a year of 5-minute polls turns a partition

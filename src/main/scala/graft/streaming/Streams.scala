@@ -207,8 +207,46 @@ object Streams {
   def dedupThroughStore(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, outDir: String,
       checkpointDir: String): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "dedup_through_store")(
+      batch => graft.ingest.DedupStore
+        .newUnique(batch, textCol, idCol, storePath),
+      committed => graft.ingest.DedupStore
+        .recordHashes(committed, textCol, storePath))
+
+  /** [[dedupThroughStore]] against the BUCKETED catalog store
+    * ([[graft.ingest.DedupStore.ensureBucketedStore]]) — identical
+    * delivery semantics; the per-micro-batch anti-join plans zero
+    * exchanges on the ever-growing store side, which is the form that
+    * holds up when the stream has been running for a year. The table
+    * is created on first use (`buckets` sizes it then; an existing
+    * table's bucket count wins).
+    */
+  def dedupThroughBucketedStore(docs: DataFrame, textCol: String,
+      idCol: String, table: String, outDir: String,
+      checkpointDir: String, buckets: Int = 32): StreamingQuery = {
+    graft.ingest.DedupStore.ensureBucketedStore(
+      docs.sparkSession, table, buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "dedup_through_bucketed_store")(
+      batch => graft.ingest.DedupStore
+        .newUniqueBucketed(batch, textCol, idCol, table),
+      committed => graft.ingest.DedupStore
+        .recordHashesBucketed(committed, textCol, table))
+  }
+
+  /** The shared micro-batch cycle of the two store-backed dedup sinks:
+    * check (`newUnique*`) → persist survivors exactly-once into
+    * `batch=<id>` → record hashes at-least-once from the committed
+    * read-back. See [[dedupThroughStore]] for the delivery-semantics
+    * contract; `check`/`record` inject the store form.
+    */
+  private def dedupThroughStoreWith(docs: DataFrame, textCol: String,
+      outDir: String, checkpointDir: String, queryName: String)(
+      check: DataFrame => DataFrame,
+      record: DataFrame => Unit): StreamingQuery =
     docs.writeStream
-      .queryName("dedup_through_store")
+      .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -218,8 +256,7 @@ object Streams {
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
         if (!committed) {
-          val fresh = graft.ingest.DedupStore
-            .newUnique(batch, textCol, idCol, storePath)
+          val fresh = check(batch)
             .localCheckpoint(true) // one evaluation feeds the write
           try fresh.write.mode("overwrite").parquet(target.toString)
           finally fresh.unpersist()
@@ -227,11 +264,10 @@ object Streams {
         // record from the COMMITTED read-back (explicit schema: a batch
         // with zero survivors commits a data-file-less directory that
         // schema inference cannot read)
-        graft.ingest.DedupStore.recordHashes(
+        record(
           spark.read.schema(batch.schema
               .add("content_hash", org.apache.spark.sql.types.StringType))
-            .parquet(target.toString),
-          textCol, storePath)
+            .parquet(target.toString))
         ()
       }
       .start()

@@ -122,6 +122,88 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("z-ordered layout bounds per-file min/max on BOTH columns — a " +
+    "predicate on either dimension can skip most files (linear sort " +
+    "only ever bounds one)") {
+    // sf0.01 deliberately: z-order quality is a function of column
+    // CARDINALITY (quantile ranks collapse on ties), and sf0.001's
+    // ~100-distinct user_id makes box boundaries too coarse to assert
+    // against — the 10k-row table is still a sub-second test
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select("user_id", "value")
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = s"$root/linear"
+    val zDir = s"$root/z"
+    val files = 16
+    // linear baseline: the single-column sort-on-write everyone does
+    ev.repartitionByRange(files, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.parquet(linDir)
+    Layout.writeZOrdered(ev, zDir, Seq("user_id", "value"), files)
+    // rows survive the relayout byte-for-byte (same multiset)
+    val h = (d: org.apache.spark.sql.DataFrame) => d
+      .agg(expr("bit_xor(xxhash64(user_id, value))"), count(lit(1)))
+      .collect()(0).toSeq
+    assert(h(spark.read.parquet(zDir)) === h(ev))
+    // per-file [min,max] boxes from the footer-visible stats' source data
+    def boxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("value").as("vlo"), max("value").as("vhi"))
+      .collect().toSeq
+    def overlaps(bs: Seq[org.apache.spark.sql.Row], c: String,
+        lo: Double, hi: Double): Int = {
+      val (i, j) = if (c == "user_id") (0, 1) else (2, 3)
+      bs.count { r =>
+        val (blo, bhi) = (r.get(i + 1).toString.toDouble,
+          r.get(j + 1).toString.toDouble)
+        bhi >= lo && blo <= hi
+      }
+    }
+    // range partitioning may leave a few ranges empty on low-cardinality
+    // columns (sampled duplicate boundaries) — prune math uses the
+    // ACTUAL file counts, not the requested 16
+    val zb = boxes(zDir)
+    val lb = boxes(linDir)
+    assert(zb.size >= files / 2 && lb.size >= files / 2,
+      s"z=${zb.size} lin=${lb.size} files materialized")
+    // Box quality, the stat the pruning follows from: average per-file
+    // span as a fraction of the global domain. (A point predicate hits
+    // ~avgSpan of the files; band predicates add the band width and,
+    // when centered on the median, straddle the top morton-bit flip by
+    // construction — span is the placement-independent measure.)
+    def avgSpan(bs: Seq[org.apache.spark.sql.Row], c: String): Double = {
+      val (i, j) = if (c == "user_id") (1, 2) else (3, 4)
+      val los = bs.map(_.get(i).toString.toDouble)
+      val his = bs.map(_.get(j).toString.toDouble)
+      val (glo, ghi) = (los.min, his.max)
+      bs.indices.map(r => (his(r) - los(r)) / (ghi - glo)).sum / bs.size
+    }
+    // linear layout: the sort bounds user_id tightly…
+    assert(avgSpan(lb, "user_id") <= 0.2,
+      s"linear user_id avg span ${avgSpan(lb, "user_id")}")
+    // …while value goes unbounded — at least 2× looser than z-order
+    // gets it (absolute spans depend on the tail shape; the RATIO is
+    // the layout's doing)
+    assert(avgSpan(lb, "value") >= 2 * avgSpan(zb, "value"),
+      s"linear value avg span ${avgSpan(lb, "value")} vs " +
+        s"z ${avgSpan(zb, "value")}")
+    // z-order: BOTH dimensions bounded well below the full domain
+    assert(avgSpan(zb, "user_id") <= 0.6,
+      s"z user_id avg span ${avgSpan(zb, "user_id")}")
+    assert(avgSpan(zb, "value") <= 0.6,
+      s"z value avg span ${avgSpan(zb, "value")}")
+    // and the scan-level consequence vs the baseline: a 10%-of-rows
+    // band on the OFF-SORT column overlaps strictly fewer z files
+    val Array(vlo, vhi) = ev.stat.approxQuantile("value",
+      Array(0.45, 0.55), 0.001)
+    val zv = overlaps(zb, "value", vlo, vhi)
+    val lv = overlaps(lb, "value", vlo, vhi)
+    assert(zv < lv,
+      s"z-order ($zv/${zb.size} files) did not beat linear ($lv/${lb.size})" +
+        " on the off-sort column")
+  }
+
   test("salted join is row-identical to the plain join on a skewed key") {
     import spark.implicits._
     // 90% of the big side carries one hot key — the shape that melts a

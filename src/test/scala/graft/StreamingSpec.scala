@@ -425,6 +425,64 @@ class StreamingSpec extends SparkSuite {
       "text", "doc_id", store).count() === 0)
   }
 
+  test("streamed cross-run dedup through the BUCKETED store: same " +
+    "semantics, catalog-table store, replay-safe") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("bdedup-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("bdedup-out").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("bdedup-ckpt").toString
+    val table = "graft_stream_bucketed_store"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    try {
+      def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(): Unit = graft.streaming.Streams.dedupThroughBucketedStore(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", table, outDir, ckpt, buckets = 4)
+        .awaitTermination()
+      def survivors(): Seq[(Long, String)] = spark.read.parquet(outDir)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      deliver("b1", Seq((1L, "alpha beta"), (2L, "gamma"),
+        (3L, "ALPHA  beta")))
+      drain()
+      assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma")))
+      deliver("b2", Seq((9L, "GAMMA"), (10L, "delta")))
+      drain()
+      assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
+        (10L, "delta")))
+      // full-history replay after checkpoint loss: a no-op, not a loss
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
+        (10L, "delta")))
+      // replay re-recorded hashes (at-least-once); compaction reclaims
+      val (before, after) = graft.ingest.DedupStore
+        .compactBucketedStore(spark, table)
+      assert(after === 3L && before >= after, s"($before, $after)")
+      // and the compacted table still suppresses everything ever seen
+      assert(graft.ingest.DedupStore.newUniqueBucketed(
+        Seq((99L, "delta"), (100L, "alpha  BETA")).toDF("doc_id", "text"),
+        "text", "doc_id", table).count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("q61 fed from the maintained (term, df) store ranks identically " +
     "to the corpus-recomputed form") {
     // maintain the stats over the REAL documents table (streamed in),
