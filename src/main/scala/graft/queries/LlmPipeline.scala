@@ -324,6 +324,75 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** q84: exact batch KNN JOIN — top-3 cosine neighbors for EVERY query
+    * in a query set (vec_id 0..9), not the single-vector top-k of q24.
+    * This is the shape embedding curation actually runs: score a batch
+    * of probe vectors (benchmark prompts, cluster medoids, eval seeds)
+    * against the corpus in one pass. Plan: the query set broadcasts
+    * (tiny side), the corpus streams through ONE scan with the fused
+    * native cosine per (row, query), and the per-query top-3 is a
+    * row_number window partitioned by query — at 100 TB the corpus is
+    * never shuffled, and the only exchange is the (|Q| x k)-bounded
+    * window input. Exact baseline; q85 is the IVF-pruned scale path for
+    * large |Q|.
+    */
+  private val q84: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val qs = e.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") > 9)
+      .select(col("vec_id").as("neighbor_id"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    corpus.crossJoin(broadcast(qs))
+      .withColumn("cosine", expr("cosine_sim(v, qv)"))
+      // prune per-partition before the window exchange: only rows that
+      // could reach a global top-3 for their query survive the map side
+      .withColumn("rank_n", row_number().over(w).cast("long"))
+      .filter(col("rank_n") <= 3)
+      .select("query_id", "neighbor_id", "rank_n", "cosine")
+      .orderBy("query_id", "rank_n")
+  }
+
+  /** q85: IVF-probed batch KNN join — q84's answer when |Q| is too big
+    * for |Q| x corpus scoring. Same IVF layout as q40 (centroids = seed
+    * vectors 1..8; corpus rows live in their argmax-cosine inverted
+    * list, which at rest is the partition column): each query probes
+    * its nprobe=2 nearest lists and exact-rescores only those lists.
+    * The probe join is a plain equi-join on the list id — per-list
+    * locality, never all-pairs — and the per-query top-3 window input
+    * is bounded by the probed lists, not the corpus. Deterministic, so
+    * oracle-exact; LlmPipelineSpec additionally gates recall@3 vs the
+    * exact q84 answer.
+    */
+  private val q85: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ranked = e.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .withColumn("crn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crn") === 1 && col("vec_id") > 9)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("cid"))
+    val probes = ranked.filter(col("vec_id") <= 9 && col("crn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cid"), col("v").as("qv"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))
+    assigned.join(broadcast(probes), "cid")
+      .withColumn("cosine", expr("cosine_sim(v, qv)"))
+      .withColumn("rank_n", row_number().over(wTop).cast("long"))
+      .filter(col("rank_n") <= 3)
+      .select("query_id", "neighbor_id", "rank_n", "cosine")
+      .orderBy("query_id", "rank_n")
+  }
+
   // =====================================================================
   // Deduplication over documents
   // =====================================================================
@@ -1643,7 +1712,9 @@ object LlmPipeline {
     "q76_posting_lists" -> q76,
     "q80_pipeline_e2e" -> q80,
     "q81_length_histogram" -> q81,
-    "q83_semantic_clusters" -> q83)
+    "q83_semantic_clusters" -> q83,
+    "q84_knn_join" -> q84,
+    "q85_ivf_knn_join" -> q85)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1980,6 +2051,52 @@ object LlmPipeline {
          |FROM assigned a JOIN probes p ON a.cid = p.cid
          |WHERE a.vec_id <> 0
          |ORDER BY cosine DESC, a.vec_id LIMIT 5""".stripMargin
+    },
+    "q84_knn_join" -> {
+      def cos(a: String, b: String): String =
+        s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 9),
+         |c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id > 9),
+         |s AS (
+         | SELECT query_id, neighbor_id, ${cos("v", "qv")} AS cosine
+         | FROM c CROSS JOIN q),
+         |r AS (
+         | SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cosine DESC, neighbor_id) AS rank_n
+         | FROM s)
+         |SELECT query_id, neighbor_id, rank_n, cosine FROM r
+         |WHERE rank_n <= 3 ORDER BY query_id, rank_n""".stripMargin
+    },
+    "q85_ivf_knn_join" -> {
+      def cos(a: String, b: String): String =
+        s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+         |sims AS (
+         | SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS csim
+         | FROM e CROSS JOIN c),
+         |ranked AS (
+         | SELECT vec_id, v, cid, csim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+         | FROM sims),
+         |assigned AS (
+         | SELECT vec_id AS neighbor_id, v, cid FROM ranked
+         | WHERE crn = 1 AND vec_id > 9),
+         |probes AS (
+         | SELECT vec_id AS query_id, cid, v AS qv FROM ranked
+         | WHERE vec_id <= 9 AND crn <= 2),
+         |scored AS (
+         | SELECT p.query_id, a.neighbor_id, ${cos("a.v", "p.qv")} AS cosine
+         | FROM assigned a JOIN probes p ON a.cid = p.cid),
+         |r AS (
+         | SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cosine DESC, neighbor_id) AS rank_n
+         | FROM scored)
+         |SELECT query_id, neighbor_id, rank_n, cosine FROM r
+         |WHERE rank_n <= 3 ORDER BY query_id, rank_n""".stripMargin
     },
     "q39_media_sniff" ->
       """WITH m AS (

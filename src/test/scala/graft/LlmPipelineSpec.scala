@@ -43,6 +43,27 @@ class LlmPipelineSpec extends SparkSuite {
     assert(again === out)
   }
 
+  test("q85 IVF KNN join: recall@3 vs the exact q84 answer") {
+    // q85 is deterministic and oracle-checked for its own semantics;
+    // this gates its QUALITY as an ANN index: probing nprobe=2 of 8
+    // inverted lists must recover most of the true top-3 neighbor sets
+    // (measured 0.93 at sf0.001/sf0.01 — floor set with headroom for
+    // future testdata regeneration).
+    def sets(name: String): Map[Long, Set[Long]] =
+      LlmPipeline.queries(name)(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets("q84_knn_join")
+    val approx = sets("q85_ivf_knn_join")
+    assert(exact.nonEmpty && exact.keySet === approx.keySet)
+    val recalls = exact.map { case (q, t) =>
+      approx(q).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@3 $mean below floor (per-query " +
+      s"${recalls.toSeq.sorted.mkString(", ")})")
+  }
+
   test("q47 approx distinct: within 5% relative error of exact, per lang") {
     val approx = LlmPipeline.queries("q47_approx_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "documents")

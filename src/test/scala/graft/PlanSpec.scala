@@ -36,6 +36,29 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("KNN joins: map-side window-group-limit, equi-join probes, " +
+      "no cartesian corpus product") {
+    // q84/q85's per-query top-3 is a row_number filter over a window:
+    // InferWindowGroupLimit must plant a PARTIAL WindowGroupLimit below
+    // the window exchange, so each map task forwards at most k rows per
+    // query instead of shuffling the full |Q| x corpus scored set — the
+    // difference between a bounded exchange and moving the whole corpus
+    // |Q| times at 100 TB.
+    for (q <- Seq("q84_knn_join", "q85_ivf_knn_join")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost its map-side top-k prune")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
+    }
+    // q85's probe join must stay a hash equi-join on the inverted-list
+    // id (cid): the corpus side never meets the query set all-pairs.
+    // The only nested-loop join allowed is the bounded centroid fanout
+    // (8 rows, the IVF assignment scoring) — same shape as q40.
+    val p85 = plan("q85_ivf_knn_join")
+    assert(p85.contains("BroadcastHashJoin [cid"),
+      s"q85 probe join is not a cid equi-join:\n$p85")
+  }
+
   private def scans(name: String) =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
