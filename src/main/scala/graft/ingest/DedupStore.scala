@@ -180,6 +180,121 @@ object DedupStore {
       targetFileBytes)(_.distinct())
   }
 
+  // ── Bloom-filter sidecar (batch-side prune for the path store) ─────
+  //
+  // Even with the bucketed store, every batch's anti-join still READS
+  // the full store history. A Bloom filter over the store's hashes
+  // inverts that cost: the filter rides along with the batch (one
+  // broadcast), and every batch row whose hash is definitely-not-in-
+  // filter is new WITHOUT touching the store — the precise anti-join
+  // runs only over the maybe-seen minority (true duplicates + the fpp
+  // sliver). For a mostly-novel corpus feed that is almost the whole
+  // batch skipping the join.
+  //
+  // Correctness under staleness: the sidecar records WHICH store files
+  // it covers. Hashes appended after the sidecar was built are not in
+  // the filter, so a bloom miss alone cannot prove novelty — every
+  // batch row also anti-joins the RESIDUAL files (current minus
+  // covered), which stay small between rebuilds. Compaction rewrites
+  // the store under new file names; covered names then vanish and the
+  // residual degrades to the whole store — still exact, just no prune
+  // until the next [[buildBloomSidecar]] (schedule it with compaction).
+
+  private def sidecarPath(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath + ".bloom")
+
+  private def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(store)) Seq.empty
+    else fs.listStatus(store).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
+  /** Build/replace the store's Bloom sidecar: one pass over the current
+    * store files → a filter sized for their row count at `fpp`, written
+    * atomically (temp + rename) next to the store as `<store>.bloom`
+    * together with the covered file names. Sidecar size is ~1.2 bytes
+    * per hash at 1% fpp — ~120 GB of filter per trillion hashes, which
+    * is why `fpp` and rebuild cadence are the operator's levers, and
+    * why the filter covers the immutable compacted history while fresh
+    * appends ride the residual join instead of forcing a rebuild.
+    * Returns the number of hashes covered.
+    */
+  def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, fpp: Double = 0.01): Long = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = storeDataFiles(fs, store)
+    if (files.isEmpty) { fs.delete(sidecarPath(storePath), false); return 0L }
+    val df = spark.read.schema(storeSchema)
+      .parquet(files.map(_.toString): _*)
+    val n = df.count()
+    val bloom = df.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    val tmp = new org.apache.hadoop.fs.Path(
+      storePath + s".bloom.tmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(1) // sidecar format version
+      out.writeInt(files.size)
+      files.foreach(f => out.writeUTF(f.getName))
+      bloom.writeTo(out)
+    } finally out.close()
+    fs.delete(sidecarPath(storePath), false)
+    require(fs.rename(tmp, sidecarPath(storePath)),
+      s"buildBloomSidecar: could not install ${sidecarPath(storePath)}")
+    n
+  }
+
+  /** [[newUnique]] accelerated by the Bloom sidecar. Batch rows are
+    * split by a broadcast filter probe: definite-new rows (bloom miss)
+    * skip the covered-history anti-join entirely; maybe-seen rows run
+    * it as usual. BOTH still anti-join the residual files appended
+    * since the sidecar was built — exactness does not depend on the
+    * sidecar being fresh. No sidecar (or none of its files surviving)
+    * falls back to the plain [[newUnique]] plan. The probe is a scala
+    * UDF over the broadcast filter — it runs once per keeper row on a
+    * narrow frame, never inside the join hot path.
+    */
+  def newUniqueWithBloom(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val side = sidecarPath(storePath)
+    if (!fs.exists(side)) return newUnique(docs, textCol, idCol, storePath)
+    val in = new java.io.DataInputStream(fs.open(side))
+    val (coveredNames, bloom) =
+      try {
+        val ver = in.readInt()
+        require(ver == 1, s"unknown bloom sidecar version $ver")
+        val names = Seq.fill(in.readInt())(in.readUTF()).toSet
+        (names, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      } finally in.close()
+    val current = storeDataFiles(fs, store)
+    val covered = current.filter(f => coveredNames.contains(f.getName))
+    if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
+    val residual = current.filterNot(f => coveredNames.contains(f.getName))
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: String) => h != null && bc.value.mightContainString(h))
+    val k = keepers(docs, textCol, idCol)
+    val coveredDf = spark.read.schema(storeSchema)
+      .parquet(covered.map(_.toString): _*)
+    val maybe = k.filter(mightContain(col("content_hash")))
+      .join(coveredDf, Seq("content_hash"), "left_anti")
+    val definite = k.filter(!mightContain(col("content_hash")))
+    val unioned = definite.unionByName(maybe)
+    val result =
+      if (residual.isEmpty) unioned
+      else unioned.join(
+        spark.read.schema(storeSchema).parquet(residual.map(_.toString): _*),
+        Seq("content_hash"), "left_anti")
+    // same column order as newUnique (whose USING-key join leads with
+    // the hash), whichever branches ran
+    result.select(("content_hash" +: docs.columns.toSeq).map(col): _*)
+  }
+
   // ── bucketed-catalog store form (the 100 TB path) ──────────────────
   //
   // Same two-phase contract as the path form; the store lives in the

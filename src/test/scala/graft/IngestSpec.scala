@@ -155,6 +155,60 @@ class IngestSpec extends SparkSuite {
     assert(spark.read.parquet(store).count() === 2)
   }
 
+  test("cross-run content dedup: Bloom sidecar fast path answers " +
+    "exactly like the plain anti-join across staleness, compaction, " +
+    "and missing-sidecar fallback") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val store = tmpDir("dedupstore-bloom") + "/hashes"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // no sidecar yet → identical to the plain path (fallback branch)
+    val b1 = batch((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val n1 = D.newUniqueWithBloom(b1, "text", "doc_id", store)
+    assert(ids(n1) === Seq(1L, 2L, 3L))
+    D.recordHashes(n1, "text", store)
+    // empty/missing store: sidecar build is a no-op reporting 0
+    assert(D.buildBloomSidecar(spark,
+      tmpDir("dedupstore-bloom-none") + "/never") === 0L)
+    assert(D.buildBloomSidecar(spark, store) === 3L)
+    // covered duplicate pruned by the filter path; novel row passes
+    val b2 = batch((9L, "ALPHA"), (10L, "delta"))
+    val n2 = D.newUniqueWithBloom(b2, "text", "doc_id", store)
+    assert(ids(n2) === Seq(10L))
+    D.recordHashes(n2, "text", store)
+    // STALE sidecar: "delta" was recorded after the build, so it lives
+    // only in residual files — a bloom miss alone must not pass it
+    val b3 = batch((20L, "delta  "), (21L, "epsilon"))
+    val n3 = D.newUniqueWithBloom(b3, "text", "doc_id", store)
+    assert(ids(n3) === Seq(21L))
+    D.recordHashes(n3, "text", store)
+    // compaction rewrites the store under NEW file names: every covered
+    // name vanishes, the residual degrades to the full store, answers
+    // stay exact (and the all-covered-files-gone branch must not throw)
+    D.compactStore(spark, store, 1L << 20)
+    val b4 = batch((30L, "epsilon"), (31L, "zeta"))
+    assert(ids(D.newUniqueWithBloom(b4, "text", "doc_id", store))
+      === Seq(31L))
+    // equality law on one mixed batch (dups, novel, null text), same
+    // store state for both paths: row-identical outputs
+    val b5 = batch((40L, "alpha"), (41L, "ETA"), (42L, "eta"), (43L, null))
+    val plain = D.newUnique(b5, "text", "doc_id", store)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("content_hash"))).toSet
+    val bloomed = D.newUniqueWithBloom(b5, "text", "doc_id", store)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("content_hash"))).toSet
+    assert(bloomed === plain)
+    // rebuild after compaction restores the prune and the contract
+    // holds (store = alpha, beta, gamma, delta, epsilon)
+    assert(D.buildBloomSidecar(spark, store) === 5L)
+    val b6 = batch((50L, "epsilon"), (51L, "theta"))
+    assert(ids(D.newUniqueWithBloom(b6, "text", "doc_id", store))
+      === Seq(51L))
+  }
+
   test("bucketed dedup store: same cross-run semantics as the path " +
     "form; compaction collapses re-deliveries; a crashed swap recovers") {
     import spark.implicits._
