@@ -393,6 +393,57 @@ object LlmPipeline {
       .orderBy("query_id", "rank_n")
   }
 
+  /** Quantized squared-L2 distance between two double arrays: per-dim
+    * floor((x−y)²·1e12) as BIGINT, summed. The per-dim doubles are
+    * IEEE-identical cross-engine (pinned (d·d)·1e12 association), and
+    * an integer sum is exact in ANY order — so the argmin below cannot
+    * flip between engines, partitionings, or reduce orders.
+    */
+  private def distFp(v: String, c: String): Column = expr(
+    s"aggregate(zip_with($v, $c, (x, y) -> " +
+      "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint)), " +
+      "0L, (acc, d) -> acc + d)")
+
+  /** q87: k-means (Lloyd) over the embedding corpus — the clustering
+    * primitive behind semantic sharding, cluster-balanced sampling, and
+    * IVF list training (q40/q85 consume exactly this kind of centroid
+    * set). Two fixed Lloyd iterations from the deterministic seed
+    * centroids (vec_id 1..8): assign = argmin quantized squared-L2
+    * (broadcast centroids, ONE corpus pass per iteration, per-vector
+    * row_number window), update = per-(cluster, dim) mean via the q42
+    * fixed-point sum (posexplode → k×64-row shuffle, map-side
+    * combined). Iteration count is a static plan — no driver loop, no
+    * collect; at 100 TB each iteration is one scan + one narrow agg.
+    * Fully deterministic (ties break on cluster id), so oracle-exact.
+    */
+  private val q87: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val c0 = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist_fp"), col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist_fp", distFp("v", "cv"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("dist_fp"))
+    }
+    val cent1 = assign(c0)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(expr("cast(floor(x * 1000000d) as bigint)"))
+        .cast(DoubleType) / (lit(1000000d) * count(lit(1)))).as("cval"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
+        " p -> p.cval)").as("cv"))
+    assign(cent1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist_fp"))
+      .orderBy("vec_id")
+  }
+
   // =====================================================================
   // Deduplication over documents
   // =====================================================================
@@ -1407,6 +1458,52 @@ object LlmPipeline {
       .orderBy(col("n").desc, col("pair"))
       .limit(50)
 
+  /** q86: collocation extraction — adjacent-token bigrams ranked by
+    * lift = P(a,b) / (P(a) · P(b)), the association statistic behind
+    * phrase-vocabulary entries and multi-word expression mining. One
+    * tokenization pass: the positional token frame is eagerly
+    * materialized (q61's barrier pattern), then branches into unigram
+    * counts, adjacent-pair counts (lead window partitioned per doc —
+    * millions of independent tiny frames at scale, no global sort), and
+    * one broadcast one-row totals frame (q74's pattern; n_pairs =
+    * n_tok − n_docs exactly, since each tokenized doc drops one pair).
+    * The unigram joins stay plain hash equi-joins — a 100 TB corpus'
+    * vocabulary is NOT assumed broadcastable. Lift is one fixed
+    * parenthesization of exact-integer factors cast to double, so both
+    * engines produce the bit-identical IEEE value; min-support
+    * c_ab ≥ 5 guards the long tail; top-20 via TakeOrderedAndProject.
+    */
+  private val q86: Q = (s, dir) => {
+    val pos = tokenized(s, dir)
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val pairs = pos
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("tok_a"), col("nxt").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val tot = pos.agg(count(lit(1)).as("n_tok"),
+      countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("n_pairs", col("n_tok") - col("n_docs"))
+    pairs
+      .join(uni.select(col("tok").as("tok_a"), col("c1").as("c_a")),
+        "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c1").as("c_b")),
+        "tok_b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        ((col("c_ab").cast(DoubleType) * col("n_tok")) * col("n_tok")) /
+          ((col("c_a").cast(DoubleType) * col("c_b")) * col("n_pairs")))
+      .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", "lift")
+      .orderBy(desc("lift"), col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   /** q72: URL canonicalization + dedup — the crawl-frontier dedup of a
     * web-scale pipeline: raw URLs differ in scheme/host case, tracking
     * params, trailing slashes, and fragments while naming the same
@@ -1714,7 +1811,9 @@ object LlmPipeline {
     "q81_length_histogram" -> q81,
     "q83_semantic_clusters" -> q83,
     "q84_knn_join" -> q84,
-    "q85_ivf_knn_join" -> q85)
+    "q85_ivf_knn_join" -> q85,
+    "q86_collocations" -> q86,
+    "q87_kmeans" -> q87)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2098,6 +2197,61 @@ object LlmPipeline {
          |SELECT query_id, neighbor_id, rank_n, cosine FROM r
          |WHERE rank_n <= 3 ORDER BY query_id, rank_n""".stripMargin
     },
+    "q87_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+        |d1 AS (
+        | SELECT e.vec_id, c.cid,
+        |  CAST(SUM(CAST(floor(((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))
+        |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+        | FROM e CROSS JOIN c0 c, generate_series(1, 64) t(i)
+        | GROUP BY e.vec_id, c.cid),
+        |a1 AS (
+        | SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |cent1 AS (
+        | SELECT a.cid, t.i AS dim,
+        |  CAST(SUM(CAST(floor(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(1000000 AS DOUBLE) * COUNT(*)) AS cval
+        | FROM a1 a JOIN e ON a.vec_id = e.vec_id, generate_series(1, 64) t(i)
+        | GROUP BY a.cid, t.i),
+        |d2 AS (
+        | SELECT e.vec_id, c.cid,
+        |  CAST(SUM(CAST(floor(((e.v[c.dim] - c.cval) * (e.v[c.dim] - c.cval))
+        |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+        | FROM e CROSS JOIN cent1 c
+        | GROUP BY e.vec_id, c.cid)
+        |SELECT vec_id, cid AS cluster, dist_fp FROM (
+        | SELECT vec_id, cid, dist_fp,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+        | FROM d2) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+    "q86_collocations" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, $dToks AS toks FROM documents
+         | WHERE len($dToks) >= 1),
+         |pos AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |uni AS (SELECT tok, COUNT(*) AS c1 FROM pos GROUP BY tok),
+         |tot AS (
+         | SELECT COUNT(*) AS n_tok,
+         |  COUNT(*) - COUNT(DISTINCT doc_id) AS n_pairs FROM pos),
+         |pr AS (
+         | SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |   i -> [toks[i], toks[i + 1]])) AS p
+         | FROM tok WHERE len(toks) >= 2),
+         |pairs AS (
+         | SELECT p[1] AS tok_a, p[2] AS tok_b, COUNT(*) AS c_ab
+         | FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT p.tok_a, p.tok_b, p.c_ab, ua.c1 AS c_a, ub.c1 AS c_b,
+         | ((CAST(p.c_ab AS DOUBLE) * t.n_tok) * t.n_tok)
+         |  / ((CAST(ua.c1 AS DOUBLE) * ub.c1) * t.n_pairs) AS lift
+         |FROM pairs p
+         |JOIN uni ua ON p.tok_a = ua.tok
+         |JOIN uni ub ON p.tok_b = ub.tok
+         |CROSS JOIN tot t
+         |ORDER BY lift DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     "q39_media_sniff" ->
       """WITH m AS (
         | SELECT doc_id,

@@ -64,6 +64,36 @@ class LlmPipelineSpec extends SparkSuite {
       s"${recalls.toSeq.sorted.mkString(", ")})")
   }
 
+  test("q87 k-means: second Lloyd iteration does not increase " +
+    "distortion; all seed clusters survive; rerun-deterministic") {
+    val out = LlmPipeline.queries("q87_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).distinct.sorted.toSeq === (1L to 8L),
+      "a seed cluster emptied at sf0.001")
+    // Lloyd's guarantee: re-assigning against the updated centroids
+    // cannot raise total distortion vs the seed assignment. Recompute
+    // the seed-assignment distortion independently here (same quantized
+    // metric) so the gate does not trust the query's own internals.
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    val seeds = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val seedDistortion = e.crossJoin(broadcast(seeds))
+      .withColumn("dist_fp", expr(
+        "aggregate(zip_with(v, cv, (x, y) -> " +
+          "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint))," +
+          " 0L, (acc, d) -> acc + d)"))
+      .groupBy("vec_id").agg(min(col("dist_fp")).as("d"))
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+    val finalDistortion = out.map(_._3).sum
+    assert(finalDistortion <= seedDistortion,
+      s"Lloyd regressed: $finalDistortion > $seedDistortion")
+    val again = LlmPipeline.queries("q87_kmeans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("q47 approx distinct: within 5% relative error of exact, per lang") {
     val approx = LlmPipeline.queries("q47_approx_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "documents")

@@ -20,7 +20,8 @@ class PlanSpec extends SparkSuite {
   test("top-k queries lower to TakeOrderedAndProject, never a full sort") {
     for (q <- Seq("q03_topk_customers", "q24_cosine_topk",
         "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search",
-        "q61_lexical_search", "q71_bpe_merge_pairs", "q76_posting_lists")) {
+        "q61_lexical_search", "q71_bpe_merge_pairs", "q76_posting_lists",
+        "q86_collocations")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q lost its top-k lowering")
     }
@@ -128,6 +129,11 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q73_sequence_packing")) === 1, "q73: toks only")
     // q76's tokenization is a single explode argument — one evaluation.
     assert(cnt(opt("q76_posting_lists")) === 1, "q76: toks only")
+    // q86 branches the token frame three ways (unigrams, pairs, totals)
+    // off ONE eagerly-materialized positional frame: the final plan
+    // re-reads the checkpointed RDD and must contain no tokenization.
+    assert(cnt(opt("q86_collocations")) === 0,
+      "q86: tokenization must be checkpointed out of the final plan")
   }
 
   test("q80 pipeline: heavy stages are checkpointed out of the final plan") {
