@@ -416,7 +416,11 @@ object LlmPipeline {
     * collect; at 100 TB each iteration is one scan + one narrow agg.
     * Fully deterministic (ties break on cluster id), so oracle-exact.
     */
-  private val q87: Q = (s, dir) => {
+  /** The q87 assignment pipeline, shared with q88's sampler: 2 Lloyd
+    * iterations → one (vec_id, cluster, dist_fp) row per vector,
+    * unordered.
+    */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
@@ -441,8 +445,71 @@ object LlmPipeline {
         " p -> p.cval)").as("cv"))
     assign(cent1)
       .select(col("vec_id"), col("cid").as("cluster"), col("dist_fp"))
-      .orderBy("vec_id")
   }
+
+  private val q87: Q = (s, dir) =>
+    kmeansAssigned(s, dir).orderBy("vec_id")
+
+  /** q88: cluster-balanced deterministic sampling — up to 10 vectors
+    * per q87 cluster, chosen by the content-addressed md5 order (q46's
+    * slot pattern over vec_id): rerun/partition/engine-stable, no
+    * rand(), and uniform ACROSS semantic clusters rather than across
+    * the corpus — the standard counter to head-cluster dominance when
+    * drawing eval or seed sets from a skewed corpus. Per-cluster
+    * row_number over the hash order; the WindowGroupLimit prune bounds
+    * the exchange exactly as in q84.
+    */
+  private val q88: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("slot"), col("vec_id"))
+    kmeansAssigned(s, dir)
+      .withColumn("slot", expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 15), " +
+          "16, 10) as bigint)"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 10)
+      .select("cluster", "vec_id", "sample_rank")
+      .orderBy("cluster", "sample_rank")
+  }
+
+  /** Deterministic ±1 projection matrix for q89 (16 out-dims × 64
+    * in-dims): sign = parity of the first hex digit of
+    * md5("<out>_<in>") with in-dims numbered 1..64 — a convention both
+    * engines can derive independently (the oracle recomputes it in SQL;
+    * nothing is serialized between them). Computed once, driver-side,
+    * and embedded as a literal — 1 KB of plan, zero per-row hashing.
+    */
+  private lazy val rpSigns: Seq[Seq[Double]] =
+    (0 to 15).map { o =>
+      (1 to 64).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${o}_${i}".getBytes("UTF-8"))
+        if ((((d(0) >> 4) & 0xf) % 2) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** q89: random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction, 64 → 16 dims — the compressed-at-rest representation
+    * that makes first-pass ANN scans 4× cheaper (the float analog of
+    * q62's int8 quantization; compose them for 16×). Signs are a fixed
+    * md5-derived ±1 matrix (no rand(), rerun/engine-stable); each
+    * component is a fixed-point signed sum (floor((x·s)·1e6) ints —
+    * exact in any order), emitted as (vec_id, out_dim, component) rows.
+    * Per-row work is 16 fused zip_with/aggregate folds inside codegen;
+    * no shuffle at all before the final presentation sort.
+    */
+  private val q89: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("S", typedLit(rpSigns))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 15), o -> " +
+          "aggregate(zip_with(v, S[o], (x, s) -> " +
+          "cast(floor((x * s) * 1000000d) as bigint)), " +
+          "0L, (acc, d) -> acc + d))")).as(Seq("out_dim", "comp_fp")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        (col("comp_fp").cast(DoubleType) / lit(1000000d)).as("component"))
+      .orderBy("vec_id", "out_dim")
 
   // =====================================================================
   // Deduplication over documents
@@ -1813,7 +1880,9 @@ object LlmPipeline {
     "q84_knn_join" -> q84,
     "q85_ivf_knn_join" -> q85,
     "q86_collocations" -> q86,
-    "q87_kmeans" -> q87)
+    "q87_kmeans" -> q87,
+    "q88_cluster_sample" -> q88,
+    "q89_random_projection" -> q89)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -1840,6 +1909,44 @@ object LlmPipeline {
     * CTE (q80 runs it over pipeline survivors).
     */
   private lazy val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** q87's two unrolled Lloyd iterations as a CTE chain ending in
+    * `kfinal` (vec_id, cluster, dist_fp) — shared by the q87 and q88
+    * oracles. Distances and centroid means are fixed-point (floor to
+    * ints, exact sums), mirroring [[distFp]]/[[kmeansAssigned]]
+    * bit-for-bit.
+    */
+  private val kmeansCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+      |d1 AS (
+      | SELECT e.vec_id, c.cid,
+      |  CAST(SUM(CAST(floor(((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))
+      |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+      | FROM e CROSS JOIN c0 c, generate_series(1, 64) t(i)
+      | GROUP BY e.vec_id, c.cid),
+      |a1 AS (
+      | SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |cent1 AS (
+      | SELECT a.cid, t.i AS dim,
+      |  CAST(SUM(CAST(floor(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / (CAST(1000000 AS DOUBLE) * COUNT(*)) AS cval
+      | FROM a1 a JOIN e ON a.vec_id = e.vec_id, generate_series(1, 64) t(i)
+      | GROUP BY a.cid, t.i),
+      |d2 AS (
+      | SELECT e.vec_id, c.cid,
+      |  CAST(SUM(CAST(floor(((e.v[c.dim] - c.cval) * (e.v[c.dim] - c.cval))
+      |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+      | FROM e CROSS JOIN cent1 c
+      | GROUP BY e.vec_id, c.cid),
+      |kfinal AS (
+      | SELECT vec_id, cid AS cluster, dist_fp FROM (
+      |  SELECT vec_id, cid, dist_fp,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+      |  FROM d2) WHERE rn = 1)""".stripMargin
 
   /** Recursive transitive-closure CTE block shared by the q60 / q80 /
     * q83 cluster oracles: pairs in CTE `src` (columns `$a`, `$b`) →
@@ -2198,36 +2305,34 @@ object LlmPipeline {
          |WHERE rank_n <= 3 ORDER BY query_id, rank_n""".stripMargin
     },
     "q87_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster, dist_fp FROM kfinal
+         |ORDER BY vec_id""".stripMargin,
+    "q88_cluster_sample" ->
+      s"""WITH $kmeansCtes,
+         |slotted AS (
+         | SELECT cluster, vec_id,
+         |  row_number() OVER (PARTITION BY cluster ORDER BY
+         |   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |     AS BIGINT), vec_id) AS sample_rank
+         | FROM kfinal)
+         |SELECT cluster, vec_id, sample_rank FROM slotted
+         |WHERE sample_rank <= 10
+         |ORDER BY cluster, sample_rank""".stripMargin,
+    "q89_random_projection" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
-        |d1 AS (
-        | SELECT e.vec_id, c.cid,
-        |  CAST(SUM(CAST(floor(((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))
-        |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
-        | FROM e CROSS JOIN c0 c, generate_series(1, 64) t(i)
-        | GROUP BY e.vec_id, c.cid),
-        |a1 AS (
-        | SELECT vec_id, cid FROM (
-        |  SELECT vec_id, cid,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
-        |  FROM d1) WHERE rn = 1),
-        |cent1 AS (
-        | SELECT a.cid, t.i AS dim,
-        |  CAST(SUM(CAST(floor(e.v[t.i] * 1000000) AS BIGINT)) AS DOUBLE)
-        |   / (CAST(1000000 AS DOUBLE) * COUNT(*)) AS cval
-        | FROM a1 a JOIN e ON a.vec_id = e.vec_id, generate_series(1, 64) t(i)
-        | GROUP BY a.cid, t.i),
-        |d2 AS (
-        | SELECT e.vec_id, c.cid,
-        |  CAST(SUM(CAST(floor(((e.v[c.dim] - c.cval) * (e.v[c.dim] - c.cval))
-        |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
-        | FROM e CROSS JOIN cent1 c
-        | GROUP BY e.vec_id, c.cid)
-        |SELECT vec_id, cid AS cluster, dist_fp FROM (
-        | SELECT vec_id, cid, dist_fp,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
-        | FROM d2) WHERE rn = 1
-        |ORDER BY vec_id""".stripMargin,
+        |proj AS (
+        | SELECT vec_id, o.o AS out_dim,
+        |  CAST(SUM(CAST(floor((v[i.i] *
+        |    (CASE WHEN CAST('0x' || substr(md5(
+        |       CAST(o.o AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 1)
+        |      AS INT) % 2 = 0 THEN 1 ELSE -1 END)) * 1000000) AS BIGINT))
+        |   AS BIGINT) AS comp_fp
+        | FROM e, generate_series(0, 15) o(o), generate_series(1, 64) i(i)
+        | GROUP BY vec_id, o.o)
+        |SELECT vec_id, out_dim,
+        | CAST(comp_fp AS DOUBLE) / CAST(1000000 AS DOUBLE) AS component
+        |FROM proj ORDER BY vec_id, out_dim""".stripMargin,
     "q86_collocations" ->
       s"""WITH tok AS (
          | SELECT doc_id, $dToks AS toks FROM documents

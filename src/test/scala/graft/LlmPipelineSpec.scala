@@ -94,6 +94,30 @@ class LlmPipelineSpec extends SparkSuite {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("q89 random projection: unbiased distance scaling (E[||Sv||^2] " +
+    "= k * ||v||^2) over deterministic pairs") {
+    // For a +-1 sign matrix, the expected squared norm of the projection
+    // is k x the original (k = 16 out-dims). Measured 16.007 at sf0.01;
+    // gate the mean projected/original squared-distance ratio over
+    // consecutive-vector pairs at k +- 20%.
+    val proj = LlmPipeline.queries("q89_random_projection")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    val orig = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = ids.grouped(2).collect { case Seq(a, b) =>
+      sq(proj(a), proj(b)) / sq(orig(a), orig(b)) }.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean >= 12.8 && mean <= 19.2,
+      s"projection biased: mean ratio $mean, expected ~16")
+  }
+
   test("q47 approx distinct: within 5% relative error of exact, per lang") {
     val approx = LlmPipeline.queries("q47_approx_distinct")(spark, sf)
     val exact = Tables.load(spark, sf, "documents")

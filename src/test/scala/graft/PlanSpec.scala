@@ -45,7 +45,9 @@ class PlanSpec extends SparkSuite {
     // query instead of shuffling the full |Q| x corpus scored set — the
     // difference between a bounded exchange and moving the whole corpus
     // |Q| times at 100 TB.
-    for (q <- Seq("q84_knn_join", "q85_ivf_knn_join")) {
+    // q88's per-cluster sampler and q87's argmin lean on the same prune.
+    for (q <- Seq("q84_knn_join", "q85_ivf_knn_join",
+        "q88_cluster_sample")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q lost its map-side top-k prune")
