@@ -42,18 +42,29 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Inner equi-join with a salted key: `left` is the BIG/skewed side
-    * (salt derived deterministically from xxhash64 of the whole row —
+  /** Equi-join with a salted key: `left` is the BIG/skewed side (salt
+    * derived deterministically from xxhash64 of the whole row —
     * reproducible across retries/reruns, unlike rand()); `right` is the
     * replicated side (S copies). Result is row-identical to
-    * `left.join(right, key)` — salting only changes the shuffle
-    * distribution. `right` grows S×, so pick S ≈ (hot-key rows /
-    * rows-per-task), not hundreds. `left` must not contain MapType
+    * `left.join(right, key, joinType)` — salting only changes the
+    * shuffle distribution. `right` grows S×, so pick S ≈ (hot-key rows
+    * / rows-per-task), not hundreds. `left` must not contain MapType
     * columns (xxhash64 cannot hash maps; analysis fails loud).
+    *
+    * **[r9]** `joinType` extends the lever beyond inner: `left`/
+    * `left_outer`, `left_semi`, and `left_anti` are multiset-identical
+    * to their unsalted forms (each left row carries exactly one salt,
+    * and that salt's replica holds every right row of its key — so
+    * match, no-match, and existence outcomes are unchanged;
+    * PropertySpec pins the law). Right/full outer are REJECTED: an
+    * unmatched right row would surface once per replica.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
+      salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     // The synthetic column is dropped from the output; a real column of
     // the same name would be silently destroyed — refuse instead.
     // Case-insensitive to match Spark's default column resolution.
@@ -65,7 +76,7 @@ object Layout {
     val l = left.withColumn("__graft_salt", saltCol)
     val r = right.withColumn("__graft_salt",
       explode(array((0 until salts).map(s => lit(s)): _*)))
-    l.join(r, Seq(key, "__graft_salt")).drop("__graft_salt")
+    l.join(r, Seq(key, "__graft_salt"), joinType).drop("__graft_salt")
   }
 
   /** Z-ORDER clustering — the multi-dimensional generalization of

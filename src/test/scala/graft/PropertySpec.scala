@@ -204,6 +204,42 @@ class PropertySpec extends SparkSuite {
     assert(verbOut === verbatim)
   }
 
+  test("salted-join law: multiset-equal to the plain join for every " +
+    "supported join type; the physical join keys carry the salt") {
+    import spark.implicits._
+    // heavily skewed left: most rows share one hot key (the scenario
+    // salting exists for), plus duplicates on both sides so multiset —
+    // not set — equality is what's being proven
+    val hotRowGen: Gen[(String, Int)] = for {
+      k <- Gen.frequency(7 -> Gen.const("K1"), 3 -> keyGen)
+      v <- Gen.choose(0, 100)
+    } yield (k, v)
+    val leftGen = Gen.listOfN(40, hotRowGen)
+    val rightGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, rowGen))
+    for (trial <- 0 until 4) {
+      val l = samples(leftGen, 1, 4200L + trial).head.toDF("id", "v")
+      val r = samples(rightGen, 1, 5200L + trial).head.toDF("id", "w")
+      for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+        val plain = l.join(r, Seq("id"), jt)
+          .collect().map(_.toString).sorted.toSeq
+        val salted = graft.layout.Layout.saltedJoin(l, r, "id", 4, jt)
+        val got = salted.collect().map(_.toString).sorted.toSeq
+        assert(got === plain, s"trial $trial type $jt diverged")
+      }
+      // the salt must reach the physical join keys — that spread of the
+      // hot key across reducers is the entire point
+      val p = graft.layout.Layout.saltedJoin(l, r, "id", 4, "inner")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("__graft_salt"), s"salt column optimized away:\n$p")
+    }
+    // right/full outer would replicate unmatched right rows — rejected
+    val l0 = Seq(("K1", 1)).toDF("id", "v")
+    val r0 = Seq(("K2", 2)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      graft.layout.Layout.saltedJoin(l0, r0, "id", 4, "full_outer")
+    }
+  }
+
   test("compaction race law: a LIVE appender racing compact never loses " +
     "a committed row — abort, rescue, or clean pass, across interleavings") {
     import spark.implicits._
