@@ -211,6 +211,37 @@ object DedupStore {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath)
 
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      files: Seq[org.apache.hadoop.fs.Path],
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try {
+      out.writeInt(1) // sidecar format version
+      out.writeInt(files.size)
+      files.foreach(f => out.writeUTF(f.getName))
+      bloom.writeTo(out)
+    } finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target),
+      s"bloom sidecar: could not install $target")
+  }
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path)
+      : Option[(Set[String], org.apache.spark.util.sketch.BloomFilter)] = {
+    if (!fs.exists(target)) return None
+    val in = new java.io.DataInputStream(fs.open(target))
+    try {
+      val ver = in.readInt()
+      require(ver == 1, s"unknown bloom sidecar version $ver")
+      val names = Seq.fill(in.readInt())(in.readUTF()).toSet
+      Some((names, org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+    } finally in.close()
+  }
+
   /** Build/replace the store's Bloom sidecar: one pass over the current
     * store files → a filter sized for their row count at `fpp`, written
     * atomically (temp + rename) next to the store as `<store>.bloom`
@@ -231,18 +262,7 @@ object DedupStore {
       .parquet(files.map(_.toString): _*)
     val n = df.count()
     val bloom = df.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
-    val tmp = new org.apache.hadoop.fs.Path(
-      storePath + s".bloom.tmp-${java.util.UUID.randomUUID()}")
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try {
-      out.writeInt(1) // sidecar format version
-      out.writeInt(files.size)
-      files.foreach(f => out.writeUTF(f.getName))
-      bloom.writeTo(out)
-    } finally out.close()
-    fs.delete(sidecarPath(storePath), false)
-    require(fs.rename(tmp, sidecarPath(storePath)),
-      s"buildBloomSidecar: could not install ${sidecarPath(storePath)}")
+    writeSidecar(fs, sidecarPath(storePath), files, bloom)
     n
   }
 
@@ -261,38 +281,34 @@ object DedupStore {
     val spark = docs.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    val side = sidecarPath(storePath)
-    if (!fs.exists(side)) return newUnique(docs, textCol, idCol, storePath)
-    val in = new java.io.DataInputStream(fs.open(side))
-    val (coveredNames, bloom) =
-      try {
-        val ver = in.readInt()
-        require(ver == 1, s"unknown bloom sidecar version $ver")
-        val names = Seq.fill(in.readInt())(in.readUTF()).toSet
-        (names, org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      } finally in.close()
-    val current = storeDataFiles(fs, store)
-    val covered = current.filter(f => coveredNames.contains(f.getName))
-    if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
-    val residual = current.filterNot(f => coveredNames.contains(f.getName))
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((h: String) => h != null && bc.value.mightContainString(h))
-    val k = keepers(docs, textCol, idCol)
-    val coveredDf = spark.read.schema(storeSchema)
-      .parquet(covered.map(_.toString): _*)
-    val maybe = k.filter(mightContain(col("content_hash")))
-      .join(coveredDf, Seq("content_hash"), "left_anti")
-    val definite = k.filter(!mightContain(col("content_hash")))
-    val unioned = definite.unionByName(maybe)
-    val result =
-      if (residual.isEmpty) unioned
-      else unioned.join(
-        spark.read.schema(storeSchema).parquet(residual.map(_.toString): _*),
-        Seq("content_hash"), "left_anti")
-    // same column order as newUnique (whose USING-key join leads with
-    // the hash), whichever branches ran
-    result.select(("content_hash" +: docs.columns.toSeq).map(col): _*)
+    readSidecar(fs, sidecarPath(storePath)) match {
+      case None => newUnique(docs, textCol, idCol, storePath)
+      case Some((coveredNames, bloom)) =>
+        val current = storeDataFiles(fs, store)
+        val covered = current.filter(f => coveredNames.contains(f.getName))
+        if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((h: String) => h != null && bc.value.mightContainString(h))
+        val k = keepers(docs, textCol, idCol)
+        val coveredDf = spark.read.schema(storeSchema)
+          .parquet(covered.map(_.toString): _*)
+        val maybe = k.filter(mightContain(col("content_hash")))
+          .join(coveredDf, Seq("content_hash"), "left_anti")
+        val definite = k.filter(!mightContain(col("content_hash")))
+        val unioned = definite.unionByName(maybe)
+        val result =
+          if (residual.isEmpty) unioned
+          else unioned.join(
+            spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*),
+            Seq("content_hash"), "left_anti")
+        // same column order as newUnique (whose USING-key join leads
+        // with the hash), whichever branches ran
+        result.select(("content_hash" +: docs.columns.toSeq).map(col): _*)
+    }
   }
 
   // ── bucketed-catalog store form (the 100 TB path) ──────────────────
@@ -360,6 +376,78 @@ object DedupStore {
       .bucketBy(b, "content_hash").sortBy("content_hash")
       .format("parquet").saveAsTable(table)
     finally mat.unpersist()
+  }
+
+  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+
+  /** Bloom sidecar for the BUCKETED store table. The sidecar lives
+    * INSIDE the table directory as `_bloom` (underscore-prefixed, so
+    * every parquet reader ignores it) — which makes its lifecycle
+    * self-maintaining: [[compactBucketedStore]]'s staging-table swap
+    * drops the old directory, sidecar included, and the bloom path
+    * degrades to the plain zero-exchange anti-join until the next
+    * rebuild, instead of ever consulting a filter whose covered file
+    * names no longer exist. Returns hashes covered.
+    */
+  def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, fpp: Double = 0.01): Long = {
+    ensureBucketedStore(spark, table)
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = storeDataFiles(fs, loc)
+    val side = new org.apache.hadoop.fs.Path(loc, "_bloom")
+    if (files.isEmpty) { fs.delete(side, false); return 0L }
+    val df = spark.table(table)
+    val n = df.count()
+    val bloom = df.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    writeSidecar(fs, side, files, bloom)
+    n
+  }
+
+  /** [[newUniqueBucketed]] accelerated by the table's `_bloom` sidecar,
+    * with a split that PRESERVES the bucketed form's zero-exchange
+    * property: bloom-HIT rows anti-join the full catalog table (the
+    * bucketed scan, no store-side shuffle — a superset of the covered
+    * files, which only tightens the check), while bloom-MISS rows are
+    * proven new against just the residual files appended since the
+    * sidecar was built (a small path read). Most rows of a mostly-novel
+    * batch therefore never touch the store history at all; no sidecar
+    * or no surviving covered files falls back to [[newUniqueBucketed]].
+    */
+  def newUniqueBucketedWithBloom(docs: DataFrame, textCol: String,
+      idCol: String, table: String): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    readSidecar(fs, new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+      case None => newUniqueBucketed(docs, textCol, idCol, table)
+      case Some((coveredNames, bloom)) =>
+        val current = storeDataFiles(fs, loc)
+        if (!current.exists(f => coveredNames.contains(f.getName)))
+          return newUniqueBucketed(docs, textCol, idCol, table)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((h: String) => h != null && bc.value.mightContainString(h))
+        val k = keepers(docs, textCol, idCol)
+        val maybe = k.filter(mightContain(col("content_hash")))
+          .join(spark.table(table), Seq("content_hash"), "left_anti")
+        val definite0 = k.filter(!mightContain(col("content_hash")))
+        val definite =
+          if (residual.isEmpty) definite0
+          else definite0.join(
+            spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*),
+            Seq("content_hash"), "left_anti")
+        definite.unionByName(maybe)
+          .select(("content_hash" +: docs.columns.toSeq).map(col): _*)
+    }
   }
 
   /** [[compactStore]] for the bucketed table: rewrite to one row per

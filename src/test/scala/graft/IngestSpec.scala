@@ -262,6 +262,62 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("bucketed dedup store: Bloom sidecar preserves exact answers " +
+    "and vanishes with compaction's directory swap") {
+    import spark.implicits._
+    val table = "graft_dedup_bloom"
+    val staging = table + "_compact_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    try {
+      val D = graft.ingest.DedupStore
+      def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // no sidecar yet → fallback branch, everything new
+      val b1 = batch((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      val n1 = D.newUniqueBucketedWithBloom(b1, "text", "doc_id", table)
+      assert(ids(n1) === Seq(1L, 2L, 3L))
+      D.recordHashesBucketed(n1.localCheckpoint(true), "text", table)
+      assert(D.buildBloomSidecarBucketed(spark, table) === 3L)
+      // covered dup pruned via the bloom-hit zero-exchange table join;
+      // novel row proven new by the (empty) residual alone
+      val b2 = batch((9L, "ALPHA"), (10L, "delta"))
+      val n2 = D.newUniqueBucketedWithBloom(b2, "text", "doc_id", table)
+      assert(ids(n2) === Seq(10L))
+      D.recordHashesBucketed(n2.localCheckpoint(true), "text", table)
+      // STALE sidecar: "delta" lives only in post-build residual files —
+      // a bloom miss alone must not pass it
+      val b3 = batch((20L, "delta  "), (21L, "epsilon"))
+      assert(ids(D.newUniqueBucketedWithBloom(b3, "text", "doc_id", table))
+        === Seq(21L))
+      // equality law vs the plain bucketed path on a mixed batch
+      val b4 = batch((30L, "beta"), (31L, "zeta"), (32L, "ZETA"), (33L, null))
+      val plain = D.newUniqueBucketed(b4, "text", "doc_id", table)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("content_hash"))).toSet
+      val bloomed = D.newUniqueBucketedWithBloom(b4, "text", "doc_id", table)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("content_hash"))).toSet
+      assert(bloomed === plain)
+      // compaction swaps in a staging directory WITHOUT a sidecar: the
+      // bloom path must degrade to the plain bucketed join, not consult
+      // dead covered-file names — and answers stay exact
+      D.compactBucketedStore(spark, table)
+      val b5 = batch((40L, "DELTA"), (41L, "eta"))
+      assert(ids(D.newUniqueBucketedWithBloom(b5, "text", "doc_id", table))
+        === Seq(41L))
+      // rebuild restores the prune over the compacted history
+      assert(D.buildBloomSidecarBucketed(spark, table) === 4L)
+      assert(ids(D.newUniqueBucketedWithBloom(
+        batch((50L, "gamma"), (51L, "theta")), "text", "doc_id", table))
+        === Seq(51L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
