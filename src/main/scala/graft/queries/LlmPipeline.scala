@@ -143,10 +143,12 @@ object LlmPipeline {
 
   /** [[minhashed]] over an arbitrary (doc_id, text, …) frame — the
     * pipeline-composition entry (q80 runs it over quality+exact-dedup
-    * survivors, not the raw corpus). Caller must have registered the
-    * kernel functions on the session.
+    * survivors, not the raw corpus; ingest.NearDupStore keys its
+    * cross-run store on these bands, so the band definition has ONE
+    * source). Caller must have registered the kernel functions on the
+    * session.
     */
-  private def minhashedOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashedOf(docs: DataFrame): DataFrame = {
     val perBand = MinhashK / Bands
     // kernelBarrier keeps the kernel at exactly one evaluation per doc;
     // null sig = < 3 tokens ⇒ no shingles ⇒ no row (as the explode form).

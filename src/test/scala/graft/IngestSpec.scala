@@ -318,6 +318,54 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("cross-run NEAR dedup: paraphrase-level variants of recorded " +
+    "documents are flagged via banded signatures, unrelated and " +
+    "unrecorded content passes, verification beats lone band noise") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val store = tmpDir("neardupstore") + "/bands"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "body")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    val b1 = batch((1L, doc1), (2L, doc2))
+    // empty store: everything new; unrecorded batches re-deliver
+    assert(ids(N.newNearUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    assert(ids(N.newNearUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    N.recordSignatures(b1, "body", "id", store)
+    // batch 2: an exact copy, a light edit (footer appended — the
+    // near-dup an exact hash misses), and genuinely new content
+    val b2 = batch(
+      (10L, doc1),
+      (11L, doc2 + " edited trailing footer line"),
+      (12L, (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" ")))
+    val n2 = N.newNearUnique(b2, "body", "id", store)
+    assert(ids(n2) === Seq(12L), "copy and paraphrase must be flagged")
+    // original columns survive the anti-join untouched
+    assert(n2.columns.toSeq === Seq("id", "body"))
+    N.recordSignatures(n2, "body", "id", store)
+    // the newly recorded doc now suppresses its own re-delivery
+    assert(N.newNearUnique(batch((20L, b2.collect()
+      .find(_.getLong(0) == 12L).get.getString(1))), "body", "id", store)
+      .count() === 0)
+    // sub-shingle documents (< 3 tokens → no signature) are the exact
+    // store's job: never flagged, never recorded, never crash
+    assert(ids(N.newNearUnique(batch((30L, "tiny doc")), "body", "id",
+      store)) === Seq(30L))
+    N.recordSignatures(batch((30L, "tiny doc")), "body", "id", store)
+    assert(ids(N.newNearUnique(batch((31L, "tiny doc")), "body", "id",
+      store)) === Seq(31L))
+    // at-least-once re-record, then maintenance collapses to one row
+    // per (band_key, sig) without changing answers
+    N.recordSignatures(b1, "body", "id", store)
+    N.compactStore(spark, store, 1L << 20)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(N.newNearUnique(batch((40L, doc1 + " another small edit")),
+      "body", "id", store).count() === 0)
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
