@@ -235,14 +235,21 @@ object Streams {
         .recordHashesBucketed(committed, textCol, table))
   }
 
-  /** The shared micro-batch cycle of the two store-backed dedup sinks:
-    * check (`newUnique*`) → persist survivors exactly-once into
-    * `batch=<id>` → record hashes at-least-once from the committed
-    * read-back. See [[dedupThroughStore]] for the delivery-semantics
-    * contract; `check`/`record` inject the store form.
+  /** The shared micro-batch cycle of the store-backed dedup sinks:
+    * check (`newUnique*` / `newNearUnique`) → persist survivors
+    * exactly-once into `batch=<id>` → record at-least-once from the
+    * committed read-back. See [[dedupThroughStore]] for the
+    * delivery-semantics contract; `check`/`record` inject the store
+    * form and `committedSchema` maps the input schema to the survivor
+    * schema (a batch with zero survivors commits a data-file-less
+    * directory that schema inference cannot read, so the read-back
+    * schema must be explicit).
     */
   private def dedupThroughStoreWith(docs: DataFrame, textCol: String,
-      outDir: String, checkpointDir: String, queryName: String)(
+      outDir: String, checkpointDir: String, queryName: String,
+      committedSchema: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType =
+        _.add("content_hash", org.apache.spark.sql.types.StringType))(
       check: DataFrame => DataFrame,
       record: DataFrame => Unit): StreamingQuery =
     docs.writeStream
@@ -261,16 +268,36 @@ object Streams {
           try fresh.write.mode("overwrite").parquet(target.toString)
           finally fresh.unpersist()
         }
-        // record from the COMMITTED read-back (explicit schema: a batch
-        // with zero survivors commits a data-file-less directory that
-        // schema inference cannot read)
+        // record from the COMMITTED read-back
         record(
-          spark.read.schema(batch.schema
-              .add("content_hash", org.apache.spark.sql.types.StringType))
+          spark.read.schema(committedSchema(batch.schema))
             .parquet(target.toString))
         ()
       }
       .start()
+
+  /** Streamed CROSS-RUN NEAR dedup — [[dedupThroughStore]]'s cycle over
+    * [[graft.ingest.NearDupStore]]: every micro-batch drops documents
+    * that near-duplicate ANY previously recorded document (band-key
+    * equi-join + ≥8/16 signature verification), persists survivors
+    * exactly-once into `batch=<id>`, and records their banded
+    * signatures at-least-once from the committed read-back. Survivor
+    * rows keep the input schema unchanged (no hash column is added).
+    * Within-micro-batch near-dups are NOT collapsed here — that is the
+    * q28/q60 pipeline's job; compose [[streamingContentDedup]] upstream
+    * for exact within-stream dups. Same replay matrix as the exact
+    * forms: committed batch directories are skipped, so a full-history
+    * replay after checkpoint loss is a no-op.
+    */
+  def nearDedupThroughStore(docs: DataFrame, textCol: String,
+      idCol: String, storePath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "near_dedup_through_store", committedSchema = identity)(
+      batch => graft.ingest.NearDupStore
+        .newNearUnique(batch, textCol, idCol, storePath),
+      committed => graft.ingest.NearDupStore
+        .recordSignatures(committed, textCol, idCol, storePath))
 
   /** Stream-stream interval join — the streaming form of the q23 as-of
     * attribution: each purchase joins signups of the same user within

@@ -425,6 +425,63 @@ class StreamingSpec extends SparkSuite {
       "text", "doc_id", store).count() === 0)
   }
 
+  test("streamed cross-run NEAR dedup: paraphrases of any earlier " +
+    "batch's documents are dropped; replay after checkpoint loss is " +
+    "a no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("neardedup-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("neardedup-out").toString + "/docs"
+    val store = java.nio.file.Files
+      .createTempDirectory("neardedup-store").toString + "/bands"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("neardedup-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.nearDedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", store, outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    deliver("b1", Seq((1L, doc1), (2L, doc2)))
+    drain()
+    assert(survivors() === Seq(1L, 2L))
+    // batch 2: an exact copy, a light edit of doc2 (what the EXACT
+    // store cannot catch), and fresh content
+    deliver("b2", Seq((10L, doc1),
+      (11L, doc2 + " edited trailing footer"),
+      (12L, (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" "))))
+    drain()
+    assert(survivors() === Seq(1L, 2L, 12L))
+    // survivor rows keep the input schema (plus the batch partition)
+    assert(spark.read.parquet(outDir).columns.sorted.toSeq
+      === Seq("batch", "doc_id", "text"))
+    // full-history replay after checkpoint loss: committed batch dirs
+    // are skipped — survivors unchanged, signatures re-recorded
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq(1L, 2L, 12L))
+    // compaction reclaims the replay's re-records; history still bites
+    graft.ingest.NearDupStore.compactStore(spark, store)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(graft.ingest.NearDupStore.newNearUnique(
+      Seq((99L, doc1 + " tiny edit")).toDF("doc_id", "text"),
+      "text", "doc_id", store).count() === 0)
+  }
+
   test("streamed cross-run dedup through the BUCKETED store: same " +
     "semantics, catalog-table store, replay-safe") {
     import spark.implicits._
