@@ -638,6 +638,41 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q90: asymmetric CONTAINMENT detection — |A∩B| / |A| ≥ 0.8 over the
+    * exact shingle sets: the excerpt/quotation/boilerplate-wrapper case
+    * that symmetric Jaccard (q31) structurally misses (a 60-gram doc
+    * fully inside a 600-gram doc has Jaccard ≤ 0.1 but containment
+    * 1.0). Candidates: A's global-min gram hash equi-joins the EXPLODED
+    * gram set of every other doc (q53's corpus⋈benchmark shape — gram-
+    * hash locality, never all-pairs; one kernel evaluation per side,
+    * plan-pinned); verification is the exact set intersection. The
+    * min-gram candidate rule is part of the operator's definition (a
+    * containing doc that misses A's minimum gram is not flagged — the
+    * same winnowing-anchor trade q28/q36 make), and the oracle encodes
+    * the identical rule.
+    */
+  private val q90: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val a = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
+      "shd")
+      .select(col("doc_id").as("doc_small"), col("shd").as("shd_a"),
+        element_at(col("shd"), 1).as("g"))
+    val b = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
+      "shd")
+      .select(col("doc_id").as("doc_big"), col("shd").as("shd_b"),
+        explode(col("shd")).as("g"))
+    a.join(b, "g")
+      .filter(col("doc_small") =!= col("doc_big"))
+      .withColumn("n_common",
+        size(array_intersect(col("shd_a"), col("shd_b"))).cast(LongType))
+      .withColumn("n_small", size(col("shd_a")).cast(LongType))
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) / col("n_small").cast(DoubleType))
+      .filter(col("containment") >= 0.8)
+      .select("doc_small", "doc_big", "n_common", "n_small", "containment")
+      .orderBy("doc_small", "doc_big")
+  }
+
   // =====================================================================
   // Text analysis over documents
   // =====================================================================
@@ -1884,7 +1919,8 @@ object LlmPipeline {
     "q86_collocations" -> q86,
     "q87_kmeans" -> q87,
     "q88_cluster_sample" -> q88,
-    "q89_random_projection" -> q89)
+    "q89_random_projection" -> q89,
+    "q90_containment" -> q90)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2119,6 +2155,34 @@ object LlmPipeline {
          |FROM pairs
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= CAST(0.5 AS DOUBLE)
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q90_containment" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $dToks AS toks FROM documents
+         |), shg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM base WHERE len(toks) >= 3
+         |), ex AS (
+         | SELECT doc_id, unnest(sh) AS shingle FROM shg
+         |), hs AS (
+         | SELECT doc_id, $dShingleHash AS h FROM ex
+         |), keyed AS (
+         | SELECT doc_id, list_distinct(list(h)) AS shd, min(h) AS m0
+         | FROM hs GROUP BY doc_id
+         |), exb AS (
+         | SELECT doc_id AS doc_big, shd AS shd_b, unnest(shd) AS h
+         | FROM keyed
+         |), pairs AS (
+         | SELECT a.doc_id AS doc_small, b.doc_big,
+         |  CAST(len(list_intersect(a.shd, b.shd_b)) AS BIGINT) AS n_common,
+         |  CAST(len(a.shd) AS BIGINT) AS n_small
+         | FROM keyed a JOIN exb b ON a.m0 = b.h AND a.doc_id <> b.doc_big)
+         |SELECT doc_small, doc_big, n_common, n_small,
+         | CAST(n_common AS DOUBLE) / CAST(n_small AS DOUBLE) AS containment
+         |FROM pairs
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_small AS DOUBLE)
+         |  >= CAST(0.8 AS DOUBLE)
+         |ORDER BY doc_small, doc_big""".stripMargin,
     "q32_token_stats" ->
       s"""WITH base AS (SELECT doc_id, text, $dToks AS toks FROM documents)
          |SELECT doc_id,

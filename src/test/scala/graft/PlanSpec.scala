@@ -30,7 +30,7 @@ class PlanSpec extends SparkSuite {
   test("near-dup candidate joins never degenerate into cartesian products") {
     for (q <- Seq("q26_embedding_neardup", "q28_minhash_neardup",
         "q30_simhash_neardup", "q31_ngram_jaccard", "q53_contamination",
-        "q56_chunk_dedup", "q57_range_join_binned")) {
+        "q56_chunk_dedup", "q57_range_join_binned", "q90_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
@@ -94,6 +94,7 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
     assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
     assert(cnt(opt("q53_contamination"), "shingle_hashes") === 2)
+    assert(cnt(opt("q90_containment"), "shingle_hashes") === 2)
     for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
       val phys = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
