@@ -293,6 +293,64 @@ class LayoutSpec extends SparkSuite {
       s"read ${scan.metrics("numFiles").value} files; pruning lost")
   }
 
+  test("IVF index at rest: a probed top-k reads ONLY the nprobe list " +
+    "partitions and matches the unindexed plan's answer") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toArray
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString +
+      "/index"
+    graft.operators.AnnIndex.writeIndex(e, cents, dir)
+    // every list directory exists on disk (8 centroids, corpus covers all)
+    val lists = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(lists.length === 8, lists.toSeq)
+    val q = graft.operators.AnnIndex.topK(spark, dir, query, cents,
+      k = 5, nprobe = 2)
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got.size === 5)
+    // the unindexed reference: same assignment plan, filtered to the
+    // same probed lists, same re-rank — the index must change WHERE the
+    // bytes live, never the answer
+    graft.functions.Functions.register(spark)
+    val probes = graft.operators.AnnIndex.probeLists(query, cents, 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
+    import spark.implicits._
+    val cdf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val expect = e.crossJoin(broadcast(cdf))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1 && col("cid").isin(probes: _*))
+      .withColumn("qv", typedLit(query.toSeq))
+      .select(col("vec_id"), expr("cosine_sim(v, qv)").as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expect)
+    // scan proof: cid filter became a PARTITION filter and the scan
+    // opened only the two probed lists' files
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata.getOrElse("PartitionFilters", "[]") != "[]",
+      "cid filter did not prune partitions")
+    val probedFiles = probes.map(c =>
+      new java.io.File(s"$dir/cid=$c").listFiles
+        .count(f => f.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value === probedFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"probed lists hold $probedFiles")
+    // top-k lowers to TakeOrderedAndProject, not a global sort
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("compaction rescues a file appended between the race re-list " +
     "and the retire rename (recovered from the crash state)") {
     import spark.implicits._
