@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Lloyd's k-means as a library operator — the general form of the
+  * q87 query (which delegates here, so there is ONE implementation of
+  * the assignment and update steps). Everything is deterministic and
+  * reduce-order-proof: distances are quantized squared-L2 (per-dim
+  * floor((x−y)²·1e12) longs — an integer sum is exact in any order, so
+  * the argmin can never flip across partitionings or engines), ties
+  * break on cluster id, and centroid updates are the fixed-point
+  * per-(cluster, dim) mean. Each iteration is one broadcast-centroid
+  * corpus scan plus one narrow k×dim aggregate — no driver loop over
+  * data, no collect of anything bigger than the centroid set itself.
+  *
+  * Centroid frames are (cid int-like, cv array<double>); embedding
+  * frames are (vec_id, v array<double>). [[train]]'s output feeds
+  * [[AnnIndex.writeIndex]] (as a collected seq) or [[assign]] directly.
+  */
+object KMeans {
+
+  /** Quantized squared-L2 — see class doc. Shared with q87's oracle
+    * spelling bit-for-bit.
+    */
+  private[graft] def distFp(v: String, c: String) = expr(
+    s"aggregate(zip_with($v, $c, (x, y) -> " +
+      "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint)), " +
+      "0L, (acc, d) -> acc + d)")
+
+  /** One assignment pass: each vector to its argmin-distance centroid
+    * (ties → lowest cid). Returns (vec_id, v, cid, dist_fp).
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist_fp"), col("cid"))
+    embeddings.select("vec_id", "v")
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist_fp", distFp("v", "cv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("dist_fp"))
+  }
+
+  /** One update pass: per-(cluster, dim) fixed-point mean over an
+    * [[assign]] output, rebuilt into (cid, cv) centroid rows. Clusters
+    * that lost every member disappear (standard Lloyd behavior).
+    */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(expr("cast(floor(x * 1000000d) as bigint)"))
+        .cast(DoubleType) / (lit(1000000d) * count(lit(1)))).as("cval"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
+        " p -> p.cval)").as("cv"))
+
+  /** `iters` Lloyd update rounds from the seed vectors `seedIds`
+    * (cid = the seed's vec_id — deterministic init, k-means++ style
+    * seeding is an orthogonal upstream choice). Returns the centroid
+    * frame after the final update; callers [[assign]] against it or
+    * collect it for [[AnnIndex]].
+    */
+  def train(embeddings: DataFrame, seedIds: Seq[Long],
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seeds = embeddings.select("vec_id", "v")
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      update(assign(embeddings, cents))
+    }
+  }
+
+  /** [[train]]'s centroids collected for the driver-side consumers
+    * (AnnIndex probe selection) — k × dim doubles, KB-scale by design.
+    */
+  def trainCollected(embeddings: DataFrame, seedIds: Seq[Long],
+      iters: Int): Seq[(Int, Array[Double])] =
+    train(embeddings, seedIds, iters).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+}

@@ -395,17 +395,6 @@ object LlmPipeline {
       .orderBy("query_id", "rank_n")
   }
 
-  /** Quantized squared-L2 distance between two double arrays: per-dim
-    * floor((x−y)²·1e12) as BIGINT, summed. The per-dim doubles are
-    * IEEE-identical cross-engine (pinned (d·d)·1e12 association), and
-    * an integer sum is exact in ANY order — so the argmin below cannot
-    * flip between engines, partitionings, or reduce orders.
-    */
-  private def distFp(v: String, c: String): Column = expr(
-    s"aggregate(zip_with($v, $c, (x, y) -> " +
-      "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint)), " +
-      "0L, (acc, d) -> acc + d)")
-
   /** q87: k-means (Lloyd) over the embedding corpus — the clustering
     * primitive behind semantic sharding, cluster-balanced sampling, and
     * IVF list training (q40/q85 consume exactly this kind of centroid
@@ -417,35 +406,16 @@ object LlmPipeline {
     * combined). Iteration count is a static plan — no driver loop, no
     * collect; at 100 TB each iteration is one scan + one narrow agg.
     * Fully deterministic (ties break on cluster id), so oracle-exact.
-    */
-  /** The q87 assignment pipeline, shared with q88's sampler: 2 Lloyd
-    * iterations → one (vec_id, cluster, dist_fp) row per vector,
-    * unordered.
+    * The steps live in [[graft.operators.KMeans]] (train = 1 update
+    * round from the seeds, then a final assign) — ONE implementation
+    * for the query, the library trainer, and the AnnIndex feed.
     */
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
-    val c0 = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist_fp"), col("cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("dist_fp", distFp("v", "cv"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("dist_fp"))
-    }
-    val cent1 = assign(c0)
-      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cid", "dim")
-      .agg((sum(expr("cast(floor(x * 1000000d) as bigint)"))
-        .cast(DoubleType) / (lit(1000000d) * count(lit(1)))).as("cval"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
-        " p -> p.cval)").as("cv"))
-    assign(cent1)
+    val K = graft.operators.KMeans
+    K.assign(e, K.train(e, 1L to 8L, iters = 1))
       .select(col("vec_id"), col("cid").as("cluster"), col("dist_fp"))
   }
 

@@ -351,6 +351,30 @@ class LayoutSpec extends SparkSuite {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("trainer-to-index composition: KMeans-trained centroids build a " +
+    "probeable IVF index") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L,
+      iters = 2)
+    assert(cents.map(_._1) === (1 to 8), "a seed cluster vanished")
+    assert(cents.forall(_._2.length === 64))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-trained")
+      .toString + "/index"
+    graft.operators.AnnIndex.writeIndex(e, cents, dir)
+    val query = e.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toArray
+    val hits = graft.operators.AnnIndex
+      .topK(spark, dir, query, cents, k = 5, nprobe = 2)
+      .collect()
+    assert(hits.length === 5)
+    // trained centroids partition the corpus non-degenerately: the top
+    // hits come from the probed lists only
+    val probed = graft.operators.AnnIndex.probeLists(query, cents, 2).toSet
+    assert(hits.map(_.getInt(1)).toSet.subsetOf(probed))
+  }
+
   test("compaction rescues a file appended between the race re-list " +
     "and the retire rename (recovered from the crash state)") {
     import spark.implicits._
