@@ -27,14 +27,15 @@ object AnnIndex {
       .toDF("cid", "cv")
   }
 
-  /** Write the index: one assignment pass (broadcast centroids, native
-    * cosine, per-vector argmax window) then `partitionBy(cid)` parquet.
-    * The pre-write `repartition(cid)` makes each inverted list a
-    * contiguous file set instead of one sliver per upstream task.
-    * `embeddings` must have (`vec_id` long, `v` array<double>).
+  /** The index's assignment rule: each vector to its argmax-cosine
+    * centroid (ties → lowest cid). ONE definition shared by
+    * [[writeIndex]] and the streaming appender
+    * ([[graft.streaming.Streams.indexIngestStream]]) — a streamed
+    * vector must land in exactly the list a rebuild would choose.
+    * Returns (vec_id, v, cid).
     */
-  def writeIndex(embeddings: DataFrame,
-      centroids: Seq[(Int, Array[Double])], dir: String): Unit = {
+  def assignByCosine(embeddings: DataFrame,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Functions.register(spark)
     val w = org.apache.spark.sql.expressions.Window
@@ -45,9 +46,19 @@ object AnnIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** Write the index: one [[assignByCosine]] pass then
+    * `partitionBy(cid)` parquet. The pre-write `repartition(cid)` makes
+    * each inverted list a contiguous file set instead of one sliver per
+    * upstream task. `embeddings` must have (`vec_id` long,
+    * `v` array<double>).
+    */
+  def writeIndex(embeddings: DataFrame,
+      centroids: Seq[(Int, Array[Double])], dir: String): Unit =
+    assignByCosine(embeddings, centroids)
       .repartition(col("cid"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(dir)
-  }
 
   /** The `nprobe` list ids nearest to `query` — driver-side over the
     * small centroid set, same (cosine desc, cid asc) order as the

@@ -501,6 +501,36 @@ object Streams {
         new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
 
+  /** Streaming IVF-index maintenance — the freshness leg of the
+    * trainer → index → serve lifecycle ([[graft.operators.KMeans]] →
+    * [[graft.operators.AnnIndex]]): each micro-batch of new embeddings
+    * (`vec_id`, `v` array<double>) is assigned to its nearest centroid
+    * and APPENDED into the index's `cid=<n>` partition directories, so
+    * queries running [[graft.operators.AnnIndex.topK]] against the same
+    * path see new vectors as soon as their batch commits — no rebuild,
+    * no read-side change, the probe's partition pruning is untouched.
+    * Centroids stay fixed between retrains (standard IVF operation;
+    * retrain + [[graft.operators.AnnIndex.writeIndex]] when drift
+    * warrants, exactly like the sidecar-rebuild cadence of DedupStore).
+    * Appends are idempotent per Spark's streaming-sink contract only at
+    * the file level — a replayed batch re-appends its rows, so pair a
+    * periodic `Layout.rewriteInPlace(_.dropDuplicates("vec_id"))` with
+    * the retrain schedule if exact-once listing matters downstream.
+    */
+  def indexIngestStream(embeddings: DataFrame,
+      centroids: Seq[(Int, Array[Double])], indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    embeddings.writeStream
+      .queryName("ivf_index_ingest")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.AnnIndex.assignByCosine(batch, centroids)
+          .write.mode("append").partitionBy("cid").parquet(indexDir)
+        ()
+      }
+      .start()
+
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",
       windowWidth: String = "1 hour"): DataFrame =

@@ -425,6 +425,56 @@ class StreamingSpec extends SparkSuite {
       "text", "doc_id", store).count() === 0)
   }
 
+  test("streaming IVF index ingest: appended vectors land in the list " +
+    "a rebuild would choose and are immediately probeable") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L, 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stream")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("ivf-stream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf-stream-ckpt").toString
+    graft.operators.AnnIndex.writeIndex(e, cents, dir)
+    val before = spark.read.parquet(dir).count()
+    // new corpus rows: exact copies of two existing vectors under fresh
+    // ids — their list assignment and top-rank placement are known
+    val q0 = e.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Double](1)
+    val q7 = e.filter(col("vec_id") === 7).collect()(0)
+      .getSeq[Double](1)
+    Seq((100000L, q0), (100001L, q7)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/delivery1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    graft.streaming.Streams.indexIngestStream(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      cents, dir, ckpt).awaitTermination()
+    assert(spark.read.parquet(dir).count() === before + 2)
+    // the streamed copy of vector 0 sits in the same list as vector 0
+    // (one assignment rule) …
+    val lists = spark.read.parquet(dir)
+      .filter(col("vec_id").isin(0L, 100000L))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lists(100000L) === lists(0L))
+    // … and an identical-vector query now finds the streamed row at a
+    // top rank (cosine 1.0; tie broken by vec_id puts the original
+    // first, the streamed copy immediately after)
+    val top = graft.operators.AnnIndex
+      .topK(spark, dir, q0.toArray, cents, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(0L, 100000L), s"got $top")
+  }
+
   test("streamed cross-run NEAR dedup: paraphrases of any earlier " +
     "batch's documents are dropped; replay after checkpoint loss is " +
     "a no-op") {
