@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * combined), a driver argmax of ONE row (count desc, then lexicographic
   * pair — fully deterministic), and a per-row greedy left-to-right
   * merge rewrite of the symbol arrays. The vocab frame is
-  * re-materialized each round (localCheckpoint) so the plan never grows
-  * with the merge count — N rounds are N short jobs, the exact shape of
-  * the q60 label-propagation loop.
+  * re-materialized each round ([[Exec.materialize]] — reliable
+  * checkpoint on clusters, localCheckpoint locally) so the plan never
+  * grows with the merge count — N rounds are N short jobs, the exact
+  * shape of the q60 label-propagation loop.
   *
   * Symbols start as single characters (no end-of-word marker — a
   * documented simplification; add one by appending a sentinel to
@@ -59,7 +60,7 @@ object Bpe {
         "transform(sequence(1, char_length(word), 1), " +
           "i -> substring(word, i, 1))"))
       .select("syms", "freq")
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var continue = true
@@ -78,8 +79,8 @@ object Bpe {
         else {
           val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
           merges += ((a, b))
-          val next = vf.withColumn("syms", mergeExpr(a, b))
-            .localCheckpoint(true)
+          val next = Exec.materialize(
+            vf.withColumn("syms", mergeExpr(a, b)))
           vf.unpersist()
           vf = next
         }

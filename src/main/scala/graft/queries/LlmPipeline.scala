@@ -1221,7 +1221,7 @@ object LlmPipeline {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1), " +
           "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")).as("ch"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Exec.materialize)
     val counts = chunks.groupBy("ch")
       .agg(countDistinct(col("doc_id")).as("nd"))
     chunks.join(counts, "ch")
@@ -1291,7 +1291,7 @@ object LlmPipeline {
     d.select(col("doc_id"), explode(expr(toksE)).as("tok"))
       .filter(col("tok").isin(queryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Exec.materialize)
 
   /** q61's ranking epilogue over a (doc_id, tok, tf) frame and a
     * (tok, df) side — shared by the recomputed and store-fed forms so
@@ -1551,7 +1551,7 @@ object LlmPipeline {
     val pos = tokenized(s, dir)
       .select(col("doc_id"),
         posexplode(col("toks")).as(Seq("pos", "tok")))
-      .localCheckpoint(true)
+      .transform(graft.operators.Exec.materialize)
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("c1"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -1791,7 +1791,7 @@ object LlmPipeline {
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text", "n_chars")
-      .localCheckpoint(true)
+      .transform(graft.operators.Exec.materialize)
     val labels = connectedComponents(
       minhashPairsOf(exact).select("doc_a", "doc_b"))
     exact.join(labels, Seq("doc_id"), "left")

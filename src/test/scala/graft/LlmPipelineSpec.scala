@@ -234,10 +234,20 @@ class LlmPipelineSpec extends SparkSuite {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_keeper"),
         r.getAs[Long]("cluster_size"))).sortBy(_._1).toSeq
     val viaLocal = run()
+    // every Exec.materialize consumer must be mode-invariant too: pin
+    // the barrier queries' results across the flip below
+    val barrierQs = Seq("q56_chunk_dedup", "q61_lexical_search",
+      "q80_pipeline_e2e", "q86_collocations")
+    def runQ(name: String): Seq[String] =
+      LlmPipeline.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+    val barrierLocal = barrierQs.map(q => q -> runQ(q)).toMap
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     sc.setCheckpointDir(dir) // no public unset: set AFTER the local leg
     val viaReliable = run()
     assert(viaReliable === viaLocal)
+    for (q <- barrierQs)
+      assert(runQ(q) === barrierLocal(q), s"$q diverged in reliable mode")
     // the reliable path actually engaged: round RDDs were written to it
     def ckptFiles(d: java.io.File): Int =
       d.listFiles.toSeq.map(f =>
