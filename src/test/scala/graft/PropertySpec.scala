@@ -240,6 +240,42 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bloom dedup law: the sidecar path equals the plain path at " +
+    "every step of random batch/record/rebuild/compact interleavings") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    // small text pool → plenty of cross-batch duplicates; formatting
+    // variants exercise the normalized hash
+    val textGen: Gen[String] = Gen.oneOf(
+      (1 to 6).map(i => s"doc number $i content") ++
+        (1 to 6).map(i => s"DOC  NUMBER $i   CONTENT"))
+    val bRowGen: Gen[(Long, String)] =
+      for { id <- Gen.choose(1L, 10000L); t <- textGen } yield (id, t)
+    val stepGen: Gen[(List[(Long, String)], Int)] = for {
+      n <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, bRowGen)
+      action <- Gen.choose(0, 3) // 0 none, 1 rebuild, 2 compact, 3 both
+    } yield (rows, action)
+    for (trial <- 0 until 3) {
+      val store = java.nio.file.Files
+        .createTempDirectory(s"bloomlaw$trial").toString + "/hashes"
+      for ((rows, action) <- samples(Gen.listOfN(6, stepGen), 1,
+          7000L + trial).head) {
+        val batch = rows.toDF("doc_id", "text")
+        val plain = D.newUnique(batch, "text", "doc_id", store)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[String]("content_hash"))).toSet
+        val bloomed = D.newUniqueWithBloom(batch, "text", "doc_id", store)
+          .collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[String]("content_hash"))).toSet
+        assert(bloomed === plain, s"trial $trial diverged on $rows")
+        D.recordHashes(batch, "text", store) // record ALL (superset ok)
+        if (action == 1 || action == 3) D.buildBloomSidecar(spark, store)
+        if (action == 2 || action == 3) D.compactStore(spark, store)
+      }
+    }
+  }
+
   test("compaction race law: a LIVE appender racing compact never loses " +
     "a committed row — abort, rescue, or clean pass, across interleavings") {
     import spark.implicits._
