@@ -422,6 +422,24 @@ object LlmPipeline {
   private val q87: Q = (s, dir) =>
     kmeansAssigned(s, dir).orderBy("vec_id")
 
+  /** q91: IVF list-balance / index-quality statistics — the monitoring
+    * view an operations team keeps on an inverted-file index: per-list
+    * vector count (imbalance means hot probes), max and mean quantized
+    * distance (distortion — rising values say the centroids have
+    * drifted and [[graft.operators.KMeans]] should retrain). One narrow
+    * k-row aggregate over the assignment; the integer distance sums are
+    * exact in any reduce order, and the mean is a single pinned
+    * division, so the report is bit-stable cross-engine.
+    */
+  private val q91: Q = (s, dir) =>
+    kmeansAssigned(s, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        max(col("dist_fp")).as("max_dist_fp"),
+        (sum(col("dist_fp")).cast(DoubleType) / count(lit(1)))
+          .as("mean_dist_fp"))
+      .orderBy("cluster")
+
   /** q88: cluster-balanced deterministic sampling — up to 10 vectors
     * per q87 cluster, chosen by the content-addressed md5 order (q46's
     * slot pattern over vec_id): rerun/partition/engine-stable, no
@@ -1890,7 +1908,8 @@ object LlmPipeline {
     "q87_kmeans" -> q87,
     "q88_cluster_sample" -> q88,
     "q89_random_projection" -> q89,
-    "q90_containment" -> q90)
+    "q90_containment" -> q90,
+    "q91_ivf_stats" -> q91)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2344,6 +2363,13 @@ object LlmPipeline {
       s"""WITH $kmeansCtes
          |SELECT vec_id, cluster, dist_fp FROM kfinal
          |ORDER BY vec_id""".stripMargin,
+    "q91_ivf_stats" ->
+      s"""WITH $kmeansCtes
+         |SELECT cluster, COUNT(*) AS n_vectors,
+         | CAST(MAX(dist_fp) AS BIGINT) AS max_dist_fp,
+         | CAST(CAST(SUM(dist_fp) AS BIGINT) AS DOUBLE) / COUNT(*)
+         |  AS mean_dist_fp
+         |FROM kfinal GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q88_cluster_sample" ->
       s"""WITH $kmeansCtes,
          |slotted AS (
