@@ -501,6 +501,36 @@ object Streams {
         new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
 
+  /** Streamed CURATION FEED — the full continuously-fed-corpus loop,
+    * q80's streaming analog: every micro-batch is checked against the
+    * cross-run EXACT store first (formatting variants of anything ever
+    * ingested collapse on the content hash), the survivors against the
+    * cross-run NEAR store (paraphrase-grade variants of history drop on
+    * verified banded signatures), and what remains lands exactly-once
+    * in `batch=<id>` directories with BOTH stores recorded
+    * at-least-once from the committed read-back. Same replay matrix as
+    * the single-store cycles; within-batch NEAR dups are the q28/q60
+    * pipeline's job (exact within-batch dups DO collapse — newUnique
+    * keeps one keeper per hash). Survivor rows carry the exact store's
+    * `content_hash` column, which the record step reuses rather than
+    * recomputing the upstream plan.
+    */
+  def curationFeedThroughStores(docs: DataFrame, textCol: String,
+      idCol: String, exactStorePath: String, nearStorePath: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "curation_feed_through_stores")(
+      batch => graft.ingest.NearDupStore.newNearUnique(
+        graft.ingest.DedupStore
+          .newUnique(batch, textCol, idCol, exactStorePath),
+        textCol, idCol, nearStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
   /** Streaming IVF-index maintenance — the freshness leg of the
     * trainer → index → serve lifecycle ([[graft.operators.KMeans]] →
     * [[graft.operators.AnnIndex]]): each micro-batch of new embeddings

@@ -532,6 +532,67 @@ class StreamingSpec extends SparkSuite {
       "text", "doc_id", store).count() === 0)
   }
 
+  test("streamed curation feed: exact-store then near-store composed " +
+    "per micro-batch; copies, variants, and paraphrases of history all " +
+    "drop; replay is a no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("curation-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("curation-out").toString + "/docs"
+    val exactStore = java.nio.file.Files
+      .createTempDirectory("curation-exact").toString + "/hashes"
+    val nearStore = java.nio.file.Files
+      .createTempDirectory("curation-near").toString + "/bands"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("curation-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.curationFeedThroughStores(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", exactStore, nearStore, outDir, ckpt)
+      .awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val docA = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val docB = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    deliver("b1", Seq((1L, docA), (2L, docB)))
+    drain()
+    assert(survivors() === Seq(1L, 2L))
+    // batch 2: an exact copy (exact store), an UPPERCASED formatting
+    // variant (exact store's normalized hash), a paraphrase with an
+    // appended footer (only the NEAR store can catch it), fresh content
+    deliver("b2", Seq(
+      (10L, docA),
+      (11L, docA.toUpperCase),
+      (12L, docB + " appended footer line"),
+      (13L, (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" "))))
+    drain()
+    assert(survivors() === Seq(1L, 2L, 13L))
+    // survivors carry the exact store's content_hash for downstream use
+    assert(spark.read.parquet(outDir).columns.contains("content_hash"))
+    // replay after checkpoint loss: a no-op
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq(1L, 2L, 13L))
+    // both stores were recorded: each suppresses its kind directly
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((99L, docA)).toDF("doc_id", "text"), "text", "doc_id",
+      exactStore).count() === 0)
+    assert(graft.ingest.NearDupStore.newNearUnique(
+      Seq((98L, docB + " different small edit")).toDF("doc_id", "text"),
+      "text", "doc_id", nearStore).count() === 0)
+  }
+
   test("streamed cross-run dedup through the BUCKETED store: same " +
     "semantics, catalog-table store, replay-safe") {
     import spark.implicits._
