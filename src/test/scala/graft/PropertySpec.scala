@@ -276,6 +276,50 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("near-dup store law: recorded content suppresses every later " +
+    "variant delivery; unrecorded content always re-delivers, across " +
+    "random interleavings with compaction") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    // base texts long enough to shingle; variants = light edits that
+    // stay within the >=8/16 signature-agreement radius
+    def base(k: Int): String =
+      (1 to 60).map(i => s"base$k w$i t${i * k} q${i + k}").mkString(" ")
+    def variant(k: Int, v: Int): String = v % 3 match {
+      case 0 => base(k)
+      case 1 => base(k) + s" footer$v"
+      case 2 => base(k).toUpperCase
+    }
+    val stepGen: Gen[(Int, Int, Boolean, Boolean)] = for {
+      k <- Gen.choose(1, 4)       // which base family
+      v <- Gen.choose(0, 8)       // which variant of it
+      record <- Gen.oneOf(true, false)
+      compact <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield (k, v, record, compact)
+    for (trial <- 0 until 2) {
+      val store = java.nio.file.Files
+        .createTempDirectory(s"neardlaw$trial").toString + "/bands"
+      val recorded = scala.collection.mutable.Set.empty[Int]
+      var id = 0L
+      for ((k, v, record, compact) <-
+          samples(Gen.listOfN(10, stepGen), 1, 9100L + trial).head) {
+        id += 1
+        val batch = Seq((id, variant(k, v))).toDF("doc_id", "text")
+        val out = N.newNearUnique(batch, "text", "doc_id", store).count()
+        if (recorded.contains(k))
+          assert(out === 0L,
+            s"trial $trial: family $k recorded but variant $v passed")
+        else {
+          assert(out === 1L,
+            s"trial $trial: family $k never recorded but was suppressed")
+          if (record) { N.recordSignatures(batch, "text", "doc_id", store)
+            recorded += k }
+        }
+        if (compact) N.compactStore(spark, store, 1L << 20)
+      }
+    }
+  }
+
   test("compaction race law: a LIVE appender racing compact never loses " +
     "a committed row — abort, rescue, or clean pass, across interleavings") {
     import spark.implicits._
