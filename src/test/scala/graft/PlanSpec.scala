@@ -60,6 +60,17 @@ class PlanSpec extends SparkSuite {
     val p85 = plan("q85_ivf_knn_join")
     assert(p85.contains("BroadcastHashJoin [cid"),
       s"q85 probe join is not a cid equi-join:\n$p85")
+    // SHUFFLE budgets pin the per-query data-movement story (broadcast
+    // exchanges are intended — the tiny query/centroid sides): q84
+    // moves rows only for the (group-limited) window and the
+    // presentation sort; q89 is pure per-row projection — nothing
+    // moves before the sort.
+    def shuffles(q: String): Int =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan(q)).length
+    assert(shuffles("q84_knn_join") <= 2,
+      s"q84 grew a shuffle beyond window+sort: ${plan("q84_knn_join")}")
+    assert(shuffles("q89_random_projection") <= 1,
+      "q89 must not shuffle before the presentation sort")
   }
 
   private def scans(name: String) =
