@@ -209,8 +209,12 @@ object Streams {
       checkpointDir: String): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "dedup_through_store")(
+      // the bloom-aware check is a strict superset: identical answers
+      // with no sidecar (IngestSpec/PropertySpec equality laws), and
+      // micro-batches skip the store history once an operator has built
+      // one (DedupStore.buildBloomSidecar on the compaction schedule)
       batch => graft.ingest.DedupStore
-        .newUnique(batch, textCol, idCol, storePath),
+        .newUniqueWithBloom(batch, textCol, idCol, storePath),
       committed => graft.ingest.DedupStore
         .recordHashes(committed, textCol, storePath))
 
@@ -229,8 +233,11 @@ object Streams {
       docs.sparkSession, table, buckets)
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "dedup_through_bucketed_store")(
+      // bloom-aware for the same reason as dedupThroughStore; the
+      // bucketed sidecar lives in the table directory and retires with
+      // compaction's swap, so the stream needs no coordination
       batch => graft.ingest.DedupStore
-        .newUniqueBucketed(batch, textCol, idCol, table),
+        .newUniqueBucketedWithBloom(batch, textCol, idCol, table),
       committed => graft.ingest.DedupStore
         .recordHashesBucketed(committed, textCol, table))
   }

@@ -401,6 +401,9 @@ class StreamingSpec extends SparkSuite {
     deliver("b1", Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "ALPHA  beta")))
     drain()
     assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma")))
+    // a maintenance pass builds the Bloom sidecar mid-stream: later
+    // micro-batches take the bloom fast path with identical answers
+    assert(graft.ingest.DedupStore.buildBloomSidecar(spark, store) === 2L)
     // batch 2: one cross-batch duplicate, one genuinely new
     deliver("b2", Seq((9L, "GAMMA"), (10L, "delta")))
     drain()
