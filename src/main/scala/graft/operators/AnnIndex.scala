@@ -96,4 +96,38 @@ object AnnIndex {
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }
+
+  /** Batch serving — the q84/q85 query-SET shape against the AT-REST
+    * index: all queries' probe lists union into ONE partition filter
+    * (the scan still opens only probed directories, once, shared by
+    * every query), a broadcast (query, probed-cid, vector) frame
+    * equi-joins each index row to exactly the queries probing its list
+    * (never all-pairs), and the per-query top-k is the q84 window with
+    * its partial WindowGroupLimit prune. Per-query answers are
+    * IDENTICAL to one [[topK]] call each — LayoutSpec pins it — for
+    * the cost of a single index pass.
+    */
+  def topKBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[(Long, Array[Double])],
+      centroids: Seq[(Int, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    graft.functions.Functions.register(spark)
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      probeLists(qv, centroids, nprobe)
+        .map(cid => (qid, cid, qv.toSeq))
+    }
+    val pdf = probeRows.toDF("query_id", "cid", "qv")
+    val cids = probeRows.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    spark.read.parquet(indexDir)
+      .filter(col("cid").isin(cids: _*))
+      .join(broadcast(pdf), "cid")
+      .select(col("query_id"), col("vec_id"),
+        expr("cosine_sim(v, qv)").as("cosine"))
+      .withColumn("rank_n", row_number().over(w).cast("long"))
+      .filter(col("rank_n") <= k)
+      .orderBy("query_id", "rank_n")
+  }
 }

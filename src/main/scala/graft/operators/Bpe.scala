@@ -92,9 +92,9 @@ object Bpe {
   /** Encode words with an ordered rule list: each rule applied with the
     * same greedy rewrite, in training order — the standard BPE encode.
     * Returns (word, pieces array<string>). N rules = N column rewrites
-    * folded into one projection; for corpus-scale encoding apply this
-    * to the word-freq table and join back (the same factoring as
-    * training).
+    * folded into one projection; for corpus-scale encoding use
+    * [[encodeDocs]], which applies this to the DISTINCT-word table and
+    * joins back (the same factoring as training).
     */
   def encode(words: DataFrame, wordCol: String,
       merges: Seq[(String, String)]): DataFrame = {
@@ -104,5 +104,26 @@ object Bpe {
     merges.foldLeft(init) { case (df, (a, b)) =>
       df.withColumn("syms", mergeExpr(a, b))
     }.withColumnRenamed("syms", "pieces")
+  }
+
+  /** Corpus-scale encoding, factored like training: the N-rule rewrite
+    * chain runs once per DISTINCT word (|V| rows), then joins back to
+    * the exploded corpus positions and reassembles per-document piece
+    * sequences in token order — a 100 TB corpus pays |V| rewrites plus
+    * one hash join on the word, never per-occurrence rewriting.
+    * Returns (doc_id, pieces) with pieces flattened across the
+    * document's words in order.
+    */
+  def encodeDocs(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pos = docs.select(col("doc_id"), posexplode(expr(
+      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+      .as(Seq("pos", "word")))
+    val encoded = encode(pos.select("word").distinct(), "word", merges)
+    pos.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(expr("flatten(transform(array_sort(" +
+        "collect_list(struct(pos, pieces))), p -> p.pieces))")
+        .as("pieces"))
   }
 }

@@ -351,6 +351,61 @@ class LayoutSpec extends SparkSuite {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("batch index serving: topKBatch equals one topK per query, from " +
+    "a single scan over the union of probed lists") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ivf-batch")
+      .toString + "/index"
+    graft.operators.AnnIndex.writeIndex(e, cents, dir)
+    val queries = Seq(0L, 5L, 9L).map { id =>
+      id -> e.filter(col("vec_id") === id)
+        .collect()(0).getSeq[Double](1).toArray
+    }
+    val batch = graft.operators.AnnIndex
+      .topKBatch(spark, dir, queries, cents, k = 4, nprobe = 2)
+    val got = batch.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    for ((qid, qv) <- queries) {
+      val single = graft.operators.AnnIndex
+        .topK(spark, dir, qv, cents, k = 4, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got(qid) === single, s"query $qid diverged from topK")
+    }
+    // one scan, pruned to the UNION of the probed lists
+    val union = queries
+      .flatMap(q => graft.operators.AnnIndex.probeLists(q._2, cents, 2))
+      .distinct
+    // the join puts this plan under AQE: query stages are leaf nodes,
+    // so descend through them explicitly to reach the file scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      import org.apache.spark.sql.execution.adaptive._
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    }
+    val scan = scans(batch.queryExecution.executedPlan).head
+    val unionFiles = union.map(c =>
+      new java.io.File(s"$dir/cid=$c").listFiles
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value === unionFiles,
+      s"scan read ${scan.metrics("numFiles").value}, union holds " +
+        s"$unionFiles")
+    // per-query prune rides WindowGroupLimit, like q84
+    assert(batch.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
   test("trainer-to-index composition: KMeans-trained centroids build a " +
     "probeable IVF index") {
     val e = Tables.load(spark, sf, "embeddings")

@@ -74,5 +74,18 @@ class OperatorsSpec extends SparkSuite {
       assert(enc(w) === syms, s"word $w")
       assert(enc(w).mkString === w, s"pieces must reconstruct $w")
     }
+    // corpus-scale encoding: per-document pieces concatenate to the
+    // document's own lowercase token stream (word order preserved
+    // through the distinct-word factoring and position join)
+    val sub = Tables.load(spark, sf, "documents").limit(20)
+    val perDoc = graft.operators.Bpe.encodeDocs(sub, "text", got)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val toks = sub.selectExpr("doc_id",
+      "regexp_extract_all(lower(text), '\\\\w+', 0) as t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(perDoc.keySet === toks.keySet.filter(toks(_).nonEmpty))
+    for ((id, pieces) <- perDoc)
+      assert(pieces.mkString === toks(id).mkString,
+        s"doc $id pieces must spell its token stream")
   }
 }
