@@ -476,6 +476,22 @@ class StreamingSpec extends SparkSuite {
       .topK(spark, dir, q0.toArray, cents, k = 2, nprobe = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(top === Seq(0L, 100000L), s"got $top")
+    // a foreachBatch replay re-appends its rows (at-least-once); the
+    // documented maintenance pairing — rewriteInPlace(dropDuplicates on
+    // vec_id) per partition directory — restores one row per vector
+    // without changing any answer
+    graft.operators.AnnIndex.assignByCosine(
+      spark.read.parquet(s"$srcDir/delivery1"), cents)
+      .write.mode("append").partitionBy("cid").parquet(dir)
+    assert(spark.read.parquet(dir).count() === before + 4) // dup rows
+    for (d <- new java.io.File(dir).listFiles
+        if d.isDirectory && d.getName.startsWith("cid="))
+      graft.layout.Layout.rewriteInPlace(spark, d.toString, 1L << 20)(
+        _.dropDuplicates("vec_id"))
+    assert(spark.read.parquet(dir).count() === before + 2)
+    assert(graft.operators.AnnIndex
+      .topK(spark, dir, q0.toArray, cents, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L))
   }
 
   test("streamed cross-run NEAR dedup: paraphrases of any earlier " +
