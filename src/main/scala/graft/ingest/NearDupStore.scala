@@ -69,6 +69,14 @@ object NearDupStore {
     * sign (one kernel pass), equi-join band keys against the store,
     * verify candidates by ≥ `minAgree`/16 signature positions, anti-join
     * the flagged ids. Returns the original rows/columns of survivors.
+    *
+    * The anti-join is NULL-SAFE (`<=>`): a null id is one identity,
+    * exactly as [[DedupStore]]'s keepers treat it (null ids group
+    * together, keep one). Consequence: if ANY null-id document in the
+    * batch near-duplicates history, EVERY null-id row is flagged —
+    * null carries no distinguishing information, so all-or-none is the
+    * only consistent reading. Pipelines that need per-document
+    * precision should supply real ids (the DedupStore contract).
     */
   def newNearUnique(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, minAgree: Int = 8): DataFrame = {
@@ -79,7 +87,7 @@ object NearDupStore {
       .join(store, bands("bk") === store("band_key"))
       .filter(agreement("sig", "stored_sig") >= minAgree)
       .select(col("doc_id").as("__flagged_id")).distinct()
-    docs.join(nearSeen, docs(idCol) === nearSeen("__flagged_id"),
+    docs.join(nearSeen, docs(idCol) <=> nearSeen("__flagged_id"),
       "left_anti")
   }
 

@@ -211,6 +211,22 @@ object Layout {
     * idempotent/optional per-row (distinct qualifies: an unrescued
     * duplicate row is re-dropped by the next pass; a redaction or
     * schema migration would NOT qualify without a follow-up pass).
+    *
+    * PARTITIONED tables (a `partitionBy` root whose data lives in
+    * `key=value` subdirectories — e.g. an [[graft.operators.AnnIndex]]
+    * `cid=<n>` layout): the rewrite RECURSES, running the full
+    * swap protocol independently per leaf partition directory and
+    * summing the counts — so `rewriteInPlace(root)(dropDuplicates)` on
+    * a partitioned index is the real maintenance pass, not a silent
+    * (0,0) no-op on a root with no top-level files. Within a leaf the
+    * frame does NOT contain the partition columns (they live in the
+    * directory names, exactly as a partition-pruned scan sees them), so
+    * `transform` must key on data columns only — right for
+    * per-partition dedup, where a replayed append lands in the same
+    * partition by construction. Per-leaf swaps are independently
+    * crash-safe; a crash mid-recursion leaves untouched leaves for the
+    * rerun. A directory mixing top-level data files AND partition
+    * subdirectories is refused loudly (no Spark writer produces one).
     * Returns (filesBefore, filesAfter).
     */
   def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
@@ -255,6 +271,38 @@ object Layout {
     val dataFiles = fs.listStatus(path).toSeq.filter(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
+    // Hive-style partition subdirectories (name=value, not hidden) —
+    // a partitionBy root keeps ALL data one level down, so the rewrite
+    // must recurse or it sees zero files and silently skips the table.
+    // a leaf's own swap artifacts (`cid=3.compact.tmp/.old`) are
+    // SIBLINGS of the leaf, i.e. inside this root, and contain '=' —
+    // they belong to the leaf's crash recovery, not to the recursion
+    val partDirs = fs.listStatus(path).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.endsWith(".compact.tmp") &&
+        !st.getPath.getName.endsWith(".compact.old"))
+    // a leaf that died between its two swap renames exists ONLY as
+    // `cid=3.compact.old` — the plain listing misses it, so name the
+    // base leaf explicitly and let its entry-time recovery restore it
+    val retiredLeaves = fs.listStatus(path).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.endsWith(".compact.old") &&
+        st.getPath.getName.stripSuffix(".compact.old").contains("="))
+      .map(_.getPath.getName.stripSuffix(".compact.old"))
+    val leafNames =
+      (partDirs.map(_.getPath.getName) ++ retiredLeaves).distinct.sorted
+    require(dataFiles.isEmpty || leafNames.isEmpty,
+      s"rewriteInPlace: $dir mixes top-level data files and partition " +
+        "subdirectories — no Spark writer produces this layout; " +
+        "refusing rather than guessing which half to rewrite")
+    if (dataFiles.isEmpty && leafNames.nonEmpty) {
+      fs.delete(old, true) // root-level leftovers cannot refer to leaves
+      val perLeaf = leafNames.map(n => rewriteInPlace(spark,
+        new org.apache.hadoop.fs.Path(path, n).toString,
+        targetFileBytes, skipIfAlreadyCompact)(transform))
+      return (perLeaf.map(_._1).sum, perLeaf.map(_._2).sum)
+    }
     val names0 = dataFiles.map(_.getPath.getName).toSet
     val before = dataFiles.size
     val totalBytes = dataFiles.map(_.getLen).sum

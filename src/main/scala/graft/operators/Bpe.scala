@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * re-materialized each round ([[Exec.materialize]] — reliable
   * checkpoint on clusters, localCheckpoint locally) so the plan never
   * grows with the merge count — N rounds are N short jobs, the exact
-  * shape of the q60 label-propagation loop.
+  * shape of the q60 label-propagation loop — and the previous round is
+  * [[Exec.release]]d as each new round lands, so an N-merge training
+  * run holds at most ONE round's checkpoint files on the cluster FS,
+  * not N copies of the vocab frame.
   *
   * Symbols start as single characters (no end-of-word marker — a
   * documented simplification; add one by appending a sentinel to
@@ -81,11 +84,11 @@ object Bpe {
           merges += ((a, b))
           val next = Exec.materialize(
             vf.withColumn("syms", mergeExpr(a, b)))
-          vf.unpersist()
+          Exec.release(vf) // prev round's blocks AND checkpoint files
           vf = next
         }
       }
-    } finally vf.unpersist()
+    } finally Exec.release(vf)
     merges.toSeq
   }
 

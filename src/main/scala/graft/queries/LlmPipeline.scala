@@ -429,15 +429,21 @@ object LlmPipeline {
     * drifted and [[graft.operators.KMeans]] should retrain). One narrow
     * k-row aggregate over the assignment; the integer distance sums are
     * exact in any reduce order, and the mean is a single pinned
-    * division, so the report is bit-stable cross-engine.
+    * division, so the report is bit-stable cross-engine. The sum runs
+    * as DECIMAL(38,0), not BIGINT: per-row dist_fp for unit-range
+    * 64-dim vectors is ~1e14, so a long sum would wrap silently past
+    * ~1e5 rows per cluster — decimal keeps the fixed-point claim exact
+    * at any corpus size (the DuckDB oracle's HUGEINT sum is the same
+    * widen-then-convert), and both engines' integer→double conversions
+    * are correctly rounded, so the hash match survives the widening.
     */
   private val q91: Q = (s, dir) =>
     kmeansAssigned(s, dir)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vectors"),
         max(col("dist_fp")).as("max_dist_fp"),
-        (sum(col("dist_fp")).cast(DoubleType) / count(lit(1)))
-          .as("mean_dist_fp"))
+        (sum(col("dist_fp").cast(DecimalType(38, 0))).cast(DoubleType) /
+          count(lit(1))).as("mean_dist_fp"))
       .orderBy("cluster")
 
   /** q88: cluster-balanced deterministic sampling — up to 10 vectors
@@ -1509,9 +1515,15 @@ object LlmPipeline {
       val viaLabels = labels
         .join(jumped, labels("label") === jumped("doc_id2"))
         .select(labels("doc_id"), col("label2").as("label"))
-      val (next, s2) = checkpointed( // old round's RDD is GC-released
+      val (next, s2) = checkpointed(
         labels.unionByName(viaEdges).unionByName(viaLabels)
           .groupBy("doc_id").agg(min(col("label")).as("label")), i)
+      // the new round is durable; the old round's blocks AND (in
+      // reliable mode) its checkpoint FILES are dead weight — Spark
+      // never deletes checkpoint files itself, so a 25-round loop
+      // would otherwise leave 25 copies of the label frame on the
+      // cluster FS. Only the returned final round's files remain.
+      graft.operators.Exec.release(labels)
       labels = next
       converged = s2 == prevSum
       prevSum = s2
@@ -2367,7 +2379,7 @@ object LlmPipeline {
       s"""WITH $kmeansCtes
          |SELECT cluster, COUNT(*) AS n_vectors,
          | CAST(MAX(dist_fp) AS BIGINT) AS max_dist_fp,
-         | CAST(CAST(SUM(dist_fp) AS BIGINT) AS DOUBLE) / COUNT(*)
+         | CAST(SUM(dist_fp) AS DOUBLE) / COUNT(*)
          |  AS mean_dist_fp
          |FROM kfinal GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q88_cluster_sample" ->

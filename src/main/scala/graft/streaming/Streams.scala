@@ -551,8 +551,13 @@ object Streams {
     * warrants, exactly like the sidecar-rebuild cadence of DedupStore).
     * Appends are idempotent per Spark's streaming-sink contract only at
     * the file level — a replayed batch re-appends its rows, so pair a
-    * periodic `Layout.rewriteInPlace(_.dropDuplicates("vec_id"))` with
-    * the retrain schedule if exact-once listing matters downstream.
+    * periodic `Layout.rewriteInPlace(indexDir)(_.dropDuplicates("vec_id"))`
+    * run against the INDEX ROOT with the retrain schedule if exact-once
+    * listing matters downstream: rewriteInPlace recurses into the
+    * `cid=<n>` partition leaves (each with its own crash-safe swap), and
+    * a replayed vector re-appends into the same `cid` leaf by
+    * construction — single-assignment rule — so the per-leaf
+    * `dropDuplicates("vec_id")` is exactly the global one.
     */
   def indexIngestStream(embeddings: DataFrame,
       centroids: Seq[(Int, Array[Double])], indexDir: String,

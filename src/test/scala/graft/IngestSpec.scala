@@ -364,6 +364,24 @@ class IngestSpec extends SparkSuite {
     assert(stored.count() === stored.distinct().count())
     assert(N.newNearUnique(batch((40L, doc1 + " another small edit")),
       "body", "id", store).count() === 0)
+    // null ids do not slip the history check: the anti-join is
+    // null-safe, so a null-id paraphrase of recorded content is
+    // flagged (all null-id rows are ONE identity — see the scaladoc),
+    // while a null-id row with genuinely new content survives
+    val novel = (1 to 60).map(i => s"delta$i null$i case$i").mkString(" ")
+    val nullableSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("body",
+        org.apache.spark.sql.types.StringType)))
+    def nullIdBatch(body: String) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(null, body))), nullableSchema)
+    assert(N.newNearUnique(nullIdBatch(doc1 + " near duplicate tail"),
+      "body", "id", store).count() === 0,
+      "null-id near-duplicate of history escaped the anti-join")
+    assert(N.newNearUnique(nullIdBatch(novel), "body", "id", store)
+      .count() === 1)
   }
 
   private def tmpDir(prefix: String): String =

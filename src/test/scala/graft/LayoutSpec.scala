@@ -468,6 +468,46 @@ class LayoutSpec extends SparkSuite {
     assert(got === (1 to 4).map(i => (i.toLong, s"r$i")) :+ (99L, "late"))
   }
 
+  test("rewriteInPlace on a partitionBy root recurses into the leaves: " +
+    "per-leaf dedup, partition column intact, crashed leaf restored, " +
+    "mixed layout refused") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("part-rewrite")
+      .resolve("idx").toString
+    val rows = Seq((1L, 10, "a"), (2L, 10, "b"), (3L, 20, "c"))
+    rows.toDF("vec_id", "cid", "s")
+      .write.partitionBy("cid").parquet(root)
+    // a replayed append lands in the same cid leaf (single assignment
+    // rule) — duplicate vec_ids inside cid=10 and cid=20
+    rows.toDF("vec_id", "cid", "s")
+      .write.mode("append").partitionBy("cid").parquet(root)
+    assert(spark.read.parquet(root).count() === 6)
+    // the documented maintenance call, against the ROOT — must not be
+    // the empty-root (0,0) no-op
+    val (before, after) = Layout.rewriteInPlace(spark, root, 1L << 20)(
+      _.dropDuplicates("vec_id"))
+    assert(before > 0, "root call saw zero files — silent no-op is back")
+    assert(after <= before)
+    val got = spark.read.parquet(root)
+      .select("vec_id", "cid", "s").as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === rows, s"got $got") // rows deduped, cid column intact
+    // crashed leaf: cid=20 retired mid-swap (only .compact.old remains);
+    // the root call must name the missing leaf and restore it
+    val leaf = new java.io.File(s"$root/cid=20")
+    val oldLeaf = new java.io.File(s"$root/cid=20.compact.old")
+    assert(leaf.renameTo(oldLeaf))
+    val (b2, _) = Layout.rewriteInPlace(spark, root, 1L << 20)(identity)
+    assert(b2 > 0 && leaf.exists && !oldLeaf.exists)
+    assert(spark.read.parquet(root).count() === 3)
+    // a root mixing top-level data files and partition dirs is refused
+    Seq((9L, "x")).toDF("vec_id", "s")
+      .coalesce(1).write.mode("append").parquet(root)
+    intercept[IllegalArgumentException] {
+      Layout.rewriteInPlace(spark, root, 1L << 20)(identity)
+    }
+  }
+
   test("compaction recovers a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact-crash")

@@ -254,6 +254,30 @@ class LlmPipelineSpec extends SparkSuite {
         if (f.isDirectory) ckptFiles(f) else 1).sum
     assert(ckptFiles(new java.io.File(dir)) > 0,
       "checkpoint dir untouched — the loop silently used localCheckpoint")
+    // …and rounds ROTATE: each round's checkpoint files are deleted as
+    // the next round lands (Spark never reclaims them itself), so one
+    // more full q60 run adds at most the FINAL round's rdd dir — not
+    // one per propagation round
+    def rddDirs(d: java.io.File): Int =
+      d.listFiles.toSeq.map(f =>
+        if (f.isDirectory)
+          (if (f.getName.startsWith("rdd-")) 1 else 0) + rddDirs(f)
+        else 0).sum
+    val dirsBefore = rddDirs(new java.io.File(dir))
+    assert(run() === viaLocal)
+    val leaked = rddDirs(new java.io.File(dir)) - dirsBefore
+    assert(leaked <= 1,
+      s"q60 left $leaked checkpoint dirs from one run — round rotation " +
+        "is not deleting superseded rounds")
+    // Bpe.train's merge loop releases EVERY round (its result is the
+    // driver-side rule list, so even the final frame is freed)
+    val bpeBefore = rddDirs(new java.io.File(dir))
+    val docs = spark.createDataFrame(Seq(
+      Tuple1("aa ab aa ab aa"), Tuple1("aa ab ba"))).toDF("text")
+    val rules = graft.operators.Bpe.train(docs, "text", nMerges = 4)
+    assert(rules.nonEmpty)
+    assert(rddDirs(new java.io.File(dir)) === bpeBefore,
+      "Bpe.train leaked reliable-checkpoint dirs after releasing all rounds")
   }
 
   test("q62 quantization: codes fit int8, reconstruction error bounded " +

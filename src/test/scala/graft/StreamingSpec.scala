@@ -478,16 +478,17 @@ class StreamingSpec extends SparkSuite {
     assert(top === Seq(0L, 100000L), s"got $top")
     // a foreachBatch replay re-appends its rows (at-least-once); the
     // documented maintenance pairing — rewriteInPlace(dropDuplicates on
-    // vec_id) per partition directory — restores one row per vector
-    // without changing any answer
+    // vec_id) AT THE INDEX ROOT, which recurses into the cid= leaves —
+    // restores one row per vector without changing any answer
     graft.operators.AnnIndex.assignByCosine(
       spark.read.parquet(s"$srcDir/delivery1"), cents)
       .write.mode("append").partitionBy("cid").parquet(dir)
     assert(spark.read.parquet(dir).count() === before + 4) // dup rows
-    for (d <- new java.io.File(dir).listFiles
-        if d.isDirectory && d.getName.startsWith("cid="))
-      graft.layout.Layout.rewriteInPlace(spark, d.toString, 1L << 20)(
-        _.dropDuplicates("vec_id"))
+    val (nBefore, nAfter) = graft.layout.Layout.rewriteInPlace(
+      spark, dir, 1L << 20)(_.dropDuplicates("vec_id"))
+    assert(nBefore > 0, "root-level rewrite must see the leaf files, " +
+      "not return the empty-root no-op")
+    assert(nAfter <= nBefore)
     assert(spark.read.parquet(dir).count() === before + 2)
     assert(graft.operators.AnnIndex
       .topK(spark, dir, q0.toArray, cents, k = 2, nprobe = 2)
