@@ -78,6 +78,14 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // (name, median, spread)
     val results: Seq[(String, Double, Double)] = names.map { n =>
+      // Between queries (outside any timed region): a driver GC lets
+      // the ContextCleaner reclaim RDD blocks the previous queries'
+      // materialized frames left behind (localCheckpoint storage is
+      // only freed once the RDD object is collected), so a query's
+      // timing reflects its own work, not the heap debt of the 50+
+      // queries before it — the r9 q87/q90 spreads of 7-9 s sat
+      // directly downstream of the loop-heavy q60/q80/q83 block.
+      if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
       try exec(n) // warm this query (codegen + JIT + file footers)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }

@@ -127,6 +127,8 @@ object Functions {
       unary("shingle_hashes", ShingleHashes.apply)),
     ("quantize_i8", classOf[QuantizeI8],
       unary("quantize_i8", QuantizeI8.apply)),
+    ("strip_accents", classOf[StripAccents],
+      unary("strip_accents", StripAccents.apply)),
     ("min_gram_md5", classOf[MinGramMd5], {
       case Seq(a, b) => MinGramMd5(a, b)
       case other => throw new IllegalArgumentException(

@@ -1862,6 +1862,95 @@ object LlmPipeline {
         max(col("n")).as("max_tokens"))
       .orderBy("bucket")
 
+  /** q92: ANN recall audit — recall@3 of the IVF-probed KNN join (q85)
+    * against the exact KNN join (q84), per query vector. This is the
+    * index-quality number an operations team actually watches: q91
+    * says the lists are drifting (distortion), q92 says what that
+    * drift COSTS (missed true neighbors). Both sides are queries the
+    * bench already runs; the audit adds one |Q|·k-row left-semi join
+    * and two k-row aggregates — at 100 TB the cost is the two KNN
+    * passes themselves, and the standard practice this encodes is
+    * auditing a SAMPLE of queries (the q46 slot sample composes
+    * upstream) rather than the full query log.
+    */
+  private val q92: Q = (s, dir) => {
+    val exact = q84(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = q85(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall",
+        col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .select("query_id", "n_exact", "n_hit", "recall")
+      .orderBy("query_id")
+  }
+
+  /** q93: term-frequency spectrum (frequency of frequencies) — how many
+    * distinct terms occur exactly k times. The Zipf/Heaps monitoring
+    * view of a tokenizer pipeline: the hapax count (k=1) drives
+    * vocabulary-size decisions and OOV-rate estimates, and a spectrum
+    * shift between crawl snapshots is the cheapest drift alarm. Two
+    * hash aggregates, both map-side combined; the second one's input is
+    * |vocab| rows and its output is bounded by the distinct frequency
+    * VALUES (≤ a few thousand at any corpus size), so the query's
+    * result stays tiny at 100 TB.
+    */
+  private val q93: Q = (s, dir) =>
+    tokenized(s, dir)
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .groupBy("freq").agg(count(lit(1)).as("n_terms"))
+      .orderBy("freq")
+
+  /** q94: accent folding — the text-normalization pass a multilingual
+    * corpus runs before dedup/indexing, via the native codegen'd
+    * `strip_accents` kernel ([[graft.functions.TextNormalize]]: NFD +
+    * drop combining marks, ASCII fast path returns the input buffer
+    * untouched). The corpus ships ASCII text, so the query SYNTHESIZES
+    * the accents it folds (q39/q48/q55's synthesize-then-operate
+    * pattern): `translate` maps vowels/n to accented code points, the
+    * kernel folds them back, and the oracle pins DuckDB's built-in
+    * `strip_accents` to the same answer. One narrow projection —
+    * codegen end-to-end, no shuffle at any scale.
+    */
+  private val q94: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        translate(substring(lower(col("text")), 1, 40),
+          "aeioun", "áéîõüñ")
+          .as("accented"))
+      .withColumn("folded", expr("strip_accents(accented)"))
+      .orderBy("doc_id")
+  }
+
+  /** q95: deterministic corpus shuffle — the training-order shuffle of
+    * a data-loading pipeline, WITHOUT a global sort: md5(doc_id) is the
+    * shuffle key (content-addressed, rerun/engine-stable — q46's slot
+    * derivation), documents land in `bucket = key % 8`, and position
+    * within a bucket is a per-bucket window over the key. At 100 TB
+    * this is one hash-partition exchange plus B independent in-bucket
+    * sorts (each a partition-local TakeOrdered-free sort) — the global
+    * ORDER BY md5 a naive shuffle would run is a full-corpus range
+    * exchange that no trainer needs, because readers consume buckets
+    * (shards) independently anyway.
+    */
+  private val q95: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    t(s, dir, "documents")
+      .withColumn("shuffle_key", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+          "16, 10) as bigint)"))
+      .withColumn("bucket", col("shuffle_key") % 8)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "bucket", "pos")
+      .orderBy("bucket", "pos")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1921,7 +2010,11 @@ object LlmPipeline {
     "q88_cluster_sample" -> q88,
     "q89_random_projection" -> q89,
     "q90_containment" -> q90,
-    "q91_ivf_stats" -> q91)
+    "q91_ivf_stats" -> q91,
+    "q92_ann_recall" -> q92,
+    "q93_freq_spectrum" -> q93,
+    "q94_accent_fold" -> q94,
+    "q95_corpus_shuffle" -> q95)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -2845,5 +2938,70 @@ object LlmPipeline {
          | FROM documents)
          |SELECT lang, $predE AS pred_lang, COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
-    })
+    },
+    "q92_ann_recall" -> {
+      def cos(a: String, b: String): String =
+        s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 9),
+         |corp AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id > 9),
+         |xr AS (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cos("v", "qv")} DESC, neighbor_id) AS rank_n
+         | FROM corp CROSS JOIN q),
+         |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank_n <= 3),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+         |sims AS (
+         | SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS csim
+         | FROM e CROSS JOIN c),
+         |ranked AS (
+         | SELECT vec_id, v, cid, csim,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+         | FROM sims),
+         |assigned AS (
+         | SELECT vec_id AS neighbor_id, v, cid FROM ranked
+         | WHERE crn = 1 AND vec_id > 9),
+         |probes AS (
+         | SELECT vec_id AS query_id, cid, v AS qv FROM ranked
+         | WHERE vec_id <= 9 AND crn <= 2),
+         |scored AS (
+         | SELECT p.query_id, a.neighbor_id, ${cos("a.v", "p.qv")} AS cosine
+         | FROM assigned a JOIN probes p ON a.cid = p.cid),
+         |ar AS (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cosine DESC, neighbor_id) AS rank_n
+         | FROM scored),
+         |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank_n <= 3)
+         |SELECT ex.query_id, COUNT(*) AS n_exact,
+         | COUNT(ap.neighbor_id) AS n_hit,
+         | CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+         |FROM exact ex LEFT JOIN approx ap
+         | ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+    },
+    "q93_freq_spectrum" ->
+      s"""WITH tok AS (SELECT unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term)
+         |SELECT freq, COUNT(*) AS n_terms FROM tf
+         |GROUP BY freq ORDER BY freq""".stripMargin,
+    "q94_accent_fold" ->
+      """SELECT doc_id,
+        | translate(substr(lower(text), 1, 40), 'aeioun', 'áéîõüñ')
+        |  AS accented,
+        | strip_accents(
+        |   translate(substr(lower(text), 1, 40), 'aeioun', 'áéîõüñ'))
+        |  AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q95_corpus_shuffle" ->
+      """WITH k AS (
+        | SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS shuffle_key
+        | FROM documents)
+        |SELECT doc_id, shuffle_key % 8 AS bucket,
+        | row_number() OVER (PARTITION BY shuffle_key % 8
+        |                    ORDER BY shuffle_key, doc_id) AS pos
+        |FROM k ORDER BY bucket, pos""".stripMargin)
 }

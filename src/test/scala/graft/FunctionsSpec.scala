@@ -154,6 +154,34 @@ class FunctionsSpec extends SparkSuite {
       df(3).isNullAt(4)) // null text propagates
   }
 
+  test("strip_accents: folds Latin accents, passes ASCII through " +
+    "untouched, keeps non-decomposable letters, null-safe") {
+    import spark.implicits._
+    Functions.register(spark)
+    def fold(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(expr("strip_accents(t)")).collect()(0).getString(0)
+    assert(fold("café señor naïve àèìòù ÂÊÎÔÛ") ===
+      "cafe senor naive aeiou AEIOU")
+    // composed (NFC) and decomposed (NFD) spellings collapse to one key
+    assert(fold("caf\u00e9") === fold("cafe\u0301"))
+    // no decomposition → unchanged (DuckDB strip_accents agrees)
+    assert(fold("straße Ærø") === "straße Ærø")
+    val ascii = "plain ascii text 123"
+    assert(fold(ascii) === ascii)
+    // null in, null out (UnaryExpression null propagation)
+    val r = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(expr("strip_accents(t)")).collect()(0)
+    assert(r.isNullAt(0))
+    // the kernel is a real codegen expression, not a fallback: the
+    // projection carries the whole-stage-codegen star over the scan
+    val d = Tables.load(spark, sf, "documents")
+      .select(expr("strip_accents(text)").as("f"))
+    val planStr = d.queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Project [strip_accents"), planStr)
+    assert(d.count() > 0)
+  }
+
   test("min_gram_md5 rejects a non-literal gram length") {
     Functions.register(spark)
     val e = intercept[Exception] {

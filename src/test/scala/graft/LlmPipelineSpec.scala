@@ -280,6 +280,44 @@ class LlmPipelineSpec extends SparkSuite {
       "Bpe.train leaked reliable-checkpoint dirs after releasing all rounds")
   }
 
+  test("q92 recall audit: per-query counts reconcile with an " +
+    "independent q84 ∩ q85 recount, recall = n_hit / n_exact") {
+    def pairs(q: String): Set[(Long, Long)] =
+      LlmPipeline.queries(q)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .toSet
+    val exact = pairs("q84_knn_join")
+    val approx = pairs("q85_ivf_knn_join")
+    val rows = LlmPipeline.queries("q92_ann_recall")(spark, sf).collect()
+    assert(rows.length === 10) // one row per probe vector 0..9
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val nExact = exact.count(_._1 == qid)
+      val nHit = (exact & approx).count(_._1 == qid)
+      assert(r.getAs[Long]("n_exact") === nExact.toLong)
+      assert(r.getAs[Long]("n_hit") === nHit.toLong)
+      assert(r.getAs[Double]("recall") === nHit.toDouble / nExact)
+    }
+  }
+
+  test("q95 corpus shuffle is a permutation: every document exactly " +
+    "once, per-bucket positions contiguous from 1, rerun-stable") {
+    def run() = LlmPipeline.queries("q95_corpus_shuffle")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("pos")))
+    val rows = run()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length.toLong === nDocs)
+    rows.groupBy(_._2).foreach { case (b, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length.toLong),
+        s"bucket $b positions not contiguous")
+    }
+    // content-addressed key ⇒ the shuffle order is reproducible
+    assert(run().toSeq === rows.toSeq)
+  }
+
   test("q62 quantization: codes fit int8, reconstruction error bounded " +
     "by scale/2") {
     val rows = LlmPipeline.queries("q62_embedding_quantize")(spark, sf)

@@ -78,6 +78,31 @@ class PlanSpec extends SparkSuite {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
 
+  test("q95 corpus shuffle never plans a global range sort over the " +
+    "corpus: one hash exchange feeds the per-bucket window") {
+    val p = plan("q95_corpus_shuffle")
+    // exactly: hashpartitioning(bucket) for the window (its Sort is
+    // partition-LOCAL, global=false) + ONE rangepartitioning for the
+    // final presentation order. A second range exchange would mean the
+    // global ORDER-BY-md5 shuffle this query exists to avoid.
+    assert("Exchange hashpartitioning\\(bucket".r.findAllIn(p).size === 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1, p)
+    // the in-bucket ordering sort must be partition-local: its window
+    // sort prints with global=false ("], false, 0")
+    assert(p.contains("shuffle_key"), p)
+    assert("Sort \\[bucket[^\\]]*shuffle_key[^\\]]*\\], false, 0".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q93 frequency spectrum aggregates with map-side partial " +
+    "combines (both levels)") {
+    val p = plan("q93_freq_spectrum")
+    // two-level agg: term counts then freq-of-freq; each must plan a
+    // partial+final HashAggregate pair, never a single-exchange sort agg
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("selective scans push their filters into the parquet reader") {
     // q06 filters a date range; q05 is a key lookup — both must reach
     // the scan as a NON-EMPTY pushed-filter list (every scan prints
