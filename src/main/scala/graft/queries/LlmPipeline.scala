@@ -1951,6 +1951,67 @@ object LlmPipeline {
       .orderBy("bucket", "pos")
   }
 
+  /** q96: inter-centroid separation — pairwise quantized squared-L2
+    * between the trained k-means centroids (k·(k−1)/2 rows). The
+    * complement of q91's within-list distortion: separation shrinking
+    * toward the within-list mean says two lists have collapsed onto
+    * the same region and k (or the seeding) needs revisiting — the
+    * standard cluster-health pair every IVF/semantic-shard deployment
+    * watches. Work is CENTROID-only: k×dim doubles regardless of
+    * corpus size, so the k² cross join is driver-scale by definition
+    * (the corpus-sized work already happened in the trainer). Integer
+    * distances (the q87 fixed-point kernel) keep it bit-stable.
+    */
+  private val q96: Q = (s, dir) => {
+    val K = graft.operators.KMeans
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = K.train(e, 1L to 8L, iters = 1)
+    val a = cents.select(col("cid").cast(LongType).as("cid_a"),
+      col("cv").as("cv_a"))
+    val b = cents.select(col("cid").cast(LongType).as("cid_b"),
+      col("cv").as("cv_b"))
+    a.crossJoin(b).filter(col("cid_a") < col("cid_b"))
+      .withColumn("dist_fp", K.distFp("cv_a", "cv_b"))
+      .select("cid_a", "cid_b", "dist_fp")
+      .orderBy("cid_a", "cid_b")
+  }
+
+  /** q97: vocabulary coverage / OOV-rate audit — per language, the
+    * fraction of token OCCURRENCES covered by the top-16 vocabulary
+    * (q63's derivation with a tighter cap: the synthetic corpus has 31
+    * distinct terms, so q63's own 64 would cover everything and the
+    * audit would be vacuous — real deployments size the cap to their
+    * tokenizer budget). The decision input for vocab sizing and for
+    * spotting a language the tokenizer underserves (high OOV →
+    * over-long piece sequences → wasted context window). ONE corpus
+    * tokenization scan feeds a (lang, term) aggregate, eagerly
+    * materialized (q56's barrier — two consumers, one tokenization);
+    * everything downstream runs on the vocab-sized frame: the global
+    * top-16 is a TakeOrdered, broadcast back as the coverage flag. At
+    * 100 TB the corpus is touched once and shuffled once (by term-hash
+    * for the agg); no second pass exists to regress.
+    */
+  private val q97: Q = (s, dir) => {
+    val tf = tokenized(s, dir, "lang")
+      .select(col("lang"), explode(col("toks")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Exec.materialize)
+    val vocab = tf.groupBy("term").agg(sum(col("n")).as("tot"))
+      .orderBy(desc("tot"), col("term")).limit(16)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("oov_rate",
+        (col("n_tokens") - col("n_covered")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .orderBy("lang")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2014,7 +2075,9 @@ object LlmPipeline {
     "q92_ann_recall" -> q92,
     "q93_freq_spectrum" -> q93,
     "q94_accent_fold" -> q94,
-    "q95_corpus_shuffle" -> q95)
+    "q95_corpus_shuffle" -> q95,
+    "q96_cluster_separation" -> q96,
+    "q97_vocab_coverage" -> q97)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3003,5 +3066,28 @@ object LlmPipeline {
         |SELECT doc_id, shuffle_key % 8 AS bucket,
         | row_number() OVER (PARTITION BY shuffle_key % 8
         |                    ORDER BY shuffle_key, doc_id) AS pos
-        |FROM k ORDER BY bucket, pos""".stripMargin)
+        |FROM k ORDER BY bucket, pos""".stripMargin,
+    "q96_cluster_separation" ->
+      s"""WITH $kmeansCtes
+         |SELECT a.cid AS cid_a, b.cid AS cid_b,
+         | CAST(SUM(CAST(floor(((a.cval - b.cval) * (a.cval - b.cval))
+         |   * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+         |FROM cent1 a JOIN cent1 b ON a.dim = b.dim AND a.cid < b.cid
+         |GROUP BY a.cid, b.cid ORDER BY cid_a, cid_b""".stripMargin,
+    "q97_vocab_coverage" ->
+      s"""WITH tok AS (SELECT lang, unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         |vocab AS (
+         | SELECT term FROM (
+         |  SELECT term, SUM(n) AS tot FROM tf GROUP BY term
+         |  ORDER BY tot DESC, term LIMIT 16)),
+         |cov AS (
+         | SELECT tf.lang, tf.n,
+         |  CASE WHEN v.term IS NOT NULL THEN tf.n ELSE 0 END AS nc
+         | FROM tf LEFT JOIN vocab v ON tf.term = v.term)
+         |SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         | CAST(SUM(nc) AS BIGINT) AS n_covered,
+         | CAST(SUM(n) - SUM(nc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+         |  AS oov_rate
+         |FROM cov GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -318,6 +318,62 @@ class LlmPipelineSpec extends SparkSuite {
     assert(run().toSeq === rows.toSeq)
   }
 
+  test("q96 cluster separation: k(k-1)/2 ordered pairs, distances " +
+    "match a driver-side recomputation from the trained centroids") {
+    val rows = LlmPipeline.queries("q96_cluster_separation")(spark, sf)
+      .collect()
+      .map(r => ((r.getAs[Long]("cid_a"), r.getAs[Long]("cid_b")),
+        r.getAs[Long]("dist_fp"))).toMap
+    assert(rows.size === 8 * 7 / 2)
+    assert(rows.keys.forall { case (a, b) => a < b })
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", org.apache.spark.sql.functions
+        .col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans
+      .trainCollected(e, 1L to 8L, iters = 1).toMap
+    for (((a, b), got) <- rows) {
+      val (va, vb) = (cents(a.toInt), cents(b.toInt))
+      val want = va.zip(vb).map { case (x, y) =>
+        math.floor((x - y) * (x - y) * 1e12).toLong }.sum
+      assert(got === want, s"pair ($a,$b)")
+      assert(got > 0L, s"centroids $a and $b coincide")
+    }
+  }
+
+  test("q97 vocab coverage: per-language counts reconcile with a " +
+    "driver-side recount; the audit measures REAL oov (not all-zero)") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    val allToks = docs.flatMap(r =>
+      "\\w+".r.findAllIn(r._2.toLowerCase).toSeq)
+    // the query's own vocab derivation: global top-16 by (count desc,
+    // term asc)
+    val vocab = allToks.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(16).map(_._1).toSet
+    val byLang = docs.groupBy(_._1).map { case (lang, rs) =>
+      val toks = rs.flatMap(r =>
+        "\\w+".r.findAllIn(r._2.toLowerCase).toSeq)
+      lang -> (toks.length.toLong, toks.count(vocab).toLong)
+    }
+    val rows = LlmPipeline.queries("q97_vocab_coverage")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nTok, nCov) = byLang(lang)
+      assert(r.getAs[Long]("n_tokens") === nTok, s"lang $lang tokens")
+      assert(r.getAs[Long]("n_covered") === nCov, s"lang $lang covered")
+      val oov = r.getAs[Double]("oov_rate")
+      assert(oov >= 0.0 && oov <= 1.0)
+      assert(oov === (nTok - nCov).toDouble / nTok)
+    }
+    // 31 distinct corpus terms vs a 16-term vocab: some language must
+    // see nonzero OOV or the audit is vacuous
+    assert(rows.exists(_.getAs[Double]("oov_rate") > 0.0),
+      "all languages fully covered — the vocab cap is not exercising OOV")
+  }
+
   test("q62 quantization: codes fit int8, reconstruction error bounded " +
     "by scale/2") {
     val rows = LlmPipeline.queries("q62_embedding_quantize")(spark, sf)
