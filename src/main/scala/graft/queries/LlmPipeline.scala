@@ -2012,6 +2012,70 @@ object LlmPipeline {
       .orderBy("lang")
   }
 
+  /** q98: markup stripping — the HTML-boilerplate-removal stage every
+    * web-crawl pipeline runs before any text statistic (the corpus
+    * ships clean text, so the markup is SYNTHESIZED first — q39/q55's
+    * synthesize-then-operate pattern, with non-trivial inline tags via
+    * a plain substring replace shared verbatim with the oracle). Strip
+    * = tags → space, whitespace collapse, trim; the report carries
+    * markup/text char counts, tag count, and the md5 of the cleaned
+    * text (the hash the q27 dedup key would see post-strip). Pure
+    * per-row projection: codegen regexes, zero shuffle at any scale.
+    */
+  private val q98: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("markup", concat(
+        lit("<html><body><div class=\"doc\"><p>"),
+        expr("replace(text, ' the ', ' <b>the</b> ')"),
+        lit("</p><br/></div></body></html>")))
+      .withColumn("cleaned", trim(regexp_replace(
+        regexp_replace(col("markup"), "<[^>]+>", " "), "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("markup")).cast(LongType).as("n_markup_chars"),
+        expr("cast(size(regexp_extract_all(markup, '<[^>]+>', 0)) " +
+          "as bigint)").as("n_tags"),
+        length(col("cleaned")).cast(LongType).as("n_text_chars"),
+        md5(col("cleaned")).as("text_hash"))
+      .orderBy("doc_id")
+
+  /** q99: sentence segmentation statistics — count and length profile
+    * of '.'-delimited sentences per document, the unit the
+    * line/sentence-level quality filters (terminal punctuation, bullet
+    * ratios, short-line stripping) operate on. Sentences = non-empty
+    * splits on /\.\s+/ in BOTH engines; counts and char totals are
+    * exact longs, the mean is one pinned double division. Higher-order
+    * functions, not a Generate: nothing downstream re-reads the split
+    * array, so there is no re-evaluation to barrier against — one
+    * projection, zero shuffle.
+    */
+  private val q99: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ss", expr(
+        "filter(split(text, '\\\\.\\\\s+'), x -> char_length(x) > 0)"))
+      .filter(size(col("ss")) >= 1)
+      .select(col("doc_id"),
+        size(col("ss")).cast(LongType).as("n_sentences"),
+        expr("aggregate(ss, 0L, (a, x) -> a + char_length(x))")
+          .as("total_chars"))
+      .withColumn("mean_sentence_chars",
+        col("total_chars").cast(DoubleType) /
+          col("n_sentences").cast(DoubleType))
+      .orderBy("doc_id")
+
+  /** q100: dedup cluster-size histogram — how many near-dup components
+    * exist at each size, the one-line summary a curation report leads
+    * with (a heavy tail of large clusters = template/boilerplate
+    * infestation; mostly pairs = organic near-dups). Rides the q60
+    * component labels (same loop, same materialization) and collapses
+    * them with two tiny aggregates — the histogram domain is bounded
+    * by the largest cluster, not the corpus.
+    */
+  private val q100: Q = (s, dir) =>
+    connectedComponents(minhashPairs(s, dir).select("doc_a", "doc_b"))
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2077,7 +2141,10 @@ object LlmPipeline {
     "q94_accent_fold" -> q94,
     "q95_corpus_shuffle" -> q95,
     "q96_cluster_separation" -> q96,
-    "q97_vocab_coverage" -> q97)
+    "q97_vocab_coverage" -> q97,
+    "q98_markup_strip" -> q98,
+    "q99_sentence_stats" -> q99,
+    "q100_cluster_sizes" -> q100)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3089,5 +3156,45 @@ object LlmPipeline {
          | CAST(SUM(nc) AS BIGINT) AS n_covered,
          | CAST(SUM(n) - SUM(nc) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
          |  AS oov_rate
-         |FROM cov GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM cov GROUP BY lang ORDER BY lang""".stripMargin,
+    "q98_markup_strip" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  '<html><body><div class="doc"><p>' ||
+        |   replace(text, ' the ', ' <b>the</b> ') ||
+        |   '</p><br/></div></body></html>' AS markup
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, markup,
+        |  trim(regexp_replace(regexp_replace(markup, '<[^>]+>', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        | FROM m)
+        |SELECT doc_id,
+        | CAST(length(markup) AS BIGINT) AS n_markup_chars,
+        | CAST(len(regexp_extract_all(markup, '<[^>]+>')) AS BIGINT)
+        |  AS n_tags,
+        | CAST(length(cleaned) AS BIGINT) AS n_text_chars,
+        | md5(cleaned) AS text_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q99_sentence_stats" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\.\s+'),
+        |    x -> length(x) > 0) AS ss
+        | FROM documents)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+        | CAST(list_sum(list_transform(ss, x -> length(x))) AS BIGINT)
+        |  AS total_chars,
+        | CAST(list_sum(list_transform(ss, x -> length(x))) AS DOUBLE)
+        |  / len(ss) AS mean_sentence_chars
+        |FROM s WHERE len(ss) >= 1 ORDER BY doc_id""".stripMargin,
+    "q100_cluster_sizes" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")},
+         |sized AS (
+         | SELECT cluster_keeper, COUNT(*) AS cluster_size
+         | FROM comp GROUP BY cluster_keeper)
+         |SELECT cluster_size, COUNT(*) AS n_clusters FROM sized
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
 }

@@ -374,6 +374,62 @@ class LlmPipelineSpec extends SparkSuite {
       "all languages fully covered — the vocab cap is not exercising OOV")
   }
 
+  test("q98 markup strip: cleaning the synthesized markup recovers the " +
+    "whitespace-normalized original text") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    val rows = LlmPipeline.queries("q98_markup_strip")(spark, sf)
+      .collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // tags → space then collapse: the synthesized wrapper and inline
+      // tags vanish, so cleaned ≡ the collapsed original
+      val expected = docs(id).replaceAll("\\s+", " ").trim
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(expected.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("text_hash") === hash, s"doc $id")
+      assert(r.getAs[Long]("n_text_chars") === expected.length.toLong)
+      assert(r.getAs[Long]("n_markup_chars") > r.getAs[Long]("n_text_chars"))
+      assert(r.getAs[Long]("n_tags") >= 8L) // wrapper alone contributes 8
+    }
+  }
+
+  test("q99 sentence stats reconcile with a driver-side re-split") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    val rows = LlmPipeline.queries("q99_sentence_stats")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sents = docs(id).split("\\.\\s+", -1).filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_sentences") === sents.length.toLong, s"doc $id")
+      val total = sents.map(_.length.toLong).sum
+      assert(r.getAs[Long]("total_chars") === total, s"doc $id")
+      assert(r.getAs[Double]("mean_sentence_chars") ===
+        total.toDouble / sents.length)
+    }
+  }
+
+  test("q100 cluster-size histogram reconciles with the q60 component " +
+    "report") {
+    val q60rows = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_keeper"),
+        r.getAs[Long]("cluster_size")))
+    val expected = q60rows.distinct.groupBy(_._2)
+      .map { case (size, ks) => size -> ks.length.toLong }
+    val got = LlmPipeline.queries("q100_cluster_sizes")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    assert(got === expected)
+    // sanity: Σ size·count = number of clustered documents
+    assert(got.map { case (s2, n) => s2 * n }.sum === q60rows.length.toLong)
+  }
+
   test("q62 quantization: codes fit int8, reconstruction error bounded " +
     "by scale/2") {
     val rows = LlmPipeline.queries("q62_embedding_quantize")(spark, sf)
