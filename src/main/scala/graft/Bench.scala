@@ -20,15 +20,21 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   * message lands in the `errors` field — never a silent success.
   *
   * r9: each query is timed THREE times after its warmup; `queries`
-  * reports the per-query MEDIAN and a sibling `spread` object reports
-  * max−min of the three runs, so a one-off GC/compilation stall is
+  * reports the per-query MEDIAN, so a one-off GC/compilation stall is
   * visible as spread instead of masquerading as a regression (the
   * q60/q73/q74 round-over-round ambiguity of r7/r8). `value` is the
   * sum of medians. Keys are shortened to the qNN prefix ("q60", not
-  * "q60_neardup_clusters" — full names in SparkEntry.queries): the
-  * driver captures only a ~3 kB output tail, and the r8 full-name
-  * line already overflowed it, truncating the JSON head ("parsed":
-  * null). Short keys + spreads fit with room to spare.
+  * "q60_neardup_clusters" — full names in SparkEntry.queries).
+  *
+  * r10: the driver captures EXACTLY the last 2000 chars of stdout and
+  * tries to parse the JSON line out of them — every BENCH_r1..r9
+  * artifact shows "parsed": null because the line (plus sbt's trailing
+  * "[success]" line) never fit: r9's per-query `spread` object alone
+  * doubled the line past the window. The per-query spread map now goes
+  * to STDERR (with the per-rep timings, where a human reads it), and
+  * the JSON keeps one compact `spread_max` entry — the worst query's
+  * max−min — as the machine-readable variance flag. 100 queries ≈
+  * 1.5 kB, inside the window with room for the sbt trailer.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -119,8 +125,15 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => jstr(shortOf(k)) + ":" + f3(v) }
       .mkString("{", ",", "}")
-    val sp = results.map { case (k, _, d) => jstr(shortOf(k)) + ":" + f3(d) }
-      .mkString("{", ",", "}")
+    // full per-query spreads: stderr, next to the per-rep lines
+    System.err.println("[bench] spreads: " + results
+      .map { case (k, _, d) => s"${shortOf(k)}=${f3(d)}" }.mkString(" "))
+    val spreadMax = results.filter(_._2 >= 0) match {
+      case Seq() => ""
+      case rs =>
+        val (k, _, d) = rs.maxBy(_._3)
+        s""","spread_max":{${jstr(shortOf(k))}:${f3(d)}}"""
+    }
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors
@@ -134,7 +147,7 @@ object Bench {
     only.foreach(fs => System.err.println(
       s"[bench] PARTIAL RUN: SPARK_GRAFT_ONLY=${fs.mkString(",")} " +
         s"restricted the surface to ${names.size} queries"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$sp$errJson$onlyJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs$spreadMax$errJson$onlyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
