@@ -368,4 +368,62 @@ class PropertySpec extends SparkSuite {
         s"trial $trial lost committed rows: ${want.diff(got)}")
     }
   }
+
+  test("partitioned rewrite race law: a LIVE appender into the cid= " +
+    "leaves racing a root-level rewriteInPlace never loses a committed " +
+    "row, and the partition column survives") {
+    import spark.implicits._
+    // The r10 recursion (rewriteInPlace at a partitionBy root) under a
+    // real concurrent writer: per-leaf swaps must abort/rescue around
+    // appends exactly like the flat-dir law above, and a leaf CREATED
+    // mid-rewrite must pass through untouched.
+    for (trial <- 1 to 3) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"part-race-$trial").resolve("idx").toString
+      Seq.tabulate(6)(i => ((i + 1).toLong, (i + 1) % 3))
+        .toDF("id", "cid")
+        .write.partitionBy("cid").parquet(root)
+      @volatile var stop = false
+      val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val appender = new Thread(() => {
+        var i = 0L
+        while (!stop) {
+          val id = 1000L * trial + i
+          try {
+            // cid = id % 4: trial appends also CREATE leaf cid=3, which
+            // does not exist in the seed layout
+            Seq((id, (id % 4).toInt)).toDF("id", "cid")
+              .coalesce(1).write.mode("append")
+              .partitionBy("cid").parquet(root)
+            committed.add(id)
+          } catch { case _: Throwable => () }
+          i += 1
+        }
+      })
+      appender.start()
+      try {
+        Thread.sleep(40L * trial)
+        graft.layout.Layout.rewriteInPlace(spark, root, 1L << 20)(
+          _.dropDuplicates("id"))
+        graft.layout.Layout.rewriteInPlace(spark, root, 1L << 20)(
+          _.dropDuplicates("id"))
+      } finally {
+        stop = true
+        appender.join(60000)
+      }
+      import scala.jdk.CollectionConverters._
+      val want = (1 to 6).map(_.toLong).toSet ++
+        committed.iterator().asScala.toSet
+      val rows = spark.read.parquet(root)
+        .select("id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(want.subsetOf(rows.keySet),
+        s"trial $trial lost committed rows: ${want.diff(rows.keySet)}")
+      // per-leaf rewrite must not scramble the partition column
+      rows.foreach { case (id, cid) =>
+        val expect = if (id <= 6) (id % 3).toInt else (id % 4).toInt
+        assert(cid === expect, s"id $id landed in cid=$cid")
+      }
+    }
+  }
 }
