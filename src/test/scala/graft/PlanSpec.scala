@@ -94,6 +94,20 @@ class PlanSpec extends SparkSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("pure-projection queries shuffle ONLY for the presentation " +
+    "sort: no aggregation/join exchange anywhere") {
+    // q94 accent folding, q98 markup strip, q99 sentence stats — their
+    // docstrings claim zero shuffle at any scale; pin it: the only
+    // exchange allowed is the final ORDER BY's rangepartitioning
+    for (q <- Seq("q94_accent_fold", "q98_markup_strip",
+        "q99_sentence_stats")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew an aggregation/join shuffle:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p)
+    }
+  }
+
   test("q93 frequency spectrum aggregates with map-side partial " +
     "combines (both levels)") {
     val p = plan("q93_freq_spectrum")
