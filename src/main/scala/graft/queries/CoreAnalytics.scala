@@ -636,6 +636,29 @@ object CoreAnalytics {
       .orderBy("nk")
   }
 
+  /** q102: join-key skew profile — rows per key and corpus share for the
+    * top-20 heaviest lineitem supplier keys: the diagnostic that decides
+    * whether a planned join needs graft.layout.Layout.saltedJoin (or an
+    * AQE skew split) BEFORE the skewed shuffle is attempted, and the
+    * number the salt width is sized from. Per-key counts partial-
+    * aggregate map-side; the corpus total is a one-row broadcast (never
+    * a window over a single global partition); the top-20 lowers to
+    * TakeOrderedAndProject. Output is 20 rows at any scale.
+    */
+  private val q102: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val perKey = li
+      .groupBy(col("l_suppkey").cast(LongType).as("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = li.agg(count(lit(1)).as("total"))
+    perKey.crossJoin(broadcast(total))
+      .select(col("l_suppkey"), col("n_rows"),
+        ((col("n_rows") * lit(100L)).cast(DoubleType)
+          / col("total").cast(DoubleType)).as("share_pct"))
+      .orderBy(desc("n_rows"), col("l_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -672,7 +695,8 @@ object CoreAnalytics {
     "q51_sliding_windows" -> q51,
     "q52_math_funcs" -> q52,
     "q57_range_join_binned" -> q57,
-    "q59_grouping_sets" -> q59)
+    "q59_grouping_sets" -> q59,
+    "q102_key_skew" -> q102)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -950,5 +974,15 @@ object CoreAnalytics {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         | (o_orderstatus), ())
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q102_key_skew" ->
+      """WITH pk AS (
+        | SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem)
+        |SELECT l_suppkey, n_rows,
+        | CAST(n_rows * 100 AS DOUBLE) / CAST(total AS DOUBLE) AS share_pct
+        |FROM pk, t
+        |ORDER BY n_rows DESC, l_suppkey LIMIT 20""".stripMargin)
 }

@@ -2076,6 +2076,117 @@ object LlmPipeline {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
 
+  /** q101: duplicated-SPAN detection — the sliding-window exact-substring
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): every 32-char window of every document is
+    * content-hashed, windows whose hash occurs in ≥ 2 DISTINCT documents
+    * are duplicated spans, and the per-document duplicated-window share
+    * is the repeated-text exposure the span-removal pass would cut. This
+    * catches cross-document copied PASSAGES inside otherwise-unique
+    * documents — the case whole-document hashing (q27), fixed
+    * non-overlapping chunks (q56), and whole-doc similarity (q28/q31)
+    * all structurally miss (a chunk boundary splits a copied passage;
+    * a long unique suffix hides it from doc-level Jaccard).
+    *
+    * Shape at scale: the window Generate streams positions (no
+    * per-document array materialization beyond the position range); the
+    * hash is computed inside the same projection, so the shuffle carries
+    * (hash, doc_id) pairs only — never the substrings. The distinct-doc
+    * count partial-aggregates map-side; the flagged-hash set then
+    * semi-joins back against the window stream (no row widening). The
+    * honest cost is one exchange proportional to corpus characters —
+    * the same exhaustive-flank trade q90 makes vs the banded sketches;
+    * at 100 TB you run it with an 8-byte xxhash64 in place of md5 (md5
+    * here is oracle parity), a coarser stride, or Lee et al.'s suffix
+    * arrays, and the scan still beats the suffix-array build on
+    * wall-clock for monitoring use.
+    */
+  private val q101: Q = (s, dir) => {
+    val K = 32
+    val docs = t(s, dir, "documents")
+    val w = docs.filter(col("n_chars") >= K)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1L), col("n_chars") - lit(K - 1L))).as("pos"))
+      .select(col("doc_id"),
+        md5(expr(s"substring(text, cast(pos as int), $K)")).as("h"))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val perDoc = w.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col("doc_id"),
+        greatest(col("n_chars") - lit(K - 1L), lit(0L)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") === 0L, lit(0.0d))
+          .otherwise(col("n_dup_windows").cast(DoubleType)
+            / col("n_windows").cast(DoubleType)))
+      .orderBy("doc_id")
+  }
+
+  /** q103: MinHash band precision AUDIT — every pair the banded sketch
+    * flags (q28's candidates, est. Jaccard ≥ 0.5) re-verified against
+    * the EXACT 3-gram shingle Jaccard, per pair: estimate, truth, and a
+    * true-positive flag. Completes the sketch-audit trio — q91 watches
+    * IVF drift, q92 prices ANN recall, q103 prices the LSH/minhash
+    * precision the near-dup pipeline (q28/q60/q80) stands on. Cost is
+    * bounded by the CANDIDATE set, not the corpus (the flagged pairs
+    * equi-join the per-doc shingle-set frame on doc id twice) — the
+    * audit is cheap precisely because the sketch already did its job;
+    * recall auditing would need all-pairs ground truth, which is what
+    * the sketch exists to avoid (q90's containment scan is the
+    * exhaustive flank for that direction).
+    */
+  private val q103: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val sets = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
+      "shd")
+    minhashPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_match"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shd").as("shd_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shd").as("shd_b")),
+        "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("shd_a"), col("shd_b"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("shd_a")) + size(col("shd_b"))).cast(LongType) -
+          col("n_common"))
+      .withColumn("est_jaccard",
+        col("n_match").cast(DoubleType) / lit(16).cast(DoubleType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .withColumn("is_true_pos",
+        when(col("jaccard") >= 0.5d, lit(1L)).otherwise(lit(0L)))
+      .select("doc_a", "doc_b", "n_match", "est_jaccard", "n_common",
+        "n_union", "jaccard", "is_true_pos")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q104: per-source dedup-rate monitoring — documents, distinct
+    * content hashes, and the duplicate share for every ingestion
+    * source: the slice a crawl operator watches to catch a feed that
+    * started re-serving old content (a dup_pct step-change localizes
+    * the problem to ONE source before any dedup stage runs). Shares
+    * [[contentHash]] with q27/q80/DedupStore, so this monitor counts
+    * exactly what the dedup stages would drop. One partial+final agg;
+    * the distinct-count is a two-level hash agg on (source, hash) —
+    * output is |sources| rows at any corpus size.
+    */
+  private val q104: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), contentHash(col("text")).as("ch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ch")).as("n_distinct"))
+      .withColumn("n_dupes", col("n_docs") - col("n_distinct"))
+      .withColumn("dup_pct",
+        (col("n_dupes") * lit(100L)).cast(DoubleType)
+          / col("n_docs").cast(DoubleType))
+      .orderBy("source")
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2144,7 +2255,10 @@ object LlmPipeline {
     "q97_vocab_coverage" -> q97,
     "q98_markup_strip" -> q98,
     "q99_sentence_stats" -> q99,
-    "q100_cluster_sizes" -> q100)
+    "q100_cluster_sizes" -> q100,
+    "q101_dup_spans" -> q101,
+    "q103_minhash_precision" -> q103,
+    "q104_source_dedup_rate" -> q104)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3196,5 +3310,63 @@ object LlmPipeline {
          | SELECT cluster_keeper, COUNT(*) AS cluster_size
          | FROM comp GROUP BY cluster_keeper)
          |SELECT cluster_size, COUNT(*) AS n_clusters FROM sized
-         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q101_dup_spans" ->
+      """WITH w AS (
+        | SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 32)) AS h
+        | FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, n_chars - 31)) AS i
+        |       FROM documents WHERE n_chars >= 32)
+        |), dup AS (
+        | SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        |), per AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        | FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        | CAST(GREATEST(d.n_chars - 31, 0) AS BIGINT) AS n_windows,
+        | COALESCE(p.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+        | CASE WHEN d.n_chars >= 32
+        |  THEN CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE)
+        |   / CAST(d.n_chars - 31 AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q103_minhash_precision" ->
+      s"""WITH $minhashCtes,
+         |flagged AS (
+         | SELECT doc_a, doc_b, n_match FROM scored WHERE n_match >= 8
+         |), hsx AS (
+         | SELECT doc_id, $dShingleHash AS h FROM ex
+         |), keyed AS (
+         | SELECT doc_id, list_distinct(list(h)) AS shd FROM hsx
+         | GROUP BY doc_id
+         |)
+         |SELECT f.doc_a, f.doc_b, f.n_match,
+         | CAST(f.n_match AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard,
+         | CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_common,
+         | CAST(len(a.shd) + len(b.shd) AS BIGINT)
+         |  - CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS n_union,
+         | CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |  / CAST(len(a.shd) + len(b.shd)
+         |     - len(list_intersect(a.shd, b.shd)) AS DOUBLE) AS jaccard,
+         | CAST(CASE WHEN CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |   / CAST(len(a.shd) + len(b.shd)
+         |      - len(list_intersect(a.shd, b.shd)) AS DOUBLE) >= 0.5
+         |  THEN 1 ELSE 0 END AS BIGINT) AS is_true_pos
+         |FROM flagged f
+         |JOIN keyed a ON f.doc_a = a.doc_id
+         |JOIN keyed b ON f.doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q104_source_dedup_rate" ->
+      """WITH d AS (
+        | SELECT source,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+        | FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_distinct,
+        | CAST(COUNT(*) - COUNT(DISTINCT ch) AS BIGINT) AS n_dupes,
+        | CAST((COUNT(*) - COUNT(DISTINCT ch)) * 100 AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) AS dup_pct
+        |FROM d GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -139,4 +139,21 @@ class CoreAnalyticsSpec extends SparkSuite {
       .filter(col("prev_signup") > col("ts"))
     assert(j.count() === 0)
   }
+
+  test("q102 key-skew profile reconciles with a driver-side recount " +
+    "and shares sum to <= 100%") {
+    val keys = Tables.load(spark, sf, "lineitem").select("l_suppkey")
+      .collect().map(_.getLong(0))
+    val exp = keys.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val top = exp.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    val rows = run("q102_key_skew").collect()
+    assert(rows.map(r => (r.getAs[Long]("l_suppkey"),
+      r.getAs[Long]("n_rows"))).toSeq === top)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share_pct") ===
+        r.getAs[Long]("n_rows") * 100.0 / keys.length)
+    }
+    assert(rows.map(_.getAs[Double]("share_pct")).sum <= 100.0 + 1e-9)
+  }
 }

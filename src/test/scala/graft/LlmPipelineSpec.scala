@@ -413,6 +413,88 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q101 dup spans reconcile with a driver-side sliding-window " +
+    "recompute on raw substrings") {
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val k = 32
+    // windows keyed by the substring itself — an md5-free independent
+    // oracle for the hash-keyed Spark plan
+    val windows = docs.flatMap { case (id, text) =>
+      (0 to text.length - k).map(i => (text.substring(i, i + k), id))
+    }
+    val dupSet = windows.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.length >= 2).keySet
+    val expDup = windows.filter(w => dupSet(w._1))
+      .groupBy(_._2).map { case (id, ws) => id -> ws.length.toLong }
+    val rows = LlmPipeline.queries("q101_dup_spans")(spark, sf).collect()
+    assert(rows.length === docs.length, "one row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nw = math.max(docs.toMap.apply(id).length - k + 1, 0).toLong
+      assert(r.getAs[Long]("n_windows") === nw, s"doc $id n_windows")
+      assert(r.getAs[Long]("n_dup_windows") === expDup.getOrElse(id, 0L),
+        s"doc $id n_dup_windows")
+      val ratio = if (nw == 0) 0.0 else expDup.getOrElse(id, 0L).toDouble / nw
+      assert(r.getAs[Double]("dup_ratio") === ratio, s"doc $id ratio")
+    }
+    assert(rows.exists(_.getAs[Long]("n_dup_windows") > 0),
+      "corpus has at least one cross-document duplicated span")
+  }
+
+  test("q103 minhash precision audit: flagged set equals q28, exact " +
+    "jaccard matches a driver-side shingle-set recompute") {
+    val q28pairs = LlmPipeline.queries("q28_minhash_neardup")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("n_match")).toMap
+    val shingles = Tables.load(spark, sf, "documents").collect().map { r =>
+      val toks = "\\w+".r.findAllIn(r.getAs[String]("text").toLowerCase)
+        .toVector
+      r.getAs[Long]("doc_id") ->
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val rows = LlmPipeline.queries("q103_minhash_precision")(spark, sf)
+      .collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet === q28pairs.keySet, "audit covers exactly the flagged pairs")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_match") === q28pairs((a, b)))
+      val (sa, sb) = (shingles(a), shingles(b))
+      val common = (sa & sb).size.toLong
+      val union = (sa | sb).size.toLong
+      assert(r.getAs[Long]("n_common") === common, s"pair ($a,$b)")
+      assert(r.getAs[Long]("n_union") === union, s"pair ($a,$b)")
+      assert(r.getAs[Long]("is_true_pos") ===
+        (if (common.toDouble / union >= 0.5) 1L else 0L), s"pair ($a,$b)")
+    }
+  }
+
+  test("q104 per-source dup rates reconcile with a driver-side " +
+    "normalized-text recompute; totals cover the corpus") {
+    val byuSource = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.replaceAll("\\s+", " ").trim))
+      .groupBy(_._1)
+    val rows = LlmPipeline.queries("q104_source_dedup_rate")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === byuSource.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val texts = byuSource(src).map(_._2)
+      assert(r.getAs[Long]("n_docs") === texts.length.toLong, src)
+      assert(r.getAs[Long]("n_distinct") === texts.distinct.length.toLong,
+        src)
+      assert(r.getAs[Long]("n_dupes") ===
+        (texts.length - texts.distinct.length).toLong, src)
+      assert(r.getAs[Double]("dup_pct") ===
+        (texts.length - texts.distinct.length) * 100.0 / texts.length, src)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      byuSource.values.map(_.length).sum.toLong)
+  }
+
   test("q100 cluster-size histogram reconciles with the q60 component " +
     "report") {
     val q60rows = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)

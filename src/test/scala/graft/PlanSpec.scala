@@ -21,7 +21,7 @@ class PlanSpec extends SparkSuite {
     for (q <- Seq("q03_topk_customers", "q24_cosine_topk",
         "q25_ann_lsh_bucket", "q35_top_terms", "q50_hybrid_search",
         "q61_lexical_search", "q71_bpe_merge_pairs", "q76_posting_lists",
-        "q86_collocations")) {
+        "q86_collocations", "q102_key_skew")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q lost its top-k lowering")
     }
@@ -30,7 +30,8 @@ class PlanSpec extends SparkSuite {
   test("near-dup candidate joins never degenerate into cartesian products") {
     for (q <- Seq("q26_embedding_neardup", "q28_minhash_neardup",
         "q30_simhash_neardup", "q31_ngram_jaccard", "q53_contamination",
-        "q56_chunk_dedup", "q57_range_join_binned", "q90_containment")) {
+        "q56_chunk_dedup", "q57_range_join_binned", "q90_containment",
+        "q101_dup_spans", "q103_minhash_precision")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
