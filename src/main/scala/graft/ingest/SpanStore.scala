@@ -1,0 +1,125 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Cross-RUN duplicated-SPAN dedup — the exact-substring edge of the
+  * incremental-dedup family: [[DedupStore]] answers "have we ever seen
+  * exactly this content", [[NearDupStore]] answers "have we ever seen
+  * something LIKE it", and this store answers "how much of this
+  * document's TEXT have we seen before, in any document". It catches
+  * the case both siblings structurally miss: a new document ASSEMBLED
+  * from previously-recorded passages (template reassembly, quote
+  * stitching, scraped-page remixes) — its whole-doc hash is fresh and
+  * its minhash similarity to any ONE historical doc can sit far below
+  * the near-dup threshold, yet nearly every character is recycled.
+  *
+  * The store holds one row per distinct 32-char window hash
+  * (`LlmPipeline.windowHashesOf` — q101's derivation, ONE definition)
+  * of every recorded document. A new batch streams its windows once,
+  * equi-joins the store on the hash (semi-join — no row widening), and
+  * a document is flagged when its matched-window share reaches
+  * `maxDupShare`. Two-phase like its siblings: persist survivors
+  * first, [[recordWindows]] after — a crash re-delivers instead of
+  * dropping.
+  *
+  * Contract edges, mirroring the family: documents shorter than `k`
+  * chars have no windows — never flagged, never recorded here (compose
+  * with [[DedupStore]] to catch exact copies of those). Null ids are
+  * one identity (null-safe anti-join): if the null-id cohort's pooled
+  * windows cross the threshold, every null-id row is flagged. Within-
+  * batch span dups are q101's job; this store only compares against
+  * HISTORY.
+  *
+  * Scale posture: the store is ~1 hash row per corpus character — the
+  * exhaustive flank, priced accordingly. The levers, composable with
+  * DedupStore's bucketed-catalog and Bloom-sidecar accelerations
+  * (same equi-join shape): (1) `stride` — record only every stride-th
+  * window; the probe still streams ALL windows of the new batch
+  * (alignment between copy and original differs, content equality does
+  * not), so a copied passage of length L still matches
+  * ⌊(L−k+1)/stride⌋ recorded windows and the effective share threshold
+  * scales by 1/stride — callers pass maxDupShare/stride. (2) an
+  * 8-byte xxhash64 in place of md5 (here md5 keeps the window identity
+  * byte-identical with q101's oracle-checked one). (3) q101 itself as
+  * the in-corpus pre-pass, so only survivors probe history.
+  */
+object SpanStore {
+
+  private val storeSchema = StructType(Seq(StructField("h", StringType)))
+
+  /** (doc_id, h) window stream via the shared q101 derivation. */
+  private def windows(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame =
+    graft.queries.LlmPipeline.windowHashesOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
+  private def storeHashes(spark: SparkSession, storePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+  }
+
+  /** Rows of `docs` whose recycled-text share vs HISTORY stays below
+    * `maxDupShare`: stream windows once, semi-join the store, flag
+    * documents with matched/total ≥ the threshold, null-safe anti-join
+    * the flagged ids. Returns the original rows/columns of survivors.
+    * With a strided store, pass `maxDupShare / stride` (class doc).
+    */
+  def newSpanUnique(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String, maxDupShare: Double = 0.5,
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
+    val w = windows(docs, textCol, idCol, k)
+    // null ids are one identity end-to-end: the totals⋈matched join and
+    // the final anti-join are BOTH null-safe (a plain using-column join
+    // would silently drop the null-id cohort before the threshold test)
+    val matched = w
+      .join(storeHashes(docs.sparkSession, storePath), Seq("h"), "left_semi")
+      .groupBy(col("doc_id").as("__m_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    val totals = docs.select(col(idCol).as("doc_id"),
+        greatest(char_length(col(textCol)).cast("long") - lit(k - 1L),
+          lit(0L)).as("n_windows"))
+      .filter(col("n_windows") > 0L)
+      .groupBy("doc_id").agg(sum("n_windows").as("n_windows"))
+    val flagged = totals.join(matched, col("doc_id") <=> col("__m_id"))
+      .filter(col("n_dup").cast("double") / col("n_windows").cast("double")
+        >= maxDupShare)
+      .select(col("doc_id").as("__flagged_id")).distinct()
+    docs.join(flagged, docs(idCol) <=> flagged("__flagged_id"), "left_anti")
+  }
+
+  /** Mark `docs` as seen: append their distinct window hashes (every
+    * stride-th position; stride 1 = all). Call AFTER survivors are
+    * durably persisted (two-phase contract), ideally on the persisted
+    * read-back. The pre-append localCheckpoint pins the batch's hashes
+    * before the append job could scan the directory it extends (the
+    * family's self-scan guard). At-least-once re-records append
+    * duplicate rows; [[compactStore]] reclaims them.
+    */
+  def recordWindows(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String, stride: Int = 1,
+      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    val w = windows(docs, textCol, idCol, k)
+    val picked = if (stride <= 1) w
+      else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
+    val rows = picked.select("h").distinct().localCheckpoint(true)
+    try rows.write.mode(SaveMode.Append).parquet(storePath)
+    finally rows.unpersist()
+  }
+
+  /** Maintenance: one row per hash — reclaims at-least-once
+    * re-deliveries, same machinery as the sibling stores.
+    */
+  def compactStore(spark: SparkSession, storePath: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (0, 0)
+    graft.layout.Layout.rewriteInPlace(spark, storePath,
+      targetFileBytes)(_.distinct())
+  }
+}

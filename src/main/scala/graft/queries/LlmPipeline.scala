@@ -2101,14 +2101,32 @@ object LlmPipeline {
     * arrays, and the scan still beats the suffix-array build on
     * wall-clock for monitoring use.
     */
-  private val q101: Q = (s, dir) => {
-    val K = 32
-    val docs = t(s, dir, "documents")
-    val w = docs.filter(col("n_chars") >= K)
+  /** Default sliding-window width for duplicated-span detection —
+    * shared by q101 and ingest.SpanStore (ONE window definition, so the
+    * cross-run store flags exactly the spans the in-corpus query
+    * reports).
+    */
+  private[graft] val SpanK = 32
+
+  /** (doc_id, pos, h) hash stream of every `k`-char sliding window of
+    * `text` — q101's derivation, factored so ingest.SpanStore probes
+    * and records the SAME windows (pos is 1-based; SpanStore's strided
+    * recording selects on it). The hash is computed inside the
+    * projection (substrings are never materialized past the Generate),
+    * and documents shorter than `k` contribute no rows.
+    */
+  private[graft] def windowHashesOf(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(char_length(col("text")) >= k)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1L), col("n_chars") - lit(K - 1L))).as("pos"))
-      .select(col("doc_id"),
-        md5(expr(s"substring(text, cast(pos as int), $K)")).as("h"))
+        explode(sequence(lit(1L),
+          char_length(col("text")).cast(LongType) - lit(k - 1L))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, cast(pos as int), $k)")).as("h"))
+
+  private val q101: Q = (s, dir) => {
+    val K = SpanK
+    val docs = t(s, dir, "documents")
+    val w = windowHashesOf(docs.select(col("doc_id"), col("text")), K)
     val dup = w.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")

@@ -384,6 +384,75 @@ class IngestSpec extends SparkSuite {
       .count() === 1)
   }
 
+  test("cross-run SPAN dedup: a document assembled from recorded " +
+    "passages is flagged even though exact and near stores both miss " +
+    "it; small recycled fragments and short docs pass; stride scales " +
+    "the threshold") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val store = tmpDir("spanstore") + "/windows"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "body")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 30).map(i => f"alpha$i%02d lake$i%02d").mkString(" ")
+    val doc2 = (1 to 30).map(i => f"beta$i%02d stone$i%02d").mkString(" ")
+    val b1 = batch((1L, doc1), (2L, doc2))
+    // empty store: everything survives; unrecorded batches re-deliver
+    assert(ids(S.newSpanUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    assert(ids(S.newSpanUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    S.recordWindows(b1, "body", "id", store)
+    // the mashup case the exact and near stores structurally miss: a
+    // doc stitched from passages of TWO different recorded documents
+    // (fresh whole-doc hash; ~half-similarity to each single doc)
+    val mashup = doc1.substring(10, 160) + " " + doc2.substring(5, 155)
+    val fresh = (1 to 30).map(i => f"gamma$i%02d reed$i%02d").mkString(" ")
+    val fragment = fresh.substring(0, 120) + " " +
+      doc1.substring(20, 60) + " " + fresh.substring(120)
+    val b2 = batch((10L, mashup), (11L, fresh), (12L, fragment))
+    val n2 = S.newSpanUnique(b2, "body", "id", store)
+    assert(ids(n2) === Seq(11L, 12L),
+      "mashup must be flagged; fresh and below-threshold fragment pass")
+    assert(n2.columns.toSeq === Seq("id", "body"))
+    S.recordWindows(n2, "body", "id", store)
+    // the recorded fresh doc now suppresses its own re-delivery
+    assert(S.newSpanUnique(batch((20L, fresh)), "body", "id", store)
+      .count() === 0)
+    // sub-window documents (< 32 chars): never flagged, never recorded
+    assert(ids(S.newSpanUnique(batch((30L, "short doc")), "body", "id",
+      store)) === Seq(30L))
+    S.recordWindows(batch((30L, "short doc")), "body", "id", store)
+    assert(ids(S.newSpanUnique(batch((31L, "short doc")), "body", "id",
+      store)) === Seq(31L))
+    // at-least-once re-record, then maintenance collapses to one row
+    // per hash without changing answers
+    S.recordWindows(b1, "body", "id", store)
+    S.compactStore(spark, store, 1L << 20)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(S.newSpanUnique(batch((40L, mashup)), "body", "id", store)
+      .count() === 0)
+    // null ids are one identity through the null-safe anti-join
+    val nullableSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("body", StringType)))
+    def nullIdBatch(body: String) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, body))), nullableSchema)
+    assert(S.newSpanUnique(nullIdBatch(mashup), "body", "id", store)
+      .count() === 0, "null-id mashup of history escaped the anti-join")
+    assert(S.newSpanUnique(nullIdBatch(
+      (1 to 30).map(i => f"delta$i%02d moss$i%02d").mkString(" ")),
+      "body", "id", store).count() === 1)
+    // strided store: 1/4 of windows recorded, threshold scaled by 1/4
+    // still catches a full copy of the recorded doc
+    val strided = tmpDir("spanstore-strided") + "/windows"
+    S.recordWindows(batch((50L, doc1)), "body", "id", strided, stride = 4)
+    assert(S.newSpanUnique(batch((51L, doc1)), "body", "id", strided,
+      maxDupShare = 0.5 / 4).count() === 0,
+      "copy of a stride-4-recorded doc escaped the scaled threshold")
+    assert(S.newSpanUnique(batch((52L, fresh)), "body", "id", strided,
+      maxDupShare = 0.5 / 4).count() === 1)
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
