@@ -2114,9 +2114,24 @@ object LlmPipeline {
     * recording selects on it). The hash is computed inside the
     * projection (substrings are never materialized past the Generate),
     * and documents shorter than `k` contribute no rows.
+    *
+    * The input is REPARTITIONED by doc_id ahead of the Generate: the
+    * window stream is ~k× the input rows and the hashing is the hot
+    * loop, so the work must be spread across the cluster BEFORE the
+    * amplification, not after — this exchange moves corpus bytes, a
+    * rounding error next to the hash-stream exchange the caller's
+    * aggregation performs, and it is what keeps a skinny input (one
+    * row-group, one tail partition) from serializing the whole window
+    * scan onto one core. The partition count is pinned to
+    * defaultParallelism because AQE's coalescing sees only the
+    * PRE-Generate bytes — by its size estimate this exchange is "tiny"
+    * and collapses back to one partition, exactly the serialization
+    * the repartition exists to prevent.
     */
   private[graft] def windowHashesOf(docs: DataFrame, k: Int): DataFrame =
     docs.filter(char_length(col("text")) >= k)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1L),
           char_length(col("text")).cast(LongType) - lit(k - 1L))).as("pos"))
@@ -2127,11 +2142,19 @@ object LlmPipeline {
     val K = SpanK
     val docs = t(s, dir, "documents")
     val w = windowHashesOf(docs.select(col("doc_id"), col("text")), K)
-    val dup = w.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val perDoc = w.join(dup, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    // Single-pass shape: the window stream is generated ONCE. Per
+    // (hash, doc) counts collapse within-doc repeats map-side; the
+    // distinct-doc count per hash is then a count-over-hash window on
+    // the collapsed frame (nd = rows per h), and flagged positions sum
+    // straight out of the same frame — no second window-stream pass,
+    // no hash semi-join. A recompute-twice semi-join form was 2× the
+    // generation cost; materializing the stream instead would pin a
+    // ~k×-corpus frame, the one thing this operator must never do.
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val perDoc = w.groupBy("h", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("nd", count(lit(1)).over(hw))
+      .filter(col("nd") >= 2)
+      .groupBy("doc_id").agg(sum("cnt").as("n_dup_windows"))
     docs.select(col("doc_id"),
         greatest(col("n_chars") - lit(K - 1L), lit(0L)).as("n_windows"))
       .join(perDoc, Seq("doc_id"), "left")
