@@ -306,6 +306,26 @@ object Streams {
       committed => graft.ingest.NearDupStore
         .recordSignatures(committed, textCol, idCol, storePath))
 
+  /** Streamed CROSS-RUN SPAN dedup — the cycle over
+    * [[graft.ingest.SpanStore]]: every micro-batch drops documents
+    * whose recycled-text share against ANY previously recorded text
+    * reaches `maxDupShare` (the passage-mashup case the exact and near
+    * cycles both miss), persists survivors exactly-once into
+    * `batch=<id>`, and records their window hashes at-least-once from
+    * the committed read-back. Same replay matrix as the sibling
+    * cycles: committed batch directories are skipped, so full-history
+    * replay after checkpoint loss is a no-op.
+    */
+  def spanDedupThroughStore(docs: DataFrame, textCol: String,
+      idCol: String, storePath: String, outDir: String,
+      checkpointDir: String, maxDupShare: Double = 0.5): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "span_dedup_through_store", committedSchema = identity)(
+      batch => graft.ingest.SpanStore
+        .newSpanUnique(batch, textCol, idCol, storePath, maxDupShare),
+      committed => graft.ingest.SpanStore
+        .recordWindows(committed, textCol, idCol, storePath))
+
   /** Stream-stream interval join — the streaming form of the q23 as-of
     * attribution: each purchase joins signups of the same user within
     * the preceding `lookback`. Both sides carry watermarks and the join
@@ -536,6 +556,34 @@ object Streams {
           .recordHashes(committed, textCol, exactStorePath)
         graft.ingest.NearDupStore
           .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
+  /** [[curationFeedThroughStores]] with the SPAN store as a third
+    * stage: exact → near → span, in increasing per-document cost, so
+    * the window scan only prices documents that already survived the
+    * cheaper checks. Survivors clear ALL THREE histories (whole-doc
+    * copies, paraphrases, and passage mashups), and all three stores
+    * record at-least-once from the committed read-back.
+    */
+  def curationFeedThroughStores(docs: DataFrame, textCol: String,
+      idCol: String, exactStorePath: String, nearStorePath: String,
+      spanStorePath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "curation_feed_through_stores")(
+      batch => graft.ingest.SpanStore.newSpanUnique(
+        graft.ingest.NearDupStore.newNearUnique(
+          graft.ingest.DedupStore
+            .newUnique(batch, textCol, idCol, exactStorePath),
+          textCol, idCol, nearStorePath),
+        textCol, idCol, spanStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+        graft.ingest.SpanStore
+          .recordWindows(committed, textCol, idCol, spanStorePath)
       })
 
   /** Streaming IVF-index maintenance — the freshness leg of the

@@ -156,6 +156,10 @@ class PlanSpec extends SparkSuite {
     // into the four field extractions would re-run the kernel 4x per
     // row. Exactly one kernel call in the optimized plan.
     assert(cnt(opt("q62_embedding_quantize"), "quantize_i8") === 1)
+    // q101's single-pass property: the ~k-amplified window stream is
+    // GENERATED once — exactly one windowing md5 in the optimized plan
+    // (a second one = the recompute-twice semi-join form regressed).
+    assert(cnt(opt("q101_dup_spans"), "md5") === 1)
   }
 
   test("tokenization runs exactly once per document (toks Generate barrier)") {

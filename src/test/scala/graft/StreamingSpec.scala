@@ -552,6 +552,123 @@ class StreamingSpec extends SparkSuite {
       "text", "doc_id", store).count() === 0)
   }
 
+  test("streamed cross-run SPAN dedup: a mashup of earlier batches' " +
+    "passages is dropped; replay after checkpoint loss is a no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("spandedup-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("spandedup-out").toString + "/docs"
+    val store = java.nio.file.Files
+      .createTempDirectory("spandedup-store").toString + "/windows"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("spandedup-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.spanDedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", store, outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 30).map(i => f"alpha$i%02d lake$i%02d").mkString(" ")
+    val doc2 = (1 to 30).map(i => f"beta$i%02d stone$i%02d").mkString(" ")
+    deliver("b1", Seq((1L, doc1), (2L, doc2)))
+    drain()
+    assert(survivors() === Seq(1L, 2L))
+    // batch 2: a mashup stitched from BOTH recorded docs (the case the
+    // exact and near cycles miss) and fresh content
+    deliver("b2", Seq(
+      (10L, doc1.substring(10, 160) + " " + doc2.substring(5, 155)),
+      (11L, (1 to 30).map(i => f"gamma$i%02d reed$i%02d").mkString(" "))))
+    drain()
+    assert(survivors() === Seq(1L, 2L, 11L))
+    // replay after checkpoint loss: committed dirs skipped
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq(1L, 2L, 11L))
+    // compaction reclaims replay re-records; history still bites
+    graft.ingest.SpanStore.compactStore(spark, store)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(graft.ingest.SpanStore.newSpanUnique(
+      Seq((99L, doc1)).toDF("doc_id", "text"), "text", "doc_id", store)
+      .count() === 0)
+  }
+
+  test("streamed curation feed with the span store third stage: " +
+    "passage mashups drop alongside copies and paraphrases") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("curation3-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("curation3-out").toString + "/docs"
+    val exactStore = java.nio.file.Files
+      .createTempDirectory("curation3-exact").toString + "/hashes"
+    val nearStore = java.nio.file.Files
+      .createTempDirectory("curation3-near").toString + "/bands"
+    val spanStore = java.nio.file.Files
+      .createTempDirectory("curation3-span").toString + "/windows"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("curation3-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.curationFeedThroughStores(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", exactStore, nearStore, spanStore, outDir, ckpt)
+      .awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // long docs so the minhash near-dup leg has real signatures AND
+    // span windows both
+    val docA = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val docB = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    deliver("b1", Seq((1L, docA), (2L, docB)))
+    drain()
+    assert(survivors() === Seq(1L, 2L))
+    // batch 2: an exact copy (exact store), a paraphrase (near store),
+    // a HALF-AND-HALF mashup of both docs (similarity to each single
+    // doc sits under the near threshold — only the span store flags
+    // it), and fresh content
+    val mashup = docA.substring(0, docA.length / 2) + " " +
+      docB.substring(docB.length / 2)
+    deliver("b2", Seq(
+      (10L, docA),
+      (11L, docB + " appended footer line"),
+      (12L, mashup),
+      (13L, (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" "))))
+    drain()
+    assert(survivors() === Seq(1L, 2L, 13L),
+      "mashup must drop in the 3-store feed")
+    // sanity for the test's premise: the near store ALONE would have
+    // passed the mashup (its minhash similarity to each recorded doc
+    // is below 8/16) — the span stage is what caught it
+    assert(graft.ingest.NearDupStore.newNearUnique(
+      Seq((50L, mashup)).toDF("doc_id", "text"), "text", "doc_id",
+      nearStore).count() === 1)
+    // replay is a no-op
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq(1L, 2L, 13L))
+  }
+
   test("streamed curation feed: exact-store then near-store composed " +
     "per micro-batch; copies, variants, and paraphrases of history all " +
     "drop; replay is a no-op") {
