@@ -146,6 +146,11 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
     assert(cnt(opt("q53_contamination"), "shingle_hashes") === 2)
     assert(cnt(opt("q90_containment"), "shingle_hashes") === 2)
+    // q103 joins ONE shingle-set frame from both pair sides (a/b) on
+    // top of the minhash candidate pipeline: 2 shingle kernels (one
+    // per side) + q28's 2 signature kernels, and no more.
+    assert(cnt(opt("q103_minhash_precision"), "shingle_hashes") === 2)
+    assert(cnt(opt("q103_minhash_precision"), "minhash_sig") === 2)
     for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
       val phys = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -244,5 +249,14 @@ class PlanSpec extends SparkSuite {
       .getOrElse(fail("no lineitem scan found"))
     assert(li.subsetOf(Set("l_orderkey", "l_extendedprice", "l_discount")),
       s"q02 reads unneeded fact columns: $li")
+    // q102's skew profile touches ONE fact column: both its lineitem
+    // scans (per-key counts + the one-row total) must prune to at most
+    // l_suppkey — a full-width read here would price the diagnostic
+    // like the join it exists to protect.
+    val sk = scans("q102_key_skew").map(_.schema.fieldNames.toSet)
+    assert(sk.nonEmpty, "no lineitem scan found in q102")
+    for (cols <- sk)
+      assert(cols.subsetOf(Set("l_suppkey")),
+        s"q102 reads unneeded fact columns: $cols")
   }
 }
