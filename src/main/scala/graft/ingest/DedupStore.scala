@@ -200,10 +200,10 @@ object DedupStore {
   // residual degrades to the whole store — still exact, just no prune
   // until the next [[buildBloomSidecar]] (schedule it with compaction).
 
-  private def sidecarPath(storePath: String) =
+  private[ingest] def sidecarPath(storePath: String) =
     new org.apache.hadoop.fs.Path(storePath + ".bloom")
 
-  private def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[ingest] def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
     if (!fs.exists(store)) Seq.empty
     else fs.listStatus(store).toSeq
@@ -211,7 +211,7 @@ object DedupStore {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath)
 
-  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[ingest] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       files: Seq[org.apache.hadoop.fs.Path],
       bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
@@ -229,7 +229,7 @@ object DedupStore {
       s"bloom sidecar: could not install $target")
   }
 
-  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[ingest] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path)
       : Option[(Set[String], org.apache.spark.util.sketch.BloomFilter)] = {
     if (!fs.exists(target)) return None

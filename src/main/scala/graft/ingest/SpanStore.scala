@@ -71,13 +71,24 @@ object SpanStore {
     */
   def newSpanUnique(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, maxDupShare: Double = 0.5,
-      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
-    val w = windows(docs, textCol, idCol, k)
-    // null ids are one identity end-to-end: the totals⋈matched join and
-    // the final anti-join are BOTH null-safe (a plain using-column join
-    // would silently drop the null-id cohort before the threshold test)
-    val matched = w
-      .join(storeHashes(docs.sparkSession, storePath), Seq("h"), "left_semi")
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame =
+    flagSurvivors(docs, textCol, idCol,
+      windows(docs, textCol, idCol, k)
+        .join(storeHashes(docs.sparkSession, storePath), Seq("h"),
+          "left_semi"),
+      maxDupShare, k)
+
+  /** Threshold + anti-join shared by the plain and Bloom paths:
+    * `matchedPositions` is the (doc_id, pos, …) stream of batch windows
+    * found in the store history. Null ids are one identity end-to-end:
+    * the totals⋈matched join and the final anti-join are BOTH null-safe
+    * (a plain using-column join would silently drop the null-id cohort
+    * before the threshold test).
+    */
+  private def flagSurvivors(docs: DataFrame, textCol: String,
+      idCol: String, matchedPositions: DataFrame, maxDupShare: Double,
+      k: Int): DataFrame = {
+    val matched = matchedPositions
       .groupBy(col("doc_id").as("__m_id"))
       .agg(count(lit(1)).as("n_dup"))
     val totals = docs.select(col(idCol).as("doc_id"),
@@ -109,6 +120,77 @@ object SpanStore {
     val rows = picked.select("h").distinct().localCheckpoint(true)
     try rows.write.mode(SaveMode.Append).parquet(storePath)
     finally rows.unpersist()
+  }
+
+  /** Build/replace the store's Bloom sidecar — DedupStore's sidecar
+    * (same on-disk format, shared plumbing) over the window hashes.
+    * The span store is the family's LARGEST (~1 row per recorded
+    * character), so the sidecar matters most here: a mostly-novel
+    * batch's windows are overwhelmingly bloom misses, and a miss is
+    * PROOF the window was never recorded — those rows skip the store
+    * join entirely. Rebuild on the compaction schedule, as with the
+    * siblings.
+    */
+  def buildBloomSidecar(spark: SparkSession, storePath: String,
+      fpp: Double = 0.01): Long = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = DedupStore.storeDataFiles(fs, store)
+    if (files.isEmpty) {
+      fs.delete(DedupStore.sidecarPath(storePath), false); return 0L
+    }
+    val df = spark.read.schema(storeSchema)
+      .parquet(files.map(_.toString): _*)
+    val n = df.count()
+    val bloom = df.stat.bloomFilter("h", math.max(n, 1L), fpp)
+    DedupStore.writeSidecar(fs, DedupStore.sidecarPath(storePath), files,
+      bloom)
+    n
+  }
+
+  /** [[newSpanUnique]] accelerated by the Bloom sidecar: only windows
+    * whose hash might be in the COVERED store files run the covered
+    * semi-join; every window still checks the post-sidecar RESIDUAL
+    * files exactly (a stale sidecar cannot prove novelty for hashes it
+    * never saw — DedupStore's staleness contract, unchanged). Matched
+    * positions from the two legs are de-duplicated before counting, so
+    * the dup-share is identical to the plain path's.
+    */
+  def newSpanUniqueWithBloom(docs: DataFrame, textCol: String,
+      idCol: String, storePath: String, maxDupShare: Double = 0.5,
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
+    val spark = docs.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    DedupStore.readSidecar(fs, DedupStore.sidecarPath(storePath)) match {
+      case None =>
+        newSpanUnique(docs, textCol, idCol, storePath, maxDupShare, k)
+      case Some((coveredNames, bloom)) =>
+        val current = DedupStore.storeDataFiles(fs, store)
+        val covered = current.filter(f => coveredNames.contains(f.getName))
+        if (covered.isEmpty)
+          return newSpanUnique(docs, textCol, idCol, storePath,
+            maxDupShare, k)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((h: String) => h != null && bc.value.mightContainString(h))
+        val w = windows(docs, textCol, idCol, k)
+        val coveredDf = spark.read.schema(storeSchema)
+          .parquet(covered.map(_.toString): _*)
+        val coveredMatched = w.filter(mightContain(col("h")))
+          .join(coveredDf, Seq("h"), "left_semi")
+        val matchedPositions =
+          if (residual.isEmpty) coveredMatched
+          else coveredMatched.unionByName(
+            w.join(spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*),
+              Seq("h"), "left_semi"))
+            .dropDuplicates("doc_id", "pos")
+        flagSurvivors(docs, textCol, idCol, matchedPositions,
+          maxDupShare, k)
+    }
   }
 
   /** Maintenance: one row per hash — reclaims at-least-once

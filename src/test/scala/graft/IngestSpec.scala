@@ -453,6 +453,57 @@ class IngestSpec extends SparkSuite {
       maxDupShare = 0.5 / 4).count() === 1)
   }
 
+  test("SPAN store bloom sidecar: bloom path equals plain path at " +
+    "every staleness state — fresh, stale-with-residual, post-compaction, " +
+    "and missing-sidecar fallback") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val store = tmpDir("spanstore-bloom") + "/windows"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 30).map(i => f"alpha$i%02d lake$i%02d").mkString(" ")
+    val doc2 = (1 to 30).map(i => f"beta$i%02d stone$i%02d").mkString(" ")
+    val doc3 = (1 to 30).map(i => f"gamma$i%02d reed$i%02d").mkString(" ")
+    // no sidecar yet → fallback branch, identical to the plain path
+    val b1 = batch((1L, doc1), (2L, doc2))
+    val n1 = S.newSpanUniqueWithBloom(b1, "text", "doc_id", store)
+    assert(ids(n1) === Seq(1L, 2L))
+    S.recordWindows(n1, "text", "doc_id", store)
+    // empty/missing store: sidecar build is a no-op reporting 0
+    assert(S.buildBloomSidecar(spark,
+      tmpDir("spanstore-bloom-none") + "/never") === 0L)
+    assert(S.buildBloomSidecar(spark, store) > 0L)
+    // covered mashup flagged through the filter path; novel doc passes
+    val mashup12 = doc1.substring(10, 160) + " " + doc2.substring(5, 155)
+    val n2 = S.newSpanUniqueWithBloom(
+      batch((9L, mashup12), (10L, doc3)), "text", "doc_id", store)
+    assert(ids(n2) === Seq(10L))
+    S.recordWindows(n2, "text", "doc_id", store)
+    // STALE sidecar: doc3 was recorded after the build — its windows
+    // live only in residual files; a bloom miss alone must not pass a
+    // copy of it
+    val n3 = S.newSpanUniqueWithBloom(
+      batch((20L, doc3), (21L, (1 to 30).map(i =>
+        f"delta$i%02d moss$i%02d").mkString(" "))),
+      "text", "doc_id", store)
+    assert(ids(n3) === Seq(21L))
+    // compaction rewrites under new file names: covered names vanish,
+    // residual degrades to the full store, answers stay exact
+    S.compactStore(spark, store, 1L << 20)
+    assert(ids(S.newSpanUniqueWithBloom(batch((30L, doc1)), "text",
+      "doc_id", store)) === Seq())
+    // equality law on one mixed batch (a recorded copy, a mashup
+    // straddling covered+residual history, fresh, short) at the
+    // current store state: row-identical outputs on both paths
+    val mixed = batch((40L, doc1), (41L, mashup12),
+      (42L, doc3.substring(0, 150) + " " + doc1.substring(150)),
+      (43L, (1 to 30).map(i => f"eps$i%02d fern$i%02d").mkString(" ")),
+      (44L, "short doc"))
+    assert(ids(S.newSpanUniqueWithBloom(mixed, "text", "doc_id", store))
+      === ids(S.newSpanUnique(mixed, "text", "doc_id", store)))
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
