@@ -321,8 +321,13 @@ object Streams {
       checkpointDir: String, maxDupShare: Double = 0.5): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "span_dedup_through_store", committedSchema = identity)(
+      // bloom-aware for the same reason as dedupThroughStore: identical
+      // answers with no sidecar, and micro-batches skip the store
+      // history once an operator builds one (SpanStore.buildBloomSidecar
+      // on the compaction schedule — this store is the family's largest)
       batch => graft.ingest.SpanStore
-        .newSpanUnique(batch, textCol, idCol, storePath, maxDupShare),
+        .newSpanUniqueWithBloom(batch, textCol, idCol, storePath,
+          maxDupShare),
       committed => graft.ingest.SpanStore
         .recordWindows(committed, textCol, idCol, storePath))
 
@@ -571,10 +576,10 @@ object Streams {
       checkpointDir: String): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "curation_feed_through_stores")(
-      batch => graft.ingest.SpanStore.newSpanUnique(
+      batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
         graft.ingest.NearDupStore.newNearUnique(
           graft.ingest.DedupStore
-            .newUnique(batch, textCol, idCol, exactStorePath),
+            .newUniqueWithBloom(batch, textCol, idCol, exactStorePath),
           textCol, idCol, nearStorePath),
         textCol, idCol, spanStorePath),
       committed => {

@@ -582,6 +582,9 @@ class StreamingSpec extends SparkSuite {
     deliver("b1", Seq((1L, doc1), (2L, doc2)))
     drain()
     assert(survivors() === Seq(1L, 2L))
+    // an operator builds the sidecar on the maintenance schedule: the
+    // next micro-batches take the bloom fast path (same answers)
+    assert(graft.ingest.SpanStore.buildBloomSidecar(spark, store) > 0L)
     // batch 2: a mashup stitched from BOTH recorded docs (the case the
     // exact and near cycles miss) and fresh content
     deliver("b2", Seq(
