@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object DedupStore {
 
-  private val storeSchema =
+  private[ingest] val storeSchema =
     StructType(Seq(StructField("content_hash", StringType)))
 
   /** Hash column the store keys on — ONE definition with q27/q80
@@ -319,7 +319,7 @@ object DedupStore {
   // anti-join's hash distribution straight off the files: only the
   // batch side shuffles, the ever-growing store side NEVER does.
 
-  private def bucketsOf(spark: org.apache.spark.sql.SparkSession,
+  private[ingest] def bucketsOf(spark: org.apache.spark.sql.SparkSession,
       table: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(
@@ -378,7 +378,7 @@ object DedupStore {
     finally mat.unpersist()
   }
 
-  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+  private[ingest] def tableLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(

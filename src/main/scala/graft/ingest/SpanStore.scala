@@ -204,4 +204,127 @@ object SpanStore {
     graft.layout.Layout.rewriteInPlace(spark, storePath,
       targetFileBytes)(_.distinct())
   }
+
+  // ── bucketed-catalog store form (the 100 TB path) ──────────────────
+  //
+  // Both stores in this family's catalog form are a SINGLE hash
+  // column, so the span store's bucketed table IS a DedupStore
+  // bucketed table — layout, swap-recovery, compaction, and the
+  // in-table `_bloom` sidecar are DedupStore's machinery verbatim
+  // (window hashes stored under its `content_hash` column). Only the
+  // probe differs: batch WINDOWS semi-join the history (how much text
+  // is recycled), where whole documents anti-join it (is this exact
+  // content new). The bucketed scan satisfies the semi-join's hash
+  // distribution straight off the files: only the batch's window
+  // stream shuffles, the ever-growing store side NEVER does — on the
+  // family's largest store, the form that holds up after a year of
+  // recording.
+
+  /** Create the bucketed span-store table if absent (idempotent;
+    * recovers a compaction crash first). Size `buckets` for the TARGET
+    * window-hash volume — this store grows ~1 row per recorded
+    * character, so err high.
+    */
+  def ensureBucketedStore(spark: SparkSession, table: String,
+      buckets: Int = 32): Unit =
+    DedupStore.ensureBucketedStore(spark, table, buckets)
+
+  /** [[newSpanUnique]] against the bucketed store table — zero
+    * exchanges on the store side of the window semi-join (LayoutSpec
+    * asserts it).
+    */
+  def newSpanUniqueBucketed(docs: DataFrame, textCol: String,
+      idCol: String, table: String, maxDupShare: Double = 0.5,
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    flagSurvivors(docs, textCol, idCol,
+      windows(docs, textCol, idCol, k)
+        .join(spark.table(table).withColumnRenamed("content_hash", "h"),
+          Seq("h"), "left_semi"),
+      maxDupShare, k)
+  }
+
+  /** [[recordWindows]] into the bucketed store table: one bucketed
+    * append of the batch's distinct (optionally strided) window
+    * hashes, pre-append-checkpointed like the sibling record steps.
+    */
+  def recordWindowsBucketed(docs: DataFrame, textCol: String,
+      idCol: String, table: String, stride: Int = 1,
+      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val b = DedupStore.bucketsOf(spark, table)
+    val w = windows(docs, textCol, idCol, k)
+    val picked = if (stride <= 1) w
+      else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
+    val mat = picked.select(col("h").as("content_hash"))
+      .distinct().localCheckpoint(true)
+    try mat.write.mode(SaveMode.Append)
+      .bucketBy(b, "content_hash").sortBy("content_hash")
+      .format("parquet").saveAsTable(table)
+    finally mat.unpersist()
+  }
+
+  /** [[newSpanUniqueBucketed]] accelerated by the table's `_bloom`
+    * sidecar, preserving the zero-exchange property: bloom-HIT windows
+    * semi-join the full catalog table (covered + residual — exactly
+    * the membership question, no second leg needed), bloom-MISS
+    * windows can only match post-sidecar appends and semi-join just
+    * the residual files. The two legs are DISJOINT by the filter
+    * predicate, so their union needs no position dedup. No sidecar or
+    * no surviving covered files falls back to the plain bucketed form.
+    */
+  def newSpanUniqueBucketedWithBloom(docs: DataFrame, textCol: String,
+      idCol: String, table: String, maxDupShare: Double = 0.5,
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val loc = DedupStore.tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    DedupStore.readSidecar(fs,
+      new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+      case None =>
+        newSpanUniqueBucketed(docs, textCol, idCol, table, maxDupShare, k)
+      case Some((coveredNames, bloom)) =>
+        val current = DedupStore.storeDataFiles(fs, loc)
+        if (!current.exists(f => coveredNames.contains(f.getName)))
+          return newSpanUniqueBucketed(docs, textCol, idCol, table,
+            maxDupShare, k)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((h: String) => h != null && bc.value.mightContainString(h))
+        val w = windows(docs, textCol, idCol, k)
+        val hitMatched = w.filter(mightContain(col("h")))
+          .join(spark.table(table).withColumnRenamed("content_hash", "h"),
+            Seq("h"), "left_semi")
+        val matchedPositions =
+          if (residual.isEmpty) hitMatched
+          else hitMatched.unionByName(
+            w.filter(!mightContain(col("h")))
+              .join(spark.read.schema(DedupStore.storeSchema)
+                .parquet(residual.map(_.toString): _*)
+                .withColumnRenamed("content_hash", "h"),
+                Seq("h"), "left_semi"))
+        flagSurvivors(docs, textCol, idCol, matchedPositions,
+          maxDupShare, k)
+    }
+  }
+
+  /** Bloom sidecar for the bucketed table — DedupStore's, verbatim
+    * (same table shape). Rebuild on the compaction schedule.
+    */
+  def buildBloomSidecarBucketed(spark: SparkSession, table: String,
+      fpp: Double = 0.01): Long =
+    DedupStore.buildBloomSidecarBucketed(spark, table, fpp)
+
+  /** [[compactStore]] for the bucketed table — DedupStore's staging-
+    * table swap, verbatim (same table shape; single maintenance writer
+    * assumed).
+    */
+  def compactBucketedStore(spark: SparkSession,
+      table: String): (Long, Long) =
+    DedupStore.compactBucketedStore(spark, table)
 }

@@ -504,6 +504,64 @@ class IngestSpec extends SparkSuite {
       === ids(S.newSpanUnique(mixed, "text", "doc_id", store)))
   }
 
+  test("bucketed SPAN store: path-store answers reproduced through the " +
+    "catalog table across record, bloom, stale-residual, and compaction " +
+    "states") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val table = "graft_ingest_span_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val doc1 = (1 to 30).map(i => f"alpha$i%02d lake$i%02d").mkString(" ")
+      val doc2 = (1 to 30).map(i => f"beta$i%02d stone$i%02d").mkString(" ")
+      val doc3 = (1 to 30).map(i => f"gamma$i%02d reed$i%02d").mkString(" ")
+      // empty table: everything survives; unrecorded re-delivers
+      val b1 = batch((1L, doc1), (2L, doc2))
+      assert(ids(S.newSpanUniqueBucketed(b1, "text", "doc_id", table))
+        === Seq(1L, 2L))
+      S.recordWindowsBucketed(b1, "text", "doc_id", table)
+      // mashup of recorded passages flagged; fresh passes
+      val mashup = doc1.substring(10, 160) + " " + doc2.substring(5, 155)
+      assert(ids(S.newSpanUniqueBucketed(batch((10L, mashup), (11L, doc3)),
+        "text", "doc_id", table)) === Seq(11L))
+      // bloom sidecar: same answers through the fast path
+      assert(S.buildBloomSidecarBucketed(spark, table) > 0L)
+      assert(ids(S.newSpanUniqueBucketedWithBloom(
+        batch((20L, mashup), (21L, doc3)), "text", "doc_id", table))
+        === Seq(21L))
+      // stale sidecar: doc3 recorded AFTER the build lives only in
+      // residual table files — a bloom miss must not pass its copy
+      S.recordWindowsBucketed(batch((30L, doc3)), "text", "doc_id", table)
+      assert(ids(S.newSpanUniqueBucketedWithBloom(
+        batch((31L, doc3),
+          (32L, (1 to 30).map(i => f"delta$i%02d moss$i%02d")
+            .mkString(" "))),
+        "text", "doc_id", table)) === Seq(32L))
+      // at-least-once re-record, compaction collapses; answers exact;
+      // the swap retires the in-table sidecar with the old directory
+      S.recordWindowsBucketed(b1, "text", "doc_id", table)
+      val (before, after) = S.compactBucketedStore(spark, table)
+      assert(before > after && after > 0L)
+      assert(spark.table(table).count()
+        === spark.table(table).distinct().count())
+      assert(ids(S.newSpanUniqueBucketedWithBloom(
+        batch((40L, mashup)), "text", "doc_id", table)) === Seq())
+      // strided recording composes with the catalog form
+      val fresh2 = (1 to 30).map(i => f"eps$i%02d fern$i%02d").mkString(" ")
+      S.recordWindowsBucketed(batch((50L, fresh2)), "text", "doc_id",
+        table, stride = 4)
+      assert(ids(S.newSpanUniqueBucketed(batch((51L, fresh2)), "text",
+        "doc_id", table, maxDupShare = 0.5 / 4)) === Seq())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 

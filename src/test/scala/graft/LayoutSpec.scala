@@ -122,6 +122,52 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("bucketed SPAN store: the window semi-join plans ZERO exchanges " +
+    "on the store side, and answers match the path-store form") {
+    import spark.implicits._
+    val table = "graft_bucketed_span_store"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val S = graft.ingest.SpanStore
+      S.ensureBucketedStore(spark, table, buckets = 8)
+      def mk(tag: String, n: Int): String =
+        (1 to 30).map(i => f"$tag$n%02dw$i%02d q${i * n}%03d").mkString(" ")
+      val hist = (1 to 20).map(i => (i.toLong, mk("alpha", i)))
+        .toDF("doc_id", "text")
+      S.recordWindowsBucketed(hist, "text", "doc_id", table)
+      // Force a shuffle-based join: broadcasting the store would hide
+      // the claim under test (at 100 TB the window store is the big side)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a mashup of two recorded docs, a fresh doc
+      val a1 = mk("alpha", 1); val a2 = mk("alpha", 2)
+      val batch = Seq(
+        (100L, a1.substring(0, a1.length / 2) + " " +
+          a2.substring(a2.length / 2)),
+        (101L, mk("fresh", 9))).toDF("doc_id", "text")
+      val nu = S.newSpanUniqueBucketed(batch, "text", "doc_id", table)
+      val plan = nu.queryExecution.sparkPlan
+      val semi = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semi.nonEmpty, s"no semi-join in plan:\n$plan")
+      val storeSideExchanges = semi.head.right.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(storeSideExchanges.isEmpty,
+        s"store side of the window semi-join shuffles:\n$plan")
+      // answer parity: mashup flagged, fresh survives
+      assert(nu.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(101L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_span_store")
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_span_store_compact_stage")
+    }
+  }
+
   test("z-ordered layout bounds per-file min/max on BOTH columns — a " +
     "predicate on either dimension can skip most files (linear sort " +
     "only ever bounds one)") {
