@@ -331,6 +331,28 @@ object Streams {
       committed => graft.ingest.SpanStore
         .recordWindows(committed, textCol, idCol, storePath))
 
+  /** [[spanDedupThroughStore]] against the BUCKETED span-store table —
+    * identical delivery semantics; the per-micro-batch window semi-join
+    * plans zero exchanges on the ever-growing store side (the form that
+    * holds up when the stream has been recording for a year). Bloom-
+    * aware like the siblings; the in-table sidecar retires with
+    * compaction's swap.
+    */
+  def spanDedupThroughBucketedStore(docs: DataFrame, textCol: String,
+      idCol: String, table: String, outDir: String,
+      checkpointDir: String, maxDupShare: Double = 0.5,
+      buckets: Int = 32): StreamingQuery = {
+    graft.ingest.SpanStore.ensureBucketedStore(
+      docs.sparkSession, table, buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "span_dedup_through_bucketed_store", committedSchema = identity)(
+      batch => graft.ingest.SpanStore
+        .newSpanUniqueBucketedWithBloom(batch, textCol, idCol, table,
+          maxDupShare),
+      committed => graft.ingest.SpanStore
+        .recordWindowsBucketed(committed, textCol, idCol, table))
+  }
+
   /** Stream-stream interval join — the streaming form of the q23 as-of
     * attribution: each purchase joins signups of the same user within
     * the preceding `lookback`. Both sides carry watermarks and the join

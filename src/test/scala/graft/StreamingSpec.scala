@@ -607,6 +607,65 @@ class StreamingSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("streamed cross-run SPAN dedup through the BUCKETED store: same " +
+    "delivery semantics, catalog-table history, replay no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("spanbucket-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("spanbucket-out").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("spanbucket-ckpt").toString
+    val table = "graft_stream_span_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(): Unit =
+        graft.streaming.Streams.spanDedupThroughBucketedStore(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", table, outDir, ckpt).awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val doc1 = (1 to 30).map(i => f"alpha$i%02d lake$i%02d").mkString(" ")
+      val doc2 = (1 to 30).map(i => f"beta$i%02d stone$i%02d").mkString(" ")
+      deliver("b1", Seq((1L, doc1), (2L, doc2)))
+      drain()
+      assert(survivors() === Seq(1L, 2L))
+      assert(graft.ingest.SpanStore
+        .buildBloomSidecarBucketed(spark, table) > 0L)
+      deliver("b2", Seq(
+        (10L, doc1.substring(10, 160) + " " + doc2.substring(5, 155)),
+        (11L, (1 to 30).map(i => f"gamma$i%02d reed$i%02d").mkString(" "))))
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      // replay after checkpoint loss: committed dirs skipped
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      // compaction reclaims replay re-records; history still bites
+      graft.ingest.SpanStore.compactBucketedStore(spark, table)
+      assert(spark.table(table).count()
+        === spark.table(table).distinct().count())
+      assert(graft.ingest.SpanStore.newSpanUniqueBucketed(
+        Seq((99L, doc1)).toDF("doc_id", "text"), "text", "doc_id", table)
+        .count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("streamed curation feed with the span store third stage: " +
     "passage mashups drop alongside copies and paraphrases") {
     import spark.implicits._
