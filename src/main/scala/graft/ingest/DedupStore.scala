@@ -320,14 +320,7 @@ object DedupStore {
   // batch side shuffles, the ever-growing store side NEVER does.
 
   private[ingest] def bucketsOf(spark: org.apache.spark.sql.SparkSession,
-      table: String): Int =
-    spark.sessionState.catalog
-      .getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(
-        s"dedup store table $table is not bucketed — create it with " +
-          "ensureBucketedStore"))
+      table: String): Int = BucketedStore.bucketsOf(spark, table)
 
   /** Create the bucketed store table if absent (idempotent; recovers a
     * compaction crash first). `buckets` is fixed at creation — size it
@@ -336,13 +329,8 @@ object DedupStore {
     */
   def ensureBucketedStore(spark: org.apache.spark.sql.SparkSession,
       table: String, buckets: Int = 32): Unit = {
-    recoverBucketedSwap(spark, table)
-    if (!spark.catalog.tableExists(table))
-      graft.layout.Layout.writeBucketed(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          storeSchema),
-        table, buckets, "content_hash")
+    BucketedStore.ensure(spark, table, buckets, storeSchema,
+      "content_hash")
   }
 
   /** [[newUnique]] against the bucketed store table. The store side of
@@ -380,9 +368,7 @@ object DedupStore {
 
   private[ingest] def tableLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    BucketedStore.tableLocation(spark, table)
 
   /** Bloom sidecar for the BUCKETED store table. The sidecar lives
     * INSIDE the table directory as `_bloom` (underscore-prefixed, so
@@ -396,16 +382,7 @@ object DedupStore {
   def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String, fpp: Double = 0.01): Long = {
     ensureBucketedStore(spark, table)
-    val loc = tableLocation(spark, table)
-    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = storeDataFiles(fs, loc)
-    val side = new org.apache.hadoop.fs.Path(loc, "_bloom")
-    if (files.isEmpty) { fs.delete(side, false); return 0L }
-    val df = spark.table(table)
-    val n = df.count()
-    val bloom = df.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
-    writeSidecar(fs, side, files, bloom)
-    n
+    BucketedStore.buildBloomSidecar(spark, table, "content_hash", fpp)
   }
 
   /** [[newUniqueBucketed]] accelerated by the table's `_bloom` sidecar,
@@ -461,22 +438,11 @@ object DedupStore {
     * rowsAfter).
     */
   def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
-      table: String): (Long, Long) = {
-    recoverBucketedSwap(spark, table)
-    if (!spark.catalog.tableExists(table)) return (0L, 0L)
-    val b = bucketsOf(spark, table)
-    val staging = stagingOf(table)
-    spark.sql(s"DROP TABLE IF EXISTS $staging") // stale pre-drop leftover
-    val before = spark.table(table).count()
-    graft.layout.Layout.writeBucketed(
-      spark.table(table).distinct(), staging, b, "content_hash")
-    val after = spark.table(staging).count()
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    (before, after)
-  }
+      table: String): (Long, Long) =
+    BucketedStore.compact(spark, table, "content_hash")
 
-  private def stagingOf(table: String): String = table + "_compact_stage"
+  private def stagingOf(table: String): String =
+    BucketedStore.stagingOf(table)
 
   /** A death between compaction's DROP and RENAME leaves the data only
     * in the staging table — install it before anything else touches the
@@ -486,10 +452,5 @@ object DedupStore {
     * copy).
     */
   private def recoverBucketedSwap(spark: org.apache.spark.sql.SparkSession,
-      table: String): Unit = {
-    val staging = stagingOf(table)
-    if (spark.catalog.tableExists(staging) &&
-        !spark.catalog.tableExists(table))
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-  }
+      table: String): Unit = BucketedStore.recoverSwap(spark, table)
 }

@@ -79,10 +79,18 @@ object NearDupStore {
     * precision should supply real ids (the DedupStore contract).
     */
   def newNearUnique(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String, minAgree: Int = 8): DataFrame = {
+      storePath: String, minAgree: Int = 8): DataFrame =
+    flagAgainst(docs, textCol, idCol,
+      storeBands(docs.sparkSession, storePath)
+        .withColumnRenamed("sig", "stored_sig"), minAgree)
+
+  /** Band candidate join + signature verification + null-safe anti-join
+    * shared by the path and bucketed forms; `store` is the (band_key,
+    * stored_sig) history frame.
+    */
+  private def flagAgainst(docs: DataFrame, textCol: String, idCol: String,
+      store: DataFrame, minAgree: Int): DataFrame = {
     val bands = banded(docs, textCol, idCol)
-    val store = storeBands(docs.sparkSession, storePath)
-      .withColumnRenamed("sig", "stored_sig")
     val nearSeen = bands
       .join(store, bands("bk") === store("band_key"))
       .filter(agreement("sig", "stored_sig") >= minAgree)
@@ -119,4 +127,116 @@ object NearDupStore {
     graft.layout.Layout.rewriteInPlace(spark, storePath,
       targetFileBytes)(_.distinct())
   }
+
+  // ── bucketed-catalog store form (the 100 TB path) ──────────────────
+  //
+  // The (band_key, sig) store in the session catalog, bucketed by
+  // band_key through the shared BucketedStore machinery (lifecycle
+  // identical to the siblings'; the schema is merely wider). The
+  // bucketed scan satisfies the candidate join's hash distribution
+  // straight off the files: only the batch's band rows shuffle, the
+  // ever-growing signature history NEVER does.
+
+  /** Create the bucketed band-store table if absent (idempotent;
+    * recovers a compaction crash first). Size `buckets` for the target
+    * signature volume — ~16 band rows per recorded document.
+    */
+  def ensureBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit =
+    BucketedStore.ensure(spark, table, buckets, storeSchema, "band_key")
+
+  /** [[newNearUnique]] against the bucketed store table — zero
+    * exchanges on the store side of the band candidate join (LayoutSpec
+    * asserts it); verification and the null-safe anti-join are the
+    * path form's, verbatim.
+    */
+  def newNearUniqueBucketed(docs: DataFrame, textCol: String,
+      idCol: String, table: String, minAgree: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    flagAgainst(docs, textCol, idCol,
+      spark.table(table).withColumnRenamed("sig", "stored_sig"), minAgree)
+  }
+
+  /** [[recordSignatures]] into the bucketed store table: one bucketed
+    * append of the batch's distinct (band_key, sig) rows, pre-append-
+    * checkpointed like the sibling record steps.
+    */
+  def recordSignaturesBucketed(docs: DataFrame, textCol: String,
+      idCol: String, table: String): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val b = BucketedStore.bucketsOf(spark, table)
+    val rows = banded(docs, textCol, idCol)
+      .select(col("bk").as("band_key"), col("sig")).distinct()
+      .localCheckpoint(true)
+    try rows.write.mode(SaveMode.Append)
+      .bucketBy(b, "band_key").sortBy("band_key")
+      .format("parquet").saveAsTable(table)
+    finally rows.unpersist()
+  }
+
+  /** [[newNearUniqueBucketed]] accelerated by the table's `_bloom`
+    * sidecar over band_key, preserving the zero-exchange property with
+    * the disjoint split: bloom-HIT band rows join the full catalog
+    * table, bloom-MISS band rows can only match post-sidecar appends
+    * and join just the residual files. A lone band collision still
+    * cannot false-flag — both legs run the ≥`minAgree`/16 signature
+    * verification before any document is flagged.
+    */
+  def newNearUniqueBucketedWithBloom(docs: DataFrame, textCol: String,
+      idCol: String, table: String, minAgree: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val loc = BucketedStore.tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    DedupStore.readSidecar(fs,
+      new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+      case None =>
+        newNearUniqueBucketed(docs, textCol, idCol, table, minAgree)
+      case Some((coveredNames, bloom)) =>
+        val current = DedupStore.storeDataFiles(fs, loc)
+        if (!current.exists(f => coveredNames.contains(f.getName)))
+          return newNearUniqueBucketed(docs, textCol, idCol, table,
+            minAgree)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((b: String) =>
+          b != null && bc.value.mightContainString(b))
+        val bands = banded(docs, textCol, idCol)
+        def flaggedVs(bandRows: DataFrame, store: DataFrame) =
+          bandRows.join(store, bandRows("bk") === store("band_key"))
+            .filter(agreement("sig", "stored_sig") >= minAgree)
+            .select(col("doc_id").as("__flagged_id"))
+        val hit = flaggedVs(bands.filter(mightContain(col("bk"))),
+          spark.table(table).withColumnRenamed("sig", "stored_sig"))
+        val flagged =
+          (if (residual.isEmpty) hit
+           else hit.unionByName(flaggedVs(
+             bands.filter(!mightContain(col("bk"))),
+             spark.read.schema(storeSchema)
+               .parquet(residual.map(_.toString): _*)
+               .withColumnRenamed("sig", "stored_sig"))))
+            .distinct()
+        docs.join(flagged, docs(idCol) <=> flagged("__flagged_id"),
+          "left_anti")
+    }
+  }
+
+  /** Bloom sidecar over band_key for the bucketed table — the shared
+    * machinery; rebuild on the compaction schedule.
+    */
+  def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, fpp: Double = 0.01): Long = {
+    ensureBucketedStore(spark, table)
+    BucketedStore.buildBloomSidecar(spark, table, "band_key", fpp)
+  }
+
+  /** [[compactStore]] for the bucketed table — the shared staging-table
+    * swap (single maintenance writer assumed).
+    */
+  def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Long) =
+    BucketedStore.compact(spark, table, "band_key")
 }

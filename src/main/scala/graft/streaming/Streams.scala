@@ -331,6 +331,24 @@ object Streams {
       committed => graft.ingest.SpanStore
         .recordWindows(committed, textCol, idCol, storePath))
 
+  /** [[nearDedupThroughStore]] against the BUCKETED band-store table —
+    * identical delivery semantics; the per-micro-batch band candidate
+    * join plans zero exchanges on the ever-growing signature history.
+    * Bloom-aware like the siblings.
+    */
+  def nearDedupThroughBucketedStore(docs: DataFrame, textCol: String,
+      idCol: String, table: String, outDir: String,
+      checkpointDir: String, buckets: Int = 32): StreamingQuery = {
+    graft.ingest.NearDupStore.ensureBucketedStore(
+      docs.sparkSession, table, buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "near_dedup_through_bucketed_store", committedSchema = identity)(
+      batch => graft.ingest.NearDupStore
+        .newNearUniqueBucketedWithBloom(batch, textCol, idCol, table),
+      committed => graft.ingest.NearDupStore
+        .recordSignaturesBucketed(committed, textCol, idCol, table))
+  }
+
   /** [[spanDedupThroughStore]] against the BUCKETED span-store table —
     * identical delivery semantics; the per-micro-batch window semi-join
     * plans zero exchanges on the ever-growing store side (the form that

@@ -504,6 +504,58 @@ class IngestSpec extends SparkSuite {
       === ids(S.newSpanUnique(mixed, "text", "doc_id", store)))
   }
 
+  test("bucketed NEAR store: path-store answers reproduced through the " +
+    "catalog table across record, bloom, stale-residual, and compaction " +
+    "states") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val table = "graft_ingest_near_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+      val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+      val doc3 = (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" ")
+      val b1 = batch((1L, doc1), (2L, doc2))
+      assert(ids(N.newNearUniqueBucketed(b1, "text", "doc_id", table))
+        === Seq(1L, 2L))
+      N.recordSignaturesBucketed(b1, "text", "doc_id", table)
+      // paraphrase of recorded content flagged; fresh passes
+      assert(ids(N.newNearUniqueBucketed(
+        batch((10L, doc1 + " edited trailing footer"), (11L, doc3)),
+        "text", "doc_id", table)) === Seq(11L))
+      // bloom fast path: same answers
+      assert(N.buildBloomSidecarBucketed(spark, table) > 0L)
+      assert(ids(N.newNearUniqueBucketedWithBloom(
+        batch((20L, doc2 + " small appended edit"), (21L, doc3)),
+        "text", "doc_id", table)) === Seq(21L))
+      // stale sidecar: doc3 recorded after the build lives only in
+      // residual files — its paraphrase must still be flagged
+      N.recordSignaturesBucketed(batch((30L, doc3)), "text", "doc_id",
+        table)
+      assert(ids(N.newNearUniqueBucketedWithBloom(
+        batch((31L, doc3 + " late footer"),
+          (32L, (1 to 60).map(i => s"delta$i null$i case$i")
+            .mkString(" "))),
+        "text", "doc_id", table)) === Seq(32L))
+      // re-record + compaction: distinct rows, answers exact
+      N.recordSignaturesBucketed(b1, "text", "doc_id", table)
+      val (before, after) = N.compactBucketedStore(spark, table)
+      assert(before > after && after > 0L)
+      assert(spark.table(table).count()
+        === spark.table(table).distinct().count())
+      assert(ids(N.newNearUniqueBucketedWithBloom(
+        batch((40L, doc1 + " another tiny edit")), "text", "doc_id",
+        table)) === Seq())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("bucketed SPAN store: path-store answers reproduced through the " +
     "catalog table across record, bloom, stale-residual, and compaction " +
     "states") {

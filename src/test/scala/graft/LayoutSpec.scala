@@ -122,6 +122,46 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("bucketed NEAR store: the band candidate join plans ZERO " +
+    "exchanges on the store side, and flags a recorded paraphrase") {
+    import spark.implicits._
+    val table = "graft_bucketed_near_store"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val N = graft.ingest.NearDupStore
+      N.ensureBucketedStore(spark, table, buckets = 8)
+      def mk(tag: String, n: Int): String =
+        (1 to 60).map(i => s"$tag$n w$i t${i * n} q${i + n}").mkString(" ")
+      val hist = (1 to 10).map(i => (i.toLong, mk("alpha", i)))
+        .toDF("doc_id", "text")
+      N.recordSignaturesBucketed(hist, "text", "doc_id", table)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Seq(
+        (100L, mk("alpha", 3) + " edited trailing footer"),
+        (101L, mk("fresh", 9))).toDF("doc_id", "text")
+      val nu = N.newNearUniqueBucketed(batch, "text", "doc_id", table)
+      val plan = nu.queryExecution.sparkPlan
+      val inner = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      }
+      assert(inner.nonEmpty, s"no band candidate join in plan:\n$plan")
+      val storeSideExchanges = inner.head.right.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(storeSideExchanges.isEmpty,
+        s"store side of the band join shuffles:\n$plan")
+      assert(nu.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(101L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_near_store")
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_near_store_compact_stage")
+    }
+  }
+
   test("bucketed SPAN store: the window semi-join plans ZERO exchanges " +
     "on the store side, and answers match the path-store form") {
     import spark.implicits._

@@ -607,6 +607,64 @@ class StreamingSpec extends SparkSuite {
       .count() === 0)
   }
 
+  test("streamed cross-run NEAR dedup through the BUCKETED store: " +
+    "paraphrases of catalog-recorded history drop; replay no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("nearbucket-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("nearbucket-out").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("nearbucket-ckpt").toString
+    val table = "graft_stream_near_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(): Unit =
+        graft.streaming.Streams.nearDedupThroughBucketedStore(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", table, outDir, ckpt).awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+      val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+      deliver("b1", Seq((1L, doc1), (2L, doc2)))
+      drain()
+      assert(survivors() === Seq(1L, 2L))
+      assert(graft.ingest.NearDupStore
+        .buildBloomSidecarBucketed(spark, table) > 0L)
+      deliver("b2", Seq(
+        (10L, doc1 + " edited trailing footer"),
+        (11L, (1 to 60).map(i => s"gamma$i fresh$i novel$i")
+          .mkString(" "))))
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      graft.ingest.NearDupStore.compactBucketedStore(spark, table)
+      assert(spark.table(table).count()
+        === spark.table(table).distinct().count())
+      assert(graft.ingest.NearDupStore.newNearUniqueBucketed(
+        Seq((99L, doc2 + " small late edit")).toDF("doc_id", "text"),
+        "text", "doc_id", table).count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("streamed cross-run SPAN dedup through the BUCKETED store: same " +
     "delivery semantics, catalog-table history, replay no-op") {
     import spark.implicits._
