@@ -253,15 +253,26 @@ object DedupStore {
     * Returns the number of hashes covered.
     */
   def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, fpp: Double = 0.01): Long = {
+      storePath: String, fpp: Double = 0.01): Long =
+    buildPathSidecar(spark, storePath, storeSchema, "content_hash", fpp)
+
+  /** The path-form sidecar builder shared across the store family
+    * (SpanStore reuses it over its window-hash schema) — one
+    * implementation of the list-files → filter → atomic-install
+    * protocol, parameterized by store schema and hash column.
+    */
+  private[ingest] def buildPathSidecar(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      schema: org.apache.spark.sql.types.StructType, hashCol: String,
+      fpp: Double): Long = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val files = storeDataFiles(fs, store)
     if (files.isEmpty) { fs.delete(sidecarPath(storePath), false); return 0L }
-    val df = spark.read.schema(storeSchema)
+    val df = spark.read.schema(schema)
       .parquet(files.map(_.toString): _*)
     val n = df.count()
-    val bloom = df.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    val bloom = df.stat.bloomFilter(hashCol, math.max(n, 1L), fpp)
     writeSidecar(fs, sidecarPath(storePath), files, bloom)
     n
   }

@@ -89,14 +89,29 @@ object NearDupStore {
     * stored_sig) history frame.
     */
   private def flagAgainst(docs: DataFrame, textCol: String, idCol: String,
-      store: DataFrame, minAgree: Int): DataFrame = {
-    val bands = banded(docs, textCol, idCol)
-    val nearSeen = bands
-      .join(store, bands("bk") === store("band_key"))
+      store: DataFrame, minAgree: Int): DataFrame =
+    antiJoinFlagged(docs, idCol,
+      flaggedIds(banded(docs, textCol, idCol), store, minAgree))
+
+  /** The verification step itself — band rows equi-join the history,
+    * candidates verify by ≥ `minAgree`/16 signature positions, flagged
+    * doc ids come back. ONE definition for every probe form (path,
+    * bucketed, and each bloom leg), so the threshold semantics cannot
+    * drift between them.
+    */
+  private def flaggedIds(bandRows: DataFrame, store: DataFrame,
+      minAgree: Int): DataFrame =
+    bandRows.join(store, bandRows("bk") === store("band_key"))
       .filter(agreement("sig", "stored_sig") >= minAgree)
-      .select(col("doc_id").as("__flagged_id")).distinct()
-    docs.join(nearSeen, docs(idCol) <=> nearSeen("__flagged_id"),
-      "left_anti")
+      .select(col("doc_id").as("__flagged_id"))
+
+  /** The null-safe anti-join tail every probe form ends with (null ids
+    * are ONE identity — see [[newNearUnique]]'s scaladoc).
+    */
+  private def antiJoinFlagged(docs: DataFrame, idCol: String,
+      flagged: DataFrame): DataFrame = {
+    val f = flagged.distinct()
+    docs.join(f, docs(idCol) <=> f("__flagged_id"), "left_anti")
   }
 
   /** Mark `docs` as seen: append their (band_key, sig) rows. Call AFTER
@@ -205,22 +220,20 @@ object NearDupStore {
         val mightContain = udf((b: String) =>
           b != null && bc.value.mightContainString(b))
         val bands = banded(docs, textCol, idCol)
-        def flaggedVs(bandRows: DataFrame, store: DataFrame) =
-          bandRows.join(store, bandRows("bk") === store("band_key"))
-            .filter(agreement("sig", "stored_sig") >= minAgree)
-            .select(col("doc_id").as("__flagged_id"))
-        val hit = flaggedVs(bands.filter(mightContain(col("bk"))),
-          spark.table(table).withColumnRenamed("sig", "stored_sig"))
+        val hit = flaggedIds(bands.filter(mightContain(col("bk"))),
+          spark.table(table).withColumnRenamed("sig", "stored_sig"),
+          minAgree)
         val flagged =
-          (if (residual.isEmpty) hit
-           else hit.unionByName(flaggedVs(
-             bands.filter(!mightContain(col("bk"))),
-             spark.read.schema(storeSchema)
-               .parquet(residual.map(_.toString): _*)
-               .withColumnRenamed("sig", "stored_sig"))))
-            .distinct()
-        docs.join(flagged, docs(idCol) <=> flagged("__flagged_id"),
-          "left_anti")
+          if (residual.isEmpty) hit
+          else hit.unionByName(flaggedIds(
+            bands.filter(!mightContain(col("bk"))),
+            // residual files stay small between rebuilds: broadcast
+            // them so the miss leg never shuffles the band stream
+            broadcast(spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*)
+              .withColumnRenamed("sig", "stored_sig")),
+            minAgree))
+        antiJoinFlagged(docs, idCol, flagged)
     }
   }
 

@@ -132,29 +132,22 @@ object SpanStore {
     * siblings.
     */
   def buildBloomSidecar(spark: SparkSession, storePath: String,
-      fpp: Double = 0.01): Long = {
-    val store = new org.apache.hadoop.fs.Path(storePath)
-    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = DedupStore.storeDataFiles(fs, store)
-    if (files.isEmpty) {
-      fs.delete(DedupStore.sidecarPath(storePath), false); return 0L
-    }
-    val df = spark.read.schema(storeSchema)
-      .parquet(files.map(_.toString): _*)
-    val n = df.count()
-    val bloom = df.stat.bloomFilter("h", math.max(n, 1L), fpp)
-    DedupStore.writeSidecar(fs, DedupStore.sidecarPath(storePath), files,
-      bloom)
-    n
-  }
+      fpp: Double = 0.01): Long =
+    DedupStore.buildPathSidecar(spark, storePath, storeSchema, "h", fpp)
 
-  /** [[newSpanUnique]] accelerated by the Bloom sidecar: only windows
-    * whose hash might be in the COVERED store files run the covered
-    * semi-join; every window still checks the post-sidecar RESIDUAL
-    * files exactly (a stale sidecar cannot prove novelty for hashes it
-    * never saw — DedupStore's staleness contract, unchanged). Matched
-    * positions from the two legs are de-duplicated before counting, so
-    * the dup-share is identical to the plain path's.
+  /** [[newSpanUnique]] accelerated by the Bloom sidecar, split DISJOINT
+    * on the bloom predicate: hit windows semi-join the CURRENT store
+    * files (covered + residual — exactly the membership question), miss
+    * windows can only match post-sidecar appends and semi-join just the
+    * residual files, with the small residual side broadcast so the miss
+    * leg never shuffles the amplified window stream. Disjoint legs =
+    * plain union: every matched POSITION is counted exactly as the
+    * plain path counts it, which keeps the dup-share invariant under
+    * duplicate-id / null-id-cohort row multiplicity (a position dedup
+    * here would halve the pooled cohort's share). The window stream is
+    * generated once per leg — generation is the embarrassingly-parallel
+    * cheap part; the exchange, which is the scale cost, happens at most
+    * once (the hit leg's semi-join).
     */
   def newSpanUniqueWithBloom(docs: DataFrame, textCol: String,
       idCol: String, storePath: String, maxDupShare: Double = 0.5,
@@ -167,8 +160,7 @@ object SpanStore {
         newSpanUnique(docs, textCol, idCol, storePath, maxDupShare, k)
       case Some((coveredNames, bloom)) =>
         val current = DedupStore.storeDataFiles(fs, store)
-        val covered = current.filter(f => coveredNames.contains(f.getName))
-        if (covered.isEmpty)
+        if (!current.exists(f => coveredNames.contains(f.getName)))
           return newSpanUnique(docs, textCol, idCol, storePath,
             maxDupShare, k)
         val residual =
@@ -177,17 +169,17 @@ object SpanStore {
         val mightContain =
           udf((h: String) => h != null && bc.value.mightContainString(h))
         val w = windows(docs, textCol, idCol, k)
-        val coveredDf = spark.read.schema(storeSchema)
-          .parquet(covered.map(_.toString): _*)
-        val coveredMatched = w.filter(mightContain(col("h")))
-          .join(coveredDf, Seq("h"), "left_semi")
+        val hitMatched = w.filter(mightContain(col("h")))
+          .join(spark.read.schema(storeSchema)
+            .parquet(current.map(_.toString): _*),
+            Seq("h"), "left_semi")
         val matchedPositions =
-          if (residual.isEmpty) coveredMatched
-          else coveredMatched.unionByName(
-            w.join(spark.read.schema(storeSchema)
-              .parquet(residual.map(_.toString): _*),
-              Seq("h"), "left_semi"))
-            .dropDuplicates("doc_id", "pos")
+          if (residual.isEmpty) hitMatched
+          else hitMatched.unionByName(
+            w.filter(!mightContain(col("h")))
+              .join(broadcast(spark.read.schema(storeSchema)
+                .parquet(residual.map(_.toString): _*)),
+                Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,
           maxDupShare, k)
     }
@@ -304,9 +296,11 @@ object SpanStore {
           if (residual.isEmpty) hitMatched
           else hitMatched.unionByName(
             w.filter(!mightContain(col("h")))
-              .join(spark.read.schema(DedupStore.storeSchema)
+              // residual files stay small between rebuilds: broadcast
+              // them so the miss leg never shuffles the window stream
+              .join(broadcast(spark.read.schema(DedupStore.storeSchema)
                 .parquet(residual.map(_.toString): _*)
-                .withColumnRenamed("content_hash", "h"),
+                .withColumnRenamed("content_hash", "h")),
                 Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,
           maxDupShare, k)

@@ -502,6 +502,26 @@ class IngestSpec extends SparkSuite {
       (44L, "short doc"))
     assert(ids(S.newSpanUniqueWithBloom(mixed, "text", "doc_id", store))
       === ids(S.newSpanUnique(mixed, "text", "doc_id", store)))
+    // pooled-identity share under a STALE sidecar: rebuild, then record
+    // fresh content so residual files exist, then deliver a null-id
+    // cohort of copies of RECORDED history. The cohort's pooled share
+    // is 1.0 and every row must drop on BOTH paths — a position dedup
+    // across the bloom legs would halve the pooled share and leak the
+    // whole cohort (the r10 review catch).
+    S.buildBloomSidecar(spark, store)
+    val late = (1 to 30).map(i => f"late$i%02d vine$i%02d").mkString(" ")
+    S.recordWindows(batch((60L, late)), "text", "doc_id", store)
+    val nullableSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("text", StringType)))
+    val cohort = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, doc1), Row(null, late), Row(null, doc2))),
+      nullableSchema)
+    assert(S.newSpanUnique(cohort, "text", "doc_id", store).count() === 0)
+    assert(S.newSpanUniqueWithBloom(cohort, "text", "doc_id", store)
+      .count() === 0,
+      "stale-sidecar bloom path leaked the pooled null-id cohort")
   }
 
   test("bucketed NEAR store: path-store answers reproduced through the " +
