@@ -631,6 +631,38 @@ object Streams {
           .recordWindows(committed, textCol, idCol, spanStorePath)
       })
 
+  /** The 3-store curation feed against BUCKETED catalog tables — the
+    * year-of-recording form: all three probes (exact anti-join, band
+    * candidate join, window semi-join) plan zero exchanges on their
+    * ever-growing store sides, all three bloom-aware. Same exact →
+    * near → span staging and replay matrix as the path form.
+    */
+  def curationFeedThroughBucketedStores(docs: DataFrame, textCol: String,
+      idCol: String, exactTable: String, nearTable: String,
+      spanTable: String, outDir: String, checkpointDir: String,
+      buckets: Int = 32): StreamingQuery = {
+    val spark = docs.sparkSession
+    graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable, buckets)
+    graft.ingest.NearDupStore.ensureBucketedStore(spark, nearTable, buckets)
+    graft.ingest.SpanStore.ensureBucketedStore(spark, spanTable, buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "curation_feed_through_bucketed_stores")(
+      batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
+        graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
+          graft.ingest.DedupStore
+            .newUniqueBucketedWithBloom(batch, textCol, idCol, exactTable),
+          textCol, idCol, nearTable),
+        textCol, idCol, spanTable),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashesBucketed(committed, textCol, exactTable)
+        graft.ingest.NearDupStore
+          .recordSignaturesBucketed(committed, textCol, idCol, nearTable)
+        graft.ingest.SpanStore
+          .recordWindowsBucketed(committed, textCol, idCol, spanTable)
+      })
+  }
+
   /** Streaming IVF-index maintenance — the freshness leg of the
     * trainer → index → serve lifecycle ([[graft.operators.KMeans]] →
     * [[graft.operators.AnnIndex]]): each micro-batch of new embeddings

@@ -789,6 +789,70 @@ class StreamingSpec extends SparkSuite {
     assert(survivors() === Seq(1L, 2L, 13L))
   }
 
+  test("streamed curation feed through BUCKETED stores: copies, " +
+    "paraphrases, and mashups of catalog history all drop; replay no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("curationb-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("curationb-out").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("curationb-ckpt").toString
+    val tables = Seq("graft_cfb_exact", "graft_cfb_near", "graft_cfb_span")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(): Unit =
+        graft.streaming.Streams.curationFeedThroughBucketedStores(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", tables(0), tables(1), tables(2), outDir, ckpt)
+          .awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val docA = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+      val docB = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+      deliver("b1", Seq((1L, docA), (2L, docB)))
+      drain()
+      assert(survivors() === Seq(1L, 2L))
+      // one sidecar built mid-stream exercises the bloom legs too
+      assert(graft.ingest.SpanStore
+        .buildBloomSidecarBucketed(spark, tables(2)) > 0L)
+      // exact copy, formatting variant, paraphrase, half-and-half
+      // mashup (span-stage-only catch), fresh
+      deliver("b2", Seq(
+        (10L, docA),
+        (11L, docA.toUpperCase),
+        (12L, docB + " appended footer line"),
+        (13L, docA.substring(0, docA.length / 2) + " " +
+          docB.substring(docB.length / 2)),
+        (14L, (1 to 60).map(i => s"gamma$i fresh$i novel$i")
+          .mkString(" "))))
+      drain()
+      assert(survivors() === Seq(1L, 2L, 14L))
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Seq(1L, 2L, 14L))
+    } finally {
+      tables.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+      }
+    }
+  }
+
   test("streamed curation feed: exact-store then near-store composed " +
     "per micro-batch; copies, variants, and paraphrases of history all " +
     "drop; replay is a no-op") {
