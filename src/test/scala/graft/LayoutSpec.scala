@@ -201,6 +201,27 @@ class LayoutSpec extends SparkSuite {
       // answer parity: mashup flagged, fresh survives
       assert(nu.select("doc_id").collect().map(_.getLong(0)).toSeq
         === Seq(101L))
+      // bloom form under a STALE sidecar (residual files present): the
+      // hit leg keeps the zero-exchange store side, the residual leg is
+      // a broadcast — no semi-join's store side may plan a shuffle
+      S.buildBloomSidecarBucketed(spark, table)
+      S.recordWindowsBucketed(
+        Seq((50L, mk("late", 7))).toDF("doc_id", "text"),
+        "text", "doc_id", table)
+      val nb = S.newSpanUniqueBucketedWithBloom(batch, "text", "doc_id",
+        table)
+      val planB = nb.queryExecution.sparkPlan
+      val semiB = planB.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semiB.size === 2, s"expected hit+residual legs:\n$planB")
+      for (j <- semiB)
+        assert(j.right.collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          s"a bloom-leg store side shuffles:\n$planB")
+      assert(nb.select("doc_id").collect().map(_.getLong(0)).toSeq
+        === Seq(101L))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_span_store")
