@@ -2228,6 +2228,48 @@ object LlmPipeline {
           / col("n_docs").cast(DoubleType))
       .orderBy("source")
 
+  /** q105: QUALITY-based keeper selection — which member of each
+    * near-dup cluster a curation run should KEEP. q60/q80's min-id
+    * keeper is an arbitrary member; real pipelines retain the
+    * best-written copy (the RefinedWeb-style "keep the best duplicate"
+    * policy), because the survivor's text is what trains. Rides the
+    * q60 component labels and q34's quality score — both ONE shared
+    * definition — and resolves the per-cluster argmax with a single
+    * first_value window (quality desc, doc_id tiebreak: IEEE-identical
+    * doubles + a unique key make the choice engine-deterministic).
+    * Work is bounded by the CLUSTERED docs, not the corpus; `kept`
+    * makes the retained set a one-predicate filter downstream.
+    */
+  private val q105: Q = (s, dir) => {
+    val qual = tokenized(s, dir, "text")
+      .withColumn("punct_ratio",
+        expr("cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
+          / length(col("text")).cast(DoubleType))
+      .withColumn("stop_ratio",
+        expr("cast(size(filter(toks, x -> x = 'the' or x = 'a' or " +
+          "x = 'and' or x = 'of' or x = 'to')) as bigint)").cast(DoubleType)
+          / size(col("toks")).cast(DoubleType))
+      .withColumn("len_score",
+        least(length(col("text")).cast(DoubleType)
+          / lit(500).cast(DoubleType), lit(1.0)))
+      .select(col("doc_id"),
+        (lit(0.5) * col("len_score")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * (lit(1.0) - col("stop_ratio"))).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_keeper")
+      .orderBy(desc("quality"), col("doc_id"))
+    connectedComponents(minhashPairs(s, dir).select("doc_a", "doc_b"))
+      .withColumnRenamed("label", "cluster_keeper")
+      .join(qual, "doc_id")
+      .withColumn("best_keeper", first("doc_id").over(w))
+      .withColumn("kept",
+        when(col("doc_id") === col("best_keeper"), lit(1L))
+          .otherwise(lit(0L)))
+      .select("doc_id", "cluster_keeper", "quality", "best_keeper", "kept")
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2299,7 +2341,8 @@ object LlmPipeline {
     "q100_cluster_sizes" -> q100,
     "q101_dup_spans" -> q101,
     "q103_minhash_precision" -> q103,
-    "q104_source_dedup_rate" -> q104)
+    "q104_source_dedup_rate" -> q104,
+    "q105_quality_keeper" -> q105)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3409,5 +3452,32 @@ object LlmPipeline {
         | CAST(COUNT(*) - COUNT(DISTINCT ch) AS BIGINT) AS n_dupes,
         | CAST((COUNT(*) - COUNT(DISTINCT ch)) * 100 AS DOUBLE)
         |  / CAST(COUNT(*) AS DOUBLE) AS dup_pct
-        |FROM d GROUP BY source ORDER BY source""".stripMargin)
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q105_quality_keeper" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")},
+         |qb AS (SELECT doc_id, text, $dToks AS toks FROM documents),
+         |qual AS (
+         | SELECT doc_id,
+         |  CAST(0.5 AS DOUBLE) *
+         |   least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
+         |     CAST(1.0 AS DOUBLE))
+         |  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |   - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |     / CAST(length(text) AS DOUBLE))
+         |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+         |   - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
+         |      OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+         |     / CAST(len(toks) AS DOUBLE)) AS quality
+         | FROM qb WHERE len(toks) >= 1)
+         |SELECT c.doc_id, c.cluster_keeper, q.quality,
+         | first_value(c.doc_id) OVER (PARTITION BY c.cluster_keeper
+         |  ORDER BY q.quality DESC, c.doc_id) AS best_keeper,
+         | CAST(CASE WHEN c.doc_id = first_value(c.doc_id)
+         |   OVER (PARTITION BY c.cluster_keeper
+         |    ORDER BY q.quality DESC, c.doc_id)
+         |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+         |ORDER BY c.doc_id""".stripMargin)
 }

@@ -495,6 +495,34 @@ class LlmPipelineSpec extends SparkSuite {
       byuSource.values.map(_.length).sum.toLong)
   }
 
+  test("q105 quality keeper: covers exactly the q60 clustered docs, " +
+    "one keeper per cluster, keeper is the quality argmax with min-id " +
+    "tiebreak") {
+    val q60docs = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qual = LlmPipeline.queries("q34_quality_score")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = LlmPipeline.queries("q105_quality_keeper")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === q60docs)
+    rows.groupBy(_.getAs[Long]("cluster_keeper")).foreach {
+      case (ck, members) =>
+        val kept = members.filter(_.getAs[Long]("kept") == 1L)
+        assert(kept.length === 1, s"cluster $ck kept ${kept.length}")
+        val best = members
+          .map(m => (m.getAs[Long]("doc_id"), m.getAs[Double]("quality")))
+          .sortBy { case (id, q) => (-q, id) }.head._1
+        assert(kept.head.getAs[Long]("doc_id") === best, s"cluster $ck")
+        assert(members.map(_.getAs[Long]("best_keeper")).distinct.toSeq
+          === Seq(best), s"cluster $ck best_keeper not constant")
+        members.foreach { m =>
+          assert(m.getAs[Double]("quality")
+            === qual(m.getAs[Long]("doc_id")), "quality drifted from q34")
+        }
+    }
+  }
+
   test("q100 cluster-size histogram reconciles with the q60 component " +
     "report") {
     val q60rows = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
