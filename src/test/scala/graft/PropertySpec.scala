@@ -367,6 +367,64 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("span store four-form equivalence law: path/bucketed x " +
+    "plain/bloom agree on every delivery across random record/compact/" +
+    "sidecar interleavings") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    def base(k: Int): String =
+      (1 to 30).map(i => f"eq${k}w$i%02d y${i * k}%03d").mkString(" ")
+    def mashup(a: Int, b: Int): String = {
+      val (ta, tb) = (base(a), base(b))
+      ta.substring(0, ta.length / 2) + " " + tb.substring(tb.length / 2)
+    }
+    val stepGen: Gen[(Int, Int, Boolean, Boolean, Boolean)] = for {
+      k1 <- Gen.choose(1, 4)
+      k2 <- Gen.frequency(2 -> Gen.const(-1), 3 -> Gen.choose(1, 4))
+      record <- Gen.oneOf(true, false)
+      compact <- Gen.frequency(4 -> Gen.const(false), 1 -> Gen.const(true))
+      sidecar <- Gen.frequency(3 -> Gen.const(false), 1 -> Gen.const(true))
+    } yield (k1, if (k2 == -1) k1 else k2, record, compact, sidecar)
+    val table = "graft_prop_span_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      val store = java.nio.file.Files
+        .createTempDirectory("spaneqlaw").toString + "/windows"
+      var id = 0L
+      for ((k1, k2, record, compact, sidecar) <-
+          samples(Gen.listOfN(8, stepGen), 1, 7300L).head) {
+        id += 1
+        val txt = if (k1 == k2) base(k1) else mashup(k1, k2)
+        val batch = Seq((id, txt)).toDF("doc_id", "text")
+        val answers = Seq(
+          S.newSpanUnique(batch, "text", "doc_id", store).count(),
+          S.newSpanUniqueWithBloom(batch, "text", "doc_id", store).count(),
+          S.newSpanUniqueBucketed(batch, "text", "doc_id", table).count(),
+          S.newSpanUniqueBucketedWithBloom(batch, "text", "doc_id", table)
+            .count())
+        assert(answers.distinct.size === 1,
+          s"step $id (${(k1, k2, record, compact, sidecar)}): " +
+            s"forms disagree: $answers")
+        if (record && answers.head == 1L) {
+          S.recordWindows(batch, "text", "doc_id", store)
+          S.recordWindowsBucketed(batch, "text", "doc_id", table)
+        }
+        if (compact) {
+          S.compactStore(spark, store, 1L << 20)
+          S.compactBucketedStore(spark, table)
+        }
+        if (sidecar) {
+          S.buildBloomSidecar(spark, store)
+          S.buildBloomSidecarBucketed(spark, table)
+        }
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("compaction race law: a LIVE appender racing compact never loses " +
     "a committed row — abort, rescue, or clean pass, across interleavings") {
     import spark.implicits._
