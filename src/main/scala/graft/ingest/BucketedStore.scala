@@ -75,6 +75,18 @@ private[ingest] object BucketedStore {
     val before = spark.table(table).count()
     graft.layout.Layout.writeBucketed(
       spark.table(table).distinct(), staging, b, bucketCol)
+    // store-level metadata (e.g. SpanStore's recorded stride) is a
+    // property of the DATA and must ride the swap: copy graft.*
+    // properties onto staging BEFORE the drop, so even a crash between
+    // drop and rename (repaired by recoverSwap) installs a table that
+    // still carries them
+    val props = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.filter(_._1.startsWith("graft."))
+    if (props.nonEmpty) {
+      val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ($kv)")
+    }
     val after = spark.table(staging).count()
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")

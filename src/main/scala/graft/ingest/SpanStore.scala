@@ -40,10 +40,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (alignment between copy and original differs, content equality does
   * not), so a copied passage of length L still matches
   * ⌊(L−k+1)/stride⌋ recorded windows and the effective share threshold
-  * scales by 1/stride — callers pass maxDupShare/stride. (2) an
-  * 8-byte xxhash64 in place of md5 (here md5 keeps the window identity
-  * byte-identical with q101's oracle-checked one). (3) q101 itself as
-  * the in-corpus pre-pass, so only survivors probe history.
+  * scales by 1/stride. The stride is PERSISTED with the store (a
+  * `.stride` sibling for the path form, a `graft.span.stride` table
+  * property for the bucketed form, both surviving compaction) and the
+  * probes scale the threshold themselves — callers always pass the
+  * SEMANTIC share ("flag when ≥ half the text is recycled" = 0.5)
+  * regardless of how the store was recorded; mixed-stride recording is
+  * refused loudly (the scaling is undefined over a mixed store).
+  * (2) an 8-byte xxhash64 in place of md5 (here md5 keeps the window
+  * identity byte-identical with q101's oracle-checked one). (3) q101
+  * itself as the in-corpus pre-pass, so only survivors probe history.
   */
 object SpanStore {
 
@@ -54,6 +60,63 @@ object SpanStore {
       k: Int): DataFrame =
     graft.queries.LlmPipeline.windowHashesOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
+  // ── persisted stride ───────────────────────────────────────────────
+  //
+  // The stride is a property of the RECORDED DATA, not of any one call:
+  // a store recorded at stride 4 holds a quarter of each document's
+  // windows, so every probe against it must divide its share threshold
+  // by 4 — silently probing with the unscaled default under-flags by
+  // exactly the stride. Persisting it next to the data (not in a
+  // caller's head) is what makes the scaling automatic and a
+  // mixed-stride store impossible.
+
+  private def stridePath(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath + ".stride")
+
+  /** The stride the path store was recorded with (1 if never strided —
+    * including stores recorded before stride persistence existed, which
+    * were stride-1 by default).
+    */
+  def storedStride(spark: SparkSession, storePath: String): Int = {
+    val p = stridePath(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 1
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Record the stride before the first strided append; refuse a
+    * stride that contradicts what the store already holds.
+    */
+  private def commitStride(spark: SparkSession, storePath: String,
+      stride: Int): Unit = {
+    val existing = storedStride(spark, storePath)
+    if (existing == stride) {
+      if (stride == 1) return // default — nothing to persist
+    } else {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // a non-empty store recorded at another stride cannot be extended
+      // at this one — the share scaling would be undefined
+      require(!fs.exists(p) || DedupStore.storeDataFiles(fs, p).isEmpty,
+        s"SpanStore $storePath was recorded with stride $existing; " +
+          s"cannot record at stride $stride (mixed-stride share " +
+          "thresholds are undefined — use a fresh store)")
+      val sp = stridePath(storePath)
+      val tmp = new org.apache.hadoop.fs.Path(sp.getParent,
+        sp.getName + s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(stride.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(sp, false)
+      require(fs.rename(tmp, sp), s"SpanStore: could not install $sp")
+    }
+  }
 
   private def storeHashes(spark: SparkSession, storePath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storePath)
@@ -67,7 +130,9 @@ object SpanStore {
     * `maxDupShare`: stream windows once, semi-join the store, flag
     * documents with matched/total ≥ the threshold, null-safe anti-join
     * the flagged ids. Returns the original rows/columns of survivors.
-    * With a strided store, pass `maxDupShare / stride` (class doc).
+    * `maxDupShare` is the SEMANTIC share of recycled text — the probe
+    * reads the store's persisted stride and scales the threshold by
+    * 1/stride itself (class doc).
     */
   def newSpanUnique(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, maxDupShare: Double = 0.5,
@@ -76,7 +141,7 @@ object SpanStore {
       windows(docs, textCol, idCol, k)
         .join(storeHashes(docs.sparkSession, storePath), Seq("h"),
           "left_semi"),
-      maxDupShare, k)
+      maxDupShare / storedStride(docs.sparkSession, storePath), k)
 
   /** Threshold + anti-join shared by the plain and Bloom paths:
     * `matchedPositions` is the (doc_id, pos, …) stream of batch windows
@@ -114,6 +179,11 @@ object SpanStore {
   def recordWindows(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, stride: Int = 1,
       k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    // stride first: a crash between the two leaves an empty-or-partial
+    // store whose persisted stride already matches what this append
+    // would have recorded — probes stay correct either side
+    commitStride(docs.sparkSession, storePath, stride)
     val w = windows(docs, textCol, idCol, k)
     val picked = if (stride <= 1) w
       else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
@@ -155,6 +225,7 @@ object SpanStore {
     val spark = docs.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val effShare = maxDupShare / storedStride(spark, storePath)
     DedupStore.readSidecar(fs, DedupStore.sidecarPath(storePath)) match {
       case None =>
         newSpanUnique(docs, textCol, idCol, storePath, maxDupShare, k)
@@ -181,7 +252,7 @@ object SpanStore {
                 .parquet(residual.map(_.toString): _*)),
                 Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,
-          maxDupShare, k)
+          effShare, k)
     }
   }
 
@@ -221,6 +292,29 @@ object SpanStore {
       buckets: Int = 32): Unit =
     DedupStore.ensureBucketedStore(spark, table, buckets)
 
+  private val StrideProp = "graft.span.stride"
+
+  /** The stride the bucketed store was recorded with (table property;
+    * [[BucketedStore.compact]] carries `graft.*` properties across its
+    * staging-table swap, so it survives compaction).
+    */
+  def storedStrideBucketed(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.get(StrideProp).map(_.toInt).getOrElse(1)
+
+  private def commitStrideBucketed(spark: SparkSession, table: String,
+      stride: Int): Unit = {
+    val existing = storedStrideBucketed(spark, table)
+    if (existing == stride) return
+    require(spark.table(table).isEmpty,
+      s"SpanStore table $table was recorded with stride $existing; " +
+        s"cannot record at stride $stride (mixed-stride share " +
+        "thresholds are undefined — use a fresh store)")
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$StrideProp' = '$stride')")
+  }
+
   /** [[newSpanUnique]] against the bucketed store table — zero
     * exchanges on the store side of the window semi-join (LayoutSpec
     * asserts it).
@@ -234,7 +328,7 @@ object SpanStore {
       windows(docs, textCol, idCol, k)
         .join(spark.table(table).withColumnRenamed("content_hash", "h"),
           Seq("h"), "left_semi"),
-      maxDupShare, k)
+      maxDupShare / storedStrideBucketed(spark, table), k)
   }
 
   /** [[recordWindows]] into the bucketed store table: one bucketed
@@ -244,8 +338,10 @@ object SpanStore {
   def recordWindowsBucketed(docs: DataFrame, textCol: String,
       idCol: String, table: String, stride: Int = 1,
       k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    commitStrideBucketed(spark, table, stride)
     val b = DedupStore.bucketsOf(spark, table)
     val w = windows(docs, textCol, idCol, k)
     val picked = if (stride <= 1) w
@@ -272,6 +368,7 @@ object SpanStore {
       k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    val effShare = maxDupShare / storedStrideBucketed(spark, table)
     val loc = DedupStore.tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     DedupStore.readSidecar(fs,
@@ -303,7 +400,7 @@ object SpanStore {
                 .withColumnRenamed("content_hash", "h")),
                 Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,
-          maxDupShare, k)
+          effShare, k)
     }
   }
 

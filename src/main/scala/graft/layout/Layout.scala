@@ -265,12 +265,25 @@ object Layout {
     }
     fs.delete(tmp, true) // a half-written rewrite is always discardable
     fs.delete(manifest, false) // any survivor here is a stale leftover
+    // a LEAF's swap artifacts (`cid=3.compact.tmp/.old/.names`) are
+    // siblings of the leaf, i.e. top-level entries of THIS root; the
+    // manifest in particular is a FILE, written before the leaf's retire
+    // rename and deleted only at the end of the leaf's swap — a crash in
+    // that window must not make it count as root-level data (it would
+    // trip the mixed-layout refusal below and wedge every rerun, making
+    // the retiredLeaves recovery unreachable). The leaf's own entry-time
+    // recovery consumes/cleans these on the recursive call.
+    def isSwapArtifact(n: String): Boolean =
+      n.endsWith(".compact.tmp") || n.endsWith(".compact.old") ||
+        n.endsWith(".compact.names")
     def listNames(): Set[String] = fs.listStatus(path).toSeq.filter(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
+        !st.getPath.getName.startsWith(".") &&
+        !isSwapArtifact(st.getPath.getName)).map(_.getPath.getName).toSet
     val dataFiles = fs.listStatus(path).toSeq.filter(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
+        !st.getPath.getName.startsWith(".") &&
+        !isSwapArtifact(st.getPath.getName))
     // Hive-style partition subdirectories (name=value, not hidden) —
     // a partitionBy root keeps ALL data one level down, so the rewrite
     // must recurse or it sees zero files and silently skips the table.

@@ -2241,14 +2241,24 @@ object LlmPipeline {
     * makes the retained set a one-predicate filter downstream.
     */
   private val q105: Q = (s, dir) => {
+    // Zero-length guards: Spark's non-ANSI Divide yields NULL on /0 while
+    // DuckDB's IEEE double division yields NaN/Inf — an empty or
+    // whitespace-only doc would make quality (and thus the keeper choice)
+    // diverge from the oracle. Clamp both ratios to 0.0 for degenerate
+    // inputs, mirrored verbatim in the oracle SQL, so keeper selection
+    // stays engine-deterministic even among empty duplicates.
     val qual = tokenized(s, dir, "text")
       .withColumn("punct_ratio",
-        expr("cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
-          / length(col("text")).cast(DoubleType))
+        when(length(col("text")) > 0,
+          expr("cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
+            / length(col("text")).cast(DoubleType))
+          .otherwise(lit(0.0)))
       .withColumn("stop_ratio",
-        expr("cast(size(filter(toks, x -> x = 'the' or x = 'a' or " +
-          "x = 'and' or x = 'of' or x = 'to')) as bigint)").cast(DoubleType)
-          / size(col("toks")).cast(DoubleType))
+        when(size(col("toks")) > 0,
+          expr("cast(size(filter(toks, x -> x = 'the' or x = 'a' or " +
+            "x = 'and' or x = 'of' or x = 'to')) as bigint)").cast(DoubleType)
+            / size(col("toks")).cast(DoubleType))
+          .otherwise(lit(0.0)))
       .withColumn("len_score",
         least(length(col("text")).cast(DoubleType)
           / lit(500).cast(DoubleType), lit(1.0)))
@@ -3464,13 +3474,17 @@ object LlmPipeline {
          |   least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
          |     CAST(1.0 AS DOUBLE))
          |  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-         |   - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-         |     / CAST(length(text) AS DOUBLE))
+         |   - CASE WHEN length(text) > 0 THEN
+         |      CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |       / CAST(length(text) AS DOUBLE)
+         |     ELSE CAST(0.0 AS DOUBLE) END)
          |  + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-         |   - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
-         |      OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
-         |     / CAST(len(toks) AS DOUBLE)) AS quality
-         | FROM qb WHERE len(toks) >= 1)
+         |   - CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
+         |       OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+         |       / CAST(len(toks) AS DOUBLE)
+         |     ELSE CAST(0.0 AS DOUBLE) END) AS quality
+         | FROM qb)
          |SELECT c.doc_id, c.cluster_keeper, q.quality,
          | first_value(c.doc_id) OVER (PARTITION BY c.cluster_keeper
          |  ORDER BY q.quality DESC, c.doc_id) AS best_keeper,

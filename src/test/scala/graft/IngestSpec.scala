@@ -442,15 +442,30 @@ class IngestSpec extends SparkSuite {
     assert(S.newSpanUnique(nullIdBatch(
       (1 to 30).map(i => f"delta$i%02d moss$i%02d").mkString(" ")),
       "body", "id", store).count() === 1)
-    // strided store: 1/4 of windows recorded, threshold scaled by 1/4
-    // still catches a full copy of the recorded doc
+    // strided store: 1/4 of windows recorded. The stride is PERSISTED
+    // with the store and the probe scales the threshold itself — the
+    // caller passes the same semantic 0.5 as against an unstrided store
     val strided = tmpDir("spanstore-strided") + "/windows"
     S.recordWindows(batch((50L, doc1)), "body", "id", strided, stride = 4)
-    assert(S.newSpanUnique(batch((51L, doc1)), "body", "id", strided,
-      maxDupShare = 0.5 / 4).count() === 0,
-      "copy of a stride-4-recorded doc escaped the scaled threshold")
-    assert(S.newSpanUnique(batch((52L, fresh)), "body", "id", strided,
-      maxDupShare = 0.5 / 4).count() === 1)
+    assert(S.storedStride(spark, strided) === 4)
+    assert(S.newSpanUnique(batch((51L, doc1)), "body", "id", strided)
+      .count() === 0,
+      "copy of a stride-4-recorded doc escaped the auto-scaled threshold")
+    assert(S.newSpanUnique(batch((52L, fresh)), "body", "id", strided)
+      .count() === 1)
+    // the persisted stride survives compaction (sibling file, untouched
+    // by the directory swap) and keeps scaling the probe
+    S.compactStore(spark, strided, 1L << 20)
+    assert(S.storedStride(spark, strided) === 4)
+    assert(S.newSpanUnique(batch((53L, doc1)), "body", "id", strided)
+      .count() === 0)
+    // re-recording at the same stride is fine; a DIFFERENT stride on a
+    // non-empty store is refused (mixed-stride shares are undefined)
+    S.recordWindows(batch((54L, doc2)), "body", "id", strided, stride = 4)
+    intercept[IllegalArgumentException] {
+      S.recordWindows(batch((55L, fresh)), "body", "id", strided,
+        stride = 2)
+    }
   }
 
   test("SPAN store bloom sidecar: bloom path equals plain path at " +
@@ -622,12 +637,34 @@ class IngestSpec extends SparkSuite {
         === spark.table(table).distinct().count())
       assert(ids(S.newSpanUniqueBucketedWithBloom(
         batch((40L, mashup)), "text", "doc_id", table)) === Seq())
-      // strided recording composes with the catalog form
-      val fresh2 = (1 to 30).map(i => f"eps$i%02d fern$i%02d").mkString(" ")
-      S.recordWindowsBucketed(batch((50L, fresh2)), "text", "doc_id",
-        table, stride = 4)
-      assert(ids(S.newSpanUniqueBucketed(batch((51L, fresh2)), "text",
-        "doc_id", table, maxDupShare = 0.5 / 4)) === Seq())
+      // strided recording composes with the catalog form — on a FRESH
+      // table (a different stride over a non-empty store is refused):
+      // the stride rides a graft.* table property, the probe scales the
+      // semantic 0.5 itself, and compaction's staging swap carries the
+      // property across
+      val stridedTable = "span_store_bucketed_strided_spec"
+      spark.sql(s"DROP TABLE IF EXISTS $stridedTable")
+      spark.sql(s"DROP TABLE IF EXISTS ${stridedTable}_compact_stage")
+      try {
+        val fresh2 = (1 to 30).map(i => f"eps$i%02d fern$i%02d").mkString(" ")
+        S.recordWindowsBucketed(batch((50L, fresh2)), "text", "doc_id",
+          stridedTable, stride = 4)
+        assert(S.storedStrideBucketed(spark, stridedTable) === 4)
+        assert(ids(S.newSpanUniqueBucketed(batch((51L, fresh2)), "text",
+          "doc_id", stridedTable)) === Seq())
+        intercept[IllegalArgumentException] {
+          S.recordWindowsBucketed(batch((52L, doc3)), "text", "doc_id",
+            stridedTable, stride = 2)
+        }
+        S.compactBucketedStore(spark, stridedTable)
+        assert(S.storedStrideBucketed(spark, stridedTable) === 4,
+          "stride property lost across the compaction staging swap")
+        assert(ids(S.newSpanUniqueBucketed(batch((53L, fresh2)), "text",
+          "doc_id", stridedTable)) === Seq())
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $stridedTable")
+        spark.sql(s"DROP TABLE IF EXISTS ${stridedTable}_compact_stage")
+      }
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")

@@ -599,13 +599,22 @@ class LayoutSpec extends SparkSuite {
       .select("vec_id", "cid", "s").as[(Long, Int, String)]
       .collect().sortBy(_._1).toSeq
     assert(got === rows, s"got $got") // rows deduped, cid column intact
-    // crashed leaf: cid=20 retired mid-swap (only .compact.old remains);
-    // the root call must name the missing leaf and restore it
+    // crashed leaf: cid=20 retired mid-swap (only .compact.old remains) —
+    // AND the manifest FILE the leaf wrote just before its retire rename
+    // is still present at the root. That file must not read as top-level
+    // data (it would trip the mixed-layout refusal and wedge every rerun
+    // in exactly the crash state this recovery exists for); the root call
+    // must name the missing leaf, restore it, and consume the manifest.
     val leaf = new java.io.File(s"$root/cid=20")
     val oldLeaf = new java.io.File(s"$root/cid=20.compact.old")
     assert(leaf.renameTo(oldLeaf))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/cid=20.compact.names"),
+      "part-00000-dead.parquet\n".getBytes("UTF-8"))
     val (b2, _) = Layout.rewriteInPlace(spark, root, 1L << 20)(identity)
     assert(b2 > 0 && leaf.exists && !oldLeaf.exists)
+    assert(!new java.io.File(s"$root/cid=20.compact.names").exists,
+      "leaf entry-time recovery must consume the stale manifest")
     assert(spark.read.parquet(root).count() === 3)
     // a root mixing top-level data files and partition dirs is refused
     Seq((9L, "x")).toDF("vec_id", "s")
