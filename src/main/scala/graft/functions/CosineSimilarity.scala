@@ -133,6 +133,11 @@ object Functions {
       case Seq(a, b) => MinGramMd5(a, b)
       case other => throw new IllegalArgumentException(
         s"min_gram_md5 expects 2 arguments, got ${other.size}")
+    }),
+    ("bloom_probe", classOf[BloomProbe], {
+      case Seq(h, d, s) => BloomProbe(h, d, s)
+      case other => throw new IllegalArgumentException(
+        s"bloom_probe expects 3 arguments, got ${other.size}")
     }))
 
   def register(spark: SparkSession): Unit =

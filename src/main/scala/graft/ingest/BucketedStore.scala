@@ -93,20 +93,21 @@ private[ingest] object BucketedStore {
     (before, after)
   }
 
-  /** Build/replace the in-table `_bloom` sidecar over `col`. Returns
-    * rows covered (0 = empty store, sidecar removed).
+  /** Build/replace the in-table `_bloom` sidecar over `col` — the
+    * SHARDED form (per-shard filters built executor-side into an
+    * in-table `_bloom.d-<uuid>` generation directory; see
+    * [[graft.functions.BloomShards]] for why the single driver-built
+    * filter had to go). Returns rows covered (0 = empty store, sidecar
+    * removed).
     */
   def buildBloomSidecar(spark: SparkSession, table: String, col: String,
-      fpp: Double): Long = {
+      fpp: Double, numShards: Int = 32): Long = {
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val files = DedupStore.storeDataFiles(fs, loc)
     val side = new org.apache.hadoop.fs.Path(loc, "_bloom")
     if (files.isEmpty) { fs.delete(side, false); return 0L }
-    val df = spark.table(table)
-    val n = df.count()
-    val bloom = df.stat.bloomFilter(col, math.max(n, 1L), fpp)
-    DedupStore.writeSidecar(fs, side, files, bloom)
-    n
+    DedupStore.buildShardedSidecar(spark, spark.table(table), col, fs,
+      side, files, numShards, fpp)
   }
 }

@@ -211,69 +211,135 @@ object DedupStore {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath)
 
+  /** A v2 (sharded) sidecar manifest: the store files the filter set
+    * covers, plus the generation directory (sibling of the manifest)
+    * holding the per-shard filters and the shard count that routes a
+    * hash to its filter. The manifest is the COMMIT POINT — shard files
+    * are fully written before the manifest's atomic rename installs
+    * them, and the generation uuid in the directory name makes executor
+    * caches and concurrent readers immune to rebuilds.
+    */
+  private[ingest] case class ShardedSidecar(covered: Set[String],
+      shardDirName: String, numShards: Int)
+
   private[ingest] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       files: Seq[org.apache.hadoop.fs.Path],
-      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+      shardDirName: String, numShards: Int): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       target.getName + s".tmp-${java.util.UUID.randomUUID()}")
     val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
-      out.writeInt(1) // sidecar format version
+      out.writeInt(2) // sidecar format version (2 = sharded)
       out.writeInt(files.size)
       files.foreach(f => out.writeUTF(f.getName))
-      bloom.writeTo(out)
+      out.writeUTF(shardDirName)
+      out.writeInt(numShards)
     } finally out.close()
     fs.delete(target, false)
     require(fs.rename(tmp, target),
       s"bloom sidecar: could not install $target")
   }
 
+  /** Read a sidecar manifest. Unknown versions (including the retired
+    * v1 single-filter format) read as ABSENT — the probes fall back to
+    * the exact plain-join plan, never to a misinterpreted filter.
+    */
   private[ingest] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      target: org.apache.hadoop.fs.Path)
-      : Option[(Set[String], org.apache.spark.util.sketch.BloomFilter)] = {
+      target: org.apache.hadoop.fs.Path): Option[ShardedSidecar] = {
     if (!fs.exists(target)) return None
     val in = new java.io.DataInputStream(fs.open(target))
     try {
       val ver = in.readInt()
-      require(ver == 1, s"unknown bloom sidecar version $ver")
+      if (ver != 2) return None
       val names = Seq.fill(in.readInt())(in.readUTF()).toSet
-      Some((names, org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+      Some(ShardedSidecar(names, in.readUTF(), in.readInt()))
     } finally in.close()
   }
 
+  /** Resolve a manifest to a probe Column, verifying the generation
+    * directory still exists (a vanished directory would turn every
+    * probe into a false "definitely new" — fall back to the exact plan
+    * instead). Returns the `bloom_probe(hash)` predicate builder.
+    */
+  private[ingest] def probeFor(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path, sc: ShardedSidecar)
+      : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(manifest).getParent, sc.shardDirName)
+    if (!fs.exists(dir)) None
+    else {
+      graft.functions.Functions.register(spark)
+      Some(h => call_function("bloom_probe", h,
+        lit(dir.toString), lit(sc.numShards)))
+    }
+  }
+
   /** Build/replace the store's Bloom sidecar: one pass over the current
-    * store files → a filter sized for their row count at `fpp`, written
-    * atomically (temp + rename) next to the store as `<store>.bloom`
-    * together with the covered file names. Sidecar size is ~1.2 bytes
-    * per hash at 1% fpp — ~120 GB of filter per trillion hashes, which
-    * is why `fpp` and rebuild cadence are the operator's levers, and
-    * why the filter covers the immutable compacted history while fresh
+    * store files → a SHARDED filter set at `fpp` (per-shard filters
+    * built and written executor-side — see
+    * [[graft.functions.BloomShards]]; no driver-memory merge exists at
+    * any store size), installed atomically by the manifest rename next
+    * to the store as `<store>.bloom` together with the covered file
+    * names. Total filter bytes are still ~1.2 per hash at 1% fpp —
+    * `fpp`, `numShards`, and rebuild cadence are the operator's levers,
+    * and the filter covers the immutable compacted history while fresh
     * appends ride the residual join instead of forcing a rebuild.
     * Returns the number of hashes covered.
     */
   def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, fpp: Double = 0.01): Long =
-    buildPathSidecar(spark, storePath, storeSchema, "content_hash", fpp)
+      storePath: String, fpp: Double = 0.01, numShards: Int = 32): Long =
+    buildPathSidecar(spark, storePath, storeSchema, "content_hash", fpp,
+      numShards)
 
   /** The path-form sidecar builder shared across the store family
     * (SpanStore reuses it over its window-hash schema) — one
-    * implementation of the list-files → filter → atomic-install
+    * implementation of the list-files → build-shards → atomic-install
     * protocol, parameterized by store schema and hash column.
     */
   private[ingest] def buildPathSidecar(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       schema: org.apache.spark.sql.types.StructType, hashCol: String,
-      fpp: Double): Long = {
+      fpp: Double, numShards: Int = 32): Long = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val files = storeDataFiles(fs, store)
     if (files.isEmpty) { fs.delete(sidecarPath(storePath), false); return 0L }
     val df = spark.read.schema(schema)
       .parquet(files.map(_.toString): _*)
-    val n = df.count()
-    val bloom = df.stat.bloomFilter(hashCol, math.max(n, 1L), fpp)
-    writeSidecar(fs, sidecarPath(storePath), files, bloom)
+    buildShardedSidecar(spark, df, hashCol, fs,
+      sidecarPath(storePath), files, numShards, fpp)
+  }
+
+  /** Shared sharded-sidecar install protocol (both store forms): write
+    * a fresh generation directory `<manifest>.d-<uuid>` beside the
+    * manifest (for the bucketed form the manifest is `_bloom` inside
+    * the table directory, so the generation dir `_bloom.d-…` keeps the
+    * underscore prefix every parquet reader ignores), fill it with
+    * executor-built per-shard filters, commit via the manifest's atomic
+    * rename, then garbage-collect older generations. A crash anywhere
+    * before the commit leaves the previous manifest + generation fully
+    * intact.
+    */
+  private[ingest] def buildShardedSidecar(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      hashCol: String, fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path,
+      files: Seq[org.apache.hadoop.fs.Path], numShards: Int,
+      fpp: Double): Long = {
+    val parent = fs.makeQualified(manifest).getParent
+    val genPrefix = manifest.getName + ".d-"
+    val genName = genPrefix + java.util.UUID.randomUUID().toString
+    val shardDir = new org.apache.hadoop.fs.Path(parent, genName)
+    fs.mkdirs(shardDir)
+    val n = graft.functions.BloomShards.build(df, hashCol,
+      shardDir.toString, numShards, fpp)
+    writeSidecar(fs, manifest, files, genName, numShards)
+    for (st <- fs.listStatus(parent)
+         if st.isDirectory && st.getPath.getName.startsWith(genPrefix) &&
+           st.getPath.getName != genName)
+      fs.delete(st.getPath, true)
     n
   }
 
@@ -283,26 +349,26 @@ object DedupStore {
     * it as usual. BOTH still anti-join the residual files appended
     * since the sidecar was built — exactness does not depend on the
     * sidecar being fresh. No sidecar (or none of its files surviving)
-    * falls back to the plain [[newUnique]] plan. The probe is a scala
-    * UDF over the broadcast filter — it runs once per keeper row on a
-    * narrow frame, never inside the join hot path.
+    * falls back to the plain [[newUnique]] plan. The probe is the
+    * native codegen'd `bloom_probe` expression ([[graft.functions
+    * .BloomProbe]]) — it stays inside whole-stage codegen on the
+    * ingest predicate, loading only the probed row's shard.
     */
   def newUniqueWithBloom(docs: DataFrame, textCol: String, idCol: String,
       storePath: String): DataFrame = {
     val spark = docs.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    readSidecar(fs, sidecarPath(storePath)) match {
+    readSidecar(fs, sidecarPath(storePath)).flatMap(sc =>
+        probeFor(spark, fs, sidecarPath(storePath), sc).map((sc, _))) match {
       case None => newUnique(docs, textCol, idCol, storePath)
-      case Some((coveredNames, bloom)) =>
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
         val current = storeDataFiles(fs, store)
         val covered = current.filter(f => coveredNames.contains(f.getName))
         if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain =
-          udf((h: String) => h != null && bc.value.mightContainString(h))
         val k = keepers(docs, textCol, idCol)
         val coveredDf = spark.read.schema(storeSchema)
           .parquet(covered.map(_.toString): _*)
@@ -391,9 +457,10 @@ object DedupStore {
     * names no longer exist. Returns hashes covered.
     */
   def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
-      table: String, fpp: Double = 0.01): Long = {
+      table: String, fpp: Double = 0.01, numShards: Int = 32): Long = {
     ensureBucketedStore(spark, table)
-    BucketedStore.buildBloomSidecar(spark, table, "content_hash", fpp)
+    BucketedStore.buildBloomSidecar(spark, table, "content_hash", fpp,
+      numShards)
   }
 
   /** [[newUniqueBucketed]] accelerated by the table's `_bloom` sidecar,
@@ -412,17 +479,17 @@ object DedupStore {
     ensureBucketedStore(spark, table)
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    readSidecar(fs, new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+    val manifest = new org.apache.hadoop.fs.Path(loc, "_bloom")
+    readSidecar(fs, manifest)
+        .flatMap(sc => probeFor(spark, fs, manifest, sc).map((sc, _))) match {
       case None => newUniqueBucketed(docs, textCol, idCol, table)
-      case Some((coveredNames, bloom)) =>
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
         val current = storeDataFiles(fs, loc)
         if (!current.exists(f => coveredNames.contains(f.getName)))
           return newUniqueBucketed(docs, textCol, idCol, table)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain =
-          udf((h: String) => h != null && bc.value.mightContainString(h))
         val k = keepers(docs, textCol, idCol)
         val maybe = k.filter(mightContain(col("content_hash")))
           .join(spark.table(table), Seq("content_hash"), "left_anti")

@@ -205,20 +205,19 @@ object NearDupStore {
     ensureBucketedStore(spark, table)
     val loc = BucketedStore.tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    DedupStore.readSidecar(fs,
-      new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+    val manifest = new org.apache.hadoop.fs.Path(loc, "_bloom")
+    DedupStore.readSidecar(fs, manifest).flatMap(sc =>
+        DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
       case None =>
         newNearUniqueBucketed(docs, textCol, idCol, table, minAgree)
-      case Some((coveredNames, bloom)) =>
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
         val current = DedupStore.storeDataFiles(fs, loc)
         if (!current.exists(f => coveredNames.contains(f.getName)))
           return newNearUniqueBucketed(docs, textCol, idCol, table,
             minAgree)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf((b: String) =>
-          b != null && bc.value.mightContainString(b))
         val bands = banded(docs, textCol, idCol)
         val hit = flaggedIds(bands.filter(mightContain(col("bk"))),
           spark.table(table).withColumnRenamed("sig", "stored_sig"),
@@ -241,9 +240,10 @@ object NearDupStore {
     * machinery; rebuild on the compaction schedule.
     */
   def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
-      table: String, fpp: Double = 0.01): Long = {
+      table: String, fpp: Double = 0.01, numShards: Int = 32): Long = {
     ensureBucketedStore(spark, table)
-    BucketedStore.buildBloomSidecar(spark, table, "band_key", fpp)
+    BucketedStore.buildBloomSidecar(spark, table, "band_key", fpp,
+      numShards)
   }
 
   /** [[compactStore]] for the bucketed table — the shared staging-table

@@ -202,8 +202,9 @@ object SpanStore {
     * siblings.
     */
   def buildBloomSidecar(spark: SparkSession, storePath: String,
-      fpp: Double = 0.01): Long =
-    DedupStore.buildPathSidecar(spark, storePath, storeSchema, "h", fpp)
+      fpp: Double = 0.01, numShards: Int = 32): Long =
+    DedupStore.buildPathSidecar(spark, storePath, storeSchema, "h", fpp,
+      numShards)
 
   /** [[newSpanUnique]] accelerated by the Bloom sidecar, split DISJOINT
     * on the bloom predicate: hit windows semi-join the CURRENT store
@@ -226,19 +227,19 @@ object SpanStore {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val effShare = maxDupShare / storedStride(spark, storePath)
-    DedupStore.readSidecar(fs, DedupStore.sidecarPath(storePath)) match {
+    val manifest = DedupStore.sidecarPath(storePath)
+    DedupStore.readSidecar(fs, manifest).flatMap(sc =>
+        DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
       case None =>
         newSpanUnique(docs, textCol, idCol, storePath, maxDupShare, k)
-      case Some((coveredNames, bloom)) =>
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
         val current = DedupStore.storeDataFiles(fs, store)
         if (!current.exists(f => coveredNames.contains(f.getName)))
           return newSpanUnique(docs, textCol, idCol, storePath,
             maxDupShare, k)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain =
-          udf((h: String) => h != null && bc.value.mightContainString(h))
         val w = windows(docs, textCol, idCol, k)
         val hitMatched = w.filter(mightContain(col("h")))
           .join(spark.read.schema(storeSchema)
@@ -371,20 +372,19 @@ object SpanStore {
     val effShare = maxDupShare / storedStrideBucketed(spark, table)
     val loc = DedupStore.tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    DedupStore.readSidecar(fs,
-      new org.apache.hadoop.fs.Path(loc, "_bloom")) match {
+    val manifest = new org.apache.hadoop.fs.Path(loc, "_bloom")
+    DedupStore.readSidecar(fs, manifest).flatMap(sc =>
+        DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
       case None =>
         newSpanUniqueBucketed(docs, textCol, idCol, table, maxDupShare, k)
-      case Some((coveredNames, bloom)) =>
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
         val current = DedupStore.storeDataFiles(fs, loc)
         if (!current.exists(f => coveredNames.contains(f.getName)))
           return newSpanUniqueBucketed(docs, textCol, idCol, table,
             maxDupShare, k)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain =
-          udf((h: String) => h != null && bc.value.mightContainString(h))
         val w = windows(docs, textCol, idCol, k)
         val hitMatched = w.filter(mightContain(col("h")))
           .join(spark.table(table).withColumnRenamed("content_hash", "h"),
@@ -408,8 +408,8 @@ object SpanStore {
     * (same table shape). Rebuild on the compaction schedule.
     */
   def buildBloomSidecarBucketed(spark: SparkSession, table: String,
-      fpp: Double = 0.01): Long =
-    DedupStore.buildBloomSidecarBucketed(spark, table, fpp)
+      fpp: Double = 0.01, numShards: Int = 32): Long =
+    DedupStore.buildBloomSidecarBucketed(spark, table, fpp, numShards)
 
   /** [[compactStore]] for the bucketed table — DedupStore's staging-
     * table swap, verbatim (same table shape; single maintenance writer

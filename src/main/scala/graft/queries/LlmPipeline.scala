@@ -1448,6 +1448,33 @@ object LlmPipeline {
       .orderBy(idOut)
   }
 
+  /** Salt count for the pointer-jumping hop ([[labelHop]]). A
+    * template-infested corpus produces one giant component whose label
+    * becomes a hot join key — every member row looks up the SAME
+    * doc_id2, so an unsalted shuffle join lands the whole component on
+    * one reducer (exactly the stall q100/q102 exist to diagnose; at
+    * sf0.1 invisible, at 100× it is the stuck task). Salting spreads
+    * the hub key across `CcSalts` reducers at the cost of duplicating
+    * the (narrow, two-column) label frame CcSalts× on the build side —
+    * a fixed fan-out, priced against the worst-case stall it removes.
+    * Scale operators can raise it with cluster width; 8 keeps the
+    * local-mode bench flat.
+    */
+  private val CcSalts = 8
+
+  /** One pointer-jumping hop: label ← label(label). The join key is
+    * the current label (the HOT key in a skewed component structure),
+    * so it runs through [[graft.layout.Layout.saltedJoin]] —
+    * PropertySpec pins both label parity with the unsalted form and
+    * the hub key spreading across >1 partition. Package-visible for
+    * that spec.
+    */
+  private[graft] def labelHop(labels: DataFrame, salts: Int): DataFrame =
+    graft.layout.Layout.saltedJoin(
+      labels.select(col("doc_id"), col("label").as("hop")),
+      labels.toDF("hop", "label2"), "hop", salts)
+      .select(col("doc_id"), col("label2").as("label"))
+
   /** Connected components over an undirected pair list (doc_a, doc_b)
     * → (doc_id, label) for every endpoint, label = component-min
     * doc_id. The iterative min-label propagation documented on q60;
@@ -1455,7 +1482,8 @@ object LlmPipeline {
     * eagerly materialized (localCheckpoint) — callers can reference it
     * any number of times without re-running the loop.
     */
-  private def connectedComponents(pairsIn: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairsIn: DataFrame,
+      salts: Int = CcSalts): DataFrame = {
     val pairs = pairsIn.persist()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
@@ -1511,10 +1539,7 @@ object LlmPipeline {
       val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      val jumped = labels.toDF("doc_id2", "label2")
-      val viaLabels = labels
-        .join(jumped, labels("label") === jumped("doc_id2"))
-        .select(labels("doc_id"), col("label2").as("label"))
+      val viaLabels = labelHop(labels, salts)
       val (next, s2) = checkpointed(
         labels.unionByName(viaEdges).unionByName(viaLabels)
           .groupBy("doc_id").agg(min(col("label")).as("label")), i)

@@ -226,4 +226,62 @@ class FunctionsSpec extends SparkSuite {
       else assert(bitsEq(q.getDouble(3), r.getDouble(4)))
     }
   }
+
+  test("bloom_probe: shard router matches pmod(hash), probe is " +
+    "bit-identical to a direct per-shard filter probe, null -> false") {
+    import spark.implicits._
+    import graft.functions.BloomShards
+    Functions.register(spark)
+    val s = 16
+    val rnd = new scala.util.Random(11)
+    val hashes = Seq.fill(400)(
+      java.lang.Long.toHexString(rnd.nextLong())).distinct
+    // 1. the JVM shard router and the DF pmod(hash(), s) used by the
+    // build are bit-identical (same Murmur3 seed over UTF-8 bytes) —
+    // the structural precondition the whole sharded design rests on
+    hashes.toDF("h")
+      .select(col("h"), pmod(hash(col("h")), lit(s)).as("s"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) === BloomShards.shardOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            r.getString(0)), s))
+      }
+    // 2. build a sharded set over half the hashes; the expression's
+    // answer equals a driver-side probe of the SAME shard files with
+    // the old UDF's mightContainString — bit parity with the UDF form
+    val dir = java.nio.file.Files.createTempDirectory("bloomshards")
+      .toString
+    val (recorded, fresh) = hashes.splitAt(hashes.size / 2)
+    assert(BloomShards.build(recorded.toDF("h"), "h", dir, s, 0.01)
+      === recorded.size.toLong)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val shardFilters = (0 until s).map { sid =>
+      val p = new org.apache.hadoop.fs.Path(dir,
+        BloomShards.shardFileName(sid))
+      sid -> (if (!fs.exists(p)) None else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      })
+    }.toMap
+    def direct(h: String): Boolean = {
+      val sid = BloomShards.shardOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(h), s)
+      shardFilters(sid).exists(_.mightContainString(h))
+    }
+    val got = (recorded ++ fresh).toDF("h")
+      .select(col("h"),
+        call_function("bloom_probe", col("h"), lit(dir), lit(s)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1))
+    got.foreach { case (h, p) => assert(p === direct(h), s"hash $h") }
+    // recorded hashes can never miss; fresh ones mostly do (fpp 1%)
+    recorded.foreach(h => assert(direct(h)))
+    assert(fresh.count(direct) <= math.max(2, fresh.size / 10))
+    // 3. null input is false, not null (the UDF's null semantics)
+    val np = Seq[Option[String]](None).toDF("h")
+      .select(call_function("bloom_probe", col("h"), lit(dir), lit(s))
+        .as("p")).collect()
+    assert(!np.head.isNullAt(0) && !np.head.getBoolean(0))
+  }
 }

@@ -674,6 +674,57 @@ class IngestSpec extends SparkSuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("sharded bloom sidecar: per-shard executor-built filters, each " +
+    "sized for its own shard (build memory bounded by largest shard, " +
+    "never the store); rebuild GCs the old generation") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val dir = tmpDir("dedupstore-sharded")
+    val store = dir + "/hashes"
+    val docs = (1 to 2000).map(i => (i.toLong, s"doc text $i"))
+      .toDF("doc_id", "text")
+    D.recordHashes(docs, "text", store)
+    assert(D.buildBloomSidecar(spark, store, fpp = 0.01, numShards = 8)
+      === 2000L)
+    val parent = new org.apache.hadoop.fs.Path(dir)
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    def gens() = fs.listStatus(parent).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("hashes.bloom.d-"))
+    val g1 = gens()
+    assert(g1.length === 1, "exactly one live sidecar generation")
+    val shardFiles = fs.listStatus(g1.head.getPath)
+      .filter(_.getPath.getName.endsWith(".bloom"))
+    assert(shardFiles.nonEmpty && shardFiles.length <= 8)
+    // the memory-bound law: NO filter anywhere was sized for the whole
+    // store — every shard's bit array is a fraction of the single
+    // filter the old driver-side build would have allocated
+    val wholeStoreBits = org.apache.spark.util.sketch.BloomFilter
+      .create(2000L, 0.01).bitSize()
+    for (sfile <- shardFiles) {
+      val in = fs.open(sfile.getPath)
+      val b = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+      assert(b.bitSize() <= wholeStoreBits / 4,
+        s"shard ${sfile.getPath.getName} sized for the whole store " +
+          s"(${b.bitSize()} vs $wholeStoreBits bits)")
+    }
+    // answer parity with the exact plain path under a fresh sidecar
+    val b2 = (1 to 50).map(i => (3000L + i,
+      if (i % 2 == 0) s"doc text $i" else s"novel $i"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(D.newUniqueWithBloom(b2, "text", "doc_id", store))
+      === ids(D.newUnique(b2, "text", "doc_id", store)))
+    // rebuild replaces the generation atomically and GCs the old one
+    assert(D.buildBloomSidecar(spark, store, fpp = 0.01, numShards = 8)
+      === 2000L)
+    val g2 = gens()
+    assert(g2.length === 1 &&
+      g2.head.getPath.getName != g1.head.getPath.getName,
+      "rebuild must install a fresh generation and GC the old")
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(

@@ -259,4 +259,35 @@ class PlanSpec extends SparkSuite {
       assert(cols.subsetOf(Set("l_suppkey")),
         s"q102 reads unneeded fact columns: $cols")
   }
+
+  test("bloom_probe predicate stays inside WholeStageCodegen — the " +
+    "ingest fast path never falls back to a row-at-a-time UDF filter") {
+    import spark.implicits._
+    graft.functions.Functions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bloomplan").toString
+    graft.functions.BloomShards.build(
+      Seq("a1", "b2", "c3").toDF("h"), "h", dir, 4, 0.01)
+    // a parquet-backed scan: a local relation would be folded driver-side
+    // and leave no FilterExec to pin
+    val src = java.nio.file.Files.createTempDirectory("bloomplan-src")
+      .toString + "/rows"
+    Seq("a1", "zz").toDF("h").write.parquet(src)
+    val probed = spark.read.parquet(src)
+      .filter(org.apache.spark.sql.functions.call_function(
+        "bloom_probe", org.apache.spark.sql.functions.col("h"),
+        org.apache.spark.sql.functions.lit(dir),
+        org.apache.spark.sql.functions.lit(4)))
+    val exec = probed.queryExecution.executedPlan
+    val codegenFilters = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.collectFirst {
+            case f: org.apache.spark.sql.execution.FilterExec
+                if f.condition.exists(
+                  _.isInstanceOf[graft.functions.BloomProbe]) => f
+          }.nonEmpty => w
+    }
+    assert(codegenFilters.nonEmpty,
+      s"bloom_probe filter not inside WholeStageCodegen:\n$exec")
+    assert(probed.collect().map(_.getString(0)).toSeq === Seq("a1"))
+  }
 }

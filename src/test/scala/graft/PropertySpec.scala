@@ -531,4 +531,49 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("component-loop skew law: a star graph (one hub component ≫ " +
+    "all others) yields identical labels salted and unsalted, and the " +
+    "salted label hop spreads the hub key across >1 partition") {
+    import spark.implicits._
+    val LP = graft.queries.LlmPipeline
+    // hub component: 1—2, 1—3, …, 1—400; plus small islands 1001—1002,
+    // 2001—2002 — the shape where every member's label collapses onto
+    // the hub's min id and the hop key goes hot
+    val hub = (2L to 400L).map(i => (1L, i))
+    val pairs = (hub ++ Seq((1001L, 1002L), (2001L, 2002L)))
+      .toDF("doc_a", "doc_b")
+    def labelMap(salts: Int): Map[Long, Long] =
+      LP.connectedComponents(pairs, salts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = labelMap(8)
+    val unsalted = labelMap(1)
+    assert(salted === unsalted, "salting changed the labels")
+    (2L to 400L).foreach(i => assert(salted(i) === 1L))
+    assert(salted(1002L) === 1001L && salted(2002L) === 2001L)
+    // partition assertion on the hop itself: 10k rows sharing one hot
+    // label must NOT all land on the reducer that owns that label's
+    // hash — the salt must fan them out. AQE coalescing and broadcast
+    // joins are pinned off so the assertion measures the shuffled
+    // join's reducer placement, not a small-data special case.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hot = (1L to 10000L).map(i => (i, 1L)).toDF("doc_id", "label")
+      def hopPids(salts: Int): Long = LP.labelHop(hot, salts)
+        .withColumn("pid", spark_partition_id())
+        .select("pid").distinct().count()
+      val pids = hopPids(8)
+      assert(pids > 1,
+        s"hub key still lands on a single partition (pids=$pids)")
+      val pids1 = hopPids(1)
+      assert(pids1 === 1L, "control: unsalted hop should collapse to " +
+        s"one partition, got $pids1 — the assertion above is vacuous")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
