@@ -84,14 +84,22 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // (name, median, spread)
     val results: Seq[(String, Double, Double)] = names.map { n =>
-      // Between queries (outside any timed region): a driver GC lets
-      // the ContextCleaner reclaim RDD blocks the previous queries'
-      // materialized frames left behind (localCheckpoint storage is
-      // only freed once the RDD object is collected), so a query's
-      // timing reflects its own work, not the heap debt of the 50+
-      // queries before it — the r9 q87/q90 spreads of 7-9 s sat
-      // directly downstream of the loop-heavy q60/q80/q83 block.
-      if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
+      // Between queries (outside any timed region): first BLOCKING-
+      // unpersist every RDD the previous query left persisted — the
+      // materialize/localCheckpoint blocks inside eager builders (q56/
+      // q60-family/q61/q86/q97) are only reclaimed by the async
+      // ContextCleaner after a GC notices the dead reference, and that
+      // race charged up to 7 s of q90's residue to q91 in full passes
+      // (r11 full-pass q91 8 s vs 1.1 s solo). The explicit blocking
+      // pass frees executor storage deterministically; the GC then
+      // clears driver-side debt. Nothing from a previous registry
+      // query is ever read by the next (they are independent by
+      // construction), so this cannot evict live data.
+      if (!sys.env.contains("SPARK_GRAFT_NOGC")) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       try exec(n) // warm this query (codegen + JIT + file footers)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
@@ -107,13 +115,17 @@ object Bench {
       }
       if (times.isEmpty) (n, -1.0, 0.0)
       else {
-        // per-rep timings to stderr: when a spread is large, the JSON
-        // alone can't tell one 30 s environmental stall from three
-        // mediocre runs — the raw reps make the outlier attributable
-        // (observed r9: host-level stalls of ~30 s on single reps
-        // while the other two sat at the steady-state median).
-        System.err.println(s"[bench] ${shortOf(n)} reps: " +
-          times.map(t => f"$t%.3f").mkString(" "))
+        // per-rep timings to stderr — VERBOSE runs only: when a spread
+        // is large, the JSON alone can't tell one 30 s environmental
+        // stall from three mediocre runs, and the raw reps make the
+        // outlier attributable. Off by default because the driver
+        // captures a ~2 kB tail of the run's output and parses the
+        // JSON line out of it: every extra tail line risks crowding
+        // the contract line out of the window (BENCH_r11 recorded
+        // "parsed": null exactly this way).
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+          System.err.println(s"[bench] ${shortOf(n)} reps: " +
+            times.map(t => f"$t%.3f").mkString(" "))
         val s = times.sorted
         (n, s(s.size / 2), s.last - s.head)
       }
@@ -125,9 +137,11 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => jstr(shortOf(k)) + ":" + f3(v) }
       .mkString("{", ",", "}")
-    // full per-query spreads: stderr, next to the per-rep lines
-    System.err.println("[bench] spreads: " + results
-      .map { case (k, _, d) => s"${shortOf(k)}=${f3(d)}" }.mkString(" "))
+    // full per-query spreads: stderr, verbose runs only (tail-window
+    // hygiene — see the per-rep comment above)
+    if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+      System.err.println("[bench] spreads: " + results
+        .map { case (k, _, d) => s"${shortOf(k)}=${f3(d)}" }.mkString(" "))
     val spreadMax = results.filter(_._2 >= 0) match {
       case Seq() => ""
       case rs =>
@@ -147,7 +161,11 @@ object Bench {
     only.foreach(fs => System.err.println(
       s"[bench] PARTIAL RUN: SPARK_GRAFT_ONLY=${fs.mkString(",")} " +
         s"restricted the surface to ${names.size} queries"))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs$spreadMax$errJson$onlyJson,"sf":"$sfDir"}""")
+    // the contract line goes out LAST-AND-ALONE: stop Spark first (its
+    // shutdown can emit WARN lines that would otherwise land in the
+    // driver's tail window after the JSON), then print and flush.
     spark.stop()
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs$spreadMax$errJson$onlyJson,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

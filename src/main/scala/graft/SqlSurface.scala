@@ -12,14 +12,38 @@ import graft.ingest.Warehouse
   * registry query — as session views, after which `spark.sql("SELECT
   * … FROM ventes")` (or any ad-hoc text a dashboard emits) just works.
   *
-  * Views are metadata only: each one binds a NAME to the same lazy
-  * plan the DataFrame form builds, so SQL text gets the identical
-  * Catalyst treatment — pushdown, pruning, broadcast selection — and
-  * the identical answers (SqlSurfaceSpec pins result parity between
-  * the SQL and DataFrame forms). Nothing is copied or materialized at
-  * registration, so the call is free at any data scale.
+  * TABLE views are metadata only: each one binds a NAME to a lazy scan
+  * plan, so SQL text gets the identical Catalyst treatment — pushdown,
+  * pruning, broadcast selection — and the identical answers
+  * (SqlSurfaceSpec pins result parity between the SQL and DataFrame
+  * forms); registering them is free at any data scale. QUERY views are
+  * mostly the same — but a minority of registry builders
+  * ([[eagerQueries]]: the connected-components family, the k-means
+  * trainers, the barrier-materialized token pipelines) RUN their
+  * iterative/materialization work when the builder is invoked, and
+  * their views bind to labels frozen at registration time.
+  * [[registerQueries]] therefore skips them by default; opt in with
+  * `includeEager = true` (accepting the registration cost and the
+  * snapshot semantics) or register one on first reference with
+  * [[registerQuery]].
   */
 object SqlSurface {
+
+  /** Registry queries whose BUILDER runs Spark jobs when invoked —
+    * iterative label propagation (connectedComponents: q60/q80/q83/
+    * q100/q105), k-means training (q87/q88/q91/q96), or an eager
+    * barrier materialization inside the plan (q56/q61/q86/q97). Their
+    * views are SNAPSHOTS: the expensive part runs at registration and
+    * the view serves those frozen results until re-registered. Every
+    * other registry view is a lazy plan that recomputes per query,
+    * like any SQL view.
+    */
+  val eagerQueries: Set[String] = Set(
+    "q56_chunk_dedup", "q60_neardup_clusters", "q61_lexical_search",
+    "q80_pipeline_e2e", "q83_semantic_clusters", "q86_collocations",
+    "q87_kmeans", "q88_cluster_sample", "q91_ivf_stats",
+    "q96_cluster_separation", "q97_vocab_coverage",
+    "q100_cluster_sizes", "q105_quality_keeper")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft
@@ -48,22 +72,45 @@ object SqlSurface {
     }
   }
 
-  /** Register every registry query as a view named by its key
+  /** Register registry queries as views named by their key
     * (`q01_pricing_summary` … `q105_quality_keeper`) over the testdata
     * at `dir` — `SELECT * FROM q03_topk_customers` is then the SQL
     * spelling of the DataFrame registry call, sharing one plan
     * definition (no drift between the two surfaces is possible).
+    * [[eagerQueries]] are SKIPPED unless `includeEager` — their
+    * builders run their full iterative/materialization work at
+    * registration and the views snapshot (class doc); register one on
+    * demand with [[registerQuery]] instead. Returns the names
+    * registered.
     */
-  def registerQueries(spark: SparkSession, dir: String): Unit =
-    SparkEntry.queries.foreach { case (name, q) =>
-      q(spark, dir).createOrReplaceTempView(name)
+  def registerQueries(spark: SparkSession, dir: String,
+      includeEager: Boolean = false): Seq[String] =
+    SparkEntry.queries.toSeq.collect {
+      case (name, q) if includeEager || !eagerQueries.contains(name) =>
+        q(spark, dir).createOrReplaceTempView(name)
+        name
     }
 
-  /** The full SQL surface in one call: base tables + all registry
-    * query views over `dir`.
+  /** Register ONE registry query view on demand — the
+    * first-reference path for [[eagerQueries]] (pay its registration
+    * cost when a dashboard actually asks for it; re-register to
+    * refresh the snapshot). Works for any registry name.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
+  def registerQuery(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val q = SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown registry query $name"))
+    q(spark, dir).createOrReplaceTempView(name)
+  }
+
+  /** The full SQL surface in one call: base tables + registry query
+    * views over `dir` (minus [[eagerQueries]] unless `includeEager` —
+    * see [[registerQueries]]).
+    */
+  def registerAll(spark: SparkSession, dir: String,
+      includeEager: Boolean = false): Unit = {
     registerTables(spark, dir)
-    registerQueries(spark, dir)
+    registerQueries(spark, dir, includeEager)
+    ()
   }
 }

@@ -30,11 +30,24 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    // Newer testdata generations write TIMESTAMP(MICROS) without UTC
+    // adjustment, which Spark 4 reads as TIMESTAMP_NTZ. NTZ supports no
+    // epoch arithmetic (cast to numeric is an analysis error), so the
+    // sessionize/as-of/window queries would not even plan. Under the
+    // UTC session every entry point pins, the LTZ form is VALUE-
+    // identical to the naive reading (and to the DuckDB oracle's naive
+    // TIMESTAMP) — normalize every NTZ column once, at the scan.
+    nanosFixed.schema.fields
+      .filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed)((d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(TimestampType)))
   }
 
   // --- Reference warehouse schemas (init-db/init.sql:21-60) ------------

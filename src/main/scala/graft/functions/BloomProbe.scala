@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
@@ -66,14 +64,22 @@ object BloomShards {
   def shardFileName(sid: Int): String = f"s=$sid%05d.bloom"
 
   // Executor-global shard cache: generation-dir + shard id → loaded
-  // filter (or the Missing sentinel for a shard that recorded no rows —
-  // a definite "never recorded"). Generation dirs are immutable, so
-  // entries can never go stale; the crude clear() bound caps memory at
-  // MaxCached shards per executor, and a re-load after a clear is one
-  // small sequential FS read.
-  private val Missing: AnyRef = new Object
-  private val MaxCached = 1024
-  private val cache = new ConcurrentHashMap[String, AnyRef]()
+  // filter (or the Vanished sentinel for a shard file that does not
+  // exist). Generation dirs are immutable, so entries can never go
+  // stale. Bounded by accumulated filter BYTES (not entry count — a
+  // count bound lets one executor accumulate multiple generations of
+  // multi-GB filters before tripping) with LRU eviction: the
+  // access-ordered LinkedHashMap iterates least-recently-used first,
+  // so eviction drops cold shards while hot entries of concurrent
+  // queries survive. Default 1 GiB per executor, tunable via
+  // -Dgraft.bloom.cacheBytes on the executor JVM.
+  private val Vanished: AnyRef = new Object
+  private val MaxCacheBytes: Long =
+    java.lang.Long.getLong("graft.bloom.cacheBytes", 1L << 30)
+  private final class Entry(val v: AnyRef, val bytes: Long)
+  private val cache =
+    new java.util.LinkedHashMap[String, Entry](64, 0.75f, true)
+  private var cachedBytes = 0L
 
   private def load(dir: String, sid: Int): AnyRef = {
     val p = new Path(dir, shardFileName(sid))
@@ -81,29 +87,56 @@ object BloomShards {
     // the executor classpath (core-site/hdfs-site) — the standard
     // task-side Hadoop access path; local FS in local mode
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Missing
+    if (!fs.exists(p)) Vanished
     else {
       val in = fs.open(p)
       try BloomFilter.readFrom(in) finally in.close()
     }
   }
 
-  /** Probe `h` against its shard's filter. Null → false (not
-    * recorded); missing shard file → false (nothing was recorded into
-    * that shard). Called from both the interpreted and the generated
-    * code path of [[BloomProbe]].
+  /** Probe `h` against its shard's filter. Null → false (a null hash
+    * was never recorded). A MISSING shard file → **true**
+    * (maybe-contained): a complete build writes a filter file for
+    * EVERY shard (empty ones included), so absence means the
+    * generation vanished under the reader — a concurrent rebuild's GC
+    * won the race after this query resolved its probe at plan time.
+    * Returning "maybe" routes those rows through the store's exact
+    * anti/semi join, preserving the exactness contract; the old
+    * false-on-missing answer silently admitted duplicates as
+    * "definitely new". Called from both the interpreted and the
+    * generated code path of [[BloomProbe]].
     */
   def mightContain(dir: String, numShards: Int, h: UTF8String): Boolean = {
     if (h == null) return false
     val sid = shardOf(h, numShards)
     val key = dir + "#" + sid
-    var v = cache.get(key)
-    if (v == null) {
-      v = load(dir, sid)
-      if (cache.size >= MaxCached) cache.clear()
-      cache.put(key, v)
+    var v: AnyRef = cache.synchronized {
+      val e = cache.get(key) // get() refreshes LRU access order
+      if (e == null) null else e.v
     }
-    if (v eq Missing) false
+    if (v == null) {
+      v = load(dir, sid) // outside the lock; duplicate loads are benign
+      val bytes = v match {
+        case b: BloomFilter => b.bitSize() / 8 + 64
+        case _ => 64L
+      }
+      cache.synchronized {
+        if (!cache.containsKey(key)) {
+          cache.put(key, new Entry(v, bytes))
+          cachedBytes += bytes
+        }
+        val it = cache.entrySet().iterator()
+        while (cachedBytes > MaxCacheBytes && cache.size > 1 &&
+            it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            cachedBytes -= e.getValue.bytes
+            it.remove()
+          }
+        }
+      }
+    }
+    if (v eq Vanished) true
     else v.asInstanceOf[BloomFilter].mightContainBinary(h.getBytes)
   }
 
@@ -119,12 +152,42 @@ object BloomShards {
       s"bloom shard: could not install $target")
   }
 
+  /** Bytes a Bloom filter spends per recorded element at `fpp` —
+    * `-ln(fpp) / ln²2 / 8` (≈1.2 B at 1%). Drives [[autoShards]].
+    */
+  def bytesPerItem(fpp: Double): Double =
+    -math.log(fpp) / (math.log(2) * math.log(2)) / 8.0
+
+  /** Target on-disk/in-cache size of ONE shard filter for the
+    * auto-sized build: 192 MB — big enough that shard-file count stays
+    * modest, small enough that a task building it and an executor
+    * caching several stay far from any memory wall.
+    */
+  val TargetShardBytes: Long = 192L << 20
+
+  /** Shard count derived from the STORE, not a constant: enough shards
+    * that each filter lands near [[TargetShardBytes]], floored at 32
+    * (the historical default — small stores keep their layout). A
+    * fixed 32 re-created the memory wall one level down: the span
+    * store records ~1 row per corpus character, so a 100 TB corpus
+    * implies tens of GB of total filter — ÷32 is still GB-scale per
+    * build task and per executor cache entry. rows/192 MB caps every
+    * shard at a fixed, scale-independent size instead.
+    */
+  def autoShards(rows: Long, fpp: Double,
+      targetBytes: Long = TargetShardBytes): Int =
+    math.min(1L << 20,
+      math.max(32L, math.ceil(
+        rows.toDouble * bytesPerItem(fpp) / targetBytes).toLong)).toInt
+
   /** Build the sharded filter set for `df`'s `hashCol` into `shardDir`
-    * (one `s=NNNNN.bloom` file per non-empty shard, written
-    * EXECUTOR-side). Returns rows covered. Each shard's filter is sized
-    * for that shard's own row count (one cheap numShards-row
-    * aggregation up front), so no filter anywhere is sized for — or
-    * holds — the whole store.
+    * (one `s=NNNNN.bloom` file per shard — EMPTY SHARDS INCLUDED, so
+    * after a complete build a missing file can only mean the
+    * generation itself vanished, the signal [[mightContain]] maps to
+    * maybe-contained — written EXECUTOR-side). Returns rows covered.
+    * Each shard's filter is sized for that shard's own row count (one
+    * cheap numShards-row aggregation up front), so no filter anywhere
+    * is sized for — or holds — the whole store.
     */
   def build(df: DataFrame, hashCol: String, shardDir: String,
       numShards: Int, fpp: Double): Long = {
@@ -148,21 +211,20 @@ object BloomShards {
     }
     // RDD drop is deliberate (SURVEY ladder step (d)): per-partition
     // imperative side-effect writes with an identity partitioner — the
-    // one shape that guarantees task memory = exactly one shard.
+    // one shape that guarantees task memory = exactly one shard. The
+    // partition INDEX is the shard id (identity partitioner), so empty
+    // partitions still know which file to write.
     withShard.rdd.map(r => (r.getInt(1), r.getString(0)))
       .partitionBy(part)
-      .foreachPartition { it =>
-        if (it.hasNext) {
-          val buf = it.buffered
-          val sid = buf.head._1
-          val bloom = BloomFilter.create(
-            math.max(bcCounts.value.getOrElse(sid, 1L), 1L), fpp)
-          buf.foreach { case (_, h) => bloom.putString(h) }
-          val dir = new Path(shardDir)
-          writeShard(dir.getFileSystem(new Configuration()), dir, sid,
-            bloom)
-        }
-      }
+      .mapPartitionsWithIndex { (sid, it) =>
+        val bloom = BloomFilter.create(
+          math.max(bcCounts.value.getOrElse(sid, 1L), 1L), fpp)
+        it.foreach { case (_, h) => bloom.putString(h) }
+        val dir = new Path(shardDir)
+        writeShard(dir.getFileSystem(new Configuration()), dir, sid,
+          bloom)
+        Iterator.empty
+      }.count()
     total
   }
 }

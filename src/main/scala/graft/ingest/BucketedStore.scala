@@ -63,10 +63,15 @@ private[ingest] object BucketedStore {
         spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
 
   /** Rewrite to one row per distinct store row via the staging-table
-    * swap. Returns (rowsBefore, rowsAfter).
+    * swap. Returns (rowsBefore, rowsAfter). `transform` runs on top of
+    * the distinct during the staging write — the stores' retraction
+    * hook (tombstoned rows are dropped here, and the old table
+    * directory's `_tombstones` goes down with the DROP half of the
+    * swap, which is what physically clears applied tombstones).
     */
-  def compact(spark: SparkSession, table: String,
-      bucketCol: String): (Long, Long) = {
+  def compact(spark: SparkSession, table: String, bucketCol: String,
+      transform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity): (Long, Long) = {
     recoverSwap(spark, table)
     if (!spark.catalog.tableExists(table)) return (0L, 0L)
     val b = bucketsOf(spark, table)
@@ -74,7 +79,7 @@ private[ingest] object BucketedStore {
     spark.sql(s"DROP TABLE IF EXISTS $staging") // stale pre-drop leftover
     val before = spark.table(table).count()
     graft.layout.Layout.writeBucketed(
-      spark.table(table).distinct(), staging, b, bucketCol)
+      transform(spark.table(table).distinct()), staging, b, bucketCol)
     // store-level metadata (e.g. SpanStore's recorded stride) is a
     // property of the DATA and must ride the swap: copy graft.*
     // properties onto staging BEFORE the drop, so even a crash between
@@ -101,12 +106,12 @@ private[ingest] object BucketedStore {
     * removed).
     */
   def buildBloomSidecar(spark: SparkSession, table: String, col: String,
-      fpp: Double, numShards: Int = 32): Long = {
+      fpp: Double, numShards: Int = 0): Long = {
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val files = DedupStore.storeDataFiles(fs, loc)
     val side = new org.apache.hadoop.fs.Path(loc, "_bloom")
-    if (files.isEmpty) { fs.delete(side, false); return 0L }
+    if (files.isEmpty) { DedupStore.removeSidecar(fs, side); return 0L }
     DedupStore.buildShardedSidecar(spark, spark.table(table), col, fs,
       side, files, numShards, fpp)
   }

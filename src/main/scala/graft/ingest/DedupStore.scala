@@ -55,9 +55,13 @@ object DedupStore {
     // data files yet (crashed first append = only _temporary/_SUCCESS)
     // must degrade to an EMPTY store, not an un-inferable-schema error
     // that wedges every later batch
-    if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    val base =
+      if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    minusTombstones(base,
+      readTombstones(spark, tombstonesPath(storePath), storeSchema),
+      Seq("content_hash"))
   }
 
   /** Rows of `docs` never seen before, with the computed `content_hash`
@@ -176,9 +180,150 @@ object DedupStore {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0, 0)
-    graft.layout.Layout.rewriteInPlace(spark, storePath,
-      targetFileBytes)(_.distinct())
+    compactApplyingTombstones(spark, storePath, storeSchema,
+      Seq("content_hash"), targetFileBytes)
   }
+
+  // ── Retraction (takedown) ──────────────────────────────────────────
+  //
+  // The first lifecycle op a production corpus store needs beyond
+  // append: REMOVAL (licensing, GDPR, opt-out). Two-phase, mirroring
+  // the record side's contract:
+  //
+  //  phase 1 — retract() appends the keys to a TOMBSTONE set (path
+  //    form: the sibling `<store>.tombstones` directory; bucketed
+  //    form: `_tombstones/` inside the table directory, underscore-
+  //    prefixed so the table scan ignores it). The durable append is
+  //    the COMMIT POINT: every probe subtracts live tombstones from
+  //    the store side of its join, so a retracted key reports
+  //    never-seen from the next query on — no rewrite needed first.
+  //  phase 2 — the next compaction physically drops tombstoned rows
+  //    (the rewrite's transform anti-joins a SNAPSHOT of the tombstone
+  //    files) and then clears exactly that snapshot (path form) or
+  //    drops the old table directory wholesale (bucketed form's swap).
+  //
+  // Crash anywhere between the phases re-applies: tombstones are
+  // durable, probes keep subtracting, the next compaction drops the
+  // rows again (an anti-join against rows already gone is a no-op).
+  // Tombstones appended DURING a compaction survive it (the snapshot
+  // bounds what is cleared). RE-ADMISSION after a retraction needs a
+  // compaction in between: a key re-recorded while its tombstone is
+  // still pending stays masked until the compaction clears it (single
+  // maintenance writer, the family's standing assumption).
+  //
+  // Bloom sidecars need no coordination: a sidecar may still cover
+  // retracted keys, but a bloom "maybe" only routes rows into the
+  // exact join — which subtracts tombstones — so the answer is
+  // already right; the scheduled rebuild tightens the filter.
+
+  private[graft] def tombstonesPath(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath + ".tombstones")
+
+  private[graft] def bucketedTombstonesDir(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      BucketedStore.tableLocation(spark, table), "_tombstones")
+
+  /** The live tombstone frame under `dir`, or None when none exist.
+    * Read by explicit file list so a concurrent phase-2 clear (which
+    * deletes a snapshot of files) cannot race the directory listing.
+    */
+  private[ingest] def readTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = storeDataFiles(fs, dir)
+    if (files.isEmpty) None
+    else Some(spark.read.schema(schema).parquet(files.map(_.toString): _*))
+  }
+
+  /** Phase 1: durably append `rows` (already projected to the store's
+    * key schema) to the tombstone set at `dir`. The pre-append
+    * localCheckpoint is the family's self-scan guard.
+    */
+  private[ingest] def appendTombstones(rows: DataFrame,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val mat = rows.distinct().localCheckpoint(true)
+    try mat.write.mode(SaveMode.Append).parquet(dir.toString)
+    finally mat.unpersist()
+  }
+
+  /** Store frame minus live tombstones. The tombstone side is small
+    * (takedown lists, not corpora), so Catalyst broadcasts it and the
+    * store side's distribution — bucketed or not — passes through the
+    * broadcast anti-join unchanged: the zero-exchange plans keep their
+    * property.
+    */
+  private[ingest] def minusTombstones(store: DataFrame,
+      tomb: Option[DataFrame], keys: Seq[String]): DataFrame =
+    tomb.fold(store)(t => store.join(t, keys, "left_anti"))
+
+  /** Phase 2 core for the path stores: rewrite to distinct rows minus
+    * a snapshot of the tombstone files, then clear exactly that
+    * snapshot. Shared across the family (schema/keys parameterized).
+    */
+  private[ingest] def compactApplyingTombstones(
+      spark: org.apache.spark.sql.SparkSession, storePath: String,
+      schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
+      targetFileBytes: Long): (Int, Int) = {
+    val tombDir = tombstonesPath(storePath)
+    val fs = tombDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val snapshot = storeDataFiles(fs, tombDir)
+    val tomb = if (snapshot.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(snapshot.map(_.toString): _*))
+    val r = graft.layout.Layout.rewriteInPlace(spark, storePath,
+      targetFileBytes)(df => minusTombstones(df.distinct(), tomb, keys))
+    // the swap is committed; clear ONLY the snapshot (tombstones
+    // appended mid-compaction stay live for the next one). A crash
+    // before these deletes leaves applied tombstones in place —
+    // harmless (subtracting absent rows) until the next compaction
+    // clears them.
+    snapshot.foreach(f => fs.delete(f, false))
+    r
+  }
+
+  /** Retract documents by content: phase 1 of the takedown protocol
+    * (class comment above) for the path store. The batch's hashes are
+    * computed with the store's own derivation, so retract-by-text is
+    * exact against what record-by-text stored.
+    */
+  def retract(docs: DataFrame, textCol: String, storePath: String): Unit =
+    retractHashes(docs.select(hashOf(textCol).as("content_hash")),
+      storePath)
+
+  /** Retract by precomputed hash (`content_hash` column) — the form a
+    * takedown list arrives in when the original text is itself no
+    * longer storable.
+    */
+  def retractHashes(hashes: DataFrame, storePath: String): Unit =
+    appendTombstones(hashes.select("content_hash"),
+      tombstonesPath(storePath))
+
+  /** [[retract]] for the bucketed store table. */
+  def retractBucketed(docs: DataFrame, textCol: String,
+      table: String): Unit =
+    retractHashesBucketed(
+      docs.select(hashOf(textCol).as("content_hash")), table)
+
+  /** [[retractHashes]] for the bucketed store table. */
+  def retractHashesBucketed(hashes: DataFrame, table: String): Unit = {
+    val spark = hashes.sparkSession
+    ensureBucketedStore(spark, table)
+    appendTombstones(hashes.select("content_hash"),
+      bucketedTombstonesDir(spark, table))
+  }
+
+  /** The bucketed store's scan minus live tombstones — every bucketed
+    * probe reads the table through this.
+    */
+  private[ingest] def storeTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    minusTombstones(spark.table(table),
+      readTombstones(spark, bucketedTombstonesDir(spark, table),
+        storeSchema), Seq("content_hash"))
 
   // ── Bloom-filter sidecar (batch-side prune for the path store) ─────
   //
@@ -200,10 +345,10 @@ object DedupStore {
   // residual degrades to the whole store — still exact, just no prune
   // until the next [[buildBloomSidecar]] (schedule it with compaction).
 
-  private[ingest] def sidecarPath(storePath: String) =
+  private[graft] def sidecarPath(storePath: String) =
     new org.apache.hadoop.fs.Path(storePath + ".bloom")
 
-  private[ingest] def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
     if (!fs.exists(store)) Seq.empty
     else fs.listStatus(store).toSeq
@@ -219,7 +364,7 @@ object DedupStore {
     * them, and the generation uuid in the directory name makes executor
     * caches and concurrent readers immune to rebuilds.
     */
-  private[ingest] case class ShardedSidecar(covered: Set[String],
+  private[graft] case class ShardedSidecar(covered: Set[String],
       shardDirName: String, numShards: Int)
 
   private[ingest] def writeSidecar(fs: org.apache.hadoop.fs.FileSystem,
@@ -245,7 +390,7 @@ object DedupStore {
     * v1 single-filter format) read as ABSENT — the probes fall back to
     * the exact plain-join plan, never to a misinterpreted filter.
     */
-  private[ingest] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path): Option[ShardedSidecar] = {
     if (!fs.exists(target)) return None
     val in = new java.io.DataInputStream(fs.open(target))
@@ -289,7 +434,7 @@ object DedupStore {
     * Returns the number of hashes covered.
     */
   def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-      storePath: String, fpp: Double = 0.01, numShards: Int = 32): Long =
+      storePath: String, fpp: Double = 0.01, numShards: Int = 0): Long =
     buildPathSidecar(spark, storePath, storeSchema, "content_hash", fpp,
       numShards)
 
@@ -301,11 +446,11 @@ object DedupStore {
   private[ingest] def buildPathSidecar(
       spark: org.apache.spark.sql.SparkSession, storePath: String,
       schema: org.apache.spark.sql.types.StructType, hashCol: String,
-      fpp: Double, numShards: Int = 32): Long = {
+      fpp: Double, numShards: Int = 0): Long = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val files = storeDataFiles(fs, store)
-    if (files.isEmpty) { fs.delete(sidecarPath(storePath), false); return 0L }
+    if (files.isEmpty) { removeSidecar(fs, sidecarPath(storePath)); return 0L }
     val df = spark.read.schema(schema)
       .parquet(files.map(_.toString): _*)
     buildShardedSidecar(spark, df, hashCol, fs,
@@ -328,19 +473,45 @@ object DedupStore {
       manifest: org.apache.hadoop.fs.Path,
       files: Seq[org.apache.hadoop.fs.Path], numShards: Int,
       fpp: Double): Long = {
+    // numShards = 0 → derive from the store's row count so every shard
+    // filter lands near BloomShards.TargetShardBytes (floor 32). One
+    // cheap count over the store — sidecar builds are maintenance ops
+    // on the compaction schedule, not the ingest hot path.
+    val shards =
+      if (numShards == 0)
+        graft.functions.BloomShards.autoShards(
+          df.select(hashCol).count(), fpp)
+      else numShards
     val parent = fs.makeQualified(manifest).getParent
     val genPrefix = manifest.getName + ".d-"
     val genName = genPrefix + java.util.UUID.randomUUID().toString
     val shardDir = new org.apache.hadoop.fs.Path(parent, genName)
     fs.mkdirs(shardDir)
     val n = graft.functions.BloomShards.build(df, hashCol,
-      shardDir.toString, numShards, fpp)
-    writeSidecar(fs, manifest, files, genName, numShards)
+      shardDir.toString, shards, fpp)
+    writeSidecar(fs, manifest, files, genName, shards)
     for (st <- fs.listStatus(parent)
          if st.isDirectory && st.getPath.getName.startsWith(genPrefix) &&
            st.getPath.getName != genName)
       fs.delete(st.getPath, true)
     n
+  }
+
+  /** Remove a sidecar COMPLETELY: the manifest plus every
+    * `<manifest>.d-<uuid>` generation directory. The empty-store paths
+    * use this — deleting only the manifest leaked generation dirs
+    * forever, since generation GC otherwise runs only on a successful
+    * rebuild.
+    */
+  private[ingest] def removeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(manifest, false)
+    val parent = fs.makeQualified(manifest).getParent
+    val genPrefix = manifest.getName + ".d-"
+    if (fs.exists(parent))
+      for (st <- fs.listStatus(parent)
+           if st.isDirectory && st.getPath.getName.startsWith(genPrefix))
+        fs.delete(st.getPath, true)
   }
 
   /** [[newUnique]] accelerated by the Bloom sidecar. Batch rows are
@@ -370,8 +541,14 @@ object DedupStore {
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
         val k = keepers(docs, textCol, idCol)
-        val coveredDf = spark.read.schema(storeSchema)
-          .parquet(covered.map(_.toString): _*)
+        // live tombstones subtract from EVERY store-side frame (the
+        // retraction contract) — covered and residual alike
+        val tomb = readTombstones(spark, tombstonesPath(storePath),
+          storeSchema)
+        val coveredDf = minusTombstones(
+          spark.read.schema(storeSchema)
+            .parquet(covered.map(_.toString): _*), tomb,
+          Seq("content_hash"))
         val maybe = k.filter(mightContain(col("content_hash")))
           .join(coveredDf, Seq("content_hash"), "left_anti")
         val definite = k.filter(!mightContain(col("content_hash")))
@@ -379,8 +556,9 @@ object DedupStore {
         val result =
           if (residual.isEmpty) unioned
           else unioned.join(
-            spark.read.schema(storeSchema)
-              .parquet(residual.map(_.toString): _*),
+            minusTombstones(spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*), tomb,
+              Seq("content_hash")),
             Seq("content_hash"), "left_anti")
         // same column order as newUnique (whose USING-key join leads
         // with the hash), whichever branches ran
@@ -420,7 +598,7 @@ object DedupStore {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     keepers(docs, textCol, idCol)
-      .join(spark.table(table), Seq("content_hash"), "left_anti")
+      .join(storeTable(spark, table), Seq("content_hash"), "left_anti")
   }
 
   /** [[recordHashes]] into the bucketed store table: one bucketed
@@ -443,7 +621,7 @@ object DedupStore {
     finally mat.unpersist()
   }
 
-  private[ingest] def tableLocation(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def tableLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): org.apache.hadoop.fs.Path =
     BucketedStore.tableLocation(spark, table)
 
@@ -457,7 +635,7 @@ object DedupStore {
     * names no longer exist. Returns hashes covered.
     */
   def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
-      table: String, fpp: Double = 0.01, numShards: Int = 32): Long = {
+      table: String, fpp: Double = 0.01, numShards: Int = 0): Long = {
     ensureBucketedStore(spark, table)
     BucketedStore.buildBloomSidecar(spark, table, "content_hash", fpp,
       numShards)
@@ -491,14 +669,17 @@ object DedupStore {
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
         val k = keepers(docs, textCol, idCol)
+        val tomb = readTombstones(spark,
+          bucketedTombstonesDir(spark, table), storeSchema)
         val maybe = k.filter(mightContain(col("content_hash")))
-          .join(spark.table(table), Seq("content_hash"), "left_anti")
+          .join(storeTable(spark, table), Seq("content_hash"), "left_anti")
         val definite0 = k.filter(!mightContain(col("content_hash")))
         val definite =
           if (residual.isEmpty) definite0
           else definite0.join(
-            spark.read.schema(storeSchema)
-              .parquet(residual.map(_.toString): _*),
+            minusTombstones(spark.read.schema(storeSchema)
+              .parquet(residual.map(_.toString): _*), tomb,
+              Seq("content_hash")),
             Seq("content_hash"), "left_anti")
         definite.unionByName(maybe)
           .select(("content_hash" +: docs.columns.toSeq).map(col): _*)
@@ -517,7 +698,13 @@ object DedupStore {
     */
   def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Long) =
-    BucketedStore.compact(spark, table, "content_hash")
+    BucketedStore.compact(spark, table, "content_hash",
+      // phase 2: drop tombstoned rows in the staging rewrite; the old
+      // directory — `_tombstones` included — goes down with the swap's
+      // DROP, which is what clears the applied tombstones
+      df => minusTombstones(df,
+        readTombstones(spark, bucketedTombstonesDir(spark, table),
+          storeSchema), Seq("content_hash")))
 
   private def stagingOf(table: String): String =
     BucketedStore.stagingOf(table)

@@ -60,10 +60,55 @@ object NearDupStore {
       storePath: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    val base =
+      if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    DedupStore.minusTombstones(base,
+      DedupStore.readTombstones(spark,
+        DedupStore.tombstonesPath(storePath), storeSchema),
+      Seq("band_key", "sig"))
   }
+
+  // ── Retraction (takedown) — DedupStore's two-phase protocol over
+  // this store's (band_key, sig) key (see the comment block there).
+  // Retracting a document removes ITS signature rows; a distinct
+  // document that produced byte-identical (band_key, sig) rows — by
+  // construction a ~Jaccard-1.0 near-duplicate of the retracted one —
+  // loses those shared rows too (content-addressed membership, the
+  // same sharing semantics as the span store's windows).
+
+  /** Phase 1: tombstone the (band_key, sig) rows of `docs` — computed
+    * with the store's own signing derivation, so retract-by-text is
+    * exact against what record-by-text stored. Probes subtract live
+    * tombstones immediately; the next [[compactStore]] drops the rows
+    * physically and clears the applied tombstones.
+    */
+  def retract(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String): Unit =
+    DedupStore.appendTombstones(
+      banded(docs, textCol, idCol)
+        .select(col("bk").as("band_key"), col("sig")),
+      DedupStore.tombstonesPath(storePath))
+
+  /** [[retract]] for the bucketed store table. */
+  def retractBucketed(docs: DataFrame, textCol: String, idCol: String,
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    DedupStore.appendTombstones(
+      banded(docs, textCol, idCol)
+        .select(col("bk").as("band_key"), col("sig")),
+      DedupStore.bucketedTombstonesDir(spark, table))
+  }
+
+  /** The bucketed store's scan minus live tombstones. */
+  private def storeTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    DedupStore.minusTombstones(spark.table(table),
+      DedupStore.readTombstones(spark,
+        DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+      Seq("band_key", "sig"))
 
   /** Rows of `docs` that do NOT near-duplicate any recorded document:
     * sign (one kernel pass), equi-join band keys against the store,
@@ -139,8 +184,8 @@ object NearDupStore {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0, 0)
-    graft.layout.Layout.rewriteInPlace(spark, storePath,
-      targetFileBytes)(_.distinct())
+    DedupStore.compactApplyingTombstones(spark, storePath, storeSchema,
+      Seq("band_key", "sig"), targetFileBytes)
   }
 
   // ── bucketed-catalog store form (the 100 TB path) ──────────────────
@@ -170,7 +215,8 @@ object NearDupStore {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     flagAgainst(docs, textCol, idCol,
-      spark.table(table).withColumnRenamed("sig", "stored_sig"), minAgree)
+      storeTable(spark, table).withColumnRenamed("sig", "stored_sig"),
+      minAgree)
   }
 
   /** [[recordSignatures]] into the bucketed store table: one bucketed
@@ -220,16 +266,20 @@ object NearDupStore {
           current.filterNot(f => coveredNames.contains(f.getName))
         val bands = banded(docs, textCol, idCol)
         val hit = flaggedIds(bands.filter(mightContain(col("bk"))),
-          spark.table(table).withColumnRenamed("sig", "stored_sig"),
-          minAgree)
+          storeTable(spark, table)
+            .withColumnRenamed("sig", "stored_sig"), minAgree)
         val flagged =
           if (residual.isEmpty) hit
           else hit.unionByName(flaggedIds(
             bands.filter(!mightContain(col("bk"))),
             // residual files stay small between rebuilds: broadcast
             // them so the miss leg never shuffles the band stream
-            broadcast(spark.read.schema(storeSchema)
-              .parquet(residual.map(_.toString): _*)
+            broadcast(DedupStore.minusTombstones(
+              spark.read.schema(storeSchema)
+                .parquet(residual.map(_.toString): _*),
+              DedupStore.readTombstones(spark,
+                DedupStore.bucketedTombstonesDir(spark, table),
+                storeSchema), Seq("band_key", "sig"))
               .withColumnRenamed("sig", "stored_sig")),
             minAgree))
         antiJoinFlagged(docs, idCol, flagged)
@@ -240,7 +290,7 @@ object NearDupStore {
     * machinery; rebuild on the compaction schedule.
     */
   def buildBloomSidecarBucketed(spark: org.apache.spark.sql.SparkSession,
-      table: String, fpp: Double = 0.01, numShards: Int = 32): Long = {
+      table: String, fpp: Double = 0.01, numShards: Int = 0): Long = {
     ensureBucketedStore(spark, table)
     BucketedStore.buildBloomSidecar(spark, table, "band_key", fpp,
       numShards)
@@ -251,5 +301,9 @@ object NearDupStore {
     */
   def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Long) =
-    BucketedStore.compact(spark, table, "band_key")
+    BucketedStore.compact(spark, table, "band_key",
+      df => DedupStore.minusTombstones(df,
+        DedupStore.readTombstones(spark,
+          DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+        Seq("band_key", "sig")))
 }

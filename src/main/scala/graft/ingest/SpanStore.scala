@@ -2,7 +2,8 @@ package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
 
 /** Cross-RUN duplicated-SPAN dedup — the exact-substring edge of the
   * incremental-dedup family: [[DedupStore]] answers "have we ever seen
@@ -54,12 +55,74 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 object SpanStore {
 
   private val storeSchema = StructType(Seq(StructField("h", StringType)))
+  private val storeSchemaXx = StructType(Seq(StructField("h", LongType)))
 
-  /** (doc_id, h) window stream via the shared q101 derivation. */
+  /** (doc_id, h) window stream via the shared q101 derivation —
+    * `form` picks the window identity: `"md5"` (32-char string, the
+    * q101-oracle-exact default) or `"xxh64"` (8-byte long — 4× less
+    * store and exchange per recorded character, the 100 TB form).
+    */
   private def windows(docs: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame =
-    graft.queries.LlmPipeline.windowHashesOf(
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+      k: Int, form: String = Md5Form): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    if (form == XxForm)
+      graft.queries.LlmPipeline.windowHashes64Of(base, k)
+    else graft.queries.LlmPipeline.windowHashesOf(base, k)
+  }
+
+  // ── persisted hash form ────────────────────────────────────────────
+  //
+  // Like the stride, the hash form is a property of the RECORDED DATA:
+  // a store recorded as xxhash64 longs can only ever match xxhash64
+  // probes — an md5 probe against it would silently flag nothing.
+  // Persisting it next to the data makes the probe self-configuring
+  // and a mixed-form store impossible.
+
+  private[graft] val Md5Form = "md5"
+  private[graft] val XxForm = "xxh64"
+
+  private def hashFormPath(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath + ".hashform")
+
+  /** The hash form the path store was recorded with (md5 if never
+    * declared — every store recorded before the flag existed is md5).
+    */
+  def storedHashForm(spark: SparkSession, storePath: String): String = {
+    val p = hashFormPath(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Md5Form
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  private def commitHashForm(spark: SparkSession, storePath: String,
+      form: String): Unit = {
+    require(form == Md5Form || form == XxForm,
+      s"unknown span hash form $form (use $Md5Form or $XxForm)")
+    val existing = storedHashForm(spark, storePath)
+    if (existing == form) return
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(p) || DedupStore.storeDataFiles(fs, p).isEmpty,
+      s"SpanStore $storePath was recorded with hash form $existing; " +
+        s"cannot record as $form (the forms can never match each " +
+        "other — use a fresh store)")
+    val hp = hashFormPath(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(hp.getParent,
+      hp.getName + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(form.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(hp, false)
+    require(fs.rename(tmp, hp), s"SpanStore: could not install $hp")
+  }
+
+  private def schemaOf(form: String): StructType =
+    if (form == XxForm) storeSchemaXx else storeSchema
 
   // ── persisted stride ───────────────────────────────────────────────
   //
@@ -118,12 +181,68 @@ object SpanStore {
     }
   }
 
-  private def storeHashes(spark: SparkSession, storePath: String): DataFrame = {
+  private def storeHashes(spark: SparkSession, storePath: String,
+      schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    val base =
+      if (fs.exists(p)) spark.read.schema(schema).parquet(storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    DedupStore.minusTombstones(base,
+      DedupStore.readTombstones(spark,
+        DedupStore.tombstonesPath(storePath), schema), Seq("h"))
+  }
+
+  /** The batch's recordable window rows — stride-picked and
+    * form-hashed exactly as [[recordWindows]] stores them; ONE
+    * definition so retraction tombstones precisely what recording
+    * stored.
+    */
+  private def pickedWindows(docs: DataFrame, textCol: String,
+      idCol: String, stride: Int, k: Int,
+      form: String = Md5Form): DataFrame = {
+    val w = windows(docs, textCol, idCol, k, form)
+    if (stride <= 1) w
+    else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
+  }
+
+  // ── Retraction (takedown) — DedupStore's two-phase protocol over
+  // the window hashes (see the comment block there). Span membership
+  // is CONTENT-addressed: retracting a document tombstones its window
+  // hashes, so spans another document SHARES with it (boilerplate both
+  // carry) stop counting as recycled until something re-records them —
+  // the conservative direction for takedown (text adjacent to removed
+  // content is admitted, never over-flagged).
+
+  /** Phase 1: tombstone `docs`' window hashes, computed at the store's
+    * PERSISTED stride (the same pick recording used). Probes subtract
+    * immediately; the next [[compactStore]] drops the rows physically.
+    */
+  def retract(docs: DataFrame, textCol: String, idCol: String,
+      storePath: String,
+      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    val spark = docs.sparkSession
+    val stride = storedStride(spark, storePath)
+    val form = storedHashForm(spark, storePath)
+    DedupStore.appendTombstones(
+      pickedWindows(docs, textCol, idCol, stride, k, form).select("h"),
+      DedupStore.tombstonesPath(storePath))
+  }
+
+  /** [[retract]] for the bucketed store table (hashes live under the
+    * DedupStore table shape's `content_hash` column).
+    */
+  def retractBucketed(docs: DataFrame, textCol: String, idCol: String,
+      table: String,
+      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    val stride = storedStrideBucketed(spark, table)
+    DedupStore.appendTombstones(
+      pickedWindows(docs, textCol, idCol, stride, k)
+        .select(col("h").as("content_hash")),
+      DedupStore.bucketedTombstonesDir(spark, table))
   }
 
   /** Rows of `docs` whose recycled-text share vs HISTORY stays below
@@ -136,12 +255,15 @@ object SpanStore {
     */
   def newSpanUnique(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, maxDupShare: Double = 0.5,
-      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame =
+      k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
+    val spark = docs.sparkSession
+    val form = storedHashForm(spark, storePath)
     flagSurvivors(docs, textCol, idCol,
-      windows(docs, textCol, idCol, k)
-        .join(storeHashes(docs.sparkSession, storePath), Seq("h"),
+      windows(docs, textCol, idCol, k, form)
+        .join(storeHashes(spark, storePath, schemaOf(form)), Seq("h"),
           "left_semi"),
-      maxDupShare / storedStride(docs.sparkSession, storePath), k)
+      maxDupShare / storedStride(spark, storePath), k)
+  }
 
   /** Threshold + anti-join shared by the plain and Bloom paths:
     * `matchedPositions` is the (doc_id, pos, …) stream of batch windows
@@ -178,16 +300,17 @@ object SpanStore {
     */
   def recordWindows(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, stride: Int = 1,
-      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+      k: Int = graft.queries.LlmPipeline.SpanK,
+      hashForm: String = Md5Form): Unit = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    // stride first: a crash between the two leaves an empty-or-partial
-    // store whose persisted stride already matches what this append
-    // would have recorded — probes stay correct either side
+    // stride + form first: a crash between the commits leaves an
+    // empty-or-partial store whose persisted properties already match
+    // what this append would have recorded — probes stay correct
+    // either side
     commitStride(docs.sparkSession, storePath, stride)
-    val w = windows(docs, textCol, idCol, k)
-    val picked = if (stride <= 1) w
-      else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
-    val rows = picked.select("h").distinct().localCheckpoint(true)
+    commitHashForm(docs.sparkSession, storePath, hashForm)
+    val rows = pickedWindows(docs, textCol, idCol, stride, k, hashForm)
+      .select("h").distinct().localCheckpoint(true)
     try rows.write.mode(SaveMode.Append).parquet(storePath)
     finally rows.unpersist()
   }
@@ -202,9 +325,9 @@ object SpanStore {
     * siblings.
     */
   def buildBloomSidecar(spark: SparkSession, storePath: String,
-      fpp: Double = 0.01, numShards: Int = 32): Long =
-    DedupStore.buildPathSidecar(spark, storePath, storeSchema, "h", fpp,
-      numShards)
+      fpp: Double = 0.01, numShards: Int = 0): Long =
+    DedupStore.buildPathSidecar(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)), "h", fpp, numShards)
 
   /** [[newSpanUnique]] accelerated by the Bloom sidecar, split DISJOINT
     * on the bloom predicate: hit windows semi-join the CURRENT store
@@ -227,6 +350,8 @@ object SpanStore {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val effShare = maxDupShare / storedStride(spark, storePath)
+    val form = storedHashForm(spark, storePath)
+    val schema = schemaOf(form)
     val manifest = DedupStore.sidecarPath(storePath)
     DedupStore.readSidecar(fs, manifest).flatMap(sc =>
         DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
@@ -240,17 +365,25 @@ object SpanStore {
             maxDupShare, k)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val w = windows(docs, textCol, idCol, k)
-        val hitMatched = w.filter(mightContain(col("h")))
-          .join(spark.read.schema(storeSchema)
-            .parquet(current.map(_.toString): _*),
+        val tomb = DedupStore.readTombstones(spark,
+          DedupStore.tombstonesPath(storePath), schema)
+        val w = windows(docs, textCol, idCol, k, form)
+        // the probe expression hashes STRINGS; the xx64 form's long
+        // hashes cast to their decimal string — bit-identical to what
+        // the sidecar build cast when it recorded them
+        val hitMatched = w.filter(mightContain(col("h").cast("string")))
+          .join(DedupStore.minusTombstones(
+            spark.read.schema(schema)
+              .parquet(current.map(_.toString): _*), tomb, Seq("h")),
             Seq("h"), "left_semi")
         val matchedPositions =
           if (residual.isEmpty) hitMatched
           else hitMatched.unionByName(
-            w.filter(!mightContain(col("h")))
-              .join(broadcast(spark.read.schema(storeSchema)
-                .parquet(residual.map(_.toString): _*)),
+            w.filter(!mightContain(col("h").cast("string")))
+              .join(broadcast(DedupStore.minusTombstones(
+                spark.read.schema(schema)
+                  .parquet(residual.map(_.toString): _*), tomb,
+                Seq("h"))),
                 Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,
           effShare, k)
@@ -265,8 +398,9 @@ object SpanStore {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0, 0)
-    graft.layout.Layout.rewriteInPlace(spark, storePath,
-      targetFileBytes)(_.distinct())
+    DedupStore.compactApplyingTombstones(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)), Seq("h"),
+      targetFileBytes)
   }
 
   // ── bucketed-catalog store form (the 100 TB path) ──────────────────
@@ -408,7 +542,7 @@ object SpanStore {
     * (same table shape). Rebuild on the compaction schedule.
     */
   def buildBloomSidecarBucketed(spark: SparkSession, table: String,
-      fpp: Double = 0.01, numShards: Int = 32): Long =
+      fpp: Double = 0.01, numShards: Int = 0): Long =
     DedupStore.buildBloomSidecarBucketed(spark, table, fpp, numShards)
 
   /** [[compactStore]] for the bucketed table — DedupStore's staging-

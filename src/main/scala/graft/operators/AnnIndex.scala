@@ -130,4 +130,130 @@ object AnnIndex {
       .filter(col("rank_n") <= k)
       .orderBy("query_id", "rank_n")
   }
+
+  // ── versioned lifecycle (retrain while serving) ────────────────────
+  //
+  // q91/q96 fire the retrain trigger (rising distortion = drifted
+  // centroids); this closes the loop. The VERSIONED index root is
+  //
+  //   <root>/_manifest            commit point: current generation name
+  //   <root>/gen-<uuid>/cid=*/    one immutable generation (the
+  //                               [[writeIndex]] layout, verbatim)
+  //   <root>/gen-<uuid>/_centroids/   that generation's centroid frame
+  //
+  // — the BloomShards generation pattern: a rebuild fills a FRESH
+  // uuid'd directory, the manifest's atomic rename installs it, and a
+  // reader that resolved the old generation keeps a complete immutable
+  // directory under its feet. GC retains the PREVIOUS generation for
+  // one full rebuild cycle (deleting only older-still generations), so
+  // a query planned just before a swap finishes against intact files —
+  // the lesson of the bloom GC race, applied before the same bug could
+  // exist here (an index scan has no safe "maybe" fallback the way a
+  // bloom probe does).
+  //
+  // Centroids live INSIDE the generation (underscore-prefixed, so the
+  // generation's parquet scan ignores them): assignment and probe
+  // selection can never disagree about which centroids produced the
+  // lists being probed.
+
+  private def manifestPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_manifest")
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The installed generation's name, if a versioned index exists. */
+  def currentGeneration(spark: SparkSession,
+      root: String): Option[String] = {
+    val fs = fsOf(spark, root)
+    val m = manifestPath(root)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Resolved data directory of the current generation. */
+  def currentIndexDir(spark: SparkSession, root: String): String = {
+    val gen = currentGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(s"no installed generation at $root"))
+    s"$root/$gen"
+  }
+
+  /** The current generation's centroids (k × dim doubles — KB-scale,
+    * driver-side by design, exactly like [[KMeans.trainCollected]]).
+    */
+  def readCentroids(spark: SparkSession,
+      root: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(currentIndexDir(spark, root) + "/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Build a fresh generation from `embeddings` + `centroids` and
+    * atomically install it; generations older than the one being
+    * replaced are GC'd (the replaced one is RETAINED for in-flight
+    * readers — see the lifecycle comment). Returns the generation name.
+    */
+  def writeIndexVersioned(embeddings: DataFrame,
+      centroids: Seq[(Int, Array[Double])], root: String): String = {
+    val spark = embeddings.sparkSession
+    val fs = fsOf(spark, root)
+    val previous = currentGeneration(spark, root)
+    val gen = s"gen-${java.util.UUID.randomUUID()}"
+    writeIndex(embeddings, centroids, s"$root/$gen")
+    centroidFrame(spark, centroids)
+      .select(col("cid").cast("int").as("cid"), col("cv"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$gen/_centroids")
+    // commit: write-temp + atomic rename of the manifest
+    val m = manifestPath(root)
+    val tmp = new org.apache.hadoop.fs.Path(m.getParent,
+      m.getName + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(m, false)
+    require(fs.rename(tmp, m), s"AnnIndex: could not install $m")
+    // GC everything except the new generation and its predecessor
+    val keep = Set(gen) ++ previous
+    for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(root))
+         if st.isDirectory && st.getPath.getName.startsWith("gen-") &&
+           !keep.contains(st.getPath.getName))
+      fs.delete(st.getPath, true)
+    gen
+  }
+
+  /** [[topK]] against the CURRENT generation, resolving manifest,
+    * data directory, and centroids together — the triple can never be
+    * mixed across generations.
+    */
+  def topKCurrent(spark: SparkSession, root: String,
+      query: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val dir = currentIndexDir(spark, root)
+    topK(spark, dir, query, readCentroids(spark, root), k, nprobe)
+  }
+
+  /** Close the q91/q96 monitoring loop: re-fit the centroids on the
+    * CURRENT generation's vectors (Lloyd rounds seeded from the
+    * current centroids — drift adaptation, not a cold restart), build
+    * the new generation, and atomically swap. Serving is never
+    * interrupted: readers on the old generation finish on its retained
+    * immutable files; the next probe resolves the new one. Returns the
+    * new generation name.
+    */
+  def retrain(spark: SparkSession, root: String, iters: Int = 2): String = {
+    val vectors = spark.read.parquet(currentIndexDir(spark, root))
+      .select(col("vec_id"), col("v"))
+    val seeded = centroidFrame(spark, readCentroids(spark, root))
+    val refit = KMeans.trainFrom(vectors, seeded, iters)
+      .collect()
+      .map(r => (r.get(0).toString.toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    writeIndexVersioned(vectors, refit, root)
+  }
 }

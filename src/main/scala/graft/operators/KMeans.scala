@@ -74,6 +74,16 @@ object KMeans {
     }
   }
 
+  /** Lloyd rounds from an EXISTING centroid frame — the retrain /
+    * drift-adaptation form ([[AnnIndex.retrain]] seeds from the
+    * serving generation's centroids instead of raw vectors).
+    */
+  def trainFrom(embeddings: DataFrame, centroids: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    (1 to iters).foldLeft(centroids)((c, _) => update(assign(embeddings, c)))
+  }
+
   /** [[train]]'s centroids collected for the driver-side consumers
     * (AnnIndex probe selection) — k × dim doubles, KB-scale by design.
     */

@@ -1448,19 +1448,64 @@ object LlmPipeline {
       .orderBy(idOut)
   }
 
-  /** Salt count for the pointer-jumping hop ([[labelHop]]). A
-    * template-infested corpus produces one giant component whose label
-    * becomes a hot join key — every member row looks up the SAME
-    * doc_id2, so an unsalted shuffle join lands the whole component on
-    * one reducer (exactly the stall q100/q102 exist to diagnose; at
-    * sf0.1 invisible, at 100× it is the stuck task). Salting spreads
-    * the hub key across `CcSalts` reducers at the cost of duplicating
-    * the (narrow, two-column) label frame CcSalts× on the build side —
-    * a fixed fan-out, priced against the worst-case stall it removes.
-    * Scale operators can raise it with cluster width; 8 keeps the
-    * local-mode bench flat.
+  /** Salt count for the pointer-jumping hop ([[labelHop]]) WHEN skew
+    * is detected. A template-infested corpus produces one giant
+    * component whose label becomes a hot join key — every member row
+    * looks up the SAME doc_id2, so an unsalted shuffle join lands the
+    * whole component on one reducer (exactly the stall q100/q102 exist
+    * to diagnose; at sf0.1 invisible, at 100× it is the stuck task).
+    * Salting spreads the hub key across `CcSalts` reducers at the cost
+    * of duplicating the (narrow, two-column) label frame CcSalts× on
+    * the build side — a fixed fan-out, priced against the worst-case
+    * stall it removes. r11 paid that fan-out UNCONDITIONALLY and the
+    * component-loop family (q60/q83/q100/q105) regressed ~1.8×; r12
+    * gates it on [[ccSkewed]], a measured per-round heavy-hitter probe.
     */
   private val CcSalts = 8
+
+  /** Sentinel for [[connectedComponents]]' `salts`: decide per round
+    * from the data (see [[ccSkewed]]). Explicit values (the
+    * PropertySpec parity law passes 1 and 8) bypass the probe.
+    */
+  private[graft] val CcAutoSalt = 0
+
+  /** A hop key is HOT when BOTH hold: (a) its largest label's row
+    * count exceeds a couple of tasks' fair share — `max_label_count ·
+    * shuffle_partitions > 2 · rows` — and (b) that count is big enough
+    * IN ABSOLUTE TERMS to straggle a task at all ([[CcHubMinRows]]).
+    * The relative bound tightens as the cluster widens (at 2000
+    * partitions a 0.1% label share trips); the absolute floor is what
+    * keeps small/medium runs honest — a reducer handling under a
+    * million narrow (id, label) rows finishes in well under a second
+    * no matter how skewed the shares look, so paying the salt's
+    * replicated build there is pure loss (exactly r11's measured
+    * regression: tiny bench frames, lumpy shares, unconditional salt).
+    */
+  private val CcHubFactor = 2.0
+
+  /** One million rows ≈ tens of MB of (long, long) pairs through one
+    * reducer — below this, even a 100%-share hub key is sub-second
+    * work and salting cannot pay for its own fan-out.
+    */
+  private[graft] val CcHubMinRows = 1L << 20
+
+  /** Heavy-hitter probe for the pointer-jump hop: does any single
+    * label hold a straggler-sized share of the rows (doc above)? Runs
+    * against the round's ALREADY-CHECKPOINTED label frame, so the
+    * groupBy scans cached blocks (tens of ms at bench scale); the
+    * aggregation itself is skew-immune — partial map-side combine
+    * collapses the hub key per input partition before the exchange.
+    * Package-visible (and `minHubRows` overridable) for the
+    * PropertySpec trigger law.
+    */
+  private[graft] def ccSkewed(labels: DataFrame,
+      minHubRows: Long = CcHubMinRows): Boolean = {
+    val parts = labels.sparkSession.sessionState.conf.numShufflePartitions
+    val r = labels.groupBy("label").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n")).head()
+    !r.isNullAt(0) && r.getLong(0) > minHubRows &&
+      r.getLong(0).toDouble * parts > CcHubFactor * r.getLong(1).toDouble
+  }
 
   /** One pointer-jumping hop: label ← label(label). The join key is
     * the current label (the HOT key in a skewed component structure),
@@ -1483,7 +1528,7 @@ object LlmPipeline {
     * any number of times without re-running the loop.
     */
   private[graft] def connectedComponents(pairsIn: DataFrame,
-      salts: Int = CcSalts): DataFrame = {
+      salts: Int = CcAutoSalt): DataFrame = {
     val pairs = pairsIn.persist()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
@@ -1535,11 +1580,20 @@ object LlmPipeline {
     val maxIter = 25
     var converged = false
     var i = 0
+    // Auto mode probes the current round's labels and salts the hop
+    // only once a measured hub label appears ([[ccSkewed]]); the
+    // decision is STICKY — skew only consolidates as labels collapse
+    // toward component minima, so there is no path back to uniform.
+    // The seed already folds one edge relaxation, so a star-shaped hub
+    // is visible to the probe from round 0, before the first hop.
+    var hopSalts = if (salts == CcAutoSalt) 1 else salts
     while (!converged && i < maxIter) {
+      if (salts == CcAutoSalt && hopSalts == 1 && ccSkewed(labels))
+        hopSalts = CcSalts
       val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      val viaLabels = labelHop(labels, salts)
+      val viaLabels = labelHop(labels, hopSalts)
       val (next, s2) = checkpointed(
         labels.unionByName(viaEdges).unionByName(viaLabels)
           .groupBy("doc_id").agg(min(col("label")).as("label")), i)
@@ -2154,14 +2208,35 @@ object LlmPipeline {
     * the repartition exists to prevent.
     */
   private[graft] def windowHashesOf(docs: DataFrame, k: Int): DataFrame =
+    windowStream(docs, k)
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, cast(pos as int), $k)")).as("h"))
+
+  /** [[windowHashesOf]] with an 8-byte xxhash64 window identity in
+    * place of the 32-char md5 string — the documented 100 TB swap:
+    * the span store records ~1 hash row per corpus character, so the
+    * hash width IS the store's (and its exchange's) byte size; a
+    * LongType column is 4× narrower than the md5 string at rest and
+    * in flight. q101 keeps md5 (its oracle pins the exact 32-char
+    * identity); [[graft.ingest.SpanStore]] records either form behind
+    * its persisted hash-form flag, and IngestSpec pins that both
+    * forms flag identical document sets.
+    */
+  private[graft] def windowHashes64Of(docs: DataFrame, k: Int): DataFrame =
+    windowStream(docs, k)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(text, cast(pos as int), $k)")).as("h"))
+
+  /** Shared (doc_id, text, pos) window-position stream of the two
+    * hash forms — ONE definition of which windows exist.
+    */
+  private def windowStream(docs: DataFrame, k: Int): DataFrame =
     docs.filter(char_length(col("text")) >= k)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1L),
           char_length(col("text")).cast(LongType) - lit(k - 1L))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, cast(pos as int), $k)")).as("h"))
 
   private val q101: Q = (s, dir) => {
     val K = SpanK

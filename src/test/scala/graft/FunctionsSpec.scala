@@ -283,5 +283,48 @@ class FunctionsSpec extends SparkSuite {
       .select(call_function("bloom_probe", col("h"), lit(dir), lit(s))
         .as("p")).collect()
     assert(!np.head.isNullAt(0) && !np.head.getBoolean(0))
+    // 4. a complete build writes a filter file for EVERY shard — empty
+    // shards included — so a probe of an existing-but-empty shard is a
+    // definite false, and a MISSING file can only mean the generation
+    // vanished
+    (0 until s).foreach { sid =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir,
+        BloomShards.shardFileName(sid))), s"shard $sid file missing")
+    }
+  }
+
+  test("bloom_probe: a vanished generation (missing shard file) " +
+    "answers maybe-contained, never 'definitely new'") {
+    import graft.functions.BloomShards
+    // empty directory = every shard file missing = the state a reader
+    // sees when a rebuild's GC deleted its resolved generation
+    val gone = java.nio.file.Files.createTempDirectory("bloomgone")
+      .toString
+    val h = org.apache.spark.unsafe.types.UTF8String.fromString("abc123")
+    assert(BloomShards.mightContain(gone, 8, h),
+      "missing shard file must be maybe-contained (true) — false " +
+        "would admit a duplicate as definitely-new mid-rebuild")
+    assert(!BloomShards.mightContain(gone, 8, null),
+      "null hash stays false regardless")
+  }
+
+  test("bloom auto-sizing: autoShards floors at 32 and scales " +
+    "linearly with store rows toward the per-shard byte target") {
+    import graft.functions.BloomShards
+    // small stores keep the historical 32-shard layout
+    assert(BloomShards.autoShards(0L, 0.01) === 32)
+    assert(BloomShards.autoShards(1000L, 0.01) === 32)
+    assert(BloomShards.autoShards(1000000L, 0.01) === 32)
+    // ~1.2 B/hash at 1% fpp: 64e9 rows ≈ 76.6 GB of filter → ~400
+    // shards of ~192 MB each — far past the floor, linear in rows
+    val big = BloomShards.autoShards(64000000000L, 0.01)
+    assert(big > 350 && big < 450, s"got $big")
+    val doubled = BloomShards.autoShards(128000000000L, 0.01)
+    assert(math.abs(doubled - 2 * big) <= 2, s"$big -> $doubled")
+    // tighter fpp spends more bits → more shards for the same rows
+    assert(BloomShards.autoShards(64000000000L, 0.001) > big)
+    // the test hook: a tiny target forces multi-shard even on small
+    // stores (10k rows ≈ 12 kB of filter / 100 B target → 120 shards)
+    assert(BloomShards.autoShards(10000L, 0.01, targetBytes = 100L) > 32)
   }
 }

@@ -725,6 +725,265 @@ class IngestSpec extends SparkSuite {
       "rebuild must install a fresh generation and GC the old")
   }
 
+  test("sharded bloom sidecar: probe answers are invariant across a " +
+    "resize rebuild (explicit -> auto-sized shard counts)") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val dir = tmpDir("dedupstore-resize")
+    val store = dir + "/hashes"
+    val docs = (1 to 1500).map(i => (i.toLong, s"resize doc $i"))
+      .toDF("doc_id", "text")
+    D.recordHashes(docs, "text", store)
+    val probe = (1 to 60).map(i => (9000L + i,
+      if (i % 3 == 0) s"resize doc $i" else s"unseen $i"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ids(D.newUnique(probe, "text", "doc_id", store))
+    // three sidecar layouts over the same store: 8 shards, 16 shards,
+    // auto (resolves to the 32 floor at this size) — the survivor set
+    // must be identical under every layout, and identical to the
+    // sidecar-less exact plan
+    for (shards <- Seq(8, 16, 0)) {
+      assert(D.buildBloomSidecar(spark, store, fpp = 0.01,
+        numShards = shards) === 1500L)
+      assert(ids(D.newUniqueWithBloom(probe, "text", "doc_id", store))
+        === want, s"probe answers changed under numShards=$shards")
+    }
+    // the auto build's manifest records the RESOLVED count (32), not
+    // the sentinel — a probe planned from it must route correctly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sc = D.readSidecar(fs, D.sidecarPath(store)).get
+    assert(sc.numShards === 32, s"manifest shard count ${sc.numShards}")
+  }
+
+  test("sharded bloom sidecar: the empty-store path removes the " +
+    "manifest AND every generation directory (no disk leak)") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val dir = tmpDir("dedupstore-empty")
+    val store = dir + "/hashes"
+    val docs = (1 to 100).map(i => (i.toLong, s"leak doc $i"))
+      .toDF("doc_id", "text")
+    D.recordHashes(docs, "text", store)
+    assert(D.buildBloomSidecar(spark, store, numShards = 4) === 100L)
+    val parent = new org.apache.hadoop.fs.Path(dir)
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    def gens() = fs.listStatus(parent).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("hashes.bloom.d-"))
+    assert(gens().length === 1)
+    // empty the store (keep the directory), then rebuild: 0 covered,
+    // and BOTH the manifest and the orphaned generation must be gone
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    D.storeDataFiles(fs, storePath).foreach(f => fs.delete(f, false))
+    assert(D.buildBloomSidecar(spark, store, numShards = 4) === 0L)
+    assert(!fs.exists(D.sidecarPath(store)), "manifest survived")
+    assert(gens().isEmpty, "generation directories leaked")
+  }
+
+  test("retraction law (path DedupStore): record → retract → probe " +
+    "reports never-seen, compaction drops the rows physically and " +
+    "clears applied tombstones; a bloom sidecar built before the " +
+    "retraction stays correct") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val dir = tmpDir("dedup-retract")
+    val store = dir + "/hashes"
+    val docs = (1 to 200).map(i => (i.toLong, s"retract doc $i"))
+      .toDF("doc_id", "text")
+    D.recordHashes(docs, "text", store)
+    // sidecar BUILT BEFORE the retraction — the stale-filter case
+    assert(D.buildBloomSidecar(spark, store, numShards = 4) === 200L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val probe = Seq((9001L, "retract doc 7"), (9002L, "retract doc 8"),
+      (9003L, "brand new")).toDF("doc_id", "text")
+    // recorded: 7 and 8 are seen, only the novel row comes back
+    assert(ids(D.newUnique(probe, "text", "doc_id", store))
+      === Seq(9003L))
+    // phase 1: retract doc 7 by text and doc 8 by precomputed hash
+    D.retract(Seq((0L, "retract doc 7")).toDF("doc_id", "text"),
+      "text", store)
+    D.retractHashes(
+      Seq((0L, "retract doc 8")).toDF("doc_id", "text")
+        .select(graft.queries.LlmPipeline.contentHash(col("text"))
+          .as("content_hash")), store)
+    // probe-after-retract: never-seen, on BOTH the exact and the
+    // (stale-sidecar) bloom path
+    assert(ids(D.newUnique(probe, "text", "doc_id", store))
+      === Seq(9001L, 9002L, 9003L))
+    assert(ids(D.newUniqueWithBloom(probe, "text", "doc_id", store))
+      === Seq(9001L, 9002L, 9003L))
+    // phase 2: compaction drops the rows and clears the tombstones
+    D.compactStore(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(D.storeDataFiles(fs, D.tombstonesPath(store)).isEmpty,
+      "applied tombstones not cleared")
+    assert(spark.read.parquet(store).count() === 198L,
+      "tombstoned rows survived compaction")
+    assert(ids(D.newUnique(probe, "text", "doc_id", store))
+      === Seq(9001L, 9002L, 9003L))
+    // re-admission after the compaction: record again → seen again
+    D.recordHashes(Seq((7L, "retract doc 7")).toDF("doc_id", "text"),
+      "text", store)
+    assert(ids(D.newUnique(probe, "text", "doc_id", store))
+      === Seq(9002L, 9003L))
+  }
+
+  test("retraction law (bucketed DedupStore): tombstones subtract " +
+    "from the zero-exchange probe immediately; the compaction swap " +
+    "applies and clears them") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val table = "retract_bucketed_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      val docs = (1 to 100).map(i => (i.toLong, s"bretract doc $i"))
+        .toDF("doc_id", "text")
+      D.ensureBucketedStore(spark, table, buckets = 4)
+      D.recordHashesBucketed(docs, "text", table)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val probe = Seq((9001L, "bretract doc 5"), (9002L, "fresh"))
+        .toDF("doc_id", "text")
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", table))
+        === Seq(9002L))
+      D.retractBucketed(
+        Seq((0L, "bretract doc 5")).toDF("doc_id", "text"), "text", table)
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", table))
+        === Seq(9001L, 9002L))
+      assert(ids(D.newUniqueBucketedWithBloom(probe, "text", "doc_id",
+        table)) === Seq(9001L, 9002L))
+      val (before, after) = D.compactBucketedStore(spark, table)
+      assert(before === 100L && after === 99L,
+        s"compaction kept $after of $before — tombstone not applied")
+      // the swap dropped the old directory, _tombstones included
+      val loc = graft.ingest.DedupStore.tableLocation(spark, table)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "_tombstones")),
+        "tombstones survived the compaction swap")
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", table))
+        === Seq(9001L, 9002L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
+  test("retraction law (NearDupStore): a retracted document no longer " +
+    "near-flags its variants; compaction applies physically") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val dir = tmpDir("neardup-retract")
+    val store = dir + "/bands"
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    N.recordSignatures(Seq((1L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", store)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val probe = Seq((2L, base + " extra"), (3L, "completely different " +
+      "subject matter about spacecraft telemetry and orbital mechanics"))
+      .toDF("doc_id", "text")
+    // near-dup of the recorded base is flagged; the unrelated doc is not
+    assert(ids(N.newNearUnique(probe, "text", "doc_id", store))
+      === Seq(3L))
+    N.retract(Seq((1L, base)).toDF("doc_id", "text"), "text", "doc_id",
+      store)
+    assert(ids(N.newNearUnique(probe, "text", "doc_id", store))
+      === Seq(2L, 3L))
+    N.compactStore(spark, store)
+    assert(spark.read.parquet(store).count() === 0L,
+      "retracted signature rows survived compaction")
+    assert(ids(N.newNearUnique(probe, "text", "doc_id", store))
+      === Seq(2L, 3L))
+  }
+
+  test("retraction law (SpanStore): retracting a document un-records " +
+    "its window hashes at the persisted stride; compaction applies " +
+    "physically") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val dir = tmpDir("span-retract")
+    val store = dir + "/spans"
+    val doc = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    S.recordWindows(Seq((1L, doc)).toDF("doc_id", "text"), "text",
+      "doc_id", store, stride = 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val probe = Seq((2L, doc)).toDF("doc_id", "text")
+    // the identical doc is pure recycled text → flagged out
+    assert(ids(S.newSpanUnique(probe, "text", "doc_id", store)) === Seq())
+    S.retract(Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id",
+      store)
+    assert(ids(S.newSpanUnique(probe, "text", "doc_id", store))
+      === Seq(2L), "retracted spans still flagged the probe")
+    S.compactStore(spark, store)
+    assert(spark.read.parquet(store).count() === 0L,
+      "retracted span rows survived compaction")
+    assert(ids(S.newSpanUnique(probe, "text", "doc_id", store))
+      === Seq(2L))
+    // the stride sidecar survives retraction (it describes the store's
+    // recording discipline, not its contents)
+    assert(S.storedStride(spark, store) === 2)
+  }
+
+  test("span hash-form law: an xxhash64 store flags the same document " +
+    "sets as the md5 store (plain and bloom paths), stores longs not " +
+    "strings, and refuses mixed-form appends") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val dir = tmpDir("span-hashform")
+    val md5Store = dir + "/md5"
+    val xxStore = dir + "/xx"
+    val boiler = "this exact boilerplate sentence is recycled across " +
+      "the corpus verbatim and is long enough to window " * 2
+    val recorded = Seq((1L, boiler), (2L, "unique prose the first " +
+      "store has seen once upon a time in a galaxy far away indeed"))
+      .toDF("doc_id", "text")
+    S.recordWindows(recorded, "text", "doc_id", md5Store)
+    S.recordWindows(recorded, "text", "doc_id", xxStore,
+      hashForm = S.XxForm)
+    assert(S.storedHashForm(spark, md5Store) === S.Md5Form)
+    assert(S.storedHashForm(spark, xxStore) === S.XxForm)
+    // the xx store physically holds 8-byte longs — the 4× width win
+    assert(spark.read.parquet(xxStore).schema("h").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(md5Store).schema("h").dataType
+      === org.apache.spark.sql.types.StringType)
+    val probe = Seq((10L, boiler), (11L, "entirely novel text that " +
+      "matches nothing recorded anywhere in either span store at all"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // flagged-doc equality, plain path
+    val wantPlain = ids(S.newSpanUnique(probe, "text", "doc_id", md5Store))
+    assert(ids(S.newSpanUnique(probe, "text", "doc_id", xxStore))
+      === wantPlain, "hash forms disagree on the plain path")
+    assert(wantPlain === Seq(11L), "fixture did not discriminate")
+    // flagged-doc equality, bloom path (sidecar per store)
+    assert(S.buildBloomSidecar(spark, md5Store, numShards = 4) > 0L)
+    assert(S.buildBloomSidecar(spark, xxStore, numShards = 4) > 0L)
+    assert(ids(S.newSpanUniqueWithBloom(probe, "text", "doc_id",
+      md5Store)) === wantPlain)
+    assert(ids(S.newSpanUniqueWithBloom(probe, "text", "doc_id",
+      xxStore)) === wantPlain, "hash forms disagree on the bloom path")
+    // retraction works on the xx form too
+    S.retract(recorded.filter(col("doc_id") === 1L), "text", "doc_id",
+      xxStore)
+    assert(ids(S.newSpanUnique(probe, "text", "doc_id", xxStore))
+      === Seq(10L, 11L), "xx-form retraction did not un-flag")
+    // a non-empty store refuses the other form
+    intercept[IllegalArgumentException] {
+      S.recordWindows(probe, "text", "doc_id", md5Store,
+        hashForm = S.XxForm)
+    }
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(

@@ -624,6 +624,61 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("versioned IVF index: retrain swaps generations atomically " +
+    "while an in-flight probe keeps serving the old one, and " +
+    "distortion drops after retraining away from drifted centroids") {
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val query = e.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toArray
+    // DRIFTED initial centroids: two seeds only, so most lists are
+    // mis-fit — the q91/q96 "retrain me" condition by construction
+    val bad = e.filter(col("vec_id").between(1, 2)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivfgen")
+      .toString + "/index"
+    val g1 = A.writeIndexVersioned(e, bad, root)
+    assert(A.currentGeneration(spark, root) === Some(g1))
+    assert(A.readCentroids(spark, root).map(_._1) === Seq(1, 2))
+    // resolve a probe against g1 BEFORE the swap…
+    val inflight = A.topKCurrent(spark, root, query, k = 5, nprobe = 2)
+    val before = inflight.collect().map(_.getLong(0)).toSeq
+    def distortion(): Double = {
+      val cents = A.readCentroids(spark, root)
+      import spark.implicits._
+      val cdf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cid", "cv")
+      graft.operators.KMeans.assign(
+        spark.read.parquet(A.currentIndexDir(spark, root))
+          .select("vec_id", "v"), cdf)
+        .agg(avg(col("dist_fp"))).collect()(0).getDouble(0)
+    }
+    val distBefore = distortion()
+    // …retrain (new generation, atomic manifest swap, GC beyond the
+    // predecessor)…
+    val g2 = A.retrain(spark, root, iters = 3)
+    assert(g2 !== g1)
+    assert(A.currentGeneration(spark, root) === Some(g2))
+    // …the in-flight plan still answers — g1's files are RETAINED for
+    // one cycle — and answers identically
+    assert(inflight.collect().map(_.getLong(0)).toSeq === before,
+      "in-flight probe changed answers across the generation swap")
+    val gens = new java.io.File(root).listFiles
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(gens === Set(g1, g2), s"GC kept the wrong generations: $gens")
+    // Lloyd from the drifted seeds strictly improves fit
+    val distAfter = distortion()
+    assert(distAfter < distBefore,
+      s"distortion did not drop: $distBefore -> $distAfter")
+    // a second retrain GCs g1 (now two generations old)
+    val g3 = A.retrain(spark, root, iters = 1)
+    val gens2 = new java.io.File(root).listFiles
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+    assert(gens2 === Set(g2, g3), s"predecessor GC wrong: $gens2")
+  }
+
   test("compaction recovers a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact-crash")

@@ -576,4 +576,37 @@ class PropertySpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("component-loop salt trigger law: ccSkewed fires on a hub " +
+    "label and stays quiet on uniform labels; auto mode matches the " +
+    "explicit forms on the hub fixture") {
+    import spark.implicits._
+    val LP = graft.queries.LlmPipeline
+    // trigger: one label carrying 400/402 of the rows trips the
+    // relative bound once the absolute floor is lowered into range
+    val hubLabels = ((2L to 400L).map(i => (i, 1L)) ++
+      Seq((1L, 1L), (1002L, 1001L), (2002L, 2001L)))
+      .toDF("doc_id", "label")
+    assert(LP.ccSkewed(hubLabels, minHubRows = 100),
+      "hub label did not trip the probe")
+    // quiet #1: every label unique — max_c = 1 fails the relative bound
+    val uniform = (1L to 1000L).map(i => (i, i)).toDF("doc_id", "label")
+    assert(!LP.ccSkewed(uniform, minHubRows = 100),
+      "uniform labels tripped the probe")
+    // quiet #2: the DEFAULT absolute floor keeps even a 100%-share hub
+    // unsalted when it is too small to straggle a task — the guarantee
+    // that bench-scale runs never pay the salt fan-out
+    assert(!LP.ccSkewed(hubLabels),
+      "sub-straggler hub tripped the default floor")
+    // auto (default CcAutoSalt) must produce the same labels as both
+    // explicit forms on the skewed fixture — the probe changes the
+    // shuffle layout mid-loop, never the result
+    val hub = (2L to 400L).map(i => (1L, i))
+    val pairs = (hub ++ Seq((1001L, 1002L), (2001L, 2002L)))
+      .toDF("doc_a", "doc_b")
+    val auto = LP.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (2L to 400L).foreach(i => assert(auto(i) === 1L))
+    assert(auto(1002L) === 1001L && auto(2002L) === 2001L)
+  }
 }

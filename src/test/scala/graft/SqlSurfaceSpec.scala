@@ -66,6 +66,72 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("eager registry queries (CC family, k-means, barrier plans) " +
+    "are skipped by default and register on first reference via " +
+    "registerQuery") {
+    val reg = SqlSurface.registerQueries(spark, sf)
+    assert(reg.toSet.intersect(SqlSurface.eagerQueries).isEmpty,
+      "default registration must not invoke eager builders")
+    assert((SparkEntry.queries.keySet -- SqlSurface.eagerQueries)
+      .subsetOf(reg.toSet), "a lazy registry query went unregistered")
+    // an eager query is NOT addressable until explicitly registered…
+    spark.catalog.dropTempView("q60_neardup_clusters")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM q60_neardup_clusters").collect()
+    }
+    // …and after registerQuery it answers identically to the registry
+    SqlSurface.registerQuery(spark, sf, "q60_neardup_clusters")
+    assert(rows(spark.sql("SELECT * FROM q60_neardup_clusters"))
+      === rows(SparkEntry.queries("q60_neardup_clusters")(spark, sf)))
+    intercept[IllegalArgumentException] {
+      SqlSurface.registerQuery(spark, sf, "q999_no_such_query")
+    }
+  }
+
+  test("dashboard-shaped ad-hoc SQL over the warehouse views: join + " +
+    "window + rollup in one text, and a clean error on a missing table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sqldash").toString
+    Seq(("CLI001", "Dupont", "Paris"), ("CLI002", "Martin", "Lyon"))
+      .toDF("client_id", "nom", "ville")
+      .write.parquet(s"$root/clients")
+    Seq(
+      ("VNT001", "CLI001", "PRO001", 2L, BigDecimal("10.00")),
+      ("VNT002", "CLI001", "PRO002", 1L, BigDecimal("25.50")),
+      ("VNT003", "CLI002", "PRO001", 4L, BigDecimal("20.00")),
+      ("VNT004", "CLI002", "PRO003", 3L, BigDecimal("7.50")))
+      .toDF("vente_id", "client_id", "produit_id", "quantite",
+        "prix_total")
+      .write.parquet(s"$root/ventes")
+    assert(SqlSurface.registerWarehouse(spark, root).toSet
+      === Set("clients", "ventes"))
+    // the shape a BI tool actually emits: per-city revenue rollup with
+    // each client's top sale ranked by a window, NOT a registry echo
+    val got = spark.sql(
+      """SELECT v.ville, c.nom, v.total,
+        |       rank() OVER (ORDER BY v.total DESC) AS rk
+        |FROM (SELECT cl.ville, s.client_id,
+        |             sum(s.prix_total) AS total
+        |      FROM ventes s JOIN clients cl
+        |        ON s.client_id = cl.client_id
+        |      GROUP BY ROLLUP (cl.ville, s.client_id)
+        |      HAVING s.client_id IS NOT NULL) v
+        |JOIN clients c ON v.client_id = c.client_id
+        |ORDER BY rk""".stripMargin).collect()
+    assert(got.length === 2)
+    assert(got(0).getString(1) === "Dupont" &&
+      got(0).getAs[java.math.BigDecimal](2).doubleValue === 35.5 &&
+      got(0).getInt(3) === 1)
+    assert(got(1).getString(1) === "Martin" &&
+      got(1).getAs[java.math.BigDecimal](2).doubleValue === 27.5 &&
+      got(1).getInt(3) === 2)
+    // negative: a table nobody registered fails analysis cleanly
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM no_such_warehouse_table").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("no_such_warehouse_table"))
+  }
+
   test("warehouse entity tables register as views when present and " +
     "skip silently when absent") {
     import spark.implicits._
