@@ -250,15 +250,20 @@ object DedupStore {
     finally mat.unpersist()
   }
 
-  /** Store frame minus live tombstones. The tombstone side is small
-    * (takedown lists, not corpora), so Catalyst broadcasts it and the
-    * store side's distribution — bucketed or not — passes through the
-    * broadcast anti-join unchanged: the zero-exchange plans keep their
-    * property.
+  /** Store frame minus live tombstones. The tombstone side carries an
+    * EXPLICIT broadcast hint — takedown lists are small by nature (a
+    * removal request list, never a corpus), and the hint makes the
+    * store side's distribution pass through the anti-join STRUCTURALLY
+    * (a broadcast join preserves the streamed side's partitioning), so
+    * the bucketed forms keep their zero-exchange property under any
+    * broadcast-threshold configuration (LayoutSpec plan-pins it with
+    * auto-broadcast disabled). A tombstone backlog large enough to
+    * strain a broadcast is the signal to run the compaction that
+    * clears it.
     */
   private[ingest] def minusTombstones(store: DataFrame,
       tomb: Option[DataFrame], keys: Seq[String]): DataFrame =
-    tomb.fold(store)(t => store.join(t, keys, "left_anti"))
+    tomb.fold(store)(t => store.join(broadcast(t), keys, "left_anti"))
 
   /** Phase 2 core for the path stores: rewrite to distinct rows minus
     * a snapshot of the tombstone files, then clear exactly that

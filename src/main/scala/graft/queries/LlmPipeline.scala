@@ -1557,22 +1557,26 @@ object LlmPipeline {
     // write it — durability's price, not a plan defect.)
     val reliable =
       pairsIn.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // the row count rides the SAME observation as the convergence sum —
+    // it gates the skew probe below at zero extra jobs
     def checkpointed(df: DataFrame, round: Int)
-        : (DataFrame, java.math.BigDecimal) = {
+        : (DataFrame, java.math.BigDecimal, Long) = {
       val obs = org.apache.spark.sql.Observation(s"cc_labelsum_$round")
       val observed = df
         .observe(obs, sum(col("label").cast(DecimalType(38, 0)))
-          .as("label_sum"))
+          .as("label_sum"), count(lit(1)).as("n_rows"))
       val out =
         if (reliable) observed.checkpoint(true)
         else observed.localCheckpoint(true)
-      (out, obs.get("label_sum").asInstanceOf[java.math.BigDecimal])
+      val m = obs.get
+      (out, m("label_sum").asInstanceOf[java.math.BigDecimal],
+        m("n_rows").asInstanceOf[Long])
     }
     // The seed already folds in one edge relaxation (label₀ = min of
     // self and direct neighbors): the seed action has to scan the edge
     // list to enumerate nodes anyway, so the first hop rides that same
     // groupBy for free and the loop starts one round further along.
-    var (labels, prevSum) = checkpointed(
+    var (labels, prevSum, nRows) = checkpointed(
       edges.select(col("src").as("doc_id"), col("dst").as("label"))
         .unionByName(edges.select(col("src").as("doc_id"),
           col("src").as("label")))
@@ -1588,13 +1592,17 @@ object LlmPipeline {
     // is visible to the probe from round 0, before the first hop.
     var hopSalts = if (salts == CcAutoSalt) 1 else salts
     while (!converged && i < maxIter) {
-      if (salts == CcAutoSalt && hopSalts == 1 && ccSkewed(labels))
+      // the free row count short-circuits the probe: no label can hold
+      // minHubRows rows unless the frame itself does, so small/medium
+      // runs never pay even the probe's one cached-scan job
+      if (salts == CcAutoSalt && hopSalts == 1 &&
+          nRows > CcHubMinRows && ccSkewed(labels))
         hopSalts = CcSalts
       val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
       val viaLabels = labelHop(labels, hopSalts)
-      val (next, s2) = checkpointed(
+      val (next, s2, n2) = checkpointed(
         labels.unionByName(viaEdges).unionByName(viaLabels)
           .groupBy("doc_id").agg(min(col("label")).as("label")), i)
       // the new round is durable; the old round's blocks AND (in
@@ -1606,6 +1614,7 @@ object LlmPipeline {
       labels = next
       converged = s2 == prevSum
       prevSum = s2
+      nRows = n2
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $i sum=$s2 converged=$converged")

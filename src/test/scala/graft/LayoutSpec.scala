@@ -115,6 +115,26 @@ class LayoutSpec extends SparkSuite {
       // and the answer is right: 150..200 are suppressed, 201..250 new
       assert(nu.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
         === (201 to 250).map(_.toLong))
+      // LIVE TOMBSTONES must not cost the property: the subtraction's
+      // anti-join carries an explicit broadcast hint, so even with
+      // auto-broadcast still disabled the store side plans no exchange
+      graft.ingest.DedupStore.retractBucketed(
+        Seq((160L, "doc number 160")).toDF("doc_id", "text"), "text",
+        table)
+      val nuT = graft.ingest.DedupStore
+        .newUniqueBucketed(batch, "text", "doc_id", table)
+      val planT = nuT.queryExecution.sparkPlan
+      val exchangesT = planT.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // exactly the batch side's exchanges — adding the tombstone
+      // subtraction must introduce ZERO new shuffles anywhere
+      val batchOnly = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchangesT.size === batchOnly.size,
+        s"tombstone subtraction added a shuffle:\n$planT")
+      // retracted 160 now reports new alongside 201..250
+      assert(nuT.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === (160L +: (201 to 250).map(_.toLong)))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql(s"DROP TABLE IF EXISTS $table")
