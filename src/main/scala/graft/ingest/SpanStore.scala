@@ -461,8 +461,11 @@ object SpanStore {
     ensureBucketedStore(spark, table)
     flagSurvivors(docs, textCol, idCol,
       windows(docs, textCol, idCol, k)
-        .join(spark.table(table).withColumnRenamed("content_hash", "h"),
-          Seq("h"), "left_semi"),
+        // DedupStore.storeTable = the bucketed scan minus live
+        // tombstones (the retraction contract; broadcast anti-join,
+        // zero-exchange property preserved)
+        .join(DedupStore.storeTable(spark, table)
+          .withColumnRenamed("content_hash", "h"), Seq("h"), "left_semi"),
       maxDupShare / storedStrideBucketed(spark, table), k)
   }
 
@@ -519,18 +522,23 @@ object SpanStore {
             maxDupShare, k)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
+        val tomb = DedupStore.readTombstones(spark,
+          DedupStore.bucketedTombstonesDir(spark, table),
+          DedupStore.storeSchema)
         val w = windows(docs, textCol, idCol, k)
         val hitMatched = w.filter(mightContain(col("h")))
-          .join(spark.table(table).withColumnRenamed("content_hash", "h"),
-            Seq("h"), "left_semi")
+          .join(DedupStore.storeTable(spark, table)
+            .withColumnRenamed("content_hash", "h"), Seq("h"), "left_semi")
         val matchedPositions =
           if (residual.isEmpty) hitMatched
           else hitMatched.unionByName(
             w.filter(!mightContain(col("h")))
               // residual files stay small between rebuilds: broadcast
               // them so the miss leg never shuffles the window stream
-              .join(broadcast(spark.read.schema(DedupStore.storeSchema)
-                .parquet(residual.map(_.toString): _*)
+              .join(broadcast(DedupStore.minusTombstones(
+                spark.read.schema(DedupStore.storeSchema)
+                  .parquet(residual.map(_.toString): _*), tomb,
+                Seq("content_hash"))
                 .withColumnRenamed("content_hash", "h")),
                 Seq("h"), "left_semi"))
         flagSurvivors(docs, textCol, idCol, matchedPositions,

@@ -873,6 +873,62 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("retraction law (bucketed NearDup + Span stores): tombstones " +
+    "subtract from the zero-exchange probes; the compaction swap " +
+    "applies them") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val S = graft.ingest.SpanStore
+    val nearT = "retract_near_bucketed_t"
+    val spanT = "retract_span_bucketed_t"
+    for (t <- Seq(nearT, spanT)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+    try {
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // NEAR: record, variant flagged; retract → unflagged; compact
+      val base = "the quick brown fox jumps over the lazy dog and " +
+        "then runs far away into the deep green forest tonight"
+      N.recordSignaturesBucketed(Seq((1L, base)).toDF("doc_id", "text"),
+        "text", "doc_id", nearT)
+      val nProbe = Seq((2L, base + " extra")).toDF("doc_id", "text")
+      assert(ids(N.newNearUniqueBucketed(nProbe, "text", "doc_id",
+        nearT)) === Seq())
+      N.retractBucketed(Seq((1L, base)).toDF("doc_id", "text"), "text",
+        "doc_id", nearT)
+      assert(ids(N.newNearUniqueBucketed(nProbe, "text", "doc_id",
+        nearT)) === Seq(2L))
+      val (nb, na) = N.compactBucketedStore(spark, nearT)
+      assert(nb > 0L && na === 0L, s"near compaction kept $na of $nb")
+      assert(ids(N.newNearUniqueBucketed(nProbe, "text", "doc_id",
+        nearT)) === Seq(2L))
+      // SPAN: record, identical doc flagged; retract → unflagged;
+      // compact drops the rows
+      val doc = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+      S.recordWindowsBucketed(Seq((1L, doc)).toDF("doc_id", "text"),
+        "text", "doc_id", spanT)
+      val sProbe = Seq((2L, doc)).toDF("doc_id", "text")
+      assert(ids(S.newSpanUniqueBucketed(sProbe, "text", "doc_id",
+        spanT)) === Seq())
+      S.retractBucketed(Seq((1L, doc)).toDF("doc_id", "text"), "text",
+        "doc_id", spanT)
+      assert(ids(S.newSpanUniqueBucketed(sProbe, "text", "doc_id",
+        spanT)) === Seq(2L), "retracted spans still flagged")
+      val (sb, sa) = S.compactBucketedStore(spark, spanT)
+      assert(sb > 0L && sa === 0L, s"span compaction kept $sa of $sb")
+      assert(ids(S.newSpanUniqueBucketed(sProbe, "text", "doc_id",
+        spanT)) === Seq(2L))
+    } finally {
+      for (t <- Seq(nearT, spanT)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+      }
+    }
+  }
+
   test("retraction law (NearDupStore): a retracted document no longer " +
     "near-flags its variants; compaction applies physically") {
     import spark.implicits._
