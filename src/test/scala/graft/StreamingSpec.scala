@@ -411,6 +411,24 @@ class StreamingSpec extends SparkSuite {
       (10L, "delta")))
     // outDir reads as a batch-partitioned table
     assert(spark.read.parquet(outDir).columns.contains("batch"))
+    // RETRACTION mid-stream (while checkpoint and outDir are still one
+    // unit — batch ids must not collide with committed directories):
+    // take down "gamma"; the next micro-batch's formatting variant is
+    // re-admitted (the probe subtracts the live tombstone — no
+    // compaction needed first), while "delta" stays suppressed
+    graft.ingest.DedupStore.retract(
+      Seq((0L, "gamma")).toDF("doc_id", "text"), "text", store)
+    deliver("b3", Seq((20L, "GaMMa"), (21L, "delta")))
+    drain()
+    assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
+      (10L, "delta"), (20L, "GaMMa")),
+      "retracted content was not re-admitted by the stream")
+    // b3's re-record stays MASKED while the tombstone is pending (the
+    // documented re-admission contract: a pending tombstone subtracts
+    // every record of its key, old or new, until compaction)
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((99L, "GAMMA")).toDF("doc_id", "text"),
+      "text", "doc_id", store).count() === 1)
     // full-history replay (checkpoint wiped): committed batch dirs are
     // skipped — survivors unchanged, hashes re-recorded not lost
     val fs = new org.apache.hadoop.fs.Path(ckpt)
@@ -418,13 +436,22 @@ class StreamingSpec extends SparkSuite {
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     drain()
     assert(survivors() === Seq((1L, "alpha beta"), (2L, "gamma"),
-      (10L, "delta")))
-    // store is compactable back to one row per unique content
+      (10L, "delta"), (20L, "GaMMa")))
+    // compaction: one row per unique content MINUS the pending gamma
+    // tombstone (both the original record and b3's re-record drop —
+    // alpha-beta and delta remain), tombstone cleared with it
     graft.ingest.DedupStore.compactStore(spark, store)
-    assert(spark.read.parquet(store).count() === 3)
-    // and the store still suppresses everything ever seen
+    assert(spark.read.parquet(store).count() === 2)
+    // the store still suppresses the never-retracted content…
     assert(graft.ingest.DedupStore.newUnique(
       Seq((99L, "delta"), (100L, "alpha  BETA")).toDF("doc_id", "text"),
+      "text", "doc_id", store).count() === 0)
+    // …and the retracted key records FRESH now that the tombstone is
+    // gone — the full takedown → re-admission lifecycle
+    graft.ingest.DedupStore.recordHashes(
+      Seq((30L, "gamma")).toDF("doc_id", "text"), "text", store)
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((99L, "GAMMA")).toDF("doc_id", "text"),
       "text", "doc_id", store).count() === 0)
   }
 
