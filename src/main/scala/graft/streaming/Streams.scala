@@ -698,6 +698,37 @@ object Streams {
       }
       .start()
 
+  /** [[indexIngestStream]] against a VERSIONED index root
+    * ([[graft.operators.AnnIndex.writeIndexVersioned]]): each
+    * micro-batch resolves the CURRENT generation and ITS stored
+    * centroids, then appends under that generation — so the stream
+    * keeps feeding whichever generation a retrain has installed, with
+    * assignment always consistent with the centroids that define the
+    * generation's lists (the triple can never mix). A retrain
+    * concurrent with an IN-FLIGHT batch can strand that batch's rows
+    * in the predecessor generation (the retrain snapshotted vectors
+    * before they landed); the predecessor is retained a full cycle, so
+    * those rows stay readable for audit/re-delivery, and a production
+    * deployment quiesces the appender around retrains — the family's
+    * single-maintenance-writer posture, identical to the stores'
+    * compaction contract.
+    */
+  def indexIngestStreamVersioned(embeddings: DataFrame, root: String,
+      checkpointDir: String): StreamingQuery =
+    embeddings.writeStream
+      .queryName("ivf_index_ingest_versioned")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = graft.operators.AnnIndex.currentIndexDir(spark, root)
+        val cents = graft.operators.AnnIndex.readCentroids(spark, root)
+        graft.operators.AnnIndex.assignByCosine(batch, cents)
+          .write.mode("append").partitionBy("cid").parquet(dir)
+        ()
+      }
+      .start()
+
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",
       windowWidth: String = "1 hour"): DataFrame =

@@ -522,6 +522,63 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L))
   }
 
+  test("streaming ingest into the VERSIONED index: batches land in " +
+    "the current generation with its own centroids, survive a " +
+    "retrain into the next generation, and later batches follow the " +
+    "swap") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L, 1)
+    val root = java.nio.file.Files.createTempDirectory("ivf-vstream")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("ivf-vstream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf-vstream-ckpt").toString
+    val g1 = A.writeIndexVersioned(e, cents, root)
+    val before = spark.read.parquet(s"$root/$g1").count()
+    val q0 = e.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    Seq((100000L, q0)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/delivery1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def drain(): Unit = graft.streaming.Streams
+      .indexIngestStreamVersioned(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        root, ckpt).awaitTermination()
+    drain()
+    // the appended copy landed in generation 1 and is probeable there
+    assert(spark.read.parquet(s"$root/$g1").count() === before + 1)
+    assert(A.topKCurrent(spark, root, q0.toArray, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L))
+    // retrain: the new generation is built from generation 1's vectors
+    // INCLUDING the streamed append — nothing recorded is lost
+    val g2 = A.retrain(spark, root, iters = 1)
+    assert(spark.read.parquet(s"$root/$g2").count() === before + 1)
+    assert(A.topKCurrent(spark, root, q0.toArray, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L))
+    // a later delivery follows the swap: rows land under generation 2,
+    // generation 1 is untouched
+    val g1Count = spark.read.parquet(s"$root/$g1").count()
+    Seq((100001L, q0)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/delivery2")
+    drain()
+    assert(spark.read.parquet(s"$root/$g2").count() === before + 2,
+      "post-swap delivery missed the current generation")
+    assert(spark.read.parquet(s"$root/$g1").count() === g1Count,
+      "post-swap delivery leaked into the retired generation")
+    assert(A.topKCurrent(spark, root, q0.toArray, k = 3, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L, 100001L))
+  }
+
   test("streamed cross-run NEAR dedup: paraphrases of any earlier " +
     "batch's documents are dropped; replay after checkpoint loss is " +
     "a no-op") {
