@@ -239,8 +239,9 @@ object SpanStore {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     val stride = storedStrideBucketed(spark, table)
+    val form = storedHashFormBucketed(spark, table)
     DedupStore.appendTombstones(
-      pickedWindows(docs, textCol, idCol, stride, k)
+      pickedWindows(docs, textCol, idCol, stride, k, form)
         .select(col("h").as("content_hash")),
       DedupStore.bucketedTombstonesDir(spark, table))
   }
@@ -428,6 +429,7 @@ object SpanStore {
     DedupStore.ensureBucketedStore(spark, table, buckets)
 
   private val StrideProp = "graft.span.stride"
+  private val HashFormProp = "graft.span.hashform"
 
   /** The stride the bucketed store was recorded with (table property;
     * [[BucketedStore.compact]] carries `graft.*` properties across its
@@ -450,6 +452,54 @@ object SpanStore {
       s"ALTER TABLE $table SET TBLPROPERTIES ('$StrideProp' = '$stride')")
   }
 
+  /** The hash form the bucketed store was recorded with (table
+    * property, compaction-surviving like the stride; md5 if never
+    * declared).
+    */
+  def storedHashFormBucketed(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties.getOrElse(HashFormProp, Md5Form)
+
+  /** The bucketed table shape per hash form: the DedupStore string
+    * shape for md5, an 8-byte long `content_hash` for xxh64 (same
+    * bucket column, 4× narrower at rest and in the batch exchange).
+    */
+  private def bucketedSchemaOf(form: String): StructType =
+    if (form == XxForm)
+      StructType(Seq(StructField("content_hash", LongType)))
+    else StructType(Seq(StructField("content_hash", StringType)))
+
+  private def commitHashFormBucketed(spark: SparkSession, table: String,
+      form: String): Unit = {
+    require(form == Md5Form || form == XxForm,
+      s"unknown span hash form $form (use $Md5Form or $XxForm)")
+    val existing = storedHashFormBucketed(spark, table)
+    if (existing == form) return
+    require(spark.table(table).isEmpty,
+      s"SpanStore table $table was recorded with hash form $existing; " +
+        s"cannot record as $form (the forms can never match each " +
+        "other — use a fresh store)")
+    // an empty table created under the other form has the wrong column
+    // TYPE as well as the wrong property — recreate it in place
+    val buckets = DedupStore.bucketsOf(spark, table)
+    spark.sql(s"DROP TABLE $table")
+    BucketedStore.ensure(spark, table, buckets, bucketedSchemaOf(form),
+      "content_hash")
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$HashFormProp' = '$form')")
+  }
+
+  /** The bucketed store's scan minus live tombstones, read with the
+    * store's own hash-form schema.
+    */
+  private def storeTableBucketed(spark: SparkSession, table: String,
+      form: String): DataFrame =
+    DedupStore.minusTombstones(spark.table(table),
+      DedupStore.readTombstones(spark,
+        DedupStore.bucketedTombstonesDir(spark, table),
+        bucketedSchemaOf(form)), Seq("content_hash"))
+
   /** [[newSpanUnique]] against the bucketed store table — zero
     * exchanges on the store side of the window semi-join (LayoutSpec
     * asserts it).
@@ -459,12 +509,12 @@ object SpanStore {
       k: Int = graft.queries.LlmPipeline.SpanK): DataFrame = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    val form = storedHashFormBucketed(spark, table)
     flagSurvivors(docs, textCol, idCol,
-      windows(docs, textCol, idCol, k)
-        // DedupStore.storeTable = the bucketed scan minus live
-        // tombstones (the retraction contract; broadcast anti-join,
-        // zero-exchange property preserved)
-        .join(DedupStore.storeTable(spark, table)
+      windows(docs, textCol, idCol, k, form)
+        // the bucketed scan minus live tombstones (the retraction
+        // contract; broadcast anti-join, zero-exchange preserved)
+        .join(storeTableBucketed(spark, table, form)
           .withColumnRenamed("content_hash", "h"), Seq("h"), "left_semi"),
       maxDupShare / storedStrideBucketed(spark, table), k)
   }
@@ -475,16 +525,16 @@ object SpanStore {
     */
   def recordWindowsBucketed(docs: DataFrame, textCol: String,
       idCol: String, table: String, stride: Int = 1,
-      k: Int = graft.queries.LlmPipeline.SpanK): Unit = {
+      k: Int = graft.queries.LlmPipeline.SpanK,
+      hashForm: String = Md5Form): Unit = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     commitStrideBucketed(spark, table, stride)
+    commitHashFormBucketed(spark, table, hashForm)
     val b = DedupStore.bucketsOf(spark, table)
-    val w = windows(docs, textCol, idCol, k)
-    val picked = if (stride <= 1) w
-      else w.filter((col("pos") - lit(1L)) % lit(stride.toLong) === 0L)
-    val mat = picked.select(col("h").as("content_hash"))
+    val mat = pickedWindows(docs, textCol, idCol, stride, k, hashForm)
+      .select(col("h").as("content_hash"))
       .distinct().localCheckpoint(true)
     try mat.write.mode(SaveMode.Append)
       .bucketBy(b, "content_hash").sortBy("content_hash")
@@ -507,6 +557,7 @@ object SpanStore {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     val effShare = maxDupShare / storedStrideBucketed(spark, table)
+    val form = storedHashFormBucketed(spark, table)
     val loc = DedupStore.tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val manifest = new org.apache.hadoop.fs.Path(loc, "_bloom")
@@ -524,19 +575,21 @@ object SpanStore {
           current.filterNot(f => coveredNames.contains(f.getName))
         val tomb = DedupStore.readTombstones(spark,
           DedupStore.bucketedTombstonesDir(spark, table),
-          DedupStore.storeSchema)
-        val w = windows(docs, textCol, idCol, k)
-        val hitMatched = w.filter(mightContain(col("h")))
-          .join(DedupStore.storeTable(spark, table)
+          bucketedSchemaOf(form))
+        val w = windows(docs, textCol, idCol, k, form)
+        // string-cast for the probe expression — identity for md5,
+        // decimal string for xx64 longs, matching the sidecar build
+        val hitMatched = w.filter(mightContain(col("h").cast("string")))
+          .join(storeTableBucketed(spark, table, form)
             .withColumnRenamed("content_hash", "h"), Seq("h"), "left_semi")
         val matchedPositions =
           if (residual.isEmpty) hitMatched
           else hitMatched.unionByName(
-            w.filter(!mightContain(col("h")))
+            w.filter(!mightContain(col("h").cast("string")))
               // residual files stay small between rebuilds: broadcast
               // them so the miss leg never shuffles the window stream
               .join(broadcast(DedupStore.minusTombstones(
-                spark.read.schema(DedupStore.storeSchema)
+                spark.read.schema(bucketedSchemaOf(form))
                   .parquet(residual.map(_.toString): _*), tomb,
                 Seq("content_hash"))
                 .withColumnRenamed("content_hash", "h")),
@@ -553,11 +606,20 @@ object SpanStore {
       fpp: Double = 0.01, numShards: Int = 0): Long =
     DedupStore.buildBloomSidecarBucketed(spark, table, fpp, numShards)
 
-  /** [[compactStore]] for the bucketed table — DedupStore's staging-
-    * table swap, verbatim (same table shape; single maintenance writer
-    * assumed).
+  /** [[compactStore]] for the bucketed table — the shared staging-
+    * table swap with this store's OWN tombstone application (the
+    * hash-form schema differs from DedupStore's string shape under
+    * xxh64; single maintenance writer assumed).
     */
   def compactBucketedStore(spark: SparkSession,
       table: String): (Long, Long) =
-    DedupStore.compactBucketedStore(spark, table)
+    // the hash form is read INSIDE the transform — compact's entry
+    // recovery has run by then, so a half-swapped table's metadata is
+    // never consulted before it is repaired
+    BucketedStore.compact(spark, table, "content_hash",
+      df => DedupStore.minusTombstones(df,
+        DedupStore.readTombstones(spark,
+          DedupStore.bucketedTombstonesDir(spark, table),
+          bucketedSchemaOf(storedHashFormBucketed(spark, table))),
+        Seq("content_hash")))
 }

@@ -1040,6 +1040,74 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("span hash-form law (BUCKETED): the xxh64 catalog table stores " +
+    "8-byte longs, flags identical doc sets on plain and bloom paths, " +
+    "retracts, compacts, and refuses mixed-form appends") {
+    import spark.implicits._
+    val S = graft.ingest.SpanStore
+    val md5T = "span_form_md5_t"
+    val xxT = "span_form_xx_t"
+    for (t <- Seq(md5T, xxT)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+    try {
+      val boiler = "this exact boilerplate sentence is recycled " +
+        "across the corpus verbatim and is long enough to window " * 2
+      val recorded = Seq((1L, boiler)).toDF("doc_id", "text")
+      S.recordWindowsBucketed(recorded, "text", "doc_id", md5T)
+      S.recordWindowsBucketed(recorded, "text", "doc_id", xxT,
+        hashForm = S.XxForm)
+      assert(S.storedHashFormBucketed(spark, md5T) === S.Md5Form)
+      assert(S.storedHashFormBucketed(spark, xxT) === S.XxForm)
+      assert(spark.table(xxT).schema("content_hash").dataType
+        === org.apache.spark.sql.types.LongType)
+      val probe = Seq((10L, boiler), (11L, "entirely novel text that " +
+        "matches nothing recorded in either span table at all today"))
+        .toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = ids(S.newSpanUniqueBucketed(probe, "text", "doc_id",
+        md5T))
+      assert(want === Seq(11L), "fixture did not discriminate")
+      assert(ids(S.newSpanUniqueBucketed(probe, "text", "doc_id", xxT))
+        === want, "hash forms disagree on the bucketed plain path")
+      // bloom path equality (sidecar over the long hashes casts to
+      // decimal strings on build and probe alike)
+      assert(S.buildBloomSidecarBucketed(spark, xxT, numShards = 4) > 0L)
+      assert(ids(S.newSpanUniqueBucketedWithBloom(probe, "text",
+        "doc_id", xxT)) === want, "xx bucketed bloom path diverges")
+      // retraction + compaction on the xx table
+      S.retractBucketed(recorded, "text", "doc_id", xxT)
+      assert(ids(S.newSpanUniqueBucketed(probe, "text", "doc_id", xxT))
+        === Seq(10L, 11L), "xx bucketed retraction did not un-flag")
+      val (b, a) = S.compactBucketedStore(spark, xxT)
+      assert(b > 0L && a === 0L, s"xx compaction kept $a of $b")
+      assert(S.storedHashFormBucketed(spark, xxT) === S.XxForm,
+        "hash form property lost across the compaction swap")
+      // a non-empty table refuses the other form
+      intercept[IllegalArgumentException] {
+        S.recordWindowsBucketed(probe, "text", "doc_id", md5T,
+          hashForm = S.XxForm)
+      }
+      // an EMPTY table switches forms by recreation (column type flips)
+      val emptyT = "span_form_empty_t"
+      spark.sql(s"DROP TABLE IF EXISTS $emptyT")
+      try {
+        S.ensureBucketedStore(spark, emptyT, buckets = 4)
+        S.recordWindowsBucketed(recorded, "text", "doc_id", emptyT,
+          hashForm = S.XxForm)
+        assert(spark.table(emptyT).schema("content_hash").dataType
+          === org.apache.spark.sql.types.LongType)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $emptyT")
+    } finally {
+      for (t <- Seq(md5T, xxT)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+      }
+    }
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(
