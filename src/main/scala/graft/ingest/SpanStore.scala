@@ -302,15 +302,22 @@ object SpanStore {
   def recordWindows(docs: DataFrame, textCol: String, idCol: String,
       storePath: String, stride: Int = 1,
       k: Int = graft.queries.LlmPipeline.SpanK,
-      hashForm: String = Md5Form): Unit = {
+      hashForm: String = ""): Unit = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // empty form = FOLLOW the store's recorded form (md5 for a fresh
+    // store) — so a long-running appender (the streamed span pipeline)
+    // needs no form plumbing and can never trip the mixed-form guard
+    // against a store someone declared xxh64
+    val form =
+      if (hashForm.isEmpty) storedHashForm(docs.sparkSession, storePath)
+      else hashForm
     // stride + form first: a crash between the commits leaves an
     // empty-or-partial store whose persisted properties already match
     // what this append would have recorded — probes stay correct
     // either side
     commitStride(docs.sparkSession, storePath, stride)
-    commitHashForm(docs.sparkSession, storePath, hashForm)
-    val rows = pickedWindows(docs, textCol, idCol, stride, k, hashForm)
+    commitHashForm(docs.sparkSession, storePath, form)
+    val rows = pickedWindows(docs, textCol, idCol, stride, k, form)
       .select("h").distinct().localCheckpoint(true)
     try rows.write.mode(SaveMode.Append).parquet(storePath)
     finally rows.unpersist()
@@ -526,14 +533,18 @@ object SpanStore {
   def recordWindowsBucketed(docs: DataFrame, textCol: String,
       idCol: String, table: String, stride: Int = 1,
       k: Int = graft.queries.LlmPipeline.SpanK,
-      hashForm: String = Md5Form): Unit = {
+      hashForm: String = ""): Unit = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    // empty form = follow the table's recorded form (see recordWindows)
+    val form =
+      if (hashForm.isEmpty) storedHashFormBucketed(spark, table)
+      else hashForm
     commitStrideBucketed(spark, table, stride)
-    commitHashFormBucketed(spark, table, hashForm)
+    commitHashFormBucketed(spark, table, form)
     val b = DedupStore.bucketsOf(spark, table)
-    val mat = pickedWindows(docs, textCol, idCol, stride, k, hashForm)
+    val mat = pickedWindows(docs, textCol, idCol, stride, k, form)
       .select(col("h").as("content_hash"))
       .distinct().localCheckpoint(true)
     try mat.write.mode(SaveMode.Append)

@@ -1038,6 +1038,14 @@ class IngestSpec extends SparkSuite {
       S.recordWindows(probe, "text", "doc_id", md5Store,
         hashForm = S.XxForm)
     }
+    // a form-LESS append follows the store's recorded form (the
+    // streamed appender's contract — no form plumbing required)
+    S.recordWindows(Seq((50L, "follow-up document for the xx store " +
+      "with plenty of text to window over indeed today"))
+      .toDF("doc_id", "text"), "text", "doc_id", xxStore)
+    assert(spark.read.parquet(xxStore).schema("h").dataType
+      === org.apache.spark.sql.types.LongType,
+      "form-less append did not follow the xx store's form")
   }
 
   test("span hash-form law (BUCKETED): the xxh64 catalog table stores " +
@@ -1085,6 +1093,13 @@ class IngestSpec extends SparkSuite {
       assert(b > 0L && a === 0L, s"xx compaction kept $a of $b")
       assert(S.storedHashFormBucketed(spark, xxT) === S.XxForm,
         "hash form property lost across the compaction swap")
+      // a form-less append follows the table's recorded form; the
+      // compaction cleared the tombstones, so the content is seen again
+      S.recordWindowsBucketed(recorded, "text", "doc_id", xxT)
+      assert(spark.table(xxT).schema("content_hash").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(ids(S.newSpanUniqueBucketed(probe, "text", "doc_id", xxT))
+        === Seq(11L), "re-recorded xx content not flagged")
       // a non-empty table refuses the other form
       intercept[IllegalArgumentException] {
         S.recordWindowsBucketed(probe, "text", "doc_id", md5T,
