@@ -255,6 +255,11 @@ object Layout {
     // files an appender added during the swap window — the manifest
     // (written before the retire rename) says which files were
     // compaction inputs, so everything else moves forward.
+    // self-healing repair first: a racing appender's committer may have
+    // nested a directory one level too deep (see flattenRaceNest) — a
+    // prior run's race window is repaired before anything else reads
+    // or lists this directory
+    flattenRaceNest(fs, path)
     if (fs.exists(old) && !fs.exists(path)) {
       require(fs.rename(old, path), s"compact: could not restore $old")
       fs.delete(manifest, false)
@@ -361,9 +366,50 @@ object Layout {
     require(fs.rename(path, old), s"compact: could not retire $dir")
     require(fs.rename(tmp, path), s"compact: could not install $tmp")
     val rescued = rescueLate(fs, old, path, names0)
+    // repair the install-window race before returning (and again at the
+    // next maintenance entry, for a commit that lands nanoseconds after
+    // this check) — see flattenRaceNest
+    flattenRaceNest(fs, path)
     fs.delete(old, true)
     fs.delete(manifest, false)
     (before, after + rescued)
+  }
+
+  /** Repair the swap's install-window race. Between the retire and
+    * install renames the directory is ABSENT; a concurrent appender's
+    * output committer that checked existence in that window and
+    * renamed after the install lands its directory INSIDE the
+    * installed one (Hadoop rename falls back to mv-into-destination
+    * when the destination directory exists), producing `cid=0/cid=0`
+    * under a partitioned root — committed files intact, one level too
+    * deep, and every partitioned read of the root then fails on the
+    * conflicting partition column. The mirror image (OUR install
+    * rename nesting `<dir>.compact.tmp` inside an appender-recreated
+    * directory) is the same shape. Flatten either: move the nested
+    * directory's data files up (part names carry job UUIDs — no
+    * collisions) and drop the husk. Runs at the end of every swap AND
+    * at every rewrite entry, so the state is self-healing across
+    * maintenance passes; no committed row is ever lost or rewritten.
+    */
+  private def flattenRaceNest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(dir)) return 0
+    var moved = 0
+    for (st <- fs.listStatus(dir)
+         if st.isDirectory &&
+           (st.getPath.getName == dir.getName ||
+             st.getPath.getName == dir.getName + ".compact.tmp")) {
+      for (f <- fs.listStatus(st.getPath)
+           if f.isFile && !f.getPath.getName.startsWith("_") &&
+             !f.getPath.getName.startsWith(".")) {
+        val dest = new org.apache.hadoop.fs.Path(dir, f.getPath.getName)
+        require(fs.rename(f.getPath, dest),
+          s"compact: could not flatten race nest ${f.getPath}")
+        moved += 1
+      }
+      fs.delete(st.getPath, true) // husk (+ _SUCCESS markers)
+    }
+    moved
   }
 
   /** Move data files in `retired` that are NOT compaction inputs
