@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   * tries to parse the JSON line out of them — every BENCH_r1..r9
   * artifact shows "parsed": null because the line (plus sbt's trailing
   * "[success]" line) never fit: r9's per-query `spread` object alone
-  * doubled the line past the window. The per-query spread map now goes
-  * to STDERR (with the per-rep timings, where a human reads it), and
-  * the JSON keeps one compact `spread_max` entry — the worst query's
-  * max−min — as the machine-readable variance flag. 100 queries ≈
-  * 1.5 kB, inside the window with room for the sbt trailer.
+  * doubled the line past the window. The JSON keeps one compact
+  * `spread_max` entry — the worst query's max−min — as the
+  * machine-readable variance flag; 100 queries ≈ 1.5 kB, inside the
+  * window with room for the sbt trailer.
+  *
+  * r12: the per-rep timings and the full spread map (stderr) are
+  * gated behind SPARK_GRAFT_VERBOSE — BENCH_r11 recorded "parsed":
+  * null because the driver's tail window merges the streams and the
+  * spreads line crowded the JSON out. The contract line also prints
+  * LAST-AND-ALONE: after spark.stop() (whose shutdown warnings would
+  * otherwise land in the tail behind it), followed by a flush.
+  * Between-queries cleanup is a BLOCKING unpersist of every persisted
+  * RDD plus a driver GC, so no query is billed for its predecessors'
+  * localCheckpoint debt.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
