@@ -1528,7 +1528,8 @@ object LlmPipeline {
     * any number of times without re-running the loop.
     */
   private[graft] def connectedComponents(pairsIn: DataFrame,
-      salts: Int = CcAutoSalt): DataFrame = {
+      salts: Int = CcAutoSalt,
+      minHubRows: Long = CcHubMinRows): DataFrame = {
     val pairs = pairsIn.persist()
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
@@ -1594,9 +1595,11 @@ object LlmPipeline {
     while (!converged && i < maxIter) {
       // the free row count short-circuits the probe: no label can hold
       // minHubRows rows unless the frame itself does, so small/medium
-      // runs never pay even the probe's one cached-scan job
+      // runs never pay even the probe's one cached-scan job (the floor
+      // is parameterized so PropertySpec can drive the full
+      // probe-fires-then-salts path on a unit-scale hub fixture)
       if (salts == CcAutoSalt && hopSalts == 1 &&
-          nRows > CcHubMinRows && ccSkewed(labels))
+          nRows > minHubRows && ccSkewed(labels, minHubRows))
         hopSalts = CcSalts
       val viaEdges = edges
         .join(labels, edges("src") === labels("doc_id"))

@@ -608,5 +608,13 @@ class PropertySpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (2L to 400L).foreach(i => assert(auto(i) === 1L))
     assert(auto(1002L) === 1001L && auto(2002L) === 2001L)
+    // and with the floor lowered into unit-test range, the probe FIRES
+    // and the loop switches to the salted hop mid-run — the full
+    // auto-salting path executes, and the labels are still identical
+    val autoSalted = LP.connectedComponents(pairs,
+        minHubRows = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoSalted === auto,
+      "auto-salted loop (probe fired) diverged from the unsalted run")
   }
 }
