@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr —
+// without this, sbt's logger re-prints every stdout line under an
+// "[info] " prefix (and stderr under "[error] "), which is what kept
+// the Bench/Verify contract JSON line machine-unparseable: a tail
+// parser looking for a line starting with '{' never saw one.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,6 +68,22 @@ private[ingest] object BucketedStore {
     * hook (tombstoned rows are dropped here, and the old table
     * directory's `_tombstones` goes down with the DROP half of the
     * swap, which is what physically clears applied tombstones).
+    *
+    * Tombstones appended DURING the compaction survive it (the family
+    * contract): the `_tombstones` file list is snapshotted at entry,
+    * and any file not in that snapshot when the swap is about to DROP
+    * the old directory is COPIED into the staging table's own
+    * `_tombstones` first, so a retraction racing the staging write
+    * stays live for the next compaction instead of being destroyed
+    * unapplied. Copy, not move: before the DROP the staging table is
+    * still the discardable side (a crash leaves it to be torn down as
+    * a stale pre-drop leftover), so the original file must keep being
+    * the durable copy until the DROP itself removes it. The transform's
+    * own tombstone read lists files at staging-write time — a superset
+    * of the entry snapshot (tombstone files are only ever deleted by
+    * compaction) — so a late file may be both applied AND preserved,
+    * which is harmless: it masks rows already gone until the next
+    * compaction clears it.
     */
   def compact(spark: SparkSession, table: String, bucketCol: String,
       transform: org.apache.spark.sql.DataFrame =>
@@ -77,6 +93,11 @@ private[ingest] object BucketedStore {
     val b = bucketsOf(spark, table)
     val staging = stagingOf(table)
     spark.sql(s"DROP TABLE IF EXISTS $staging") // stale pre-drop leftover
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val tombDir = new org.apache.hadoop.fs.Path(loc, "_tombstones")
+    val tombSnap = DedupStore.storeDataFiles(fs, tombDir)
+      .map(_.getName).toSet
     val before = spark.table(table).count()
     graft.layout.Layout.writeBucketed(
       transform(spark.table(table).distinct()), staging, b, bucketCol)
@@ -93,6 +114,23 @@ private[ingest] object BucketedStore {
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES ($kv)")
     }
     val after = spark.table(staging).count()
+    // late-retraction rescue: copy tombstone files appended since the
+    // entry snapshot into the staging directory so the DROP below
+    // cannot destroy an unapplied takedown (doc comment above)
+    val late = DedupStore.storeDataFiles(fs, tombDir)
+      .filterNot(f => tombSnap.contains(f.getName))
+    if (late.nonEmpty) {
+      val stagingTomb = new org.apache.hadoop.fs.Path(
+        tableLocation(spark, staging), "_tombstones")
+      fs.mkdirs(stagingTomb)
+      val conf = spark.sessionState.newHadoopConf()
+      late.foreach { f =>
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(stagingTomb, f.getName),
+          false, true, conf),
+          s"compact: could not preserve late tombstone $f")
+      }
+    }
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     (before, after)

@@ -229,7 +229,7 @@ object DedupStore {
     * Read by explicit file list so a concurrent phase-2 clear (which
     * deletes a snapshot of files) cannot race the directory listing.
     */
-  private[ingest] def readTombstones(
+  private[graft] def readTombstones(
       spark: org.apache.spark.sql.SparkSession,
       dir: org.apache.hadoop.fs.Path,
       schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
@@ -243,7 +243,7 @@ object DedupStore {
     * key schema) to the tombstone set at `dir`. The pre-append
     * localCheckpoint is the family's self-scan guard.
     */
-  private[ingest] def appendTombstones(rows: DataFrame,
+  private[graft] def appendTombstones(rows: DataFrame,
       dir: org.apache.hadoop.fs.Path): Unit = {
     val mat = rows.distinct().localCheckpoint(true)
     try mat.write.mode(SaveMode.Append).parquet(dir.toString)
@@ -279,15 +279,21 @@ object DedupStore {
     val tomb = if (snapshot.isEmpty) None
       else Some(spark.read.schema(schema)
         .parquet(snapshot.map(_.toString): _*))
-    val r = graft.layout.Layout.rewriteInPlace(spark, storePath,
+    val (b, a, committed) = graft.layout.Layout.rewriteInPlaceChecked(
+      spark, storePath,
       targetFileBytes)(df => minusTombstones(df.distinct(), tomb, keys))
-    // the swap is committed; clear ONLY the snapshot (tombstones
-    // appended mid-compaction stay live for the next one). A crash
-    // before these deletes leaves applied tombstones in place —
-    // harmless (subtracting absent rows) until the next compaction
-    // clears them.
-    snapshot.foreach(f => fs.delete(f, false))
-    r
+    // clear ONLY the snapshot (tombstones appended mid-compaction stay
+    // live for the next one), and ONLY when the swap actually
+    // installed: the rewrite's concurrent-appender guard can discard
+    // tmp and leave the store untouched, and clearing the snapshot on
+    // that abort would silently undo a durably-committed takedown —
+    // the rows stay physically present with nothing masking them. On
+    // an uncommitted pass the tombstones remain live (probes keep
+    // subtracting) for the next compaction to apply. A crash before
+    // these deletes leaves applied tombstones in place — harmless
+    // (subtracting absent rows) until the next compaction clears them.
+    if (committed) snapshot.foreach(f => fs.delete(f, false))
+    (b, a)
   }
 
   /** Retract documents by content: phase 1 of the takedown protocol

@@ -233,6 +233,27 @@ object Layout {
       dir: String, targetFileBytes: Long = 128L << 20,
       skipIfAlreadyCompact: Boolean = false)(
       transform: DataFrame => DataFrame): (Int, Int) = {
+    val (b, a, _) = rewriteInPlaceChecked(spark, dir, targetFileBytes,
+      skipIfAlreadyCompact)(transform)
+    (b, a)
+  }
+
+  /** [[rewriteInPlace]] that also reports whether the transform's
+    * output was actually INSTALLED. The concurrent-appender guard can
+    * abort the swap (files landed after the input listing — tmp is
+    * discarded and the directory left untouched), and
+    * `skipIfAlreadyCompact` can skip the rewrite entirely; both return
+    * `committed = false`. Callers whose transform has SIDE-EFFECT
+    * bookkeeping — DedupStore's tombstone application, which may clear
+    * its tombstone snapshot only once the rows are physically gone —
+    * must branch on the flag; a pure merge can ignore it. A directory
+    * with zero data files commits vacuously (`true`): there are no rows
+    * the transform could have needed to drop.
+    */
+  def rewriteInPlaceChecked(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetFileBytes: Long = 128L << 20,
+      skipIfAlreadyCompact: Boolean = false)(
+      transform: DataFrame => DataFrame): (Int, Int, Boolean) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path0 = new org.apache.hadoop.fs.Path(dir)
     val fs = path0.getFileSystem(spark.sessionState.newHadoopConf())
@@ -316,10 +337,13 @@ object Layout {
         "refusing rather than guessing which half to rewrite")
     if (dataFiles.isEmpty && leafNames.nonEmpty) {
       fs.delete(old, true) // root-level leftovers cannot refer to leaves
-      val perLeaf = leafNames.map(n => rewriteInPlace(spark,
+      val perLeaf = leafNames.map(n => rewriteInPlaceChecked(spark,
         new org.apache.hadoop.fs.Path(path, n).toString,
         targetFileBytes, skipIfAlreadyCompact)(transform))
-      return (perLeaf.map(_._1).sum, perLeaf.map(_._2).sum)
+      // committed only when EVERY leaf committed — one aborted leaf
+      // still holds rows the transform meant to drop
+      return (perLeaf.map(_._1).sum, perLeaf.map(_._2).sum,
+        perLeaf.forall(_._3))
     }
     val names0 = dataFiles.map(_.getPath.getName).toSet
     val before = dataFiles.size
@@ -331,11 +355,11 @@ object Layout {
       // throw UNABLE_TO_INFER_SCHEMA, wedging e.g. DedupStore.compactStore
       // on the crashed-first-append state storeHashes degrades on
       fs.delete(old, true)
-      return (0, 0)
+      return (0, 0, true)
     }
     if (skipIfAlreadyCompact && want >= before) {
       fs.delete(old, true) // table intact ⇒ leftover .old is garbage
-      return (before, before)
+      return (before, before, false)
     }
     // mergeSchema: an appender that evolved the schema must not have
     // new columns silently dropped by a footer-sampled narrow schema
@@ -348,7 +372,7 @@ object Layout {
     // Compaction is a retryable maintenance pass — losing rows is not.
     if (listNames() != names0) {
       fs.delete(tmp, true)
-      return (before, before)
+      return (before, before, false)
     }
     val after = fs.listStatus(tmp).count(st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -372,7 +396,7 @@ object Layout {
     flattenRaceNest(fs, path)
     fs.delete(old, true)
     fs.delete(manifest, false)
-    (before, after + rescued)
+    (before, after + rescued, true)
   }
 
   /** Repair the swap's install-window race. Between the retire and
