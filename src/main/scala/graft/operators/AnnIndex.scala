@@ -210,7 +210,16 @@ object AnnIndex {
       .select(col("cid").cast("int").as("cid"), col("cv"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$gen/_centroids")
-    // commit: write-temp + atomic rename of the manifest
+    installGeneration(fs, root, gen, previous)
+    gen
+  }
+
+  /** Commit a fully-written generation: write-temp + atomic rename of
+    * the manifest, then GC every generation except the new one and its
+    * immediate predecessor (retained for in-flight readers).
+    */
+  private def installGeneration(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, gen: String, previous: Option[String]): Unit = {
     val m = manifestPath(root)
     val tmp = new org.apache.hadoop.fs.Path(m.getParent,
       m.getName + s".tmp-${java.util.UUID.randomUUID()}")
@@ -219,23 +228,61 @@ object AnnIndex {
     finally out.close()
     fs.delete(m, false)
     require(fs.rename(tmp, m), s"AnnIndex: could not install $m")
-    // GC everything except the new generation and its predecessor
     val keep = Set(gen) ++ previous
     for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(root))
          if st.isDirectory && st.getPath.getName.startsWith("gen-") &&
            !keep.contains(st.getPath.getName))
       fs.delete(st.getPath, true)
-    gen
   }
 
   /** [[topK]] against the CURRENT generation, resolving manifest,
     * data directory, and centroids together — the triple can never be
-    * mixed across generations.
+    * mixed across generations. Subtracts live [[retract]]ions: a
+    * retracted vector is never served, whether or not a rewrite has
+    * physically dropped it yet.
     */
   def topKCurrent(spark: SparkSession, root: String,
       query: Array[Double], k: Int, nprobe: Int): DataFrame = {
     val dir = currentIndexDir(spark, root)
-    topK(spark, dir, query, readCentroids(spark, root), k, nprobe)
+    val cents = readCentroids(spark, root)
+    val probes = probeLists(query, cents, nprobe)
+    graft.functions.Functions.register(spark)
+    val scanned = minusRetracted(spark, root,
+      spark.read.parquet(dir).filter(col("cid").isin(probes: _*)))
+    scanned
+      .withColumn("qv", typedLit(query.toSeq))
+      .select(col("vec_id"), col("cid").cast("int").as("cid"),
+        expr("cosine_sim(v, qv)").as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[topKBatch]] against the CURRENT generation — resolves the
+    * manifest/centroids triple and subtracts live retractions, like
+    * [[topKCurrent]].
+    */
+  def topKBatchCurrent(spark: SparkSession, root: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val dir = currentIndexDir(spark, root)
+    val cents = readCentroids(spark, root)
+    graft.functions.Functions.register(spark)
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      probeLists(qv, cents, nprobe).map(cid => (qid, cid, qv.toSeq))
+    }
+    val pdf = probeRows.toDF("query_id", "cid", "qv")
+    val cids = probeRows.map(_._2).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    minusRetracted(spark, root,
+      spark.read.parquet(dir).filter(col("cid").isin(cids: _*)))
+      .join(broadcast(pdf), "cid")
+      .select(col("query_id"), col("vec_id"),
+        expr("cosine_sim(v, qv)").as("cosine"))
+      .withColumn("rank_n", row_number().over(w).cast("long"))
+      .filter(col("rank_n") <= k)
+      .orderBy("query_id", "rank_n")
   }
 
   /** Close the q91/q96 monitoring loop: re-fit the centroids on the
@@ -247,13 +294,156 @@ object AnnIndex {
     * new generation name.
     */
   def retrain(spark: SparkSession, root: String, iters: Int = 2): String = {
-    val vectors = spark.read.parquet(currentIndexDir(spark, root))
-      .select(col("vec_id"), col("v"))
+    // snapshot the live retraction files FIRST: the rebuild physically
+    // drops exactly this set, and exactly this set is cleared after the
+    // install — a retraction landing mid-retrain stays live for the
+    // next rewrite (the stores' snapshot-bounded clear, applied here)
+    val fs = fsOf(spark, root)
+    val snap = graft.ingest.DedupStore.storeDataFiles(fs,
+      retractedDir(root))
+    val vectors = minusRetractedSnapshot(spark, snap,
+      spark.read.parquet(currentIndexDir(spark, root))
+        .select(col("vec_id"), col("v")))
     val seeded = centroidFrame(spark, readCentroids(spark, root))
     val refit = KMeans.trainFrom(vectors, seeded, iters)
       .collect()
       .map(r => (r.get(0).toString.toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    writeIndexVersioned(vectors, refit, root)
+    val gen = writeIndexVersioned(vectors, refit, root)
+    // the install is unconditional (fresh uuid directory + manifest
+    // rename — no abort path), so the applied snapshot can be cleared
+    snap.foreach(f => fs.delete(f, false))
+    gen
+  }
+
+  // ── Retraction (takedown) ──────────────────────────────────────────
+  //
+  // The serving-index half of the stores' two-phase takedown protocol
+  // (graft.ingest.DedupStore): a key removed from every dedup store
+  // must also stop being SERVED by the ANN index, without waiting for
+  // a full rebuild.
+  //
+  //  phase 1 — [[retract]] durably appends the vec_ids to
+  //    `<root>/_retracted` (underscore-prefixed, at the ROOT — not
+  //    inside a generation — so the set applies to whichever
+  //    generation is current, including one installed by a retrain
+  //    racing the retraction). The append is the commit point: every
+  //    versioned probe ([[topKCurrent]]/[[topKBatchCurrent]]) subtracts
+  //    live retractions, so a retracted vector is never served from
+  //    the next query on.
+  //  phase 2 — the next [[retrain]] (scheduled) or [[vacuumRetracted]]
+  //    (prompt, e.g. a GDPR deadline) physically drops the rows into a
+  //    fresh generation and clears exactly the snapshot of retraction
+  //    files it applied; late retractions survive for the next pass.
+  //
+  // RE-ADMISSION mirrors the stores: a vec_id re-ingested while its
+  // retraction is still pending stays masked until a rewrite clears
+  // the set; re-ingested after, it serves again. The streaming
+  // appender needs no coordination — appended rows of a retracted id
+  // are masked by the same subtraction.
+
+  private[graft] def retractedDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_retracted")
+
+  private val retractedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Phase 1: durably retract `ids` from serving. Takedown lists are
+    * small by nature (a removal-request batch, never a corpus); the
+    * subtraction broadcast rides that assumption exactly like the
+    * stores' tombstones.
+    */
+  def retract(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    retractFrame(ids.toDF("vec_id"), root)
+  }
+
+  /** [[retract]] from a frame carrying `vec_id` — the shape a takedown
+    * feed arrives in.
+    */
+  def retractFrame(ids: DataFrame, root: String): Unit =
+    graft.ingest.DedupStore.appendTombstones(
+      ids.select(col("vec_id").cast("long").as("vec_id")),
+      retractedDir(root))
+
+  /** The live retracted-id frame, or None when none exist (explicit
+    * file list — immune to a concurrent rewrite's snapshot clear).
+    */
+  private def readRetracted(spark: SparkSession,
+      root: String): Option[DataFrame] =
+    graft.ingest.DedupStore.readTombstones(spark, retractedDir(root),
+      retractedSchema)
+
+  private def minusRetracted(spark: SparkSession, root: String,
+      index: DataFrame): DataFrame =
+    readRetracted(spark, root).fold(index)(r =>
+      index.join(broadcast(r), Seq("vec_id"), "left_anti"))
+
+  private def minusRetractedSnapshot(spark: SparkSession,
+      snap: Seq[org.apache.hadoop.fs.Path], index: DataFrame): DataFrame =
+    if (snap.isEmpty) index
+    else index.join(broadcast(spark.read.schema(retractedSchema)
+      .parquet(snap.map(_.toString): _*)), Seq("vec_id"), "left_anti")
+
+  /** Phase 2, the PROMPT form: physically drop retracted vectors
+    * without a refit, rewriting ONLY the `cid=` partitions that
+    * contain them — every untouched inverted list is copied forward
+    * file-by-file (no decode, no shuffle) into the fresh generation,
+    * which then installs through the same atomic manifest swap as
+    * [[retrain]], predecessor retained for in-flight readers. The
+    * applied retraction-file snapshot is cleared after the install;
+    * retractions landing mid-vacuum survive for the next pass. Returns
+    * the new generation name (the current one unchanged when nothing
+    * is pending). Maintenance posture is the family's: quiesce the
+    * streaming appender around rewrites.
+    */
+  def vacuumRetracted(spark: SparkSession, root: String): String = {
+    val fs = fsOf(spark, root)
+    val curGen = currentGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(s"no installed generation at $root"))
+    val snap = graft.ingest.DedupStore.storeDataFiles(fs,
+      retractedDir(root))
+    if (snap.isEmpty) return curGen
+    val curDir = s"$root/$curGen"
+    val retracted = spark.read.schema(retractedSchema)
+      .parquet(snap.map(_.toString): _*)
+    // which inverted lists hold retracted rows — bounded by k (the
+    // centroid count), so the collect is a k-row driver frame at most
+    val affected = spark.read.parquet(curDir)
+      .join(broadcast(retracted), Seq("vec_id"), "left_semi")
+      .select("cid").distinct()
+      .collect().map(_.get(0).toString.toInt).toSet
+    val gen = s"gen-${java.util.UUID.randomUUID()}"
+    val genPath = new org.apache.hadoop.fs.Path(root, gen)
+    fs.mkdirs(genPath)
+    val conf = spark.sessionState.newHadoopConf()
+    // untouched lists + the centroid frame: verbatim file copies — the
+    // predecessor stays immutable for its in-flight readers, and the
+    // copy is pure I/O proportional to the index, with CPU only on the
+    // affected partitions below
+    for (st <- fs.listStatus(new org.apache.hadoop.fs.Path(curDir))
+         if st.isDirectory) {
+      val n = st.getPath.getName
+      val keepVerbatim = n == "_centroids" ||
+        (n.startsWith("cid=") &&
+          !affected.contains(n.stripPrefix("cid=").toInt))
+      if (keepVerbatim)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(genPath, n), false, true, conf),
+          s"vacuumRetracted: could not copy $n forward")
+    }
+    // affected lists: partition-pruned scan → anti-join → rewrite
+    if (affected.nonEmpty)
+      spark.read.parquet(curDir)
+        .filter(col("cid").isin(affected.toSeq: _*))
+        .join(broadcast(retracted), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("v"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode(SaveMode.Append).partitionBy("cid")
+        .parquet(genPath.toString)
+    installGeneration(fs, root, gen, Some(curGen))
+    snap.foreach(f => fs.delete(f, false))
+    gen
   }
 }

@@ -2279,6 +2279,69 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q106: span-REMOVAL — the write half of Lee et al. 2022
+    * exact-substring dedup, completing q101 (which only DETECTS): emit
+    * the cleaned corpus with previously-seen spans spliced out. A
+    * window is removable when its 32-char hash already occurs in an
+    * EARLIER document (min doc_id over the hash — first occurrence
+    * wins, deterministic at any parallelism); the removable windows of
+    * each document are merged into disjoint character intervals
+    * (adjacent-window runs collapse via the classic lag-island scan),
+    * and the kept text is the interval complement, reassembled in one
+    * `aggregate` fold over the per-document sorted interval array.
+    *
+    * Shape at scale: the window stream is the SAME single-pass q101
+    * derivation ([[windowHashesOf]] — hash computed in-projection, the
+    * exchange carries (hash, doc_id, pos) and never the substrings).
+    * The island scan and interval merge are per-document window
+    * functions over the (already small) removable subset; the final
+    * fold touches each document's text exactly once. The per-document
+    * interval array is O(text length) worst-case — the same order as
+    * the text column itself, so it widens no row beyond what the
+    * output must carry anyway. Cross-RUN removal (against recorded
+    * history instead of within-corpus) composes by seeding first-
+    * occurrence from [[graft.ingest.SpanStore]] probes.
+    */
+  private val q106: Q = (s, dir) => {
+    val K = SpanK
+    val docs = t(s, dir, "documents")
+    val w = windowHashesOf(docs.select(col("doc_id"), col("text")), K)
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val merged = w
+      .withColumn("first_doc", min("doc_id").over(hw))
+      .filter(col("doc_id") > col("first_doc"))
+      .select("doc_id", "pos")
+      .withColumn("prev_pos", lag("pos", 1).over(dw))
+      // a new island starts where this window's span no longer touches
+      // the previous window's coverage [prev_pos, prev_pos + K - 1]
+      .withColumn("is_new",
+        when(col("prev_pos").isNull ||
+          col("pos") > col("prev_pos") + lit(K - 1L), 1L).otherwise(0L))
+      .withColumn("island", sum("is_new").over(dw))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(K - 1L)).as("e"))
+    val iv = merged.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"),
+        sum(col("e") - col("s") + lit(1L)).as("removed_chars"))
+    docs.select(col("doc_id"), col("text"))
+      .join(iv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("iv").isNull, col("text")).otherwise(expr(
+          // fold the sorted intervals: append the kept run before each
+          // island, then the tail after the last one
+          """aggregate(iv,
+            | named_struct('p', CAST(1 AS BIGINT), 'acc', ''),
+            | (a, x) -> named_struct('p', x.e + CAST(1 AS BIGINT),
+            |   'acc', concat(a.acc, substring(text, CAST(a.p AS INT),
+            |     CAST(x.s - a.p AS INT)))),
+            | a -> concat(a.acc, substring(text, CAST(a.p AS INT))))"""
+            .stripMargin)).as("cleaned_text"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"))
+      .orderBy("doc_id")
+  }
+
   /** q103: MinHash band precision AUDIT — every pair the banded sketch
     * flags (q28's candidates, est. Jaccard ≥ 0.5) re-verified against
     * the EXACT 3-gram shingle Jaccard, per pair: estimate, truth, and a
@@ -2463,6 +2526,7 @@ object LlmPipeline {
     "q100_cluster_sizes" -> q100,
     "q101_dup_spans" -> q101,
     "q103_minhash_precision" -> q103,
+    "q106_span_removal" -> q106,
     "q104_source_dedup_rate" -> q104,
     "q105_quality_keeper" -> q105)
 
@@ -3605,5 +3669,51 @@ object LlmPipeline {
          |    ORDER BY q.quality DESC, c.doc_id)
          |  THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM comp c JOIN qual q ON c.doc_id = q.doc_id
-         |ORDER BY c.doc_id""".stripMargin)
+         |ORDER BY c.doc_id""".stripMargin,
+    "q106_span_removal" ->
+      """WITH w AS (
+        | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |        md5(substr(text, CAST(i AS INTEGER), 32)) AS h
+        | FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, n_chars - 31)) AS i
+        |       FROM documents WHERE n_chars >= 32)
+        |), fd AS (
+        | SELECT h, MIN(doc_id) AS first_doc FROM w GROUP BY h
+        |), dupw AS (
+        | SELECT w.doc_id, w.pos FROM w JOIN fd USING (h)
+        | WHERE w.doc_id > fd.first_doc
+        |), isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN LAG(pos) OVER win IS NULL
+        |        OR pos > LAG(pos) OVER win + 31 THEN 1 ELSE 0 END AS is_new
+        | FROM dupw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        |), isl2 AS (
+        | SELECT doc_id, pos,
+        |  SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM isl
+        |), merged AS (
+        | SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 31 AS e
+        | FROM isl2 GROUP BY doc_id, island
+        |), seg AS (
+        | SELECT doc_id, s, e,
+        |  COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |   AS ks
+        | FROM merged
+        |), segs AS (
+        | SELECT seg.doc_id,
+        |  string_agg(substr(d.text, CAST(ks AS INTEGER),
+        |    CAST(s - ks AS INTEGER)), '' ORDER BY ks) AS head_txt,
+        |  MAX(e) AS max_e,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars
+        | FROM seg JOIN documents d USING (doc_id)
+        | GROUP BY seg.doc_id
+        |)
+        |SELECT d.doc_id,
+        | CASE WHEN s.doc_id IS NULL THEN d.text
+        |  ELSE COALESCE(s.head_txt, '')
+        |   || substr(d.text, CAST(s.max_e + 1 AS INTEGER))
+        | END AS cleaned_text,
+        | COALESCE(s.removed_chars, CAST(0 AS BIGINT)) AS removed_chars
+        |FROM documents d LEFT JOIN segs s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 }

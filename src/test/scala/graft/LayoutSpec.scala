@@ -721,4 +721,92 @@ class LayoutSpec extends SparkSuite {
       .collect().sortBy(_._1).toSeq
     assert(got === (1 to 4).map(i => (i.toLong, s"r$i")))
   }
+
+  test("ANN takedown law: post-retract topKCurrent never returns a " +
+    "retracted id — immediately, after an appender re-adds it, across " +
+    "retrain and vacuum swaps — and vacuum rewrites ONLY the affected " +
+    "inverted lists") {
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 4)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivfretract")
+      .toString + "/index"
+    A.writeIndexVersioned(e, cents, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the self-query: vec X must be its own top hit before retraction
+    val x = 7L
+    val qx = e.filter(col("vec_id") === x)
+      .collect()(0).getSeq[Double](1).toArray
+    def served(): Seq[Long] = A.topKCurrent(spark, root, qx, k = 5,
+      nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(served().head === x)
+    // phase 1: retract → masked from the NEXT query on, no rewrite ran
+    A.retract(spark, root, Seq(x))
+    assert(!served().contains(x), "retracted id still served")
+    assert(!A.topKBatchCurrent(spark, root, Seq((1L, qx)), k = 5,
+        nprobe = 4).collect().map(_.getLong(1)).contains(x),
+      "retracted id still served by the batch probe")
+    // a (streaming-appender-shaped) re-append while the retraction is
+    // pending stays masked — takedown needs no appender coordination
+    A.assignByCosine(e.filter(col("vec_id") === x),
+        A.readCentroids(spark, root))
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    assert(!served().contains(x), "re-appended retracted id served")
+    // phase 2a: retrain physically drops it and clears the applied set
+    A.retrain(spark, root, iters = 1)
+    assert(!served().contains(x), "retracted id back after retrain")
+    assert(spark.read.parquet(A.currentIndexDir(spark, root))
+      .filter(col("vec_id") === x).count() === 0L,
+      "retrain did not physically drop the retracted rows")
+    assert(graft.ingest.DedupStore.storeDataFiles(fs,
+        A.retractedDir(root)).isEmpty,
+      "applied retraction files not cleared by retrain")
+    // phase 2b: vacuum — prompt physical drop, affected lists only
+    val y = served().head // currently-served vector to take down next
+    val genBefore = A.currentGeneration(spark, root).get
+    val dirBefore = A.currentIndexDir(spark, root)
+    val yCid = spark.read.parquet(dirBefore)
+      .filter(col("vec_id") === y).select("cid")
+      .collect().map(_.get(0).toString.toInt).toSet
+    def partFiles(dir: String, cid: Int): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/cid=$cid"))
+        .filter(_.isFile).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    val untouchedCids = A.readCentroids(spark, root).map(_._1)
+      .filterNot(yCid).filter(c => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dirBefore/cid=$c")))
+    val untouchedBefore = untouchedCids.map(c => c -> partFiles(dirBefore, c))
+    A.retract(spark, root, Seq(y))
+    val genAfter = A.vacuumRetracted(spark, root)
+    assert(genAfter !== genBefore, "vacuum did not swap a generation")
+    assert(A.currentGeneration(spark, root) === Some(genAfter))
+    val dirAfter = A.currentIndexDir(spark, root)
+    assert(spark.read.parquet(dirAfter)
+      .filter(col("vec_id") === y).count() === 0L,
+      "vacuum did not physically drop the retracted rows")
+    assert(!served().contains(y) && !served().contains(x))
+    // untouched inverted lists were copied forward VERBATIM
+    untouchedBefore.foreach { case (c, files) =>
+      assert(partFiles(dirAfter, c) === files,
+        s"vacuum rewrote untouched list cid=$c")
+    }
+    // predecessor retained for in-flight readers; applied set cleared
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$genBefore")),
+      "vacuum GC'd the predecessor generation")
+    assert(graft.ingest.DedupStore.storeDataFiles(fs,
+        A.retractedDir(root)).isEmpty,
+      "applied retraction files not cleared by vacuum")
+    // re-admission: with the set clear, a re-appended vector serves again
+    A.assignByCosine(e.filter(col("vec_id") === x),
+        A.readCentroids(spark, root))
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    assert(served().contains(x),
+      "re-admitted vector still masked after the set was cleared")
+  }
 }
