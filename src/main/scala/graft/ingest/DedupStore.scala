@@ -225,18 +225,53 @@ object DedupStore {
     new org.apache.hadoop.fs.Path(
       BucketedStore.tableLocation(spark, table), "_tombstones")
 
+  /** Ceiling (in on-disk parquet bytes) up to which a tombstone /
+    * retraction backlog rides a broadcast into its anti-join. Takedown
+    * lists are small by nature, but NOTHING used to enforce it: a
+    * runaway retraction feed left uncompacted would eventually OOM the
+    * driver through the explicit hint. Above the ceiling the probe
+    * falls back to a plain (shuffle) anti-join — for the BUCKETED
+    * stores the store side still plans zero exchanges (the bucketed
+    * scan's hash distribution satisfies the join on its bucket-column
+    * prefix; only the tombstone side shuffles), so the fallback costs
+    * one small-side exchange, never a store re-shuffle. A backlog near
+    * the ceiling is also the operational signal to run the compaction
+    * that clears it. Operators can tune via the session conf
+    * `graft.tombstone.broadcast.maxBytes`.
+    */
+  private[graft] val TombstoneBroadcastMaxBytes: Long = 64L << 20
+
+  private[graft] def tombstoneBroadcastCeiling(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.tombstone.broadcast.maxBytes")
+      .flatMap(_.toLongOption).getOrElse(TombstoneBroadcastMaxBytes)
+
+  /** Wrap a tombstone frame in the broadcast hint only while its
+    * backing files fit the ceiling — ONE place deciding how takedown
+    * sets enter their anti-joins.
+    */
+  private[graft] def gatedHint(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, backingBytes: Long): DataFrame =
+    if (backingBytes <= tombstoneBroadcastCeiling(spark)) broadcast(df)
+    else df
+
   /** The live tombstone frame under `dir`, or None when none exist.
     * Read by explicit file list so a concurrent phase-2 clear (which
     * deletes a snapshot of files) cannot race the directory listing.
+    * The frame arrives pre-wrapped by [[gatedHint]]: broadcast while
+    * the backlog is takedown-list-sized, plain above the ceiling.
     */
   private[graft] def readTombstones(
       spark: org.apache.spark.sql.SparkSession,
       dir: org.apache.hadoop.fs.Path,
       schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = storeDataFiles(fs, dir)
+    val files = storeDataFileStatuses(fs, dir)
     if (files.isEmpty) None
-    else Some(spark.read.schema(schema).parquet(files.map(_.toString): _*))
+    else Some(gatedHint(spark,
+      spark.read.schema(schema)
+        .parquet(files.map(_.getPath.toString): _*),
+      files.map(_.getLen).sum))
   }
 
   /** Phase 1: durably append `rows` (already projected to the store's
@@ -250,20 +285,21 @@ object DedupStore {
     finally mat.unpersist()
   }
 
-  /** Store frame minus live tombstones. The tombstone side carries an
-    * EXPLICIT broadcast hint — takedown lists are small by nature (a
-    * removal request list, never a corpus), and the hint makes the
-    * store side's distribution pass through the anti-join STRUCTURALLY
-    * (a broadcast join preserves the streamed side's partitioning), so
-    * the bucketed forms keep their zero-exchange property under any
+  /** Store frame minus live tombstones. The tombstone frame carries
+    * its join-strategy hint from [[gatedHint]] (applied where it was
+    * read, the only place that knows the backlog's size): broadcast
+    * while takedown-list-sized — which makes the store side's
+    * distribution pass through the anti-join STRUCTURALLY, so the
+    * bucketed forms keep their zero-exchange property under any
     * broadcast-threshold configuration (LayoutSpec plan-pins it with
-    * auto-broadcast disabled). A tombstone backlog large enough to
-    * strain a broadcast is the signal to run the compaction that
-    * clears it.
+    * auto-broadcast disabled) — and a plain shuffle anti-join above
+    * the [[TombstoneBroadcastMaxBytes]] ceiling, where a broadcast
+    * would OOM the driver (the bucketed store side STILL plans zero
+    * exchanges; see the ceiling's scaladoc).
     */
   private[ingest] def minusTombstones(store: DataFrame,
       tomb: Option[DataFrame], keys: Seq[String]): DataFrame =
-    tomb.fold(store)(t => store.join(broadcast(t), keys, "left_anti"))
+    tomb.fold(store)(t => store.join(t, keys, "left_anti"))
 
   /** Phase 2 core for the path stores: rewrite to distinct rows minus
     * a snapshot of the tombstone files, then clear exactly that
@@ -275,10 +311,12 @@ object DedupStore {
       targetFileBytes: Long): (Int, Int) = {
     val tombDir = tombstonesPath(storePath)
     val fs = tombDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val snapshot = storeDataFiles(fs, tombDir)
+    val snapStatuses = storeDataFileStatuses(fs, tombDir)
+    val snapshot = snapStatuses.map(_.getPath)
     val tomb = if (snapshot.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(snapshot.map(_.toString): _*))
+      else Some(gatedHint(spark,
+        spark.read.schema(schema).parquet(snapshot.map(_.toString): _*),
+        snapStatuses.map(_.getLen).sum))
     val (b, a, committed) = graft.layout.Layout.rewriteInPlaceChecked(
       spark, storePath,
       targetFileBytes)(df => minusTombstones(df.distinct(), tomb, keys))
@@ -361,11 +399,15 @@ object DedupStore {
 
   private[graft] def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    storeDataFileStatuses(fs, store).map(_.getPath)
+
+  private[graft] def storeDataFileStatuses(
+      fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!fs.exists(store)) Seq.empty
     else fs.listStatus(store).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
-      .map(_.getPath)
 
   /** A v2 (sharded) sidecar manifest: the store files the filter set
     * covers, plus the generation directory (sibling of the manifest)

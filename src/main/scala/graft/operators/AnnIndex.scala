@@ -189,7 +189,19 @@ object AnnIndex {
     */
   def readCentroids(spark: SparkSession,
       root: String): Seq[(Int, Array[Double])] =
-    spark.read.parquet(currentIndexDir(spark, root) + "/_centroids")
+    readCentroidsOf(spark, root,
+      currentGeneration(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no installed generation at $root")))
+
+  /** The NAMED generation's centroids — for callers that pinned a
+    * generation up front (the streaming appender) and must not let a
+    * concurrent swap mix the directory/centroid triple between two
+    * manifest reads.
+    */
+  def readCentroidsOf(spark: SparkSession, root: String,
+      gen: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$root/$gen/_centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
@@ -375,16 +387,28 @@ object AnnIndex {
     graft.ingest.DedupStore.readTombstones(spark, retractedDir(root),
       retractedSchema)
 
+  // the retraction frame arrives pre-wrapped by DedupStore.gatedHint:
+  // broadcast while takedown-list-sized, plain shuffle anti-join above
+  // the ceiling (the stores' OOM guard, shared)
   private def minusRetracted(spark: SparkSession, root: String,
       index: DataFrame): DataFrame =
     readRetracted(spark, root).fold(index)(r =>
-      index.join(broadcast(r), Seq("vec_id"), "left_anti"))
+      index.join(r, Seq("vec_id"), "left_anti"))
+
+  private def retractedSnapshotFrame(spark: SparkSession,
+      snap: Seq[org.apache.hadoop.fs.Path]): DataFrame = {
+    val fs = snap.head.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.ingest.DedupStore.gatedHint(spark,
+      spark.read.schema(retractedSchema)
+        .parquet(snap.map(_.toString): _*),
+      snap.map(p => fs.getFileStatus(p).getLen).sum)
+  }
 
   private def minusRetractedSnapshot(spark: SparkSession,
       snap: Seq[org.apache.hadoop.fs.Path], index: DataFrame): DataFrame =
     if (snap.isEmpty) index
-    else index.join(broadcast(spark.read.schema(retractedSchema)
-      .parquet(snap.map(_.toString): _*)), Seq("vec_id"), "left_anti")
+    else index.join(retractedSnapshotFrame(spark, snap),
+      Seq("vec_id"), "left_anti")
 
   /** Phase 2, the PROMPT form: physically drop retracted vectors
     * without a refit, rewriting ONLY the `cid=` partitions that
@@ -406,12 +430,11 @@ object AnnIndex {
       retractedDir(root))
     if (snap.isEmpty) return curGen
     val curDir = s"$root/$curGen"
-    val retracted = spark.read.schema(retractedSchema)
-      .parquet(snap.map(_.toString): _*)
+    val retracted = retractedSnapshotFrame(spark, snap)
     // which inverted lists hold retracted rows — bounded by k (the
     // centroid count), so the collect is a k-row driver frame at most
     val affected = spark.read.parquet(curDir)
-      .join(broadcast(retracted), Seq("vec_id"), "left_semi")
+      .join(retracted, Seq("vec_id"), "left_semi")
       .select("cid").distinct()
       .collect().map(_.get(0).toString.toInt).toSet
     val gen = s"gen-${java.util.UUID.randomUUID()}"
@@ -437,7 +460,7 @@ object AnnIndex {
     if (affected.nonEmpty)
       spark.read.parquet(curDir)
         .filter(col("cid").isin(affected.toSeq: _*))
-        .join(broadcast(retracted), Seq("vec_id"), "left_anti")
+        .join(retracted, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("v"), col("cid"))
         .repartition(col("cid"))
         .write.mode(SaveMode.Append).partitionBy("cid")

@@ -704,14 +704,25 @@ object Streams {
     * centroids, then appends under that generation — so the stream
     * keeps feeding whichever generation a retrain has installed, with
     * assignment always consistent with the centroids that define the
-    * generation's lists (the triple can never mix). A retrain
-    * concurrent with an IN-FLIGHT batch can strand that batch's rows
-    * in the predecessor generation (the retrain snapshotted vectors
-    * before they landed); the predecessor is retained a full cycle, so
-    * those rows stay readable for audit/re-delivery, and a production
-    * deployment quiesces the appender around retrains — the family's
-    * single-maintenance-writer posture, identical to the stores'
-    * compaction contract.
+    * generation's lists (the triple can never mix).
+    *
+    * Strand guard: a retrain concurrent with an IN-FLIGHT batch would
+    * leave that batch's rows in the predecessor generation (the
+    * retrain snapshotted vectors before they landed) — and once the
+    * NEXT retrain GC'd that generation the rows would vanish
+    * permanently, with nothing ever noticing. So after the append the
+    * batch RE-READS the manifest and FAILS if the generation changed
+    * mid-batch: the checkpoint never commits, the restart replays the
+    * batch against the newly-installed generation, and the stranded
+    * predecessor copy is GC'd with its generation (it was never
+    * served — only the current generation is). Appending twice is the
+    * family's at-least-once posture; q40/q85-style probes dedup
+    * nothing because the replayed rows land in the SAME (vec_id, v)
+    * identity the maintenance `rewriteInPlace(dropDuplicates)` pass
+    * reclaims. An install landing after this check but before the
+    * checkpoint commit can still strand (vanishingly narrow window);
+    * production deployments additionally quiesce the appender around
+    * retrains — the family's single-maintenance-writer posture.
     */
   def indexIngestStreamVersioned(embeddings: DataFrame, root: String,
       checkpointDir: String): StreamingQuery =
@@ -720,14 +731,38 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val dir = graft.operators.AnnIndex.currentIndexDir(spark, root)
-        val cents = graft.operators.AnnIndex.readCentroids(spark, root)
-        graft.operators.AnnIndex.assignByCosine(batch, cents)
-          .write.mode("append").partitionBy("cid").parquet(dir)
-        ()
+        appendVersionedBatch(batch, root)
       }
       .start()
+
+  /** One micro-batch of [[indexIngestStreamVersioned]], factored out so
+    * the strand guard is testable: resolve the generation ONCE, assign
+    * with THAT generation's centroids, append under it, then re-read
+    * the manifest and fail if a swap landed mid-batch (the scaladoc
+    * above). `postWriteProbe` is a test seam — it runs inside the
+    * guard's detection window (after the append, before the re-check),
+    * where a deterministic spec can inject the racing retrain.
+    */
+  private[graft] def appendVersionedBatch(batch: DataFrame, root: String,
+      postWriteProbe: () => Unit = () => ()): Unit = {
+    val spark = batch.sparkSession
+    val gen0 = graft.operators.AnnIndex
+      .currentGeneration(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no installed generation at $root"))
+    val cents = graft.operators.AnnIndex
+      .readCentroidsOf(spark, root, gen0)
+    graft.operators.AnnIndex.assignByCosine(batch, cents)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$root/$gen0")
+    postWriteProbe()
+    val gen1 = graft.operators.AnnIndex.currentGeneration(spark, root)
+    if (gen1 != Some(gen0))
+      throw new IllegalStateException(
+        s"index generation swapped mid-batch ($gen0 -> " +
+          s"${gen1.getOrElse("<none>")}): failing the batch so the " +
+          "replay re-appends into the installed generation")
+  }
 
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",

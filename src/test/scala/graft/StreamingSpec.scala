@@ -579,6 +579,45 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L, 100001L))
   }
 
+  test("versioned index strand guard: a retrain landing mid-batch " +
+    "fails the batch loudly (replay re-appends into the installed " +
+    "generation) instead of silently stranding rows in the retiring " +
+    "one") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L, 1)
+    val root = java.nio.file.Files.createTempDirectory("ivf-strand")
+      .toString + "/index"
+    val g1 = A.writeIndexVersioned(e, cents, root)
+    val q0 = e.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    val batch = Seq((200000L, q0)).toDF("vec_id", "v")
+    // the deterministic race: the retrain swaps generations inside the
+    // guard's detection window (append done, manifest not yet re-read)
+    val err = intercept[IllegalStateException] {
+      graft.streaming.Streams.appendVersionedBatch(batch, root,
+        postWriteProbe = () => { A.retrain(spark, root, iters = 1); () })
+    }
+    assert(err.getMessage.contains("swapped mid-batch"))
+    val g2 = A.currentGeneration(spark, root).get
+    assert(g2 !== g1)
+    // the replay (what the restarted stream does) lands the rows in
+    // the INSTALLED generation, where probes serve them. At-least-once:
+    // this retrain's snapshot already included the completed append, so
+    // the replayed copy is a duplicate row — the documented
+    // rewriteInPlace(dropDuplicates) maintenance reclaims it.
+    graft.streaming.Streams.appendVersionedBatch(batch, root)
+    assert(spark.read.parquet(s"$root/$g2")
+      .filter(col("vec_id") === 200000L).count() >= 1L)
+    assert(A.topKCurrent(spark, root, q0.toArray, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 200000L))
+    // an undisturbed batch passes the guard silently
+    graft.streaming.Streams.appendVersionedBatch(
+      Seq((200001L, q0)).toDF("vec_id", "v"), root)
+  }
+
   test("streamed cross-run NEAR dedup: paraphrases of any earlier " +
     "batch's documents are dropped; replay after checkpoint loss is " +
     "a no-op") {

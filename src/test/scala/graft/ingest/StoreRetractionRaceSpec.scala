@@ -102,6 +102,46 @@ class StoreRetractionRaceSpec extends graft.SparkSuite {
     }
   }
 
+  test("tombstone broadcast is size-gated: a backlog above the ceiling " +
+    "falls back to a shuffle anti-join (no driver OOM path) with " +
+    "identical answers; below the ceiling the hint stays") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val D = DedupStore
+    val store = tmpDir("tomb-gate") + "/hashes"
+    val docs = (1 to 200).map(i => (i.toLong, s"gate doc $i"))
+      .toDF("doc_id", "text")
+    D.recordHashes(docs, "text", store)
+    D.retract(Seq((0L, "gate doc 1"), (0L, "gate doc 2"))
+      .toDF("doc_id", "text"), "text", store)
+    val probe = Seq((9001L, "gate doc 1"), (9002L, "fresh"))
+      .toDF("doc_id", "text")
+    def broadcasts(): Int =
+      D.newUnique(probe, "text", "doc_id", store)
+        .queryExecution.sparkPlan.collect {
+          case e: BroadcastHashJoinExec => e
+        }.size
+    def ids(): Seq[Long] = D.newUnique(probe, "text", "doc_id", store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // auto-broadcast off: any BroadcastExchange left is OUR hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(broadcasts() >= 1,
+        "takedown-list-sized backlog lost its broadcast hint")
+      assert(ids() === Seq(9001L, 9002L))
+      // ceiling below the backlog's file bytes → plain shuffle anti-join
+      spark.conf.set("graft.tombstone.broadcast.maxBytes", "1")
+      assert(broadcasts() === 0,
+        "over-ceiling backlog still rides a broadcast (driver OOM path)")
+      assert(ids() === Seq(9001L, 9002L),
+        "fallback join changed the probe's answers")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+    }
+  }
+
   test("bucketed compact preserves a retraction landing mid-swap: the " +
     "late tombstone survives the DROP unapplied and the next " +
     "compaction applies it") {
