@@ -2,7 +2,8 @@ package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
 
 /** Cross-RUN exact content dedup — the incremental edge of the dedup
   * family: q27 dedups within a corpus, Streams.streamingContentDedup
@@ -36,31 +37,55 @@ object DedupStore {
   private[ingest] val storeSchema =
     StructType(Seq(StructField("content_hash", StringType)))
 
+  private[graft] val Md5Form = HashForm.Md5
+  private[graft] val XxForm = HashForm.Xx
+
+  /** Store shape per persisted hash form ([[HashForm]]): the 32-char
+    * md5 string (the oracle-checked default) or the 8-byte xxhash64
+    * long (4× less store and exchange per document — the 100 TB form).
+    */
+  private def schemaOf(form: String): StructType =
+    if (form == HashForm.Xx)
+      StructType(Seq(StructField("content_hash", LongType)))
+    else storeSchema
+
+  /** The hash form the path store was recorded with (md5 if never
+    * declared). Probes self-configure through this; only the record
+    * steps take an explicit form (to declare it on first append).
+    */
+  def storedHashForm(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): String = HashForm.storedPath(spark, storePath)
+
   /** Hash column the store keys on — ONE definition with q27/q80
-    * (LlmPipeline.contentHash): md5 of whitespace/case-normalized text.
+    * (LlmPipeline.contentHash / contentHash64): md5 (or xxhash64, per
+    * the store's persisted form) of whitespace/case-normalized text.
     * Null text coalesces to the empty string first (the
     * streamingContentDedup contract): a null-text document HAS content
     * — empty — and all empty-content rows are duplicates of each other;
     * md5(null) would be a null key that no anti-join can ever match, so
     * null-text docs would re-deliver as "new" forever.
     */
-  private def hashOf(textCol: String) =
-    graft.queries.LlmPipeline.contentHash(coalesce(col(textCol), lit("")))
+  private def hashOf(textCol: String, form: String) = {
+    val c = coalesce(col(textCol), lit(""))
+    if (form == HashForm.Xx) graft.queries.LlmPipeline.contentHash64(c)
+    else graft.queries.LlmPipeline.contentHash(c)
+  }
 
   private def storeHashes(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame = {
+      storePath: String, form: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = schemaOf(form)
     // explicit schema: a store dir that exists but holds no readable
     // data files yet (crashed first append = only _temporary/_SUCCESS)
     // must degrade to an EMPTY store, not an un-inferable-schema error
     // that wedges every later batch
     val base =
-      if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
+      if (fs.exists(p)) spark.read.schema(schema).parquet(storePath)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     minusTombstones(base,
-      readTombstones(spark, tombstonesPath(storePath), storeSchema),
+      readTombstones(spark, tombstonesPath(storePath), schema),
       Seq("content_hash"))
   }
 
@@ -71,23 +96,27 @@ object DedupStore {
     * null ids order last, and an all-null-id group still keeps exactly
     * one row rather than vanishing), then the keepers anti-join the
     * store on the hash. Both steps shuffle on the hash — the same
-    * content-bucketed movement as q27; nothing touches the driver.
+    * content-bucketed movement as q27; nothing touches the driver. The
+    * hash is computed in the store's own persisted form, so a probe
+    * can never silently miss an xxh64 store with md5 strings.
     */
   def newUnique(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String): DataFrame =
-    keepers(docs, textCol, idCol)
-      .join(storeHashes(docs.sparkSession, storePath),
+      storePath: String): DataFrame = {
+    val form = storedHashForm(docs.sparkSession, storePath)
+    keepers(docs, textCol, idCol, form)
+      .join(storeHashes(docs.sparkSession, storePath, form),
         Seq("content_hash"), "left_anti")
+  }
 
   /** Within-batch dedup shared by both store forms: hash every row,
     * keep one row per hash.
     */
   private def keepers(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, form: String): DataFrame = {
     for (reserved <- Seq("content_hash", "__rn"))
       require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
         s"DedupStore reserves the column name $reserved")
-    val hashed = docs.withColumn("content_hash", hashOf(textCol))
+    val hashed = docs.withColumn("content_hash", hashOf(textCol, form))
     // row_number, not a min-window + equality filter: a null-id row
     // never satisfies `id === min(id)` (null comparison), so an
     // all-null-id group would silently disappear from the output —
@@ -111,10 +140,11 @@ object DedupStore {
     * the store.
     */
   def recordHashes(docs: DataFrame, textCol: String,
-      storePath: String): Unit = {
-    val hashes =
-      if (docs.columns.contains("content_hash")) docs.select("content_hash")
-      else docs.select(hashOf(textCol).as("content_hash"))
+      storePath: String, hashForm: String = ""): Unit = {
+    val spark = docs.sparkSession
+    val form = HashForm.resolve(hashForm, storedHashForm(spark, storePath))
+    HashForm.commitPath(spark, storePath, form, "DedupStore")
+    val hashes = hashProjection(docs, textCol, form)
     // materialize BEFORE the append: a caller that passes newUnique's
     // lazy output straight in has storePath in its plan, and an append
     // whose input plan scans the directory being appended would bank on
@@ -125,6 +155,23 @@ object DedupStore {
     try mat.write.mode(SaveMode.Append).parquet(storePath)
     finally mat.unpersist()
   }
+
+  /** The batch's hash projection in the store's `form`, reusing a
+    * carried `content_hash` column when its TYPE matches the form
+    * ([[newUnique]]'s output does). A carried hash of the OTHER form
+    * is refused loudly — recording md5 strings into an xxh64 store
+    * would be silently unmatchable by every later probe.
+    */
+  private def hashProjection(docs: DataFrame, textCol: String,
+      form: String): DataFrame =
+    if (docs.columns.contains("content_hash")) {
+      val t = docs.schema("content_hash").dataType
+      require(t == schemaOf(form).head.dataType,
+        s"carried content_hash has type $t but the store's hash form " +
+          s"is $form — pass the probe output of a matching store, or " +
+          "drop the column to recompute from the text")
+      docs.select("content_hash")
+    } else docs.select(hashOf(textCol, form).as("content_hash"))
 
   /** [[recordHashes]] without the localCheckpoint: stages the batch's
     * hashes to a sibling temp directory (a durable parquet write — no
@@ -142,11 +189,11 @@ object DedupStore {
     * collide with existing store files.
     */
   def recordHashesStaged(docs: DataFrame, textCol: String,
-      storePath: String): Unit = {
+      storePath: String, hashForm: String = ""): Unit = {
     val spark = docs.sparkSession
-    val hashes =
-      if (docs.columns.contains("content_hash")) docs.select("content_hash")
-      else docs.select(hashOf(textCol).as("content_hash"))
+    val form = HashForm.resolve(hashForm, storedHashForm(spark, storePath))
+    HashForm.commitPath(spark, storePath, form, "DedupStore")
+    val hashes = hashProjection(docs, textCol, form)
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     val qual = fs.makeQualified(store)
@@ -180,7 +227,8 @@ object DedupStore {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0, 0)
-    compactApplyingTombstones(spark, storePath, storeSchema,
+    compactApplyingTombstones(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)),
       Seq("content_hash"), targetFileBytes)
   }
 
@@ -340,27 +388,45 @@ object DedupStore {
     * exact against what record-by-text stored.
     */
   def retract(docs: DataFrame, textCol: String, storePath: String): Unit =
-    retractHashes(docs.select(hashOf(textCol).as("content_hash")),
-      storePath)
+    retractHashes(docs.select(
+      hashOf(textCol, storedHashForm(docs.sparkSession, storePath))
+        .as("content_hash")), storePath)
 
   /** Retract by precomputed hash (`content_hash` column) — the form a
     * takedown list arrives in when the original text is itself no
-    * longer storable.
+    * longer storable. The column's TYPE must match the store's
+    * persisted hash form (a string tombstone can never mask an xxh64
+    * store's long rows — refused loudly, like the record side).
     */
-  def retractHashes(hashes: DataFrame, storePath: String): Unit =
+  def retractHashes(hashes: DataFrame, storePath: String): Unit = {
+    requireFormType(hashes,
+      storedHashForm(hashes.sparkSession, storePath))
     appendTombstones(hashes.select("content_hash"),
       tombstonesPath(storePath))
+  }
+
+  private def requireFormType(hashes: DataFrame, form: String): Unit = {
+    val t = hashes.schema("content_hash").dataType
+    require(t == schemaOf(form).head.dataType,
+      s"content_hash has type $t but the store's hash form is $form — " +
+        "tombstones of the other form can never match the stored rows")
+  }
 
   /** [[retract]] for the bucketed store table. */
   def retractBucketed(docs: DataFrame, textCol: String,
-      table: String): Unit =
-    retractHashesBucketed(
-      docs.select(hashOf(textCol).as("content_hash")), table)
+      table: String): Unit = {
+    val spark = docs.sparkSession
+    ensureBucketedStore(spark, table)
+    retractHashesBucketed(docs.select(
+      hashOf(textCol, storedHashFormBucketed(spark, table))
+        .as("content_hash")), table)
+  }
 
   /** [[retractHashes]] for the bucketed store table. */
   def retractHashesBucketed(hashes: DataFrame, table: String): Unit = {
     val spark = hashes.sparkSession
     ensureBucketedStore(spark, table)
+    requireFormType(hashes, storedHashFormBucketed(spark, table))
     appendTombstones(hashes.select("content_hash"),
       bucketedTombstonesDir(spark, table))
   }
@@ -372,7 +438,8 @@ object DedupStore {
       table: String): DataFrame =
     minusTombstones(spark.table(table),
       readTombstones(spark, bucketedTombstonesDir(spark, table),
-        storeSchema), Seq("content_hash"))
+        schemaOf(storedHashFormBucketed(spark, table))),
+      Seq("content_hash"))
 
   // ── Bloom-filter sidecar (batch-side prune for the path store) ─────
   //
@@ -488,7 +555,8 @@ object DedupStore {
     */
   def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
       storePath: String, fpp: Double = 0.01, numShards: Int = 0): Long =
-    buildPathSidecar(spark, storePath, storeSchema, "content_hash", fpp,
+    buildPathSidecar(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)), "content_hash", fpp,
       numShards)
 
   /** The path-form sidecar builder shared across the store family
@@ -593,23 +661,29 @@ object DedupStore {
         if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val k = keepers(docs, textCol, idCol)
+        val form = storedHashForm(spark, storePath)
+        val schema = schemaOf(form)
+        val k = keepers(docs, textCol, idCol, form)
+        // the probe expression hashes STRINGS; the xx64 form's long
+        // hashes cast to their decimal string — bit-identical to what
+        // the sidecar build cast when it recorded them
+        val probeKey = col("content_hash").cast("string")
         // live tombstones subtract from EVERY store-side frame (the
         // retraction contract) — covered and residual alike
         val tomb = readTombstones(spark, tombstonesPath(storePath),
-          storeSchema)
+          schema)
         val coveredDf = minusTombstones(
-          spark.read.schema(storeSchema)
+          spark.read.schema(schema)
             .parquet(covered.map(_.toString): _*), tomb,
           Seq("content_hash"))
-        val maybe = k.filter(mightContain(col("content_hash")))
+        val maybe = k.filter(mightContain(probeKey))
           .join(coveredDf, Seq("content_hash"), "left_anti")
-        val definite = k.filter(!mightContain(col("content_hash")))
+        val definite = k.filter(!mightContain(probeKey))
         val unioned = definite.unionByName(maybe)
         val result =
           if (residual.isEmpty) unioned
           else unioned.join(
-            minusTombstones(spark.read.schema(storeSchema)
+            minusTombstones(spark.read.schema(schema)
               .parquet(residual.map(_.toString): _*), tomb,
               Seq("content_hash")),
             Seq("content_hash"), "left_anti")
@@ -641,6 +715,22 @@ object DedupStore {
       "content_hash")
   }
 
+  private val HashFormProp = "graft.dedup.hashform"
+
+  /** The hash form the bucketed store was recorded with (table
+    * property; [[BucketedStore.compact]] carries `graft.*` properties
+    * across its staging-table swap, so it survives compaction).
+    */
+  def storedHashFormBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    HashForm.storedBucketed(spark, table, HashFormProp)
+
+  private def commitHashFormBucketed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      form: String): Unit =
+    HashForm.commitBucketed(spark, table, HashFormProp, form, schemaOf,
+      "content_hash", "DedupStore")
+
   /** [[newUnique]] against the bucketed store table. The store side of
     * the anti-join plans ZERO exchanges (LayoutSpec asserts it) — at
     * 100 TB this is the difference between re-shuffling the full
@@ -650,7 +740,7 @@ object DedupStore {
       table: String): DataFrame = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
-    keepers(docs, textCol, idCol)
+    keepers(docs, textCol, idCol, storedHashFormBucketed(spark, table))
       .join(storeTable(spark, table), Seq("content_hash"), "left_anti")
   }
 
@@ -660,13 +750,14 @@ object DedupStore {
     * starts scanning the table it extends.
     */
   def recordHashesBucketed(docs: DataFrame, textCol: String,
-      table: String): Unit = {
+      table: String, hashForm: String = ""): Unit = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    val form = HashForm.resolve(hashForm,
+      storedHashFormBucketed(spark, table))
+    commitHashFormBucketed(spark, table, form)
     val b = bucketsOf(spark, table)
-    val hashes =
-      if (docs.columns.contains("content_hash")) docs.select("content_hash")
-      else docs.select(hashOf(textCol).as("content_hash"))
+    val hashes = hashProjection(docs, textCol, form)
     val mat = hashes.distinct().localCheckpoint(true)
     try mat.write.mode(SaveMode.Append)
       .bucketBy(b, "content_hash").sortBy("content_hash")
@@ -721,16 +812,21 @@ object DedupStore {
           return newUniqueBucketed(docs, textCol, idCol, table)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val k = keepers(docs, textCol, idCol)
+        val form = storedHashFormBucketed(spark, table)
+        val schema = schemaOf(form)
+        val k = keepers(docs, textCol, idCol, form)
+        // probe hashes strings; xx64 longs cast to their decimal
+        // string, matching what the sidecar build recorded
+        val probeKey = col("content_hash").cast("string")
         val tomb = readTombstones(spark,
-          bucketedTombstonesDir(spark, table), storeSchema)
-        val maybe = k.filter(mightContain(col("content_hash")))
+          bucketedTombstonesDir(spark, table), schema)
+        val maybe = k.filter(mightContain(probeKey))
           .join(storeTable(spark, table), Seq("content_hash"), "left_anti")
-        val definite0 = k.filter(!mightContain(col("content_hash")))
+        val definite0 = k.filter(!mightContain(probeKey))
         val definite =
           if (residual.isEmpty) definite0
           else definite0.join(
-            minusTombstones(spark.read.schema(storeSchema)
+            minusTombstones(spark.read.schema(schema)
               .parquet(residual.map(_.toString): _*), tomb,
               Seq("content_hash")),
             Seq("content_hash"), "left_anti")
@@ -754,10 +850,13 @@ object DedupStore {
     BucketedStore.compact(spark, table, "content_hash",
       // phase 2: drop tombstoned rows in the staging rewrite; the old
       // directory — `_tombstones` included — goes down with the swap's
-      // DROP, which is what clears the applied tombstones
+      // DROP, which is what clears the applied tombstones. The hash
+      // form is read INSIDE the transform — compact's entry recovery
+      // has run by then.
       df => minusTombstones(df,
         readTombstones(spark, bucketedTombstonesDir(spark, table),
-          storeSchema), Seq("content_hash")))
+          schemaOf(storedHashFormBucketed(spark, table))),
+        Seq("content_hash")))
 
   private def stagingOf(table: String): String =
     BucketedStore.stagingOf(table)

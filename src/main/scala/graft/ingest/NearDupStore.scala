@@ -31,12 +31,49 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType,
   * At 100 TB the band_key is the store's at-rest bucket key — the
   * bucketed-catalog and Bloom-sidecar accelerations of DedupStore apply
   * here unchanged (same join shape, wider key).
+  *
+  * Hash forms ([[HashForm]], persisted like the siblings'): the
+  * default `"md5"` form stores the band key as q28's concatenated
+  * string (`b|v1|…` — ~60 bytes/row); the `"xxh64"` form stores
+  * `xxhash64` of that string (8-byte long — the dominant share of the
+  * row's key width, and the store's at-rest bucket key, at 100 TB).
+  * A band-key hash COLLISION (≈2⁻⁶⁴ per distinct-key pair) can only
+  * create a candidate pair, never a flag: every candidate still passes
+  * the ≥ minAgree/16 signature verification, which does not read the
+  * band key at all.
   */
 object NearDupStore {
 
   private val storeSchema = StructType(Seq(
     StructField("band_key", StringType),
     StructField("sig", ArrayType(LongType))))
+
+  private[graft] val Md5Form = HashForm.Md5
+  private[graft] val XxForm = HashForm.Xx
+
+  /** Store shape per persisted hash form — the band key narrows to a
+    * long under xxh64; the verification signature is untouched.
+    */
+  private def schemaOf(form: String): StructType =
+    if (form == HashForm.Xx) StructType(Seq(
+      StructField("band_key", LongType),
+      StructField("sig", ArrayType(LongType))))
+    else storeSchema
+
+  /** The hash form the path store was recorded with (md5 if never
+    * declared); probes self-configure through this.
+    */
+  def storedHashForm(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): String = HashForm.storedPath(spark, storePath)
+
+  private val HashFormProp = "graft.neardup.hashform"
+
+  /** The hash form the bucketed store was recorded with (table
+    * property, surviving [[BucketedStore.compact]]'s swap).
+    */
+  def storedHashFormBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    HashForm.storedBucketed(spark, table, HashFormProp)
 
   /** Signature agreement count between two 16-long arrays — the q28
     * match statistic (n_match ≥ 8 ⇔ est. Jaccard ≥ 0.5).
@@ -49,24 +86,30 @@ object NearDupStore {
     * derivation; `idCol`/`textCol` renamed into the kernel's expected
     * shape first.
     */
-  private def banded(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+  private def banded(docs: DataFrame, textCol: String, idCol: String,
+      form: String = HashForm.Md5): DataFrame = {
     graft.functions.Functions.register(docs.sparkSession)
-    graft.queries.LlmPipeline.minhashedOf(
+    val base = graft.queries.LlmPipeline.minhashedOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    // xx form: the band key narrows to xxhash64 of the q28 string —
+    // ONE derivation (hash OF the canonical key), so the two forms
+    // can never disagree about which documents share a band
+    if (form == HashForm.Xx) base.withColumn("bk", xxhash64(col("bk")))
+    else base
   }
 
   private def storeBands(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame = {
+      storePath: String, form: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val schema = schemaOf(form)
     val base =
-      if (fs.exists(p)) spark.read.schema(storeSchema).parquet(storePath)
+      if (fs.exists(p)) spark.read.schema(schema).parquet(storePath)
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     DedupStore.minusTombstones(base,
       DedupStore.readTombstones(spark,
-        DedupStore.tombstonesPath(storePath), storeSchema),
+        DedupStore.tombstonesPath(storePath), schema),
       Seq("band_key", "sig"))
   }
 
@@ -87,7 +130,8 @@ object NearDupStore {
   def retract(docs: DataFrame, textCol: String, idCol: String,
       storePath: String): Unit =
     DedupStore.appendTombstones(
-      banded(docs, textCol, idCol)
+      banded(docs, textCol, idCol,
+          storedHashForm(docs.sparkSession, storePath))
         .select(col("bk").as("band_key"), col("sig")),
       DedupStore.tombstonesPath(storePath))
 
@@ -97,17 +141,17 @@ object NearDupStore {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
     DedupStore.appendTombstones(
-      banded(docs, textCol, idCol)
+      banded(docs, textCol, idCol, storedHashFormBucketed(spark, table))
         .select(col("bk").as("band_key"), col("sig")),
       DedupStore.bucketedTombstonesDir(spark, table))
   }
 
   /** The bucketed store's scan minus live tombstones. */
   private def storeTable(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame =
+      table: String, form: String): DataFrame =
     DedupStore.minusTombstones(spark.table(table),
       DedupStore.readTombstones(spark,
-        DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+        DedupStore.bucketedTombstonesDir(spark, table), schemaOf(form)),
       Seq("band_key", "sig"))
 
   /** Rows of `docs` that do NOT near-duplicate any recorded document:
@@ -124,19 +168,21 @@ object NearDupStore {
     * precision should supply real ids (the DedupStore contract).
     */
   def newNearUnique(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String, minAgree: Int = 8): DataFrame =
+      storePath: String, minAgree: Int = 8): DataFrame = {
+    val form = storedHashForm(docs.sparkSession, storePath)
     flagAgainst(docs, textCol, idCol,
-      storeBands(docs.sparkSession, storePath)
-        .withColumnRenamed("sig", "stored_sig"), minAgree)
+      storeBands(docs.sparkSession, storePath, form)
+        .withColumnRenamed("sig", "stored_sig"), minAgree, form)
+  }
 
   /** Band candidate join + signature verification + null-safe anti-join
     * shared by the path and bucketed forms; `store` is the (band_key,
-    * stored_sig) history frame.
+    * stored_sig) history frame in `form`'s key type.
     */
   private def flagAgainst(docs: DataFrame, textCol: String, idCol: String,
-      store: DataFrame, minAgree: Int): DataFrame =
+      store: DataFrame, minAgree: Int, form: String): DataFrame =
     antiJoinFlagged(docs, idCol,
-      flaggedIds(banded(docs, textCol, idCol), store, minAgree))
+      flaggedIds(banded(docs, textCol, idCol, form), store, minAgree))
 
   /** The verification step itself — band rows equi-join the history,
     * candidates verify by ≥ `minAgree`/16 signature positions, flagged
@@ -168,8 +214,12 @@ object NearDupStore {
     * reclaims them.
     */
   def recordSignatures(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String): Unit = {
-    val rows = banded(docs, textCol, idCol)
+      storePath: String, hashForm: String = ""): Unit = {
+    val spark = docs.sparkSession
+    val form = HashForm.resolve(hashForm,
+      storedHashForm(spark, storePath))
+    HashForm.commitPath(spark, storePath, form, "NearDupStore")
+    val rows = banded(docs, textCol, idCol, form)
       .select(col("bk").as("band_key"), col("sig")).distinct()
       .localCheckpoint(true)
     try rows.write.mode(SaveMode.Append).parquet(storePath)
@@ -184,7 +234,8 @@ object NearDupStore {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0, 0)
-    DedupStore.compactApplyingTombstones(spark, storePath, storeSchema,
+    DedupStore.compactApplyingTombstones(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)),
       Seq("band_key", "sig"), targetFileBytes)
   }
 
@@ -205,6 +256,12 @@ object NearDupStore {
       table: String, buckets: Int = 32): Unit =
     BucketedStore.ensure(spark, table, buckets, storeSchema, "band_key")
 
+  private def commitHashFormBucketed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      form: String): Unit =
+    HashForm.commitBucketed(spark, table, HashFormProp, form, schemaOf,
+      "band_key", "NearDupStore")
+
   /** [[newNearUnique]] against the bucketed store table — zero
     * exchanges on the store side of the band candidate join (LayoutSpec
     * asserts it); verification and the null-safe anti-join are the
@@ -214,9 +271,11 @@ object NearDupStore {
       idCol: String, table: String, minAgree: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    val form = storedHashFormBucketed(spark, table)
     flagAgainst(docs, textCol, idCol,
-      storeTable(spark, table).withColumnRenamed("sig", "stored_sig"),
-      minAgree)
+      storeTable(spark, table, form)
+        .withColumnRenamed("sig", "stored_sig"),
+      minAgree, form)
   }
 
   /** [[recordSignatures]] into the bucketed store table: one bucketed
@@ -224,11 +283,14 @@ object NearDupStore {
     * checkpointed like the sibling record steps.
     */
   def recordSignaturesBucketed(docs: DataFrame, textCol: String,
-      idCol: String, table: String): Unit = {
+      idCol: String, table: String, hashForm: String = ""): Unit = {
     val spark = docs.sparkSession
     ensureBucketedStore(spark, table)
+    val form = HashForm.resolve(hashForm,
+      storedHashFormBucketed(spark, table))
+    commitHashFormBucketed(spark, table, form)
     val b = BucketedStore.bucketsOf(spark, table)
-    val rows = banded(docs, textCol, idCol)
+    val rows = banded(docs, textCol, idCol, form)
       .select(col("bk").as("band_key"), col("sig")).distinct()
       .localCheckpoint(true)
     try rows.write.mode(SaveMode.Append)
@@ -264,22 +326,27 @@ object NearDupStore {
             minAgree)
         val residual =
           current.filterNot(f => coveredNames.contains(f.getName))
-        val bands = banded(docs, textCol, idCol)
-        val hit = flaggedIds(bands.filter(mightContain(col("bk"))),
-          storeTable(spark, table)
+        val form = storedHashFormBucketed(spark, table)
+        val schema = schemaOf(form)
+        val bands = banded(docs, textCol, idCol, form)
+        // probe hashes strings; xx64 band keys cast to their decimal
+        // string, matching what the sidecar build recorded
+        val probeKey = col("bk").cast("string")
+        val hit = flaggedIds(bands.filter(mightContain(probeKey)),
+          storeTable(spark, table, form)
             .withColumnRenamed("sig", "stored_sig"), minAgree)
         val flagged =
           if (residual.isEmpty) hit
           else hit.unionByName(flaggedIds(
-            bands.filter(!mightContain(col("bk"))),
+            bands.filter(!mightContain(probeKey)),
             // residual files stay small between rebuilds: broadcast
             // them so the miss leg never shuffles the band stream
             broadcast(DedupStore.minusTombstones(
-              spark.read.schema(storeSchema)
+              spark.read.schema(schema)
                 .parquet(residual.map(_.toString): _*),
               DedupStore.readTombstones(spark,
                 DedupStore.bucketedTombstonesDir(spark, table),
-                storeSchema), Seq("band_key", "sig"))
+                schema), Seq("band_key", "sig"))
               .withColumnRenamed("sig", "stored_sig")),
             minAgree))
         antiJoinFlagged(docs, idCol, flagged)
@@ -302,8 +369,10 @@ object NearDupStore {
   def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Long) =
     BucketedStore.compact(spark, table, "band_key",
+      // hash form read INSIDE the transform — entry recovery first
       df => DedupStore.minusTombstones(df,
         DedupStore.readTombstones(spark,
-          DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+          DedupStore.bucketedTombstonesDir(spark, table),
+          schemaOf(storedHashFormBucketed(spark, table))),
         Seq("band_key", "sig")))
 }

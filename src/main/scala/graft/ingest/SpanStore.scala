@@ -71,55 +71,21 @@ object SpanStore {
     else graft.queries.LlmPipeline.windowHashesOf(base, k)
   }
 
-  // ── persisted hash form ────────────────────────────────────────────
-  //
-  // Like the stride, the hash form is a property of the RECORDED DATA:
-  // a store recorded as xxhash64 longs can only ever match xxhash64
-  // probes — an md5 probe against it would silently flag nothing.
-  // Persisting it next to the data makes the probe self-configuring
-  // and a mixed-form store impossible.
+  // ── persisted hash form — the family-shared [[HashForm]] protocol
+  // (this store pioneered it; the flag files/properties are unchanged).
 
-  private[graft] val Md5Form = "md5"
-  private[graft] val XxForm = "xxh64"
-
-  private def hashFormPath(storePath: String) =
-    new org.apache.hadoop.fs.Path(storePath + ".hashform")
+  private[graft] val Md5Form = HashForm.Md5
+  private[graft] val XxForm = HashForm.Xx
 
   /** The hash form the path store was recorded with (md5 if never
     * declared — every store recorded before the flag existed is md5).
     */
-  def storedHashForm(spark: SparkSession, storePath: String): String = {
-    val p = hashFormPath(storePath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Md5Form
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
-  }
+  def storedHashForm(spark: SparkSession, storePath: String): String =
+    HashForm.storedPath(spark, storePath)
 
   private def commitHashForm(spark: SparkSession, storePath: String,
-      form: String): Unit = {
-    require(form == Md5Form || form == XxForm,
-      s"unknown span hash form $form (use $Md5Form or $XxForm)")
-    val existing = storedHashForm(spark, storePath)
-    if (existing == form) return
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(p) || DedupStore.storeDataFiles(fs, p).isEmpty,
-      s"SpanStore $storePath was recorded with hash form $existing; " +
-        s"cannot record as $form (the forms can never match each " +
-        "other — use a fresh store)")
-    val hp = hashFormPath(storePath)
-    val tmp = new org.apache.hadoop.fs.Path(hp.getParent,
-      hp.getName + s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(form.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(hp, false)
-    require(fs.rename(tmp, hp), s"SpanStore: could not install $hp")
-  }
+      form: String): Unit =
+    HashForm.commitPath(spark, storePath, form, "SpanStore")
 
   private def schemaOf(form: String): StructType =
     if (form == XxForm) storeSchemaXx else storeSchema
@@ -464,9 +430,7 @@ object SpanStore {
     * declared).
     */
   def storedHashFormBucketed(spark: SparkSession, table: String): String =
-    spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .properties.getOrElse(HashFormProp, Md5Form)
+    HashForm.storedBucketed(spark, table, HashFormProp)
 
   /** The bucketed table shape per hash form: the DedupStore string
     * shape for md5, an 8-byte long `content_hash` for xxh64 (same
@@ -478,24 +442,9 @@ object SpanStore {
     else StructType(Seq(StructField("content_hash", StringType)))
 
   private def commitHashFormBucketed(spark: SparkSession, table: String,
-      form: String): Unit = {
-    require(form == Md5Form || form == XxForm,
-      s"unknown span hash form $form (use $Md5Form or $XxForm)")
-    val existing = storedHashFormBucketed(spark, table)
-    if (existing == form) return
-    require(spark.table(table).isEmpty,
-      s"SpanStore table $table was recorded with hash form $existing; " +
-        s"cannot record as $form (the forms can never match each " +
-        "other — use a fresh store)")
-    // an empty table created under the other form has the wrong column
-    // TYPE as well as the wrong property — recreate it in place
-    val buckets = DedupStore.bucketsOf(spark, table)
-    spark.sql(s"DROP TABLE $table")
-    BucketedStore.ensure(spark, table, buckets, bucketedSchemaOf(form),
-      "content_hash")
-    spark.sql(
-      s"ALTER TABLE $table SET TBLPROPERTIES ('$HashFormProp' = '$form')")
-  }
+      form: String): Unit =
+    HashForm.commitBucketed(spark, table, HashFormProp, form,
+      bucketedSchemaOf, "content_hash", "SpanStore")
 
   /** The bucketed store's scan minus live tombstones, read with the
     * store's own hash-form schema.

@@ -101,7 +101,18 @@ object LlmPipeline {
     * operator it composes.
     */
   private[graft] def contentHash(c: Column): Column =
-    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+    md5(normalizedContent(c))
+
+  /** [[contentHash]] with an 8-byte xxhash64 identity in place of the
+    * 32-char md5 string — same normalization (ONE definition), 4× less
+    * store and exchange per document; ingest.DedupStore's `xxh64` hash
+    * form. The md5 form stays the oracle-checked default.
+    */
+  private[graft] def contentHash64(c: Column): Column =
+    xxhash64(normalizedContent(c))
+
+  private def normalizedContent(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Gopher-style quality metrics over a [[tokenized]] frame, and the
     * pass predicate over them — ONE definition shared by q54

@@ -1123,6 +1123,219 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("dedup hash-form law: an xxhash64 store admits the same " +
+    "survivors as md5 (plain and bloom paths), stores 8-byte longs, " +
+    "retracts, and refuses mixed-form and cross-form appends") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val dir = tmpDir("dedup-hashform")
+    val md5Store = dir + "/md5"
+    val xxStore = dir + "/xx"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val rec = batch((1L, "alpha beta"), (2L, "gamma delta"))
+    D.recordHashes(rec, "text", md5Store)
+    D.recordHashes(rec, "text", xxStore, hashForm = D.XxForm)
+    assert(D.storedHashForm(spark, md5Store) === D.Md5Form)
+    assert(D.storedHashForm(spark, xxStore) === D.XxForm)
+    // the xx store physically holds 8-byte longs — the 4× width win
+    assert(spark.read.parquet(xxStore).schema("content_hash").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(md5Store).schema("content_hash").dataType
+      === org.apache.spark.sql.types.StringType)
+    // survivor equality, plain path (formatting variant of recorded
+    // content dropped under BOTH forms — same normalization)
+    val probe = batch((10L, "ALPHA  beta"), (11L, "epsilon zeta"))
+    val want = ids(D.newUnique(probe, "text", "doc_id", md5Store))
+    assert(want === Seq(11L), "fixture did not discriminate")
+    assert(ids(D.newUnique(probe, "text", "doc_id", xxStore)) === want,
+      "hash forms disagree on the plain path")
+    // survivor equality, bloom path
+    assert(D.buildBloomSidecar(spark, md5Store, numShards = 4) > 0L)
+    assert(D.buildBloomSidecar(spark, xxStore, numShards = 4) > 0L)
+    assert(ids(D.newUniqueWithBloom(probe, "text", "doc_id", md5Store))
+      === want)
+    assert(ids(D.newUniqueWithBloom(probe, "text", "doc_id", xxStore))
+      === want, "hash forms disagree on the bloom path")
+    // retraction works on the xx form: doc 1's content reports new
+    D.retract(rec.filter(col("doc_id") === 1L), "text", xxStore)
+    assert(ids(D.newUnique(probe, "text", "doc_id", xxStore))
+      === Seq(10L, 11L), "xx-form retraction did not unmask")
+    // compaction drops the retracted rows physically; form survives
+    D.compactStore(spark, xxStore)
+    assert(spark.read.parquet(xxStore).count() === 1L)
+    assert(D.storedHashForm(spark, xxStore) === D.XxForm)
+    // a non-empty store refuses the other form
+    intercept[IllegalArgumentException] {
+      D.recordHashes(probe, "text", md5Store, hashForm = D.XxForm)
+    }
+    // a carried content_hash of the WRONG type is refused, not
+    // silently recorded unmatchable (md5 probe output → xx store)
+    val carried = D.newUnique(batch((50L, "a fresh document")), "text",
+      "doc_id", md5Store)
+    intercept[IllegalArgumentException] {
+      D.recordHashes(carried, "text", xxStore)
+    }
+    // a form-less append follows the store's recorded form
+    D.recordHashes(batch((60L, "newer text entirely")), "text", xxStore)
+    assert(spark.read.parquet(xxStore).schema("content_hash").dataType
+      === org.apache.spark.sql.types.LongType,
+      "form-less append did not follow the xx store's form")
+  }
+
+  test("dedup hash-form law (BUCKETED): the xxh64 catalog table stores " +
+    "8-byte longs, admits identical survivors on plain and bloom " +
+    "paths, retracts, compacts, and refuses mixed-form appends") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val md5T = "dedup_form_md5_t"
+    val xxT = "dedup_form_xx_t"
+    for (t <- Seq(md5T, xxT)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+    try {
+      def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val rec = batch((1L, "alpha beta"), (2L, "gamma delta"))
+      D.recordHashesBucketed(rec, "text", md5T)
+      D.recordHashesBucketed(rec, "text", xxT, hashForm = D.XxForm)
+      assert(D.storedHashFormBucketed(spark, md5T) === D.Md5Form)
+      assert(D.storedHashFormBucketed(spark, xxT) === D.XxForm)
+      assert(spark.table(xxT).schema("content_hash").dataType
+        === org.apache.spark.sql.types.LongType)
+      val probe = batch((10L, "ALPHA  beta"), (11L, "epsilon zeta"))
+      val want = ids(D.newUniqueBucketed(probe, "text", "doc_id", md5T))
+      assert(want === Seq(11L), "fixture did not discriminate")
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", xxT))
+        === want, "hash forms disagree on the bucketed plain path")
+      // bloom path equality (long keys cast to decimal strings on
+      // build and probe alike)
+      assert(D.buildBloomSidecarBucketed(spark, xxT, numShards = 4) > 0L)
+      assert(ids(D.newUniqueBucketedWithBloom(probe, "text", "doc_id",
+        xxT)) === want, "xx bucketed bloom path diverges")
+      // retraction + compaction on the xx table
+      D.retractBucketed(rec.filter(col("doc_id") === 1L), "text", xxT)
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", xxT))
+        === Seq(10L, 11L), "xx bucketed retraction did not unmask")
+      val (b, a) = D.compactBucketedStore(spark, xxT)
+      assert(b === 2L && a === 1L, s"xx compaction kept $a of $b")
+      assert(D.storedHashFormBucketed(spark, xxT) === D.XxForm,
+        "hash form property lost across the compaction swap")
+      // a form-less append follows the table's form; re-recorded
+      // content is seen again (tombstones cleared by the compaction)
+      D.recordHashesBucketed(rec, "text", xxT)
+      assert(spark.table(xxT).schema("content_hash").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(ids(D.newUniqueBucketed(probe, "text", "doc_id", xxT))
+        === Seq(11L), "re-recorded xx content not dropped")
+      // a non-empty table refuses the other form
+      intercept[IllegalArgumentException] {
+        D.recordHashesBucketed(probe, "text", md5T, hashForm = D.XxForm)
+      }
+      // an EMPTY table switches forms by recreation (column type flips)
+      val emptyT = "dedup_form_empty_t"
+      spark.sql(s"DROP TABLE IF EXISTS $emptyT")
+      try {
+        D.ensureBucketedStore(spark, emptyT, buckets = 4)
+        D.recordHashesBucketed(rec, "text", emptyT, hashForm = D.XxForm)
+        assert(spark.table(emptyT).schema("content_hash").dataType
+          === org.apache.spark.sql.types.LongType)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $emptyT")
+    } finally {
+      for (t <- Seq(md5T, xxT)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+      }
+    }
+  }
+
+  test("neardup hash-form law: xxhash64 band keys flag the same " +
+    "documents as the q28 strings (path and bucketed, plain and bloom " +
+    "paths), store 8-byte longs, retract, and refuse mixed-form " +
+    "appends") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val dir = tmpDir("neardup-hashform")
+    val md5Store = dir + "/md5"
+    val xxStore = dir + "/xx"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    val doc3 = (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" ")
+    val rec = batch((1L, doc1), (2L, doc2))
+    N.recordSignatures(rec, "text", "doc_id", md5Store)
+    N.recordSignatures(rec, "text", "doc_id", xxStore,
+      hashForm = N.XxForm)
+    assert(N.storedHashForm(spark, xxStore) === N.XxForm)
+    // the xx store's band key is an 8-byte long, not the ~60-char key
+    assert(spark.read.parquet(xxStore).schema("band_key").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(md5Store).schema("band_key").dataType
+      === org.apache.spark.sql.types.StringType)
+    // flagged-doc equality: copy + paraphrase flagged, fresh passes
+    val probe = batch((10L, doc1),
+      (11L, doc2 + " edited trailing footer line"), (12L, doc3))
+    val want = ids(N.newNearUnique(probe, "text", "doc_id", md5Store))
+    assert(want === Seq(12L), "fixture did not discriminate")
+    assert(ids(N.newNearUnique(probe, "text", "doc_id", xxStore))
+      === want, "hash forms disagree on the path store")
+    // retraction works on the xx form
+    N.retract(rec.filter(col("doc_id") === 1L), "text", "doc_id",
+      xxStore)
+    assert(ids(N.newNearUnique(probe, "text", "doc_id", xxStore))
+      === Seq(10L, 12L), "xx-form retraction did not un-flag")
+    // a non-empty store refuses the other form
+    intercept[IllegalArgumentException] {
+      N.recordSignatures(probe, "text", "doc_id", md5Store,
+        hashForm = N.XxForm)
+    }
+    // BUCKETED: same laws through the catalog table
+    val xxT = "near_form_xx_t"
+    spark.sql(s"DROP TABLE IF EXISTS $xxT")
+    spark.sql(s"DROP TABLE IF EXISTS ${xxT}_compact_stage")
+    try {
+      N.recordSignaturesBucketed(rec, "text", "doc_id", xxT,
+        hashForm = N.XxForm)
+      assert(N.storedHashFormBucketed(spark, xxT) === N.XxForm)
+      assert(spark.table(xxT).schema("band_key").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(ids(N.newNearUniqueBucketed(probe, "text", "doc_id", xxT))
+        === want, "hash forms disagree on the bucketed plain path")
+      // bloom path equality over the long band keys
+      assert(N.buildBloomSidecarBucketed(spark, xxT, numShards = 4) > 0L)
+      assert(ids(N.newNearUniqueBucketedWithBloom(probe, "text",
+        "doc_id", xxT)) === want, "xx bucketed bloom path diverges")
+      // stale-residual: doc3 recorded after the sidecar build — its
+      // copy must still be flagged through the residual leg
+      N.recordSignaturesBucketed(batch((30L, doc3)), "text", "doc_id",
+        xxT)
+      assert(ids(N.newNearUniqueBucketedWithBloom(
+        batch((31L, doc3 + " late footer"), (32L, (1 to 60)
+          .map(i => s"delta$i null$i case$i").mkString(" "))),
+        "text", "doc_id", xxT)) === Seq(32L))
+      // compaction keeps the form property and the answers (doc3 is
+      // recorded history by now, so only genuinely fresh content
+      // survives the post-compaction probe)
+      val (b, a) = N.compactBucketedStore(spark, xxT)
+      assert(b >= a && a > 0L)
+      assert(N.storedHashFormBucketed(spark, xxT) === N.XxForm,
+        "hash form property lost across the compaction swap")
+      assert(ids(N.newNearUniqueBucketed(
+        batch((40L, doc1 + " another tiny edit"),
+          (41L, (1 to 60).map(i => s"zeta$i omega$i final$i")
+            .mkString(" "))),
+        "text", "doc_id", xxT)) === Seq(41L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $xxT")
+      spark.sql(s"DROP TABLE IF EXISTS ${xxT}_compact_stage")
+    }
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(
