@@ -479,6 +479,67 @@ object LlmPipeline {
       .orderBy("cluster", "sample_rank")
   }
 
+  // ── Product quantization (q107–q109) ───────────────────────────────
+
+  /** Shared PQ pieces: 64-dim embeddings → m=8 subspaces × k=8 codes,
+    * trained with 1 Lloyd round from the vec_id 1..8 seeds (the q87
+    * convention — same seeds, same quantized arithmetic, so the whole
+    * family is oracle-exact). One codebook derivation for q107 (the
+    * codebook itself), q108 (the encoded corpus), and q109 (ADC
+    * serving) — a parameter tweak reaches all three or none.
+    */
+  private val PqM = 8
+  private val PqDim = 64
+  private def pqEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.train(pqEmbeddings(s, dir), 1L to 8L, PqM,
+      PqDim, iters = 1)
+
+  /** q107: the trained PQ codebook, flattened to (sub, code, dim,
+    * cval) rows — the KB-scale artifact a PQ pipeline persists and
+    * ships to every query node. 1-based dim to match the oracle's
+    * generate_series spelling.
+    */
+  private val q107: Q = (s, dir) =>
+    pqCodebook(s, dir)
+      .select(col("sub").cast(LongType).as("sub"), col("code"),
+        posexplode(col("cv")).as(Seq("pos", "cval")))
+      .select(col("sub"), col("code"),
+        (col("pos") + 1).cast(LongType).as("dim"), col("cval"))
+      .orderBy("sub", "code", "dim")
+
+  /** q108: the PQ-encoded corpus — every vector as its m=8 per-
+    * subspace code ids plus per-subspace quantization distortion
+    * (the audit column every compression pipeline reports). 8 small
+    * ints replace 64 doubles at rest; this flat shape is exactly what
+    * q109's ADC join consumes.
+    */
+  private val q108: Q = (s, dir) =>
+    graft.operators.Pq.encode(pqEmbeddings(s, dir),
+        pqCodebook(s, dir), PqM, PqDim)
+      .select(col("vec_id"), col("sub").cast(LongType).as("sub"),
+        col("code"), col("dist_fp"))
+      .orderBy("vec_id", "sub")
+
+  /** q109: ADC top-10 nearest to the vec_id=0 query — the PQ serving
+    * path: the query's exact per-(subspace, code) distances form an
+    * 8×8 lookup table (broadcast), candidates are ranked by the SUM of
+    * their 8 table entries, and the scan side carries only (vec_id,
+    * sub, code) — never a float vector. The flank to q24's exact
+    * cosine top-k: same question, 64× narrower corpus I/O.
+    */
+  private val q109: Q = (s, dir) => {
+    val e = pqEmbeddings(s, dir)
+    val cb = pqCodebook(s, dir)
+    val P = graft.operators.Pq
+    P.adcTopK(P.encode(e, cb, PqM, PqDim),
+        P.adcLut(e.filter(col("vec_id") === 0L), cb, PqM, PqDim), 10)
+      .select(col("vec_id"), col("adist_fp"))
+  }
+
   /** Deterministic ±1 projection matrix for q89 (16 out-dims × 64
     * in-dims): sign = parity of the first hex digit of
     * md5("<out>_<in>") with in-dims numbered 1..64 — a convention both
@@ -2538,6 +2599,9 @@ object LlmPipeline {
     "q101_dup_spans" -> q101,
     "q103_minhash_precision" -> q103,
     "q106_span_removal" -> q106,
+    "q107_pq_codebooks" -> q107,
+    "q108_pq_encode" -> q108,
+    "q109_pq_adc_topk" -> q109,
     "q104_source_dedup_rate" -> q104,
     "q105_quality_keeper" -> q105)
 
@@ -3726,5 +3790,70 @@ object LlmPipeline {
         | END AS cleaned_text,
         | COALESCE(s.removed_chars, CAST(0 AS BIGINT)) AS removed_chars
         |FROM documents d LEFT JOIN segs s USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q107_pq_codebooks" ->
+      s"""WITH $pqCtes
+         |SELECT sub, code, dim, cval FROM pcent
+         |ORDER BY sub, code, dim""".stripMargin,
+    "q108_pq_encode" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, sub, code, dist_fp FROM penc
+         |ORDER BY vec_id, sub""".stripMargin,
+    "q109_pq_adc_topk" ->
+      s"""WITH $pqCtes,
+         |plut AS (
+         | SELECT sub, code, dist_fp AS qdist_fp FROM pd2 WHERE vec_id = 0
+         |)
+         |SELECT e.vec_id, CAST(SUM(l.qdist_fp) AS BIGINT) AS adist_fp
+         |FROM penc e JOIN plut l ON e.sub = l.sub AND e.code = l.code
+         |GROUP BY e.vec_id
+         |ORDER BY adist_fp, e.vec_id LIMIT 10""".stripMargin)
+
+  /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
+    * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from
+    * vec_ids 1..8, 1 Lloyd round: sv = subvector rows, pc0 = seeds,
+    * pa1 = round-1 assignment, pcent = the trained codebook (sub,
+    * code, dim, cval), pd2 = every (vec, sub, code) distance against
+    * it, penc = the final per-subspace argmin encoding.
+    */
+  private lazy val pqCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sv AS (
+      | SELECT vec_id, s.s AS sub, v[(s.s * 8 + 1):(s.s * 8 + 8)] AS sv
+      | FROM e, generate_series(0, 7) s(s)),
+      |pc0 AS (
+      | SELECT sub, vec_id AS code, sv AS cv FROM sv
+      | WHERE vec_id BETWEEN 1 AND 8),
+      |pd1 AS (
+      | SELECT s.vec_id, s.sub, c.code,
+      |  CAST(SUM(CAST(floor(((s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))
+      |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+      | FROM sv s JOIN pc0 c ON s.sub = c.sub, generate_series(1, 8) t(i)
+      | GROUP BY s.vec_id, s.sub, c.code),
+      |pa1 AS (
+      | SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |   row_number() OVER (PARTITION BY vec_id, sub
+      |                      ORDER BY dist_fp, code) AS rn
+      |  FROM pd1) WHERE rn = 1),
+      |pcent AS (
+      | SELECT a.sub, a.code, t.i AS dim,
+      |  CAST(SUM(CAST(floor(s.sv[t.i] * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / (CAST(1000000 AS DOUBLE) * COUNT(*)) AS cval
+      | FROM pa1 a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+      |  generate_series(1, 8) t(i)
+      | GROUP BY a.sub, a.code, t.i),
+      |pd2 AS (
+      | SELECT s.vec_id, s.sub, c.code,
+      |  CAST(SUM(CAST(floor(((s.sv[c.dim] - c.cval)
+      |    * (s.sv[c.dim] - c.cval))
+      |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+      | FROM sv s JOIN pcent c ON s.sub = c.sub
+      | GROUP BY s.vec_id, s.sub, c.code),
+      |penc AS (
+      | SELECT vec_id, sub, code, dist_fp FROM (
+      |  SELECT vec_id, sub, code, dist_fp,
+      |   row_number() OVER (PARTITION BY vec_id, sub
+      |                      ORDER BY dist_fp, code) AS rn
+      |  FROM pd2) WHERE rn = 1)""".stripMargin
 }

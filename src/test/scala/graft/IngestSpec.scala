@@ -1336,6 +1336,73 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("StoreStats: maintenance signals track the record / retract / " +
+    "sidecar / compact lifecycle without running a single Spark job " +
+    "(path and bucketed forms)") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val SS = graft.ingest.StoreStats
+    val store = tmpDir("storestats") + "/hashes"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // empty store: nothing due
+    val s0 = SS.path(spark, store)
+    assert(s0.dataFiles === 0 && !s0.compactionDue && !s0.sidecarStale)
+    // recorded, no sidecar yet: stale by definition, no compaction due
+    D.recordHashes(batch((1L, "alpha"), (2L, "beta")), "text", store)
+    val s1 = SS.path(spark, store)
+    assert(s1.dataFiles > 0 && s1.dataBytes > 0L)
+    assert(s1.tombstoneFiles === 0 && s1.tombstoneBytes === 0L)
+    assert(!s1.sidecarPresent && s1.sidecarStale,
+      "a non-empty store without a sidecar must read stale")
+    assert(!s1.compactionDue)
+    assert(s1.hashForm === D.Md5Form && s1.stride === 1)
+    // sidecar built: fresh, fully covered
+    assert(D.buildBloomSidecar(spark, store, numShards = 4) > 0L)
+    val s2 = SS.path(spark, store)
+    assert(s2.sidecarPresent && !s2.sidecarStale)
+    assert(s2.coveredFiles === s2.dataFiles && s2.residualFiles === 0)
+    // comparable-size append: residual share ~half, sidecar stale again
+    D.recordHashes(batch((3L, "gamma"), (4L, "delta")), "text", store)
+    val s3 = SS.path(spark, store)
+    assert(s3.residualFiles > 0 && s3.residualBytes > 0L)
+    assert(s3.sidecarStale, "a ~50% residual share must read stale")
+    // retraction: backlog visible; a lowered ceiling flips the
+    // compact-before-the-broadcast-gate-falls-over signal
+    D.retract(batch((1L, "alpha")), "text", store)
+    val s4 = SS.path(spark, store)
+    assert(s4.tombstoneFiles > 0 && s4.tombstoneBytes > 0L)
+    assert(!s4.compactionDue, "takedown-list backlog under the " +
+      "default ceiling must not demand compaction")
+    spark.conf.set("graft.tombstone.broadcast.maxBytes", "2")
+    try {
+      val s5 = SS.path(spark, store)
+      assert(s5.broadcastCeilingBytes === 2L)
+      assert(s5.compactionDue,
+        "backlog past half the ceiling must demand compaction")
+    } finally spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+    // file-count pressure alone also fires
+    assert(SS.path(spark, store, maxDataFiles = 0).compactionDue)
+    // compaction clears the backlog; the rewritten file names void the
+    // sidecar's coverage (probes already degrade to the exact plan)
+    D.compactStore(spark, store)
+    val s6 = SS.path(spark, store)
+    assert(s6.tombstoneBytes === 0L)
+    assert(s6.coveredFiles === 0 && s6.sidecarStale,
+      "post-compaction coverage must read stale until a rebuild")
+    // bucketed form: the xxh64 table reports its persisted form
+    val t = "storestats_xx_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      D.recordHashesBucketed(batch((1L, "alpha")), "text", t,
+        hashForm = D.XxForm)
+      val b1 = SS.bucketed(spark, t)
+      assert(b1.dataFiles > 0 && b1.hashForm === D.XxForm)
+      assert(!b1.sidecarPresent && b1.sidecarStale)
+      D.retractBucketed(batch((1L, "alpha")), "text", t)
+      assert(SS.bucketed(spark, t).tombstoneBytes > 0L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(

@@ -88,4 +88,114 @@ class OperatorsSpec extends SparkSuite {
       assert(pieces.mkString === toks(id).mkString,
         s"doc $id pieces must spell its token stream")
   }
+
+  // ── Product quantization (graft.operators.Pq) ──────────────────────
+
+  /** Reference PQ over in-memory vectors, replicating the operator's
+    * exact arithmetic: quantized squared-L2 per subspace, argmin with
+    * (dist, code) tie-break, fixed-point centroid means.
+    */
+  private def refSv(v: Array[Double], sub: Int, d: Int): Array[Double] =
+    v.slice(sub * d, sub * d + d)
+  private def refDistFp(a: Array[Double], b: Array[Double]): Long =
+    a.indices.map(i =>
+      math.floor((a(i) - b(i)) * (a(i) - b(i)) * 1e12).toLong).sum
+  private def refPqTrain(vecs: Seq[(Long, Array[Double])],
+      seeds: Seq[Long], m: Int, dim: Int,
+      iters: Int): Map[(Int, Long), Array[Double]] = {
+    val d = dim / m
+    val byId = vecs.toMap
+    var cb: Map[(Int, Long), Array[Double]] =
+      (for (s <- 0 until m; id <- seeds)
+        yield (s, id) -> refSv(byId(id), s, d)).toMap
+    for (_ <- 1 to iters) {
+      val assigned = for ((id, v) <- vecs; s <- 0 until m) yield {
+        val sv = refSv(v, s, d)
+        val code = cb.keys.filter(_._1 == s).toSeq
+          .map { case (_, c) => (refDistFp(sv, cb((s, c))), c) }
+          .min._2
+        (s, code, sv)
+      }
+      cb = assigned.groupBy(a => (a._1, a._2)).map { case (k, rows) =>
+        val n = rows.size
+        k -> (0 until d).map(j =>
+          rows.map(r => math.floor(r._3(j) * 1e6).toLong).sum
+            .toDouble / (1e6 * n)).toArray
+      }
+    }
+    cb
+  }
+  private def refEncode(vecs: Seq[(Long, Array[Double])],
+      cb: Map[(Int, Long), Array[Double]], m: Int,
+      dim: Int): Seq[(Long, Int, Long, Long)] = {
+    val d = dim / m
+    for ((id, v) <- vecs; s <- 0 until m) yield {
+      val sv = refSv(v, s, d)
+      val (dist, code) = cb.keys.filter(_._1 == s).toSeq
+        .map { case (_, c) => (refDistFp(sv, cb((s, c))), c) }.min
+      (id, s, code, dist)
+    }
+  }
+
+  /** Deterministic synthetic vectors: 4 loose clusters (base pattern
+    * by id group) + a per-id, per-dim ripple — discriminative enough
+    * that codes differ, with every seed id present.
+    */
+  private def pqFixture: Seq[(Long, Array[Double])] =
+    (1L to 40L).map { id =>
+      val g = ((id - 1) / 10).toInt
+      id -> Array.tabulate(16) { j =>
+        g * 0.5 + ((id * 31 + j * 17) % 101) / 101.0 - 0.5
+      }
+    }
+
+  test("PQ: train/encode match the in-memory reference bit-for-bit, " +
+    "training is deterministic, and ADC distances are exactly the " +
+    "sum of the query's per-(sub, code) LUT entries") {
+    import spark.implicits._
+    val P = graft.operators.Pq
+    val (m, dim, k) = (4, 16, 4)
+    val vecs = pqFixture
+    val e = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    val cb = P.train(e, 1L to k, m, dim, iters = 2)
+    // codebook equals the reference (same subspaces, codes, centroids)
+    val refCb = refPqTrain(vecs, 1L to k, m, dim, iters = 2)
+    val gotCb = cb.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+      r.getSeq[Double](2).toArray).toMap
+    assert(gotCb.keySet === refCb.keySet)
+    for (key <- refCb.keySet)
+      assert(gotCb(key).toSeq === refCb(key).toSeq, s"centroid $key")
+    // determinism: a second training run is identical
+    val cb2 = P.train(e, 1L to k, m, dim, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    assert(cb2 === gotCb.map { case (key, v) => key -> v.toSeq })
+    // encode equals the reference
+    val gotEnc = P.encode(e, cb, m, dim).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val refEnc = refEncode(vecs, refCb, m, dim)
+      .sortBy(t => (t._1, t._2))
+    assert(gotEnc === refEnc)
+    // ADC: the ranked distance of every vector is exactly the sum of
+    // the query's LUT entries at that vector's codes; top-k order is
+    // (adist, vec_id)
+    val qid = 7L
+    val lut = P.adcLut(e.filter(col("vec_id") === qid), cb, m, dim)
+    val gotLut = lut.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qv = vecs.toMap.apply(qid)
+    for (((s, c), cv) <- refCb)
+      assert(gotLut((s, c)) === refDistFp(refSv(qv, s, dim / m), cv),
+        s"lut($s, $c)")
+    val refAdc = refEnc.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(r => gotLut((r._2, r._3))).sum
+    }
+    val want = refAdc.toSeq.sortBy { case (id, ad) => (ad, id) }.take(10)
+    val got = P.adcTopK(P.encode(e, cb, m, dim), lut, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // the self-query's ADC distance is its own quantization distortion
+    assert(refAdc(qid) === refEnc.filter(_._1 == qid).map(_._4).sum)
+  }
 }
