@@ -469,4 +469,152 @@ object AnnIndex {
     snap.foreach(f => fs.delete(f, false))
     gen
   }
+
+  // ── PQ-compressed serving (IVF-PQ) ─────────────────────────────────
+  //
+  // The float vectors under `cid=` are the index's EXACT serving form;
+  // at 100 TB the probed lists themselves are the scan cost (nprobe
+  // directories of wide float arrays). The PQ sidecar compresses the
+  // serving path the standard way (IVF outside, PQ inside): per
+  // generation,
+  //
+  //   <root>/gen-X/_pq_codebook/   the (sub, code, cv) PQ codebook
+  //                                trained on THIS generation's vectors
+  //   <root>/gen-X/_pq/cid=*/      (vec_id, codes array) — one code id
+  //                                per subspace, same inverted-list
+  //                                partitioning as the floats
+  //
+  // [[topKPqCurrent]] then serves top-k from the CODES: the query's
+  // exact per-(sub, code) distances become an m×k literal lookup
+  // table, a probed-list scan of (vec_id, codes) ranks candidates by
+  // the sum of m lookups (never touching a float vector), and an
+  // optional re-rank pass scores only the top `rerank` candidates
+  // exactly against the float lists. Underscore-prefixed, so the
+  // generation's own parquet scan ignores the sidecar; lifecycle is
+  // the bloom sidecar's: a retrain or vacuum installs a FRESH
+  // generation without `_pq`, and the PQ path degrades to the exact
+  // [[topKCurrent]] plan until [[buildPqSidecar]] runs again (schedule
+  // it with the retrain) — never a stale-codebook answer.
+
+  private def pqDir(genDir: String) = s"$genDir/_pq"
+  private def pqCodebookDir(genDir: String) = s"$genDir/_pq_codebook"
+
+  /** Train a PQ codebook on the CURRENT generation's vectors and write
+    * the compressed serving sidecar into the generation directory.
+    * Deterministic end-to-end ([[Pq]]'s arithmetic); seeds are the
+    * generation's `k` smallest vec_ids. `m` must divide the vector
+    * dim. Codes are stored one array per vector (codes[s] = the code
+    * id of subspace s), the shape [[topKPqCurrent]]'s lookup expression
+    * consumes.
+    */
+  def buildPqSidecar(spark: SparkSession, root: String, m: Int = 8,
+      k: Int = 8, iters: Int = 1): Unit = {
+    val dir = currentIndexDir(spark, root)
+    val vecs = spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val dim = vecs.select(size(col("v")).as("d")).head.getInt(0)
+    val e = vecs.select("vec_id", "v")
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val cb = Pq.train(e, seedIds, m, dim, iters)
+      .localCheckpoint(true) // one training, two consumers below
+    try {
+      cb.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(pqCodebookDir(dir))
+      Pq.encode(e, cb, m, dim)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(sub, code)))" +
+          ", p -> p.code)").as("codes"))
+        .join(vecs.select("vec_id", "cid"), "vec_id")
+        .repartition(col("cid"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cid")
+        .parquet(pqDir(dir))
+    } finally cb.unpersist()
+  }
+
+  /** The generation's PQ codebook: (sub, code, centroid) — m×k rows,
+    * KB-scale, driver-side by design like the IVF centroids.
+    */
+  private def readPqCodebook(spark: SparkSession,
+      genDir: String): Seq[(Int, Long, Array[Double])] =
+    spark.read.parquet(pqCodebookDir(genDir)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** Quantized squared-L2, driver-side — the exact [[KMeans.distFp]]
+    * spelling (same IEEE ops, same floor), so the LUT can never
+    * disagree with what a distributed re-computation would produce.
+    */
+  private def distFpLocal(a: Array[Double], b: Array[Double]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) {
+      val d = a(i) - b(i)
+      s += math.floor(d * d * 1000000000000d).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** [[topKCurrent]] served from the PQ sidecar: probed `_pq` lists are
+    * scanned as (vec_id, codes) — the `cid` filter is the same
+    * partition prune, the scan never reads a float vector — and each
+    * candidate's approximate distance is the sum of m lookups into the
+    * query's literal LUT (`zip_with` over the codes array and an
+    * array-of-maps literal; one codegen'd expression, no join). With
+    * `rerank` > 0 the top `max(rerank, k)` ADC candidates are scored
+    * exactly (cosine) against the float lists — a broadcast semi-join
+    * of a bounded candidate set into the same partition-pruned scan —
+    * and the final order is exact-first; `rerank` ≥ the probed-list
+    * population makes the answer EQUAL to [[topKCurrent]] by
+    * construction (LayoutSpec pins it). Live retractions subtract from
+    * BOTH passes. No `_pq` sidecar (fresh generation after a retrain /
+    * vacuum) falls back to the exact plan.
+    *
+    * Output: (vec_id, adist_fp) for the pure-ADC form, (vec_id,
+    * cosine) for the re-ranked form — the ranking metric is part of
+    * the answer either way.
+    */
+  def topKPqCurrent(spark: SparkSession, root: String,
+      query: Array[Double], k: Int, nprobe: Int,
+      rerank: Int = 0): DataFrame = {
+    val dir = currentIndexDir(spark, root)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir))))
+      return topKCurrent(spark, root, query, k, nprobe)
+        .select("vec_id", "cosine") // the re-ranked form's shape
+    val cents = readCentroids(spark, root)
+    val probes = probeLists(query, cents, nprobe)
+    val cb = readPqCodebook(spark, dir)
+    val m = cb.map(_._1).max + 1
+    val d = cb.head._3.length
+    // the query's LUT: per subspace, code id → exact quantized distance
+    val lut: Seq[Map[Long, Long]] = (0 until m).map { s =>
+      val qs = query.slice(s * d, s * d + d)
+      cb.filter(_._1 == s)
+        .map { case (_, code, cv) => code -> distFpLocal(qs, cv) }
+        .toMap
+    }
+    val ranked = minusRetracted(spark, root,
+      spark.read.parquet(pqDir(dir))
+        .filter(col("cid").isin(probes: _*)))
+      .withColumn("__lut", typedLit(lut))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(codes, __lut, (c, mp) -> " +
+          "element_at(mp, c)), 0L, (acc, x) -> acc + x)").as("adist_fp"))
+    if (rerank <= 0)
+      ranked.orderBy(col("adist_fp"), col("vec_id")).limit(k)
+    else {
+      graft.functions.Functions.register(spark)
+      val cand = ranked
+        .orderBy(col("adist_fp"), col("vec_id"))
+        .limit(math.max(rerank, k)).select("vec_id")
+      minusRetracted(spark, root,
+        spark.read.parquet(dir).filter(col("cid").isin(probes: _*)))
+        .join(broadcast(cand), "vec_id")
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), expr("cosine_sim(v, qv)").as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(k)
+    }
+  }
 }

@@ -809,4 +809,95 @@ class LayoutSpec extends SparkSuite {
     assert(served().contains(x),
       "re-admitted vector still masked after the set was cleared")
   }
+
+  test("IVF-PQ sidecar: ADC serving scans only probed code lists and " +
+    "no float column, full-depth re-rank equals the exact plan, " +
+    "retraction masks both passes, and a post-retrain generation " +
+    "falls back to exact until the sidecar is rebuilt") {
+    val A = graft.operators.AnnIndex
+    val P = graft.operators.Pq
+    graft.functions.Functions.register(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val query = e.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toArray
+    val root = java.nio.file.Files.createTempDirectory("ivfpq")
+      .toString + "/index"
+    A.writeIndexVersioned(e, cents, root)
+    val exact = A.topKCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // no sidecar yet: the PQ entry point serves the exact plan
+    assert(A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === exact, "missing-sidecar fallback diverged from exact")
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    // full-depth re-rank = the exact answer by construction
+    assert(A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2,
+        rerank = 1000000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === exact, "full-depth re-rank diverged from the exact plan")
+    // pure-ADC pass: equals the standalone Pq pipeline restricted to
+    // the probed lists (ONE arithmetic, two spellings)
+    val probes = A.probeLists(query, cents, 2)
+    val probedVecs = A.assignByCosine(e, cents)
+      .filter(col("cid").isin(probes: _*)).select("vec_id", "v")
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val cb = P.train(e, seedIds, 8, 64, iters = 1)
+    val want = P.adcTopK(P.encode(probedVecs, cb, 8, 64),
+        P.adcLut(e.filter(col("vec_id") === 0L), cb, 8, 64), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adc = A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
+    val got = adc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "ADC serving diverged from the Pq pipeline")
+    // scan proof: the ADC plan prunes to the probed _pq lists and its
+    // read schema carries codes, never the float vector
+    val scan = adc.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata.getOrElse("PartitionFilters", "[]") != "[]",
+      "cid filter did not prune the _pq partitions")
+    val dir = A.currentIndexDir(spark, root)
+    val probedFiles = probes.map(c =>
+      new java.io.File(s"$dir/_pq/cid=$c").listFiles
+        .count(f => f.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value === probedFiles,
+      s"ADC scan read ${scan.metrics("numFiles").value} files vs " +
+        s"$probedFiles probed")
+    assert(scan.schema.fieldNames.contains("codes") &&
+      !scan.schema.fieldNames.contains("v"),
+      s"ADC scan schema reads ${scan.schema.fieldNames.toSeq}")
+    // retraction masks the ADC pass and the re-ranked pass alike
+    val top = got.head._1
+    A.retract(spark, root, Seq(top))
+    assert(!A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).contains(top),
+      "retracted id served by ADC")
+    assert(!A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2,
+        rerank = 50)
+      .collect().map(_.getLong(0)).contains(top),
+      "retracted id served by the re-rank pass")
+    // a retrain installs a fresh generation WITHOUT _pq: the entry
+    // point falls back to exact (never a stale-codebook answer) until
+    // the sidecar is rebuilt
+    A.retrain(spark, root, iters = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        A.currentIndexDir(spark, root) + "/_pq")),
+      "a fresh generation must not inherit the predecessor's codes")
+    val exact2 = A.topKCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === exact2)
+    // rebuilt on the new generation: serving again, retraction still
+    // honored (the root-level set applies to every generation)
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    assert(!A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).contains(top))
+  }
 }
