@@ -361,6 +361,16 @@ object AnnIndex {
     org.apache.spark.sql.types.StructField("vec_id",
       org.apache.spark.sql.types.LongType)))
 
+  /** The (vec_id, v) shape of a generation's data files, for explicit-
+    * file reads (partition-column-free) like the PQ residual leg.
+    */
+  private val indexRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
   /** Phase 1: durably retract `ids` from serving. Takedown lists are
     * small by nature (a removal-request batch, never a corpus); the
     * subtraction broadcast rides that assumption exactly like the
@@ -498,6 +508,49 @@ object AnnIndex {
 
   private def pqDir(genDir: String) = s"$genDir/_pq"
   private def pqCodebookDir(genDir: String) = s"$genDir/_pq_codebook"
+  private def pqManifestPath(genDir: String) =
+    new org.apache.hadoop.fs.Path(genDir, "_pq_covered")
+
+  /** The float data files the PQ sidecar covers, as `cid=N/name`
+    * strings — the bloom sidecar's covered-files watermark, applied
+    * here: rows appended AFTER the build (the streaming appender) have
+    * no codes, so [[topKPqCurrent]] must know which files the codes
+    * account for and score the RESIDUAL exactly instead of silently
+    * missing fresh vectors.
+    */
+  private def listCidFiles(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: String, cids: Option[Set[Int]]): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    for {
+      d <- fs.listStatus(new org.apache.hadoop.fs.Path(genDir)).toSeq
+      if d.isDirectory && d.getPath.getName.startsWith("cid=") &&
+        cids.forall(_.contains(d.getPath.getName.stripPrefix("cid=").toInt))
+      f <- fs.listStatus(d.getPath).toSeq
+      if f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    } yield (s"${d.getPath.getName}/${f.getPath.getName}", f)
+
+  private def writePqManifest(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: String, names: Seq[String]): Unit = {
+    val m = pqManifestPath(genDir)
+    val tmp = new org.apache.hadoop.fs.Path(m.getParent,
+      m.getName + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(m, false)
+    require(fs.rename(tmp, m), s"AnnIndex: could not install $m")
+  }
+
+  private def readPqManifest(fs: org.apache.hadoop.fs.FileSystem,
+      genDir: String): Option[Set[String]] = {
+    val m = pqManifestPath(genDir)
+    if (!fs.exists(m)) return None
+    val in = fs.open(m)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toSet)
+    finally in.close()
+  }
 
   /** Train a PQ codebook on the CURRENT generation's vectors and write
     * the compressed serving sidecar into the generation directory.
@@ -510,7 +563,14 @@ object AnnIndex {
   def buildPqSidecar(spark: SparkSession, root: String, m: Int = 8,
       k: Int = 8, iters: Int = 1): Unit = {
     val dir = currentIndexDir(spark, root)
-    val vecs = spark.read.parquet(dir)
+    val fs = fsOf(spark, root)
+    // snapshot the float files FIRST and encode exactly those: a file
+    // appended mid-build lands in the residual (scored exactly) rather
+    // than half-covered
+    val covered = listCidFiles(fs, dir, None)
+    val vecs = spark.read
+      .option("basePath", dir)
+      .parquet(covered.map(c => s"$dir/${c._1}"): _*)
       .select(col("vec_id"), col("v"), col("cid"))
     val dim = vecs.select(size(col("v")).as("d")).head.getInt(0)
     val e = vecs.select("vec_id", "v")
@@ -529,6 +589,9 @@ object AnnIndex {
         .repartition(col("cid"))
         .write.mode(SaveMode.Overwrite).partitionBy("cid")
         .parquet(pqDir(dir))
+      // the manifest is the commit point — codes + codebook are fully
+      // written before the covered watermark installs
+      writePqManifest(fs, dir, covered.map(_._1))
     } finally cb.unpersist()
   }
 
@@ -567,8 +630,12 @@ object AnnIndex {
     * and the final order is exact-first; `rerank` ≥ the probed-list
     * population makes the answer EQUAL to [[topKCurrent]] by
     * construction (LayoutSpec pins it). Live retractions subtract from
-    * BOTH passes. No `_pq` sidecar (fresh generation after a retrain /
-    * vacuum) falls back to the exact plan.
+    * BOTH passes. Rows appended after the sidecar build (the streaming
+    * appender) ride a RESIDUAL leg — float files outside the covered
+    * watermark are scored exactly and merged before the cut, so fresh
+    * vectors are never silently unserved. No `_pq` sidecar (fresh
+    * generation after a retrain / vacuum) falls back to the exact
+    * plan.
     *
     * Output: (vec_id, adist_fp) for the pure-ADC form, (vec_id,
     * cosine) for the re-ranked form — the ranking metric is part of
@@ -601,11 +668,29 @@ object AnnIndex {
       .select(col("vec_id"),
         expr("aggregate(zip_with(codes, __lut, (c, mp) -> " +
           "element_at(mp, c)), 0L, (acc, x) -> acc + x)").as("adist_fp"))
+    // residual leg — float files in the probed lists that the covered
+    // watermark does not account for (the streaming appender's rows
+    // since the build): scored EXACTLY by full-dim quantized L2, which
+    // is precisely the quantity ADC approximates (the sum of subspace
+    // distances with zero quantization error), so the merge is
+    // apples-to-apples and a fresh vector can never be silently
+    // unserved. A manifest-less sidecar degrades to all-residual —
+    // exact everywhere, never wrong.
+    val covered = readPqManifest(fs, dir).getOrElse(Set.empty[String])
+    val residual = listCidFiles(fs, dir, Some(probes.toSet))
+      .filterNot(f => covered.contains(f._1))
+    val withResidual =
+      if (residual.isEmpty) ranked
+      else ranked.unionByName(minusRetracted(spark, root,
+        spark.read.schema(indexRowSchema)
+          .parquet(residual.map(f => s"$dir/${f._1}"): _*))
+        .withColumn("qv", typedLit(query.toSeq))
+        .select(col("vec_id"), KMeans.distFp("v", "qv").as("adist_fp")))
     if (rerank <= 0)
-      ranked.orderBy(col("adist_fp"), col("vec_id")).limit(k)
+      withResidual.orderBy(col("adist_fp"), col("vec_id")).limit(k)
     else {
       graft.functions.Functions.register(spark)
-      val cand = ranked
+      val cand = withResidual
         .orderBy(col("adist_fp"), col("vec_id"))
         .limit(math.max(rerank, k)).select("vec_id")
       minusRetracted(spark, root,

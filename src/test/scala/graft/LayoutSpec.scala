@@ -870,6 +870,28 @@ class LayoutSpec extends SparkSuite {
     assert(scan.schema.fieldNames.contains("codes") &&
       !scan.schema.fieldNames.contains("v"),
       s"ADC scan schema reads ${scan.schema.fieldNames.toSeq}")
+    // residual leg: a vector appended AFTER the sidecar build (the
+    // streaming appender's shape) has no codes, but must still be
+    // served — scored exactly and merged. The appended copy of the
+    // query vector itself must come back as the top hit (its exact
+    // distance is 0, below every quantized candidate).
+    val freshId = 900001L
+    import spark.implicits._
+    val fresh = Seq((freshId, query.toSeq)).toDF("vec_id", "v")
+    A.assignByCosine(fresh, cents)
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    val withFresh = A.topKPqCurrent(spark, root, query, k = 5,
+      nprobe = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withFresh.map(_._1).contains(freshId),
+      "post-build append invisible to PQ serving (residual leg broken)")
+    assert(withFresh.head === ((freshId, 0L)),
+      s"appended query copy must rank first at distance 0: " +
+        s"${withFresh.toSeq}")
+    assert(A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2,
+        rerank = 50)
+      .collect().map(_.getLong(0)).contains(freshId),
+      "post-build append invisible to the re-rank pass")
     // retraction masks the ADC pass and the re-ranked pass alike
     val top = got.head._1
     A.retract(spark, root, Seq(top))
