@@ -290,4 +290,26 @@ class PlanSpec extends SparkSuite {
       s"bloom_probe filter not inside WholeStageCodegen:\n$exec")
     assert(probed.collect().map(_.getString(0)).toSeq === Seq("a1"))
   }
+
+  test("PQ family: codebooks ride broadcasts (no shuffled codebook " +
+    "side, no cartesian), and the ADC top-k lowers to " +
+    "TakeOrderedAndProject") {
+    // q107/q108: every subvector-to-codebook argmin joins a BROADCAST
+    // codebook frame on the subspace key — the corpus side never
+    // shuffles for the join (only the per-(vec, sub) window and the
+    // m x k x dim update agg exchange), and nothing goes all-pairs
+    // beyond the bounded broadcast fanout.
+    for (q <- Seq("q107_pq_codebooks", "q108_pq_encode",
+        "q109_pq_adc_topk")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast codebook join")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q shuffled a KB-scale codebook side")
+    }
+    // q109's final cut is a bounded top-k, not a global sort
+    assert(plan("q109_pq_adc_topk").contains("TakeOrderedAndProject"),
+      "q109 lost its top-k lowering")
+  }
 }

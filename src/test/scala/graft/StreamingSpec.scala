@@ -579,6 +579,60 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L, 100001L))
   }
 
+  test("PQ serving composes with the streaming appender: streamed " +
+    "vectors serve through the exact residual leg immediately, and a " +
+    "sidecar rebuild folds them into the codes") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L, 1)
+    val root = java.nio.file.Files.createTempDirectory("ivf-pqstream")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("ivf-pqstream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf-pqstream-ckpt").toString
+    A.writeIndexVersioned(e, cents, root)
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    val q0 = e.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    Seq((200000L, q0)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/delivery1")
+    graft.streaming.Streams.indexIngestStreamVersioned(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      root, ckpt).awaitTermination()
+    // the streamed copy of the query has no codes yet — the residual
+    // leg serves it exactly, at distance 0, ahead of every quantized
+    // candidate (including vec 0 itself, whose ADC distance is its
+    // own quantization distortion)
+    val got = A.topKPqCurrent(spark, root, q0.toArray, k = 3,
+      nprobe = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.head === ((200000L, 0L)),
+      s"streamed vector not served exactly through the residual leg: " +
+        s"${got.toSeq}")
+    // rebuilt sidecar: the streamed vector is now CODED — it shares
+    // vec 0's vector, hence vec 0's codes and ADC distance, and the
+    // (adist, vec_id) tie-break orders 0 immediately before it
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    val got2 = A.topKPqCurrent(spark, root, q0.toArray, k = 50,
+      nprobe = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val i0 = got2.indexWhere(_._1 == 0L)
+    val iS = got2.indexWhere(_._1 == 200000L)
+    assert(i0 >= 0 && iS === i0 + 1,
+      s"rebuild did not fold the streamed vector into the codes: " +
+        s"${got2.toSeq}")
+    assert(got2(i0)._2 === got2(iS)._2,
+      "identical vectors must share their ADC distance after encoding")
+  }
+
   test("versioned index strand guard: a retrain landing mid-batch " +
     "fails the batch loudly (replay re-appends into the installed " +
     "generation) instead of silently stranding rows in the retiring " +
