@@ -702,4 +702,85 @@ object AnnIndex {
         .limit(k)
     }
   }
+
+  /** [[topKBatchCurrent]] served from the PQ sidecar — the query-SET
+    * form of [[topKPqCurrent]]: all queries' probe lists union into
+    * one partition filter over the `_pq` code lists, the per-query
+    * LUTs ride ONE broadcast frame (query_id, cid, sub, code,
+    * qdist_fp — |Q|·nprobe·m·k rows, KB-scale), each code row explodes
+    * to its m (sub, code) pairs and equi-joins only the queries
+    * probing its list, and the per-query top-k is the q84 window with
+    * its partial WindowGroupLimit prune. The residual leg and
+    * retraction subtraction compose exactly as in the single-query
+    * form; per-query answers are IDENTICAL to one [[topKPqCurrent]]
+    * call each (LayoutSpec pins it). Pure-ADC form only — re-rank
+    * composes by feeding the ids into [[topKBatchCurrent]]'s exact
+    * scan. No `_pq` sidecar falls back to [[topKBatchCurrent]]
+    * verbatim (the exact cosine shape).
+    */
+  def topKBatchPqCurrent(spark: SparkSession, root: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val dir = currentIndexDir(spark, root)
+    val fs = fsOf(spark, root)
+    val cents = readCentroids(spark, root)
+    import spark.implicits._
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir))))
+      return topKBatchCurrent(spark, root, queries, k, nprobe)
+    val cb = readPqCodebook(spark, dir)
+    val m = cb.map(_._1).max + 1
+    val d = cb.head._3.length
+    // one row per (query, probed cid, subspace, code): the batch LUT
+    val lutRows = for {
+      (qid, qv) <- queries
+      cid <- probeLists(qv, cents, nprobe)
+      s <- 0 until m
+      (sub, code, cv) <- cb if sub == s
+    } yield (qid, cid, s, code,
+      distFpLocal(qv.slice(s * d, s * d + d), cv))
+    val lutDf = lutRows.toDF("query_id", "cid", "sub", "code", "qdist_fp")
+    val cids = lutRows.map(_._2).distinct
+    val adc = minusRetracted(spark, root,
+      spark.read.parquet(pqDir(dir)).filter(col("cid").isin(cids: _*)))
+      .select(col("vec_id"), col("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lutDf), Seq("cid", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qdist_fp")).as("adist_fp"),
+        count(lit(1)).as("__n"))
+      // a row matched by fewer than m LUT entries would sum a partial
+      // distance; impossible by construction (every (sub, code) of a
+      // coded row exists in the codebook for every probing query), but
+      // the guard keeps the claim structural
+      .filter(col("__n") === m).drop("__n")
+    // residual leg, batched: uncovered float files score exactly —
+    // against ONLY the queries probing their list (the cid rides the
+    // partition-aware read; a cross join would hand every query
+    // vectors from lists it never probed)
+    val covered = readPqManifest(fs, dir).getOrElse(Set.empty[String])
+    val residual = listCidFiles(fs, dir, Some(cids.toSet))
+      .filterNot(f => covered.contains(f._1))
+    val withResidual =
+      if (residual.isEmpty) adc
+      else {
+        val probePairs = queries.flatMap { case (qid, qv) =>
+          probeLists(qv, cents, nprobe).map(cid => (qid, cid, qv.toSeq))
+        }.toDF("query_id", "cid", "qv")
+        adc.unionByName(minusRetracted(spark, root,
+          spark.read.option("basePath", dir)
+            .schema(indexRowSchema.add("cid",
+              org.apache.spark.sql.types.IntegerType))
+            .parquet(residual.map(f => s"$dir/${f._1}"): _*))
+          .join(broadcast(probePairs), Seq("cid"))
+          .select(col("query_id"), col("vec_id"),
+            KMeans.distFp("v", "qv").as("adist_fp")))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_fp"), col("vec_id"))
+    withResidual
+      .withColumn("rank_n", row_number().over(w).cast("long"))
+      .filter(col("rank_n") <= k)
+      .select("query_id", "vec_id", "adist_fp", "rank_n")
+      .orderBy("query_id", "rank_n")
+  }
 }

@@ -921,5 +921,34 @@ class LayoutSpec extends SparkSuite {
     A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
     assert(!A.topKPqCurrent(spark, root, query, k = 5, nprobe = 2)
       .collect().map(_.getLong(0)).contains(top))
+    // batch PQ serving: per-query answers identical to one single-
+    // query call each, from ONE code-list pass — including a query
+    // whose probes overlap another's and the residual leg (append a
+    // fresh vector first so the batch walks both legs)
+    val e2 = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    import spark.implicits._
+    val fresh2 = Seq((900002L, query.toSeq)).toDF("vec_id", "v")
+    A.assignByCosine(fresh2, A.readCentroids(spark, root))
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    val qs = Seq(0L, 3L, 11L).map { qid =>
+      qid -> e2.filter(col("vec_id") === qid)
+        .collect()(0).getSeq[Double](1).toArray
+    }
+    val batch = A.topKBatchPqCurrent(spark, root, qs, k = 4, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getLong(3))
+          .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      }
+    for ((qid, qv) <- qs) {
+      val single = A.topKPqCurrent(spark, root, qv, k = 4, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(batch(qid) === single,
+        s"batch PQ serving diverged from the single call for $qid")
+    }
   }
 }
