@@ -198,4 +198,74 @@ class OperatorsSpec extends SparkSuite {
     // the self-query's ADC distance is its own quantization distortion
     assert(refAdc(qid) === refEnc.filter(_._1 == qid).map(_._4).sum)
   }
+
+  // ── Training-mix export (graft.operators.CorpusExport) ─────────────
+
+  /** The q46 slot convention, driver-side: leading 15 hex digits of
+    * md5(id as string) as a long, per-million granularity.
+    */
+  private def refSlot(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  test("CorpusExport: deterministic uniform-mix materialization — " +
+    "reference-exact selection, nested samples across rates, disjoint " +
+    "shard hash, and a manifest that records what landed") {
+    import spark.implicits._
+    val X = graft.operators.CorpusExport
+    // skewed corpus: 80 en / 15 fr / 5 de
+    val docs = ((1L to 80L).map(i => (i, "en", s"text en $i")) ++
+      (81L to 95L).map(i => (i, "fr", s"text fr $i")) ++
+      (96L to 100L).map(i => (i, "de", s"text de $i")))
+      .toDF("doc_id", "lang", "text")
+    // threshold math is exactly q74's weight scaled by the rate
+    val th = X.uniformMixThresholds(docs, "lang", rate = 0.3).toMap
+    assert(th("en") === math.round(
+      math.min(1.0, 0.3 * 100 / (3.0 * 80)) * 1000000))
+    assert(th("de") === 1000000L,
+      "a small group's capped threshold must keep everything")
+    val base = java.nio.file.Files.createTempDirectory("export").toString
+    val m1 = X.materializeUniformMix(docs, "lang", "doc_id",
+        s"$base/r30", rate = 0.3, numShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // selection is reference-exact: slot < threshold, computed
+    // independently here
+    val expectIds = (1L to 100L).filter { id =>
+      val lang = if (id <= 80) "en" else if (id <= 95) "fr" else "de"
+      refSlot(id) < th(lang)
+    }.toSet
+    val gotRows = spark.read.parquet(s"$base/r30/data")
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(gotRows.map(_._1).toSet === expectIds,
+      "export selection diverged from the reference slot predicate")
+    // manifest counts are the landed counts
+    val expectByLang = expectIds.groupBy(id =>
+      if (id <= 80) "en" else if (id <= 95) "fr" else "de")
+      .map { case (l, ids) => l -> ids.size.toLong }
+    assert(m1 === Seq("en", "fr", "de")
+      .map(l => l -> expectByLang.getOrElse(l, 0L)).toMap, m1.toString)
+    // shards: within range, and the union is exactly the selection
+    assert(gotRows.forall { case (_, s) => s >= 0 && s < 4 })
+    // nested samples: the 30% export is a subset of the 60% export
+    val m2 = X.materializeUniformMix(docs, "lang", "doc_id",
+      s"$base/r60", rate = 0.6, numShards = 4)
+    val ids60 = spark.read.parquet(s"$base/r60/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expectIds.subsetOf(ids60),
+      "a lower-rate export must nest inside the higher-rate one")
+    // determinism: re-export to a fresh dir is identical
+    X.materializeUniformMix(docs, "lang", "doc_id", s"$base/r30b",
+      rate = 0.3, numShards = 4)
+    assert(spark.read.parquet(s"$base/r30b/data")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === expectIds)
+    // reserved column refused
+    intercept[IllegalArgumentException] {
+      X.materialize(docs.withColumn("shard", lit(1)), "lang", "doc_id",
+        Seq(("en", 1000000L)), s"$base/bad")
+    }
+  }
 }
