@@ -104,11 +104,53 @@ object Pq {
     * is the join-ready form [[adcTopK]] consumes; `collect_list` over
     * sub (sorted) packs it to an array when an at-rest column is
     * wanted.
+    *
+    * MAP-ONLY by design: the codebook (m×k subvectors, KB-scale) is
+    * collected and embedded as plan literals, so encoding is one
+    * projection + one Generate — ZERO exchanges at any corpus size.
+    * The [[assign]] form it replaced moved m×k rows per vector through
+    * the argmin window's shuffle (64× row inflation at the defaults) —
+    * at 100 TB that exchange IS the encode cost, and nothing about an
+    * argmin over 8 candidates needs data movement. The per-subspace
+    * argmin is `array_min` over (dist_fp, code) structs — the same
+    * (distance, code) tie-break as assign, bit-for-bit (OperatorsSpec
+    * pins encode against the independent reference; interpreted HOFs
+    * cost per-row CPU but never a shuffle, the right trade on the
+    * corpus-sized side).
     */
   def encode(embeddings: DataFrame, codebook: DataFrame, m: Int,
-      dim: Int): DataFrame =
-    assign(subvectors(embeddings, m, dim), codebook)
-      .select(col("vec_id"), col("sub"), col("code"), col("dist_fp"))
+      dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must be a positive multiple of m $m")
+    val d = dim / m
+    val cb = codebook.select("sub", "code", "cv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    require(cb.nonEmpty, "empty codebook")
+    val codes: Seq[Seq[Long]] =
+      (0 until m).map(s => cb.filter(_._1 == s).map(_._2).toSeq)
+    val cvs: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => cb.filter(_._1 == s).map(_._3.toSeq).toSeq)
+    require(codes.forall(_.nonEmpty),
+      s"codebook must cover every subspace 0..${m - 1}")
+    embeddings
+      .withColumn("__cbc", typedLit(codes))
+      .withColumn("__cbv", typedLit(cvs))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  array_min(transform(
+           |    sequence(1, size(element_at(__cbc, s + 1))), j ->
+           |    struct(
+           |      aggregate(zip_with(slice(v, s * $d + 1, $d),
+           |          element_at(element_at(__cbv, s + 1), j),
+           |          (x, y) -> cast(floor(((x - y) * (x - y))
+           |            * 1000000000000d) as bigint)),
+           |        0L, (a, b) -> a + b) as dist_fp,
+           |      element_at(element_at(__cbc, s + 1), j) as code))))
+           |""".stripMargin)).as(Seq("sub", "best")))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+        col("best.dist_fp").as("dist_fp"))
+  }
 
   /** The query's ADC lookup table: exact quantized distance from each
     * of the query's subvectors to EVERY code centroid — m×k rows

@@ -294,13 +294,10 @@ class PlanSpec extends SparkSuite {
   test("PQ family: codebooks ride broadcasts (no shuffled codebook " +
     "side, no cartesian), and the ADC top-k lowers to " +
     "TakeOrderedAndProject") {
-    // q107/q108: every subvector-to-codebook argmin joins a BROADCAST
-    // codebook frame on the subspace key — the corpus side never
-    // shuffles for the join (only the per-(vec, sub) window and the
-    // m x k x dim update agg exchange), and nothing goes all-pairs
-    // beyond the bounded broadcast fanout.
-    for (q <- Seq("q107_pq_codebooks", "q108_pq_encode",
-        "q109_pq_adc_topk")) {
+    // q107 (training) / q109 (serving): the codebook/LUT side always
+    // rides a BROADCAST — the corpus side never shuffles for a join,
+    // and nothing goes all-pairs beyond the bounded broadcast fanout.
+    for (q <- Seq("q107_pq_codebooks", "q109_pq_adc_topk")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q lost its broadcast codebook join")
@@ -308,6 +305,15 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("SortMergeJoin"),
         s"$q shuffled a KB-scale codebook side")
     }
+    // q108 (encode) is MAP-ONLY: the codebook is a plan literal, so
+    // the whole encode is one projection + one Generate — no join of
+    // any kind, and the only exchange is the presentation sort's
+    val p108 = plan("q108_pq_encode")
+    for (j <- Seq("BroadcastHashJoin", "SortMergeJoin",
+        "CartesianProduct", "ShuffledHashJoin"))
+      assert(!p108.contains(j), s"q108 encode gained a $j")
+    assert(p108.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"q108 encode gained a non-presentation exchange:\n$p108")
     // q109's final cut is a bounded top-k, not a global sort
     assert(plan("q109_pq_adc_topk").contains("TakeOrderedAndProject"),
       "q109 lost its top-k lowering")
