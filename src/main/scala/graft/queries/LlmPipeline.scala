@@ -2527,6 +2527,61 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** The boolean-labeled tokenized corpus q110/q111 train and score
+    * over: the shared [[tokenized]]/[[gopherMetrics]]/[[gopherPass]]
+    * derivation (q54's exact label — rule distillation: the heuristic
+    * is the weak supervisor, the model its cheap dense replacement),
+    * restricted as always to docs with ≥ 1 token.
+    */
+  private def qualityLabeled(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    gopherMetrics(tokenized(s, dir)).withColumn("y", gopherPass)
+
+  /** Hashed-feature width of the q110/q111 quality model — fixed and
+    * tiny on purpose: the fitted model is ≤ 512 rows / KBs, so it
+    * broadcasts (or inlines as plan literals) no matter the corpus.
+    */
+  private val QualityDims = 512
+
+  /** q110: TRAIN a model-based quality classifier
+    * (graft.operators.QualityModel — fastText-style hashed bag of
+    * words distilled from the q54 Gopher heuristic): one corpus scan,
+    * features deduped in-projection, the exchange carries ≤ 2·dims
+    * partial (fid, count) rows, weights are Laplace-smoothed class-rate
+    * differences in 1e-6 fixed point. Output = the full fitted model,
+    * one row per observed feature id — oracle-exact (closed-form
+    * IEEE-exact arithmetic; no log/exp, per the q52 doctrine).
+    */
+  private val q110: Q = (s, dir) =>
+    graft.operators.QualityModel
+      .train(qualityLabeled(s, dir), "toks", "y", QualityDims)
+      .withColumnRenamed("fid", "feature_id")
+      .orderBy("feature_id")
+
+  /** q111: SCORE the corpus with the q110 model — broadcast the
+    * ≤ dims-row weight table, floor-MEAN each doc's distinct-feature
+    * weights (length-invariant, the fastText-average rationale; the
+    * integer sum underneath is reduce-order-proof), and predict good
+    * iff the score clears the LEARNED class-centroid-midpoint
+    * threshold (1-D nearest-centroid — a prior bias cannot separate
+    * classes whose raw scores share a length-confounded offset);
+    * reported against the heuristic label so the output doubles as
+    * the train-set agreement audit. At 100 TB the serving form is
+    * QualityModel.scoreLiteral — the same integers as plan literals
+    * with NO join at all (spec-pinned map-only plan).
+    */
+  private val q111: Q = (s, dir) => {
+    import graft.operators.QualityModel
+    val labeled = qualityLabeled(s, dir)
+    val weights = QualityModel.train(labeled, "toks", "y", QualityDims)
+    QualityModel.scoreWithThreshold(labeled, "toks", weights,
+        QualityModel.threshold(labeled, "toks", "y", weights,
+          QualityDims), QualityDims)
+      .join(labeled.select(col("doc_id"), col("y").as("label")), "doc_id")
+      .select("doc_id", "score_fp", "predicted", "label")
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2603,7 +2658,9 @@ object LlmPipeline {
     "q108_pq_encode" -> q108,
     "q109_pq_adc_topk" -> q109,
     "q104_source_dedup_rate" -> q104,
-    "q105_quality_keeper" -> q105)
+    "q105_quality_keeper" -> q105,
+    "q110_quality_model" -> q110,
+    "q111_quality_model_score" -> q111)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3807,7 +3864,36 @@ object LlmPipeline {
          |SELECT e.vec_id, CAST(SUM(l.qdist_fp) AS BIGINT) AS adist_fp
          |FROM penc e JOIN plut l ON e.sub = l.sub AND e.code = l.code
          |GROUP BY e.vec_id
-         |ORDER BY adist_fp, e.vec_id LIMIT 10""".stripMargin)
+         |ORDER BY adist_fp, e.vec_id LIMIT 10""".stripMargin,
+    "q110_quality_model" ->
+      s"""WITH $qmCtes
+         |SELECT feature_id, n_pos, n_neg, weight_fp
+         |FROM w ORDER BY feature_id""".stripMargin,
+    "q111_quality_model_score" ->
+      s"""WITH $qmCtes,
+         |s AS (
+         | SELECT f.doc_id, CAST(SUM(w.weight_fp) AS BIGINT) AS wsum,
+         |  CAST(COUNT(*) AS BIGINT) AS nf
+         | FROM f JOIN w USING (feature_id) GROUP BY f.doc_id),
+         |sm AS (
+         | SELECT doc_id, CAST(floor(CAST(wsum AS DOUBLE)
+         |   / CAST(nf AS DOUBLE)) AS BIGINT) AS wmean FROM s),
+         |cm AS (
+         | SELECT
+         |  CAST(floor(CAST(SUM(CASE WHEN l.y THEN sm.wmean END)
+         |    AS DOUBLE) / CAST(SUM(CASE WHEN l.y THEN 1 ELSE 0 END)
+         |    AS DOUBLE)) AS BIGINT) AS c_pos,
+         |  CAST(floor(CAST(SUM(CASE WHEN NOT l.y THEN sm.wmean END)
+         |    AS DOUBLE) / CAST(SUM(CASE WHEN NOT l.y THEN 1 ELSE 0 END)
+         |    AS DOUBLE)) AS BIGINT) AS c_neg
+         | FROM sm JOIN l ON sm.doc_id = l.doc_id),
+         |th AS (
+         | SELECT CAST(floor(CAST(c_pos + c_neg AS DOUBLE) / 2.0)
+         |   AS BIGINT) AS th_fp FROM cm)
+         |SELECT sm.doc_id, sm.wmean - th.th_fp AS score_fp,
+         | (sm.wmean - th.th_fp > 0) AS predicted, l.y AS label
+         |FROM sm CROSS JOIN th JOIN l ON sm.doc_id = l.doc_id
+         |ORDER BY sm.doc_id""".stripMargin)
 
   /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
     * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from
@@ -3856,4 +3942,55 @@ object LlmPipeline {
       |   row_number() OVER (PARTITION BY vec_id, sub
       |                      ORDER BY dist_fp, code) AS rn
       |  FROM pd2) WHERE rn = 1)""".stripMargin
+
+  /** Quality-model CTE chain shared by the q110/q111 oracles —
+    * operators.QualityModel's closed-form arithmetic replayed exactly:
+    * l = q54-labeled tokenized docs, f = distinct hashed features per
+    * doc (md5 → 16-bit → mod 512, byte-identical to Spark's
+    * conv(substring(md5, 1, 4), 16, 10)), c = per-feature class
+    * counts, tot = class totals, w = Laplace-smoothed rate-difference
+    * weights in 1e-6 fixed point (floor of IEEE-exact divisions).
+    */
+  private lazy val qmCtes: String =
+    s"""b AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |t AS (SELECT doc_id, toks FROM b WHERE len(toks) >= 1),
+       |m AS (
+       | SELECT doc_id, toks,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(list_reduce(list_transform(toks, x -> length(x)),
+       |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |    AS mean_tok_len,
+       |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+       |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+       | FROM t),
+       |l AS (
+       | SELECT doc_id, toks,
+       |  (n_tokens >= 40 AND n_tokens <= 100000
+       |   AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
+       |   AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9) AS y
+       | FROM m),
+       |f0 AS (SELECT doc_id, y, unnest(toks) AS tok FROM l),
+       |f AS (
+       | SELECT DISTINCT doc_id, y,
+       |  CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 512
+       |   AS feature_id
+       | FROM f0),
+       |c AS (
+       | SELECT feature_id,
+       |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       | FROM f GROUP BY feature_id),
+       |tot AS (
+       | SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
+       |  CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
+       | FROM l),
+       |w AS (
+       | SELECT feature_id, n_pos, n_neg,
+       |  CAST(floor(CAST(n_pos + 1 AS DOUBLE) / CAST(t_pos + 2 AS DOUBLE)
+       |    * 1000000) AS BIGINT)
+       |  - CAST(floor(CAST(n_neg + 1 AS DOUBLE) / CAST(t_neg + 2 AS DOUBLE)
+       |    * 1000000) AS BIGINT) AS weight_fp
+       | FROM c, tot)""".stripMargin
 }

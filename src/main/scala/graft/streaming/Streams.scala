@@ -603,6 +603,32 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** [[curationFeedThroughStores]] (3-store form) behind the
+    * model-based quality GATE: the literal-model filter
+    * (operators.QualityModel.keepGood — weights and threshold as plan
+    * literals, stateless per-row projection, no join/state/watermark)
+    * runs FIRST, before any store probe, extending the
+    * cheapest-check-first staging one stage earlier: a document the
+    * model rejects never prices a store lookup, and — deliberately —
+    * is never RECORDED either (rejects are not "seen"; a later
+    * re-submission after a model retrain gets judged afresh). The
+    * model is trained offline (batch QualityModel.train/threshold)
+    * and its integers are pinned for the life of the stream — the
+    * same pin-at-start posture as indexIngestStream's centroids;
+    * retrain → restart the stream (or rotate via the versioned
+    * lifecycle).
+    */
+  def qualityGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, denseWeights: Seq[Long], thFp: Long, dims: Int,
+      exactStorePath: String, nearStorePath: String,
+      spanStorePath: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    curationFeedThroughStores(
+      graft.operators.QualityModel.keepGood(docs, textCol,
+        denseWeights, thFp, dims),
+      textCol, idCol, exactStorePath, nearStorePath, spanStorePath,
+      outDir, checkpointDir)
+
   /** [[curationFeedThroughStores]] with the SPAN store as a third
     * stage: exact → near → span, in increasing per-document cost, so
     * the window scan only prices documents that already survived the

@@ -1211,4 +1211,65 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
     assert(batch.length === 4) // 10h view, 11h purchase, 11h view, 12h purchase
   }
+
+  test("quality-gated curation feed: the literal-model gate drops " +
+    "rejects before any store sees them, and rejects are NOT recorded") {
+    import spark.implicits._
+    val srcDir = tmpDir("qgate-src")
+    val outDir = tmpDir("qgate-out") + "/docs"
+    val exactStore = tmpDir("qgate-exact") + "/hashes"
+    val nearStore = tmpDir("qgate-near") + "/bands"
+    val spanStore = tmpDir("qgate-span") + "/windows"
+    val ckpt = tmpDir("qgate-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val dims = 512
+    // handcrafted model: every feature mildly good, the "spamword"
+    // feature catastrophically bad — its presence drags the MEAN
+    // under any doc of test length; threshold 0
+    val spamFid = Seq(Tuple1(Seq("spamword"))).toDF("toks")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.QualityModel.featuresExpr("toks", dims)))
+      .collect()(0).getLong(0)
+    val dense = Seq.tabulate(dims)(i =>
+      if (i.toLong == spamFid) -1000000L else 1000L)
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(weights: Seq[Long]): Unit =
+      graft.streaming.Streams.qualityGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", weights, 0L, dims,
+        exactStore, nearStore, spanStore, outDir, ckpt)
+        .awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val good = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val spam = (1 to 60).map(i => s"beta$i item$i entry$i")
+      .mkString(" ") + " spamword"
+    deliver("b1", Seq((1L, good), (2L, spam)))
+    drain(dense)
+    assert(survivors() === Seq(1L), "the gate must drop the spam doc")
+    // the reject never reached the exact store: its hash is unseen
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((50L, spam)).toDF("doc_id", "text"), "text", "doc_id",
+      exactStore).count() === 1)
+    // batch 2: an exact copy of the survivor still drops (the store
+    // legs work behind the gate); fresh good content passes
+    deliver("b2", Seq((10L, good),
+      (11L, (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" "))))
+    drain(dense)
+    assert(survivors() === Seq(1L, 11L))
+    // rejects were never recorded: the SAME spam text re-submitted
+    // under a permissive model (spam feature forgiven) is judged
+    // afresh and survives
+    deliver("b3", Seq((20L, spam)))
+    drain(Seq.fill(dims)(1000L))
+    assert(survivors() === Seq(1L, 11L, 20L),
+      "a gate reject must not poison the dedup history")
+  }
 }
