@@ -43,7 +43,10 @@ object SqlSurface {
     "q80_pipeline_e2e", "q83_semantic_clusters", "q86_collocations",
     "q87_kmeans", "q88_cluster_sample", "q91_ivf_stats",
     "q96_cluster_separation", "q97_vocab_coverage",
-    "q100_cluster_sizes", "q105_quality_keeper")
+    "q100_cluster_sizes", "q105_quality_keeper",
+    // q112 rides the q87 k-means assignment (centroid collect at
+    // builder time); q110/q111/q113 are lazy plans end to end.
+    "q112_semdedup")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

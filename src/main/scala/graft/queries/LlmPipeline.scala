@@ -2582,6 +2582,112 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q112: SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication:
+    * k-means-cluster the embedding corpus (the exact q87 assignment —
+    * one shared derivation, so the dedup can never drift from the
+    * clustering it claims to use), then find near-duplicate PAIRS only
+    * WITHIN each cluster (cosine ≥ 0.3, the q26-calibrated threshold)
+    * and drop every vector that has a LOWER-id near-duplicate in its
+    * cluster (first-occurrence-wins, no transitive closure — the
+    * paper's "keep one random exemplar" made deterministic). Output is
+    * the full per-vector audit: cluster, kept flag, how many earlier
+    * in-cluster duplicates, and the strongest of them.
+    *
+    * Scale: the whole point of SemDeDup over q26's LSH-bucket pairing
+    * is that the candidate structure is SEMANTIC — paraphrases land in
+    * the same k-means cluster even when no hash bucket agrees. The
+    * pairing is all-pairs WITHIN a cluster only, and the join shuffles
+    * on the cluster id alone; at 100 TB k grows with the corpus
+    * (k ∝ n/target-cluster-size, the paper uses 50k clusters for
+    * LAION) so per-cluster membership — and therefore per-key join
+    * fan-out — stays bounded; the assignment pass is the q87 plan
+    * (broadcast centroids, one corpus scan). Cosines are plain doubles
+    * (the deterministic left-fold both engines share), ties/identity
+    * on vec_id, so the audit is oracle-exact.
+    */
+  private val q112: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val av = kmeansAssigned(s, dir).select("vec_id", "cluster")
+      .join(e, "vec_id")
+    val a = av.select(col("vec_id").as("vec_a"), col("cluster"),
+      col("v").as("v_a"))
+    val b = av.select(col("vec_id").as("vec_b"), col("cluster"),
+      col("v").as("v_b"))
+    val dups = a.join(b, "cluster")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", expr("cosine_sim(v_a, v_b)"))
+      .filter(col("cosine") >= 0.3)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"),
+        max(col("cosine")).as("max_dup_cosine"))
+    av.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("n_earlier_dups").isNull.as("kept"),
+        col("max_dup_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** q113: count-based bigram-LM quality scoring — the CCNet /
+    * Wenzek-et-al-2020 perplexity filter re-expressed with EXACT
+    * integer arithmetic: train a Laplace-ish bigram model on the
+    * corpus itself (c₂(w₁,w₂) bigram counts, c₁(w₁) history counts,
+    * V = corpus vocabulary) and score every document by the mean
+    * per-bigram log-likelihood proxy
+    * `ilog2(c₂+1) − ilog2(c₁+V)` where `ilog2(x) = length(bin(x))−1`
+    * — the EXACT floor of log₂ via the binary-string length both
+    * engines compute identically, so no float log/exp anywhere (the
+    * q52 doctrine) and the whole filter is oracle-exact. Documents are
+    * then cut into CCNet's head/middle/tail TERCILES of the score.
+    *
+    * Scale: training is two map-side-combined count aggregations over
+    * the bigram stream plus a 1-row vocabulary agg (crossJoined, never
+    * collected); scoring groups each doc's DISTINCT bigrams first
+    * (occurrence counts ride along) so the score join moves bigram
+    * TYPES, not token positions. The global tercile is the one
+    * inherently-global step: here an exact single-partition ntile
+    * keeps the DuckDB oracle bit-exact; at 100 TB the cut-points come
+    * from an approx-percentile sketch over `ll_mean_fp` (the q68
+    * path) and the window collapses to two broadcast literals.
+    * `ll_mean_fp` is the 1e-6 fixed-point floor-mean (the q111
+    * pattern — exact long sums, one correctly-rounded division, one
+    * exact floor).
+    */
+  private val q113: Q = (s, dir) => {
+    val base = tokenized(s, dir).filter(size(col("toks")) >= 2)
+    val bg = base.select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val voc = base.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    def ilog2(c: Column): Column = length(bin(c)) - lit(1)
+    val sc = c2.join(c1, "w1").crossJoin(broadcast(voc))
+      .select(col("w1"), col("w2"),
+        (ilog2(col("c2") + lit(1L)) -
+          ilog2(col("c1") + col("vocab"))).cast("long").as("score"))
+    val perDoc = bg.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+      .join(sc, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("score")).as("ll_sum"),
+        sum(col("n_occ")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("ll_sum"),
+        floor((col("ll_sum") * lit(1000000L)).cast("double") /
+          col("n_bigrams").cast("double")).as("ll_mean_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("ll_mean_fp", "doc_id")
+    perDoc
+      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2660,7 +2766,9 @@ object LlmPipeline {
     "q104_source_dedup_rate" -> q104,
     "q105_quality_keeper" -> q105,
     "q110_quality_model" -> q110,
-    "q111_quality_model_score" -> q111)
+    "q111_quality_model_score" -> q111,
+    "q112_semdedup" -> q112,
+    "q113_lm_score" -> q113)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3893,7 +4001,66 @@ object LlmPipeline {
          |SELECT sm.doc_id, sm.wmean - th.th_fp AS score_fp,
          | (sm.wmean - th.th_fp > 0) AS predicted, l.y AS label
          |FROM sm CROSS JOIN th JOIN l ON sm.doc_id = l.doc_id
-         |ORDER BY sm.doc_id""".stripMargin)
+         |ORDER BY sm.doc_id""".stripMargin,
+    "q112_semdedup" ->
+      s"""WITH $kmeansCtes,
+         |av AS (
+         | SELECT k.vec_id, k.cluster, e.v
+         | FROM kfinal k JOIN e ON k.vec_id = e.vec_id),
+         |dups AS (
+         | SELECT b.vec_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_earlier_dups,
+         |  MAX(${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")}))
+         |   AS max_dup_cosine
+         | FROM av a JOIN av b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         | WHERE ${dot("a.v", "b.v")} / (${norm("a.v")} * ${norm("b.v")})
+         |  >= CAST(0.3 AS DOUBLE)
+         | GROUP BY b.vec_id)
+         |SELECT av.vec_id, av.cluster,
+         | COALESCE(d.n_earlier_dups, CAST(0 AS BIGINT)) AS n_earlier_dups,
+         | d.vec_id IS NULL AS kept,
+         | d.max_dup_cosine
+         |FROM av LEFT JOIN dups d ON av.vec_id = d.vec_id
+         |ORDER BY av.vec_id""".stripMargin,
+    "q113_lm_score" ->
+      s"""WITH b0 AS (
+         | SELECT doc_id, $dToks AS toks FROM documents),
+         |base AS (SELECT * FROM b0 WHERE len(toks) >= 2),
+         |bg AS (
+         | SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         | FROM (SELECT doc_id, toks,
+         |        unnest(generate_series(1, len(toks) - 1)) AS i
+         |       FROM base)),
+         |voc AS (
+         | SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+         | FROM (SELECT unnest(toks) AS w FROM base)),
+         |c2 AS (
+         | SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         | FROM bg GROUP BY w1, w2),
+         |c1 AS (
+         | SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         | FROM bg GROUP BY w1),
+         |sc AS (
+         | SELECT c2.w1, c2.w2,
+         |  CAST((length(bin(c2.c2 + 1)) - 1)
+         |   - (length(bin(c1.c1 + voc.vocab)) - 1) AS BIGINT) AS score
+         | FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN voc),
+         |d AS (
+         | SELECT bg.doc_id,
+         |  CAST(SUM(sc.score) AS BIGINT) AS ll_sum,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams
+         | FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2
+         | GROUP BY bg.doc_id),
+         |m AS (
+         | SELECT doc_id, n_bigrams, ll_sum,
+         |  CAST(floor(CAST(ll_sum * 1000000 AS DOUBLE)
+         |   / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS ll_mean_fp
+         | FROM d)
+         |SELECT doc_id, n_bigrams, ll_sum, ll_mean_fp,
+         | CAST(ntile(3) OVER (ORDER BY ll_mean_fp, doc_id) AS BIGINT)
+         |  AS tercile
+         |FROM m ORDER BY doc_id""".stripMargin)
 
   /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
     * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from

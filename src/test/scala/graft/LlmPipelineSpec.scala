@@ -611,6 +611,98 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q112 semdedup: drops reconcile with a driver-side within-cluster " +
+    "pair recompute; a planted exact duplicate is dropped at cosine 1") {
+    // reconcile against a brute-force recompute from q87's assignment
+    val cl = LlmPipeline.queries("q87_kmeans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedDropped = (for {
+      (b, cb) <- cl.toSeq
+      (a, ca) <- cl.toSeq
+      if a < b && ca == cb && cos(vecs(a), vecs(b)) >= 0.3
+    } yield b).toSet
+    val rows = LlmPipeline.queries("q112_semdedup")(spark, sf).collect()
+    assert(rows.length === cl.size) // full per-vector audit
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(dropped === expectedDropped)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("kept")) {
+        assert(r.getAs[Long]("n_earlier_dups") === 0L)
+        assert(r.isNullAt(r.fieldIndex("max_dup_cosine")))
+      } else {
+        assert(r.getAs[Long]("n_earlier_dups") >= 1L)
+        assert(r.getAs[Double]("max_dup_cosine") >= 0.3)
+      }
+    }
+    // planted duplicate: re-materialize the corpus with an exact copy
+    // of vec_id 400 under a fresh max id — semdedup must drop the copy
+    // (same cluster by construction: identical vector, same tie-break)
+    val dir = java.nio.file.Files.createTempDirectory("q112").toString
+    val e0 = Tables.load(spark, sf, "embeddings")
+    e0.union(e0.filter(col("vec_id") === 400L)
+        .withColumn("vec_id", lit(99001L)))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = LlmPipeline.queries("q112_semdedup")(spark, dir)
+      .filter(col("vec_id") === 99001L).collect().head
+    assert(!planted.getAs[Boolean]("kept"))
+    assert(planted.getAs[Double]("max_dup_cosine") > 0.999999)
+  }
+
+  test("q113 LM score: per-bigram scores are non-positive, n_bigrams " +
+    "reconciles, terciles balanced, frequent-bigram text outscores " +
+    "gibberish") {
+    val rows = LlmPipeline.queries("q113_lm_score")(spark, sf).collect()
+    // n_bigrams reconciles with a driver-side re-tokenization
+    val expected = Tables.load(spark, sf, "documents").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong)
+      .filter(_._2 >= 2).toMap
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") ===
+        expected(r.getAs[Long]("doc_id")) - 1L)
+      // score(b) = ilog2(c2+1) − ilog2(c1+V) ≤ 0 since c2 ≤ c1 < c1+V
+      assert(r.getAs[Long]("ll_sum") <= 0L)
+      assert(r.getAs[Long]("ll_mean_fp") <= 0L)
+    }
+    // CCNet head/middle/tail: tercile sizes differ by at most 1
+    val sizes = rows.groupBy(_.getAs[Long]("tercile"))
+      .view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // in-model text must outscore out-of-vocabulary gibberish: plant
+    // both into a copy of the corpus and compare their mean scores
+    val dir = java.nio.file.Files.createTempDirectory("q113").toString
+    val common = Tables.load(spark, sf, "documents")
+      .orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    val gibberish = (1 to 60).map(i => s"zqx${i}v wk${i}jj").mkString(" ")
+    import spark.implicits._
+    Tables.load(spark, sf, "documents")
+      .union(Seq((990001L, common, "en", "src0", common.length.toLong),
+        (990002L, gibberish, "en", "src0", gibberish.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = LlmPipeline.queries("q113_lm_score")(spark, dir)
+      .filter(col("doc_id") >= 990001L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ll_mean_fp"))
+      .toMap
+    assert(planted(990001L) > planted(990002L),
+      s"corpus-frequent bigrams must outscore OOV gibberish: $planted")
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
