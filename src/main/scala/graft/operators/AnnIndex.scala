@@ -297,6 +297,82 @@ object AnnIndex {
       .orderBy("query_id", "rank_n")
   }
 
+  /** SemDeDup's cross-run form: gate a BATCH of incoming vectors
+    * against the CURRENT generation — flag every vector that already
+    * has a near-duplicate (cosine ≥ `tau`) among the index's live
+    * vectors, probing only its `nprobe` nearest lists. This is
+    * q112_semdedup's within-cluster pairing with the index's
+    * clustering as the clusters and the generation at rest as the
+    * stored side: the semantic family's NearDupStore, riding the
+    * serving index instead of a second store (the index IS the
+    * cross-run record of every vector's cluster and value).
+    *
+    * Scale: the batch is never collected — probe lists come from the
+    * shared assignment window ([[assignByCosine]]'s rule, top-nprobe
+    * instead of top-1) in-plan; only the DISTINCT probed cid set
+    * (≤ the centroid count — the same k-row bound as the centroid
+    * collect itself) is collected, to prune the index scan to its
+    * `cid=` partitions. Candidate pairing shuffles on cid only; live
+    * retractions are subtracted, so a retracted (taken-down) vector
+    * can never veto a new one.
+    *
+    * Returns one row per batch vector: (vec_id, is_dup, dup_of,
+    * dup_cosine) — dup_of = the strongest (highest-cosine, then
+    * lowest-id) live indexed near-duplicate; null columns when kept.
+    * An indexed vector with the SAME id as a batch vector is the
+    * same record re-delivered, not a duplicate — id self-matches are
+    * excluded.
+    */
+  def semanticDedupProbe(spark: SparkSession, root: String,
+      batch: DataFrame, tau: Double, nprobe: Int = 2): DataFrame =
+    semanticDedupProbeOf(spark, root,
+      currentGeneration(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no installed generation at $root")),
+      batch, tau, nprobe)
+
+  /** [[semanticDedupProbe]] against a NAMED generation — for callers
+    * that pinned a generation up front (the gated streaming appender)
+    * and must gate and append against the SAME directory/centroid
+    * triple even when a retrain swaps mid-batch.
+    */
+  def semanticDedupProbeOf(spark: SparkSession, root: String,
+      gen: String, batch: DataFrame, tau: Double,
+      nprobe: Int = 2): DataFrame = {
+    val dir = s"$root/$gen"
+    val cents = readCentroidsOf(spark, root, gen)
+    graft.functions.Functions.register(spark)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
+    val probes = batch.select("vec_id", "v")
+      .crossJoin(broadcast(centroidFrame(spark, cents)))
+      .withColumn("csim", expr("cosine_sim(v, cv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // k-row collect: distinct probed lists, bounded by the centroid
+    // count regardless of batch size (re-derives the probe subplan —
+    // a micro-batch-scale cost traded for a static partition prune)
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = minusRetracted(spark, root,
+        spark.read.parquet(dir).filter(col("cid").isin(cids: _*)))
+      .select(col("vec_id").as("dup_of"), col("v").as("iv"), col("cid"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("dup_cosine"), col("dup_of"))
+    val best = probes.join(idx, "cid")
+      .filter(col("dup_of") =!= col("vec_id"))
+      .withColumn("dup_cosine", expr("cosine_sim(v, iv)"))
+      .filter(col("dup_cosine") >= tau)
+      .withColumn("rn2", row_number().over(wBest))
+      .filter(col("rn2") === 1)
+      .select(col("vec_id"), col("dup_of"), col("dup_cosine"))
+    batch.select("vec_id", "v").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cosine"))
+  }
+
   /** Close the q91/q96 monitoring loop: re-fit the centroids on the
     * CURRENT generation's vectors (Lloyd rounds seeded from the
     * current centroids — drift adaptation, not a cold restart), build

@@ -790,6 +790,79 @@ object Streams {
           "replay re-appends into the installed generation")
   }
 
+  /** [[indexIngestStreamVersioned]] with a SEMANTIC DEDUP GATE — the
+    * streaming form of SemDeDup (q112) against the serving index:
+    * each micro-batch is probed against the pinned generation
+    * ([[graft.operators.AnnIndex.semanticDedupProbeOf]], cosine ≥
+    * `tau` within `nprobe` lists) and only vectors with NO live
+    * indexed near-duplicate are appended. Within-batch copies are
+    * resolved FIRST by the q112 rule (lower vec_id wins among
+    * same-list pairs at ≥ `tau`), so two copies arriving together
+    * cannot both slip past an index that contains neither. Gate and
+    * append both run against the generation pinned at batch start;
+    * the strand guard then fails the batch if a retrain swapped
+    * mid-batch, so replay re-gates against the installed generation —
+    * survivors exactly-once, drops at-least-once, like every other
+    * streamed dedup cycle here.
+    */
+  def semanticDedupIngestStream(embeddings: DataFrame, root: String,
+      checkpointDir: String, tau: Double,
+      nprobe: Int = 2): StreamingQuery =
+    embeddings.writeStream
+      .queryName("ivf_index_ingest_semantic_dedup")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendVersionedBatchDeduped(batch, root, tau, nprobe)
+      }
+      .start()
+
+  /** One micro-batch of [[semanticDedupIngestStream]], factored out
+    * for the same testability as [[appendVersionedBatch]]. Three
+    * passes over the micro-batch (within-batch pairing, index probe,
+    * assignment append) — batch-scale work; the index side is read
+    * once, pruned to the probed `cid=` partitions.
+    */
+  private[graft] def appendVersionedBatchDeduped(batch: DataFrame,
+      root: String, tau: Double, nprobe: Int,
+      postWriteProbe: () => Unit = () => ()): Unit = {
+    val A = graft.operators.AnnIndex
+    val spark = batch.sparkSession
+    val gen0 = A.currentGeneration(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no installed generation at $root"))
+    val cents = A.readCentroidsOf(spark, root, gen0)
+    // within-batch first: q112's rule on the pinned generation's
+    // clustering — among same-list pairs at ≥ tau, the lower id wins
+    val assigned = A.assignByCosine(batch.select("vec_id", "v"), cents)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cid"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cid"),
+      col("v").as("v_b"))
+    val inBatchDups = a.join(b, "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr("cosine_sim(v_a, v_b)") >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val batchSurvivors = batch.select("vec_id", "v")
+      .join(inBatchDups, Seq("vec_id"), "left_anti")
+    // then the cross-run gate against the pinned generation
+    val kept = A.semanticDedupProbeOf(spark, root, gen0,
+        batchSurvivors, tau, nprobe)
+      .filter(!col("is_dup")).select("vec_id")
+    val survivors = batchSurvivors.join(kept, "vec_id")
+    A.assignByCosine(survivors, cents)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$root/$gen0")
+    postWriteProbe()
+    val gen1 = A.currentGeneration(spark, root)
+    if (gen1 != Some(gen0))
+      throw new IllegalStateException(
+        s"index generation swapped mid-batch ($gen0 -> " +
+          s"${gen1.getOrElse("<none>")}): failing the batch so the " +
+          "replay re-gates and re-appends against the installed " +
+          "generation")
+  }
+
   def windowedEventCounts(events: DataFrame,
       watermarkDelay: String = "30 minutes",
       windowWidth: String = "1 hour"): DataFrame =

@@ -951,4 +951,72 @@ class LayoutSpec extends SparkSuite {
         s"batch PQ serving diverged from the single call for $qid")
     }
   }
+
+  test("semantic dedup probe (SemDeDup vs the serving index): an " +
+    "indexed near-duplicate flags the incoming vector, a novel one is " +
+    "kept, an id re-delivery is not its own duplicate, a retracted " +
+    "vector cannot veto, and the index scan prunes to the probed lists") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivfsem")
+      .toString + "/index"
+    A.writeIndexVersioned(e, cents, root)
+    val v7 = e.filter(col("vec_id") === 7)
+      .collect()(0).getSeq[Double](1)
+    // batch: an exact copy of indexed vec 7, a novel vector (the
+    // negation — cosine −1 to vec 7, near-0 to the rest of the
+    // near-orthogonal corpus), and a re-delivery of vec 7 UNDER ITS
+    // OWN ID (same record, not a duplicate)
+    val batch = Seq((99001L, v7), (99002L, v7.map(x => -x)), (7L, v7))
+      .toDF("vec_id", "v")
+    def probe(): Map[Long, org.apache.spark.sql.Row] =
+      A.semanticDedupProbe(spark, root, batch, tau = 0.9, nprobe = 2)
+        .collect().map(r => r.getLong(0) -> r).toMap
+    val out = probe()
+    assert(out.size === 3)
+    assert(out(99001L).getAs[Boolean]("is_dup"))
+    assert(out(99001L).getAs[Long]("dup_of") === 7L)
+    assert(out(99001L).getAs[Double]("dup_cosine") > 0.999999)
+    assert(!out(99002L).getAs[Boolean]("is_dup"))
+    assert(out(99002L).isNullAt(out(99002L).fieldIndex("dup_of")))
+    assert(!out(7L).getAs[Boolean]("is_dup"),
+      "an id self-match must read as the same record, not a duplicate")
+    // plan law: the index side is a partition-pruned scan of the
+    // probed cid= lists, never a full-index read
+    val q = A.semanticDedupProbe(spark, root, batch, tau = 0.9,
+      nprobe = 2)
+    q.collect()
+    // the joins put AQE in the plan: unwrap adaptive nodes to reach
+    // the file scans (TreeNode.collect stops at the AQE boundary)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(qs.plan)
+        case r: org.apache.spark.sql.execution.exchange
+              .ReusedExchangeExec => scans(r.child)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val idxScans = scans(q.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("ivfsem"))
+    assert(idxScans.nonEmpty, "no file scan of the index found")
+    idxScans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "[]") != "[]",
+        "index scan not pruned to the probed lists")
+    }
+    // takedown law: a retracted vector can never veto an incoming one
+    A.retract(spark, root, Seq(7L))
+    val after = probe()
+    assert(!after(99001L).getAs[Boolean]("is_dup"),
+      "a retracted (taken-down) vector still vetoed the incoming copy")
+  }
 }

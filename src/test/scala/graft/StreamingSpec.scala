@@ -1272,4 +1272,66 @@ class StreamingSpec extends SparkSuite {
     assert(survivors() === Seq(1L, 11L, 20L),
       "a gate reject must not poison the dedup history")
   }
+
+  test("semantic-dedup-gated index ingest: an indexed near-duplicate " +
+    "is dropped, within-batch copies keep only the first, novel " +
+    "vectors append, replay is a no-op, and a later copy of an " +
+    "APPENDED vector is dropped cross-run") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = graft.operators.KMeans.trainCollected(e, 1L to 8L, 1)
+    val root = java.nio.file.Files.createTempDirectory("ivf-semstream")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("ivf-semstream-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf-semstream-ckpt").toString
+    val g1 = A.writeIndexVersioned(e, cents, root)
+    val before = spark.read.parquet(s"$root/$g1").count()
+    val q0 = e.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
+    val v5 = e.filter(col("vec_id") === 5).collect()(0).getSeq[Double](1)
+    val novel1 = q0.map(x => -x) // cosine −1 to vec 0, ~0 to the rest
+    val novel2 = v5.map(x => -x)
+    // one delivery: an indexed copy, two novel vectors, and a
+    // within-batch copy of the second novel one
+    Seq((300000L, q0), (300001L, novel1), (300002L, novel2),
+      (300003L, novel2))
+      .toDF("vec_id", "v").coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def drain(): Unit = graft.streaming.Streams
+      .semanticDedupIngestStream(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        root, ckpt, tau = 0.9, nprobe = 2).awaitTermination()
+    drain()
+    def indexed(): Set[Long] = spark.read.parquet(s"$root/$g1")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val after1 = indexed()
+    assert(spark.read.parquet(s"$root/$g1").count() === before + 2,
+      "exactly the two novel vectors should have appended")
+    assert(after1.contains(300001L) && after1.contains(300002L))
+    assert(!after1.contains(300000L),
+      "a copy of an indexed vector slipped past the gate")
+    assert(!after1.contains(300003L),
+      "the within-batch copy slipped past the gate (first id wins)")
+    // replay no-op: the checkpoint already covers d1
+    drain()
+    assert(indexed() === after1, "replay re-appended survivors")
+    // cross-run: a later copy of the APPENDED novel1 is now a dup of
+    // a record that only exists through the gated append path
+    Seq((300004L, novel1)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/d2")
+    drain()
+    assert(!indexed().contains(300004L),
+      "a copy of a gate-appended vector was not recognized cross-run")
+    assert(indexed() === after1)
+  }
 }
