@@ -659,6 +659,34 @@ object CoreAnalytics {
       .limit(20)
   }
 
+  /** q114: count-min heavy-hitter audit — q102's skew profile answered
+    * from the MERGEABLE sketch ([[graft.operators.CountMin]], 4 × 1024
+    * md5-bucketed cells) instead of a full-width exact groupBy, with
+    * the exact counts alongside: (key, n_rows exact, n_est sketch) for
+    * the top-20 supplier keys. The sketch-audit pattern of q92/q103
+    * applied to frequency: n_est ≥ n_rows ALWAYS (one-sided collision
+    * error — spec-gated as a law over every key, not just the top-20).
+    * At 100 TB the exact leg is the audit and the sketch is the
+    * product: a KB-scale cell grid that partial-aggregates map-side
+    * and merges across partitions / days / micro-batches by cell-wise
+    * addition, so "how hot is key X" never costs a corpus-wide
+    * shuffle. Deterministic md5 bucketing (the corpus-wide 60-bit
+    * parity trick) makes the WHOLE sketch oracle-exact — unlike the
+    * q47 HLL, whose register state is engine-specific by design.
+    */
+  private val q114: Q = (s, dir) => {
+    import graft.operators.CountMin
+    val keys = t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast(LongType).as("l_suppkey"))
+    val sketch = CountMin.build(keys, "l_suppkey")
+    val top = keys.groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+      .orderBy(desc("n_rows"), col("l_suppkey"))
+      .limit(20)
+    top.join(CountMin.estimate(sketch, top, "l_suppkey"), "l_suppkey")
+      .select(col("l_suppkey"), col("n_rows"), col("n_est"))
+      .orderBy(desc("n_rows"), col("l_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -696,7 +724,8 @@ object CoreAnalytics {
     "q52_math_funcs" -> q52,
     "q57_range_join_binned" -> q57,
     "q59_grouping_sets" -> q59,
-    "q102_key_skew" -> q102)
+    "q102_key_skew" -> q102,
+    "q114_count_min" -> q114)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -984,5 +1013,32 @@ object CoreAnalytics {
         |SELECT l_suppkey, n_rows,
         | CAST(n_rows * 100 AS DOUBLE) / CAST(total AS DOUBLE) AS share_pct
         |FROM pk, t
-        |ORDER BY n_rows DESC, l_suppkey LIMIT 20""".stripMargin)
+        |ORDER BY n_rows DESC, l_suppkey LIMIT 20""".stripMargin,
+    "q114_count_min" ->
+      """WITH keys AS (
+        | SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey FROM lineitem),
+        |rows AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |cells AS (
+        | SELECT r.i,
+        |  CAST('0x' || substr(md5(r.i || ':' ||
+        |    CAST(k.l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        |   AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM keys k CROSS JOIN rows r
+        | GROUP BY 1, 2),
+        |top AS (
+        | SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        | FROM keys GROUP BY 1
+        | ORDER BY n_rows DESC, l_suppkey LIMIT 20),
+        |est AS (
+        | SELECT t.l_suppkey,
+        |  MIN(COALESCE(c.n, CAST(0 AS BIGINT))) AS n_est
+        | FROM top t CROSS JOIN rows r
+        | LEFT JOIN cells c ON c.i = r.i AND c.bucket =
+        |  CAST('0x' || substr(md5(r.i || ':' ||
+        |    CAST(t.l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 1024
+        | GROUP BY t.l_suppkey)
+        |SELECT t.l_suppkey, t.n_rows, e.n_est
+        |FROM top t JOIN est e ON t.l_suppkey = e.l_suppkey
+        |ORDER BY t.n_rows DESC, t.l_suppkey""".stripMargin)
 }

@@ -509,32 +509,63 @@ object Streams {
     */
   def maintainTermStats(docs: DataFrame, statsPath: String,
       checkpointDir: String): StreamingQuery =
-    docs.writeStream
-      .queryName("term_stats")
+    maintainMergedSnapshot(docs, statsPath, checkpointDir, "term_stats")(
+      batch => batch
+        .select(col("doc_id"),
+          explode(expr(graft.queries.LlmPipeline.toksE)).as("term"))
+        .distinct() // df counts documents, not occurrences
+        .groupBy("term").agg(count(lit(1)).as("df")),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("term").agg(sum(col("df")).as("df")))
+
+  /** Incrementally-maintained [[graft.operators.CountMin]] sketch —
+    * the streaming face of the q114 heavy-hitter path: each
+    * micro-batch folds into the committed cell grid by CELL-WISE
+    * ADDITION (the sketch's defining mergeability), so the live
+    * frequency answer is one broadcast-sized read away at any corpus
+    * size and the corpus is never re-scanned. Same versioned
+    * `batch=<id>` commit protocol and replay idempotence as the
+    * (term, df) store; read the current sketch with [[readTermStats]]
+    * (the snapshot-resolution rule is shared).
+    */
+  def maintainCountMin(keys: DataFrame, keyCol: String,
+      sketchPath: String, checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(keys, sketchPath, checkpointDir, "count_min")(
+      batch => graft.operators.CountMin.build(batch, keyCol),
+      (prev, cur) => graft.operators.CountMin.merge(prev, cur))
+
+  /** The shared versioned-snapshot maintenance loop behind
+    * [[maintainTermStats]] and [[maintainCountMin]]: per batch,
+    * aggregate the micro-batch (`perBatch`), merge it with the latest
+    * snapshot committed BEFORE this batch (`mergeWith` — a replay of
+    * batch N must not merge into N's own output), and commit to
+    * `batch=<id>` (_SUCCESS = commit point), retaining the
+    * immediately-previous version for concurrent readers. Replayed
+    * already-committed batches skip — exactly-once snapshots on an
+    * at-least-once stream.
+    */
+  private def maintainMergedSnapshot(src: DataFrame, path: String,
+      checkpointDir: String, name: String)(
+      perBatch: DataFrame => DataFrame,
+      mergeWith: (DataFrame, DataFrame) => DataFrame): StreamingQuery =
+    src.writeStream
+      .queryName(name)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(statsPath)
+        val root = new org.apache.hadoop.fs.Path(path)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val target = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
         val committed = committedVersions(fs, root)
         if (!committed.contains(batchId)) { // replayed & committed → skip
-          val batchDf = batch
-            .select(col("doc_id"),
-              explode(expr(graft.queries.LlmPipeline.toksE)).as("term"))
-            .distinct() // df counts documents, not occurrences
-            .groupBy("term").agg(count(lit(1)).as("df"))
-          // merge with the latest version committed BEFORE this batch —
-          // a replay of batch N must not merge into N's own output
+          val batchDf = perBatch(batch)
           val prev = committed.filter(_ < batchId).sorted.lastOption
           val merged = prev match {
             case Some(v) =>
-              spark.read
+              mergeWith(spark.read
                 .parquet(new org.apache.hadoop.fs.Path(root, s"batch=$v")
-                  .toString)
-                .unionByName(batchDf)
-                .groupBy("term").agg(sum(col("df")).as("df"))
+                  .toString), batchDf)
             case None => batchDf
           }
           fs.delete(target, true) // partial leftovers from a crash

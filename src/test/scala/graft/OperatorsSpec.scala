@@ -268,4 +268,43 @@ class OperatorsSpec extends SparkSuite {
         Seq(("en", 1000000L)), s"$base/bad")
     }
   }
+
+  test("count-min: estimates are one-sided over EVERY key, the sketch " +
+    "is cell-exact under merge, and an unseen key reads only collision " +
+    "mass") {
+    import spark.implicits._
+    val C = graft.operators.CountMin
+    val keys = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").cast("long").as("k"))
+    val truth = keys.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sketch = C.build(keys, "k")
+    // ≤ depth × width cells, all positive
+    val cells = sketch.collect()
+    assert(cells.length <= 4 * 1024)
+    assert(cells.forall(_.getLong(2) > 0L))
+    // one-sided guarantee for EVERY key, not just heavy hitters
+    val est = C.estimate(sketch, keys.distinct(), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"one-sided guarantee broken for $k")
+    }
+    // mergeability: sketch(A) + sketch(B) is cell-identical to
+    // sketch(A ∪ B) — the property every scale claim rides on
+    val a = keys.filter(col("k") % 2 === 0)
+    val b = keys.filter(col("k") % 2 =!= 0)
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    assert(cellMap(C.merge(C.build(a, "k"), C.build(b, "k")))
+      === cellMap(sketch))
+    // an unseen key's estimate is pure collision mass: bounded by the
+    // heaviest cell, and deterministic across calls
+    val unseen = Seq(999999L).toDF("k")
+    val u1 = C.estimate(sketch, unseen, "k").collect()(0).getLong(1)
+    val u2 = C.estimate(sketch, unseen, "k").collect()(0).getLong(1)
+    assert(u1 === u2)
+    assert(u1 <= cells.map(_.getLong(2)).max)
+  }
 }

@@ -1273,6 +1273,57 @@ class StreamingSpec extends SparkSuite {
       "a gate reject must not poison the dedup history")
   }
 
+  test("incremental count-min sketch: streamed batches equal one " +
+    "recompute, estimates stay one-sided, replay is idempotent") {
+    import spark.implicits._
+    val C = graft.operators.CountMin
+    val srcDir = java.nio.file.Files.createTempDirectory("cm-src").toString
+    val path = java.nio.file.Files
+      .createTempDirectory("cm-sketch").toString + "/sketch"
+    val ckpt = java.nio.file.Files.createTempDirectory("cm-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    def deliver(name: String, keys: Seq[Long]): Unit =
+      keys.toDF("k").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.maintainCountMin(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "k", path, ckpt).awaitTermination()
+    def cells(): Map[(Int, Long), Long] =
+      graft.streaming.Streams.readTermStats(spark, path)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val b1 = Seq(1L, 1L, 1L, 2L, 3L)
+    val b2 = Seq(1L, 2L, 2L, 4L)
+    deliver("b1", b1); drain()
+    deliver("b2", b2); drain()
+    val got = cells()
+    // the maintained sketch IS the one-shot sketch of the union —
+    // cell-wise mergeability, the property the streaming form rides
+    val expect = C.build((b1 ++ b2).toDF("k"), "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === expect)
+    // estimates from the maintained snapshot: one-sided over all keys
+    val truth = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong)
+    val est = C.estimate(
+        graft.streaming.Streams.readTermStats(spark, path),
+        truth.keys.toSeq.toDF("k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"estimate below truth for $k: ${est(k)} < $n")
+    }
+    // replay: wipe the checkpoint; the already-committed batch ids
+    // must skip, not double-count
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(cells() === got, "replayed batch must not double-count")
+  }
+
   test("semantic-dedup-gated index ingest: an indexed near-duplicate " +
     "is dropped, within-batch copies keep only the first, novel " +
     "vectors append, replay is a no-op, and a later copy of an " +
