@@ -48,6 +48,21 @@ object CountMin {
       .as(Seq("i", "bucket")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("n"))
 
+  /** [[build]] from PRE-AGGREGATED (key, count) rows — cell values are
+    * the SUM of member-key counts, identical to building from the raw
+    * stream (a cell's count is exactly the total of the keys hashing
+    * into it). For a pipeline that already maintains per-key partials
+    * (q114's exact audit leg, a dimension's statistics table), this
+    * skips the second corpus scan: the sketch derives from the
+    * key-cardinality-sized frame instead.
+    */
+  def buildWeighted(counts: DataFrame, keyCol: String, nCol: String,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame =
+    counts.select(col(nCol), posexplode(array(
+        (0 until depth).map(i => bucketCol(col(keyCol), i, width)): _*))
+      .as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(sum(col(nCol)).as("n"))
+
   /** Merge sketches built with the SAME (depth, width): cell-wise sum.
     * This is the scale lever — per-partition / per-day / per-batch
     * sketches combine associatively, so a year of daily sketches folds

@@ -678,8 +678,13 @@ object CoreAnalytics {
     import graft.operators.CountMin
     val keys = t(s, dir, "lineitem")
       .select(col("l_suppkey").cast(LongType).as("l_suppkey"))
-    val sketch = CountMin.build(keys, "l_suppkey")
-    val top = keys.groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+    // ONE corpus scan: the exact per-key leg is already being computed
+    // for the audit, so the sketch derives from it (buildWeighted —
+    // cell-identical to building from the raw stream) instead of
+    // scanning the fact table a second time.
+    val perKey = keys.groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+    val sketch = CountMin.buildWeighted(perKey, "l_suppkey", "n_rows")
+    val top = perKey
       .orderBy(desc("n_rows"), col("l_suppkey"))
       .limit(20)
     top.join(CountMin.estimate(sketch, top, "l_suppkey"), "l_suppkey")

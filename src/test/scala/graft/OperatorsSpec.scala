@@ -299,6 +299,12 @@ class OperatorsSpec extends SparkSuite {
         .toMap
     assert(cellMap(C.merge(C.build(a, "k"), C.build(b, "k")))
       === cellMap(sketch))
+    // weighted build from pre-aggregated (key, n) rows is cell-exact
+    // with the raw-stream build (q114 rides this to skip a second
+    // corpus scan)
+    assert(cellMap(C.buildWeighted(
+        keys.groupBy("k").agg(count(lit(1)).as("n")), "k", "n"))
+      === cellMap(sketch))
     // an unseen key's estimate is pure collision mass: bounded by the
     // heaviest cell, and deterministic across calls
     val unseen = Seq(999999L).toDF("k")
