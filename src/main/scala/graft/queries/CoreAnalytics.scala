@@ -692,6 +692,32 @@ object CoreAnalytics {
       .orderBy(desc("n_rows"), col("l_suppkey"))
   }
 
+  /** q115: deterministic mergeable quantile histogram — closes the
+    * percentile trio (exact q43 = the audit, q68 = the engine-specific
+    * KLL sketch, THIS = the deterministic scale path that stays
+    * oracle-exact). Per-returnflag HDR-style log-linear histograms
+    * over fixed-point quantity ([[graft.operators.QuantileSketch]]:
+    * exact integer floor-log2 buckets, ≤ ~1.9k cells per group, built
+    * in one map-side-combined pass, mergeable cell-wise across
+    * partitions / days / streams), then p50/p90/p99 walked off the
+    * KB-scale histogram with all-integer ceiling-division ranks —
+    * never a per-group value sort. Relative error ≤ 2^−5 by
+    * construction, value-gated against the exact answers in
+    * CoreAnalyticsSpec; the histogram itself hash-matches DuckDB
+    * bucket for bucket. The quantity fixed point (×100) is exact:
+    * quantities are integer-valued doubles, so no cross-engine
+    * cast-rounding divergence exists.
+    */
+  private val q115: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      (col("l_quantity") * lit(100)).cast(LongType).as("qty_fp"))
+    val hist = QuantileSketch.build(li, "qty_fp", Seq("l_returnflag"))
+    QuantileSketch.quantiles(hist, Seq("l_returnflag"),
+      Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .orderBy("l_returnflag", "quantile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -730,7 +756,8 @@ object CoreAnalytics {
     "q57_range_join_binned" -> q57,
     "q59_grouping_sets" -> q59,
     "q102_key_skew" -> q102,
-    "q114_count_min" -> q114)
+    "q114_count_min" -> q114,
+    "q115_quantile_histogram" -> q115)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1045,5 +1072,33 @@ object CoreAnalytics {
         | GROUP BY t.l_suppkey)
         |SELECT t.l_suppkey, t.n_rows, e.n_est
         |FROM top t JOIN est e ON t.l_suppkey = e.l_suppkey
-        |ORDER BY t.n_rows DESC, t.l_suppkey""".stripMargin)
+        |ORDER BY t.n_rows DESC, t.l_suppkey""".stripMargin,
+    "q115_quantile_histogram" ->
+      """WITH v AS (
+        | SELECT l_returnflag, CAST(l_quantity * 100 AS BIGINT) AS x
+        | FROM lineitem),
+        |h AS (
+        | SELECT l_returnflag,
+        |  CASE WHEN x < 32 THEN x ELSE (length(bin(x)) - 6) * 32
+        |   + (x // ((CAST(1 AS BIGINT))
+        |      << CAST(length(bin(x)) - 6 AS INTEGER))) END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM v GROUP BY 1, 2),
+        |c AS (
+        | SELECT l_returnflag, bucket, n,
+        |  SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+        |  SUM(n) OVER (PARTITION BY l_returnflag) AS total
+        | FROM h),
+        |q(quantile, num, den) AS (
+        | VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+        |sel AS (
+        | SELECT c.l_returnflag, q.quantile, MIN(c.bucket) AS bucket
+        | FROM c JOIN q ON c.cum >= (c.total * q.num + q.den - 1) // q.den
+        | GROUP BY 1, 2)
+        |SELECT l_returnflag, quantile,
+        | CAST(CASE WHEN bucket < 32 THEN bucket
+        |  ELSE ((bucket % 32) + 32)
+        |   << CAST(bucket // 32 - 1 AS INTEGER) END AS BIGINT)
+        |  AS value_fp
+        |FROM sel ORDER BY l_returnflag, quantile""".stripMargin)
 }

@@ -269,6 +269,51 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("quantile histogram: merge- and partitioning-invariant, and " +
+    "every quantile answer brackets the exact rank statistic within " +
+    "the 2^-5 relative-width contract") {
+    import spark.implicits._
+    val Q = graft.operators.QuantileSketch
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_quantity") * lit(100)).cast("long").as("x"))
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hist = Q.build(li, "x", Seq("l_returnflag"))
+    val cells = cellMap(hist)
+    // mergeability: halves recombine cell-exactly
+    val a = li.filter(col("x") % 2 === 0)
+    val b = li.filter(col("x") % 2 =!= 0)
+    assert(cellMap(Q.merge(Q.build(a, "x", Seq("l_returnflag")),
+      Q.build(b, "x", Seq("l_returnflag")), Seq("l_returnflag")))
+      === cells)
+    // partitioning invariance (byte-identical histogram, the
+    // determinism the oracle match rides on)
+    assert(cellMap(Q.build(li.repartition(7), "x", Seq("l_returnflag")))
+      === cells)
+    // accuracy: answer = lower bound of the bucket holding the exact
+    // ceil(q*n)-th smallest value → lb <= exact <= lb + lb/32 + 1
+    val exactByGroup = li.collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    val got = Q.quantiles(hist, Seq("l_returnflag"),
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fracs = Map("p50" -> (1L, 2L), "p90" -> (9L, 10L),
+      "p99" -> (99L, 100L))
+    got.foreach { case ((flag, q), lb) =>
+      val vs = exactByGroup(flag)
+      val (num, den) = fracs(q)
+      val exact = vs((((vs.length * num + den - 1) / den) - 1).toInt)
+      assert(lb <= exact,
+        s"$flag/$q: histogram answer $lb above the exact $exact")
+      assert(exact <= lb + lb / 32 + 1,
+        s"$flag/$q: exact $exact beyond $lb's bucket width")
+    }
+  }
+
   test("count-min: estimates are one-sided over EVERY key, the sketch " +
     "is cell-exact under merge, and an unseen key reads only collision " +
     "mass") {
