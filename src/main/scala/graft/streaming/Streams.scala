@@ -534,8 +534,28 @@ object Streams {
       batch => graft.operators.CountMin.build(batch, keyCol),
       (prev, cur) => graft.operators.CountMin.merge(prev, cur))
 
+  /** Incrementally-maintained [[graft.operators.QuantileSketch]]
+    * histogram — the streaming face of the q115 percentile path:
+    * micro-batches fold into the committed per-group histogram by
+    * cell-wise addition, so live p50/p90/p99 (or any ntile cut) read
+    * off a KB-scale snapshot at any corpus size — the streaming
+    * replacement for every global percentile window. Same commit
+    * protocol as the other maintained snapshots; read with
+    * [[readTermStats]] and answer with `QuantileSketch.quantiles`.
+    */
+  def maintainQuantileHistogram(values: DataFrame, valueCol: String,
+      groupCols: Seq[String], histPath: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(values, histPath, checkpointDir,
+      "quantile_histogram")(
+      batch => graft.operators.QuantileSketch
+        .build(batch, valueCol, groupCols),
+      (prev, cur) => graft.operators.QuantileSketch
+        .merge(prev, cur, groupCols))
+
   /** The shared versioned-snapshot maintenance loop behind
-    * [[maintainTermStats]] and [[maintainCountMin]]: per batch,
+    * [[maintainTermStats]], [[maintainCountMin]], and
+    * [[maintainQuantileHistogram]]: per batch,
     * aggregate the micro-batch (`perBatch`), merge it with the latest
     * snapshot committed BEFORE this batch (`mergeWith` — a replay of
     * batch N must not merge into N's own output), and commit to

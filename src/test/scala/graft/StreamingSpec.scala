@@ -1324,6 +1324,48 @@ class StreamingSpec extends SparkSuite {
     assert(cells() === got, "replayed batch must not double-count")
   }
 
+  test("incremental quantile histogram: streamed batches equal one " +
+    "recompute and quantiles answer off the live snapshot") {
+    import spark.implicits._
+    val Q = graft.operators.QuantileSketch
+    val srcDir = java.nio.file.Files.createTempDirectory("qh-src").toString
+    val path = java.nio.file.Files
+      .createTempDirectory("qh-hist").toString + "/hist"
+    val ckpt = java.nio.file.Files.createTempDirectory("qh-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType)))
+    def deliver(name: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("g", "x").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.maintainQuantileHistogram(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "x", Seq("g"), path, ckpt).awaitTermination()
+    val b1 = (1L to 60L).map(i => ("a", i * 10))
+    val b2 = (61L to 100L).map(i => ("a", i * 10)) ++
+      Seq(("b", 5L), ("b", 7L), ("b", 9L))
+    deliver("b1", b1); drain()
+    deliver("b2", b2); drain()
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val snap = graft.streaming.Streams.readTermStats(spark, path)
+    assert(cellMap(snap) === cellMap(
+      Q.build((b1 ++ b2).toDF("g", "x"), "x", Seq("g"))),
+      "maintained histogram diverged from the one-shot build")
+    // quantiles straight off the snapshot: group b is in the exact
+    // region (values < 32 map to themselves), so p50 is literal
+    val qs = Q.quantiles(snap, Seq("g"), Seq(("p50", 1L, 2L)))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(qs("b") === 7L)
+    // group a: 100 values 10..1000, p50 = rank-50 value 500 → its
+    // bucket lower bound is within the 2^-5 relative contract
+    assert(qs("a") <= 500L && 500L <= qs("a") + qs("a") / 32 + 1)
+  }
+
   test("semantic-dedup-gated index ingest: an indexed near-duplicate " +
     "is dropped, within-batch copies keep only the first, novel " +
     "vectors append, replay is a no-op, and a later copy of an " +
