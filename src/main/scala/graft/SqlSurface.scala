@@ -45,8 +45,9 @@ object SqlSurface {
     "q96_cluster_separation", "q97_vocab_coverage",
     "q100_cluster_sizes", "q105_quality_keeper",
     // q112 rides the q87 k-means assignment (centroid collect at
-    // builder time); q110/q111/q113 are lazy plans end to end.
-    "q112_semdedup")
+    // builder time); q113 materializes its LM count tables (the
+    // two-phase train/score shape); q110/q111 are lazy end to end.
+    "q112_semdedup", "q113_lm_score")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -2658,22 +2658,39 @@ object LlmPipeline {
     */
   private val q113: Q = (s, dir) => {
     val base = tokenized(s, dir).filter(size(col("toks")) >= 2)
-    val bg = base.select(col("doc_id"), explode(expr(
+    // ONE tokenize/explode pass: everything derives from the per-doc
+    // distinct-bigram occurrence counts (bgc). c2 = Σ_doc bgc;
+    // c1(w1) = Σ_w2 c2 (the history count IS the bigram-prefix
+    // marginal); the r13 first cut exploded the corpus three times.
+    // Materialized ONCE (the q61 barrier): a LANGUAGE MODEL is its
+    // count tables — training persists them, scoring reads them. A
+    // lazy plan re-expands the corpus explode at every reference
+    // (the r13 first cut executed 16 Generates / 8 corpus scans;
+    // exchange reuse recovered only 2), so bgc (the per-doc feature
+    // frame) and c2 (the model) pin the two-phase shape explicitly.
+    val bgc = base.select(col("doc_id"), explode(expr(
         "zip_with(slice(toks, 1, size(toks) - 1), " +
           "slice(toks, 2, size(toks) - 1), " +
           "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val voc = base.select(explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+      .transform(graft.operators.Exec.materialize)
+    val c2 = bgc.groupBy("w1", "w2").agg(sum(col("n_occ")).as("c2"))
+      .transform(graft.operators.Exec.materialize)
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    // vocabulary over ALL tokens without a second corpus explode:
+    // w1 positions cover 1..n−1 and w2 positions 2..n, so their union
+    // IS the token set — derived from the (small) bigram-type frame
+    val voc = c2.select(col("w1").as("w"))
+      .union(c2.select(col("w2")))
       .agg(countDistinct(col("w")).as("vocab"))
     def ilog2(c: Column): Column = length(bin(c)) - lit(1)
     val sc = c2.join(c1, "w1").crossJoin(broadcast(voc))
       .select(col("w1"), col("w2"),
         (ilog2(col("c2") + lit(1L)) -
           ilog2(col("c1") + col("vocab"))).cast("long").as("score"))
-    val perDoc = bg.groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n_occ"))
+    val perDoc = bgc
       .join(sc, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum(col("n_occ") * col("score")).as("ll_sum"),
