@@ -2610,8 +2610,12 @@ object LlmPipeline {
     val e = t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
+    // materialized ONCE (the q61 barrier): av is referenced by both
+    // pairing sides and the final audit join — lazily it would run
+    // the whole assignment scan three times
     val av = kmeansAssigned(s, dir).select("vec_id", "cluster")
       .join(e, "vec_id")
+      .transform(graft.operators.Exec.materialize)
     val a = av.select(col("vec_id").as("vec_a"), col("cluster"),
       col("v").as("v_a"))
     val b = av.select(col("vec_id").as("vec_b"), col("cluster"),
