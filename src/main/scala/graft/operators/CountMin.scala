@@ -40,13 +40,13 @@ object CountMin {
     * its `depth` (row, bucket) cells, count per cell. Output is at
     * most `depth × width` rows (cells never touched are absent =
     * zero); the exchange carries only the partial cell counts.
+    * Defined as the weight-1 case of [[buildWeighted]] so the
+    * bucketing plumbing exists exactly once.
     */
   def build(keys: DataFrame, keyCol: String,
       depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame =
-    keys.select(posexplode(array(
-        (0 until depth).map(i => bucketCol(col(keyCol), i, width)): _*))
-      .as(Seq("i", "bucket")))
-      .groupBy("i", "bucket").agg(count(lit(1)).as("n"))
+    buildWeighted(keys.select(col(keyCol), lit(1L).as("__w")),
+      keyCol, "__w", depth, width)
 
   /** [[build]] from PRE-AGGREGATED (key, count) rows — cell values are
     * the SUM of member-key counts, identical to building from the raw

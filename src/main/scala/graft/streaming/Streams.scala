@@ -894,8 +894,18 @@ object Streams {
       .filter(col("vec_a") < col("vec_b"))
       .filter(expr("cosine_sim(v_a, v_b)") >= tau)
       .select(col("vec_b").as("vec_id")).distinct()
+    // id-level replay guard: the probe reads an id self-match as
+    // re-delivery (not a duplicate), which is right for AUDITING but
+    // would let an at-least-once re-delivery (wiped checkpoint, crash
+    // between the parquet append and the streaming commit) append the
+    // same vec_id twice. Ids already in the pinned generation never
+    // re-append — the anti-join reads one column of the index
+    // (columnar prune; a DedupStore-backed id set is the same
+    // structure with a bloom sidecar when even that scan is too much).
     val batchSurvivors = batch.select("vec_id", "v")
       .join(inBatchDups, Seq("vec_id"), "left_anti")
+      .join(spark.read.parquet(s"$root/$gen0").select("vec_id"),
+        Seq("vec_id"), "left_anti")
     // then the cross-run gate against the pinned generation
     val kept = A.semanticDedupProbeOf(spark, root, gen0,
         batchSurvivors, tau, nprobe)

@@ -9,6 +9,23 @@ import graft.layout.Layout
   */
 class LayoutSpec extends SparkSuite {
 
+  /** Every FileSourceScanExec under `p`, descending through AQE
+    * wrappers (AdaptiveSparkPlanExec / query stages are leaf-like
+    * nodes TreeNode.collect stops at) and reused exchanges.
+    */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive._
+    p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansOf(r.child)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+  }
+
   test("bucketed tables join with NO shuffle exchange on either side") {
     val orders = Tables.load(spark, sf, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -509,19 +526,7 @@ class LayoutSpec extends SparkSuite {
     val union = queries
       .flatMap(q => graft.operators.AnnIndex.probeLists(q._2, cents, 2))
       .distinct
-    // the join puts this plan under AQE: query stages are leaf nodes,
-    // so descend through them explicitly to reach the file scan
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      import org.apache.spark.sql.execution.adaptive._
-      p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: QueryStageExec => scans(q.plan)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scans)
-      }
-    }
-    val scan = scans(batch.queryExecution.executedPlan).head
+    val scan = scansOf(batch.queryExecution.executedPlan).head
     val unionFiles = union.map(c =>
       new java.io.File(s"$dir/cid=$c").listFiles
         .count(_.getName.endsWith(".parquet"))).sum
@@ -991,22 +996,7 @@ class LayoutSpec extends SparkSuite {
     val q = A.semanticDedupProbe(spark, root, batch, tau = 0.9,
       nprobe = 2)
     q.collect()
-    // the joins put AQE in the plan: unwrap adaptive nodes to reach
-    // the file scans (TreeNode.collect stops at the AQE boundary)
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case qs: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => scans(qs.plan)
-        case r: org.apache.spark.sql.execution.exchange
-              .ReusedExchangeExec => scans(r.child)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(s)
-        case other => other.children.flatMap(scans)
-      }
-    val idxScans = scans(q.queryExecution.executedPlan)
+    val idxScans = scansOf(q.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("Location", "").contains("ivfsem"))
     assert(idxScans.nonEmpty, "no file scan of the index found")
     idxScans.foreach { s =>

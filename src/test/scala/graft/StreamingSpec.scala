@@ -1426,5 +1426,18 @@ class StreamingSpec extends SparkSuite {
     assert(!indexed().contains(300004L),
       "a copy of a gate-appended vector was not recognized cross-run")
     assert(indexed() === after1)
+    // id-level replay guard: a RE-DELIVERY of an already-indexed id
+    // (at-least-once upstream, or a crash between the parquet append
+    // and the streaming commit) must not append a second row — the
+    // probe reads a self-match as "same record", so only the
+    // generation-id anti-join stands between re-delivery and a
+    // duplicate row in the serving index
+    Seq((300001L, novel1)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/d3")
+    drain()
+    assert(spark.read.parquet(s"$root/$g1")
+      .filter(col("vec_id") === 300001L).count() === 1L,
+      "re-delivered id appended a duplicate row")
+    assert(spark.read.parquet(s"$root/$g1").count() === before + 2)
   }
 }
