@@ -46,8 +46,9 @@ object SqlSurface {
     "q100_cluster_sizes", "q105_quality_keeper",
     // q112 rides the q87 k-means assignment (centroid collect at
     // builder time); q113 materializes its LM count tables (the
-    // two-phase train/score shape); q110/q111 are lazy end to end.
-    "q112_semdedup", "q113_lm_score")
+    // two-phase train/score shape); q116 is q80's audit form (same CC
+    // loop + barriers); q110/q111 are lazy end to end.
+    "q112_semdedup", "q113_lm_score", "q116_curation_log")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -1993,6 +1993,51 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q116: curation DECISION LOG — q80's pipeline re-run as an audit:
+    * every document of the corpus with the FIRST stage that dropped it
+    * (`quality` → `exact_dup` → `near_dup`) or `kept`. This is the
+    * ops-facing answer to "why is doc X not in the training set" and
+    * the per-stage yield report (group by outcome) — the reference
+    * warehouse's `file_metadata` status-tracking idea (SURVEY.md §2
+    * O13) applied to the curation pipeline itself. Stage semantics are
+    * the SAME derivations as q80 (shared gopherPass / contentHash /
+    * minhash-CC code paths — the log can never disagree with the
+    * pipeline it explains); docs that never reach tokenization (zero
+    * tokens) fail `quality`, matching the Gopher floor. The quality
+    * frame materializes once (the q61 barrier: it feeds both the dedup
+    * chain and the audit join); the final joins are id-keyed
+    * left-joins against frames the pipeline already built.
+    */
+  private val q116: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val passed = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
+      .filter(gopherPass)
+      .select("doc_id", "text", "n_chars")
+      .transform(graft.operators.Exec.materialize)
+    val exact = passed
+      .withColumn("h", contentHash(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "n_chars")
+      .transform(graft.operators.Exec.materialize)
+    val labels = connectedComponents(
+      minhashPairsOf(exact).select("doc_a", "doc_b"))
+    t(s, dir, "documents").select("doc_id")
+      .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
+        Seq("doc_id"), "left")
+      .join(exact.select(col("doc_id"), lit(1).as("e_pass")),
+        Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("q_pass").isNull, lit("quality"))
+          .when(col("e_pass").isNull, lit("exact_dup"))
+          .when(col("label").isNotNull && col("label") =!= col("doc_id"),
+            lit("near_dup"))
+          .otherwise(lit("kept")).as("outcome"))
+      .orderBy("doc_id")
+  }
+
   /** q83: SEMANTIC dedup clusters — the embedding-space analog of q60
     * (the SemDeDup shape: documents whose embeddings are near-parallel
     * are semantic rephrasings; keep one per cluster): connected
@@ -2789,7 +2834,8 @@ object LlmPipeline {
     "q110_quality_model" -> q110,
     "q111_quality_model_score" -> q111,
     "q112_semdedup" -> q112,
-    "q113_lm_score" -> q113)
+    "q113_lm_score" -> q113,
+    "q116_curation_log" -> q116)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4023,6 +4069,46 @@ object LlmPipeline {
          | (sm.wmean - th.th_fp > 0) AS predicted, l.y AS label
          |FROM sm CROSS JOIN th JOIN l ON sm.doc_id = l.doc_id
          |ORDER BY sm.doc_id""".stripMargin,
+    "q116_curation_log" ->
+      s"""WITH RECURSIVE base0 AS (
+         | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),
+         |m AS (
+         | SELECT doc_id, text, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_transform(toks, x -> length(x)),
+         |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    AS mean_tok_len,
+         |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+         |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+         | FROM base0 WHERE len(toks) >= 1),
+         |q AS (
+         | SELECT doc_id, text, n_chars FROM m
+         | WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
+         |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9),
+         |hkeep AS (
+         | SELECT doc_id, text, n_chars, MIN(doc_id) OVER (PARTITION BY
+         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |  AS keeper
+         | FROM q),
+         |survivors AS (
+         | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
+         |${minhashCtesFrom("survivors")},
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")}
+         |SELECT d.doc_id,
+         | CASE WHEN q.doc_id IS NULL THEN 'quality'
+         |  WHEN s.doc_id IS NULL THEN 'exact_dup'
+         |  WHEN c.cluster_keeper IS NOT NULL
+         |   AND c.cluster_keeper <> d.doc_id THEN 'near_dup'
+         |  ELSE 'kept' END AS outcome
+         |FROM documents d
+         |LEFT JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN survivors s ON d.doc_id = s.doc_id
+         |LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q112_semdedup" ->
       s"""WITH $kmeansCtes,
          |av AS (

@@ -703,6 +703,31 @@ class LlmPipelineSpec extends SparkSuite {
       s"corpus-frequent bigrams must outscore OOV gibberish: $planted")
   }
 
+  test("q116 curation log: covers every document exactly once and its " +
+    "kept set IS the q80 pipeline output") {
+    val log = LlmPipeline.queries("q116_curation_log")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(log.size.toLong === nDocs, "log must cover the whole corpus")
+    val outcomes = log.values.toSet
+    assert(outcomes.subsetOf(
+      Set("kept", "quality", "exact_dup", "near_dup")))
+    // the log can never disagree with the pipeline it explains
+    val kept = log.collect { case (id, "kept") => id }.toSet
+    val q80ids = LlmPipeline.queries("q80_pipeline_e2e")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === q80ids,
+      "q116's kept set diverged from the q80 survivors")
+    // the gate and at least one dup grade fire on the synthetic
+    // corpus (which dup grade is data-dependent: at sf0.001 the
+    // planted exact duplicates all fail quality first, so only the
+    // near grade survives to fire)
+    assert(outcomes.contains("kept") && outcomes.contains("quality"),
+      s"gate stages missing in $outcomes")
+    assert(outcomes.contains("exact_dup") || outcomes.contains("near_dup"),
+      s"no dup stage fired: $outcomes")
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
