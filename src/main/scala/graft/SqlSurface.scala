@@ -47,8 +47,11 @@ object SqlSurface {
     // q112 rides the q87 k-means assignment (centroid collect at
     // builder time); q113 materializes its LM count tables (the
     // two-phase train/score shape); q116 is q80's audit form (same CC
-    // loop + barriers); q110/q111 are lazy end to end.
-    "q112_semdedup", "q113_lm_score", "q116_curation_log")
+    // loop + barriers); the PQ family trains+materializes its codebook
+    // at build (q108/q109 additionally inline it as plan literals);
+    // q110/q111 are lazy end to end.
+    "q112_semdedup", "q113_lm_score", "q116_curation_log",
+    "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

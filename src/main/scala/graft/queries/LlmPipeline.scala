@@ -494,9 +494,16 @@ object LlmPipeline {
     t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
+  /** Materialized ONCE per query build (the q61 barrier): q108/q109
+    * reference the codebook from two places (encode's literal
+    * collect, adcLut's broadcast side) and a lazy plan re-ran the
+    * whole training per reference — the codebook is 64 rows, the
+    * training is the expensive part.
+    */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     graft.operators.Pq.train(pqEmbeddings(s, dir), 1L to 8L, PqM,
       PqDim, iters = 1)
+      .transform(graft.operators.Exec.materialize)
 
   /** q107: the trained PQ codebook, flattened to (sub, code, dim,
     * cval) rows — the KB-scale artifact a PQ pipeline persists and
