@@ -650,6 +650,10 @@ object CoreAnalytics {
     val perKey = li
       .groupBy(col("l_suppkey").cast(LongType).as("l_suppkey"))
       .agg(count(lit(1)).as("n_rows"))
+    // the "second scan" for the total is a COUNT(*)-only pass — the
+    // parquet reader answers it from row-group metadata, cheaper than
+    // deriving Σ(per-key partials) through the groupBy exchange
+    // (measured: the derived form doubled q102 at sf0.1)
     val total = li.agg(count(lit(1)).as("total"))
     perKey.crossJoin(broadcast(total))
       .select(col("l_suppkey"), col("n_rows"),
