@@ -651,9 +651,10 @@ object CoreAnalytics {
       .groupBy(col("l_suppkey").cast(LongType).as("l_suppkey"))
       .agg(count(lit(1)).as("n_rows"))
     // the "second scan" for the total is a COUNT(*)-only pass — the
-    // parquet reader answers it from row-group metadata, cheaper than
-    // deriving Σ(per-key partials) through the groupBy exchange
-    // (measured: the derived form doubled q102 at sf0.1)
+    // parquet reader answers it from row-group metadata, so deriving
+    // Σ(per-key partials) through the groupBy exchange instead saves
+    // nothing (measured equal at sf0.1) and adds an exchange
+    // dependency to the critical path
     val total = li.agg(count(lit(1)).as("total"))
     perKey.crossJoin(broadcast(total))
       .select(col("l_suppkey"), col("n_rows"),
