@@ -373,6 +373,119 @@ object AnnIndex {
         col("dup_of"), col("dup_cosine"))
   }
 
+  /** [[semanticDedupProbe]] served from the PQ CODES — the 100 TB form
+    * of the semantic gate: candidate generation reads only (vec_id,
+    * codes) rows from the probed lists (64× narrower than the float
+    * vectors at the defaults), ranks them by ADC against an IN-PLAN
+    * batch LUT (batch × KB-scale codebook — the batch is the small
+    * side by definition of a gate), and only the top-`rerankC`
+    * candidates per incoming vector are exact-re-ranked against their
+    * float rows before the cosine-≥-tau test — so the float column is
+    * touched for a BOUNDED candidate set (≤ |batch|·rerankC rows),
+    * never per candidate pair. Post-build appends ride the covered-
+    * files watermark: uncovered float rows score exactly (they ARE
+    * float reads) and join the candidate set directly, so a vector
+    * appended after the sidecar build can still veto a copy of
+    * itself. Retractions are subtracted on both the code and float
+    * sides; an id self-match reads as re-delivery, like the float
+    * form. Falls back to [[semanticDedupProbeOf]] when the generation
+    * has no PQ sidecar (the post-retrain window).
+    */
+  def semanticDedupProbePq(spark: SparkSession, root: String,
+      batch: DataFrame, tau: Double, nprobe: Int = 2,
+      rerankC: Int = 8): DataFrame =
+    semanticDedupProbePqOf(spark, root,
+      currentGeneration(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no installed generation at $root")),
+      batch, tau, nprobe, rerankC)
+
+  /** [[semanticDedupProbePq]] against a NAMED generation. */
+  def semanticDedupProbePqOf(spark: SparkSession, root: String,
+      gen: String, batch: DataFrame, tau: Double, nprobe: Int = 2,
+      rerankC: Int = 8): DataFrame = {
+    val dir = s"$root/$gen"
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir))))
+      return semanticDedupProbeOf(spark, root, gen, batch, tau, nprobe)
+    val cents = readCentroidsOf(spark, root, gen)
+    val cb = readPqCodebook(spark, dir)
+    val m = cb.map(_._1).max + 1
+    val d = cb.head._3.length
+    graft.functions.Functions.register(spark)
+    import spark.implicits._
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("csim"), col("cid"))
+    val probes = batch
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centroidFrame(spark, cents)))
+      .withColumn("csim", expr("cosine_sim(qv, cv)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // the batch ADC LUT, in-plan: (query_id, cid, sub, code, qdist_fp)
+    val cbDf = cb.map { case (s2, c2, cv) => (s2, c2, cv.toSeq) }
+      .toDF("sub", "code", "cv")
+    val lut = probes.crossJoin(broadcast(cbDf))
+      .select(col("query_id"), col("cid"), col("sub"), col("code"),
+        KMeans.distFp(s"slice(qv, sub * $d + 1, $d)", "cv")
+          .as("qdist_fp"))
+    val adc = minusRetracted(spark, root,
+        spark.read.parquet(pqDir(dir)).filter(col("cid").isin(cids: _*)))
+      .select(col("vec_id").as("dup_of"), col("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("cid", "sub", "code"))
+      .filter(col("dup_of") =!= col("query_id"))
+      .groupBy("query_id", "dup_of")
+      .agg(sum(col("qdist_fp")).as("adist_fp"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === m).drop("__n")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_fp"), col("dup_of"))
+    val cand = adc.withColumn("rn", row_number().over(wC))
+      .filter(col("rn") <= rerankC)
+      .select("query_id", "dup_of")
+    // exact re-rank of the bounded candidate set against float rows
+    val floats = minusRetracted(spark, root,
+        spark.read.parquet(dir).filter(col("cid").isin(cids: _*)))
+      .select(col("vec_id").as("dup_of"), col("v").as("iv"))
+    val qvs = batch.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val reranked = cand.join(floats, "dup_of")
+      .join(broadcast(qvs), "query_id")
+      .select(col("query_id"), col("dup_of"),
+        expr("cosine_sim(iv, qv)").as("dup_cosine"))
+    // residual leg: post-sidecar appends have no codes — their float
+    // rows score exactly against the queries probing their list
+    val covered = readPqManifest(fs, dir).getOrElse(Set.empty[String])
+    val residualFiles = listCidFiles(fs, dir, Some(cids.toSet))
+      .filterNot(f => covered.contains(f._1))
+    val scored =
+      if (residualFiles.isEmpty) reranked
+      else reranked.unionByName(minusRetracted(spark, root,
+          spark.read.option("basePath", dir)
+            .schema(indexRowSchema.add("cid",
+              org.apache.spark.sql.types.IntegerType))
+            .parquet(residualFiles.map(f => s"$dir/${f._1}"): _*))
+        .select(col("vec_id").as("dup_of"), col("v").as("iv"), col("cid"))
+        .join(broadcast(probes), "cid")
+        .filter(col("dup_of") =!= col("query_id"))
+        .select(col("query_id"), col("dup_of"),
+          expr("cosine_sim(iv, qv)").as("dup_cosine")))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("dup_cosine"), col("dup_of"))
+    val best = scored.filter(col("dup_cosine") >= tau)
+      .withColumn("rb", row_number().over(wBest))
+      .filter(col("rb") === 1)
+      .select(col("query_id").as("vec_id"), col("dup_of"),
+        col("dup_cosine"))
+    batch.select("vec_id", "v").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cosine"))
+  }
+
   /** Close the q91/q96 monitoring loop: re-fit the centroids on the
     * CURRENT generation's vectors (Lloyd rounds seeded from the
     * current centroids — drift adaptation, not a cold restart), build

@@ -906,8 +906,11 @@ object Streams {
       .join(inBatchDups, Seq("vec_id"), "left_anti")
       .join(spark.read.parquet(s"$root/$gen0").select("vec_id"),
         Seq("vec_id"), "left_anti")
-    // then the cross-run gate against the pinned generation
-    val kept = A.semanticDedupProbeOf(spark, root, gen0,
+    // then the cross-run gate against the pinned generation — served
+    // from the PQ codes when the generation has a sidecar (candidates
+    // never read the float column; exact re-rank bounds the float
+    // reads), falling back to the float probe otherwise
+    val kept = A.semanticDedupProbePqOf(spark, root, gen0,
         batchSurvivors, tau, nprobe)
       .filter(!col("is_dup")).select("vec_id")
     val survivors = batchSurvivors.join(kept, "vec_id")

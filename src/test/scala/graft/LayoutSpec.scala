@@ -1009,4 +1009,71 @@ class LayoutSpec extends SparkSuite {
     assert(!after(99001L).getAs[Boolean]("is_dup"),
       "a retracted (taken-down) vector still vetoed the incoming copy")
   }
+  test("PQ semantic dedup gate: audit-identical to the float probe, " +
+    "candidate scan reads codes (never the float column), a " +
+    "post-sidecar append vetoes through the residual leg, and " +
+    "retraction clears the veto") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 8)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("ivfsempq")
+      .toString + "/index"
+    A.writeIndexVersioned(e, cents, root)
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    val v7 = e.filter(col("vec_id") === 7)
+      .collect()(0).getSeq[Double](1)
+    val batch = Seq((99001L, v7), (99002L, v7.map(x => -x)), (7L, v7))
+      .toDF("vec_id", "v")
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val pq = audit(A.semanticDedupProbePq(spark, root, batch,
+      tau = 0.9, nprobe = 2))
+    val flt = audit(A.semanticDedupProbe(spark, root, batch,
+      tau = 0.9, nprobe = 2))
+    assert(pq.map(t => (t._1, t._2, t._3)) ===
+      flt.map(t => (t._1, t._2, t._3)),
+      s"PQ gate audit diverged from the float probe:\npq=$pq\nflt=$flt")
+    assert(pq.find(_._1 == 99001L).get._2 && pq.find(_._1 == 99001L)
+      .get._3 === 7L)
+    // plan law: the candidate pass scans the _pq code lists and its
+    // read schema never includes the float column
+    val q = A.semanticDedupProbePq(spark, root, batch, tau = 0.9,
+      nprobe = 2)
+    q.collect()
+    val pqScans = scansOf(q.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("_pq"))
+    assert(pqScans.nonEmpty, "no code-list scan found")
+    pqScans.foreach { sc =>
+      val fields = sc.schema.fieldNames.toSet
+      assert(fields.contains("codes") && !fields.contains("v"),
+        s"candidate scan reads $fields")
+    }
+    // residual leg: a vector appended AFTER the sidecar build (no
+    // codes) must still veto a later copy of itself
+    val novel2 = e.filter(col("vec_id") === 5)
+      .collect()(0).getSeq[Double](1).map(x => -x)
+    A.assignByCosine(Seq((88001L, novel2.toSeq)).toDF("vec_id", "v"),
+        A.readCentroids(spark, root))
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    val resid = audit(A.semanticDedupProbePq(spark, root,
+      Seq((88002L, novel2.toSeq)).toDF("vec_id", "v"),
+      tau = 0.9, nprobe = 2))
+    assert(resid.head._2 && resid.head._3 === 88001L,
+      s"residual append did not veto its copy: $resid")
+    // takedown law: retracting the duplicate clears the veto in the
+    // PQ path too (code rows are retraction-subtracted)
+    A.retract(spark, root, Seq(7L))
+    val after = audit(A.semanticDedupProbePq(spark, root, batch,
+      tau = 0.9, nprobe = 2))
+    assert(!after.find(_._1 == 99001L).get._2,
+      "retracted vector still vetoed through the code path")
+  }
 }
