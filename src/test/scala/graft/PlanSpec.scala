@@ -294,17 +294,31 @@ class PlanSpec extends SparkSuite {
   test("PQ family: codebooks ride broadcasts (no shuffled codebook " +
     "side, no cartesian), and the ADC top-k lowers to " +
     "TakeOrderedAndProject") {
-    // q107 (training) / q109 (serving): the codebook/LUT side always
-    // rides a BROADCAST — the corpus side never shuffles for a join,
-    // and nothing goes all-pairs beyond the bounded broadcast fanout.
-    for (q <- Seq("q107_pq_codebooks", "q109_pq_adc_topk")) {
-      val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$q lost its broadcast codebook join")
-      assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
-      assert(!p.contains("SortMergeJoin"),
-        s"$q shuffled a KB-scale codebook side")
-    }
+    // TRAINING: the codebook/centroid side always rides a BROADCAST —
+    // the corpus side never shuffles for a join, and nothing goes
+    // all-pairs beyond the bounded broadcast fanout. Pinned on
+    // Pq.train's own plan: the registry queries hide it behind the
+    // r13 materialization barrier (the codebook trains once per
+    // build), so their final plans start from the checkpointed rows.
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", org.apache.spark.sql.functions.col("embedding")
+        .cast("array<double>"))
+      .select("vec_id", "v")
+    val pTrain = graft.operators.Pq.train(e, 1L to 8L, 8, 64, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(pTrain.contains("BroadcastHashJoin") ||
+      pTrain.contains("BroadcastNestedLoopJoin"),
+      s"PQ training lost its broadcast codebook join:\n$pTrain")
+    assert(!pTrain.contains("CartesianProduct"), "PQ training all-pairs")
+    assert(!pTrain.contains("SortMergeJoin"),
+      "PQ training shuffled a KB-scale codebook side")
+    // SERVING (q109): the ADC LUT join stays broadcast, never merges
+    val p109 = plan("q109_pq_adc_topk")
+    assert(p109.contains("BroadcastHashJoin"),
+      "q109 lost its broadcast LUT join")
+    assert(!p109.contains("CartesianProduct"), "q109 went all-pairs")
+    assert(!p109.contains("SortMergeJoin"),
+      "q109 shuffled a KB-scale LUT side")
     // q108 (encode) is MAP-ONLY: the codebook is a plan literal, so
     // the whole encode is one projection + one Generate — no join of
     // any kind, and the only exchange is the presentation sort's
