@@ -1383,6 +1383,11 @@ class StreamingSpec extends SparkSuite {
     val ckpt = java.nio.file.Files
       .createTempDirectory("ivf-semstream-ckpt").toString
     val g1 = A.writeIndexVersioned(e, cents, root)
+    // sidecar ON: the gate serves candidates from the PQ codes; the
+    // gate's own appends carry no codes, so every later batch must
+    // see them through the covered-watermark residual leg — this test
+    // exercises that composition end to end
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
     val before = spark.read.parquet(s"$root/$g1").count()
     val q0 = e.filter(col("vec_id") === 0).collect()(0).getSeq[Double](1)
     val v5 = e.filter(col("vec_id") === 5).collect()(0).getSeq[Double](1)
