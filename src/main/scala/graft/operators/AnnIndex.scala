@@ -344,15 +344,18 @@ object AnnIndex {
     graft.functions.Functions.register(spark)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
+    // materialized once: referenced by the cid collect and the pair
+    // join (and the batch plan behind it can carry anti-joins in the
+    // streaming gate)
     val probes = batch.select("vec_id", "v")
       .crossJoin(broadcast(centroidFrame(spark, cents)))
       .withColumn("csim", expr("cosine_sim(v, cv)"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("v"), col("cid"))
+      .transform(Exec.materialize)
     // k-row collect: distinct probed lists, bounded by the centroid
-    // count regardless of batch size (re-derives the probe subplan —
-    // a micro-batch-scale cost traded for a static partition prune)
+    // count regardless of batch size
     val cids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
     val idx = minusRetracted(spark, root,
@@ -400,14 +403,33 @@ object AnnIndex {
           s"no installed generation at $root")),
       batch, tau, nprobe, rerankC)
 
-  /** [[semanticDedupProbePq]] against a NAMED generation. */
+  /** [[semanticDedupProbePq]] against a NAMED generation.
+    *
+    * Candidate ordering matches the GATE CRITERION: per (sub, code)
+    * the LUT carries the fixed-point dot(q_sub, c_sub) and the code
+    * subvector's fixed-point squared norm, so candidates rank by the
+    * reconstruction's approximate COSINE to the query (Σdot / √Σ|c|²
+    * — the inner-product-metric PQ convention), not by quantized L2 —
+    * an unnormalized corpus where a true cosine-duplicate sits far in
+    * L2 would otherwise cut it before the exact re-rank. The cut is
+    * still approximate (PQ reconstruction error can demote a true
+    * duplicate below rank `rerankC` on dense lists) — that is the
+    * gate's documented trade; raise `rerankC` or use
+    * [[semanticDedupProbe]] when exact-probe recall is required.
+    */
   def semanticDedupProbePqOf(spark: SparkSession, root: String,
       gen: String, batch: DataFrame, tau: Double, nprobe: Int = 2,
       rerankC: Int = 8): DataFrame = {
     val dir = s"$root/$gen"
     val fs = fsOf(spark, root)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir))))
+    // the MANIFEST is the sidecar's commit point: codes without one
+    // are a partial build — serve from the float probe instead
+    val coveredOpt =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir)))) None
+      else readPqManifest(fs, dir)
+    if (coveredOpt.isEmpty)
       return semanticDedupProbeOf(spark, root, gen, batch, tau, nprobe)
+    val covered = coveredOpt.get
     val cents = readCentroidsOf(spark, root, gen)
     val cb = readPqCodebook(spark, dir)
     val m = cb.map(_._1).max + 1
@@ -416,6 +438,9 @@ object AnnIndex {
     import spark.implicits._
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("csim"), col("cid"))
+    // materialized once: referenced by the cid collect, the LUT, and
+    // the residual leg — and in the streaming gate the batch plan
+    // itself carries anti-joins worth not re-running per reference
     val probes = batch
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroidFrame(spark, cents)))
@@ -423,15 +448,21 @@ object AnnIndex {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
+      .transform(Exec.materialize)
     val cids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // the batch ADC LUT, in-plan: (query_id, cid, sub, code, qdist_fp)
-    val cbDf = cb.map { case (s2, c2, cv) => (s2, c2, cv.toSeq) }
-      .toDF("sub", "code", "cv")
+    // the batch LUT, in-plan: (query_id, cid, sub, code) → fixed-point
+    // subvector dot with the query + the code's fixed-point |c_sub|²
+    val cbDf = cb.map { case (s2, c2, cv) => (s2, c2, cv.toSeq,
+        cv.map(x => math.floor(x * x * 1e12).toLong).sum) }
+      .toDF("sub", "code", "cv", "normsq_fp")
+    val dotFp = expr(
+      s"aggregate(zip_with(slice(qv, sub * $d + 1, $d), cv, " +
+        "(x, y) -> cast(floor((x * y) * 1000000000000d) as bigint)), " +
+        "0L, (acc, p) -> acc + p)")
     val lut = probes.crossJoin(broadcast(cbDf))
       .select(col("query_id"), col("cid"), col("sub"), col("code"),
-        KMeans.distFp(s"slice(qv, sub * $d + 1, $d)", "cv")
-          .as("qdist_fp"))
+        dotFp.as("qdot_fp"), col("normsq_fp"))
     val adc = minusRetracted(spark, root,
         spark.read.parquet(pqDir(dir)).filter(col("cid").isin(cids: _*)))
       .select(col("vec_id").as("dup_of"), col("cid"),
@@ -439,26 +470,39 @@ object AnnIndex {
       .join(broadcast(lut), Seq("cid", "sub", "code"))
       .filter(col("dup_of") =!= col("query_id"))
       .groupBy("query_id", "dup_of")
-      .agg(sum(col("qdist_fp")).as("adist_fp"),
+      .agg(sum(col("qdot_fp")).as("sdot"),
+        sum(col("normsq_fp")).as("snorm"),
         count(lit(1)).as("__n"))
       .filter(col("__n") === m).drop("__n")
+      .withColumn("approx_cos", col("sdot").cast("double") /
+        sqrt(greatest(col("snorm"), lit(1L)).cast("double")))
     val wC = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adist_fp"), col("dup_of"))
+      .partitionBy("query_id").orderBy(desc("approx_cos"), col("dup_of"))
     val cand = adc.withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= rerankC)
       .select("query_id", "dup_of")
-    // exact re-rank of the bounded candidate set against float rows
-    val floats = minusRetracted(spark, root,
-        spark.read.parquet(dir).filter(col("cid").isin(cids: _*)))
-      .select(col("vec_id").as("dup_of"), col("v").as("iv"))
+    // exact re-rank of the bounded candidate set: COVERED files only
+    // (uncovered rows have no codes, so they cannot be candidates —
+    // they are the residual leg's job), candidate side broadcast
+    val coveredFiles = listCidFiles(fs, dir, Some(cids.toSet))
+      .filter(f => covered.contains(f._1))
     val qvs = batch.select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val reranked = cand.join(floats, "dup_of")
-      .join(broadcast(qvs), "query_id")
-      .select(col("query_id"), col("dup_of"),
-        expr("cosine_sim(iv, qv)").as("dup_cosine"))
+    val reranked =
+      if (coveredFiles.isEmpty)
+        Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "dup_of", "dup_cosine")
+      else minusRetracted(spark, root,
+          spark.read.option("basePath", dir)
+            .schema(indexRowSchema.add("cid",
+              org.apache.spark.sql.types.IntegerType))
+            .parquet(coveredFiles.map(f => s"$dir/${f._1}"): _*))
+        .select(col("vec_id").as("dup_of"), col("v").as("iv"))
+        .join(broadcast(cand), "dup_of")
+        .join(broadcast(qvs), "query_id")
+        .select(col("query_id"), col("dup_of"),
+          expr("cosine_sim(iv, qv)").as("dup_cosine"))
     // residual leg: post-sidecar appends have no codes — their float
     // rows score exactly against the queries probing their list
-    val covered = readPqManifest(fs, dir).getOrElse(Set.empty[String])
     val residualFiles = listCidFiles(fs, dir, Some(cids.toSet))
       .filterNot(f => covered.contains(f._1))
     val scored =

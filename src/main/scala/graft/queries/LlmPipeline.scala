@@ -1981,11 +1981,26 @@ object LlmPipeline {
     * both the pair join and the final output — the corpus is scanned
     * once, not once per stage consumer.
     */
-  private val q80: Q = (s, dir) => {
+  /** The q80/q116 pipeline stages, derived ONCE for both: quality gate
+    * (q54's exact rule), exact dedup (content-hash min-id keeper over
+    * the quality survivors), near-dup CC labels over the exact
+    * survivors. q80 projects the final survivors; q116 projects the
+    * per-document decision — one derivation, so the log can never
+    * disagree with the pipeline it explains. `materializePassed` adds
+    * the q61 barrier on the quality frame for callers that reference
+    * it more than once (q116's audit join); q80 reads it once and
+    * skips the barrier write.
+    */
+  private def pipelineStages(s: SparkSession, dir: String,
+      materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.Functions.register(s)
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val passed = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
+    val passed0 = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
       .filter(gopherPass)
+      .select("doc_id", "text", "n_chars")
+    val passed =
+      if (materializePassed) passed0.transform(graft.operators.Exec.materialize)
+      else passed0
     val exact = passed
       .withColumn("h", contentHash(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(wH))
@@ -1994,6 +2009,12 @@ object LlmPipeline {
       .transform(graft.operators.Exec.materialize)
     val labels = connectedComponents(
       minhashPairsOf(exact).select("doc_a", "doc_b"))
+    (passed, exact, labels)
+  }
+
+  private val q80: Q = (s, dir) => {
+    val (_, exact, labels) = pipelineStages(s, dir,
+      materializePassed = false)
     exact.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"), col("n_chars"))
@@ -2016,20 +2037,8 @@ object LlmPipeline {
     * left-joins against frames the pipeline already built.
     */
   private val q116: Q = (s, dir) => {
-    graft.functions.Functions.register(s)
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val passed = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
-      .filter(gopherPass)
-      .select("doc_id", "text", "n_chars")
-      .transform(graft.operators.Exec.materialize)
-    val exact = passed
-      .withColumn("h", contentHash(col("text")))
-      .withColumn("keeper", min(col("doc_id")).over(wH))
-      .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_chars")
-      .transform(graft.operators.Exec.materialize)
-    val labels = connectedComponents(
-      minhashPairsOf(exact).select("doc_a", "doc_b"))
+    val (passed, exact, labels) = pipelineStages(s, dir,
+      materializePassed = true)
     t(s, dir, "documents").select("doc_id")
       .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
         Seq("doc_id"), "left")

@@ -857,14 +857,14 @@ object Streams {
     * streamed dedup cycle here.
     */
   def semanticDedupIngestStream(embeddings: DataFrame, root: String,
-      checkpointDir: String, tau: Double,
-      nprobe: Int = 2): StreamingQuery =
+      checkpointDir: String, tau: Double, nprobe: Int = 2,
+      rerankC: Int = 8): StreamingQuery =
     embeddings.writeStream
       .queryName("ivf_index_ingest_semantic_dedup")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendVersionedBatchDeduped(batch, root, tau, nprobe)
+        appendVersionedBatchDeduped(batch, root, tau, nprobe, rerankC)
       }
       .start()
 
@@ -875,7 +875,7 @@ object Streams {
     * once, pruned to the probed `cid=` partitions.
     */
   private[graft] def appendVersionedBatchDeduped(batch: DataFrame,
-      root: String, tau: Double, nprobe: Int,
+      root: String, tau: Double, nprobe: Int, rerankC: Int = 8,
       postWriteProbe: () => Unit = () => ()): Unit = {
     val A = graft.operators.AnnIndex
     val spark = batch.sparkSession
@@ -911,7 +911,7 @@ object Streams {
     // never read the float column; exact re-rank bounds the float
     // reads), falling back to the float probe otherwise
     val kept = A.semanticDedupProbePqOf(spark, root, gen0,
-        batchSurvivors, tau, nprobe)
+        batchSurvivors, tau, nprobe, rerankC)
       .filter(!col("is_dup")).select("vec_id")
     val survivors = batchSurvivors.join(kept, "vec_id")
     A.assignByCosine(survivors, cents)

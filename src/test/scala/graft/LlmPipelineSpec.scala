@@ -705,9 +705,14 @@ class LlmPipelineSpec extends SparkSuite {
 
   test("q116 curation log: covers every document exactly once and its " +
     "kept set IS the q80 pipeline output") {
-    val log = LlmPipeline.queries("q116_curation_log")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = LlmPipeline.queries("q116_curation_log")(spark, sf)
+      .collect()
     val nDocs = Tables.load(spark, sf, "documents").count()
+    // exactly once: assert on the ROW count before the Map collapses
+    // any would-be duplicates
+    assert(rows.length.toLong === nDocs,
+      "log must emit each document exactly once")
+    val log = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(log.size.toLong === nDocs, "log must cover the whole corpus")
     val outcomes = log.values.toSet
     assert(outcomes.subsetOf(

@@ -1444,5 +1444,17 @@ class StreamingSpec extends SparkSuite {
       .filter(col("vec_id") === 300001L).count() === 1L,
       "re-delivered id appended a duplicate row")
     assert(spark.read.parquet(s"$root/$g1").count() === before + 2)
+    // post-retrain window: the new generation has NO PQ sidecar, so
+    // the gate must fall back to the float probe — composed with the
+    // appender's anti-joins and strand guard, a copy of a retained
+    // vector still drops
+    val g2 = A.retrain(spark, root, iters = 1)
+    val g2count = spark.read.parquet(s"$root/$g2").count()
+    Seq((300006L, novel1)).toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$srcDir/d4")
+    drain()
+    assert(spark.read.parquet(s"$root/$g2").count() === g2count,
+      "the float-probe fallback gate let a duplicate append " +
+        "post-retrain (no sidecar)")
   }
 }
