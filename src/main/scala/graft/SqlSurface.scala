@@ -51,6 +51,7 @@ object SqlSurface {
     // at build (q108/q109 additionally inline it as plan literals);
     // q110/q111 are lazy end to end.
     "q112_semdedup", "q113_lm_score", "q116_curation_log",
+    "q117_term_drift",
     "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk")
 
   /** Register the driver testdata tables under `dir` as temp views

@@ -2770,6 +2770,49 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q117: term-frequency DRIFT report — the two-cohort χ² test a
+    * corpus operations team runs between crawl snapshots ("did the
+    * token distribution move, and which terms moved it"): per-term
+    * occurrence counts in two deterministic cohorts (even/odd doc_id
+    * here — two snapshot dates in production), expected counts under
+    * the pooled distribution, and the per-term χ² statistic in 1e-6
+    * fixed point; top-20 drifting terms. Every arithmetic step is a
+    * fixed-shape chain of correctly-rounded double ops (products and
+    * divisions only — no pow/log libm calls, the q52 doctrine) ending
+    * in one exact floor, so the report is oracle-exact.
+    *
+    * Scale: ONE token-stream pass builds the per-term cohort counts
+    * (map-side combined, vocabulary-sized output, materialized — the
+    * q61 barrier — so the 1-row totals derive from the vocab frame,
+    * not a second corpus scan); the totals broadcast; the top-20
+    * lowers to TakeOrderedAndProject. The ≥ 20-occurrence floor keeps
+    * rare-term noise out of the χ² (the standard expected-count-≥-5
+    * guidance, and a row-count bound on the report side).
+    */
+  private val q117: Q = (s, dir) => {
+    val tok = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val counts = tok.groupBy("term").agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+      .transform(graft.operators.Exec.materialize)
+    val tot = counts.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    val nT = (col("n_a") + col("n_b")).cast(DoubleType)
+    val bigN = (col("tot_a") + col("tot_b")).cast(DoubleType)
+    val ea = nT * col("tot_a").cast(DoubleType) / bigN
+    val eb = nT * col("tot_b").cast(DoubleType) / bigN
+    val da = col("n_a").cast(DoubleType) - ea
+    val db = col("n_b").cast(DoubleType) - eb
+    counts.crossJoin(broadcast(tot))
+      .filter(col("n_a") + col("n_b") >= 20L)
+      .select(col("term"), col("n_a"), col("n_b"),
+        floor((da * da / ea + db * db / eb) * lit(1000000d))
+          .as("chi2_fp"))
+      .orderBy(desc("chi2_fp"), col("term"))
+      .limit(20)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2851,7 +2894,8 @@ object LlmPipeline {
     "q111_quality_model_score" -> q111,
     "q112_semdedup" -> q112,
     "q113_lm_score" -> q113,
-    "q116_curation_log" -> q116)
+    "q116_curation_log" -> q116,
+    "q117_term_drift" -> q117)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4085,6 +4129,32 @@ object LlmPipeline {
          | (sm.wmean - th.th_fp > 0) AS predicted, l.y AS label
          |FROM sm CROSS JOIN th JOIN l ON sm.doc_id = l.doc_id
          |ORDER BY sm.doc_id""".stripMargin,
+    "q117_term_drift" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest($dToks) AS term FROM documents),
+         |counts AS (
+         | SELECT term,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_b
+         | FROM tok GROUP BY term),
+         |tot AS (
+         | SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+         |  CAST(SUM(n_b) AS BIGINT) AS tot_b FROM counts),
+         |sel AS (
+         | SELECT term, n_a, n_b,
+         |  CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+         |   / CAST(tot_a + tot_b AS DOUBLE) AS ea,
+         |  CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
+         |   / CAST(tot_a + tot_b AS DOUBLE) AS eb
+         | FROM counts, tot WHERE n_a + n_b >= 20)
+         |SELECT term, n_a, n_b,
+         | CAST(floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE)
+         |   - ea) / ea + (CAST(n_b AS DOUBLE) - eb)
+         |   * (CAST(n_b AS DOUBLE) - eb) / eb) * 1000000) AS BIGINT)
+         |  AS chi2_fp
+         |FROM sel ORDER BY chi2_fp DESC, term LIMIT 20""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

@@ -733,6 +733,43 @@ class LlmPipelineSpec extends SparkSuite {
       s"no dup stage fired: $outcomes")
   }
 
+  test("q117 term drift: non-negative chi-square, counts reconcile " +
+    "with a driver recount, and a planted one-cohort term tops the " +
+    "report") {
+    val rows = LlmPipeline.queries("q117_term_drift")(spark, sf).collect()
+    assert(rows.length === 20)
+    // counts reconcile for every reported term
+    val recount = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '\\\\w+', 0)"))
+          .as("term"))
+      .collect().groupBy(_.getString(1)).view.mapValues { rs =>
+        (rs.count(_.getLong(0) % 2 == 0).toLong,
+          rs.count(_.getLong(0) % 2 != 0).toLong)
+      }.toMap
+    rows.foreach { r =>
+      val (ea, eb) = recount(r.getString(0))
+      assert(r.getLong(1) === ea && r.getLong(2) === eb,
+        s"counts drifted for ${r.getString(0)}")
+      assert(r.getLong(3) >= 0L, "chi-square cannot be negative")
+    }
+    // planted drift: 30 even-id docs carrying a cohort-exclusive term
+    // must put that term at rank 1
+    import spark.implicits._
+    val planted = (1 to 30).map(i =>
+      (900000L + 2 * i, "zzzdrift " * 5 + "filler text here",
+        "en", "src0", 60L))
+    val dir = java.nio.file.Files.createTempDirectory("q117").toString
+    Tables.load(spark, sf, "documents")
+      .union(planted.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = LlmPipeline.queries("q117_term_drift")(spark, dir)
+      .collect().head
+    assert(top.getString(0) === "zzzdrift",
+      s"planted drift term not at rank 1: ${top.getString(0)}")
+    assert(top.getLong(1) === 150L && top.getLong(2) === 0L)
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
