@@ -344,16 +344,18 @@ object AnnIndex {
     graft.functions.Functions.register(spark)
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("csim"), col("cid"))
-    // materialized once: referenced by the cid collect and the pair
-    // join (and the batch plan behind it can carry anti-joins in the
-    // streaming gate)
+    // NOT materialized here: a per-call barrier inside a library gate
+    // would leak one checkpoint per streaming micro-batch (the
+    // Exec.release contract) — a caller whose batch plan is expensive
+    // materializes and releases the BATCH around the call (the gated
+    // appender does); re-deriving the probe projection itself is
+    // batch × k-centroids work
     val probes = batch.select("vec_id", "v")
       .crossJoin(broadcast(centroidFrame(spark, cents)))
       .withColumn("csim", expr("cosine_sim(v, cv)"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("v"), col("cid"))
-      .transform(Exec.materialize)
     // k-row collect: distinct probed lists, bounded by the centroid
     // count regardless of batch size
     val cids = probes.select("cid").distinct()
@@ -438,9 +440,9 @@ object AnnIndex {
     import spark.implicits._
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("csim"), col("cid"))
-    // materialized once: referenced by the cid collect, the LUT, and
-    // the residual leg — and in the streaming gate the batch plan
-    // itself carries anti-joins worth not re-running per reference
+    // NOT materialized: same leak rationale as the float form — the
+    // gated appender materializes/releases the batch around the call;
+    // probe re-derivation is batch × k-centroids work per reference
     val probes = batch
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centroidFrame(spark, cents)))
@@ -448,7 +450,6 @@ object AnnIndex {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
-      .transform(Exec.materialize)
     val cids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
     // the batch LUT, in-plan: (query_id, cid, sub, code) → fixed-point
@@ -481,11 +482,11 @@ object AnnIndex {
     val cand = adc.withColumn("rn", row_number().over(wC))
       .filter(col("rn") <= rerankC)
       .select("query_id", "dup_of")
-    // exact re-rank of the bounded candidate set: COVERED files only
-    // (uncovered rows have no codes, so they cannot be candidates —
-    // they are the residual leg's job), candidate side broadcast
-    val coveredFiles = listCidFiles(fs, dir, Some(cids.toSet))
-      .filter(f => covered.contains(f._1))
+    // one directory listing, split by the covered watermark: the
+    // covered files feed the exact re-rank, the rest the residual leg
+    val (coveredFiles, residualFiles0) =
+      listCidFiles(fs, dir, Some(cids.toSet))
+        .partition(f => covered.contains(f._1))
     val qvs = batch.select(col("vec_id").as("query_id"), col("v").as("qv"))
     val reranked =
       if (coveredFiles.isEmpty)
@@ -503,8 +504,7 @@ object AnnIndex {
           expr("cosine_sim(iv, qv)").as("dup_cosine"))
     // residual leg: post-sidecar appends have no codes — their float
     // rows score exactly against the queries probing their list
-    val residualFiles = listCidFiles(fs, dir, Some(cids.toSet))
-      .filterNot(f => covered.contains(f._1))
+    val residualFiles = residualFiles0
     val scored =
       if (residualFiles.isEmpty) reranked
       else reranked.unionByName(minusRetracted(spark, root,

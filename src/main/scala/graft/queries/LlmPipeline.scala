@@ -2805,6 +2805,10 @@ object LlmPipeline {
     val da = col("n_a").cast(DoubleType) - ea
     val db = col("n_b").cast(DoubleType) - eb
     counts.crossJoin(broadcast(tot))
+      // chi-square is undefined against an EMPTY cohort (zero expected
+      // count -> 0/0 = NaN, which Spark's floor would silently zero
+      // while the oracle errors): one-cohort corpora report nothing
+      .filter(col("tot_a") > 0L && col("tot_b") > 0L)
       .filter(col("n_a") + col("n_b") >= 20L)
       .select(col("term"), col("n_a"), col("n_b"),
         floor((da * da / ea + db * db / eb) * lit(1000000d))
@@ -4148,7 +4152,7 @@ object LlmPipeline {
          |   / CAST(tot_a + tot_b AS DOUBLE) AS ea,
          |  CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
          |   / CAST(tot_a + tot_b AS DOUBLE) AS eb
-         | FROM counts, tot WHERE n_a + n_b >= 20)
+         | FROM counts, tot WHERE tot_a > 0 AND tot_b > 0 AND n_a + n_b >= 20)
          |SELECT term, n_a, n_b,
          | CAST(floor(((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE)
          |   - ea) / ea + (CAST(n_b AS DOUBLE) - eb)

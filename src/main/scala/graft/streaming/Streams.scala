@@ -902,21 +902,31 @@ object Streams {
     // re-append — the anti-join reads one column of the index
     // (columnar prune; a DedupStore-backed id set is the same
     // structure with a bloom sidecar when even that scan is too much).
+    // MATERIALIZED for the batch's lifetime and RELEASED after the
+    // append (the Exec loop contract — one barrier per micro-batch
+    // must not accumulate): the gate and the survivor join reference
+    // this frame several times, and its plan carries the two
+    // anti-joins above.
     val batchSurvivors = batch.select("vec_id", "v")
       .join(inBatchDups, Seq("vec_id"), "left_anti")
       .join(spark.read.parquet(s"$root/$gen0").select("vec_id"),
         Seq("vec_id"), "left_anti")
-    // then the cross-run gate against the pinned generation — served
-    // from the PQ codes when the generation has a sidecar (candidates
-    // never read the float column; exact re-rank bounds the float
-    // reads), falling back to the float probe otherwise
-    val kept = A.semanticDedupProbePqOf(spark, root, gen0,
-        batchSurvivors, tau, nprobe, rerankC)
-      .filter(!col("is_dup")).select("vec_id")
-    val survivors = batchSurvivors.join(kept, "vec_id")
-    A.assignByCosine(survivors, cents)
-      .write.mode("append").partitionBy("cid")
-      .parquet(s"$root/$gen0")
+      .transform(graft.operators.Exec.materialize)
+    try {
+      // then the cross-run gate against the pinned generation — served
+      // from the PQ codes when the generation has a sidecar
+      // (candidates never read the float column; exact re-rank bounds
+      // the float reads), falling back to the float probe otherwise
+      val kept = A.semanticDedupProbePqOf(spark, root, gen0,
+          batchSurvivors, tau, nprobe, rerankC)
+        .filter(!col("is_dup")).select("vec_id")
+      val survivors = batchSurvivors.join(kept, "vec_id")
+      A.assignByCosine(survivors, cents)
+        .write.mode("append").partitionBy("cid")
+        .parquet(s"$root/$gen0")
+    } finally {
+      graft.operators.Exec.release(batchSurvivors)
+    }
     postWriteProbe()
     val gen1 = A.currentGeneration(spark, root)
     if (gen1 != Some(gen0))

@@ -768,6 +768,15 @@ class LlmPipelineSpec extends SparkSuite {
     assert(top.getString(0) === "zzzdrift",
       s"planted drift term not at rank 1: ${top.getString(0)}")
     assert(top.getLong(1) === 150L && top.getLong(2) === 0L)
+    // one-cohort corpus: chi-square is undefined (zero expected
+    // counts) — the report must be EMPTY, not NaN-floored zeros
+    val dirOne = java.nio.file.Files.createTempDirectory("q117one")
+      .toString
+    Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dirOne/documents.parquet")
+    assert(LlmPipeline.queries("q117_term_drift")(spark, dirOne)
+      .count() === 0L, "empty-cohort corpus must report nothing")
   }
 
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
