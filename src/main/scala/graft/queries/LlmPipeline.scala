@@ -2712,14 +2712,30 @@ object LlmPipeline {
     * the bigram stream plus a 1-row vocabulary agg (crossJoined, never
     * collected); scoring groups each doc's DISTINCT bigrams first
     * (occurrence counts ride along) so the score join moves bigram
-    * TYPES, not token positions. The global tercile is the one
-    * inherently-global step: here an exact single-partition ntile
-    * keeps the DuckDB oracle bit-exact; at 100 TB the cut-points come
-    * from an approx-percentile sketch over `ll_mean_fp` (the q68
-    * path) and the window collapses to two broadcast literals.
-    * `ll_mean_fp` is the 1e-6 fixed-point floor-mean (the q111
-    * pattern — exact long sums, one correctly-rounded division, one
-    * exact floor).
+    * TYPES, not token positions. The global tercile — r13's one
+    * corpus-sized single-partition window — is r14'd into the
+    * [[graft.operators.QuantileSketch]] form the survey prescribed:
+    * a deterministic log-linear HISTOGRAM over the NEGATED score
+    * (`x = −ll_mean_fp` — non-negative since every per-bigram score
+    * is ≤ 0, and an ilog2 three octaves finer than any fixed-offset
+    * shift) is built in one map-side-combined pass at p = 10 (0.1%
+    * relative buckets — the corpus score spread is ~20% of its
+    * magnitude, so default-p cells would swallow whole terciles),
+    * the two cut BUCKETS are walked off its KB-scale cells with
+    * all-integer ceiling ranks, and every doc is labelled by
+    * comparing its own bucket to the broadcast 1-row boundary frame
+    * — zero global sorts, zero corpus-sized windows, and still
+    * oracle-exact because the histogram arithmetic is bit-identical
+    * in DuckDB (the q115 law). Tercile 1 stays the LOWEST-score
+    * (head-of-the-perplexity-queue-to-filter) third, as under the
+    * old ntile: x descends as the score ascends, so the labels count
+    * boundaries from the far end. Boundary docs share their bucket's
+    * side, so tercile sizes match ⌈n/3⌉ only to within the cut
+    * bucket's population — the 2^−10 bracket law LlmPipelineSpec
+    * pins (a strictly sharper property than ntile: equal scores can
+    * never straddle a tercile). `ll_mean_fp` is the 1e-6 fixed-point
+    * floor-mean (the q111 pattern — exact long sums, one
+    * correctly-rounded division, one exact floor).
     */
   private val q113: Q = (s, dir) => {
     val base = tokenized(s, dir).filter(size(col("toks")) >= 2)
@@ -2763,10 +2779,34 @@ object LlmPipeline {
       .select(col("doc_id"), col("n_bigrams"), col("ll_sum"),
         floor((col("ll_sum") * lit(1000000L)).cast("double") /
           col("n_bigrams").cast("double")).as("ll_mean_fp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("ll_mean_fp", "doc_id")
-    perDoc
-      .withColumn("tercile", ntile(3).over(w).cast("long"))
+      // referenced by the histogram build AND the final cut — the q61
+      // barrier keeps the (bgc ⋈ model) scoring join single-execution
+      .withColumn("s_fp", -col("ll_mean_fp"))
+      .transform(graft.operators.Exec.materialize)
+    import graft.operators.QuantileSketch
+    val P = 10 // 2^-10 relative buckets — see the docstring
+    val hist = QuantileSketch.build(perDoc, "s_fp", Seq.empty, P)
+    // boundary BUCKETS (not values): lowerBound∘bucket is the identity
+    // on bucket lower bounds, so re-bucketing the walked value_fp
+    // recovers the cut bucket exactly; one 1-row frame broadcasts
+    val bounds = QuantileSketch.quantiles(hist, Seq.empty,
+        Seq(("t1", 1L, 3L), ("t2", 2L, 3L)), P)
+      .groupBy()
+      .agg(max(when(col("quantile") === "t1", col("value_fp")))
+          .as("b1_fp"),
+        max(when(col("quantile") === "t2", col("value_fp")))
+          .as("b2_fp"))
+    // x ascends as the score DESCENDS: the first x-third is the
+    // highest-score tercile 3, so labels count boundaries downward
+    perDoc.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_bigrams"), col("ll_sum"),
+        col("ll_mean_fp"),
+        (lit(1L) +
+          when(QuantileSketch.bucketExpr("s_fp", P) <=
+            QuantileSketch.bucketExpr("b2_fp", P), 1L).otherwise(0L) +
+          when(QuantileSketch.bucketExpr("s_fp", P) <=
+            QuantileSketch.bucketExpr("b1_fp", P), 1L).otherwise(0L))
+          .cast("long").as("tercile"))
       .orderBy("doc_id")
   }
 
@@ -4253,11 +4293,31 @@ object LlmPipeline {
          | SELECT doc_id, n_bigrams, ll_sum,
          |  CAST(floor(CAST(ll_sum * 1000000 AS DOUBLE)
          |   / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS ll_mean_fp
-         | FROM d)
+         | FROM d),
+         |vb AS (
+         | SELECT doc_id, n_bigrams, ll_sum, ll_mean_fp,
+         |  CASE WHEN s < 1024 THEN s ELSE (length(bin(s)) - 11) * 1024
+         |   + (s // ((CAST(1 AS BIGINT))
+         |      << CAST(length(bin(s)) - 11 AS INTEGER))) END AS bx
+         | FROM (SELECT m.*, -ll_mean_fp AS s FROM m)),
+         |h AS (
+         | SELECT bx AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM vb GROUP BY 1),
+         |c AS (
+         | SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
+         |  SUM(n) OVER () AS total FROM h),
+         |q(num) AS (VALUES (1), (2)),
+         |sel AS (
+         | SELECT q.num, MIN(c.bucket) AS b FROM c
+         | JOIN q ON c.cum >= (c.total * q.num + 2) // 3 GROUP BY 1),
+         |bd AS (
+         | SELECT MIN(CASE WHEN num = 1 THEN b END) AS b1,
+         |  MIN(CASE WHEN num = 2 THEN b END) AS b2 FROM sel)
          |SELECT doc_id, n_bigrams, ll_sum, ll_mean_fp,
-         | CAST(ntile(3) OVER (ORDER BY ll_mean_fp, doc_id) AS BIGINT)
+         | CAST(1 + CASE WHEN vb.bx <= bd.b2 THEN 1 ELSE 0 END
+         |  + CASE WHEN vb.bx <= bd.b1 THEN 1 ELSE 0 END AS BIGINT)
          |  AS tercile
-         |FROM m ORDER BY doc_id""".stripMargin)
+         |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin)
 
   /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
     * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from

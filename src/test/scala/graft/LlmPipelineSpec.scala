@@ -678,11 +678,41 @@ class LlmPipelineSpec extends SparkSuite {
       assert(r.getAs[Long]("ll_sum") <= 0L)
       assert(r.getAs[Long]("ll_mean_fp") <= 0L)
     }
-    // CCNet head/middle/tail: tercile sizes differ by at most 1
+    // CCNet head/middle/tail via the q115 histogram cut (the r14
+    // scale form — no global ntile): the cut runs on x = -ll_mean_fp
+    // at p = 10, x ascending = score DESCENDING, so the first
+    // x-third is tercile 3. Boundary docs share their cut bucket's
+    // side, so each cumulative count matches its ceiling rank to
+    // within the cut bucket's population (the 2^-10 bracket law),
+    // and terciles are monotone in the score (same score can never
+    // straddle a tercile, unlike ntile).
     val sizes = rows.groupBy(_.getAs[Long]("tercile"))
       .view.mapValues(_.length).toMap
     assert(sizes.keySet === Set(1L, 2L, 3L))
-    assert(sizes.values.max - sizes.values.min <= 1)
+    def bucket(x: Long): Long =
+      if (x < 1024) x
+      else {
+        val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        (il - 10).toLong * 1024 + (x >> (il - 10))
+      }
+    val svals = rows.map(r => -r.getAs[Long]("ll_mean_fp"))
+    svals.foreach(s => assert(s >= 0L, "negated score must be >= 0"))
+    val histCnt = svals.groupBy(bucket).view.mapValues(_.length).toMap
+    val sorted = svals.sorted
+    val n = rows.length
+    for ((rank, cumCnt) <- Seq(
+        ((n + 2) / 3, sizes(3L)),
+        ((2 * n + 2) / 3, sizes(3L) + sizes(2L)))) {
+      val cutBucket = bucket(sorted(rank - 1))
+      assert(cumCnt >= rank && cumCnt < rank + histCnt(cutBucket),
+        s"cumulative tercile count $cumCnt must bracket rank $rank " +
+          s"within the cut bucket's population ${histCnt(cutBucket)}")
+    }
+    val maxByT = rows.groupBy(_.getAs[Long]("tercile"))
+      .view.mapValues(_.map(_.getAs[Long]("ll_mean_fp"))).toMap
+    assert(maxByT(1L).max <= maxByT(2L).min &&
+      maxByT(2L).max <= maxByT(3L).min,
+      "terciles must be monotone in ll_mean_fp")
     // in-model text must outscore out-of-vocabulary gibberish: plant
     // both into a copy of the corpus and compare their mean scores
     val dir = java.nio.file.Files.createTempDirectory("q113").toString
