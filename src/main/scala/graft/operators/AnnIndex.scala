@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Disk-backed IVF index — the AT-REST form of the inverted-file ANN
@@ -452,10 +452,13 @@ object AnnIndex {
       .select(col("query_id"), col("qv"), col("cid"))
     val cids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).toSeq
-    // the batch LUT, in-plan: (query_id, cid, sub, code) → fixed-point
-    // subvector dot with the query + the code's fixed-point |c_sub|²
-    val cbDf = cb.map { case (s2, c2, cv) => (s2, c2, cv.toSeq,
-        cv.map(x => math.floor(x * x * 1e12).toLong).sum) }
+    // the batch LUT, in-plan: (query_id, cid, sub, code RANK — the
+    // byte value in the packed codes column) → fixed-point subvector
+    // dot with the query + the code's fixed-point |c_sub|²
+    val cbDf = cb.groupBy(_._1).toSeq.flatMap { case (s2, rows) =>
+        rows.sortBy(_._2).zipWithIndex.map { case ((_, _, cv), rank) =>
+          (s2, rank, cv.toSeq,
+            cv.map(x => math.floor(x * x * 1e12).toLong).sum) } }
       .toDF("sub", "code", "cv", "normsq_fp")
     val dotFp = expr(
       s"aggregate(zip_with(slice(qv, sub * $d + 1, $d), cv, " +
@@ -467,7 +470,7 @@ object AnnIndex {
     val adc = minusRetracted(spark, root,
         spark.read.parquet(pqDir(dir)).filter(col("cid").isin(cids: _*)))
       .select(col("vec_id").as("dup_of"), col("cid"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
+        posexplode(pqRankArrayExpr(m)).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("cid", "sub", "code"))
       .filter(col("dup_of") =!= col("query_id"))
       .groupBy("query_id", "dup_of")
@@ -723,9 +726,10 @@ object AnnIndex {
   //
   //   <root>/gen-X/_pq_codebook/   the (sub, code, cv) PQ codebook
   //                                trained on THIS generation's vectors
-  //   <root>/gen-X/_pq/cid=*/      (vec_id, codes array) — one code id
-  //                                per subspace, same inverted-list
-  //                                partitioning as the floats
+  //   <root>/gen-X/_pq/cid=*/      (vec_id, codes BINARY) — one packed
+  //                                byte (code rank) per subspace, same
+  //                                inverted-list partitioning as the
+  //                                floats (see pqRankArrayExpr)
   //
   // [[topKPqCurrent]] then serves top-k from the CODES: the query's
   // exact per-(sub, code) distances become an m×k literal lookup
@@ -743,6 +747,21 @@ object AnnIndex {
   private def pqCodebookDir(genDir: String) = s"$genDir/_pq_codebook"
   private def pqManifestPath(genDir: String) =
     new org.apache.hadoop.fs.Path(genDir, "_pq_covered")
+
+  /** r14: `_pq` codes are PACKED at rest — one BinaryType cell of m
+    * bytes per vector, byte s = the code's RANK within subspace s's
+    * (sub, code)-sorted codebook (k ≤ 256 by [[buildPqSidecar]]'s
+    * guard). An array<bigint> cell carried m longs plus per-element
+    * list overhead for values that never exceed a byte; the codes
+    * column is the dominant scan column of the 100 TB serving path,
+    * so the at-rest width IS the serving cost. Readers key their LUTs
+    * by rank (the codebook is driver-side and sorted either way) and
+    * unpack in-plan via one hex/conv chain per subspace — no UDF, no
+    * join, stays inside codegen.
+    */
+  private def pqRankArrayExpr(m: Int): Column = expr(
+    s"transform(sequence(1, $m), s -> cast(conv(" +
+      "substr(hex(codes), 2 * s - 1, 2), 16, 10) as int))")
 
   /** The float data files the PQ sidecar covers, as `cid=N/name`
     * strings — the bloom sidecar's covered-files watermark, applied
@@ -789,12 +808,15 @@ object AnnIndex {
     * the compressed serving sidecar into the generation directory.
     * Deterministic end-to-end ([[Pq]]'s arithmetic); seeds are the
     * generation's `k` smallest vec_ids. `m` must divide the vector
-    * dim. Codes are stored one array per vector (codes[s] = the code
-    * id of subspace s), the shape [[topKPqCurrent]]'s lookup expression
-    * consumes.
+    * dim. Codes are stored PACKED: one m-byte binary per vector, byte
+    * s = the rank of subspace s's code in the sorted codebook (see
+    * [[pqRankArrayExpr]]) — the shape [[topKPqCurrent]]'s lookup
+    * expression consumes.
     */
   def buildPqSidecar(spark: SparkSession, root: String, m: Int = 8,
       k: Int = 8, iters: Int = 1): Unit = {
+    require(k <= 256,
+      s"k $k must be <= 256: _pq packs one code RANK per byte")
     val dir = currentIndexDir(spark, root)
     val fs = fsOf(spark, root)
     // snapshot the float files FIRST and encode exactly those: a file
@@ -805,7 +827,7 @@ object AnnIndex {
       .option("basePath", dir)
       .parquet(covered.map(c => s"$dir/${c._1}"): _*)
       .select(col("vec_id"), col("v"), col("cid"))
-    val dim = vecs.select(size(col("v")).as("d")).head.getInt(0)
+    val dim = vecs.select(size(col("v")).as("d")).head().getInt(0)
     val e = vecs.select("vec_id", "v")
     val seedIds = e.select("vec_id").orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0)).toSeq
@@ -814,10 +836,24 @@ object AnnIndex {
     try {
       cb.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(pqCodebookDir(dir))
+      // pack to the m-byte binary form: per subspace, the code's rank
+      // in the (sub, code)-sorted codebook, hex-padded then unhexed —
+      // stays one codegen'd projection, no UDF (see pqRankArrayExpr)
+      val ranksBySub: Seq[Seq[Long]] = cb.select("sub", "code").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sorted
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
+        .sortBy(_._1).map(_._2)
+      require(ranksBySub.forall(_.size <= 256),
+        "every subspace must have <= 256 codes to pack ranks as bytes")
       Pq.encode(e, cb, m, dim)
         .groupBy("vec_id")
-        .agg(expr("transform(array_sort(collect_list(struct(sub, code)))" +
-          ", p -> p.code)").as("codes"))
+        .agg(expr("array_sort(collect_list(struct(sub, code)))")
+          .as("sc"))
+        .withColumn("__cbc", typedLit(ranksBySub))
+        .select(col("vec_id"), expr(
+          "unhex(array_join(transform(sc, p -> lpad(hex(" +
+            "array_position(element_at(__cbc, p.sub + 1), p.code) - 1" +
+            "), 2, '0')), ''))").as("codes"))
         .join(vecs.select("vec_id", "cid"), "vec_id")
         .repartition(col("cid"))
         .write.mode(SaveMode.Overwrite).partitionBy("cid")
@@ -855,8 +891,8 @@ object AnnIndex {
     * scanned as (vec_id, codes) — the `cid` filter is the same
     * partition prune, the scan never reads a float vector — and each
     * candidate's approximate distance is the sum of m lookups into the
-    * query's literal LUT (`zip_with` over the codes array and an
-    * array-of-maps literal; one codegen'd expression, no join). With
+    * query's literal LUT (`zip_with` over the unpacked rank array and
+    * a rank-indexed literal; one codegen'd expression, no join). With
     * `rerank` > 0 the top `max(rerank, k)` ADC candidates are scored
     * exactly (cosine) against the float lists — a broadcast semi-join
     * of a bounded candidate set into the same partition-pruned scan —
@@ -887,20 +923,23 @@ object AnnIndex {
     val cb = readPqCodebook(spark, dir)
     val m = cb.map(_._1).max + 1
     val d = cb.head._3.length
-    // the query's LUT: per subspace, code id → exact quantized distance
-    val lut: Seq[Map[Long, Long]] = (0 until m).map { s =>
+    // the query's LUT: per subspace, code RANK (byte value in the
+    // packed codes column — readPqCodebook sorts by (sub, code), so
+    // position = the writer's rank) → exact quantized distance
+    val lut: Seq[Seq[Long]] = (0 until m).map { s =>
       val qs = query.slice(s * d, s * d + d)
       cb.filter(_._1 == s)
-        .map { case (_, code, cv) => code -> distFpLocal(qs, cv) }
-        .toMap
+        .map { case (_, _, cv) => distFpLocal(qs, cv) }.toSeq
     }
     val ranked = minusRetracted(spark, root,
       spark.read.parquet(pqDir(dir))
         .filter(col("cid").isin(probes: _*)))
       .withColumn("__lut", typedLit(lut))
+      .withColumn("__ranks", pqRankArrayExpr(m))
       .select(col("vec_id"),
-        expr("aggregate(zip_with(codes, __lut, (c, mp) -> " +
-          "element_at(mp, c)), 0L, (acc, x) -> acc + x)").as("adist_fp"))
+        expr("aggregate(zip_with(__ranks, __lut, (r, ds) -> " +
+          "element_at(ds, r + 1)), 0L, (acc, x) -> acc + x)")
+          .as("adist_fp"))
     // residual leg — float files in the probed lists that the covered
     // watermark does not account for (the streaming appender's rows
     // since the build): scored EXACTLY by full-dim quantized L2, which
@@ -963,20 +1002,22 @@ object AnnIndex {
     val cb = readPqCodebook(spark, dir)
     val m = cb.map(_._1).max + 1
     val d = cb.head._3.length
-    // one row per (query, probed cid, subspace, code): the batch LUT
+    // one row per (query, probed cid, subspace, code RANK — the byte
+    // value in the packed codes column): the batch LUT
     val lutRows = for {
       (qid, qv) <- queries
       cid <- probeLists(qv, cents, nprobe)
       s <- 0 until m
-      (sub, code, cv) <- cb if sub == s
-    } yield (qid, cid, s, code,
+      ((sub, _, cv), rank) <- cb.filter(_._1 == s).zipWithIndex
+        if sub == s
+    } yield (qid, cid, s, rank,
       distFpLocal(qv.slice(s * d, s * d + d), cv))
     val lutDf = lutRows.toDF("query_id", "cid", "sub", "code", "qdist_fp")
     val cids = lutRows.map(_._2).distinct
     val adc = minusRetracted(spark, root,
       spark.read.parquet(pqDir(dir)).filter(col("cid").isin(cids: _*)))
       .select(col("vec_id"), col("cid"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
+        posexplode(pqRankArrayExpr(m)).as(Seq("sub", "code")))
       .join(broadcast(lutDf), Seq("cid", "sub", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qdist_fp")).as("adist_fp"),

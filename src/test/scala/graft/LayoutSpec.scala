@@ -875,6 +875,17 @@ class LayoutSpec extends SparkSuite {
     assert(scan.schema.fieldNames.contains("codes") &&
       !scan.schema.fieldNames.contains("v"),
       s"ADC scan schema reads ${scan.schema.fieldNames.toSeq}")
+    // r14 packed-codes pin: the at-rest codes column is BINARY of
+    // exactly m bytes (one code rank per subspace) — the dominant
+    // scan column of the serving path must never regress to the
+    // array<bigint> form (m longs + per-element list overhead)
+    assert(scan.schema("codes").dataType ===
+      org.apache.spark.sql.types.BinaryType,
+      s"_pq codes must be BinaryType, got ${scan.schema("codes").dataType}")
+    val codeCells = spark.read.parquet(s"$dir/_pq")
+      .select("codes").collect().map(_.getAs[Array[Byte]](0))
+    assert(codeCells.nonEmpty && codeCells.forall(_.length === 8),
+      "every packed codes cell must be exactly m = 8 bytes")
     // residual leg: a vector appended AFTER the sidecar build (the
     // streaming appender's shape) has no codes, but must still be
     // served — scored exactly and merged. The appended copy of the
