@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  private def centroidFrame(spark: SparkSession,
+  private[operators] def centroidFrame(spark: SparkSession,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     centroids.map { case (cid, cv) => (cid, cv.toSeq) }
@@ -156,10 +156,10 @@ object AnnIndex {
   // selection can never disagree about which centroids produced the
   // lists being probed.
 
-  private def manifestPath(root: String) =
+  private[operators] def manifestPath(root: String) =
     new org.apache.hadoop.fs.Path(root, "_manifest")
 
-  private def fsOf(spark: SparkSession, root: String) =
+  private[operators] def fsOf(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -743,9 +743,9 @@ object AnnIndex {
   // [[topKCurrent]] plan until [[buildPqSidecar]] runs again (schedule
   // it with the retrain) — never a stale-codebook answer.
 
-  private def pqDir(genDir: String) = s"$genDir/_pq"
+  private[operators] def pqDir(genDir: String) = s"$genDir/_pq"
   private def pqCodebookDir(genDir: String) = s"$genDir/_pq_codebook"
-  private def pqManifestPath(genDir: String) =
+  private[operators] def pqManifestPath(genDir: String) =
     new org.apache.hadoop.fs.Path(genDir, "_pq_covered")
 
   /** r14: `_pq` codes are PACKED at rest — one BinaryType cell of m
@@ -770,7 +770,7 @@ object AnnIndex {
     * account for and score the RESIDUAL exactly instead of silently
     * missing fresh vectors.
     */
-  private def listCidFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def listCidFiles(fs: org.apache.hadoop.fs.FileSystem,
       genDir: String, cids: Option[Set[Int]]): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
     for {
       d <- fs.listStatus(new org.apache.hadoop.fs.Path(genDir)).toSeq
@@ -794,7 +794,7 @@ object AnnIndex {
     require(fs.rename(tmp, m), s"AnnIndex: could not install $m")
   }
 
-  private def readPqManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def readPqManifest(fs: org.apache.hadoop.fs.FileSystem,
       genDir: String): Option[Set[String]] = {
     val m = pqManifestPath(genDir)
     if (!fs.exists(m)) return None

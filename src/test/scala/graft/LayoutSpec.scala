@@ -815,6 +815,112 @@ class LayoutSpec extends SparkSuite {
       "re-admitted vector still masked after the set was cleared")
   }
 
+  test("IndexStats: the index maintenance report flips exactly the " +
+    "right signal at each lifecycle transition (build -> pq -> append " +
+    "-> retract -> vacuum -> retrain -> rebuild), and stats() runs " +
+    "ZERO Spark jobs") {
+    val A = graft.operators.AnnIndex
+    val IS = graft.operators.IndexStats
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val nVecs = e.count()
+    val cents = e.filter(col("vec_id").between(1, 4)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("idxstats")
+      .toString + "/index"
+    val g1 = A.writeIndexVersioned(e, cents, root)
+    // pure-metadata law: stats() spawns no Spark job. The marker job
+    // flushes the FIFO listener bus — once ITS start event has been
+    // delivered, any job stats() had started would have arrived first.
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        seen.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val s1 =
+      try {
+        val s = IS.stats(spark, root)
+        // marker: collect on an unshuffled range = exactly ONE job
+        // (count() would be two under AQE — shuffle stage + final)
+        spark.range(1).collect()
+        val deadline = System.currentTimeMillis() + 30000
+        while (seen.get() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(seen.get() === 1,
+          s"stats() must run zero Spark jobs (saw ${seen.get() - 1})")
+        s
+      } finally spark.sparkContext.removeSparkListener(l)
+    // 1: fresh build — data present, no sidecar, nothing retracted
+    assert(s1.generation === g1 && s1.generationsOnDisk === 1 &&
+      !s1.predecessorRetained)
+    assert(s1.dataFiles > 0 && s1.dataBytes > 0L)
+    assert(!s1.pqPresent && s1.pqCoveredFiles === 0 &&
+      s1.pqResidualFiles === s1.dataFiles)
+    assert(s1.sidecarRebuildDue,
+      "a non-empty generation without codes must read due")
+    assert(s1.retractedFiles === 0 && !s1.vacuumDue)
+    assert(s1.manifestAgeMs >= 0L && s1.manifestAgeMs < 3600000L)
+    // 2: sidecar built — fully covered, signal clears
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    val s2 = IS.stats(spark, root)
+    assert(s2.pqPresent && !s2.sidecarRebuildDue)
+    assert(s2.pqCoveredFiles === s2.dataFiles && s2.pqResidualFiles === 0)
+    // 3: comparable-size append (the streaming appender's shape):
+    // residual share ~half — past the 25% ceiling, due again
+    A.assignByCosine(
+        e.withColumn("vec_id", col("vec_id") + 100000L), cents)
+      .write.mode("append").partitionBy("cid")
+      .parquet(A.currentIndexDir(spark, root))
+    val s3 = IS.stats(spark, root)
+    assert(s3.pqResidualFiles > 0 && s3.pqResidualBytes > 0L)
+    assert(s3.sidecarRebuildDue, "a ~50% residual share must read due")
+    assert(s3.pqCoveredFiles === s2.pqCoveredFiles)
+    // 4: retraction — backlog visible, under the default ceiling not
+    // yet due; a lowered ceiling flips the vacuum-before-the-
+    // broadcast-gate-falls-over signal
+    A.retract(spark, root, Seq(1L, 2L))
+    val s4 = IS.stats(spark, root)
+    assert(s4.retractedFiles > 0 && s4.retractedBytes > 0L)
+    assert(!s4.vacuumDue, "a takedown-list backlog under the default " +
+      "ceiling must not demand a vacuum")
+    spark.conf.set("graft.tombstone.broadcast.maxBytes", "2")
+    val g2 =
+      try {
+        val s5 = IS.stats(spark, root)
+        assert(s5.retractionCeilingBytes === 2L && s5.vacuumDue,
+          "backlog past half the ceiling must demand a vacuum")
+        // 5: vacuum — backlog cleared, fresh sidecar-less generation
+        // installed, predecessor retained
+        A.vacuumRetracted(spark, root)
+      } finally spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+    assert(g2 !== g1)
+    val s6 = IS.stats(spark, root)
+    assert(s6.generation === g2 && s6.generationsOnDisk === 2 &&
+      s6.predecessorRetained)
+    assert(s6.retractedFiles === 0 && !s6.vacuumDue)
+    assert(!s6.pqPresent && s6.sidecarRebuildDue,
+      "a vacuumed generation starts sidecar-less and must read due")
+    // 6: retrain then rebuild — due until the sidecar lands again
+    val g3 = A.retrain(spark, root, iters = 1)
+    assert(IS.stats(spark, root).sidecarRebuildDue)
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    val s7 = IS.stats(spark, root)
+    assert(s7.generation === g3 && s7.pqPresent && !s7.sidecarRebuildDue)
+    // 7: the retrain-trigger leg (explicitly a Spark job): the
+    // distortion report covers every surviving row, and retrainDue
+    // brackets the worst list's mean
+    val d = IS.listDistortion(spark, root).collect()
+    assert(d.map(_.getAs[Long]("n_vectors")).sum === 2 * nVecs - 2,
+      "distortion report must cover every surviving vector")
+    val worst = d.map(_.getAs[Double]("mean_dist_fp")).max
+    assert(IS.retrainDue(spark, root, worst - 1.0))
+    assert(!IS.retrainDue(spark, root, worst + 1.0))
+  }
+
   test("IVF-PQ sidecar: ADC serving scans only probed code lists and " +
     "no float column, full-depth re-rank equals the exact plan, " +
     "retraction masks both passes, and a post-retrain generation " +
