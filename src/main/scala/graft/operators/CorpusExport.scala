@@ -64,6 +64,34 @@ object CorpusExport {
     }
   }
 
+  /** The selection + shard assignment shared VERBATIM by the one-shot
+    * [[materialize]] and the streamed
+    * [[graft.streaming.Streams.exportMixStream]] — both paths are
+    * per-row deterministic in (id, group, thresholds), which is
+    * exactly why a streamed export over any micro-batching of a corpus
+    * lands the same document set in the same shards as one batch call
+    * (StreamingSpec pins the equivalence). Returns the input columns
+    * plus `shard`.
+    */
+  private[graft] def selectAndShard(docs: DataFrame, groupCol: String,
+      idCol: String, thresholds: Seq[(String, Long)],
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    for (reserved <- Seq("__slot", "shard"))
+      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
+        s"CorpusExport reserves the column name $reserved")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("__grp", "__threshold_ppm")
+    docs
+      .withColumn("__slot", selectionSlot(idCol))
+      .join(broadcast(th),
+        col(groupCol).cast("string") === col("__grp"))
+      .filter(col("__slot") < col("__threshold_ppm"))
+      .drop("__grp", "__slot", "__threshold_ppm")
+      .withColumn("shard", shardSlot(idCol, numShards))
+  }
+
   /** Materialize the mix: select deterministically by the per-group
     * thresholds, assign shards from the disjoint hash slice, write
     * `outDir/data/shard=N/` parquet plus a per-group manifest at
@@ -74,21 +102,10 @@ object CorpusExport {
   def materialize(docs: DataFrame, groupCol: String, idCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
       numShards: Int = 16): DataFrame = {
-    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    for (reserved <- Seq("__slot", "shard"))
-      require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
-        s"CorpusExport reserves the column name $reserved")
     val spark = docs.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("__grp", "__threshold_ppm")
-    val selected = docs
-      .withColumn("__slot", selectionSlot(idCol))
-      .join(broadcast(th),
-        col(groupCol).cast("string") === col("__grp"))
-      .filter(col("__slot") < col("__threshold_ppm"))
-      .drop("__grp", "__slot", "__threshold_ppm")
-    val out = selected
-      .withColumn("shard", shardSlot(idCol, numShards))
+    val out = selectAndShard(docs, groupCol, idCol, thresholds, numShards)
       .repartition(col("shard"))
     out.write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/data")

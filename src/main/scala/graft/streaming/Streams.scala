@@ -553,6 +553,94 @@ object Streams {
       (prev, cur) => graft.operators.QuantileSketch
         .merge(prev, cur, groupCols))
 
+  /** Streamed training-mix export — the WRITE half of
+    * [[graft.operators.CorpusExport]] for a continuously-fed corpus:
+    * every micro-batch runs through the SAME deterministic per-million
+    * keep-thresholds and disjoint-hash shard assignment
+    * ([[graft.operators.CorpusExport.selectAndShard]], shared
+    * verbatim), lands exactly-once in `outDir/data/batch=<id>/shard=N/`
+    * (the `batch=<id>` + `_SUCCESS` commit protocol of
+    * [[dedupThroughStore]] — committed batches skip on replay), and
+    * the per-group manifest accumulates in
+    * `outDir/_export_manifest/batch=<id>` via the versioned-snapshot
+    * protocol of [[maintainTermStats]] (merged from the COMMITTED
+    * data read-back, previous version retained for concurrent
+    * readers). Because selection is per-row content-addressed, the
+    * streamed export over ANY micro-batching of a corpus selects
+    * exactly the one-shot [[graft.operators.CorpusExport.materialize]]
+    * document set into the same shards — including the nested-sample
+    * property: raising a threshold later keeps every already-exported
+    * row eligible. Read the manifest with [[readExportManifest]].
+    */
+  def exportMixStream(docs: DataFrame, groupCol: String, idCol: String,
+      thresholds: Seq[(String, Long)], outDir: String,
+      checkpointDir: String, numShards: Int = 16): StreamingQuery =
+    docs.writeStream
+      .queryName("corpus_export")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val dataDir = new org.apache.hadoop.fs.Path(
+          s"$outDir/data", s"batch=$batchId")
+        val fs = dataDir.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(
+            new org.apache.hadoop.fs.Path(dataDir, "_SUCCESS"))) {
+          fs.delete(dataDir, true) // partial leftovers from a crash
+          graft.operators.CorpusExport
+            .selectAndShard(batch, groupCol, idCol, thresholds, numShards)
+            .repartition(col("shard"))
+            .write.partitionBy("shard").parquet(dataDir.toString)
+        }
+        // manifest: accumulated from the COMMITTED read-back (what
+        // landed, not what the plan promised), versioned-snapshot
+        // protocol — replayed committed batches skip, the previous
+        // version is retained for concurrent readers
+        val mroot = new org.apache.hadoop.fs.Path(
+          s"$outDir/_export_manifest")
+        val mtarget = new org.apache.hadoop.fs.Path(mroot,
+          s"batch=$batchId")
+        val committedM = committedVersions(fs, mroot)
+        if (!committedM.contains(batchId)) {
+          val th = thresholds.toDF("group", "threshold_ppm")
+          // explicit schema: a zero-survivor batch commits a
+          // data-file-less directory schema inference cannot read
+          val landed = spark.read
+            .schema(batch.schema.add("shard",
+              org.apache.spark.sql.types.LongType))
+            .parquet(dataDir.toString)
+            .groupBy(col(groupCol).cast("string").as("group"))
+            .agg(count(lit(1)).as("n_selected"))
+            .join(broadcast(th), Seq("group"), "right_outer")
+            .select(col("group"), col("threshold_ppm"),
+              coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+          val merged = committedM.filter(_ < batchId).sorted.lastOption
+            match {
+              case Some(v) => landed.unionByName(
+                  spark.read.parquet(new org.apache.hadoop.fs.Path(
+                    mroot, s"batch=$v").toString))
+                .groupBy("group", "threshold_ppm")
+                .agg(sum(col("n_selected")).as("n_selected"))
+              case None => landed
+            }
+          fs.delete(mtarget, true)
+          merged.coalesce(1).write.parquet(mtarget.toString)
+          committedVersions(fs, mroot).filter(_ < batchId - 1).foreach(
+            v => fs.delete(new org.apache.hadoop.fs.Path(
+              mroot, s"batch=$v"), true))
+        }
+        ()
+      }
+      .start()
+
+  /** Latest committed (group, threshold_ppm, n_selected) manifest of a
+    * streamed export — cumulative over every committed batch.
+    */
+  def readExportManifest(spark: SparkSession,
+      outDir: String): DataFrame =
+    readTermStats(spark, s"$outDir/_export_manifest")
+
   /** The shared versioned-snapshot maintenance loop behind
     * [[maintainTermStats]], [[maintainCountMin]], and
     * [[maintainQuantileHistogram]]: per batch,

@@ -370,6 +370,86 @@ class StreamingSpec extends SparkSuite {
     assert(stats() === got, "replayed batch must not double-count")
   }
 
+  test("streamed corpus export: any micro-batching selects exactly the " +
+    "one-shot mix into the same shards, the manifest accumulates from " +
+    "committed read-backs (zero-survivor batches included), and replay " +
+    "after checkpoint loss is a no-op") {
+    import spark.implicits._
+    val CE = graft.operators.CorpusExport
+    val srcDir = java.nio.file.Files.createTempDirectory("exp-src").toString
+    val outS = java.nio.file.Files
+      .createTempDirectory("exp-stream").toString + "/out"
+    val outB = java.nio.file.Files
+      .createTempDirectory("exp-batch").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("exp-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "lang", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    val b1 = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "fr" else "en", s"document number $i"))
+    val b2 = (61L to 120L).map(i =>
+      (i, if (i % 3 == 0) "fr" else "en", s"document number $i"))
+    val all = (b1 ++ b2).toDF("doc_id", "lang", "text")
+    // thresholds are an INPUT (computed on a snapshot in production) —
+    // the stream and the one-shot must consume the same ones
+    val th = CE.uniformMixThresholds(all, "lang", rate = 0.5)
+    def drain(): Unit = graft.streaming.Streams.exportMixStream(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "lang", "doc_id", th, outS, ckpt, numShards = 4)
+      .awaitTermination()
+    def streamedSet(): Set[(Long, Long)] =
+      spark.read.parquet(s"$outS/data")
+        .select(col("doc_id"), col("shard").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def manifest(): Set[(String, Long, Long)] =
+      graft.streaming.Streams.readExportManifest(spark, outS)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    deliver("b1", b1)
+    drain()
+    deliver("b2", b2)
+    drain() // second AvailableNow pass sees only the new files
+    // one-shot reference on the SAME corpus + thresholds
+    val mB = CE.materialize(all, "lang", "doc_id", th, outB,
+      numShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val oneShot = spark.read.parquet(s"$outB/data")
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = streamedSet()
+    assert(got === oneShot,
+      "streamed export must land the one-shot document set in the " +
+        "same shards")
+    assert(got.nonEmpty && got.size < 120,
+      "the mix must select a strict, non-empty subset")
+    assert(manifest() === mB,
+      "accumulated manifest must equal the one-shot manifest")
+    // a zero-survivor batch (a group outside the thresholds) commits
+    // an empty directory and leaves the manifest unchanged
+    deliver("b3", Seq((200L, "de", "unmixed language")))
+    drain()
+    assert(streamedSet() === got && manifest() === mB,
+      "a zero-survivor batch must change nothing")
+    // at-least-once replay: wipe the checkpoint so the next run
+    // replays the same files under an already-committed batch id —
+    // both the data write and the manifest merge must skip
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(streamedSet() === got && manifest() === mB,
+      "replayed committed batches must be a no-op")
+  }
+
   test("streamed cross-run dedup through the store: every batch drops " +
     "everything ever seen; a full replay neither duplicates survivors " +
     "nor loses hashes") {
