@@ -205,18 +205,46 @@ object Streams {
     * full-history replay a no-op instead of a data loss.
     */
   def dedupThroughStore(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "dedup_through_store")(
+      "dedup_through_store",
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.DedupStore.compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.DedupStore
+          .buildBloomSidecar(spark, storePath); () })))(
       // the bloom-aware check is a strict superset: identical answers
       // with no sidecar (IngestSpec/PropertySpec equality laws), and
       // micro-batches skip the store history once an operator has built
-      // one (DedupStore.buildBloomSidecar on the compaction schedule)
+      // one (DedupStore.buildBloomSidecar on the compaction schedule —
+      // or inline: `maintenanceEvery` > 0 lets the appender run its own
+      // maintenance every N batches when the StoreStats signals fire,
+      // so a year-long feed self-maintains without an external
+      // scheduler)
       batch => graft.ingest.DedupStore
         .newUniqueWithBloom(batch, textCol, idCol, storePath),
       committed => graft.ingest.DedupStore
         .recordHashes(committed, textCol, storePath))
+
+  /** Inline self-maintenance for the store-backed cycles, driven by
+    * the [[graft.ingest.StoreStats]] signals the reports were built to
+    * feed: compaction when `compactionDue` (the tombstone backlog is
+    * approaching the broadcast ceiling, or file-count pressure), a
+    * sidecar rebuild when `sidecarStale` (residual share past 25%) —
+    * and always after a compaction, whose rewritten file names void
+    * the old sidecar's coverage. Stores without a path-form sidecar
+    * pass None and only compact.
+    */
+  private def maintainIfDue(stats: => graft.ingest.StoreStats.Stats,
+      compact: => Unit, rebuildSidecar: Option[() => Unit]): Unit = {
+    val s = stats
+    if (s.compactionDue) {
+      compact
+      rebuildSidecar.foreach(_.apply())
+    } else if (s.sidecarStale) rebuildSidecar.foreach(_.apply())
+  }
 
   /** [[dedupThroughStore]] against the BUCKETED catalog store
     * ([[graft.ingest.DedupStore.ensureBucketedStore]]) — identical
@@ -228,11 +256,18 @@ object Streams {
     */
   def dedupThroughBucketedStore(docs: DataFrame, textCol: String,
       idCol: String, table: String, outDir: String,
-      checkpointDir: String, buckets: Int = 32): StreamingQuery = {
+      checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0): StreamingQuery = {
     graft.ingest.DedupStore.ensureBucketedStore(
       docs.sparkSession, table, buckets)
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "dedup_through_bucketed_store")(
+      "dedup_through_bucketed_store",
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.bucketed(spark, table),
+        { graft.ingest.DedupStore.compactBucketedStore(spark, table); () },
+        Some(() => { graft.ingest.DedupStore
+          .buildBloomSidecarBucketed(spark, table); () })))(
       // bloom-aware for the same reason as dedupThroughStore; the
       // bucketed sidecar lives in the table directory and retires with
       // compaction's swap, so the stream needs no coordination
@@ -256,7 +291,9 @@ object Streams {
       outDir: String, checkpointDir: String, queryName: String,
       committedSchema: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType =
-        _.add("content_hash", org.apache.spark.sql.types.StringType))(
+        _.add("content_hash", org.apache.spark.sql.types.StringType),
+      maintenanceEvery: Int = 0,
+      maintain: SparkSession => Unit = _ => ())(
       check: DataFrame => DataFrame,
       record: DataFrame => Unit): StreamingQuery =
     docs.writeStream
@@ -279,6 +316,15 @@ object Streams {
         record(
           spark.read.schema(committedSchema(batch.schema))
             .parquet(target.toString))
+        // r14 inline self-maintenance: AFTER the record step (so the
+        // just-recorded batch counts toward the signals), every
+        // `maintenanceEvery` batches. The single-writer assumption the
+        // stores already document makes this safe: the appender IS the
+        // writer, so running compaction between its own batches can
+        // never race an append. A replayed committed batch still
+        // reaches here — maintenance is idempotent (signals re-check).
+        if (maintenanceEvery > 0 && (batchId + 1) % maintenanceEvery == 0)
+          maintain(spark)
         ()
       }
       .start()
@@ -298,9 +344,15 @@ object Streams {
     */
   def nearDedupThroughStore(docs: DataFrame, textCol: String,
       idCol: String, storePath: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, maintenanceEvery: Int = 0): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "near_dedup_through_store", committedSchema = identity)(
+      "near_dedup_through_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      // the near store has no path-form sidecar: compaction only
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.NearDupStore.compactStore(spark, storePath); () },
+        None))(
       batch => graft.ingest.NearDupStore
         .newNearUnique(batch, textCol, idCol, storePath),
       committed => graft.ingest.NearDupStore
@@ -318,9 +370,16 @@ object Streams {
     */
   def spanDedupThroughStore(docs: DataFrame, textCol: String,
       idCol: String, storePath: String, outDir: String,
-      checkpointDir: String, maxDupShare: Double = 0.5): StreamingQuery =
+      checkpointDir: String, maxDupShare: Double = 0.5,
+      maintenanceEvery: Int = 0): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "span_dedup_through_store", committedSchema = identity)(
+      "span_dedup_through_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.SpanStore.compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.SpanStore
+          .buildBloomSidecar(spark, storePath); () })))(
       // bloom-aware for the same reason as dedupThroughStore: identical
       // answers with no sidecar, and micro-batches skip the store
       // history once an operator builds one (SpanStore.buildBloomSidecar
@@ -338,11 +397,18 @@ object Streams {
     */
   def nearDedupThroughBucketedStore(docs: DataFrame, textCol: String,
       idCol: String, table: String, outDir: String,
-      checkpointDir: String, buckets: Int = 32): StreamingQuery = {
+      checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0): StreamingQuery = {
     graft.ingest.NearDupStore.ensureBucketedStore(
       docs.sparkSession, table, buckets)
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "near_dedup_through_bucketed_store", committedSchema = identity)(
+      "near_dedup_through_bucketed_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.bucketed(spark, table),
+        { graft.ingest.NearDupStore.compactBucketedStore(spark, table); () },
+        Some(() => { graft.ingest.NearDupStore
+          .buildBloomSidecarBucketed(spark, table); () })))(
       batch => graft.ingest.NearDupStore
         .newNearUniqueBucketedWithBloom(batch, textCol, idCol, table),
       committed => graft.ingest.NearDupStore
@@ -359,11 +425,17 @@ object Streams {
   def spanDedupThroughBucketedStore(docs: DataFrame, textCol: String,
       idCol: String, table: String, outDir: String,
       checkpointDir: String, maxDupShare: Double = 0.5,
-      buckets: Int = 32): StreamingQuery = {
+      buckets: Int = 32, maintenanceEvery: Int = 0): StreamingQuery = {
     graft.ingest.SpanStore.ensureBucketedStore(
       docs.sparkSession, table, buckets)
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "span_dedup_through_bucketed_store", committedSchema = identity)(
+      "span_dedup_through_bucketed_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.bucketed(spark, table),
+        { graft.ingest.SpanStore.compactBucketedStore(spark, table); () },
+        Some(() => { graft.ingest.SpanStore
+          .buildBloomSidecarBucketed(spark, table); () })))(
       batch => graft.ingest.SpanStore
         .newSpanUniqueBucketedWithBloom(batch, textCol, idCol, table,
           maxDupShare),
@@ -729,6 +801,10 @@ object Streams {
   def curationFeedThroughStores(docs: DataFrame, textCol: String,
       idCol: String, exactStorePath: String, nearStorePath: String,
       outDir: String, checkpointDir: String): StreamingQuery =
+    // no maintenanceEvery here: Scala forbids default arguments on two
+    // overloads of one name, and the 3-store form is the full one —
+    // compose the span stage (or pass an empty span store) to get
+    // inline self-maintenance
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "curation_feed_through_stores")(
       batch => graft.ingest.NearDupStore.newNearUnique(
@@ -778,9 +854,29 @@ object Streams {
   def curationFeedThroughStores(docs: DataFrame, textCol: String,
       idCol: String, exactStorePath: String, nearStorePath: String,
       spanStorePath: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, maintenanceEvery: Int = 0): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "curation_feed_through_stores")(
+      "curation_feed_through_stores",
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(spark, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(spark, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(spark, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(spark, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(spark, nearStorePath); () },
+          None)
+        maintainIfDue(
+          graft.ingest.StoreStats.path(spark, spanStorePath),
+          { graft.ingest.SpanStore
+            .compactStore(spark, spanStorePath); () },
+          Some(() => { graft.ingest.SpanStore
+            .buildBloomSidecar(spark, spanStorePath); () }))
+      })(
       batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
         graft.ingest.NearDupStore.newNearUnique(
           graft.ingest.DedupStore
@@ -805,13 +901,34 @@ object Streams {
   def curationFeedThroughBucketedStores(docs: DataFrame, textCol: String,
       idCol: String, exactTable: String, nearTable: String,
       spanTable: String, outDir: String, checkpointDir: String,
-      buckets: Int = 32): StreamingQuery = {
+      buckets: Int = 32, maintenanceEvery: Int = 0): StreamingQuery = {
     val spark = docs.sparkSession
     graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable, buckets)
     graft.ingest.NearDupStore.ensureBucketedStore(spark, nearTable, buckets)
     graft.ingest.SpanStore.ensureBucketedStore(spark, spanTable, buckets)
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
-      "curation_feed_through_bucketed_stores")(
+      "curation_feed_through_bucketed_stores",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, exactTable),
+          { graft.ingest.DedupStore
+            .compactBucketedStore(s2, exactTable); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecarBucketed(s2, exactTable); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, nearTable),
+          { graft.ingest.NearDupStore
+            .compactBucketedStore(s2, nearTable); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecarBucketed(s2, nearTable); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, spanTable),
+          { graft.ingest.SpanStore
+            .compactBucketedStore(s2, spanTable); () },
+          Some(() => { graft.ingest.SpanStore
+            .buildBloomSidecarBucketed(s2, spanTable); () }))
+      })(
       batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
         graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
           graft.ingest.DedupStore

@@ -370,6 +370,85 @@ class StreamingSpec extends SparkSuite {
     assert(stats() === got, "replayed batch must not double-count")
   }
 
+  test("inline self-maintenance: a feed whose takedown backlog crosses " +
+    "the tombstone half-ceiling triggers compaction MID-STREAM (the " +
+    "appender is the scheduler), rebuilds the sidecar, and returns " +
+    "probes to the broadcast plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val D = graft.ingest.DedupStore
+    val SS = graft.ingest.StoreStats
+    val srcDir = java.nio.file.Files.createTempDirectory("sm-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("sm-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("sm-ckpt").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("sm-store").toString + "/hashes"
+    // history + a pending takedown backlog
+    D.recordHashes((1 to 50).map(i => (i.toLong, s"seed doc $i"))
+      .toDF("doc_id", "text"), "text", store)
+    D.retract(Seq((0L, "seed doc 1"), (0L, "seed doc 2"))
+      .toDF("doc_id", "text"), "text", store)
+    assert(SS.path(spark, store).tombstoneBytes > 0L)
+    val probe = Seq((9001L, "seed doc 5"), (9002L, "brand new"))
+      .toDF("doc_id", "text")
+    def broadcasts(): Int =
+      D.newUnique(probe, "text", "doc_id", store)
+        .queryExecution.sparkPlan.collect {
+          case e: BroadcastHashJoinExec => e
+        }.size
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    Seq((101L, "fresh alpha"), (102L, "fresh beta"),
+      (5L, "seed doc 5"))
+      .toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/b1")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // any BroadcastExchange left is OUR gatedHint hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ceiling under the backlog: the probe has DEGRADED to the
+      // shuffle fallback — the state self-maintenance exists to fix
+      spark.conf.set("graft.tombstone.broadcast.maxBytes", "2")
+      assert(broadcasts() === 0,
+        "over-ceiling backlog should ride the shuffle fallback")
+      assert(SS.path(spark, store).compactionDue)
+      graft.streaming.Streams.dedupThroughStore(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", store, outDir, ckpt,
+        maintenanceEvery = 1).awaitTermination()
+      // maintenance ran INSIDE the stream: backlog compacted away,
+      // sidecar rebuilt over the rewritten files
+      val s = SS.path(spark, store)
+      assert(s.tombstoneBytes === 0L,
+        "the mid-stream compaction must have cleared the backlog")
+      assert(!s.compactionDue)
+      assert(s.sidecarPresent && !s.sidecarStale,
+        "compaction voids sidecar coverage — maintenance must rebuild")
+      // delivery semantics untouched: dup of history dropped, fresh kept
+      val survivors = spark.read
+        .schema(schema.add("content_hash",
+          org.apache.spark.sql.types.StringType))
+        .parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors === Set(101L, 102L))
+      // a NEW takedown-list-sized backlog probes on the broadcast plan
+      // again under the DEFAULT ceiling — the gate is healthy
+      spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+      D.retract(Seq((0L, "fresh alpha")).toDF("doc_id", "text"),
+        "text", store)
+      assert(broadcasts() >= 1,
+        "post-maintenance probes must be back on the broadcast plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+    }
+  }
+
   test("streamed corpus export: any micro-batching selects exactly the " +
     "one-shot mix into the same shards, the manifest accumulates from " +
     "committed read-backs (zero-survivor batches included), and replay " +
