@@ -35,7 +35,21 @@ object AnnIndex {
     * Returns (vec_id, v, cid).
     */
   def assignByCosine(embeddings: DataFrame,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    probeByCosine(embeddings, centroids, 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+
+  /** Per-vector top-`nprobe` lists as ROWS — the frame form of
+    * [[probeLists]] (same (cosine desc, cid asc) order, so rn = 1 IS
+    * the [[assignByCosine]] assignment, which delegates here: one
+    * definition, two depths). Returns (vec_id, v, cid, rn), one row
+    * per (vector, probed list). The streaming semantic gate pairs
+    * within-batch candidates over THIS frame so its recall matches the
+    * cross-run probe's nprobe-list window instead of the narrower
+    * top-1 list.
+    */
+  def probeByCosine(embeddings: DataFrame,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Functions.register(spark)
     val w = org.apache.spark.sql.expressions.Window
@@ -44,8 +58,8 @@ object AnnIndex {
       .crossJoin(broadcast(centroidFrame(spark, centroids)))
       .withColumn("csim", expr("cosine_sim(v, cv)"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("cid"), col("rn"))
   }
 
   /** Write the index: one [[assignByCosine]] pass then

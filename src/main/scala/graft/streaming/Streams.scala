@@ -1052,9 +1052,15 @@ object Streams {
     * ([[graft.operators.AnnIndex.semanticDedupProbeOf]], cosine ≥
     * `tau` within `nprobe` lists) and only vectors with NO live
     * indexed near-duplicate are appended. Within-batch copies are
-    * resolved FIRST by the q112 rule (lower vec_id wins among
-    * same-list pairs at ≥ `tau`), so two copies arriving together
-    * cannot both slip past an index that contains neither. Gate and
+    * resolved FIRST by the q112 rule (lower vec_id wins at ≥ `tau`),
+    * paired over the UNION of each vector's top-`nprobe` lists — the
+    * same probe window as the cross-run gate, so two near-duplicates
+    * arriving in one micro-batch that straddle a centroid boundary
+    * are still paired (r13 paired top-1 lists only, which the r13
+    * advice flagged: a boundary-straddling pair could both append).
+    * The residual recall gap is the gate's own documented one: a true
+    * pair sharing NO list within `nprobe` — the same trade the
+    * cross-run probe makes. Gate and
     * append both run against the generation pinned at batch start;
     * the strand guard then fails the batch if a retrain swapped
     * mid-batch, so replay re-gates against the installed generation —
@@ -1088,36 +1094,57 @@ object Streams {
       .getOrElse(throw new IllegalStateException(
         s"no installed generation at $root"))
     val cents = A.readCentroidsOf(spark, root, gen0)
-    // within-batch first: q112's rule on the pinned generation's
-    // clustering — among same-list pairs at ≥ tau, the lower id wins
-    val assigned = A.assignByCosine(batch.select("vec_id", "v"), cents)
-    val a = assigned.select(col("vec_id").as("vec_a"), col("cid"),
-      col("v").as("v_a"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("cid"),
-      col("v").as("v_b"))
-    val inBatchDups = a.join(b, "cid")
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(expr("cosine_sim(v_a, v_b)") >= tau)
-      .select(col("vec_b").as("vec_id")).distinct()
-    // id-level replay guard: the probe reads an id self-match as
-    // re-delivery (not a duplicate), which is right for AUDITING but
-    // would let an at-least-once re-delivery (wiped checkpoint, crash
-    // between the parquet append and the streaming commit) append the
-    // same vec_id twice. Ids already in the pinned generation never
-    // re-append — the anti-join reads one column of the index
-    // (columnar prune; a DedupStore-backed id set is the same
-    // structure with a bloom sidecar when even that scan is too much).
-    // MATERIALIZED for the batch's lifetime and RELEASED after the
-    // append (the Exec loop contract — one barrier per micro-batch
-    // must not accumulate): the gate and the survivor join reference
-    // this frame several times, and its plan carries the two
-    // anti-joins above.
-    val batchSurvivors = batch.select("vec_id", "v")
-      .join(inBatchDups, Seq("vec_id"), "left_anti")
-      .join(spark.read.parquet(s"$root/$gen0").select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .transform(graft.operators.Exec.materialize)
+    // both per-batch barriers release together in the one finally —
+    // the Exec loop contract (barriers must not accumulate across
+    // micro-batches)
+    val barriers = scala.collection.mutable.ListBuffer[DataFrame]()
+    def barrier(df: DataFrame): DataFrame = {
+      val m = df.transform(graft.operators.Exec.materialize)
+      barriers += m; m
+    }
     try {
+      // within-batch first: q112's rule — the lower id wins at ≥ tau —
+      // paired over the UNION of each vector's top-nprobe lists (the
+      // cross-run probe's own window; top-1-only pairing missed
+      // boundary-straddling pairs, the r13 advice gap). Materialized
+      // for the batch's lifetime: the pair join references it twice and
+      // the probed-cid collect below walks it once more.
+      val probed = barrier(
+        A.probeByCosine(batch.select("vec_id", "v"), cents, nprobe))
+      val a = probed.select(col("vec_id").as("vec_a"), col("cid"),
+        col("v").as("v_a"))
+      val b = probed.select(col("vec_id").as("vec_b"), col("cid"),
+        col("v").as("v_b"))
+      val inBatchDups = a.join(b, "cid")
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(expr("cosine_sim(v_a, v_b)") >= tau)
+        .select(col("vec_b").as("vec_id")).distinct()
+      // the batch's probed lists — ≤ k rows by construction (the
+      // vacuumRetracted collect-bound argument); a re-delivered id
+      // lands in its ARGMAX list (deterministic assignment), which the
+      // probed set contains (rn = 1 ⊆ rn ≤ nprobe), so the id guard
+      // below may prune its scan to these partitions
+      val batchCids = probed.select("cid").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // id-level replay guard: the probe reads an id self-match as
+      // re-delivery (not a duplicate), which is right for AUDITING but
+      // would let an at-least-once re-delivery (wiped checkpoint, crash
+      // between the parquet append and the streaming commit) append the
+      // same vec_id twice. Ids already in the pinned generation never
+      // re-append — the anti-join reads one column of the PROBED `cid=`
+      // partitions only (partition prune + columnar prune; r13 scanned
+      // the whole generation's id column, a per-batch cost that grew
+      // with index size — the r13 advice item. A DedupStore-backed id
+      // set is the same structure with a bloom sidecar when even the
+      // pruned scan is too much). MATERIALIZED for the batch's lifetime
+      // and RELEASED after the append (the Exec loop contract): the
+      // gate and the survivor join reference this frame several times,
+      // and its plan carries the two anti-joins above.
+      val batchSurvivors = barrier(batch.select("vec_id", "v")
+        .join(inBatchDups, Seq("vec_id"), "left_anti")
+        .join(spark.read.parquet(s"$root/$gen0")
+            .filter(col("cid").isin(batchCids: _*)).select("vec_id"),
+          Seq("vec_id"), "left_anti"))
       // then the cross-run gate against the pinned generation — served
       // from the PQ codes when the generation has a sidecar
       // (candidates never read the float column; exact re-rank bounds
@@ -1130,7 +1157,7 @@ object Streams {
         .write.mode("append").partitionBy("cid")
         .parquet(s"$root/$gen0")
     } finally {
-      graft.operators.Exec.release(batchSurvivors)
+      barriers.foreach(graft.operators.Exec.release)
     }
     postWriteProbe()
     val gen1 = A.currentGeneration(spark, root)

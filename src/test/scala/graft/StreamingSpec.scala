@@ -1615,5 +1615,46 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/$g2").count() === g2count,
       "the float-probe fallback gate let a duplicate append " +
         "post-retrain (no sidecar)")
+    // r14 (the r13 advice gap): two near-duplicates in ONE batch that
+    // STRADDLE a centroid boundary — each argmax-assigned to a
+    // different list — must still pair within-batch, because pairing
+    // runs over the union of each vector's top-nprobe lists (the
+    // cross-run probe's window), not the top-1 list alone. Construct
+    // the pair on the bisector of the two most-similar current
+    // centroids, each nudged toward its own side, and assert the
+    // construction really straddles before asserting the gate holds.
+    val cents2 = A.readCentroids(spark, root)
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(p => p * p).sum) *
+        math.sqrt(y.map(p => p * p).sum))
+    }
+    def argmaxCid(x: Seq[Double]): Int =
+      cents2.map { case (cid, cv) => (cid, cos(x, cv.toSeq)) }
+        .sortBy { case (cid, c) => (-c, cid) }.head._1
+    val Seq((cidA, cA), (cidB, cB)) = cents2
+      .combinations(2).map(_.toSeq)
+      .maxBy { case Seq((_, x), (_, y)) => cos(x.toSeq, y.toSeq) }
+    def unit(x: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(x.map(p => p * p).sum); x.map(_ / n)
+    }
+    val (ua, ub) = (unit(cA.toSeq), unit(cB.toSeq))
+    val mid = ua.zip(ub).map { case (p, q) => p + q }
+    val straddleA = mid.zip(ua).map { case (m, p) => m + 0.05 * p }
+    val straddleB = mid.zip(ub).map { case (m, p) => m + 0.05 * p }
+    assert(argmaxCid(straddleA) === cidA && argmaxCid(straddleB) === cidB,
+      "construction must straddle the centroid boundary")
+    assert(cos(straddleA, straddleB) >= 0.9,
+      "construction must be a near-duplicate pair")
+    Seq((300007L, straddleA), (300008L, straddleB))
+      .toDF("vec_id", "v").coalesce(1).write.parquet(s"$srcDir/d5")
+    drain()
+    val finalIds = spark.read.parquet(s"$root/$g2")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!(finalIds.contains(300007L) && finalIds.contains(300008L)),
+      "a boundary-straddling within-batch near-dup pair BOTH appended " +
+        "(the r13 top-1-pairing gap)")
+    assert(!finalIds.contains(300008L),
+      "among a within-batch pair the lower id must win")
   }
 }
