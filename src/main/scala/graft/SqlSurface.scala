@@ -52,7 +52,9 @@ object SqlSurface {
     // q110/q111 are lazy end to end.
     "q112_semdedup", "q113_lm_score", "q116_curation_log",
     "q117_term_drift",
-    "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk")
+    // q120 rides the same build-time PQ codebook materialization
+    "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk",
+    "q120_pq_distortion")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -2861,6 +2861,113 @@ object LlmPipeline {
   // Registry
   // =====================================================================
 
+  /** q118: training-mix export audit — [[graft.operators.CorpusExport]]'s
+    * whole selection algebra as one oracle-gated query: per-group
+    * uniform-mix keep-thresholds (q74's importance weight at rate 0.5,
+    * computed IN-PLAN: one narrow per-group count agg crossJoined with
+    * the 1-row total — never collected), the content-addressed
+    * per-million selection slot (md5 digits 1–15, the q46 convention at
+    * 10⁴× granularity), and the DISJOINT shard slot (digits 17–31),
+    * reported as per-(group, shard) selected counts. This pins the
+    * exact document set `materialize`/`exportMixStream` would land —
+    * thresholds, nested-sample slots, shard spread — against DuckDB
+    * bit-for-bit (slot arithmetic is integer-exact; the one double
+    * step, rate·total/(groups·n), is a pinned IEEE chain + round, the
+    * q117 doctrine).
+    *
+    * Scale: the corpus side is ONE scan filtered by a broadcast
+    * (group, threshold) frame — it never shuffles to be sampled — and
+    * the report aggregation is groups × shards rows.
+    */
+  private val q118: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val tot = counts.agg(sum(col("n_g")).as("n_total"),
+      count(lit(1)).as("n_groups"))
+    val th = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(1000000L),
+          round(lit(1000000d) * (lit(0.5) * col("n_total")) /
+            (col("n_groups") * col("n_g"))).cast(LongType))
+          .as("threshold_ppm"),
+        col("n_g").as("n_total_group"))
+    docs
+      .withColumn("slot", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+          "16, 10) as bigint) % 1000000"))
+      .join(broadcast(th), "lang")
+      .filter(col("slot") < col("threshold_ppm"))
+      .withColumn("shard", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 17, 15), " +
+          "16, 10) as bigint) % 8"))
+      .groupBy("lang", "threshold_ppm", "n_total_group", "shard")
+      .agg(count(lit(1)).as("n_selected"))
+      .orderBy("lang", "shard")
+  }
+
+  /** q119: embedding health audit — the degenerate-vector screen an
+    * embedding pipeline runs before anything consumes the column: NaN
+    * contamination, zero vectors, and the norm distribution as an
+    * exact log₂ histogram (the q115 bucket trick on the fixed-point
+    * squared norm — the shape drift monitors alarm on). The corpus has
+    * no degenerate vectors, so a deterministic fault set is injected
+    * first (q39/q48's synthesize-then-operate pattern): every 37th
+    * vector gets a NaN lane, every 41st is zeroed. Classification
+    * GUARDS the norm arithmetic — floor(NaN) reaches no bigint cast on
+    * either engine (Spark ANSI would throw; DuckDB would error the
+    * same way).
+    *
+    * Scale: one scan, per-row codegen'd lambdas, output ≤ ~64 buckets
+    * — the audit costs one pass at any corpus size.
+    */
+  private val q119: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("v", expr(
+        """transform(cast(embedding as array<double>), (x, i) ->
+          |  CASE WHEN vec_id % 41 = 0 THEN 0d
+          |       WHEN vec_id % 37 = 0 AND i = 0
+          |         THEN cast('NaN' as double)
+          |       ELSE x END)""".stripMargin))
+      .select(col("vec_id"),
+        expr("exists(v, x -> isnan(x))").as("has_nan"), col("v"))
+      .withColumn("norm2_fp", when(col("has_nan"), lit(-1L))
+        .otherwise(expr(
+          """aggregate(v, 0L, (acc, x) ->
+            |  acc + cast(floor((x * x) * 1000000000000d) as bigint))"""
+            .stripMargin)))
+      .select(
+        when(col("has_nan"), "nan")
+          .when(col("norm2_fp") === 0L, "zero")
+          .otherwise("ok").as("health"),
+        when(col("has_nan") || col("norm2_fp") === 0L, lit(-1L))
+          .otherwise(length(bin(col("norm2_fp"))) - lit(1))
+          .cast(LongType).as("norm_bucket"))
+      .groupBy("health", "norm_bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("health", "norm_bucket")
+
+  /** q120: PQ distortion report — the per-subspace audit of the
+    * q107–q109 family (q91's rising-distortion retrain trigger,
+    * applied to the PQ codebook instead of the IVF centroids): count,
+    * MEAN quantization distortion (exact DECIMAL(38,0) fixed-point
+    * sum, one pinned division — the q91 widen-then-convert), and the
+    * worst vector per subspace. A subspace whose mean distortion
+    * outruns the others is the "retrain this codebook" signal
+    * [[graft.operators.IndexStats.retrainDue]] schedules on.
+    *
+    * Scale: rides q108's map-only literal-codebook encode; the report
+    * aggregation is m rows.
+    */
+  private val q120: Q = (s, dir) =>
+    graft.operators.Pq.encode(pqEmbeddings(s, dir),
+        pqCodebook(s, dir), PqM, PqDim)
+      .groupBy(col("sub").cast(LongType).as("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("dist_fp").cast(DecimalType(38, 0))).cast(DoubleType) /
+          count(lit(1))).as("mean_dist_fp"),
+        max(col("dist_fp")).as("max_dist_fp"))
+      .orderBy("sub")
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -2939,7 +3046,10 @@ object LlmPipeline {
     "q112_semdedup" -> q112,
     "q113_lm_score" -> q113,
     "q116_curation_log" -> q116,
-    "q117_term_drift" -> q117)
+    "q117_term_drift" -> q117,
+    "q118_export_mix" -> q118,
+    "q119_embedding_health" -> q119,
+    "q120_pq_distortion" -> q120)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4199,6 +4309,67 @@ object LlmPipeline {
          |   * (CAST(n_b AS DOUBLE) - eb) / eb) * 1000000) AS BIGINT)
          |  AS chi2_fp
          |FROM sel ORDER BY chi2_fp DESC, term LIMIT 20""".stripMargin,
+    "q118_export_mix" ->
+      """WITH counts AS (
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g
+        | FROM documents GROUP BY lang),
+        |tot AS (
+        | SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM counts),
+        |th AS (
+        | SELECT lang,
+        |  LEAST(CAST(1000000 AS BIGINT),
+        |   CAST(round(1000000 * (0.5 * n_total) / (n_groups * n_g))
+        |    AS BIGINT)) AS threshold_ppm,
+        |  n_g AS n_total_group
+        | FROM counts CROSS JOIN tot),
+        |sel AS (
+        | SELECT d.lang, th.threshold_ppm, th.n_total_group,
+        |  CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 17, 15)
+        |   AS BIGINT) % 8 AS shard
+        | FROM documents d JOIN th ON d.lang = th.lang
+        | WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        |   AS BIGINT) % 1000000 < th.threshold_ppm)
+        |SELECT lang, threshold_ppm, n_total_group, shard,
+        | CAST(COUNT(*) AS BIGINT) AS n_selected
+        |FROM sel GROUP BY 1, 2, 3, 4 ORDER BY lang, shard""".stripMargin,
+    "q119_embedding_health" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |f AS (
+        | SELECT vec_id,
+        |  CASE WHEN vec_id % 41 = 0 THEN list_transform(v0, x -> 0.0)
+        |   WHEN vec_id % 37 = 0
+        |    THEN list_concat(['NaN'::DOUBLE], v0[2:])
+        |   ELSE v0 END AS v
+        | FROM e),
+        |g AS (
+        | SELECT vec_id,
+        |  len(list_filter(v, x -> isnan(x))) > 0 AS has_nan, v
+        | FROM f),
+        |h AS (
+        | SELECT vec_id, has_nan,
+        |  CASE WHEN has_nan THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(list_reduce(list_transform(v, x ->
+        |     CAST(floor((x * x) * 1000000000000) AS BIGINT)),
+        |    (a, x) -> a + x) AS BIGINT) END AS norm2_fp
+        | FROM g),
+        |c AS (
+        | SELECT CASE WHEN has_nan THEN 'nan'
+        |   WHEN norm2_fp = 0 THEN 'zero' ELSE 'ok' END AS health,
+        |  CASE WHEN has_nan OR norm2_fp = 0 THEN CAST(-1 AS BIGINT)
+        |   ELSE CAST(length(bin(norm2_fp)) - 1 AS BIGINT)
+        |   END AS norm_bucket
+        | FROM h)
+        |SELECT health, norm_bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM c GROUP BY 1, 2 ORDER BY health, norm_bucket""".stripMargin,
+    "q120_pq_distortion" ->
+      s"""WITH $pqCtes
+         |SELECT CAST(sub AS BIGINT) AS sub,
+         | CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         | CAST(SUM(dist_fp) AS DOUBLE) / COUNT(*) AS mean_dist_fp,
+         | CAST(MAX(dist_fp) AS BIGINT) AS max_dist_fp
+         |FROM penc GROUP BY sub ORDER BY sub""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

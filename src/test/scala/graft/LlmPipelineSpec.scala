@@ -809,6 +809,76 @@ class LlmPipelineSpec extends SparkSuite {
       .count() === 0L, "empty-cohort corpus must report nothing")
   }
 
+  test("q118 export mix: thresholds equal the CorpusExport operator's, " +
+    "per-group selection respects them, and shards spread") {
+    val rows = LlmPipeline.queries("q118_export_mix")(spark, sf).collect()
+    // the query's in-plan thresholds must be EXACTLY what the operator
+    // would hand materialize/exportMixStream — the audit and the export
+    // can never disagree about the mix
+    val want = graft.operators.CorpusExport.uniformMixThresholds(
+      Tables.load(spark, sf, "documents"), "lang", rate = 0.5).toMap
+    val got = rows.map(r =>
+      r.getString(0) -> r.getAs[Long]("threshold_ppm")).toMap
+    assert(got === want.filter { case (g, _) => got.contains(g) } &&
+      got.keySet === want.keySet,
+      s"in-plan thresholds diverged from the operator: $got vs $want")
+    // per-group totals: selected <= group size, and the selected share
+    // tracks threshold_ppm (content-addressed slots are ~uniform)
+    val byGroup = rows.groupBy(_.getString(0))
+    for ((g, rs) <- byGroup) {
+      val nTotal = rs.head.getAs[Long]("n_total_group")
+      val nSel = rs.map(_.getAs[Long]("n_selected")).sum
+      assert(nSel <= nTotal)
+      val expect = nTotal * want(g).toDouble / 1000000d
+      assert(math.abs(nSel - expect) <= math.max(8d, 0.35 * expect),
+        s"group $g selected $nSel vs expected ~$expect")
+      // disjoint-hash shards: selection must not collapse into one
+      if (nSel >= 16) assert(rs.length >= 4,
+        s"group $g landed in only ${rs.length} shards")
+    }
+  }
+
+  test("q119 embedding health: planted faults classify exactly, ok " +
+    "norms bucket by exact ilog2, counts reconcile") {
+    val rows = LlmPipeline.queries("q119_embedding_health")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ids = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    // %41 wins over %37 (the zeroing branch is checked first)
+    val wantZero = ids.count(_ % 41 == 0).toLong
+    val wantNan = ids.count(i => i % 37 == 0 && i % 41 != 0).toLong
+    assert(rows.getOrElse(("zero", -1L), 0L) === wantZero)
+    assert(rows.getOrElse(("nan", -1L), 0L) === wantNan)
+    val okCount = rows.collect { case (("ok", _), n) => n }.sum
+    assert(okCount === ids.length - wantZero - wantNan,
+      "every vector must be classified exactly once")
+    rows.keys.foreach { case (h, b) =>
+      assert(if (h == "ok") b >= 0 else b === -1L) }
+  }
+
+  test("q120 PQ distortion: covers every vector in every subspace, " +
+    "mean <= max, and reconciles with the q108 encoding") {
+    val rows = LlmPipeline.queries("q120_pq_distortion")(spark, sf)
+      .collect()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length === 8, "one report row per subspace")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") === nVecs)
+      assert(r.getAs[Double]("mean_dist_fp") >= 0d)
+      assert(r.getAs[Double]("mean_dist_fp") <=
+        r.getAs[Long]("max_dist_fp").toDouble)
+    }
+    // reconciles with q108: the per-subspace max is the max of the
+    // encoded corpus's audit column
+    val enc = LlmPipeline.queries("q108_pq_encode")(spark, sf)
+      .collect().groupBy(_.getAs[Long]("sub"))
+      .view.mapValues(_.map(_.getAs[Long]("dist_fp")).max).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_dist_fp") ===
+        enc(r.getAs[Long]("sub"))) }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
