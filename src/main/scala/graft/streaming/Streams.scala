@@ -1007,15 +1007,53 @@ object Streams {
     * retrains — the family's single-maintenance-writer posture.
     */
   def indexIngestStreamVersioned(embeddings: DataFrame, root: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
     embeddings.writeStream
       .queryName("ivf_index_ingest_versioned")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendVersionedBatch(batch, root)
+        if (maintenanceEvery > 0 &&
+            (batchId + 1) % maintenanceEvery == 0)
+          maintainIndexIfDue(batch.sparkSession, root)
       }
       .start()
+
+  /** Inline self-maintenance for the versioned-index appenders — the
+    * [[graft.operators.IndexStats]] signals consumed the way the
+    * store cycles consume StoreStats (see [[dedupThroughStore]]):
+    * `vacuumDue` → [[graft.operators.AnnIndex.vacuumRetracted]] (the
+    * retraction backlog is approaching the broadcast ceiling —
+    * physically drop it BEFORE probes fall off the broadcast plan),
+    * then `sidecarRebuildDue` re-checked on the POST-vacuum state →
+    * [[graft.operators.AnnIndex.buildPqSidecar]] (a vacuum installs a
+    * sidecar-less generation; a growing residual erodes the codes-only
+    * serving path the same way a stale bloom erodes the store probe).
+    * Runs AFTER the batch's append + strand guard, on the appender's
+    * own thread — the single-writer argument of the store cycles. The
+    * distortion-triggered RETRAIN stays operator-scheduled
+    * ([[graft.operators.IndexStats.retrainDue]] with an
+    * operator-chosen threshold): it refits the whole index and has no
+    * universal "due" constant to self-trigger on. The sidecar rebuild
+    * only fires when the generation ever had one (or a vacuum just
+    * dropped one): a deliberately float-only index must not sprout a
+    * PQ sidecar because a maintenance pass ran.
+    */
+  private def maintainIndexIfDue(spark: SparkSession,
+      root: String): Unit = {
+    val IS = graft.operators.IndexStats
+    val A = graft.operators.AnnIndex
+    val s0 = IS.stats(spark, root)
+    val vacuumed = s0.vacuumDue
+    if (vacuumed) A.vacuumRetracted(spark, root)
+    val s1 = if (vacuumed) IS.stats(spark, root) else s0
+    // rebuild when due AND the pq path is in use: the current
+    // generation has (or the pre-vacuum one had) a committed sidecar
+    if (s1.sidecarRebuildDue && (s1.pqPresent || s0.pqPresent))
+      A.buildPqSidecar(spark, root)
+  }
 
   /** One micro-batch of [[indexIngestStreamVersioned]], factored out so
     * the strand guard is testable: resolve the generation ONCE, assign
@@ -1069,13 +1107,16 @@ object Streams {
     */
   def semanticDedupIngestStream(embeddings: DataFrame, root: String,
       checkpointDir: String, tau: Double, nprobe: Int = 2,
-      rerankC: Int = 8): StreamingQuery =
+      rerankC: Int = 8, maintenanceEvery: Int = 0): StreamingQuery =
     embeddings.writeStream
       .queryName("ivf_index_ingest_semantic_dedup")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendVersionedBatchDeduped(batch, root, tau, nprobe, rerankC)
+        if (maintenanceEvery > 0 &&
+            (batchId + 1) % maintenanceEvery == 0)
+          maintainIndexIfDue(batch.sparkSession, root)
       }
       .start()
 

@@ -291,6 +291,34 @@ class PlanSpec extends SparkSuite {
     assert(probed.collect().map(_.getString(0)).toSeq === Seq("a1"))
   }
 
+  test("r14 additions: q118's corpus side filters against broadcast " +
+    "frames (never shuffled to be sampled), q119 is one scan + one " +
+    "aggregation, q113's tercile cut plans no global sort") {
+    // q118: the thresholds reach the corpus scan via broadcast joins —
+    // the selection must never shuffle the documents side
+    val p118 = plan("q118_export_mix")
+    assert(p118.contains("BroadcastHashJoin") ||
+      p118.contains("BroadcastExchange"),
+      "q118 lost its broadcast threshold join")
+    assert(!p118.contains("SortMergeJoin"),
+      "q118's corpus side shuffled to be sampled")
+    // q119: a single-scan audit — exactly one parquet scan, no join
+    val p119 = plan("q119_embedding_health")
+    assert("FileScan parquet".r.findAllIn(p119).size === 1,
+      "q119 must read the corpus exactly once")
+    assert(!p119.contains("Join"), "q119 needs no join")
+    // q113 (r14 histogram tercile): zero sorts over the per-doc frame —
+    // the only Sort nodes allowed are inside the KB-scale histogram
+    // walk's window (bounded cells) and the presentation orderBy; a
+    // global ntile would show as a single-partition Window over the
+    // corpus-sized frame, which the warning-free build already rules
+    // out — pin the operator here too
+    val p113 = plan("q113_lm_score")
+    // \b keeps the QuantileSketch column name "quantile" from matching
+    assert("\\bntile\\(".r.findFirstIn(p113).isEmpty,
+      "q113 regressed to the global ntile")
+  }
+
   test("PQ family: codebooks ride broadcasts (no shuffled codebook " +
     "side, no cartesian), and the ADC top-k lowers to " +
     "TakeOrderedAndProject") {

@@ -1525,6 +1525,69 @@ class StreamingSpec extends SparkSuite {
     assert(qs("a") <= 500L && 500L <= qs("a") + qs("a") / 32 + 1)
   }
 
+  test("index-side inline self-maintenance: a retraction backlog past " +
+    "the half-ceiling triggers vacuumRetracted mid-stream, the fresh " +
+    "generation carries the batch's append, and the PQ sidecar is " +
+    "auto-rebuilt because the pre-vacuum generation had one") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val IS = graft.operators.IndexStats
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = e.filter(col("vec_id").between(1, 4)).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("idx-selfmaint")
+      .toString + "/index"
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("idx-selfmaint-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("idx-selfmaint-ckpt").toString
+    val g1 = A.writeIndexVersioned(e, cents, root)
+    A.buildPqSidecar(spark, root, m = 8, k = 8, iters = 1)
+    // pending takedowns — and a lowered ceiling so the backlog reads
+    // past half of it (the vacuumDue trigger)
+    A.retract(spark, root, Seq(1L, 2L))
+    assert(IS.stats(spark, root).retractedBytes > 0L)
+    val fresh = e.filter(col("vec_id") === 7L)
+      .select(col("vec_id") + 500000L, col("v"))
+      .toDF("vec_id", "v")
+    fresh.coalesce(1).write.parquet(s"$srcDir/d1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.conf.set("graft.tombstone.broadcast.maxBytes", "2")
+    try {
+      assert(IS.stats(spark, root).vacuumDue)
+      graft.streaming.Streams.indexIngestStreamVersioned(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        root, ckpt, maintenanceEvery = 1).awaitTermination()
+    } finally spark.conf.unset("graft.tombstone.broadcast.maxBytes")
+    val s = IS.stats(spark, root)
+    assert(s.generation !== g1,
+      "the mid-stream vacuum must have installed a fresh generation")
+    assert(s.retractedFiles === 0 && !s.vacuumDue,
+      "the vacuum must have cleared the retraction backlog")
+    // the batch appended into the pre-vacuum generation BEFORE the
+    // maintenance ran — the rewrite must carry it forward
+    val ids = spark.read.parquet(A.currentIndexDir(spark, root))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(500007L),
+      "the vacuum dropped the batch's own append")
+    assert(!ids.contains(1L) && !ids.contains(2L),
+      "retracted rows survived the vacuum physically")
+    // the pre-vacuum generation HAD a sidecar, so maintenance must
+    // rebuild one on the fresh generation — covering everything,
+    // including the appended row
+    assert(s.pqPresent && !s.sidecarRebuildDue,
+      "maintenance must rebuild the PQ sidecar after its own vacuum")
+    assert(s.pqResidualFiles === 0)
+  }
+
   test("semantic-dedup-gated index ingest: an indexed near-duplicate " +
     "is dropped, within-batch copies keep only the first, novel " +
     "vectors append, replay is a no-op, and a later copy of an " +
