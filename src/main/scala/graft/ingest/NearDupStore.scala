@@ -205,6 +205,77 @@ object NearDupStore {
     docs.join(f, docs(idCol) <=> f("__flagged_id"), "left_anti")
   }
 
+  /** Bloom sidecar over `band_key` for the PATH store — the shared
+    * [[DedupStore.buildPathSidecar]] machinery (SpanStore's pattern
+    * over this store's (band_key, sig) schema; closes the r14 family
+    * asymmetry where only the bucketed near store was bloom-
+    * accelerated). Rebuild on the compaction schedule.
+    */
+  def buildBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, fpp: Double = 0.01, numShards: Int = 0): Long =
+    DedupStore.buildPathSidecar(spark, storePath,
+      schemaOf(storedHashForm(spark, storePath)), "band_key", fpp,
+      numShards)
+
+  /** [[newNearUnique]] accelerated by the Bloom sidecar, split
+    * DISJOINT on the bloom predicate (the SpanStore path-form
+    * pattern): bloom-HIT band rows join the CURRENT store files
+    * (covered + residual — exactly the membership question), bloom-
+    * MISS rows can only match post-sidecar appends and join just the
+    * residual files (broadcast — small between rebuilds), both legs
+    * through the ONE [[flaggedIds]] verification, so a bloom false
+    * positive can create a CANDIDATE but never a flag. A missing,
+    * stale-beyond-recognition, or vanished-generation sidecar falls
+    * back to the exact [[newNearUnique]] — identical answers either
+    * way (IngestSpec equality law).
+    */
+  def newNearUniqueWithBloom(docs: DataFrame, textCol: String,
+      idCol: String, storePath: String, minAgree: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = DedupStore.sidecarPath(storePath)
+    DedupStore.readSidecar(fs, manifest).flatMap(sc =>
+        DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
+      case None =>
+        newNearUnique(docs, textCol, idCol, storePath, minAgree)
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
+        val current = DedupStore.storeDataFiles(fs, store)
+        if (!current.exists(f => coveredNames.contains(f.getName)))
+          return newNearUnique(docs, textCol, idCol, storePath,
+            minAgree)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val form = storedHashForm(spark, storePath)
+        val schema = schemaOf(form)
+        val tomb = DedupStore.readTombstones(spark,
+          DedupStore.tombstonesPath(storePath), schema)
+        val bands = banded(docs, textCol, idCol, form)
+        // the probe expression hashes STRINGS; xx64 band keys cast to
+        // their decimal string, matching what the build recorded
+        val probeKey = col("bk").cast("string")
+        val hit = flaggedIds(bands.filter(mightContain(probeKey)),
+          DedupStore.minusTombstones(
+            spark.read.schema(schema)
+              .parquet(current.map(_.toString): _*),
+            tomb, Seq("band_key", "sig"))
+            .withColumnRenamed("sig", "stored_sig"), minAgree)
+        val flagged =
+          if (residual.isEmpty) hit
+          else hit.unionByName(flaggedIds(
+            bands.filter(!mightContain(probeKey)),
+            // residual files stay small between rebuilds: broadcast
+            // them so the miss leg never shuffles the band stream
+            broadcast(DedupStore.minusTombstones(
+              spark.read.schema(schema)
+                .parquet(residual.map(_.toString): _*),
+              tomb, Seq("band_key", "sig")))
+              .withColumnRenamed("sig", "stored_sig"), minAgree))
+        antiJoinFlagged(docs, idCol, flagged)
+    }
+  }
+
   /** Mark `docs` as seen: append their (band_key, sig) rows. Call AFTER
     * survivors are durably persisted (two-phase contract — see class
     * doc), ideally on the persisted read-back. The pre-append

@@ -348,13 +348,15 @@ object Streams {
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "near_dedup_through_store", committedSchema = identity,
       maintenanceEvery = maintenanceEvery,
-      // the near store has no path-form sidecar: compaction only
       maintain = spark => maintainIfDue(
         graft.ingest.StoreStats.path(spark, storePath),
         { graft.ingest.NearDupStore.compactStore(spark, storePath); () },
-        None))(
+        Some(() => { graft.ingest.NearDupStore
+          .buildBloomSidecar(spark, storePath); () })))(
+      // bloom-aware like the exact/span cycles (r14 closed the family
+      // asymmetry — the path-form near store now has a sidecar too)
       batch => graft.ingest.NearDupStore
-        .newNearUnique(batch, textCol, idCol, storePath),
+        .newNearUniqueWithBloom(batch, textCol, idCol, storePath),
       committed => graft.ingest.NearDupStore
         .recordSignatures(committed, textCol, idCol, storePath))
 
@@ -807,7 +809,7 @@ object Streams {
     // inline self-maintenance
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "curation_feed_through_stores")(
-      batch => graft.ingest.NearDupStore.newNearUnique(
+      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
         graft.ingest.DedupStore
           .newUnique(batch, textCol, idCol, exactStorePath),
         textCol, idCol, nearStorePath),
@@ -869,7 +871,8 @@ object Streams {
           graft.ingest.StoreStats.path(spark, nearStorePath),
           { graft.ingest.NearDupStore
             .compactStore(spark, nearStorePath); () },
-          None)
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(spark, nearStorePath); () }))
         maintainIfDue(
           graft.ingest.StoreStats.path(spark, spanStorePath),
           { graft.ingest.SpanStore
@@ -878,7 +881,7 @@ object Streams {
             .buildBloomSidecar(spark, spanStorePath); () }))
       })(
       batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
-        graft.ingest.NearDupStore.newNearUnique(
+        graft.ingest.NearDupStore.newNearUniqueWithBloom(
           graft.ingest.DedupStore
             .newUniqueWithBloom(batch, textCol, idCol, exactStorePath),
           textCol, idCol, nearStorePath),

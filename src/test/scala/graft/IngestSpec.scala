@@ -539,6 +539,60 @@ class IngestSpec extends SparkSuite {
       "stale-sidecar bloom path leaked the pooled null-id cohort")
   }
 
+  test("PATH near store Bloom sidecar: answers exactly like the plain " +
+    "band join across no-sidecar fallback, fresh, stale-residual, and " +
+    "post-compaction states (r14 — the family asymmetry closed)") {
+    import spark.implicits._
+    val N = graft.ingest.NearDupStore
+    val store = tmpDir("nearstore-bloom") + "/bands"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val doc2 = (1 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    val doc3 = (1 to 60).map(i => s"gamma$i fresh$i novel$i").mkString(" ")
+    // no sidecar yet → fallback branch, identical to the plain path
+    val b1 = batch((1L, doc1), (2L, doc2))
+    assert(ids(N.newNearUniqueWithBloom(b1, "text", "doc_id", store))
+      === Seq(1L, 2L))
+    N.recordSignatures(b1, "text", "doc_id", store)
+    // fresh sidecar: paraphrase of recorded content flagged via the
+    // hit leg; fresh doc passes
+    assert(N.buildBloomSidecar(spark, store) > 0L)
+    assert(ids(N.newNearUniqueWithBloom(
+      batch((10L, doc1 + " edited trailing footer"), (11L, doc3)),
+      "text", "doc_id", store)) === Seq(11L))
+    // STALE sidecar: doc3 recorded after the build lives only in
+    // residual files — its paraphrase must still be flagged (the
+    // miss leg's residual join), and truly-novel content passes
+    N.recordSignatures(batch((30L, doc3)), "text", "doc_id", store)
+    assert(ids(N.newNearUniqueWithBloom(
+      batch((31L, doc3 + " late footer"),
+        (32L, (1 to 60).map(i => s"delta$i null$i case$i")
+          .mkString(" "))),
+      "text", "doc_id", store)) === Seq(32L))
+    // equality law on one mixed batch, same store state both paths
+    val b4 = batch((40L, doc1 + " tiny edit"), (41L, doc2),
+      (42L, (1 to 60).map(i => s"eps$i zx$i qq$i").mkString(" ")))
+    assert(ids(N.newNearUniqueWithBloom(b4, "text", "doc_id", store))
+      === ids(N.newNearUnique(b4, "text", "doc_id", store)))
+    // compaction rewrites file names → every covered name vanishes;
+    // the probe degrades to the exact plan, answers unchanged, and a
+    // rebuild restores the prune
+    N.compactStore(spark, store)
+    assert(ids(N.newNearUniqueWithBloom(
+      batch((50L, doc2 + " another tiny edit")), "text", "doc_id",
+      store)) === Seq())
+    assert(N.buildBloomSidecar(spark, store) > 0L)
+    assert(ids(N.newNearUniqueWithBloom(
+      batch((51L, doc1 + " yet another edit"), (52L, (1 to 60)
+        .map(i => s"zeta$i brand$i new$i").mkString(" "))),
+      "text", "doc_id", store)) === Seq(52L))
+    // StoreStats now sees the near store's sidecar like its siblings'
+    val st = graft.ingest.StoreStats.path(spark, store)
+    assert(st.sidecarPresent && !st.sidecarStale)
+  }
+
   test("bucketed NEAR store: path-store answers reproduced through the " +
     "catalog table across record, bloom, stale-residual, and compaction " +
     "states") {
