@@ -1060,6 +1060,95 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed pipeline composition: curation feed -> export stream " +
+    "over the curated batches equals the one-shot export of the " +
+    "curated survivors (the full continuously-fed corpus loop)") {
+    import spark.implicits._
+    val CE = graft.operators.CorpusExport
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("compose-src").toString
+    val curatedDir = java.nio.file.Files
+      .createTempDirectory("compose-curated").toString + "/docs"
+    val exportS = java.nio.file.Files
+      .createTempDirectory("compose-export").toString + "/out"
+    val exportB = java.nio.file.Files
+      .createTempDirectory("compose-export-b").toString + "/out"
+    val exactStore = java.nio.file.Files
+      .createTempDirectory("compose-exact").toString + "/hashes"
+    val nearStore = java.nio.file.Files
+      .createTempDirectory("compose-near").toString + "/bands"
+    val ckptC = java.nio.file.Files
+      .createTempDirectory("compose-ckpt-c").toString
+    val ckptE = java.nio.file.Files
+      .createTempDirectory("compose-ckpt-e").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // two deliveries with exact dups across them; survivors feed the
+    // export. Long distinct texts keep the near store out of the way
+    // (this test pins the COMPOSITION, not the near semantics).
+    def mkDoc(i: Long) =
+      (1 to 40).map(j => s"body$i token${i}x$j word$j").mkString(" ")
+    val b1 = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "fr" else "en", mkDoc(i)))
+    val b2 = (41L to 80L).map(i =>
+      (i, if (i % 3 == 0) "fr" else "en", mkDoc(i))) ++
+      Seq((200L, "en", mkDoc(1)), (201L, "fr", mkDoc(42))) // dups
+    def curate(): Unit = graft.streaming.Streams
+      .curationFeedThroughStores(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", exactStore, nearStore, curatedDir, ckptC)
+      .awaitTermination()
+    val th = Seq(("en", 700000L), ("fr", 900000L))
+    def export(): Unit = graft.streaming.Streams.exportMixStream(
+      spark.readStream.schema(schema.add("content_hash",
+          org.apache.spark.sql.types.StringType))
+        .option("recursiveFileLookup", "true").parquet(curatedDir),
+      "lang", "doc_id", th, exportS, ckptE, numShards = 4)
+      .awaitTermination()
+    b1.toDF("doc_id", "lang", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/d1")
+    curate(); export()
+    b2.toDF("doc_id", "lang", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/d2")
+    curate(); export()
+    // the curated survivors: dups 200/201 dropped, 80 originals kept
+    val curated = spark.read
+      .schema(schema.add("content_hash",
+        org.apache.spark.sql.types.StringType))
+      .parquet(curatedDir)
+    val curatedIds = curated.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(curatedIds === (1L to 80L).toSet,
+      "curation must drop exactly the cross-batch duplicates")
+    // streamed export over the curated stream == one-shot export of
+    // the curated survivors, document set and shards alike
+    CE.materialize(curated, "lang", "doc_id", th, exportB,
+      numShards = 4)
+    def setOf(dir: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$dir/data")
+        .select(col("doc_id"), col("shard").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = setOf(exportS)
+    assert(streamed === setOf(exportB),
+      "the composed streamed pipeline diverged from the one-shot export")
+    assert(streamed.nonEmpty &&
+      streamed.map(_._1).subsetOf(curatedIds))
+    // manifests agree too
+    val mS = graft.streaming.Streams.readExportManifest(spark, exportS)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val mB = spark.read.parquet(s"$exportB/_export_manifest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(mS === mB)
+  }
+
   test("streamed curation feed with the span store third stage: " +
     "passage mashups drop alongside copies and paraphrases") {
     import spark.implicits._
