@@ -2968,6 +2968,45 @@ object LlmPipeline {
         max(col("dist_fp")).as("max_dist_fp"))
       .orderBy("sub")
 
+  /** q121: fuzzy entity resolution — the catalog name near-collision
+    * audit (record linkage / typo detection, the data-cleaning flank
+    * of the dedup family: edit distance catches what token-level
+    * signatures miss on SHORT strings): every unordered pair of
+    * DISTINCT part names within Levenshtein distance 2, with each
+    * name's part count riding along. Blocking is a LENGTH-BAND
+    * equi-join — the left side emits its length ±2 as candidate block
+    * keys, the right side joins on its exact length — so the pair
+    * generation is a hash equi-join (never a cartesian or
+    * nested-loop; a pair matches in EXACTLY one block, so no dedup
+    * pass), and the edit-distance kernel only prices length-plausible
+    * candidates (|len diff| > 2 implies distance > 2 — the band is
+    * exact, not a heuristic).
+    *
+    * Scale: the resolution runs over the DISTINCT-name frame — the
+    * catalog, which stays bounded while the fact table grows — after
+    * one map-side-combined count agg over the corpus; both engines
+    * share the standard unit-cost Levenshtein definition, so the
+    * report is oracle-exact.
+    */
+  private val q121: Q = (s, dir) => {
+    val n = t(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val a = n.select(col("name"), col("n_parts"),
+      explode(expr("sequence(length(name) - 2, length(name) + 2)"))
+        .as("blk"))
+    val b = n.select(col("name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, col("blk") === length(col("name_b")) &&
+        col("name") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name"), col("name_b")).cast(LongType))
+      .filter(col("dist") <= 2)
+      .select(col("name").as("name_a"), col("name_b"), col("dist"),
+        col("n_parts").as("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3049,7 +3088,8 @@ object LlmPipeline {
     "q117_term_drift" -> q117,
     "q118_export_mix" -> q118,
     "q119_embedding_health" -> q119,
-    "q120_pq_distortion" -> q120)
+    "q120_pq_distortion" -> q120,
+    "q121_fuzzy_name_pairs" -> q121)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4370,6 +4410,24 @@ object LlmPipeline {
          | CAST(SUM(dist_fp) AS DOUBLE) / COUNT(*) AS mean_dist_fp,
          | CAST(MAX(dist_fp) AS BIGINT) AS max_dist_fp
          |FROM penc GROUP BY sub ORDER BY sub""".stripMargin,
+    "q121_fuzzy_name_pairs" ->
+      """WITH n AS (
+        | SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        | FROM part GROUP BY 1),
+        |a AS (
+        | SELECT name, n_parts,
+        |  unnest(generate_series(length(name) - 2, length(name) + 2))
+        |   AS blk
+        | FROM n),
+        |p AS (
+        | SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        | FROM a JOIN n b
+        |  ON a.blk = length(b.name) AND a.name < b.name
+        | WHERE levenshtein(a.name, b.name) <= 2)
+        |SELECT name_a, name_b, dist, n_a, n_b
+        |FROM p ORDER BY name_a, name_b""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

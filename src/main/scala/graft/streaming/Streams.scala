@@ -627,6 +627,86 @@ object Streams {
       (prev, cur) => graft.operators.QuantileSketch
         .merge(prev, cur, groupCols))
 
+  /** Incrementally-maintained bigram-LM count table — the streaming
+    * face of q113's TRAINING half, closing the last registry family
+    * without a streaming form: a count-based LM is its (w1, w2, c2)
+    * bigram-occurrence table, which merges across micro-batches by
+    * cell-wise ADDITION exactly like the count-min/quantile sketches,
+    * so the quality model trains continuously and the corpus is never
+    * re-scanned. History counts c1 and the vocabulary both DERIVE from
+    * the snapshot (c1 = the w1 marginal; vocab = |w1 ∪ w2| — the q113
+    * derivations verbatim), so the snapshot alone is the whole model.
+    * Same versioned `batch=<id>` commit protocol and replay idempotence
+    * as the sibling snapshots; score against it with [[scoreLm]].
+    */
+  def maintainBigramLm(docs: DataFrame, statsPath: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(docs, statsPath, checkpointDir, "bigram_lm")(
+      batch => bigramCounts(batch),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("w1", "w2").agg(sum(col("c2")).as("c2")))
+
+  /** (w1, w2, c2) bigram-occurrence counts of a document frame — the
+    * q113 derivation (shared `\w+` lowercase tokenization, adjacent
+    * pairs via one zip_with, map-side-combined count).
+    */
+  private def bigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(expr(graft.queries.LlmPipeline.toksE).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+  /** Score documents against the latest committed bigram-LM snapshot —
+    * q113's exact arithmetic (integer ilog2 scores, 1e-6 fixed-point
+    * floor-mean) with the MODEL read from [[maintainBigramLm]]'s
+    * snapshot instead of trained in-query: when the snapshot was
+    * maintained over the same corpus, the output is BIT-IDENTICAL to
+    * q113's (doc_id, n_bigrams, ll_sum, ll_mean_fp) — StreamingSpec
+    * pins the law, the streaming analog of the q113 oracle. Bigrams
+    * absent from the snapshot (possible when scoring unseen documents)
+    * drop from the mean — the standard open-vocabulary trade; score
+    * the training corpus itself for the exact form.
+    */
+  def scoreLm(docs: DataFrame, statsPath: String): DataFrame =
+    scoreLmAgainst(docs, readTermStats(docs.sparkSession, statsPath))
+
+  /** [[scoreLm]] against an explicit (w1, w2, c2) frame. */
+  def scoreLmAgainst(docs: DataFrame, c2: DataFrame): DataFrame = {
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val voc = c2.select(col("w1").as("w"))
+      .union(c2.select(col("w2")))
+      .agg(countDistinct(col("w")).as("vocab"))
+    def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - lit(1)
+    val sc = c2.join(c1, "w1").crossJoin(broadcast(voc))
+      .select(col("w1"), col("w2"),
+        (ilog2(col("c2") + lit(1L)) -
+          ilog2(col("c1") + col("vocab"))).cast("long").as("score"))
+    val bgc = docs
+      .select(col("doc_id"), expr(graft.queries.LlmPipeline.toksE)
+        .as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+    bgc.join(sc, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_occ") * col("score")).as("ll_sum"),
+        sum(col("n_occ")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("ll_sum"),
+        floor((col("ll_sum") * lit(1000000L)).cast("double") /
+          col("n_bigrams").cast("double")).as("ll_mean_fp"))
+  }
+
   /** Streamed training-mix export — the WRITE half of
     * [[graft.operators.CorpusExport]] for a continuously-fed corpus:
     * every micro-batch runs through the SAME deterministic per-million

@@ -319,6 +319,14 @@ class PlanSpec extends SparkSuite {
       "q113 regressed to the global ntile")
   }
 
+  test("q121 fuzzy join: the length-band blocking plans an equi-join, " +
+    "never a cartesian or nested loop") {
+    val p = plan("q121_fuzzy_name_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy resolution degenerated into all-pairs")
+  }
+
   test("PQ family: codebooks ride broadcasts (no shuffled codebook " +
     "side, no cartesian), and the ADC top-k lowers to " +
     "TakeOrderedAndProject") {

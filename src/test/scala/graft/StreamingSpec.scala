@@ -449,6 +449,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("incrementally-maintained bigram LM: streamed training over " +
+    "micro-batches scores BIT-IDENTICALLY to q113's in-query training, " +
+    "and replay after checkpoint loss is idempotent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("lm-src").toString
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("lm-stats").toString + "/bigrams"
+    val ckpt = java.nio.file.Files.createTempDirectory("lm-ckpt").toString
+    val schema = docs.schema
+    def drain(): Unit = graft.streaming.Streams.maintainBigramLm(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      statsPath, ckpt).awaitTermination()
+    // two micro-batches partitioning the corpus by doc_id parity
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    def scored(): Map[Long, (Long, Long, Long)] =
+      graft.streaming.Streams.scoreLm(docs, statsPath)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = scored()
+    // the law: scoring against the streamed snapshot == q113's own
+    // in-query-trained scores (drop q113's tercile column)
+    val want = graft.queries.LlmPipeline
+      .queries("q113_lm_score")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("ll_sum"),
+          r.getAs[Long]("ll_mean_fp")))).toMap
+    assert(got === want,
+      "streamed LM training diverged from q113's in-query training")
+    // replay: wiped checkpoint re-delivers under committed batch ids —
+    // the merge must skip, counts must not double, scores unchanged
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(scored() === want, "replayed batches double-counted the LM")
+  }
+
   test("streamed corpus export: any micro-batching selects exactly the " +
     "one-shot mix into the same shards, the manifest accumulates from " +
     "committed read-backs (zero-survivor batches included), and replay " +
