@@ -926,6 +926,74 @@ object Streams {
       textCol, idCol, exactStorePath, nearStorePath, spanStorePath,
       outDir, checkpointDir)
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the streamed
+    * BIGRAM-LM gate — the CCNet composition closed end to end in
+    * streaming: documents whose [[scoreLm]] fixed-point mean falls
+    * below `minLlMeanFp` (derive the cut from q113's q115-histogram
+    * boundaries — e.g. drop the tail tercile) are rejected BEFORE any
+    * store probe, and like the linear-model gate their rejects are
+    * never recorded (a re-submission after the LM improves gets judged
+    * afresh). The MODEL is the latest [[maintainBigramLm]] snapshot,
+    * read and PINNED once at stream start (the centroid /
+    * QualityModel pin-at-start posture — a concurrently-maintained
+    * snapshot must not drift the gate mid-stream; restart the stream
+    * to rotate models). The pin holds ONE stream-lifetime barrier —
+    * not the per-batch accumulation the r13 leak fix outlawed;
+    * release it with `Exec.release` after `awaitTermination()` if the
+    * session lives on. Documents with fewer than two tokens are
+    * unscorable and drop at the gate (the CCNet reading: no
+    * perplexity, no admission). The gate itself runs INSIDE the
+    * micro-batch cycle: unlike the stateless literal-model filter it
+    * aggregates per-document bigrams, which a streaming frame cannot
+    * express pre-sink.
+    */
+  def lmGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, statsPath: String, minLlMeanFp: Long,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String,
+      maintenanceEvery: Int = 0): (StreamingQuery, DataFrame) = {
+    val spark = docs.sparkSession
+    val model = graft.operators.Exec.materialize(
+      readTermStats(spark, statsPath))
+    val q = dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "lm_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => {
+        val kept = scoreLmAgainst(
+            batch.select(col(idCol).as("doc_id"),
+              col(textCol).as("text")), model)
+          .filter(col("ll_mean_fp") >= minLlMeanFp)
+          .select(col("doc_id").as("__lm_keep_id"))
+        val gated = batch.join(kept,
+          batch(idCol) <=> kept("__lm_keep_id"), "left_semi")
+        graft.ingest.NearDupStore.newNearUniqueWithBloom(
+          graft.ingest.DedupStore.newUniqueWithBloom(
+            gated, textCol, idCol, exactStorePath),
+          textCol, idCol, nearStorePath)
+      },
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+    (q, model)
+  }
+
   /** [[curationFeedThroughStores]] with the SPAN store as a third
     * stage: exact → near → span, in increasing per-document cost, so
     * the window scan only prices documents that already survived the

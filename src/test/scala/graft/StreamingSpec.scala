@@ -492,6 +492,78 @@ class StreamingSpec extends SparkSuite {
     assert(scored() === want, "replayed batches double-counted the LM")
   }
 
+  test("LM-gated curation feed: below-threshold documents drop before " +
+    "any store probe and are never recorded; survivors flow through " +
+    "the dedup stores (the CCNet composition, streamed)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val lmSrc = java.nio.file.Files.createTempDirectory("lmg-lmsrc").toString
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("lmg-stats").toString + "/bigrams"
+    val lmCkpt = java.nio.file.Files
+      .createTempDirectory("lmg-lmckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("lmg-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("lmg-out").toString + "/docs"
+    val exactStore = java.nio.file.Files
+      .createTempDirectory("lmg-exact").toString + "/hashes"
+    val nearStore = java.nio.file.Files
+      .createTempDirectory("lmg-near").toString + "/bands"
+    val ckpt = java.nio.file.Files.createTempDirectory("lmg-ckpt").toString
+    // 1: train the LM continuously over the corpus
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$lmSrc/b1")
+    graft.streaming.Streams.maintainBigramLm(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(lmSrc),
+      statsPath, lmCkpt).awaitTermination()
+    // 2: a median threshold over the snapshot's own scores
+    val scores = graft.streaming.Streams.scoreLm(docs, statsPath)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ll_mean_fp"))
+      .toMap
+    val cut = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val wantKept = scores.filter(_._2 >= cut).keySet
+    assert(wantKept.nonEmpty && wantKept.size < scores.size,
+      "the median cut must split the corpus")
+    // 3: feed the corpus + an exact dup of a high-scoring doc
+    val hiId = wantKept.head
+    val hiText = docs.filter(col("doc_id") === hiId)
+      .collect().head.getAs[String]("text")
+    docs.select("doc_id", "text")
+      .union(Seq((900001L, hiText)).toDF("doc_id", "text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/d1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val (q, model) = graft.streaming.Streams.lmGatedCurationFeed(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", statsPath, cut, exactStore, nearStore,
+      outDir, ckpt)
+    q.awaitTermination()
+    graft.operators.Exec.release(model)
+    val survivors = spark.read
+      .schema(schema.add("content_hash",
+        org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // gate semantics: exactly the at-or-above-cut docs, minus the
+    // within-batch duplicate (min-id keeper)
+    assert(survivors === wantKept,
+      "survivors must be exactly the above-cut, deduplicated set")
+    assert(!survivors.contains(900001L),
+      "the exact duplicate slipped past the store stage")
+    // rejects were never recorded: a below-cut text probes as NEW
+    val lowText = docs
+      .filter(col("doc_id") === scores.filter(_._2 < cut).keys.head)
+      .collect().head.getAs[String]("text")
+    assert(graft.ingest.DedupStore.newUnique(
+        Seq((999999L, lowText)).toDF("doc_id", "text"),
+        "text", "doc_id", exactStore).count() === 1L,
+      "a gate-rejected document was recorded as seen")
+  }
+
   test("streamed corpus export: any micro-batching selects exactly the " +
     "one-shot mix into the same shards, the manifest accumulates from " +
     "committed read-backs (zero-survivor batches included), and replay " +
