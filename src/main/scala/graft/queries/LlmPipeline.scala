@@ -3007,6 +3007,34 @@ object LlmPipeline {
       .orderBy("name_a", "name_b")
   }
 
+  /** q122: SOFT dedup — down-WEIGHT near-duplicate clusters instead of
+    * dropping them (the SlimPajama/ablation-grade alternative to hard
+    * removal: cluster content is seen once in expectation, but no
+    * single exemplar decides what survives): every document's q60
+    * near-dup cluster size becomes a per-million sampling weight
+    * `⌊1e6 / cluster_size⌋` — exact integer division, so the report is
+    * oracle-exact — with singletons (documents in no verified pair) at
+    * weight 1.0. Feed the weights to the q46/q58 slot convention
+    * (keep iff slot < weight_ppm) for a deterministic soft-dedup
+    * materialization; Σ weight_ppm / 1e6 IS the effective corpus size.
+    *
+    * Scale: rides q60's banded-candidate + CC machinery verbatim (one
+    * shared derivation — the label frame, not a second pair pass);
+    * the corpus side joins the cluster frame on doc_id once.
+    */
+  private val q122: Q = (s, dir) => {
+    val labels = clustered(connectedComponents(
+      minhashPairs(s, dir).select("doc_a", "doc_b")), "doc_id")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_size")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm",
+        expr("1000000 div cluster_size").cast(LongType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3089,7 +3117,8 @@ object LlmPipeline {
     "q118_export_mix" -> q118,
     "q119_embedding_health" -> q119,
     "q120_pq_distortion" -> q120,
-    "q121_fuzzy_name_pairs" -> q121)
+    "q121_fuzzy_name_pairs" -> q121,
+    "q122_soft_dedup_weights" -> q122)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3281,6 +3310,20 @@ object LlmPipeline {
          |SELECT doc_id, cluster_keeper,
          | COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin,
+    "q122_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")},
+         |sizes AS (
+         | SELECT doc_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_keeper) AS cluster_size
+         | FROM comp)
+         |SELECT d.doc_id,
+         | CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+         | CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT)
+         |  AS weight_ppm
+         |FROM documents d LEFT JOIN sizes s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q29_simhash" ->
       (simhashSql + " ORDER BY doc_id"),
     "q30_simhash_neardup" ->

@@ -879,6 +879,35 @@ class LlmPipelineSpec extends SparkSuite {
         enc(r.getAs[Long]("sub"))) }
   }
 
+  test("q122 soft dedup: weights reconcile with q60's clusters, " +
+    "singletons weigh 1.0, and the effective corpus size is the " +
+    "weight sum") {
+    val rows = LlmPipeline.queries("q122_soft_dedup_weights")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs,
+      "every document gets exactly one weight")
+    val q60Sizes = LlmPipeline.queries("q60_neardup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cluster_size"))
+      .toMap
+    rows.foreach { case (id, size, w) =>
+      assert(size === q60Sizes.getOrElse(id, 1L),
+        s"doc $id cluster size diverged from q60")
+      assert(w === 1000000L / size)
+      if (!q60Sizes.contains(id)) assert(w === 1000000L)
+    }
+    // soft dedup keeps cluster mass ~once in expectation: the summed
+    // weight of every multi-doc cluster is <= 1e6 (+rounding), and
+    // the effective corpus size is strictly below the raw count
+    val eff = rows.map(_._3).sum
+    assert(eff < nDocs * 1000000L)
+    rows.groupBy(_._2).foreach { case (size, rs) =>
+      if (size > 1)
+        assert(rs.map(_._3).sum <= rs.length / size * 1000000L + size)
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
