@@ -627,6 +627,67 @@ object Streams {
       (prev, cur) => graft.operators.QuantileSketch
         .merge(prev, cur, groupCols))
 
+  /** Incrementally-maintained term OCCURRENCE counts — the flank of
+    * [[maintainTermStats]] (which keeps DOCUMENT frequency) that the
+    * drift monitor consumes: (term, n) merged across micro-batches by
+    * cell-wise addition on the shared versioned-snapshot loop. Two
+    * such snapshots — two crawl dates, two sources, two pipelines —
+    * feed [[termDriftBetween]].
+    */
+  def maintainTermCounts(docs: DataFrame, statsPath: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(docs, statsPath, checkpointDir,
+      "term_counts")(
+      batch => batch
+        .select(explode(expr(graft.queries.LlmPipeline.toksE))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n")),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("term").agg(sum(col("n")).as("n")))
+
+  /** Term-frequency drift between two MAINTAINED snapshots — the form
+    * q117's docstring promises ("two snapshot dates in production"):
+    * the per-term two-sample χ² in 1e-6 fixed point, q117's arithmetic
+    * VERBATIM (pinned IEEE chain, exact floor, ≥ 20-occurrence rare-
+    * term guard, empty-cohort filter), over the latest committed
+    * versions of two [[maintainTermCounts]] paths. When the two
+    * snapshots were maintained over q117's even/odd doc cohorts, the
+    * report is BIT-IDENTICAL to the registry query — StreamingSpec
+    * pins the law. Totals broadcast; top-20 lowers to
+    * TakeOrderedAndProject; the snapshots are vocabulary-sized, so
+    * the whole report reads KBs-to-MBs at any corpus size.
+    */
+  def termDriftBetween(spark: SparkSession, pathA: String,
+      pathB: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    // no q61 barrier here: the double reference re-reads two
+    // VOCABULARY-SIZED snapshot files, not a corpus plan — cheaper
+    // than barrier bookkeeping
+    val counts = readTermStats(spark, pathA)
+      .select(col("term"), col("n").as("n_a"))
+      .join(readTermStats(spark, pathB)
+        .select(col("term"), col("n").as("n_b")), Seq("term"),
+        "full_outer")
+      .select(col("term"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    val nT = (col("n_a") + col("n_b")).cast(DoubleType)
+    val bigN = (col("tot_a") + col("tot_b")).cast(DoubleType)
+    val ea = nT * col("tot_a").cast(DoubleType) / bigN
+    val eb = nT * col("tot_b").cast(DoubleType) / bigN
+    val da = col("n_a").cast(DoubleType) - ea
+    val db = col("n_b").cast(DoubleType) - eb
+    counts.crossJoin(broadcast(tot))
+      .filter(col("tot_a") > 0L && col("tot_b") > 0L)
+      .filter(col("n_a") + col("n_b") >= 20L)
+      .select(col("term"), col("n_a"), col("n_b"),
+        floor((da * da / ea + db * db / eb) * lit(1000000d))
+          .as("chi2_fp"))
+      .orderBy(desc("chi2_fp"), col("term"))
+      .limit(20)
+  }
+
   /** Incrementally-maintained bigram-LM count table — the streaming
     * face of q113's TRAINING half, closing the last registry family
     * without a streaming form: a count-based LM is its (w1, w2, c2)

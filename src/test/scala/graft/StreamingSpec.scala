@@ -449,6 +449,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("maintained term counts: drift between two independently-" +
+    "maintained snapshots equals q117 BIT-FOR-BIT (the two-crawl-" +
+    "dates form of the drift monitor)") {
+    val docs = Tables.load(spark, sf, "documents")
+    def maintain(cohort: org.apache.spark.sql.DataFrame,
+        tag: String): String = {
+      val src = java.nio.file.Files
+        .createTempDirectory(s"tc-$tag-src").toString
+      val path = java.nio.file.Files
+        .createTempDirectory(s"tc-$tag").toString + "/counts"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"tc-$tag-ckpt").toString
+      // two micro-batches per cohort so the cell-wise merge is real
+      val ids = cohort.select("doc_id").collect().map(_.getLong(0))
+      val half = ids.sorted.apply(ids.length / 2)
+      cohort.filter(col("doc_id") < half).coalesce(1).write
+        .mode("overwrite").parquet(s"$src/b1")
+      graft.streaming.Streams.maintainTermCounts(
+        spark.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(src),
+        path, ckpt).awaitTermination()
+      cohort.filter(col("doc_id") >= half).coalesce(1).write
+        .mode("overwrite").parquet(s"$src/b2")
+      graft.streaming.Streams.maintainTermCounts(
+        spark.readStream.schema(docs.schema)
+          .option("recursiveFileLookup", "true").parquet(src),
+        path, ckpt).awaitTermination()
+      path
+    }
+    val pathA = maintain(docs.filter(col("doc_id") % 2 === 0), "a")
+    val pathB = maintain(docs.filter(col("doc_id") % 2 =!= 0), "b")
+    val got = graft.streaming.Streams
+      .termDriftBetween(spark, pathA, pathB)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = graft.queries.LlmPipeline
+      .queries("q117_term_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === want,
+      "snapshot-vs-snapshot drift diverged from the q117 cohort form")
+  }
+
   test("incrementally-maintained bigram LM: streamed training over " +
     "micro-batches scores BIT-IDENTICALLY to q113's in-query training, " +
     "and replay after checkpoint loss is idempotent") {
