@@ -51,8 +51,9 @@ object SqlSurface {
     // at build (q108/q109 additionally inline it as plan literals);
     // q110/q111 are lazy end to end.
     "q112_semdedup", "q113_lm_score", "q116_curation_log",
-    // q122 rides the q60 CC loop (builder-time label propagation)
-    "q122_soft_dedup_weights",
+    // q122 rides the q60 CC loop (builder-time label propagation);
+    // q123 materializes its scored frame for the histogram cut
+    "q122_soft_dedup_weights", "q123_curriculum_stages",
     "q117_term_drift",
     // q120 rides the same build-time PQ codebook materialization
     "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk",

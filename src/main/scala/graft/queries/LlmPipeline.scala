@@ -3035,6 +3035,66 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q123: curriculum staging — the staged-training construction
+    * (easy/high-quality first) WITHOUT a global sort: the q34 quality
+    * score in 1e-6 fixed point is cut into four stages by q115
+    * histogram boundaries (p = 10, all-integer rank walk over
+    * KB-scale cells, one broadcast 3-row boundary frame — the q113
+    * pattern at quartile granularity; stage 1 = the highest-quality
+    * quartile), and each document gets a content-addressed WITHIN-
+    * STAGE shuffle slot (md5 per-10k — the q95 convention), so a
+    * trainer reads stage by stage, ordering inside each stage by
+    * (shuffle_slot, doc_id) with a partition-local sort. Deterministic
+    * end to end (rerun/engine/partitioning-stable), zero corpus-sized
+    * windows, oracle-exact (the quality chain is q34's, pinned
+    * bit-for-bit by its own oracle; the one new double step is a
+    * pinned multiply + exact floor).
+    */
+  private val q123: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val scored = tokenized(s, dir, "text")
+      .withColumn("punct_ratio", expr(
+        "cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
+        / length(col("text")).cast(DoubleType))
+      .withColumn("stop_ratio", expr(
+        "cast(size(filter(toks, x -> x = 'the' or x = 'a' or x = 'and' " +
+          "or x = 'of' or x = 'to')) as bigint)").cast(DoubleType)
+        / size(col("toks")).cast(DoubleType))
+      .withColumn("len_score",
+        least(length(col("text")).cast(DoubleType)
+          / lit(500).cast(DoubleType), lit(1.0)))
+      .withColumn("quality",
+        lit(0.5) * col("len_score")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * (lit(1.0) - col("stop_ratio")))
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1000000d)).cast(LongType)
+          .as("score_fp"))
+      // referenced by the histogram build AND the stage cut
+      .transform(graft.operators.Exec.materialize)
+    val P = 10
+    val hist = QuantileSketch.build(scored, "score_fp", Seq.empty, P)
+    val bounds = QuantileSketch.quantiles(hist, Seq.empty,
+        Seq(("b1", 1L, 4L), ("b2", 2L, 4L), ("b3", 3L, 4L)), P)
+      .groupBy().agg(
+        max(when(col("quantile") === "b1", col("value_fp"))).as("b1_fp"),
+        max(when(col("quantile") === "b2", col("value_fp"))).as("b2_fp"),
+        max(when(col("quantile") === "b3", col("value_fp"))).as("b3_fp"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("score_fp"),
+        (lit(1L) +
+          when(QuantileSketch.bucketExpr("score_fp", P) <=
+            QuantileSketch.bucketExpr("b1_fp", P), 1L).otherwise(0L) +
+          when(QuantileSketch.bucketExpr("score_fp", P) <=
+            QuantileSketch.bucketExpr("b2_fp", P), 1L).otherwise(0L) +
+          when(QuantileSketch.bucketExpr("score_fp", P) <=
+            QuantileSketch.bucketExpr("b3_fp", P), 1L).otherwise(0L))
+          .cast(LongType).as("stage"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
+          " 16, 10) as bigint) % 10000").as("shuffle_slot"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3118,7 +3178,8 @@ object LlmPipeline {
     "q119_embedding_health" -> q119,
     "q120_pq_distortion" -> q120,
     "q121_fuzzy_name_pairs" -> q121,
-    "q122_soft_dedup_weights" -> q122)
+    "q122_soft_dedup_weights" -> q122,
+    "q123_curriculum_stages" -> q123)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4471,6 +4532,55 @@ object LlmPipeline {
         | WHERE levenshtein(a.name, b.name) <= 2)
         |SELECT name_a, name_b, dist, n_a, n_b
         |FROM p ORDER BY name_a, name_b""".stripMargin,
+    "q123_curriculum_stages" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text, $dToks AS toks FROM documents),
+         |scored0 AS (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
+         |    OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE)) AS len_score
+         | FROM base WHERE len(toks) >= 1),
+         |m AS (
+         | SELECT doc_id,
+         |  CAST(floor((CAST(0.5 AS DOUBLE) * len_score
+         |   + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |   + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio))
+         |   * 1000000) AS BIGINT) AS score_fp
+         | FROM scored0),
+         |vb AS (
+         | SELECT doc_id, score_fp,
+         |  CASE WHEN score_fp < 1024 THEN score_fp
+         |   ELSE (length(bin(score_fp)) - 11) * 1024
+         |    + (score_fp // ((CAST(1 AS BIGINT))
+         |       << CAST(length(bin(score_fp)) - 11 AS INTEGER))) END AS bx
+         | FROM m),
+         |h AS (
+         | SELECT bx AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM vb GROUP BY 1),
+         |c AS (
+         | SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
+         |  SUM(n) OVER () AS total FROM h),
+         |q(num) AS (VALUES (1), (2), (3)),
+         |sel AS (
+         | SELECT q.num, MIN(c.bucket) AS b FROM c
+         | JOIN q ON c.cum >= (c.total * q.num + 3) // 4 GROUP BY 1),
+         |bd AS (
+         | SELECT MIN(CASE WHEN num = 1 THEN b END) AS b1,
+         |  MIN(CASE WHEN num = 2 THEN b END) AS b2,
+         |  MIN(CASE WHEN num = 3 THEN b END) AS b3 FROM sel)
+         |SELECT doc_id, score_fp,
+         | CAST(1 + CASE WHEN vb.bx <= bd.b1 THEN 1 ELSE 0 END
+         |  + CASE WHEN vb.bx <= bd.b2 THEN 1 ELSE 0 END
+         |  + CASE WHEN vb.bx <= bd.b3 THEN 1 ELSE 0 END AS BIGINT)
+         |  AS stage,
+         | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |  AS BIGINT) % 10000 AS shuffle_slot
+         |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

@@ -908,6 +908,55 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q123 curriculum stages: covers every document once, stages " +
+    "are monotone in quality (1 = best), quartile counts bracket " +
+    "within the cut buckets, slots stay in range") {
+    val rows = LlmPipeline.queries("q123_curriculum_stages")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(rows.forall { case (_, _, _, slot) =>
+      slot >= 0L && slot < 10000L })
+    // stage 1 = the HIGHEST-quality quartile: scores never increase
+    // as the stage number grows
+    val byStage = rows.groupBy(_._3)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val stages = byStage.keys.toSeq.sorted
+    stages.sliding(2).foreach {
+      case Seq(hi, lo) =>
+        assert(byStage(hi).min >= byStage(lo).max,
+          s"stage $hi scores dip below stage $lo")
+      case _ =>
+    }
+    // quartile bracket law (the q113/q115 histogram argument): each
+    // cumulative stage count matches its ceiling rank to within the
+    // cut bucket's population
+    def bucket(x: Long): Long =
+      if (x < 1024) x
+      else {
+        val il = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        (il - 10).toLong * 1024 + (x >> (il - 10))
+      }
+    val svals = rows.map(_._2)
+    val histCnt = svals.groupBy(bucket).view.mapValues(_.length).toMap
+    val sorted = svals.sorted
+    val n = rows.length
+    for (k <- 1 to 3) {
+      val rank = (n * k + 3) / 4
+      // stages count DOWN in score: cum count at boundary k covers
+      // stages 4 .. (4 - k + 1)
+      val cum = (4 - k + 1 to 4)
+        .map(st => byStage.getOrElse(st.toLong,
+          Seq.empty[Long]).length).sum
+      val cutBucket = bucket(sorted(rank - 1))
+      assert(cum >= rank && cum < rank + histCnt(cutBucket),
+        s"cumulative stage count $cum vs rank $rank (bucket pop " +
+          s"${histCnt(cutBucket)})")
+    }
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
