@@ -204,6 +204,49 @@ class PropertySpec extends SparkSuite {
     assert(verbOut === verbatim)
   }
 
+  test("QuantileSketch expression laws: bucket monotone, lowerBound a " +
+    "left inverse on bucket ids, and the bracket law lb <= x < " +
+    "lb*(1+2^-p)+1 — over arbitrary non-negative longs at p=5 and " +
+    "p=10 (the r14 cut resolutions)") {
+    import spark.implicits._
+    val Q = graft.operators.QuantileSketch
+    // mix magnitudes: exact region, mid, huge — including bucket-edge
+    // values (powers of two and their neighbors)
+    val edgeGen: Gen[Long] = for {
+      e <- Gen.choose(0, 62)
+      d <- Gen.oneOf(-1L, 0L, 1L)
+    } yield math.max(0L, (1L << e) + d)
+    val valGen: Gen[Long] = Gen.frequency(
+      3 -> Gen.choose(0L, 4096L),
+      3 -> Gen.choose(0L, 100000000L),
+      2 -> Gen.choose(0L, Long.MaxValue / 2),
+      2 -> edgeGen)
+    val xs = samples(valGen, 400, 7000L).distinct.sorted
+    for (p <- Seq(5, 10)) {
+      val rows = xs.toDF("x")
+        .select(col("x"), Q.bucketExpr("x", p).cast("long").as("b"))
+        .withColumn("lb", Q.lowerBoundExpr("b", p).cast("long"))
+        .withColumn("b2", Q.bucketExpr("lb", p).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // monotone: sorted x gives nondecreasing buckets
+      rows.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"bucket not monotone (p=$p)")
+        case _ =>
+      }
+      rows.foreach { case (x, b, lb, b2) =>
+        // lowerBound is a LEFT INVERSE on bucket ids — the identity
+        // the q113/q123 boundary re-bucketing relies on
+        assert(b2 === b, s"bucket(lowerBound($b)) = $b2 (p=$p)")
+        // bracket law: the reported quantile value lower-bounds its
+        // bucket and the true value sits within relative width 2^-p
+        assert(lb <= x, s"lb $lb > x $x (p=$p)")
+        assert(x <= lb + (lb >> p) + 1,
+          s"x $x outside bracket of lb $lb (p=$p)")
+      }
+    }
+  }
+
   test("salted-join law: multiset-equal to the plain join for every " +
     "supported join type; the physical join keys carry the salt") {
     import spark.implicits._
