@@ -57,7 +57,10 @@ object SqlSurface {
     "q117_term_drift",
     // q120 rides the same build-time PQ codebook materialization
     "q107_pq_codebooks", "q108_pq_encode", "q109_pq_adc_topk",
-    "q120_pq_distortion")
+    "q120_pq_distortion",
+    // q124/q125 materialize the decoded-image perceptual-hash frame
+    // (the PNG round trip must not re-run per band-join reference)
+    "q124_image_dedup", "q125_image_neardup")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -283,6 +283,66 @@ object Multimodal {
     })
   }
 
+  /** 64-bit perceptual average-hash (aHash) over decoded grayscale
+    * planes — the image analog of q29's SimHash: pool the image to an
+    * 8×8 grid of box means and set bit j when box j's mean exceeds the
+    * global mean. Re-encoded, block-upscaled, or mildly brightness-
+    * perturbed copies of an image land on the same (or Hamming-close)
+    * hash, so the text dedup machinery (exact groupBy, banded near-dup
+    * join) applies unchanged to image columns.
+    *
+    * All-integer: pixels are recovered exactly from the decode plane
+    * (round(p·255) — the q66 fixed-point trick), box sums accumulate in
+    * Long, and the bit rule is the cross-multiplied comparison
+    * `boxSum·totalCnt > totalSum·boxCnt` — no division, exact for any
+    * dimensions (safe to ~8k×8k before Long overflow). Box boundaries
+    * floor-divide like [[resizeImages]]; for dimensions that are
+    * multiples of 8 every box pools a uniform (w/8)×(h/8) block.
+    *
+    * The hash is emitted as four 16-bit bands (band0 = bits 0-15 …
+    * band3 = bits 48-63) rather than one 64-bit value: bands are the
+    * unit the near-dup join buckets on (pigeonhole: Hamming ≤ 3 over
+    * 64 bits ⇒ ≥ 1 of 4 bands exactly equal), and staying under 2^16
+    * keeps every value exact in any engine's integer type. Hamming
+    * distance = Σ bit_count(bandA xor bandB) over the four bands.
+    *
+    * Scale posture: one streamed pass per partition (mapPartitions, the
+    * decode stage's batch shape); only (media_id, 4 ints) leaves the
+    * stage — never a pixel plane, never a driver round trip.
+    */
+  def aHash64(decoded: Dataset[DecodedImage]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { img =>
+      val w = img.width
+      val h = img.height
+      val boxSum = new Array[Long](64)
+      val boxCnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val j = by * 8 + x * 8 / w
+          boxSum(j) += math.round(img.pixels(y * w + x) * 255f).toLong
+          boxCnt(j) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var ts = 0L
+      var tc = 0L
+      var j = 0
+      while (j < 64) { ts += boxSum(j); tc += boxCnt(j); j += 1 }
+      val bands = new Array[Int](4)
+      j = 0
+      while (j < 64) {
+        if (boxSum(j) * tc > ts * boxCnt(j)) bands(j / 16) |= 1 << (j % 16)
+        j += 1
+      }
+      (img.media_id, bands(0), bands(1), bands(2), bands(3))
+    }).toDF("media_id", "band0", "band1", "band2", "band3")
+  }
+
   /** Audio feature extraction: windowed RMS envelope over real decoded
     * PCM (samples normalized to [-1,1); window length in samples).
     * Undecodable payloads are dropped, like [[decodeImages]].

@@ -3095,6 +3095,89 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Shared fixture + kernel for the image-dedup pair q124/q125: a
+    * deterministic grayscale raster per document (dims 8/16 × 8/16/24 —
+    * multiples of 8, so the aHash boxes pool uniform blocks and the
+    * oracle can recompute every box sum analytically, the q66 pattern)
+    * is PNG-encoded, decoded back through the production path
+    * (Multimodal.decodeImages / javax.imageio), and perceptually hashed
+    * (Multimodal.aHash64). Groups of four documents (g = doc_id/4)
+    * share a base image; variants v = 1..3 brighten the top-left aHash
+    * box by v·18 gray levels — the re-encoded/brightness-shifted
+    * duplicate a byte-level hash (q27 on the PNG bytes) misses and the
+    * perceptual hash is built to catch. Materialized: the hash frame
+    * feeds both sides of q125's band join (and its verify legs), and a
+    * lazy plan would re-run the PNG round trip per reference.
+    */
+  private def imageHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 16 < 4)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val w = (8 * (1 + g % 2)).toInt
+        val h = (8 * (1 + g % 3)).toInt
+        val png = C.encodePng(w, h, (x, y) =>
+          (((x * 7 + y * 13 + g * 31) % 200).toInt +
+            (if (x < w / 8 && y < h / 8) v * 18 else 0)))
+        (id, png)
+      }).toDF("media_id", "content")
+    Multimodal.aHash64(Multimodal.decodeImages(media))
+      .transform(graft.operators.Exec.materialize)
+  }
+
+  /** q124: exact perceptual image dedup — group by the full 64-bit
+    * aHash (its four 16-bit bands), keeper = min media_id, the q27
+    * shape applied to an image column. Catches byte-level re-encodes
+    * AND perceptually-identical variants (a brightness shift too small
+    * to flip any box-vs-mean bit). At 100 TB: decode+hash is scan-side
+    * mapPartitions work; the only shuffle is the 8-byte-key groupBy.
+    */
+  private val q124: Q = (s, dir) =>
+    imageHashes(s, dir)
+      .groupBy("band0", "band1", "band2", "band3")
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  /** q125: perceptual image NEAR-dup pairs — q30's banded-Hamming
+    * pattern on the image hash: each doc fans out to four
+    * position-tagged 16-bit band keys; candidates equi-join on a shared
+    * band (pigeonhole: Hamming ≤ 3 over 64 bits ⇒ some band is exactly
+    * equal, so the join misses nothing the threshold admits); verify is
+    * Σ bit_count(xor) over the four bands. Never all-pairs — candidate
+    * volume is governed by band collisions, the LSH scale posture.
+    */
+  private val q125: Q = (s, dir) => {
+    val hs = imageHashes(s, dir)
+    def side(tag: String): DataFrame = {
+      val bandCols = array((0 until 4).map { b =>
+        col(s"band$b").cast(LongType) + lit(65536L * b)
+      }: _*)
+      hs.select(col("media_id").as(s"doc_$tag"),
+        col("band0").as(s"b0_$tag"), col("band1").as(s"b1_$tag"),
+        col("band2").as(s"b2_$tag"), col("band3").as(s"b3_$tag"),
+        explode(bandCols).as("bk"))
+    }
+    side("a").join(side("b"), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "b0_a", "b1_a", "b2_a", "b3_a",
+        "b0_b", "b1_b", "b2_b", "b3_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("b0_a").bitwiseXOR(col("b0_b"))) +
+          bit_count(col("b1_a").bitwiseXOR(col("b1_b"))) +
+          bit_count(col("b2_a").bitwiseXOR(col("b2_b"))) +
+          bit_count(col("b3_a").bitwiseXOR(col("b3_b")))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3179,7 +3262,9 @@ object LlmPipeline {
     "q120_pq_distortion" -> q120,
     "q121_fuzzy_name_pairs" -> q121,
     "q122_soft_dedup_weights" -> q122,
-    "q123_curriculum_stages" -> q123)
+    "q123_curriculum_stages" -> q123,
+    "q124_image_dedup" -> q124,
+    "q125_image_neardup" -> q125)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -3198,6 +3283,51 @@ object LlmPipeline {
   // 60-bit integer view of md5(shingle) — byte-identical to Spark's
   // conv(substring(md5, 1, 15), 16, 10).
   private val dShingleHash = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+
+  /** Shared CTE chain for the q124/q125 oracles: the analytic aHash of
+    * the image-dedup fixture. Mirrors [[imageHashes]] bit-for-bit —
+    * same pixel formula (base mod-200 raster per group g = doc_id/4,
+    * variant v = doc_id%4 brightening the top-left box by v·18), same
+    * uniform 8×8 box mapping (dims are multiples of 8), same
+    * cross-multiplied bit rule, same 16-bit band packing. Ends in
+    * `bands(doc_id, band0..band3)`. generate_series is constant-bounded
+    * at the max raster size (16×24); the WHERE trims per-row.
+    */
+  private val imageHashCte: String =
+    """WITH m AS (
+      | SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+      |  CAST(8 * (1 + (doc_id // 4) % 2) AS INT) AS w,
+      |  CAST(8 * (1 + (doc_id // 4) % 3) AS INT) AS h
+      | FROM documents WHERE doc_id % 16 < 4),
+      |px AS (
+      | SELECT m.doc_id,
+      |  ((s.i // m.w) // (m.h // 8)) * 8
+      |    + ((s.i % m.w) // (m.w // 8)) AS j,
+      |  ((s.i % m.w) * 7 + (s.i // m.w) * 13 + m.g * 31) % 200
+      |    + CASE WHEN (s.i % m.w) < m.w // 8 AND (s.i // m.w) < m.h // 8
+      |       THEN m.v * 18 ELSE 0 END AS k
+      | FROM m, generate_series(0, 383) s(i) WHERE s.i < m.w * m.h),
+      |box AS (
+      | SELECT doc_id, j, SUM(k) AS bs, COUNT(*) AS bc
+      | FROM px GROUP BY doc_id, j),
+      |tot AS (
+      | SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+      | FROM box GROUP BY doc_id),
+      |bits AS (
+      | SELECT b.doc_id, b.j,
+      |  CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+      | FROM box b JOIN tot t ON b.doc_id = t.doc_id),
+      |bands AS (
+      | SELECT doc_id,
+      |  CAST(SUM(CASE WHEN j // 16 = 0 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band0,
+      |  CAST(SUM(CASE WHEN j // 16 = 1 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band1,
+      |  CAST(SUM(CASE WHEN j // 16 = 2 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band2,
+      |  CAST(SUM(CASE WHEN j // 16 = 3 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band3
+      | FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE chain: documents → shingles → minhash signatures →
     * banded LSH candidates → scored pairs (`scored`: doc_a, doc_b,
@@ -4581,6 +4711,35 @@ object LlmPipeline {
          | CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
          |  AS BIGINT) % 10000 AS shuffle_slot
          |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin,
+    // q124/q125: the oracle recomputes the PERCEPTUAL image hash
+    // analytically from the fixture's pixel formula (the q64/q66
+    // pattern): box sums over the uniform 8×8 pooling grid, bit j set
+    // by the cross-multiplied mean comparison, bits packed into four
+    // 16-bit bands. The Spark side must reproduce the identical bands
+    // through a real PNG encode→decode→pool round trip — a defect
+    // anywhere (codec, fixed-point recovery, box mapping, bit packing)
+    // breaks the hash match.
+    "q124_image_dedup" ->
+      s"""$imageHashCte
+         |SELECT band0, band1, band2, band3,
+         | MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY keeper_id""".stripMargin,
+    // q125's oracle is the SEMANTIC spec — all pairs within Hamming 3,
+    // doc_a < doc_b; the Spark plan reaches the same set through the
+    // banded candidate join (pigeonhole: no false negatives at ≤ 3).
+    "q125_image_neardup" ->
+      s"""$imageHashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.band0, b.band0))
+         |  + bit_count(xor(a.band1, b.band1))
+         |  + bit_count(xor(a.band2, b.band2))
+         |  + bit_count(xor(a.band3, b.band3)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.band0, b.band0))
+         |  + bit_count(xor(a.band1, b.band1))
+         |  + bit_count(xor(a.band2, b.band2))
+         |  + bit_count(xor(a.band3, b.band3)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

@@ -123,6 +123,39 @@ class MultimodalSpec extends SparkSuite {
     assert(out.rms.toSeq.forall(v => math.abs(v - 0.5f) < 1e-6))
   }
 
+  test("aHash64: re-encoded and block-upscaled duplicates land on the " +
+    "identical hash; a small brightness shift is Hamming-1; a distinct " +
+    "image is far") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    // base: 16x16, each 2x2 aHash box uniform at 8*bx + 4*by (0..84,
+    // global mean 42 — no box value equals the mean, so every bit is
+    // decided, and values are multiples of 4, so the +48 perturbation
+    // below shifts the mean by 0.75 without crossing any box value)
+    def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+    val png1 = C.encodePng(16, 16, base)
+    val png1b = C.encodePng(16, 16, base) // independent re-encode
+    // 2x block upscale: 32x32 pooling back to the same box means
+    val png2 = C.encodePng(32, 32, (x, y) => base(x / 2, y / 2))
+    // top-left aHash box brightened 0 -> 48 (> shifted mean 42.75):
+    // exactly bit 0 flips
+    val png3 = C.encodePng(16, 16,
+      (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+    // inverted gradient: every box lands on the other side of the mean
+    val png4 = C.encodePng(16, 16, (x, y) => base(15 - x, 15 - y))
+    val df = Seq(1L -> png1, 2L -> png1b, 3L -> png2, 4L -> png3,
+      5L -> png4).toDF("media_id", "content")
+    val hs = Multimodal.aHash64(Multimodal.decodeImages(df))
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    assert(hs(1L).toSeq === hs(2L).toSeq, "re-encode must be exact-dup")
+    assert(hs(1L).toSeq === hs(3L).toSeq, "block upscale must be exact-dup")
+    assert(hamming(hs(1L), hs(4L)) === 1, "one brightened box = Hamming 1")
+    assert(hamming(hs(1L), hs(5L)) === 64, "inverted image = complement")
+  }
+
   test("frame-sample plan: one row per everyMs tick, metadata only") {
     val df = mediaDf(
       mediaRow(1, "video/mp4", bytes(1), durMs = 1000L),
