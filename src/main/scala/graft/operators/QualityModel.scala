@@ -79,11 +79,67 @@ object QualityModel {
   private def q6(x: Column): Column =
     floor(x * lit(1000000.0)).cast(LongType)
 
+  /** The model's SUFFICIENT STATISTICS over a labeled frame — per
+    * observed feature id the class counts (fid, n_pos, n_neg), plus a
+    * sentinel fid = −1 row carrying the class DOC totals (feature ids
+    * are `md5 mod dims` ∈ [0, dims), so −1 can never collide). Every
+    * cell is an integer COUNT, so two frames over disjoint corpora
+    * merge by cell-wise addition ([[mergeCounts]]) into exactly the
+    * stats of the union — the mergeability that puts this model on the
+    * streaming versioned-snapshot loop beside the count-min/quantile
+    * sketches. Bounded: ≤ dims + 1 rows (KBs) whatever the corpus.
+    */
+  def countsOf(labeled: DataFrame, toksCol: String, labelCol: String,
+      dims: Int): DataFrame =
+    labeled.select(col("doc_id"), col(labelCol).as("y"),
+        explode(featuresExpr(toksCol, dims)).as("fid"))
+      .groupBy("fid")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+      .unionByName(classTotals(labeled, labelCol)
+        .select(lit(-1L).as("fid"), col("t_pos").as("n_pos"),
+          col("t_neg").as("n_neg")))
+
+  /** Cell-wise addition of two [[countsOf]] frames: integer sums are
+    * associative/commutative, so any batching of a corpus folds to the
+    * one-shot stats bit-for-bit.
+    */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("fid")
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+
+  /** Derive the fitted weights from a [[countsOf]] stats frame — the
+    * Laplace-smoothed class-rate difference in 1e-6 fixed point. The
+    * stats are the model: weights from merged streamed stats are
+    * BIT-IDENTICAL to [[train]] on the union corpus (same integer
+    * counts in, same IEEE-exact formula).
+    */
+  def weightsOf(counts: DataFrame): DataFrame =
+    counts.filter(col("fid") =!= lit(-1L))
+      .crossJoin(broadcast(counts.filter(col("fid") === lit(-1L))
+        .select(col("n_pos").as("t_pos"), col("n_neg").as("t_neg"))))
+      .select(col("fid"), col("n_pos"), col("n_neg"),
+        (q6((col("n_pos") + lit(1L)).cast(DoubleType) /
+            (col("t_pos") + lit(2L)).cast(DoubleType)) -
+          q6((col("n_neg") + lit(1L)).cast(DoubleType) /
+            (col("t_neg") + lit(2L)).cast(DoubleType)))
+          .as("weight_fp"))
+
   /** Fit the weights: (fid, n_pos, n_neg, weight_fp), one row per
     * OBSERVED feature id, weight in 1e-6 fixed point. `labeled` must
     * carry doc_id, a token-array column, and a boolean label column
     * (restrict it to tokenized docs — the same domain the labels were
     * computed over, with both classes present).
+    *
+    * ≡ `weightsOf(countsOf(labeled, …))` bit-for-bit (same integer
+    * counts, same IEEE-exact formula — QualityModelSpec pins the law),
+    * but kept as its own two-scan plan: [[weightsOf]] references its
+    * stats frame twice (weight rows + the totals broadcast), which is
+    * free over a KB-scale committed snapshot file but would re-run the
+    * corpus featurization here (Catalyst re-executes a subplan per
+    * reference), and train must stay LAZY (SqlSurface registration
+    * contract for q110/q111).
     */
   def train(labeled: DataFrame, toksCol: String, labelCol: String,
       dims: Int): DataFrame = {

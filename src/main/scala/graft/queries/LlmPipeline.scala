@@ -2596,13 +2596,26 @@ object LlmPipeline {
     */
   private def qualityLabeled(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    gopherMetrics(tokenized(s, dir)).withColumn("y", gopherPass)
+    qualityLabeledOf(t(s, dir, "documents"))
+
+  /** [[qualityLabeled]] over an arbitrary (doc_id, text, …) frame —
+    * the per-micro-batch form the streamed quality-model maintainer
+    * labels with (the label rule is stateless per-row, so a batch's
+    * labels equal the one-shot corpus labels). Same tokenize barrier,
+    * same ≥ 1-token domain, same Gopher metrics and pass rule — ONE
+    * definition, so the streamed model can never drift from q110's.
+    */
+  private[graft] def qualityLabeledOf(docs: DataFrame): DataFrame =
+    gopherMetrics(docs
+        .select(col("doc_id"), explode(array(expr(toksE))).as("toks"))
+        .filter(size(col("toks")) >= 1))
+      .withColumn("y", gopherPass)
 
   /** Hashed-feature width of the q110/q111 quality model — fixed and
     * tiny on purpose: the fitted model is ≤ 512 rows / KBs, so it
     * broadcasts (or inlines as plan literals) no matter the corpus.
     */
-  private val QualityDims = 512
+  private[graft] val QualityDims = 512
 
   /** q110: TRAIN a model-based quality classifier
     * (graft.operators.QualityModel — fastText-style hashed bag of

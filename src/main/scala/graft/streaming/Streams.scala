@@ -768,6 +768,65 @@ object Streams {
           col("n_bigrams").cast("double")).as("ll_mean_fp"))
   }
 
+  /** Incrementally-maintained model-based QUALITY CLASSIFIER — the
+    * streaming face of q110's training half, closing the last trained
+    * artifact without a maintainer: the model's sufficient statistics
+    * are per-feature integer class counts plus the class doc totals
+    * ([[graft.operators.QualityModel.countsOf]] — ≤ dims+1 rows, KBs),
+    * which merge across micro-batches by CELL-WISE ADDITION exactly
+    * like the count-min/quantile/bigram snapshots, so the classifier
+    * retrains continuously and the corpus is never re-scanned. Labels
+    * are the stateless per-row Gopher rule (q54/q110's weak
+    * supervisor, one shared definition), so a batch's labels equal the
+    * one-shot corpus labels by construction. Weights DERIVE from the
+    * snapshot ([[qualityWeights]]) — bit-identical to batch training
+    * on the union corpus (StreamingSpec pins the law). Same versioned
+    * `batch=<id>` commit protocol and replay idempotence as the
+    * sibling snapshots.
+    */
+  def maintainQualityModel(docs: DataFrame, statsPath: String,
+      checkpointDir: String,
+      dims: Int = graft.queries.LlmPipeline.QualityDims): StreamingQuery =
+    maintainMergedSnapshot(docs, statsPath, checkpointDir,
+      "quality_model")(
+      batch => graft.operators.QualityModel.countsOf(
+        graft.queries.LlmPipeline.qualityLabeledOf(batch), "toks", "y",
+        dims),
+      (prev, cur) => graft.operators.QualityModel.mergeCounts(prev, cur))
+
+  /** The fitted weights of the latest committed
+    * [[maintainQualityModel]] snapshot — (fid, n_pos, n_neg,
+    * weight_fp), BIT-IDENTICAL to `QualityModel.train` over every
+    * document the stream has committed (the stats are the model; the
+    * weight map is closed-form). No barrier: the double reference
+    * inside `weightsOf` re-reads a KB-scale snapshot file, not a
+    * corpus plan (the termDriftBetween rationale).
+    */
+  def qualityWeights(spark: SparkSession, statsPath: String): DataFrame =
+    graft.operators.QualityModel.weightsOf(
+      readTermStats(spark, statsPath))
+
+  /** Score documents with the streamed quality model — q111's exact
+    * arithmetic (floor-mean of distinct-feature weights, learned
+    * class-centroid-midpoint threshold) with the WEIGHTS read from the
+    * [[maintainQualityModel]] snapshot instead of trained in-query;
+    * the threshold calibrates on the scoring frame's own heuristic
+    * labels (q111's own posture — it thresholds the frame it scores).
+    * Scoring the corpus the stream was fed is BIT-IDENTICAL to q111 —
+    * StreamingSpec pins the law. For the literal-model serving /
+    * gating form, collect the snapshot weights
+    * (`QualityModel.collectWeights(qualityWeights(…), dims)`) into
+    * [[qualityGatedCurationFeed]].
+    */
+  def scoreQuality(docs: DataFrame, statsPath: String,
+      dims: Int = graft.queries.LlmPipeline.QualityDims): DataFrame = {
+    import graft.operators.QualityModel
+    val labeled = graft.queries.LlmPipeline.qualityLabeledOf(docs)
+    val w = qualityWeights(docs.sparkSession, statsPath)
+    QualityModel.scoreWithThreshold(labeled, "toks", w,
+      QualityModel.threshold(labeled, "toks", "y", w, dims), dims)
+  }
+
   /** Streamed training-mix export — the WRITE half of
     * [[graft.operators.CorpusExport]] for a continuously-fed corpus:
     * every micro-batch runs through the SAME deterministic per-million
@@ -995,27 +1054,36 @@ object Streams {
     * store probe, and like the linear-model gate their rejects are
     * never recorded (a re-submission after the LM improves gets judged
     * afresh). The MODEL is the latest [[maintainBigramLm]] snapshot,
-    * read and PINNED once at stream start (the centroid /
-    * QualityModel pin-at-start posture — a concurrently-maintained
-    * snapshot must not drift the gate mid-stream; restart the stream
-    * to rotate models). The pin holds ONE stream-lifetime barrier —
-    * not the per-batch accumulation the r13 leak fix outlawed;
-    * release it with `Exec.release` after `awaitTermination()` if the
-    * session lives on. Documents with fewer than two tokens are
-    * unscorable and drop at the gate (the CCNet reading: no
-    * perplexity, no admission). The gate itself runs INSIDE the
-    * micro-batch cycle: unlike the stateless literal-model filter it
-    * aggregates per-document bigrams, which a streaming frame cannot
-    * express pre-sink.
+    * read and PINNED at stream start (the centroid / QualityModel
+    * pin-at-start posture — a concurrently-maintained snapshot must
+    * not drift the gate mid-batch). The MODEL-REFRESH leg:
+    * `modelRefreshEvery` > 0 re-resolves the latest COMMITTED snapshot
+    * every N processed batches — the old barrier is released, the new
+    * snapshot materialized, and gating continues against the fresher
+    * model, so a year-long feed tracks a concurrently-maintained LM
+    * without restarts. Refresh points count PROCESSED (uncommitted)
+    * batches, so gating is at-least-once-consistent across replays:
+    * a replayed committed batch skips the gate entirely (its
+    * survivors are already committed), and the stores' delivery
+    * matrix is unchanged. Each pin holds ONE barrier at a time — not
+    * the per-batch accumulation the r13 leak fix outlawed; the
+    * returned thunk releases the CURRENT one after
+    * `awaitTermination()` if the session lives on. Documents with
+    * fewer than two tokens are unscorable and drop at the gate (the
+    * CCNet reading: no perplexity, no admission). The gate itself
+    * runs INSIDE the micro-batch cycle: unlike the stateless
+    * literal-model filter it aggregates per-document bigrams, which a
+    * streaming frame cannot express pre-sink.
     */
   def lmGatedCurationFeed(docs: DataFrame, textCol: String,
       idCol: String, statsPath: String, minLlMeanFp: Long,
       exactStorePath: String, nearStorePath: String, outDir: String,
-      checkpointDir: String,
-      maintenanceEvery: Int = 0): (StreamingQuery, DataFrame) = {
+      checkpointDir: String, maintenanceEvery: Int = 0,
+      modelRefreshEvery: Int = 0): (StreamingQuery, () => Unit) = {
     val spark = docs.sparkSession
-    val model = graft.operators.Exec.materialize(
-      readTermStats(spark, statsPath))
+    val model = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      graft.operators.Exec.materialize(readTermStats(spark, statsPath)))
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "lm_gated_curation_feed",
       maintenanceEvery = maintenanceEvery,
@@ -1034,9 +1102,11 @@ object Streams {
             .buildBloomSidecar(s2, nearStorePath); () }))
       })(
       batch => {
+        refreshPinnedModel(model, batch.sparkSession, statsPath,
+          processed.getAndIncrement(), modelRefreshEvery)
         val kept = scoreLmAgainst(
             batch.select(col(idCol).as("doc_id"),
-              col(textCol).as("text")), model)
+              col(textCol).as("text")), model.get())
           .filter(col("ll_mean_fp") >= minLlMeanFp)
           .select(col("doc_id").as("__lm_keep_id"))
         val gated = batch.join(kept,
@@ -1052,8 +1122,26 @@ object Streams {
         graft.ingest.NearDupStore
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
-    (q, model)
+    (q, () => graft.operators.Exec.release(model.get()))
   }
+
+  /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
+    * the adoption semantics are directly testable: when due (`every`
+    * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED
+    * snapshot under `statsPath`, materialize it, swap it into the pin,
+    * and release the previous barrier — one live barrier at any time
+    * (the loop-release discipline of Exec.materialize's scaladoc). Not
+    * due → the pin is untouched.
+    */
+  private[graft] def refreshPinnedModel(
+      model: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      spark: SparkSession, statsPath: String, n: Long,
+      every: Int): Unit =
+    if (every > 0 && n > 0 && n % every == 0) {
+      val fresh = graft.operators.Exec.materialize(
+        readTermStats(spark, statsPath))
+      graft.operators.Exec.release(model.getAndSet(fresh))
+    }
 
   /** [[curationFeedThroughStores]] with the SPAN store as a third
     * stage: exact → near → span, in increasing per-document cost, so

@@ -66,6 +66,26 @@ class QualityModelSpec extends SparkSuite {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("sufficient statistics: weightsOf(countsOf) equals train bit for " +
+    "bit, and cell-wise merged disjoint-cohort stats equal the union's") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaStats = QualityModel.weightsOf(
+      QualityModel.countsOf(labeled, "toks", "y", Dims))
+    assert(rows(viaStats) === rows(weights),
+      "the stats-derived weights diverged from train")
+    // mergeability — the streaming-maintainer law at operator level:
+    // stats over doc_id-parity cohorts, merged, must equal the union's
+    val merged = QualityModel.mergeCounts(
+      QualityModel.countsOf(labeled.filter(col("doc_id") % 2 === 0),
+        "toks", "y", Dims),
+      QualityModel.countsOf(labeled.filter(col("doc_id") % 2 =!= 0),
+        "toks", "y", Dims))
+    assert(rows(QualityModel.weightsOf(merged)) === rows(weights),
+      "merged cohort stats diverged from one-shot training")
+  }
+
   test("training is deterministic: two independent fits are identical") {
     val a = QualityModel.train(labeled, "toks", "y", Dims)
       .orderBy("fid").collect().toSeq

@@ -535,6 +535,103 @@ class StreamingSpec extends SparkSuite {
     assert(scored() === want, "replayed batches double-counted the LM")
   }
 
+  test("incrementally-maintained quality model: streamed stats over " +
+    "micro-batches derive weights BIT-IDENTICAL to q110's one-shot " +
+    "training, scoring matches q111, and replay after checkpoint loss " +
+    "is idempotent") {
+    val docs = Tables.load(spark, sf, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("qm-src").toString
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("qm-stats").toString + "/quality"
+    val ckpt = java.nio.file.Files.createTempDirectory("qm-ckpt").toString
+    val schema = docs.schema
+    def drain(): Unit = graft.streaming.Streams.maintainQualityModel(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      statsPath, ckpt).awaitTermination()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    def weights(): Set[(Long, Long, Long, Long)] =
+      graft.streaming.Streams.qualityWeights(spark, statsPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = weights()
+    val want = graft.queries.LlmPipeline
+      .queries("q110_quality_model")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want,
+      "streamed quality-model stats diverged from q110's training")
+    // the scoring face: snapshot weights + self-calibrated threshold
+    // over the training corpus == q111 (minus its label audit column)
+    val gotScores = graft.streaming.Streams.scoreQuality(docs, statsPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val wantScores = graft.queries.LlmPipeline
+      .queries("q111_quality_model_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(gotScores === wantScores,
+      "scoring against the streamed snapshot diverged from q111")
+    // replay: wiped checkpoint re-delivers under committed batch ids
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(weights() === want,
+      "replayed batches double-counted the quality model")
+  }
+
+  test("model-refresh pin: not-due calls leave the pinned snapshot " +
+    "untouched; a due call adopts the latest committed version and " +
+    "releases the old barrier") {
+    val docs = Tables.load(spark, sf, "documents")
+    val lmSrc = java.nio.file.Files.createTempDirectory("rf-src").toString
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("rf-stats").toString + "/bigrams"
+    val ckpt = java.nio.file.Files.createTempDirectory("rf-ckpt").toString
+    def drain(): Unit = graft.streaming.Streams.maintainBigramLm(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(lmSrc),
+      statsPath, ckpt).awaitTermination()
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$lmSrc/b1")
+    drain()
+    val model = new java.util.concurrent.atomic.AtomicReference(
+      graft.operators.Exec.materialize(
+        graft.streaming.Streams.readTermStats(spark, statsPath)))
+    val rowsA = model.get().count()
+    // the snapshot advances while the pin holds version A
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write
+      .mode("overwrite").parquet(s"$lmSrc/b2")
+    drain()
+    val rowsAB = graft.streaming.Streams.readTermStats(spark, statsPath)
+      .count()
+    assert(rowsAB > rowsA, "the advanced snapshot must grow the vocab")
+    // n = 0 (stream start) and off-cadence n are never due
+    graft.streaming.Streams.refreshPinnedModel(model, spark, statsPath,
+      0L, 2)
+    graft.streaming.Streams.refreshPinnedModel(model, spark, statsPath,
+      1L, 2)
+    assert(model.get().count() === rowsA,
+      "a not-due refresh must not touch the pin")
+    // every = 0 disables the leg entirely
+    graft.streaming.Streams.refreshPinnedModel(model, spark, statsPath,
+      2L, 0)
+    assert(model.get().count() === rowsA,
+      "refresh fired with the leg disabled")
+    // due: adopt the latest committed version
+    graft.streaming.Streams.refreshPinnedModel(model, spark, statsPath,
+      2L, 2)
+    assert(model.get().count() === rowsAB,
+      "a due refresh must adopt the advanced snapshot")
+    graft.operators.Exec.release(model.get())
+  }
+
   test("LM-gated curation feed: below-threshold documents drop before " +
     "any store probe and are never recorded; survivors flow through " +
     "the dedup stores (the CCNet composition, streamed)") {
@@ -579,13 +676,13 @@ class StreamingSpec extends SparkSuite {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val (q, model) = graft.streaming.Streams.lmGatedCurationFeed(
+    val (q, releaseModel) = graft.streaming.Streams.lmGatedCurationFeed(
       spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true").parquet(srcDir),
       "text", "doc_id", statsPath, cut, exactStore, nearStore,
       outDir, ckpt)
     q.awaitTermination()
-    graft.operators.Exec.release(model)
+    releaseModel()
     val survivors = spark.read
       .schema(schema.add("content_hash",
         org.apache.spark.sql.types.StringType))
