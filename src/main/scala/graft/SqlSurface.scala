@@ -60,7 +60,10 @@ object SqlSurface {
     "q120_pq_distortion",
     // q124/q125 materialize the decoded-image perceptual-hash frame
     // (the PNG round trip must not re-run per band-join reference)
-    "q124_image_dedup", "q125_image_neardup")
+    "q124_image_dedup", "q125_image_neardup",
+    // q126 materializes its chunk frame like q56 (read twice: counts
+    // + the join back)
+    "q126_cdc_chunk_dedup")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

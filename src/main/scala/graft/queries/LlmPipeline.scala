@@ -3191,6 +3191,66 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Content-defined chunk rows (doc_id, ch) of a (doc_id, text, …)
+    * frame — the FastCDC-style flank of q56's fixed-boundary chunking:
+    * a chunk BOUNDARY falls after token i exactly when the 60-bit hash
+    * of the 3-token gram ending at i is ≡ 0 mod 16 (expected chunk
+    * ~16 tokens), and the final token always closes the last chunk.
+    * Because the anchor decision looks at a bounded 3-token window,
+    * an insertion shifts only the chunks that OVERLAP the edit:
+    * boundaries realign at the first anchor past it, so a shifted
+    * duplicate still shares every downstream chunk hash — the case
+    * that defeats fixed 10-token boundaries (one inserted token shifts
+    * every chunk; LlmPipelineSpec plants exactly that). All integer
+    * arithmetic (md5 → 60-bit int, the q36 convention) — oracle-exact.
+    *
+    * Plan: tokens materialize behind the shared Generate barrier, the
+    * boundary array builds scan-side in one projection (subexpression-
+    * eliminated within the stage), a second barrier pins `ends` as an
+    * attribute, and the only exchange in the consuming dedup is the
+    * chunk-hash aggregation — per-position work, never per-pair.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val h3 = "cast(conv(substring(md5(concat_ws(' ', " +
+      "slice(toks, i - 2, 3))), 1, 15), 16, 10) as bigint)"
+    val boundsSql = "filter(transform(sequence(3, size(toks)), " +
+      s"i -> if($h3 % 16 = 0, i, -1)), x -> x > 0)"
+    val endsSql = s"case when size($boundsSql) > 0 and " +
+      s"element_at($boundsSql, -1) = size(toks) then $boundsSql " +
+      s"else concat($boundsSql, array(size(toks))) end"
+    docs
+      .select(col("doc_id"), explode(array(expr(toksE))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(array(expr(endsSql))).as("ends"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ends)), j -> md5(concat_ws(' ', " +
+          "slice(toks, if(j = 1, 1, element_at(ends, j - 1) + 1), " +
+          "element_at(ends, j) " +
+          "- if(j = 1, 1, element_at(ends, j - 1) + 1) + 1))))"))
+        .as("ch"))
+  }
+
+  /** q126: content-defined chunk dedup — q56's report shape (per-doc
+    * chunk counts and the recycled share) over [[cdcChunks]] instead
+    * of fixed 10-token windows. The production-robust form: a one-
+    * token insertion upstream of a passage no longer hides the reuse.
+    */
+  private val q126: Q = (s, dir) => {
+    val chunks = cdcChunks(t(s, dir, "documents"))
+      .transform(graft.operators.Exec.materialize)
+    val counts = chunks.groupBy("ch")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(counts, "ch")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast(DoubleType)
+          / col("n_chunks").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3277,7 +3337,8 @@ object LlmPipeline {
     "q122_soft_dedup_weights" -> q122,
     "q123_curriculum_stages" -> q123,
     "q124_image_dedup" -> q124,
-    "q125_image_neardup" -> q125)
+    "q125_image_neardup" -> q125,
+    "q126_cdc_chunk_dedup" -> q126)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4753,6 +4814,43 @@ object LlmPipeline {
          |  + bit_count(xor(a.band2, b.band2))
          |  + bit_count(xor(a.band3, b.band3)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // q126: the CDC chain replayed in CTEs — 3-gram anchor hash (the
+    // shared 60-bit md5 convention), boundary iff ≡ 0 mod 16, last
+    // token closes the final chunk, then q56's dup-share report.
+    // list_slice is INCLUSIVE (≡ Spark slice(l, a, b-a+1)); the LIST
+    // form of generate_series takes column bounds.
+    "q126_cdc_chunk_dedup" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $dToks AS toks FROM documents
+         | WHERE len($dToks) >= 3),
+         |b AS (
+         | SELECT doc_id, toks,
+         |  list_filter(list_transform(generate_series(3, len(toks)),
+         |   i -> CASE WHEN CAST('0x' || substr(md5(array_to_string(
+         |     list_slice(toks, i - 2, i), ' ')), 1, 15) AS BIGINT)
+         |     % 16 = 0 THEN i ELSE -1 END), x -> x > 0) AS bounds
+         | FROM base),
+         |e AS (
+         | SELECT doc_id, toks,
+         |  CASE WHEN len(bounds) > 0 AND bounds[-1] = len(toks)
+         |   THEN bounds ELSE list_append(bounds, len(toks)) END AS ends
+         | FROM b),
+         |cx AS (
+         | SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ends)), j ->
+         |   md5(array_to_string(list_slice(toks,
+         |    CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+         |    ends[j]), ' ')))) AS ch
+         | FROM e),
+         |cnt AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd
+         | FROM cx GROUP BY ch)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         | CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_chunks,
+         | CAST(SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / COUNT(*) AS dup_frac
+         |FROM cx c JOIN cnt ON c.ch = cnt.ch
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q116_curation_log" ->
       s"""WITH RECURSIVE base0 AS (
          | SELECT doc_id, text, n_chars, $dToks AS toks FROM documents),

@@ -185,6 +185,42 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q126 CDC chunking: an insertion-shifted duplicate shares " +
+    "chunks under content-defined boundaries but none under fixed " +
+    "10-token boundaries, and boundaries realign past the edit") {
+    import spark.implicits._
+    // 61 varied tokens; doc 2 = doc 1 with ONE token prepended, so
+    // every fixed 10-token window shifts by one
+    val baseToks = (1 to 61).map(i => s"tok${i * 7 % 97}word$i")
+    val docs = Seq(
+      (1L, baseToks.mkString(" ")),
+      (2L, ("inserted" +: baseToks).mkString(" ")),
+      (3L, (100 to 160).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdc = LlmPipeline.cdcChunks(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = cdc.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2).toSet }
+    val shared12 = byDoc(1L).intersect(byDoc(2L))
+    assert(shared12.nonEmpty,
+      "CDC must realign boundaries past the insertion and share chunks")
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty,
+      "unrelated documents must not share CDC chunks")
+    // the fixed-boundary flank structurally misses the same duplicate
+    val fixed = docs
+      .withColumn("toks", expr(LlmPipeline.toksE))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1), " +
+          "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))"))
+        .as("ch"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fByDoc = fixed.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2).toSet }
+    assert(fByDoc(1L).intersect(fByDoc(2L)).isEmpty,
+      "fixed 10-token chunks should all shift under a 1-token insertion")
+  }
+
   test("q58 stratified sample: en sampled near 10%, others near 25%") {
     val rows = LlmPipeline.queries("q58_stratified_sample")(spark, sf)
       .collect()
