@@ -63,7 +63,10 @@ object SqlSurface {
     "q124_image_dedup", "q125_image_neardup",
     // q126 materializes its chunk frame like q56 (read twice: counts
     // + the join back)
-    "q126_cdc_chunk_dedup")
+    "q126_cdc_chunk_dedup",
+    // q127 rides the build-time PQ codebook + materializes its truth
+    // and shortlist frames (each feeds two recall joins)
+    "q127_pq_recall")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -547,6 +547,86 @@ object LlmPipeline {
       .select(col("vec_id"), col("adist_fp"))
   }
 
+  /** q127: PQ recall@3 audit — what ADC's approximation COSTS against
+    * the exact answer, the number that closes the PQ audit trio (q109
+    * serves, q120 prices distortion, q127 prices recall) the way
+    * q91/q92 close it for IVF. Per q84-convention query (vec_id ≤ 9):
+    * the exact quantized-L2 top-3 over the corpus (vec_id > 9), the
+    * ADC top-3 from the m=8 code rows, and the RE-RANKED top-3 —
+    * ADC's top-8 shortlist exact-rescored (AnnIndex.topKPqCurrent's
+    * `rerankC` trade, measured: per query, recall_rerank ≥ recall_adc
+    * by construction — a true top-3 member inside any shortlist
+    * re-ranks into the top 3 — and the gap between them is what the
+    * bounded exact fetch buys). Deterministic everywhere (integer
+    * fixed-point distances, ties on vec_id) → oracle-exact.
+    *
+    * Scale: the exact leg is the audit's dominant cost (|Q|·corpus,
+    * run over a SAMPLED query set like q92); the ADC leg moves only
+    * code rows + a broadcast m×k-per-query LUT; the re-rank fetches
+    * ≤ |Q|·8 full vectors. The shortlist/truth frames are materialized
+    * (≤ |Q|·8 rows) — each feeds two of the recall joins.
+    */
+  private val q127: Q = (s, dir) => {
+    import graft.operators.{KMeans, Pq => P}
+    val W = org.apache.spark.sql.expressions.Window
+    val e = pqEmbeddings(s, dir)
+    val cb = pqCodebook(s, dir)
+    val corpus = e.filter(col("vec_id") > 9)
+      .select(col("vec_id").as("neighbor_id"), col("v"))
+    val qs = e.filter(col("vec_id") <= 9)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wExact = W.partitionBy("query_id")
+      .orderBy(col("dist_fp"), col("neighbor_id"))
+    val exact = corpus.crossJoin(broadcast(qs))
+      .withColumn("dist_fp", KMeans.distFp("v", "qv"))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id")
+      .transform(graft.operators.Exec.materialize)
+    // per-query ADC LUT (the multi-query form of Pq.adcLut) + ranking
+    val lut = P.subvectors(qs.select(col("query_id").as("vec_id"),
+        col("qv").as("v")), PqM, PqDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        KMeans.distFp("sv", "cv").as("qdist_fp"))
+    val wAdc = W.partitionBy("query_id")
+      .orderBy(col("adist_fp"), col("neighbor_id"))
+    val shortlist = P.encode(corpus.select(col("neighbor_id")
+          .as("vec_id"), col("v")), cb, PqM, PqDim)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qdist_fp")).as("adist_fp"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= 8)
+      .transform(graft.operators.Exec.materialize)
+    val adcTop = shortlist.filter(col("arn") <= 3)
+      .select("query_id", "neighbor_id")
+    val wRr = W.partitionBy("query_id")
+      .orderBy(col("dist_fp"), col("neighbor_id"))
+    val rrTop = shortlist
+      .join(corpus, "neighbor_id").join(broadcast(qs), "query_id")
+      .withColumn("dist_fp", KMeans.distFp("v", "qv"))
+      .withColumn("rrn", row_number().over(wRr))
+      .filter(col("rrn") <= 3)
+      .select("query_id", "neighbor_id")
+    def hits(top: DataFrame, name: String): DataFrame =
+      exact.join(top, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits(adcTop, "n_hit_adc"), Seq("query_id"), "left")
+      .join(hits(rrTop, "n_hit_rerank"), Seq("query_id"), "left")
+      .withColumn("n_hit_adc", coalesce(col("n_hit_adc"), lit(0L)))
+      .withColumn("n_hit_rerank", coalesce(col("n_hit_rerank"), lit(0L)))
+      .withColumn("recall_adc", col("n_hit_adc").cast(DoubleType)
+        / col("n_exact").cast(DoubleType))
+      .withColumn("recall_rerank", col("n_hit_rerank").cast(DoubleType)
+        / col("n_exact").cast(DoubleType))
+      .select("query_id", "n_exact", "n_hit_adc", "recall_adc",
+        "n_hit_rerank", "recall_rerank")
+      .orderBy("query_id")
+  }
+
   /** Deterministic ±1 projection matrix for q89 (16 out-dims × 64
     * in-dims): sign = parity of the first hex digit of
     * md5("<out>_<in>") with in-dims numbered 1..64 — a convention both
@@ -3338,7 +3418,8 @@ object LlmPipeline {
     "q123_curriculum_stages" -> q123,
     "q124_image_dedup" -> q124,
     "q125_image_neardup" -> q125,
-    "q126_cdc_chunk_dedup" -> q126)
+    "q126_cdc_chunk_dedup" -> q126,
+    "q127_pq_recall" -> q127)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4602,6 +4683,73 @@ object LlmPipeline {
          |FROM penc e JOIN plut l ON e.sub = l.sub AND e.code = l.code
          |GROUP BY e.vec_id
          |ORDER BY adist_fp, e.vec_id LIMIT 10""".stripMargin,
+    // q127: the PQ recall audit replayed — exact quantized-L2 top-3
+    // (ed/ex), ADC ranking off penc + the per-query pd2 LUT rows
+    // (ad/ar), the top-8 shortlist exact-rescored (rc/rr3), then the
+    // q92-shaped per-query recall report.
+    "q127_pq_recall" ->
+      s"""WITH $pqCtes,
+         |corpus AS (SELECT vec_id AS neighbor_id, v FROM e
+         | WHERE vec_id > 9),
+         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+         | WHERE vec_id <= 9),
+         |ed AS (
+         | SELECT q.query_id, c.neighbor_id,
+         |  CAST(SUM(CAST(floor(((c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i]))
+         |    * 1000000000000) AS BIGINT)) AS BIGINT) AS dist_fp
+         | FROM corpus c, qs q, generate_series(1, 64) t(i)
+         | GROUP BY q.query_id, c.neighbor_id),
+         |ex AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY dist_fp, neighbor_id) AS rn FROM ed)
+         | WHERE rn <= 3),
+         |lut AS (
+         | SELECT vec_id AS query_id, sub, code, dist_fp AS qdist_fp
+         | FROM pd2 WHERE vec_id <= 9),
+         |ad AS (
+         | SELECT l.query_id, p.vec_id AS neighbor_id,
+         |  CAST(SUM(l.qdist_fp) AS BIGINT) AS adist_fp
+         | FROM penc p JOIN lut l ON p.sub = l.sub AND p.code = l.code
+         | WHERE p.vec_id > 9 GROUP BY l.query_id, p.vec_id),
+         |ar AS (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist_fp, neighbor_id) AS arn FROM ad),
+         |at3 AS (SELECT query_id, neighbor_id FROM ar WHERE arn <= 3),
+         |rr3 AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT r.query_id, r.neighbor_id,
+         |   row_number() OVER (PARTITION BY r.query_id
+         |     ORDER BY d.dist_fp, r.neighbor_id) AS rrn
+         |  FROM ar r JOIN ed d ON r.query_id = d.query_id
+         |   AND r.neighbor_id = d.neighbor_id
+         |  WHERE r.arn <= 8)
+         | WHERE rrn <= 3),
+         |ha AS (
+         | SELECT x.query_id, COUNT(*) AS n FROM ex x
+         | JOIN at3 a ON x.query_id = a.query_id
+         |  AND x.neighbor_id = a.neighbor_id
+         | GROUP BY x.query_id),
+         |hr AS (
+         | SELECT x.query_id, COUNT(*) AS n FROM ex x
+         | JOIN rr3 r ON x.query_id = r.query_id
+         |  AND x.neighbor_id = r.neighbor_id
+         | GROUP BY x.query_id),
+         |base AS (
+         | SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+         | FROM ex GROUP BY query_id)
+         |SELECT b.query_id, b.n_exact,
+         | CAST(COALESCE(ha.n, 0) AS BIGINT) AS n_hit_adc,
+         | CAST(COALESCE(ha.n, 0) AS DOUBLE)
+         |  / CAST(b.n_exact AS DOUBLE) AS recall_adc,
+         | CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_hit_rerank,
+         | CAST(COALESCE(hr.n, 0) AS DOUBLE)
+         |  / CAST(b.n_exact AS DOUBLE) AS recall_rerank
+         |FROM base b LEFT JOIN ha ON b.query_id = ha.query_id
+         | LEFT JOIN hr ON b.query_id = hr.query_id
+         |ORDER BY b.query_id""".stripMargin,
     "q110_quality_model" ->
       s"""WITH $qmCtes
          |SELECT feature_id, n_pos, n_neg, weight_fp

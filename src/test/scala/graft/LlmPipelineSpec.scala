@@ -336,6 +336,31 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q127 PQ recall audit: per-query rerank recall dominates raw " +
+    "ADC recall (a true top-3 member in the shortlist must re-rank " +
+    "in), the bounded exact re-rank buys measurable recall, and the " +
+    "ratios reconcile") {
+    val rows = LlmPipeline.queries("q127_pq_recall")(spark, sf).collect()
+    assert(rows.length === 10) // one row per q84-convention query 0..9
+    rows.foreach { r =>
+      val nExact = r.getAs[Long]("n_exact")
+      val nAdc = r.getAs[Long]("n_hit_adc")
+      val nRr = r.getAs[Long]("n_hit_rerank")
+      assert(nExact === 3L)
+      assert(nAdc >= 0L && nAdc <= nExact && nRr <= nExact)
+      assert(nRr >= nAdc,
+        s"query ${r.getAs[Long]("query_id")}: re-ranking the ADC " +
+          s"shortlist lost a hit ($nRr < $nAdc) — impossible by " +
+          "construction")
+      assert(r.getAs[Double]("recall_adc") === nAdc.toDouble / nExact)
+      assert(r.getAs[Double]("recall_rerank") === nRr.toDouble / nExact)
+    }
+    assert(rows.map(_.getAs[Long]("n_hit_rerank")).sum >
+      rows.map(_.getAs[Long]("n_hit_adc")).sum,
+      "on this fixture the exact re-rank is known to buy recall — a " +
+        "zero gap says the rerank leg is reading the wrong distances")
+  }
+
   test("q95 corpus shuffle is a permutation: every document exactly " +
     "once, per-bucket positions contiguous from 1, rerun-stable") {
     def run() = LlmPipeline.queries("q95_corpus_shuffle")(spark, sf)
