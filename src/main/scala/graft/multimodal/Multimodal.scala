@@ -343,6 +343,55 @@ object Multimodal {
     }).toDF("media_id", "band0", "band1", "band2", "band3")
   }
 
+  /** 64-bit audio fingerprint — [[aHash64]]'s pattern over the time
+    * axis: decode PCM ([[Codec.decodePcm16]]), split the sample stream
+    * into 64 frames (floor boundaries, uniform when the length divides
+    * by 64), accumulate each frame's exact integer ENERGY (Σ s², Long),
+    * and set bit j when frame j's mean energy exceeds the stream's
+    * mean — the cross-multiplied integer comparison, evaluated in
+    * BigInt so the rule stays exact at any recording length (frame
+    * energies reach ~2^60 within minutes of 16-bit audio; the 64
+    * BigInt multiplies per row are noise next to the decode). Bits
+    * pack into four 16-bit bands — the same near-dup band-join unit as
+    * the image hash and q30.
+    *
+    * The energy-vs-mean rule makes the fingerprint invariant under
+    * re-encoding AND under uniform amplitude scaling (every energy
+    * scales by α², both comparison sides alike) — a re-mastered or
+    * volume-normalized copy of a recording lands on the identical
+    * hash, which is exactly the duplicate class a byte hash misses.
+    */
+  def audioHash64(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodePcm16(c).map { case (_, pcm) =>
+          val n = pcm.length
+          val es = new Array[Long](64)
+          val cs = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val j = (i.toLong * 64 / n).toInt
+            es(j) += pcm(i).toLong * pcm(i)
+            cs(j) += 1
+            i += 1
+          }
+          var te = 0L
+          var tc = 0L
+          var j = 0
+          while (j < 64) { te += es(j); tc += cs(j); j += 1 }
+          val bands = new Array[Int](4)
+          j = 0
+          while (j < 64) {
+            if (BigInt(es(j)) * tc > BigInt(te) * cs(j))
+              bands(j / 16) |= 1 << (j % 16)
+            j += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }).toDF("media_id", "band0", "band1", "band2", "band3")
+  }
+
   /** Audio feature extraction: windowed RMS envelope over real decoded
     * PCM (samples normalized to [-1,1); window length in samples).
     * Undecodable payloads are dropped, like [[decodeImages]].

@@ -3331,6 +3331,45 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q128: audio fingerprint dedup — q124's exact-group report over
+    * [[graft.multimodal.Multimodal.audioHash64]]: a deterministic PCM
+    * stream per document (q65's formula family; length a multiple of
+    * 64 so the frames pool uniform windows) is WAV-encoded, decoded
+    * back through javax.sound.sampled, frame-energy fingerprinted, and
+    * grouped on the full 64-bit hash. Groups of four documents share a
+    * base recording; the top pair of each group is untouched and the
+    * bottom pair carries a +128 DC boost on frame 0 — the re-encoded /
+    * loudness-shifted duplicate class a byte hash misses and the
+    * energy-profile hash collapses. The oracle recomputes every frame
+    * energy analytically from the generation formula (the q65/q124
+    * pattern), so the WAV round trip + framing + bit rule is pinned
+    * bit-for-bit. Near-dup composes exactly like q125 (same band
+    * columns); the exact-group form is the registry face.
+    */
+  private val q128: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 < 4)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val pv = ((id % 4) / 2).toInt
+        val n = (256 + (g % 3) * 64).toInt
+        val samples = Array.tabulate(n) { i =>
+          val base = ((g * 31 + i * 17) % 4096 - 2048).toInt
+          if (i < n / 64) base + pv * 128 else base
+        }
+        (id, C.encodeWavPcm16(samples, 8000))
+      }).toDF("media_id", "content")
+    Multimodal.audioHash64(media)
+      .groupBy("band0", "band1", "band2", "band3")
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3419,7 +3458,8 @@ object LlmPipeline {
     "q124_image_dedup" -> q124,
     "q125_image_neardup" -> q125,
     "q126_cdc_chunk_dedup" -> q126,
-    "q127_pq_recall" -> q127)
+    "q127_pq_recall" -> q127,
+    "q128_audio_dedup" -> q128)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4683,6 +4723,47 @@ object LlmPipeline {
          |FROM penc e JOIN plut l ON e.sub = l.sub AND e.code = l.code
          |GROUP BY e.vec_id
          |ORDER BY adist_fp, e.vec_id LIMIT 10""".stripMargin,
+    // q128: the audio fingerprint recomputed analytically — per-frame
+    // integer energy sums of the generation formula (HUGEINT in
+    // DuckDB, so the cross-multiplied mean comparison is exact at any
+    // magnitude, mirroring the Spark side's BigInt rule), bits packed
+    // into the same four 16-bit bands, then the q124 group report.
+    "q128_audio_dedup" ->
+      """WITH m AS (
+        | SELECT doc_id, doc_id // 4 AS g, (doc_id % 4) // 2 AS pv,
+        |  CAST(256 + ((doc_id // 4) % 3) * 64 AS INT) AS n
+        | FROM documents WHERE doc_id % 8 < 4),
+        |px AS (
+        | SELECT m.doc_id, (s.i * 64) // m.n AS j,
+        |  ((m.g * 31 + s.i * 17) % 4096 - 2048
+        |   + CASE WHEN s.i < m.n // 64 THEN m.pv * 128 ELSE 0 END)
+        |  * ((m.g * 31 + s.i * 17) % 4096 - 2048
+        |   + CASE WHEN s.i < m.n // 64 THEN m.pv * 128 ELSE 0 END) AS k
+        | FROM m, generate_series(0, 383) s(i) WHERE s.i < m.n),
+        |box AS (
+        | SELECT doc_id, j, SUM(k) AS bs, COUNT(*) AS bc
+        | FROM px GROUP BY doc_id, j),
+        |tot AS (
+        | SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+        | FROM box GROUP BY doc_id),
+        |bits AS (
+        | SELECT b.doc_id, b.j,
+        |  CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        | FROM box b JOIN tot t ON b.doc_id = t.doc_id),
+        |bands AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN j // 16 = 0 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band0,
+        |  CAST(SUM(CASE WHEN j // 16 = 1 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band1,
+        |  CAST(SUM(CASE WHEN j // 16 = 2 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band2,
+        |  CAST(SUM(CASE WHEN j // 16 = 3 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band3
+        | FROM bits GROUP BY doc_id)
+        |SELECT band0, band1, band2, band3,
+        | MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY keeper_id""".stripMargin,
     // q127: the PQ recall audit replayed — exact quantized-L2 top-3
     // (ed/ex), ADC ranking off penc + the per-query pd2 LUT rows
     // (ad/ar), the top-8 shortlist exact-rescored (rc/rr3), then the

@@ -156,6 +156,45 @@ class MultimodalSpec extends SparkSuite {
     assert(hamming(hs(1L), hs(5L)) === 64, "inverted image = complement")
   }
 
+  test("audioHash64: re-encoded and amplitude-scaled duplicates land " +
+    "on the identical fingerprint; a single boosted frame is " +
+    "Hamming-1; a distinct recording is far") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    // 640 samples = 64 uniform 10-sample frames at TWO energy levels
+    // (quiet first half, loud second): per-sample energies 1e4 vs 1e6,
+    // so the global mean sits far from every frame and single-frame
+    // edits move exactly their own bit
+    def base(i: Int): Int = if (i / 10 < 32) 100 else 1000
+    val n = 640
+    val wav1 = C.encodeWavPcm16(Array.tabulate(n)(base), 8000)
+    val wav1b = C.encodeWavPcm16(Array.tabulate(n)(base), 8000)
+    // uniform 2x amplitude: every frame energy scales by 4 — the
+    // mean-comparison bits cannot move (loudness invariance)
+    val wav2 = C.encodeWavPcm16(Array.tabulate(n)(i => base(i) * 2), 8000)
+    // quiet frame 7 boosted to the loud level: exactly its bit flips
+    // (the mean moves by ~1.5% of the level gap — far from any frame)
+    val wav3 = C.encodeWavPcm16(Array.tabulate(n)(i =>
+      if (i / 10 == 7) 1000 else base(i)), 8000)
+    // swapped halves: every frame lands on the other side of the mean
+    val wav4 = C.encodeWavPcm16(Array.tabulate(n)(i =>
+      base(n - 1 - i)), 8000)
+    val df = Seq(1L -> wav1, 2L -> wav1b, 3L -> wav2, 4L -> wav3,
+      5L -> wav4).toDF("media_id", "content")
+    val hs = Multimodal.audioHash64(df)
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    assert(hs(1L).toSeq === hs(2L).toSeq, "re-encode must be exact-dup")
+    assert(hs(1L).toSeq === hs(3L).toSeq,
+      "uniform amplitude scaling must not move any energy-mean bit")
+    assert(hamming(hs(1L), hs(4L)) === 1,
+      "boosting exactly one quiet frame must flip exactly its bit")
+    assert(hamming(hs(1L), hs(5L)) === 64,
+      "swapped halves must complement every energy-mean bit")
+  }
+
   test("frame-sample plan: one row per everyMs tick, metadata only") {
     val df = mediaDf(
       mediaRow(1, "video/mp4", bytes(1), durMs = 1000L),
