@@ -360,6 +360,80 @@ object Streams {
       committed => graft.ingest.NearDupStore
         .recordSignatures(committed, textCol, idCol, storePath))
 
+  /** Streamed CROSS-RUN PERCEPTUAL IMAGE dedup — [[dedupThroughStore]]'s
+    * cycle keyed on [[graft.multimodal.Multimodal.aHash64]] instead of
+    * text: every micro-batch's images decode through the production
+    * path, fingerprint to the 64-bit perceptual hash (hex-packed into
+    * `__phash`), and the EXACT store machinery runs unchanged on that
+    * column — so a re-encoded, block-upscaled, or sub-bit-brightness
+    * copy of anything EVER ingested drops, across batches, restarts,
+    * and runs, with the store family's whole contract (two-phase
+    * crash-safe records, Bloom sidecars, compaction, exactly-once
+    * survivors / at-least-once records) inherited rather than rebuilt.
+    * Undecodable payloads cannot be fingerprinted and DROP at the gate
+    * (the [[graft.multimodal.Multimodal.decodeImages]] posture — audit
+    * by anti-joining survivors against the feed). Within-batch copies
+    * collapse on the hash (min-id keeper), like the text cycle.
+    */
+  def imageDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaDedupThroughStore(media, idCol, storePath, outDir,
+      checkpointDir, "image_dedup_through_store", maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.aHash64(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageDedupThroughStore]]'s audio flank — the same store cycle
+    * keyed on [[graft.multimodal.Multimodal.audioHash64]], so a
+    * re-encoded or volume-normalized copy of any recording ever
+    * ingested drops cross-run (the loudness-invariance the energy-
+    * profile hash guarantees).
+    */
+  def audioDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaDedupThroughStore(media, idCol, storePath, outDir,
+      checkpointDir, "audio_dedup_through_store", maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.audioHash64(batch))
+
+  /** The shared media cycle: fingerprint the batch with `hashOf`
+    * ((media_id, content) → (media_id, band0..band3)), hex-pack the
+    * bands into `__phash` (band3 high — the canonical 16-hex-digit
+    * spelling), and run the exact-store dedup cycle on that column.
+    * The store is hash-agnostic by design: `__phash` plays the text
+    * role, so probes, records, sidecars, and compaction are the
+    * SAME code paths IngestSpec already laws.
+    */
+  private def mediaDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      queryName: String, maintenanceEvery: Int)(
+      hashOf: DataFrame => DataFrame): StreamingQuery =
+    dedupThroughStoreWith(media, "__phash", outDir, checkpointDir,
+      queryName,
+      committedSchema = _
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType),
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.DedupStore.compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.DedupStore
+          .buildBloomSidecar(spark, storePath); () })))(
+      batch => {
+        val hs = hashOf(batch
+            .select(col(idCol).as("media_id"), col("content")))
+          .select(col("media_id").as("__hid"),
+            concat(lpad(hex(col("band3")), 4, "0"),
+              lpad(hex(col("band2")), 4, "0"),
+              lpad(hex(col("band1")), 4, "0"),
+              lpad(hex(col("band0")), 4, "0")).as("__phash"))
+        graft.ingest.DedupStore.newUniqueWithBloom(
+          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid"),
+          "__phash", idCol, storePath)
+      },
+      committed => graft.ingest.DedupStore
+        .recordHashes(committed, "__phash", storePath))
+
   /** Streamed CROSS-RUN SPAN dedup — the cycle over
     * [[graft.ingest.SpanStore]]: every micro-batch drops documents
     * whose recycled-text share against ANY previously recorded text

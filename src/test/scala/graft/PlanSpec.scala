@@ -31,7 +31,10 @@ class PlanSpec extends SparkSuite {
     for (q <- Seq("q26_embedding_neardup", "q28_minhash_neardup",
         "q30_simhash_neardup", "q31_ngram_jaccard", "q53_contamination",
         "q56_chunk_dedup", "q57_range_join_binned", "q90_containment",
-        "q101_dup_spans", "q103_minhash_precision")) {
+        "q101_dup_spans", "q103_minhash_precision",
+        // the r15 multimodal/CDC flanks ride the same banded/bucketed
+        // candidate patterns — same law
+        "q125_image_neardup", "q126_cdc_chunk_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
@@ -72,6 +75,14 @@ class PlanSpec extends SparkSuite {
       s"q84 grew a shuffle beyond window+sort: ${plan("q84_knn_join")}")
     assert(shuffles("q89_random_projection") <= 1,
       "q89 must not shuffle before the presentation sort")
+    // q127's three top-k legs are the same row_number shape: the
+    // map-side prune must survive on each, and the only nested-loop
+    // joins are the bounded broadcast query/LUT sides (|Q| = 10 rows),
+    // never a corpus×corpus product.
+    val p127 = plan("q127_pq_recall")
+    assert(p127.contains("WindowGroupLimit"),
+      "q127 lost its map-side top-k prune")
+    assert(!p127.contains("CartesianProduct"), "q127 went all-pairs")
   }
 
   private def scans(name: String) =

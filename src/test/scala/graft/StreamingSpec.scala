@@ -535,6 +535,96 @@ class StreamingSpec extends SparkSuite {
     assert(scored() === want, "replayed batches double-counted the LM")
   }
 
+  test("cross-run perceptual image dedup: a block-upscaled re-encode " +
+    "of an earlier batch's image drops at the store (different BYTES, " +
+    "same perceptual hash), fresh images survive, and replay after " +
+    "checkpoint loss is a no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = java.nio.file.Files.createTempDirectory("img-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("img-out").toString + "/media"
+    val store = java.nio.file.Files
+      .createTempDirectory("img-store").toString + "/phashes"
+    val ckpt = java.nio.file.Files.createTempDirectory("img-ckpt").toString
+    def img(seed: Int, scale: Int): Array[Byte] =
+      C.encodePng(16 * scale, 16 * scale, (x, y) =>
+        ((x / scale) * 7 + (y / scale) * 13 + seed * 31) % 256)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit = graft.streaming.Streams.imageDedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "media_id", store, outDir, ckpt).awaitTermination()
+    Seq((1L, img(1, 1)), (2L, img(2, 1))).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    // the upscaled re-encode shares NO bytes with the original — a
+    // byte-level store would admit it
+    assert(!java.util.Arrays.equals(img(1, 1), img(1, 2)))
+    Seq((3L, img(1, 2)), (4L, img(3, 1))).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    def survivors(): Set[Long] = spark.read
+      .schema(schema
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 2L, 4L),
+      "the perceptual copy must drop; fresh images must survive")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Set(1L, 2L, 4L),
+      "full-history replay must be a no-op")
+  }
+
+  test("cross-run audio dedup: a volume-normalized re-encode drops at " +
+    "the store; a distinct recording survives") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = java.nio.file.Files.createTempDirectory("aud-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("aud-out").toString + "/media"
+    val store = java.nio.file.Files
+      .createTempDirectory("aud-store").toString + "/phashes"
+    val ckpt = java.nio.file.Files.createTempDirectory("aud-ckpt").toString
+    def wav(f: Int => Int): Array[Byte] =
+      C.encodeWavPcm16(Array.tabulate(640)(f), 8000)
+    def base(i: Int): Int = if (i / 10 < 32) 100 else 1000
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit = graft.streaming.Streams.audioDedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "media_id", store, outDir, ckpt).awaitTermination()
+    Seq((1L, wav(base))).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    Seq((2L, wav(i => base(i) * 2)),
+        (3L, wav(i => base(639 - i))))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    val survivors = spark.read
+      .schema(schema
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 3L),
+      "the loudness-scaled copy must drop; the distinct recording " +
+        "must survive")
+  }
+
   test("incrementally-maintained quality model: streamed stats over " +
     "micro-batches derive weights BIT-IDENTICAL to q110's one-shot " +
     "training, scoring matches q111, and replay after checkpoint loss " +
