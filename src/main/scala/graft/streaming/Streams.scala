@@ -1120,6 +1120,40 @@ object Streams {
       textCol, idCol, exactStorePath, nearStorePath, spanStorePath,
       outDir, checkpointDir)
 
+  /** [[qualityGatedCurationFeed]] with the MODEL resolved from the
+    * latest committed [[maintainQualityModel]] snapshot at stream
+    * start — the maintainer→serving loop closed: weights derive from
+    * the snapshot (bit-identical to batch-training on everything the
+    * maintainer has seen — the StreamingSpec law), the threshold
+    * calibrates on a caller-supplied labeled CALIBRATION frame
+    * against those weights (the q111 posture: a held-out or recent
+    * slice in production; the training corpus for the exact-parity
+    * form), and both pin as plan literals for the stream's life. The
+    * literal gate is a stateless PRE-SINK projection — it cannot swap
+    * literals mid-stream, so rotation = restart (or the LM feed's
+    * in-cycle gate, which can refresh); that is the documented trade
+    * for a gate with zero per-batch model cost.
+    */
+  def qualityGatedCurationFeedFromSnapshot(docs: DataFrame,
+      textCol: String, idCol: String, qualityStatsPath: String,
+      calibration: DataFrame, exactStorePath: String,
+      nearStorePath: String, spanStorePath: String, outDir: String,
+      checkpointDir: String,
+      dims: Int = graft.queries.LlmPipeline.QualityDims): StreamingQuery = {
+    val spark = docs.sparkSession
+    // no barrier: both references re-read a KB-scale snapshot file,
+    // not a corpus plan (the termDriftBetween rationale)
+    val w = qualityWeights(spark, qualityStatsPath)
+    val dense = graft.operators.QualityModel.collectWeights(w, dims)
+    val thFp = graft.operators.QualityModel
+      .threshold(graft.queries.LlmPipeline.qualityLabeledOf(calibration),
+        "toks", "y", w, dims)
+      .collect()(0).getLong(0)
+    qualityGatedCurationFeed(docs, textCol, idCol, dense, thFp, dims,
+      exactStorePath, nearStorePath, spanStorePath, outDir,
+      checkpointDir)
+  }
+
   /** [[curationFeedThroughStores]] (2-store form) behind the streamed
     * BIGRAM-LM gate — the CCNet composition closed end to end in
     * streaming: documents whose [[scoreLm]] fixed-point mean falls

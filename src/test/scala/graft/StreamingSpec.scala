@@ -1866,6 +1866,69 @@ class StreamingSpec extends SparkSuite {
       "a gate reject must not poison the dedup history")
   }
 
+  test("quality-gated feed FROM the maintained snapshot: gating " +
+    "equals the one-shot-trained literal gate (the maintainer-to-" +
+    "serving loop closed end to end)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val dims = 512
+    // maintain the model over the corpus
+    val qmSrc = tmpDir("qsnap-qmsrc")
+    val statsPath = tmpDir("qsnap-stats") + "/quality"
+    val qmCkpt = tmpDir("qsnap-qmckpt")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$qmSrc/b1")
+    graft.streaming.Streams.maintainQualityModel(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(qmSrc),
+      statsPath, qmCkpt).awaitTermination()
+    // one-shot control model (q110/q111's own derivation)
+    val QM = graft.operators.QualityModel
+    val labeled = graft.queries.LlmPipeline.qualityLabeledOf(docs)
+    val w = QM.train(labeled, "toks", "y", dims)
+    val dense = QM.collectWeights(w, dims)
+    val thFp = QM.threshold(labeled, "toks", "y", w, dims)
+      .collect()(0).getLong(0)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runFeed(tag: String)(
+        start: (org.apache.spark.sql.DataFrame, String, String, String,
+          String, String)
+          => org.apache.spark.sql.streaming.StreamingQuery): Set[Long] = {
+      val srcDir = tmpDir(s"qsnap-$tag-src")
+      val outDir = tmpDir(s"qsnap-$tag-out") + "/docs"
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+      start(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        tmpDir(s"qsnap-$tag-exact") + "/hashes",
+        tmpDir(s"qsnap-$tag-near") + "/bands",
+        tmpDir(s"qsnap-$tag-span") + "/windows",
+        outDir, tmpDir(s"qsnap-$tag-ckpt")).awaitTermination()
+      spark.read
+        .schema(schema.add("content_hash",
+          org.apache.spark.sql.types.StringType))
+        .parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val control = runFeed("lit") { (src, ex, nr, sp, out, ck) =>
+      graft.streaming.Streams.qualityGatedCurationFeed(
+        src, "text", "doc_id", dense, thFp, dims, ex, nr, sp, out, ck)
+    }
+    val fromSnap = runFeed("snap") { (src, ex, nr, sp, out, ck) =>
+      graft.streaming.Streams.qualityGatedCurationFeedFromSnapshot(
+        src, "text", "doc_id", statsPath, docs, ex, nr, sp, out, ck,
+        dims)
+    }
+    assert(fromSnap === control,
+      "snapshot-resolved gating diverged from the one-shot literal gate")
+    assert(fromSnap.nonEmpty && fromSnap.size < docs.count(),
+      "the gate must split the corpus for the parity to mean anything")
+  }
+
   test("incremental count-min sketch: streamed batches equal one " +
     "recompute, estimates stay one-sided, replay is idempotent") {
     import spark.implicits._
