@@ -396,6 +396,96 @@ object Streams {
       checkpointDir, "audio_dedup_through_store", maintenanceEvery)(
       batch => graft.multimodal.Multimodal.audioHash64(batch))
 
+  /** The media CURATION FEED — [[curationFeedThroughStores]]'s staging
+    * for media columns: every micro-batch fingerprints ONCE (decode +
+    * perceptual hash, the expensive step — its band columns ride the
+    * row from then on), checks the EXACT store first (byte-identical
+    * and perceptually-identical copies collapse on the hex-packed
+    * hash), the survivors against the NEAR store
+    * ([[graft.ingest.MediaNearStore]]: band candidate join + Hamming
+    * ≤ 3 verify — the mildly-retouched/requantized variants whose
+    * hash moves a bit or three), and what remains lands exactly-once
+    * with BOTH stores recorded at-least-once from the committed
+    * read-back's own band columns (no re-decode). Undecodable
+    * payloads drop at the fingerprint join. Inline self-maintenance
+    * (`maintenanceEvery`) compacts both stores and rebuilds their
+    * sidecars on the StoreStats signals, like the text feeds.
+    */
+  def imageCurationFeedThroughStores(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0): StreamingQuery =
+    mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
+      outDir, checkpointDir, "image_curation_feed", maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.aHash64(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageCurationFeedThroughStores]]'s audio flank (energy-profile
+    * hash — loudness-invariant exact stage, Hamming-banded near
+    * stage).
+    */
+  def audioCurationFeedThroughStores(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0): StreamingQuery =
+    mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
+      outDir, checkpointDir, "audio_curation_feed", maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.audioHash64(batch))
+
+  private def mediaCurationFeed(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, queryName: String, maintenanceEvery: Int)(
+      hashOf: DataFrame => DataFrame): StreamingQuery = {
+    val it = org.apache.spark.sql.types.IntegerType
+    dedupThroughStoreWith(media, "__phash", outDir, checkpointDir,
+      queryName,
+      committedSchema = _
+        .add("band0", it).add("band1", it).add("band2", it)
+        .add("band3", it)
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType),
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(spark, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(spark, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(spark, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(spark, nearStorePath),
+          { graft.ingest.MediaNearStore
+            .compactStore(spark, nearStorePath); () },
+          Some(() => { graft.ingest.MediaNearStore
+            .buildBloomSidecar(spark, nearStorePath); () }))
+      })(
+      batch => {
+        val hs = hashOf(batch
+            .select(col(idCol).as("media_id"), col("content")))
+          .select(col("media_id").as("__hid"), col("band0"),
+            col("band1"), col("band2"), col("band3"),
+            concat(lpad(hex(col("band3")), 4, "0"),
+              lpad(hex(col("band2")), 4, "0"),
+              lpad(hex(col("band1")), 4, "0"),
+              lpad(hex(col("band0")), 4, "0")).as("__phash"))
+        val withBands =
+          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid")
+        val exactSurvivors = graft.ingest.DedupStore
+          .newUniqueWithBloom(withBands, "__phash", idCol,
+            exactStorePath)
+        graft.ingest.MediaNearStore.newNearUniqueWithBloom(
+          exactSurvivors, idCol,
+          exactSurvivors.select(col(idCol).as("media_id"),
+            col("band0"), col("band1"), col("band2"), col("band3")),
+          nearStorePath)
+      },
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, "__phash", exactStorePath)
+        graft.ingest.MediaNearStore.recordHashes(
+          committed.select(col(idCol).as("media_id"), col("band0"),
+            col("band1"), col("band2"), col("band3")), nearStorePath)
+      })
+  }
+
   /** The shared media cycle: fingerprint the batch with `hashOf`
     * ((media_id, content) → (media_id, band0..band3)), hex-pack the
     * bands into `__phash` (band3 high — the canonical 16-hex-digit

@@ -1390,6 +1390,68 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("MediaNearStore: banded probes flag perceptual neighbors of " +
+    "history (Hamming <= 3 verified, not just band collisions), bloom " +
+    "path answers identically incl. the post-sidecar residual leg, " +
+    "retraction un-flags, compaction reclaims re-records") {
+    import spark.implicits._
+    val M = graft.ingest.MediaNearStore
+    val store = tmpDir("medianear") + "/bands"
+    def hashes(rows: (Long, Int, Int, Int, Int)*) =
+      rows.toSeq.toDF("media_id", "band0", "band1", "band2", "band3")
+    def media(rows: (Long, Int, Int, Int, Int)*) =
+      rows.toSeq.map(r => (r._1, s"payload${r._1}"))
+        .toDF("media_id", "content")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    val hA = (1L, 0x1111, 0x2222, 0x3333, 0x4444)
+    val hB = (2L, 0x0F0F, 0x00FF, 0x0F00, 0x5A5A)
+    M.recordHashes(hashes(hA, hB), store)
+    val probeRows = Seq(
+      (10L, 0x1111, 0x2222, 0x3333, 0x4444), // exact copy: H 0
+      (11L, 0x1110, 0x2222, 0x3333, 0x4444), // one bit: H 1
+      (12L, 0x1112, 0x2222, 0x3332, 0x4444), // three bits: H 3
+      // four bits all in band0: bands 1-3 still band-collide, so this
+      // IS a candidate — only the Hamming verify can pass it
+      (13L, 0x111E, 0x2222, 0x3333, 0x4444),
+      (14L, 0x8888, 0x7777, 0x6666, 0x9999)) // far: no shared band
+    def probe() = M.newNearUnique(media(probeRows: _*), "media_id",
+      hashes(probeRows: _*), store)
+    def probeBloom() = M.newNearUniqueWithBloom(media(probeRows: _*),
+      "media_id", hashes(probeRows: _*), store)
+    assert(ids(probe()) === Seq(13L, 14L),
+      "H<=3 neighbors must flag; the H-4 candidate and the far hash " +
+        "must survive")
+    // no sidecar yet: the bloom entry point falls back, same answer
+    assert(ids(probeBloom()) === Seq(13L, 14L))
+    assert(M.buildBloomSidecar(spark, store, numShards = 4) > 0L)
+    assert(ids(probeBloom()) === Seq(13L, 14L),
+      "the bloom-split probe diverged from the exact one")
+    // residual leg: history appended AFTER the sidecar build must
+    // still flag its neighbors
+    val hC = (3L, 0x00AA, 0x1234, 0x00BB, 0x00CC)
+    M.recordHashes(hashes(hC), store)
+    val late = Seq((20L, 0x00AB, 0x1234, 0x00BB, 0x00CC), // H 2 of C
+      (21L, 0x7070, 0x0707, 0x7007, 0x0770))
+    assert(ids(M.newNearUniqueWithBloom(media(late: _*), "media_id",
+      hashes(late: _*), store)) === Seq(21L),
+      "a post-sidecar record must flag through the residual leg")
+    // retraction: A's rows tombstone; its 1-bit neighbor passes, B's
+    // neighbors still flag
+    M.retract(hashes(hA), store)
+    assert(ids(probe()) === Seq(10L, 11L, 12L, 13L, 14L),
+      "retraction must un-flag every neighbor of the retracted hash")
+    assert(ids(M.newNearUnique(media((30L, 0x0F0F, 0x00FF, 0x0F00,
+      0x5A5B)), "media_id", hashes((30L, 0x0F0F, 0x00FF, 0x0F00,
+      0x5A5B)), store)).isEmpty, "B must survive A's retraction")
+    // compaction: re-records reclaim, tombstones apply physically
+    M.recordHashes(hashes(hB), store) // duplicate rows
+    val (before, after) = M.compactStore(spark, store)
+    assert(before >= after && after > 0)
+    assert(ids(probe()) === Seq(10L, 11L, 12L, 13L, 14L),
+      "answers must be unchanged across compaction")
+  }
+
   test("StoreStats: maintenance signals track the record / retract / " +
     "sidecar / compact lifecycle without running a single Spark job " +
     "(path and bucketed forms)") {

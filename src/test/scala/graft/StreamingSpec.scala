@@ -584,6 +584,69 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("image curation feed: exact copies drop at the perceptual-hash " +
+    "store, a one-box-brightened variant (different hash, Hamming 1) " +
+    "drops at the NEAR store, fresh images survive, replay is a no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("imgfeed-src")
+    val outDir = tmpDir("imgfeed-out") + "/media"
+    val exactStore = tmpDir("imgfeed-exact") + "/phashes"
+    val nearStore = tmpDir("imgfeed-near") + "/bands"
+    val ckpt = tmpDir("imgfeed-ckpt")
+    def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+    val imgA = C.encodePng(16, 16, base)
+    // top-left aHash box brightened 0 -> 48: Hamming 1 from A (the
+    // MultimodalSpec law) — a DIFFERENT exact hash, so only the near
+    // stage can catch it
+    val imgAvar = C.encodePng(16, 16,
+      (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+    val imgD = C.encodePng(16, 16, (x, y) => base(15 - x, 15 - y))
+    val imgB = C.encodePng(16, 16, (x, y) => (x * 16 + y) % 256)
+    // fixture sanity: the variant is Hamming-1 (not 0) from A
+    val hs = Multimodal.aHash64(Multimodal.decodeImages(
+        Seq(1L -> imgA, 2L -> imgAvar).toDF("media_id", "content")))
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert((0 until 4).map(i =>
+      Integer.bitCount(hs(1L)(i) ^ hs(2L)(i))).sum === 1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit =
+      graft.streaming.Streams.imageCurationFeedThroughStores(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", exactStore, nearStore, outDir, ckpt)
+        .awaitTermination()
+    Seq((1L, imgA), (2L, imgD)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    Seq((3L, imgA), (4L, imgAvar), (5L, imgB))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    val it = org.apache.spark.sql.types.IntegerType
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("band0", it).add("band1", it).add("band2", it)
+        .add("band3", it)
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 2L, 5L),
+      "exact copy and Hamming-1 variant must drop; fresh must survive")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Set(1L, 2L, 5L),
+      "full-history replay must be a no-op")
+  }
+
   test("cross-run audio dedup: a volume-normalized re-encode drops at " +
     "the store; a distinct recording survives") {
     import spark.implicits._
