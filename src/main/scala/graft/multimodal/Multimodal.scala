@@ -343,6 +343,63 @@ object Multimodal {
     }).toDF("media_id", "band0", "band1", "band2", "band3")
   }
 
+  /** Integer image-quality facts of a decoded plane — the measurement
+    * half of a LAION/DataComp-style image filter (too-small, extreme
+    * aspect, near-constant, too-dark/too-bright media are dropped
+    * before any training set): payload-derived dimensions, the exact
+    * pixel sum (brightness numerator), and the count of DISTINCT
+    * 8-bit values present (a 256-cell presence histogram — the cheap
+    * entropy proxy: a constant or 2-tone plane cannot pass a
+    * distinct-values floor). All integers recovered exactly from the
+    * decode plane (the q66 fixed-point trick), so any threshold rule
+    * composed on top is oracle-exact. One streamed pass per partition;
+    * only (media_id, 4 ints) leaves the stage.
+    */
+  def imageQualityMetrics(decoded: Dataset[DecodedImage]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { img =>
+      val seen = new Array[Boolean](256)
+      var sum = 0L
+      var nDistinct = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = math.round(img.pixels(i) * 255f).toInt
+        sum += v
+        if (!seen(v)) { seen(v) = true; nDistinct += 1 }
+        i += 1
+      }
+      (img.media_id, img.width, img.height, sum, nDistinct)
+    }).toDF("media_id", "width", "height", "px_sum", "n_distinct")
+  }
+
+  /** Integer audio-quality facts of a PCM payload — the audio flank:
+    * sample count and container rate (duration derives exactly),
+    * CLIPPED samples (|s| ≥ 32760 — a recording that slams the rail
+    * was over-driven at capture or transcode), and the exact energy
+    * sum (the silence test's numerator: mean energy below a floor
+    * means there is nothing to learn from). Undecodable payloads drop,
+    * like [[decodeImages]].
+    */
+  def audioQualityMetrics(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodePcm16(c).map { case (rate, pcm) =>
+          var clipped = 0L
+          var energy = 0L
+          var i = 0
+          while (i < pcm.length) {
+            val s = pcm(i)
+            if (s >= 32760 || s <= -32760) clipped += 1
+            energy += s.toLong * s
+            i += 1
+          }
+          (id, rate, pcm.length.toLong, clipped, energy)
+        }
+      }).toDF("media_id", "sample_rate", "n_samples", "n_clipped",
+        "energy")
+  }
+
   /** 64-bit audio fingerprint — [[aHash64]]'s pattern over the time
     * axis: decode PCM ([[Codec.decodePcm16]]), split the sample stream
     * into 64 frames (floor boundaries, uniform when the length divides

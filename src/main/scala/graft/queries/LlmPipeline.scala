@@ -3370,6 +3370,87 @@ object LlmPipeline {
       .orderBy("keeper_id")
   }
 
+  /** q129: image quality gate — the LAION/DataComp-style pre-training
+    * filter for image columns, the multimodal analog of the q54
+    * Gopher rule: drop media that are too small (min dim < 8),
+    * extreme-aspect (> 4:1), near-constant (< 16 distinct 8-bit
+    * values — the presence-histogram entropy proxy), or too dark /
+    * too bright (mean outside [10%, 90%] of full scale). Metrics come
+    * from the REAL decode path
+    * ([[graft.multimodal.Multimodal.imageQualityMetrics]] — dims from
+    * the payload, exact integer pixel sum and distinct-value count);
+    * every derived number is an integer division (`div`), so the gate
+    * is oracle-exact. Fixture plants one failing class per rule plus
+    * a passing class (the q119 synthesize-then-screen pattern).
+    */
+  private val q129: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = (id % 5).toInt
+        val w = if (c == 1) 4 else if (c == 2) 8 else 16
+        val h = if (c == 1) 4 else if (c == 2) 64 else 16
+        val pix: (Int, Int) => Int = c match {
+          case 3 => (_, _) => 250
+          case 4 => (x, y) => (x + y) % 3
+          case _ => (x, y) => ((x * 7 + y * 13 + id) % 256).toInt
+        }
+        (id, C.encodePng(w, h, pix))
+      }).toDF("media_id", "content")
+    Multimodal.imageQualityMetrics(Multimodal.decodeImages(media))
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        expr("(greatest(width, height) * 1000000L) div " +
+          "least(width, height)").as("aspect_fp"),
+        expr("(px_sum * 1000000L) div (255L * width * height)")
+          .as("bright_fp"),
+        col("n_distinct"))
+      .withColumn("keep",
+        least(col("width"), col("height")) >= 8 &&
+          col("aspect_fp") <= 4000000L &&
+          col("bright_fp").between(100000L, 900000L) &&
+          col("n_distinct") >= 16L)
+      .orderBy("doc_id")
+  }
+
+  /** q130: audio quality gate — q129's flank for recordings: drop
+    * too-short (< 100 ms), clipped (> 1% of samples at the 16-bit
+    * rail — over-driven capture/transcode), or silent (mean energy
+    * below the floor) media, off the REAL PCM decode
+    * ([[graft.multimodal.Multimodal.audioQualityMetrics]]). Exact
+    * integer facts + integer divisions → oracle-exact.
+    */
+  private val q130: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = ((id / 2) % 4).toInt
+        val n = if (c == 3) 64 else 1280
+        val samples = Array.tabulate(n) { i =>
+          if (c == 1 && i % 8 == 0) 32767
+          else if (c == 2) i % 3
+          else ((id * 31 + i * 17) % 4096 - 2048).toInt
+        }
+        (id, C.encodeWavPcm16(samples, 8000))
+      }).toDF("media_id", "content")
+    Multimodal.audioQualityMetrics(media)
+      .select(col("media_id").as("doc_id"), col("sample_rate"),
+        expr("(n_samples * 1000L) div sample_rate").as("duration_ms"),
+        expr("(n_clipped * 1000000L) div n_samples").as("clip_fp"),
+        expr("energy div n_samples").as("mean_energy"))
+      .withColumn("keep",
+        col("duration_ms") >= 100L && col("clip_fp") <= 10000L &&
+          col("mean_energy") >= 10000L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3459,7 +3540,9 @@ object LlmPipeline {
     "q125_image_neardup" -> q125,
     "q126_cdc_chunk_dedup" -> q126,
     "q127_pq_recall" -> q127,
-    "q128_audio_dedup" -> q128)
+    "q128_audio_dedup" -> q128,
+    "q129_image_quality" -> q129,
+    "q130_audio_quality" -> q130)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4764,6 +4847,70 @@ object LlmPipeline {
         |SELECT band0, band1, band2, band3,
         | MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY keeper_id""".stripMargin,
+    // q129/q130: the media quality gates recomputed analytically from
+    // the fixture formulas — exact integer sums / distinct counts,
+    // integer divisions (// ≡ Spark div), the same keep rule.
+    "q129_image_quality" ->
+      """WITH m AS (
+        | SELECT doc_id, doc_id % 5 AS c,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 4
+        |   WHEN doc_id % 5 = 2 THEN 8 ELSE 16 END AS INT) AS w,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 4
+        |   WHEN doc_id % 5 = 2 THEN 64 ELSE 16 END AS INT) AS h
+        | FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        | SELECT m.doc_id, m.w, m.h,
+        |  CASE WHEN m.c = 3 THEN 250
+        |   WHEN m.c = 4 THEN ((s.i % m.w) + (s.i // m.w)) % 3
+        |   ELSE ((s.i % m.w) * 7 + (s.i // m.w) * 13 + m.doc_id) % 256
+        |  END AS k
+        | FROM m, generate_series(0, 511) s(i) WHERE s.i < m.w * m.h),
+        |agg AS (
+        | SELECT doc_id, w, h, SUM(k) AS px_sum,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct
+        | FROM px GROUP BY doc_id, w, h),
+        |d AS (
+        | SELECT doc_id, w AS width, h AS height,
+        |  CAST((greatest(w, h) * 1000000) // least(w, h) AS BIGINT)
+        |   AS aspect_fp,
+        |  CAST((px_sum * 1000000) // (255 * w * h) AS BIGINT)
+        |   AS bright_fp,
+        |  n_distinct
+        | FROM agg)
+        |SELECT doc_id, width, height, aspect_fp, bright_fp, n_distinct,
+        | (least(width, height) >= 8 AND aspect_fp <= 4000000
+        |  AND bright_fp BETWEEN 100000 AND 900000
+        |  AND n_distinct >= 16) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q130_audio_quality" ->
+      """WITH m AS (
+        | SELECT doc_id, (doc_id // 2) % 4 AS c,
+        |  CAST(CASE WHEN (doc_id // 2) % 4 = 3 THEN 64 ELSE 1280 END AS INT)
+        |   AS n
+        | FROM documents WHERE doc_id % 2 = 1),
+        |px AS (
+        | SELECT m.doc_id, m.n,
+        |  CASE WHEN m.c = 1 AND s.i % 8 = 0 THEN 32767
+        |   WHEN m.c = 2 THEN s.i % 3
+        |   ELSE (m.doc_id * 31 + s.i * 17) % 4096 - 2048
+        |  END AS s
+        | FROM m, generate_series(0, 1279) s(i) WHERE s.i < m.n),
+        |agg AS (
+        | SELECT doc_id, n,
+        |  SUM(CASE WHEN s >= 32760 OR s <= -32760 THEN 1 ELSE 0 END)
+        |   AS n_clipped,
+        |  SUM(s * s) AS energy
+        | FROM px GROUP BY doc_id, n),
+        |d AS (
+        | SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  CAST((n_clipped * 1000000) // n AS BIGINT) AS clip_fp,
+        |  CAST(energy // n AS BIGINT) AS mean_energy
+        | FROM agg)
+        |SELECT doc_id, sample_rate, duration_ms, clip_fp, mean_energy,
+        | (duration_ms >= 100 AND clip_fp <= 10000
+        |  AND mean_energy >= 10000) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q127: the PQ recall audit replayed — exact quantized-L2 top-3
     // (ed/ex), ADC ranking off penc + the per-query pd2 LUT rows
     // (ad/ar), the top-8 shortlist exact-rescored (rc/rr3), then the

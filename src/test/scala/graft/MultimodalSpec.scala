@@ -195,6 +195,26 @@ class MultimodalSpec extends SparkSuite {
       "swapped halves must complement every energy-mean bit")
   }
 
+  test("quality metrics: exact integer facts through the real codecs") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    // image: 4x4 plane with values 0..15 — every fact is closed-form
+    val png = C.encodePng(4, 4, (x, y) => y * 4 + x)
+    val im = Multimodal.imageQualityMetrics(Multimodal.decodeImages(
+        Seq(1L -> png).toDF("media_id", "content")))
+      .collect().head
+    assert((im.getLong(0), im.getInt(1), im.getInt(2), im.getLong(3),
+      im.getLong(4)) === ((1L, 4, 4, 120L, 16L)))
+    // audio: two rail samples among four — clipping and energy exact
+    val wav = C.encodeWavPcm16(Array(0, 32767, -32768, 100), 8000)
+    val au = Multimodal.audioQualityMetrics(
+        Seq(2L -> wav).toDF("media_id", "content"))
+      .collect().head
+    assert((au.getLong(0), au.getInt(1), au.getLong(2), au.getLong(3),
+      au.getLong(4)) === ((2L, 8000, 4L, 2L,
+        32767L * 32767 + 32768L * 32768 + 100L * 100)))
+  }
+
   test("frame-sample plan: one row per everyMs tick, metadata only") {
     val df = mediaDf(
       mediaRow(1, "video/mp4", bytes(1), durMs = 1000L),
