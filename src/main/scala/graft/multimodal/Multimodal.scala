@@ -372,6 +372,93 @@ object Multimodal {
     }).toDF("media_id", "width", "height", "px_sum", "n_distinct")
   }
 
+  /** One-pass image PROFILE: the [[aHash64]] bands AND the
+    * [[imageQualityMetrics]] facts from a single walk over the decoded
+    * plane — the staged curation feed's kernel (quality gate → exact
+    * store → near store all want per-image numbers, and at 100 TB the
+    * decode is the cost, so it must run ONCE per payload).
+    */
+  def imageProfile(decoded: Dataset[DecodedImage]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { img =>
+      val w = img.width
+      val h = img.height
+      val boxSum = new Array[Long](64)
+      val boxCnt = new Array[Long](64)
+      val seen = new Array[Boolean](256)
+      var sum = 0L
+      var nDistinct = 0L
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val v = math.round(img.pixels(y * w + x) * 255f).toInt
+          val j = by * 8 + x * 8 / w
+          boxSum(j) += v
+          boxCnt(j) += 1
+          sum += v
+          if (!seen(v)) { seen(v) = true; nDistinct += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      var ts = 0L
+      var tc = 0L
+      var j = 0
+      while (j < 64) { ts += boxSum(j); tc += boxCnt(j); j += 1 }
+      val bands = new Array[Int](4)
+      j = 0
+      while (j < 64) {
+        if (boxSum(j) * tc > ts * boxCnt(j)) bands(j / 16) |= 1 << (j % 16)
+        j += 1
+      }
+      (img.media_id, bands(0), bands(1), bands(2), bands(3),
+        w, h, sum, nDistinct)
+    }).toDF("media_id", "band0", "band1", "band2", "band3",
+      "width", "height", "px_sum", "n_distinct")
+  }
+
+  /** One-pass audio PROFILE — [[audioHash64]]'s bands AND
+    * [[audioQualityMetrics]]' facts from a single PCM walk, the audio
+    * kernel of the staged curation feed.
+    */
+  def audioProfile(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodePcm16(c).map { case (rate, pcm) =>
+          val n = pcm.length
+          val es = new Array[Long](64)
+          val cs = new Array[Long](64)
+          var clipped = 0L
+          var i = 0
+          while (i < n) {
+            val s = pcm(i)
+            val j = (i.toLong * 64 / n).toInt
+            es(j) += s.toLong * s
+            cs(j) += 1
+            if (s >= 32760 || s <= -32760) clipped += 1
+            i += 1
+          }
+          var te = 0L
+          var tc = 0L
+          var j = 0
+          while (j < 64) { te += es(j); tc += cs(j); j += 1 }
+          val bands = new Array[Int](4)
+          j = 0
+          while (j < 64) {
+            if (BigInt(es(j)) * tc > BigInt(te) * cs(j))
+              bands(j / 16) |= 1 << (j % 16)
+            j += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3),
+            rate, n.toLong, clipped, te)
+        }
+      }).toDF("media_id", "band0", "band1", "band2", "band3",
+        "sample_rate", "n_samples", "n_clipped", "energy")
+  }
+
   /** Integer audio-quality facts of a PCM payload — the audio flank:
     * sample count and container rate (duration derives exactly),
     * CLIPPED samples (|s| ≥ 32760 — a recording that slams the rail

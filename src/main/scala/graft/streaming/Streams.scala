@@ -430,9 +430,60 @@ object Streams {
       outDir, checkpointDir, "audio_curation_feed", maintenanceEvery)(
       batch => graft.multimodal.Multimodal.audioHash64(batch))
 
+  /** [[imageCurationFeedThroughStores]] with the q129 QUALITY GATE
+    * staged FIRST — quality → exact → near, in increasing per-payload
+    * cost beyond the shared decode, off ONE
+    * [[graft.multimodal.Multimodal.imageProfile]] pass (hash bands and
+    * quality facts from a single plane walk — at 100 TB the decode is
+    * the cost and must not run per stage). Gate rejects drop before
+    * any store probe and are never recorded (the
+    * [[qualityGatedCurationFeed]] posture: rejects are not "seen"; a
+    * later resubmission under relaxed thresholds is judged afresh).
+    * Thresholds default to q129's.
+    */
+  def imageCurationFeedGated(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0,
+      minDim: Int = 8, maxAspectFp: Long = 4000000L,
+      minBrightFp: Long = 100000L, maxBrightFp: Long = 900000L,
+      minDistinct: Long = 16L): StreamingQuery =
+    mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
+      outDir, checkpointDir, "image_curation_feed_gated",
+      maintenanceEvery,
+      gate = df => df.filter(
+          least(col("width"), col("height")) >= minDim &&
+            expr("(greatest(width, height) * 1000000L) div " +
+              "least(width, height)") <= maxAspectFp &&
+            expr("(px_sum * 1000000L) div (255L * width * height)")
+              .between(minBrightFp, maxBrightFp) &&
+            col("n_distinct") >= minDistinct)
+        .drop("width", "height", "px_sum", "n_distinct"))(
+      batch => graft.multimodal.Multimodal.imageProfile(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageCurationFeedGated]]'s audio flank — q130's gate (duration,
+    * clip ratio, silence floor) staged before the exact/near stores,
+    * off one [[graft.multimodal.Multimodal.audioProfile]] PCM walk.
+    */
+  def audioCurationFeedGated(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0,
+      minDurationMs: Long = 100L, maxClipFp: Long = 10000L,
+      minMeanEnergy: Long = 10000L): StreamingQuery =
+    mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
+      outDir, checkpointDir, "audio_curation_feed_gated",
+      maintenanceEvery,
+      gate = df => df.filter(
+          expr("(n_samples * 1000L) div sample_rate") >= minDurationMs &&
+            expr("(n_clipped * 1000000L) div n_samples") <= maxClipFp &&
+            expr("energy div n_samples") >= minMeanEnergy)
+        .drop("sample_rate", "n_samples", "n_clipped", "energy"))(
+      batch => graft.multimodal.Multimodal.audioProfile(batch))
+
   private def mediaCurationFeed(media: DataFrame, idCol: String,
       exactStorePath: String, nearStorePath: String, outDir: String,
-      checkpointDir: String, queryName: String, maintenanceEvery: Int)(
+      checkpointDir: String, queryName: String, maintenanceEvery: Int,
+      gate: DataFrame => DataFrame = identity)(
       hashOf: DataFrame => DataFrame): StreamingQuery = {
     val it = org.apache.spark.sql.types.IntegerType
     dedupThroughStoreWith(media, "__phash", outDir, checkpointDir,
@@ -460,14 +511,14 @@ object Streams {
       batch => {
         val hs = hashOf(batch
             .select(col(idCol).as("media_id"), col("content")))
-          .select(col("media_id").as("__hid"), col("band0"),
-            col("band1"), col("band2"), col("band3"),
+          .withColumnRenamed("media_id", "__hid")
+          .withColumn("__phash",
             concat(lpad(hex(col("band3")), 4, "0"),
               lpad(hex(col("band2")), 4, "0"),
               lpad(hex(col("band1")), 4, "0"),
-              lpad(hex(col("band0")), 4, "0")).as("__phash"))
-        val withBands =
-          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid")
+              lpad(hex(col("band0")), 4, "0")))
+        val withBands = gate(
+          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid"))
         val exactSurvivors = graft.ingest.DedupStore
           .newUniqueWithBloom(withBands, "__phash", idCol,
             exactStorePath)

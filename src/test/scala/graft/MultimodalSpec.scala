@@ -215,6 +215,38 @@ class MultimodalSpec extends SparkSuite {
         32767L * 32767 + 32768L * 32768 + 100L * 100)))
   }
 
+  test("one-pass profiles equal the single-purpose kernels (hash " +
+    "bands AND quality facts — the staged feed cannot drift from the " +
+    "operators it fuses)") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    val media = Seq(
+      1L -> C.encodePng(16, 16, (x, y) => (x * 7 + y * 13) % 256),
+      2L -> C.encodePng(4, 12, (x, y) => 64 + x * 16 + y))
+      .toDF("media_id", "content")
+    val dec = Multimodal.decodeImages(media)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val prof = m(Multimodal.imageProfile(dec))
+    val hash = m(Multimodal.aHash64(dec))
+    val qual = m(Multimodal.imageQualityMetrics(dec))
+    prof.foreach { case (id, row) =>
+      assert(row === hash(id) ++ qual(id), s"image profile drift @$id")
+    }
+    val audio = Seq(
+      3L -> C.encodeWavPcm16(
+        Array.tabulate(640)(i => (i * 37) % 4096 - 2048), 8000),
+      4L -> C.encodeWavPcm16(
+        Array.tabulate(320)(i => if (i % 5 == 0) 32767 else i), 16000))
+      .toDF("media_id", "content")
+    val aProf = m(Multimodal.audioProfile(audio))
+    val aHash = m(Multimodal.audioHash64(audio))
+    val aQual = m(Multimodal.audioQualityMetrics(audio))
+    aProf.foreach { case (id, row) =>
+      assert(row === aHash(id) ++ aQual(id), s"audio profile drift @$id")
+    }
+  }
+
   test("frame-sample plan: one row per everyMs tick, metadata only") {
     val df = mediaDf(
       mediaRow(1, "video/mp4", bytes(1), durMs = 1000L),

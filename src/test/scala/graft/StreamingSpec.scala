@@ -647,6 +647,63 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("gated image curation feed: quality rejects drop before any " +
+    "store and are never recorded (a resubmission under relaxed " +
+    "thresholds is judged afresh); the near stage still catches a " +
+    "retouched variant behind the gate") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("imgg-src")
+    val outDir = tmpDir("imgg-out") + "/media"
+    val exactStore = tmpDir("imgg-exact") + "/phashes"
+    val nearStore = tmpDir("imgg-near") + "/bands"
+    val ckpt = tmpDir("imgg-ckpt")
+    def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+    val imgA = C.encodePng(16, 16, base)
+    val imgAvar = C.encodePng(16, 16,
+      (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+    val imgB = C.encodePng(16, 16, (x, y) => (x * 16 + y) % 256)
+    // quality reject: 4x4 (min dim < 8) but otherwise healthy, so the
+    // relaxed-threshold run admits it
+    val tiny = C.encodePng(4, 4, (x, y) => 64 + x * 16 + y * 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(minDim: Int): Unit =
+      graft.streaming.Streams.imageCurationFeedGated(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", exactStore, nearStore, outDir, ckpt,
+        minDim = minDim).awaitTermination()
+    Seq((1L, imgA), (2L, tiny)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain(minDim = 8)
+    Seq((3L, imgAvar), (4L, imgB), (5L, tiny))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain(minDim = 8)
+    val it = org.apache.spark.sql.types.IntegerType
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("band0", it).add("band1", it).add("band2", it)
+        .add("band3", it)
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 4L),
+      "gate rejects and the near-variant must drop; good fresh " +
+        "content must survive")
+    // byte-identical resubmission under a relaxed gate: admitted —
+    // proof the reject was never recorded in the exact store
+    Seq((6L, tiny)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b3")
+    drain(minDim = 1)
+    assert(survivors() === Set(1L, 4L, 6L),
+      "a gate reject must not poison the perceptual dedup history")
+  }
+
   test("cross-run audio dedup: a volume-normalized re-encode drops at " +
     "the store; a distinct recording survives") {
     import spark.implicits._
