@@ -200,4 +200,126 @@ object MediaNearStore {
       storePath: String, fpp: Double = 0.01, numShards: Int = 0): Long =
     DedupStore.buildPathSidecar(spark, storePath, storeSchema,
       "band_key", fpp, numShards)
+
+  // ── bucketed-catalog store form (the 100 TB path) ───────────────────
+  // The long band_key is the at-rest bucket column, so the candidate
+  // equi-join plans ZERO exchanges on the ever-growing store side —
+  // the same layout/swap/compaction machinery as the sibling stores
+  // (BucketedStore), with this store's Hamming verification on top.
+
+  def ensureBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, buckets: Int = 32): Unit =
+    BucketedStore.ensure(spark, table, buckets, storeSchema, "band_key")
+
+  /** The bucketed store's scan minus live tombstones. */
+  private def storeTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    DedupStore.minusTombstones(spark.table(table),
+      DedupStore.readTombstones(spark,
+        DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+      Seq("band_key", "sig"))
+
+  /** [[newNearUnique]] against the bucketed table — zero store-side
+    * exchanges on the band candidate join; verification and the
+    * null-safe anti-join are the path form's, verbatim.
+    */
+  def newNearUniqueBucketed(media: DataFrame, idCol: String,
+      hashes: DataFrame, table: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    ensureBucketedStore(spark, table)
+    antiJoinFlagged(media, idCol,
+      flaggedIds(bandRows(hashes),
+        storeTable(spark, table).withColumnRenamed("sig", "stored_sig"),
+        maxHamming))
+  }
+
+  /** [[recordHashes]] into the bucketed table: one bucketed append of
+    * the distinct (band_key, sig) rows.
+    */
+  def recordHashesBucketed(hashes: DataFrame, table: String): Unit = {
+    val spark = hashes.sparkSession
+    ensureBucketedStore(spark, table)
+    val b = BucketedStore.bucketsOf(spark, table)
+    val rows = bandRows(hashes)
+      .select(col("bk").as("band_key"), col("sig")).distinct()
+      .localCheckpoint(true)
+    try rows.write.mode(SaveMode.Append)
+      .bucketBy(b, "band_key").sortBy("band_key")
+      .format("parquet").saveAsTable(table)
+    finally rows.unpersist()
+  }
+
+  /** [[retract]] for the bucketed table. */
+  def retractBucketed(hashes: DataFrame, table: String): Unit = {
+    val spark = hashes.sparkSession
+    ensureBucketedStore(spark, table)
+    DedupStore.appendTombstones(
+      bandRows(hashes).select(col("bk").as("band_key"), col("sig")),
+      DedupStore.bucketedTombstonesDir(spark, table))
+  }
+
+  /** Bloom sidecar over band_key for the bucketed table. */
+  def buildBloomSidecarBucketed(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      fpp: Double = 0.01, numShards: Int = 0): Long = {
+    ensureBucketedStore(spark, table)
+    BucketedStore.buildBloomSidecar(spark, table, "band_key", fpp,
+      numShards)
+  }
+
+  /** [[newNearUniqueBucketed]] accelerated by the table's `_bloom`
+    * sidecar — the disjoint hit/miss split, both legs through the one
+    * Hamming verification; any sidecar doubt falls back to the exact
+    * bucketed probe.
+    */
+  def newNearUniqueBucketedWithBloom(media: DataFrame, idCol: String,
+      hashes: DataFrame, table: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    ensureBucketedStore(spark, table)
+    val loc = BucketedStore.tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = new org.apache.hadoop.fs.Path(loc, "_bloom")
+    DedupStore.readSidecar(fs, manifest).flatMap(sc =>
+        DedupStore.probeFor(spark, fs, manifest, sc).map((sc, _))) match {
+      case None =>
+        newNearUniqueBucketed(media, idCol, hashes, table, maxHamming)
+      case Some((sc, mightContain)) =>
+        val current = DedupStore.storeDataFiles(fs, loc)
+        if (!current.exists(f => sc.covered.contains(f.getName)))
+          return newNearUniqueBucketed(media, idCol, hashes, table,
+            maxHamming)
+        val residual =
+          current.filterNot(f => sc.covered.contains(f.getName))
+        val bands = bandRows(hashes)
+        val probeKey = col("bk").cast("string")
+        val hit = flaggedIds(bands.filter(mightContain(probeKey)),
+          storeTable(spark, table)
+            .withColumnRenamed("sig", "stored_sig"), maxHamming)
+        val flagged =
+          if (residual.isEmpty) hit
+          else hit.unionByName(flaggedIds(
+            bands.filter(!mightContain(probeKey)),
+            broadcast(DedupStore.minusTombstones(
+              spark.read.schema(storeSchema)
+                .parquet(residual.map(_.toString): _*),
+              DedupStore.readTombstones(spark,
+                DedupStore.bucketedTombstonesDir(spark, table),
+                storeSchema), Seq("band_key", "sig")))
+              .withColumnRenamed("sig", "stored_sig"), maxHamming))
+        antiJoinFlagged(media, idCol, flagged)
+    }
+  }
+
+  /** [[compactStore]] for the bucketed table — the shared staging-table
+    * swap (single maintenance writer assumed).
+    */
+  def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Long) =
+    BucketedStore.compact(spark, table, "band_key",
+      df => DedupStore.minusTombstones(df,
+        DedupStore.readTombstones(spark,
+          DedupStore.bucketedTombstonesDir(spark, table), storeSchema),
+        Seq("band_key", "sig")))
 }

@@ -1452,6 +1452,60 @@ class IngestSpec extends SparkSuite {
       "answers must be unchanged across compaction")
   }
 
+  test("MediaNearStore bucketed form: same flags as the path store " +
+    "through the catalog table (plain + bloom incl. residual leg), " +
+    "retraction and compaction preserve answers") {
+    import spark.implicits._
+    val M = graft.ingest.MediaNearStore
+    val t = "media_near_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    try {
+      def hashes(rows: (Long, Int, Int, Int, Int)*) =
+        rows.toSeq.toDF("media_id", "band0", "band1", "band2", "band3")
+      def media(rows: (Long, Int, Int, Int, Int)*) =
+        rows.toSeq.map(r => (r._1, s"payload${r._1}"))
+          .toDF("media_id", "content")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+      val hA = (1L, 0x1111, 0x2222, 0x3333, 0x4444)
+      val hB = (2L, 0x0F0F, 0x00FF, 0x0F00, 0x5A5A)
+      M.recordHashesBucketed(hashes(hA, hB), t)
+      val probeRows = Seq(
+        (10L, 0x1111, 0x2222, 0x3333, 0x4444), // H 0
+        (11L, 0x1110, 0x2222, 0x3333, 0x4444), // H 1
+        (13L, 0x111E, 0x2222, 0x3333, 0x4444), // H 4 candidate: passes
+        (14L, 0x8888, 0x7777, 0x6666, 0x9999)) // far
+      def probe() = M.newNearUniqueBucketed(media(probeRows: _*),
+        "media_id", hashes(probeRows: _*), t)
+      def probeBloom() = M.newNearUniqueBucketedWithBloom(
+        media(probeRows: _*), "media_id", hashes(probeRows: _*), t)
+      assert(ids(probe()) === Seq(13L, 14L))
+      assert(ids(probeBloom()) === Seq(13L, 14L)) // fallback, no sidecar
+      assert(M.buildBloomSidecarBucketed(spark, t, numShards = 4) > 0L)
+      assert(ids(probeBloom()) === Seq(13L, 14L),
+        "bucketed bloom probe diverged")
+      // residual leg: post-sidecar record still flags its neighbors
+      M.recordHashesBucketed(hashes((3L, 0x00AA, 0x1234, 0x00BB,
+        0x00CC)), t)
+      val late = Seq((20L, 0x00AB, 0x1234, 0x00BB, 0x00CC),
+        (21L, 0x7070, 0x0707, 0x7007, 0x0770))
+      assert(ids(M.newNearUniqueBucketedWithBloom(media(late: _*),
+        "media_id", hashes(late: _*), t)) === Seq(21L))
+      // retraction + compaction
+      M.retractBucketed(hashes(hA), t)
+      assert(ids(probe()) === Seq(10L, 11L, 13L, 14L),
+        "bucketed retraction must un-flag A's neighbors")
+      val (before, after) = M.compactBucketedStore(spark, t)
+      assert(before >= after && after > 0L)
+      assert(ids(probe()) === Seq(10L, 11L, 13L, 14L),
+        "answers changed across the bucketed compaction swap")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+  }
+
   test("StoreStats: maintenance signals track the record / retract / " +
     "sidecar / compact lifecycle without running a single Spark job " +
     "(path and bucketed forms)") {

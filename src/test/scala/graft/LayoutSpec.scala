@@ -266,6 +266,53 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("bucketed MEDIA near store: the band candidate join plans ZERO " +
+    "exchanges on the store side, and flags a recorded Hamming-3 " +
+    "neighbor") {
+    import spark.implicits._
+    val table = "graft_bucketed_media_near_store"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val M = graft.ingest.MediaNearStore
+      M.ensureBucketedStore(spark, table, buckets = 8)
+      def hashes(rows: (Long, Int, Int, Int, Int)*) =
+        rows.toSeq.toDF("media_id", "band0", "band1", "band2", "band3")
+      M.recordHashesBucketed(
+        hashes((1L, 0x1111, 0x2222, 0x3333, 0x4444),
+          (2L, 0x0F0F, 0x00FF, 0x0F00, 0x5A5A)), table)
+      // Force a shuffle-based join: broadcasting the store would hide
+      // the claim under test (at 100 TB the hash history is the big side)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probes = Seq(
+        (100L, 0x1110, 0x2222, 0x3333, 0x4444), // Hamming 1 of medium 1
+        (101L, 0x8888, 0x7777, 0x6666, 0x9999)) // far
+      val media = probes.map(r => (r._1, s"payload${r._1}"))
+        .toDF("media_id", "content")
+      val nu = M.newNearUniqueBucketed(media, "media_id",
+        hashes(probes: _*), table)
+      val plan = nu.queryExecution.sparkPlan
+      val inner = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      }
+      assert(inner.nonEmpty, s"no band candidate join in plan:\n$plan")
+      val storeSideExchanges = inner.head.right.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(storeSideExchanges.isEmpty,
+        s"store side of the band join shuffles:\n$plan")
+      assert(nu.select("media_id").collect().map(_.getLong(0)).toSeq
+        === Seq(101L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS graft_bucketed_media_near_store")
+      spark.sql(
+        s"DROP TABLE IF EXISTS graft_bucketed_media_near_store_compact_stage")
+    }
+  }
+
   test("z-ordered layout bounds per-file min/max on BOTH columns — a " +
     "predicate on either dimension can skip most files (linear sort " +
     "only ever bounds one)") {
