@@ -537,6 +537,102 @@ object Streams {
       })
   }
 
+  /** [[imageCurationFeedThroughStores]] against BUCKETED catalog
+    * tables — the year-of-recording form for media: the exact probe's
+    * anti-join and the near store's band candidate join both plan
+    * zero exchanges on their ever-growing store sides (`__phash` and
+    * `band_key` as the at-rest bucket keys, LayoutSpec-pinned), both
+    * bloom-aware; same one-decode staging and replay matrix as the
+    * path form.
+    */
+  def imageCurationFeedThroughBucketedStores(media: DataFrame,
+      idCol: String, exactTable: String, nearTable: String,
+      outDir: String, checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaCurationFeedBucketed(media, idCol, exactTable, nearTable,
+      outDir, checkpointDir, "image_curation_feed_bucketed", buckets,
+      maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.aHash64(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageCurationFeedThroughBucketedStores]]'s audio flank. */
+  def audioCurationFeedThroughBucketedStores(media: DataFrame,
+      idCol: String, exactTable: String, nearTable: String,
+      outDir: String, checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaCurationFeedBucketed(media, idCol, exactTable, nearTable,
+      outDir, checkpointDir, "audio_curation_feed_bucketed", buckets,
+      maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.audioHash64(batch))
+
+  /** [[mediaCurationFeed]] with both stores as bucketed catalog
+    * tables — probes, records, sidecars, compaction, and the inline
+    * maintenance signals all through the bucketed forms; the
+    * fingerprint staging (one decode, hex-packed `__phash`, band
+    * columns riding the row) is the path form's, verbatim.
+    */
+  private def mediaCurationFeedBucketed(media: DataFrame, idCol: String,
+      exactTable: String, nearTable: String, outDir: String,
+      checkpointDir: String, queryName: String, buckets: Int,
+      maintenanceEvery: Int)(
+      hashOf: DataFrame => DataFrame): StreamingQuery = {
+    val spark = media.sparkSession
+    graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
+      buckets)
+    graft.ingest.MediaNearStore.ensureBucketedStore(spark, nearTable,
+      buckets)
+    val it = org.apache.spark.sql.types.IntegerType
+    dedupThroughStoreWith(media, "__phash", outDir, checkpointDir,
+      queryName,
+      committedSchema = _
+        .add("band0", it).add("band1", it).add("band2", it)
+        .add("band3", it)
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType),
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, exactTable),
+          { graft.ingest.DedupStore
+            .compactBucketedStore(s2, exactTable); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecarBucketed(s2, exactTable); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, nearTable),
+          { graft.ingest.MediaNearStore
+            .compactBucketedStore(s2, nearTable); () },
+          Some(() => { graft.ingest.MediaNearStore
+            .buildBloomSidecarBucketed(s2, nearTable); () }))
+      })(
+      batch => {
+        val hs = hashOf(batch
+            .select(col(idCol).as("media_id"), col("content")))
+          .withColumnRenamed("media_id", "__hid")
+          .withColumn("__phash",
+            concat(lpad(hex(col("band3")), 4, "0"),
+              lpad(hex(col("band2")), 4, "0"),
+              lpad(hex(col("band1")), 4, "0"),
+              lpad(hex(col("band0")), 4, "0")))
+        val withBands =
+          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid")
+        val exactSurvivors = graft.ingest.DedupStore
+          .newUniqueBucketedWithBloom(withBands, "__phash", idCol,
+            exactTable)
+        graft.ingest.MediaNearStore.newNearUniqueBucketedWithBloom(
+          exactSurvivors, idCol,
+          exactSurvivors.select(col(idCol).as("media_id"),
+            col("band0"), col("band1"), col("band2"), col("band3")),
+          nearTable)
+      },
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashesBucketed(committed, "__phash", exactTable)
+        graft.ingest.MediaNearStore.recordHashesBucketed(
+          committed.select(col(idCol).as("media_id"), col("band0"),
+            col("band1"), col("band2"), col("band3")), nearTable)
+      })
+  }
+
   /** The shared media cycle: fingerprint the batch with `hashOf`
     * ((media_id, content) → (media_id, band0..band3)), hex-pack the
     * bands into `__phash` (band3 high — the canonical 16-hex-digit

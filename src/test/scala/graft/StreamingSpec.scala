@@ -647,6 +647,68 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("bucketed image curation feed: same staging through catalog " +
+    "tables — exact copy drops at the bucketed phash store, the " +
+    "Hamming-1 variant at the bucketed NEAR store, fresh survives, " +
+    "replay is a no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("imgbk-src")
+    val outDir = tmpDir("imgbk-out") + "/media"
+    val exactT = "img_feed_exact_t"
+    val nearT = "img_feed_near_t"
+    for (t <- Seq(exactT, nearT, s"${exactT}_compact_stage",
+        s"${nearT}_compact_stage"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ckpt = tmpDir("imgbk-ckpt")
+    try {
+      def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+      val imgA = C.encodePng(16, 16, base)
+      val imgAvar = C.encodePng(16, 16,
+        (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+      val imgD = C.encodePng(16, 16, (x, y) => base(15 - x, 15 - y))
+      val imgB = C.encodePng(16, 16, (x, y) => (x * 16 + y) % 256)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      def drain(): Unit =
+        graft.streaming.Streams.imageCurationFeedThroughBucketedStores(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "media_id", exactT, nearT, outDir, ckpt, buckets = 8)
+          .awaitTermination()
+      Seq((1L, imgA), (2L, imgD)).toDF("media_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+      drain()
+      Seq((3L, imgA), (4L, imgAvar), (5L, imgB))
+        .toDF("media_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+      drain()
+      val it = org.apache.spark.sql.types.IntegerType
+      def survivors(): Set[Long] = spark.read
+        .schema(schema.add("band0", it).add("band1", it)
+          .add("band2", it).add("band3", it)
+          .add("__phash", org.apache.spark.sql.types.StringType)
+          .add("content_hash", org.apache.spark.sql.types.StringType))
+        .parquet(outDir).select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors() === Set(1L, 2L, 5L),
+        "exact copy and Hamming-1 variant must drop; fresh must survive")
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Set(1L, 2L, 5L),
+        "full-history replay must be a no-op")
+    } finally {
+      for (t <- Seq(exactT, nearT, s"${exactT}_compact_stage",
+          s"${nearT}_compact_stage"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("gated image curation feed: quality rejects drop before any " +
     "store and are never recorded (a resubmission under relaxed " +
     "thresholds is judged afresh); the near stage still catches a " +
