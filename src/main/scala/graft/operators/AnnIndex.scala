@@ -226,7 +226,8 @@ object AnnIndex {
     * readers — see the lifecycle comment). Returns the generation name.
     */
   def writeIndexVersioned(embeddings: DataFrame,
-      centroids: Seq[(Int, Array[Double])], root: String): String = {
+      centroids: Seq[(Int, Array[Double])], root: String,
+      lloydStats: Boolean = false): String = {
     val spark = embeddings.sparkSession
     val fs = fsOf(spark, root)
     val previous = currentGeneration(spark, root)
@@ -236,7 +237,136 @@ object AnnIndex {
       .select(col("cid").cast("int").as("cid"), col("cv"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$gen/_centroids")
+    if (lloydStats)
+      KMeans.statsOf(KMeans.assign(embeddings.select("vec_id", "v"),
+          centroidFrame(spark, centroids)))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/$gen/_lloyd/batch=-1")
     installGeneration(fs, root, gen, previous)
+    gen
+  }
+
+  // ── Maintained Lloyd statistics (the zero-rescan retrain) ─────────
+  //
+  // [[retrain]] pays iters × (one broadcast-centroid corpus scan + one
+  // k×dim aggregate) to move the centroids before it rebuilds — at
+  // 100 TB those scans ARE the retrain. But the Lloyd update is a
+  // per-(cid, dim) MEAN under the generation's own assignment, and
+  // means decompose into cell-wise-mergeable (sum, count) statistics
+  // ([[KMeans.statsOf]]) — the count-min/quantile-sketch mergeability,
+  // applied to the trainer. So a generation built with
+  // `lloydStats = true` SEEDS `<gen>/_lloyd` with the stats of its own
+  // vectors, the streaming appender FOLDS each micro-batch's stats in
+  // as it appends (same versioned `batch=<id>` + `_SUCCESS` commit
+  // protocol as the maintained snapshots, exactly-once per batch id),
+  // and when IndexStats.retrainDue fires, [[retrainFromStats]] reads
+  // ONE KB-scale frame, derives the stepped centroids
+  // ([[KMeans.centroidsFromStats]] — bit-identical arithmetic to the
+  // inline update), and goes straight to the rebuild: the update
+  // step's corpus scans are GONE; only the rebuild's own layout pass
+  // remains, and it re-seeds the new generation's stats in the same
+  // breath.
+  //
+  // Exactness posture: stats are folded exactly-once per batch id
+  // while index ROWS are at-least-once (the appender's documented
+  // replay), so across a crash-retrain-replay interleaving the stats
+  // can transiently count a replayed batch twice — precisely the rows
+  // the maintenance `dropDuplicates` reclaim owns; the next rebuild
+  // re-seeds stats from the cleaned layout and exactness returns
+  // (self-healing, like the rows themselves). Pending RETRACTIONS are
+  // subtracted from the rebuild's vectors but not from the maintained
+  // sums (their vectors would need an index lookup); their KB-scale
+  // mass skews one update step and vanishes at the re-seed. Both are
+  // the family's standard transients, documented rather than hidden.
+
+  private def lloydDir(root: String, gen: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$gen/_lloyd")
+
+  private def committedLloydVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+
+  /** The current generation's latest committed Lloyd-stats frame
+    * ((cid, dim, s, n) — k × dim rows). Defined only for generations
+    * built with `lloydStats = true`.
+    */
+  def readLloydStats(spark: SparkSession, root: String): DataFrame = {
+    val gen = currentGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no installed generation at $root"))
+    val dir = lloydDir(root, gen)
+    val fs = fsOf(spark, root)
+    val latest = committedLloydVersions(fs, dir).sorted.lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"generation $gen has no Lloyd stats (built without " +
+          "lloydStats = true?)"))
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(dir, s"batch=$latest").toString)
+  }
+
+  /** Fold one micro-batch's Lloyd stats into the NAMED generation's
+    * maintained frame — (vec_id, v) rows assigned under that
+    * generation's centroids ([[KMeans.assign]] — the trainer's L2
+    * rule, NOT the layout's cosine rule: these stats must reproduce
+    * [[KMeans.update]] bit-for-bit), then merged cell-wise under the
+    * maintained-snapshot commit protocol (fresh `batch=<id>` +
+    * `_SUCCESS`, replayed committed ids skip — exactly-once). No-op
+    * for a generation without seeded stats: the lifecycle is opt-in
+    * and an appender must not sprout it.
+    */
+  def foldLloydStats(spark: SparkSession, root: String, gen: String,
+      batchId: Long, batch: DataFrame): Unit = {
+    val dir = lloydDir(root, gen)
+    val fs = fsOf(spark, root)
+    val committed = committedLloydVersions(fs, dir)
+    if (committed.isEmpty || committed.contains(batchId)) return
+    val batchStats = KMeans.statsOf(KMeans.assign(
+      batch.select("vec_id", "v"),
+      centroidFrame(spark, readCentroidsOf(spark, root, gen))))
+    val prev = committed.filter(_ < batchId).sorted.last
+    val target = new org.apache.hadoop.fs.Path(dir, s"batch=$batchId")
+    fs.delete(target, true) // partial leftovers from a crash
+    KMeans.mergeStats(
+        spark.read.parquet(
+          new org.apache.hadoop.fs.Path(dir, s"batch=$prev").toString),
+        batchStats)
+      .write.parquet(target.toString) // _SUCCESS = commit
+    // retain the immediately-previous version for concurrent readers
+    committedLloydVersions(fs, dir).filter(_ < batchId - 1).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch=$v"), true))
+  }
+
+  /** [[retrain]] with the update step served from the MAINTAINED
+    * Lloyd stats instead of corpus scans: centroids :=
+    * [[KMeans.centroidsFromStats]] of the current generation's
+    * `_lloyd` frame (one KB-scale read — bit-identical to one
+    * [[KMeans.trainFrom]] round over every vector the stats cover),
+    * then the standard rebuild + atomic install, re-seeding the new
+    * generation's stats from its own layout pass. The retraction
+    * snapshot protocol is [[retrain]]'s verbatim.
+    */
+  def retrainFromStats(spark: SparkSession, root: String): String = {
+    val fs = fsOf(spark, root)
+    val snap = graft.ingest.DedupStore.storeDataFiles(fs,
+      retractedDir(root))
+    val vectors = minusRetractedSnapshot(spark, snap,
+      spark.read.parquet(currentIndexDir(spark, root))
+        .select(col("vec_id"), col("v")))
+    val stepped = KMeans.centroidsFromStats(
+        readLloydStats(spark, root))
+      .collect()
+      .map(r => (r.get(0).toString.toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    val gen = writeIndexVersioned(vectors, stepped, root,
+      lloydStats = true)
+    snap.foreach(f => fs.delete(f, false))
     gen
   }
 

@@ -46,13 +46,43 @@ object KMeans {
   /** One update pass: per-(cluster, dim) fixed-point mean over an
     * [[assign]] output, rebuilt into (cid, cv) centroid rows. Clusters
     * that lost every member disappear (standard Lloyd behavior).
+    * Defined as [[centroidsFromStats]] ∘ [[statsOf]] — one arithmetic
+    * for the batch and streamed-maintenance forms.
     */
   def update(assigned: DataFrame): DataFrame =
+    centroidsFromStats(statsOf(assigned))
+
+  /** [[update]]'s CELL-WISE-MERGEABLE sufficient statistics: per
+    * (cid, dim), the exact fixed-point coordinate sum and the member
+    * count of an [[assign]] output — k × dim rows of two longs, KBs at
+    * any corpus size. `statsOf(a ∪ b)` = [[mergeStats]](statsOf(a),
+    * statsOf(b)) (integer sums add in any order), so the Lloyd update
+    * can be maintained incrementally across micro-batches
+    * ([[graft.streaming.Streams.indexIngestStreamVersioned]]) and a
+    * retrain ([[AnnIndex.retrainFromStats]]) never re-scans the corpus
+    * for its update step.
+    */
+  def statsOf(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cid", "dim")
-      .agg((sum(expr("cast(floor(x * 1000000d) as bigint)"))
-        .cast(DoubleType) / (lit(1000000d) * count(lit(1)))).as("cval"))
+      .agg(sum(expr("cast(floor(x * 1000000d) as bigint)")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** Cell-wise addition of two [[statsOf]] frames. */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("cid", "dim")
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Rebuild (cid, cv) centroid rows from a [[statsOf]] frame — the
+    * same IEEE chain as the inline mean ([[update]] delegates here):
+    * cast the exact integer sum to double, one correctly-rounded
+    * division by (1e6 · count).
+    */
+  def centroidsFromStats(stats: DataFrame): DataFrame =
+    stats
+      .withColumn("cval",
+        col("s").cast(DoubleType) / (lit(1000000d) * col("n")))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
         " p -> p.cval)").as("cv"))

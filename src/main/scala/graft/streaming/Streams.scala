@@ -1650,6 +1650,16 @@ object Streams {
     * checkpoint commit can still strand (vanishingly narrow window);
     * production deployments additionally quiesce the appender around
     * retrains — the family's single-maintenance-writer posture.
+    *
+    * Lloyd-stats leg: when the generation was built with
+    * `lloydStats = true`, each batch also folds its
+    * [[graft.operators.KMeans.statsOf]] cells into the generation's
+    * maintained `_lloyd` frame
+    * ([[graft.operators.AnnIndex.foldLloydStats]] — exactly-once per
+    * batch id), so the distortion-triggered retrain can take
+    * [[graft.operators.AnnIndex.retrainFromStats]] and skip the
+    * update step's corpus scans entirely. A generation without seeded
+    * stats makes the fold a no-op — the lifecycle is opt-in.
     */
   def indexIngestStreamVersioned(embeddings: DataFrame, root: String,
       checkpointDir: String,
@@ -1659,7 +1669,13 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendVersionedBatch(batch, root)
+        val gen = appendVersionedBatch(batch, root)
+        // fold AFTER the strand guard: a swapped-mid-batch append has
+        // already thrown, so stats only ever fold into the generation
+        // the rows actually serve from. Exactly-once per batch id;
+        // no-op for generations built without lloydStats (opt-in).
+        graft.operators.AnnIndex.foldLloydStats(batch.sparkSession,
+          root, gen, batchId, batch)
         if (maintenanceEvery > 0 &&
             (batchId + 1) % maintenanceEvery == 0)
           maintainIndexIfDue(batch.sparkSession, root)
@@ -1681,7 +1697,10 @@ object Streams {
     * distortion-triggered RETRAIN stays operator-scheduled
     * ([[graft.operators.IndexStats.retrainDue]] with an
     * operator-chosen threshold): it refits the whole index and has no
-    * universal "due" constant to self-trigger on. The sidecar rebuild
+    * universal "due" constant to self-trigger on — though with the
+    * maintained Lloyd stats its update step is a KB-scale read
+    * ([[graft.operators.AnnIndex.retrainFromStats]]), so "whole
+    * index" now prices as the rebuild pass alone. The sidecar rebuild
     * only fires when the generation ever had one (or a vacuum just
     * dropped one): a deliberately float-only index must not sprout a
     * PQ sidecar because a maintenance pass ran.
@@ -1709,7 +1728,7 @@ object Streams {
     * where a deterministic spec can inject the racing retrain.
     */
   private[graft] def appendVersionedBatch(batch: DataFrame, root: String,
-      postWriteProbe: () => Unit = () => ()): Unit = {
+      postWriteProbe: () => Unit = () => ()): String = {
     val spark = batch.sparkSession
     val gen0 = graft.operators.AnnIndex
       .currentGeneration(spark, root)
@@ -1727,6 +1746,7 @@ object Streams {
         s"index generation swapped mid-batch ($gen0 -> " +
           s"${gen1.getOrElse("<none>")}): failing the batch so the " +
           "replay re-appends into the installed generation")
+    gen0
   }
 
   /** [[indexIngestStreamVersioned]] with a SEMANTIC DEDUP GATE — the

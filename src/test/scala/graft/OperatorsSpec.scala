@@ -269,6 +269,47 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("KMeans Lloyd sufficient statistics: the stats/merge/rebuild " +
+    "chain is bit-identical to the inline fixed-point mean, and stats " +
+    "merge cell-wise across any corpus split") {
+    import spark.implicits._
+    val K = graft.operators.KMeans
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val cents = K.train(e, 1L to 6L, 1)
+    val assigned = K.assign(e, cents)
+    // the inline update arithmetic, restated INDEPENDENTLY (this is
+    // the pre-decomposition spelling — the law is that the decomposed
+    // chain reproduces it bit-for-bit, not that two calls of the same
+    // code agree)
+    val inline = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(expr("cast(floor(x * 1000000d) as bigint)"))
+        .cast("double") / (lit(1000000d) * count(lit(1)))).as("cval"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
+        " p -> p.cval)").as("cv"))
+    def centMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.get(0).toString.toLong -> r.getSeq[Double](1).toSeq)
+      .toMap
+    assert(centMap(K.update(assigned)) === centMap(inline))
+    assert(centMap(K.centroidsFromStats(K.statsOf(assigned)))
+      === centMap(inline))
+    // cell-wise merge law: statsOf(a ∪ b) = mergeStats(statsOf(a),
+    // statsOf(b)) for any split — the mergeability the streamed
+    // maintainer and the zero-rescan retrain ride
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toInt)
+        -> (r.getLong(2), r.getLong(3))).toMap
+    val a = e.filter(col("vec_id") % 2 === 0)
+    val b = e.filter(col("vec_id") % 2 =!= 0)
+    assert(cellMap(K.mergeStats(K.statsOf(K.assign(a, cents)),
+      K.statsOf(K.assign(b, cents))))
+      === cellMap(K.statsOf(assigned)))
+  }
+
   test("quantile histogram: merge- and partitioning-invariant, and " +
     "every quantile answer brackets the exact rank statistic within " +
     "the 2^-5 relative-width contract") {

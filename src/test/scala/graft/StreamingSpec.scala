@@ -1265,6 +1265,83 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(0L, 100000L, 100001L))
   }
 
+  test("maintained Lloyd stats: the generation seeds its own stats, " +
+    "the appender folds each batch exactly-once (checkpoint-loss " +
+    "replay is a stats no-op even as rows re-append), and " +
+    "retrainFromStats steps the centroids bit-identically to a full " +
+    "trainFrom round without the update step re-scanning the corpus") {
+    import spark.implicits._
+    val A = graft.operators.AnnIndex
+    val K = graft.operators.KMeans
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select("vec_id", "v")
+    val e0 = e.filter(col("vec_id") < 60)
+    val d1 = e.filter(col("vec_id").between(60, 69))
+    val d2 = e.filter(col("vec_id").between(70, 79))
+    val fed = e.filter(col("vec_id") < 80)
+    val cents = K.trainCollected(e0, 1L to 6L, 1)
+    val centsDf = cents.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cid", "cv")
+    val root = tmpDir("ivf-lloyd") + "/index"
+    val srcDir = tmpDir("ivf-lloyd-src")
+    val ckpt = tmpDir("ivf-lloyd-ckpt")
+    val g1 = A.writeIndexVersioned(e0, cents, root, lloydStats = true)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toInt)
+        -> (r.getLong(2), r.getLong(3))).toMap
+    // seed law: the generation's stats are its own vectors' statsOf
+    assert(cellMap(A.readLloydStats(spark, root))
+      === cellMap(K.statsOf(K.assign(e0, centsDf))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def drain(): Unit = graft.streaming.Streams
+      .indexIngestStreamVersioned(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        root, ckpt).awaitTermination()
+    d1.coalesce(1).write.parquet(s"$srcDir/delivery1")
+    drain()
+    d2.coalesce(1).write.parquet(s"$srcDir/delivery2")
+    drain()
+    val fedCells = cellMap(K.statsOf(K.assign(fed, centsDf)))
+    assert(cellMap(A.readLloydStats(spark, root)) === fedCells,
+      "folded stats must equal the one-shot stats of everything fed")
+    // checkpoint loss: rows re-append (the family's at-least-once),
+    // but the stats folds are keyed by batch id — exactly-once
+    val rowsBefore = spark.read.parquet(s"$root/$g1").count()
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(spark.read.parquet(s"$root/$g1").count() > rowsBefore,
+      "precondition: the replay re-appended rows")
+    assert(cellMap(A.readLloydStats(spark, root)) === fedCells,
+      "a replayed batch id must not fold twice")
+    // the zero-rescan retrain: centroids step exactly as one
+    // trainFrom round over everything fed (stats cover the DISTINCT
+    // fed vectors — the replayed duplicates are the rows the
+    // dropDuplicates reclaim owns, not the trainer's business)
+    val expected = K.trainFrom(fed, centsDf, 1).collect()
+      .map(r => r.get(0).toString.toLong -> r.getSeq[Double](1).toSeq)
+      .toMap
+    val g2 = A.retrainFromStats(spark, root)
+    assert(A.readCentroids(spark, root)
+      .map { case (c, v) => c.toLong -> v.toSeq }.toMap === expected,
+      "stepped centroids diverged from the full Lloyd round")
+    // the new generation serves, and re-seeded its own stats
+    val q0 = e.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Double](1)
+    assert(A.topKCurrent(spark, root, q0.toArray, k = 3, nprobe = 2)
+      .collect().nonEmpty)
+    assert(A.readLloydStats(spark, root).count() > 0,
+      s"generation $g2 must re-seed its Lloyd stats")
+  }
+
   test("PQ serving composes with the streaming appender: streamed " +
     "vectors serve through the exact residual leg immediately, and a " +
     "sidecar rebuild folds them into the codes") {
