@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * types); this module is a north-star extension. Image and audio decode
   * are REAL: [[Codec]] wraps the JDK's own codecs — `javax.imageio`
   * (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV/PCM) ship with
-  * every JRE, so decode needs zero external dependencies. The one
-  * remaining stub boundary is VIDEO bitstream decode ([[frameSamplePlan]]
-  * plans frames from metadata only): no MP4/H.264 codec exists in the
-  * JDK, so planned frames would hand off to an external decoder in a
-  * real deployment.
+  * every JRE, so decode needs zero external dependencies. Video
+  * CONTAINER metadata is real too — [[Codec.parseMp4Meta]] walks the
+  * ISO BMFF box structure, so duration/timescale/dimensions and the
+  * frame plan ([[frameSamplePlanFromContent]]) derive from the payload
+  * itself. The one remaining stub boundary is the video BITSTREAM:
+  * no H.264/VP9 codec exists in the JDK, so planned frames hand off to
+  * an external decoder in a real deployment.
   *
   * Scale posture (100 TB of media): decode parallelism is sized by
   * BYTES, not row count ([[repartitionForDecode]]) — media rows are
@@ -80,6 +82,14 @@ object Multimodal {
   /** Audio feature row: fixed-width per-window RMS envelope. */
   final case class AudioFeatures(media_id: Long, n_windows: Int,
       rms: Array[Float])
+
+  /** Video container metadata row, derived from the PAYLOAD (the
+    * [[DecodedImage]] doctrine — nothing trusted from sidecar
+    * columns). duration_ms = duration · 1000 / timescale, exact
+    * integer division. Unparseable rows are poisoned (-1 markers).
+    */
+  final case class VideoMeta(media_id: Long, timescale: Int,
+      duration: Long, duration_ms: Long, width: Int, height: Int)
 
   /** Real JDK codecs. Everything here is executor-side, allocation-lean,
     * and total: malformed payloads return None instead of throwing (a
@@ -228,6 +238,143 @@ object Multimodal {
       var i = 0
       while (i < samples.length) { buf.putShort(samples(i).toShort); i += 1 }
       buf.array()
+    }
+
+    // -- video containers (ISO BMFF / MP4 box structure) ----------------
+    //
+    // The video pillar's stub boundary is the BITSTREAM (the JDK ships
+    // no H.264/VP9 decoder); the CONTAINER is plain length-prefixed
+    // big-endian box structure — walkable with nothing but byte reads —
+    // so duration, timescale, and track dimensions derive from the
+    // payload itself, exactly like image dims (q64) and sample rates
+    // (q65). ISO/IEC 14496-12: boxes are (u32 size, 4cc type, content);
+    // size 1 = 64-bit largesize follows, size 0 = box runs to the end
+    // of its container; unknown boxes are skipped by their declared
+    // size (the format's own forward-compatibility rule).
+
+    /** Parse (movie timescale, movie duration, track width, track
+      * height) from an MP4/ISO BMFF payload — mvhd (version 0 or 1)
+      * inside moov, dimensions from the first tkhd with nonzero 16.16
+      * width/height (fallback: the first tkhd; (0, 0) when no track
+      * header parses). None when no readable moov/mvhd exists or a box
+      * size lies about its container. Real box walking, not an offset
+      * table: a `free` box before moov or an unknown child between
+      * mvhd and trak must not matter.
+      */
+    def parseMp4Meta(content: Array[Byte]): Option[(Int, Long, Int, Int)] =
+      try {
+        def u32(o: Int): Long =
+          ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+            ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def typ(o: Int): String = new String(content, o, 4, "US-ASCII")
+        // children of [from, to): (type, contentFrom, contentTo); a
+        // malformed size (overruns the container, or smaller than its
+        // own header) stops the walk at what parsed so far
+        def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(String, Int, Int)]
+          var o = from
+          var ok = true
+          while (ok && o + 8 <= to) {
+            val sz = u32(o)
+            val (hdr, size): (Int, Long) =
+              if (sz == 1L)
+                if (o + 16 <= to) (16, u64(o + 8)) else (8, -1L)
+              else if (sz == 0L) (8, (to - o).toLong)
+              else (8, sz)
+            if (size < hdr || o + size > to) ok = false
+            else {
+              out += ((typ(o + 4), o + hdr, (o + size).toInt))
+              o = (o + size).toInt
+            }
+          }
+          out.toSeq
+        }
+        children(0, content.length).find(_._1 == "moov")
+          .flatMap { case (_, ms, me) =>
+            val kids = children(ms, me)
+            val mvhd = kids.find(_._1 == "mvhd")
+              .flatMap { case (_, s, e) =>
+                val v = content(s) & 0xff
+                if (v == 0 && e - s >= 20)
+                  Some((u32(s + 12).toInt, u32(s + 16)))
+                else if (v == 1 && e - s >= 32)
+                  Some((u32(s + 20).toInt, u64(s + 24)))
+                else None
+              }
+            val dims = kids.filter(_._1 == "trak").flatMap {
+              case (_, s, e) =>
+                children(s, e).find(_._1 == "tkhd").flatMap {
+                  case (_, ts, te) =>
+                    val v = content(ts) & 0xff
+                    if (v == 0 && te - ts >= 84)
+                      Some(((u32(ts + 76) >> 16).toInt,
+                        (u32(ts + 80) >> 16).toInt))
+                    else if (v == 1 && te - ts >= 96)
+                      Some(((u32(ts + 88) >> 16).toInt,
+                        (u32(ts + 92) >> 16).toInt))
+                    else None
+                }
+            }
+            val (w, h) = dims.find(d => d._1 > 0 && d._2 > 0)
+              .orElse(dims.headOption).getOrElse((0, 0))
+            mvhd.map { case (tsc, dur) => (tsc, dur, w, h) }
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Minimal deterministic MP4 metadata skeleton — ftyp + free +
+      * moov(mvhd + udta + trak(tkhd)), version-0 boxes, no media data;
+      * synthetic corpora and specs control the exact container layout
+      * (the [[encodeWavPcm16]] doctrine). The udta box is deliberate
+      * unknown-content the parser must skip by size.
+      */
+    def encodeMp4Meta(timescale: Int, duration: Long, width: Int,
+        height: Int): Array[Byte] = {
+      def box(t: String, content: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(8 + content.length)
+        b.putInt(8 + content.length).put(t.getBytes("US-ASCII"))
+          .put(content)
+        b.array()
+      }
+      val unity = Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+      val mvhd = {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0) // version 0 + flags
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(timescale).putInt(duration.toInt)
+          .putInt(0x00010000) // rate 1.0
+          .putShort(0x0100.toShort).putShort(0) // volume, reserved
+          .putLong(0L) // reserved
+        unity.foreach(v => b.putInt(v))
+        (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+        b.putInt(2) // next_track_ID
+        box("mvhd", b.array())
+      }
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0x00000007) // version 0 + flags (enabled, in movie)
+          .putInt(0).putInt(0) // creation, modification
+          .putInt(1) // track_ID
+          .putInt(0) // reserved
+          .putInt(duration.toInt)
+          .putLong(0L) // reserved
+          .putShort(0).putShort(0) // layer, alternate_group
+          .putShort(0).putShort(0) // volume (0 for video), reserved
+        unity.foreach(v => b.putInt(v))
+        b.putInt(width << 16).putInt(height << 16)
+        box("tkhd", b.array())
+      }
+      val udta = box("udta", Array.fill(6)(0x55.toByte))
+      val moov = box("moov", mvhd ++ udta ++ box("trak", tkhd))
+      val ftyp = box("ftyp", {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.put("isom".getBytes("US-ASCII")).putInt(0x200)
+          .put("isom".getBytes("US-ASCII"))
+          .put("mp41".getBytes("US-ASCII"))
+        b.array()
+      })
+      ftyp ++ box("free", Array.fill(12)(0.toByte)) ++ moov
     }
   }
 
@@ -587,4 +734,37 @@ object Multimodal {
       .select(col("media_id"), col("duration_ms"),
         explode(expr(s"sequence(0L, duration_ms - 1, ${everyMs}L)"))
           .as("frame_ts_ms"))
+
+  /** Container-metadata stage for video rows: (media_id, content) →
+    * [[VideoMeta]] through the real ISO BMFF walker
+    * ([[Codec.parseMp4Meta]]) — the video analog of q64's
+    * payload-derived image dimensions. Unparseable containers are
+    * POISONED (-1 markers), not dropped: a corrupt container is a
+    * quality signal downstream gates read, and the -1 duration plans
+    * zero frames by the [[frameSamplePlan]] guard.
+    */
+  def parseVideoMeta(df: DataFrame): Dataset[VideoMeta] = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        Codec.parseMp4Meta(c) match {
+          case Some((ts, dur, w, h)) if ts > 0 =>
+            VideoMeta(id, ts, dur, dur * 1000L / ts, w, h)
+          case _ => VideoMeta(id, -1, -1L, -1L, -1, -1)
+        }
+      })
+  }
+
+  /** [[frameSamplePlan]] with the duration derived from the CONTAINER
+    * ITSELF — parse, then plan; no metadata column trusted. Poisoned
+    * rows plan no frames. Only the per-frame pixel decode beyond this
+    * point remains the external-decoder boundary.
+    */
+  def frameSamplePlanFromContent(df: DataFrame,
+      everyMs: Long): DataFrame =
+    frameSamplePlan(
+      parseVideoMeta(df).toDF()
+        .withColumn("media_type", lit("video/mp4"))
+        .select("media_id", "media_type", "duration_ms"), everyMs)
 }

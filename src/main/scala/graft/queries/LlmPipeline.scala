@@ -3451,6 +3451,90 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q131: REAL video-container metadata audit — q64's doctrine
+    * extended to the video pillar: a minimal deterministic MP4
+    * container is written per document
+    * ([[graft.multimodal.Multimodal.Codec.encodeMp4Meta]] — ftyp +
+    * free + moov with version-0 mvhd/tkhd and a deliberate unknown
+    * udta box) and walked back through the production ISO BMFF parser
+    * ([[graft.multimodal.Multimodal.Codec.parseMp4Meta]]), emitting
+    * the payload-derived movie timescale/duration and 16.16 track
+    * dimensions plus the exact-integer duration_ms. The oracle
+    * recomputes everything analytically from the doc_id formulas — a
+    * defect anywhere in the writer, the box walk, the version-0
+    * offsets, or the 16.16 unpack breaks the hash match. With this,
+    * video metadata (and the frame plan via
+    * `frameSamplePlanFromContent`) derives from the BYTES; only the
+    * bitstream decode remains the external-decoder boundary.
+    */
+  private val q131: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 6 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ts = (600 + (id % 3) * 200).toInt
+        val dur = (id % 50 + 1) * 400L
+        val w = (160 + (id % 8) * 16).toInt
+        val h = (120 + (id % 5) * 24).toInt
+        C.parseMp4Meta(C.encodeMp4Meta(ts, dur, w, h)) match {
+          case Some((pts, pdur, pw, ph)) if pts > 0 =>
+            (id, pts, pdur, pdur * 1000L / pts, pw, ph)
+          case _ => (id, -1, -1L, -1L, -1, -1)
+        }
+      })
+      .toDF("doc_id", "timescale", "duration", "duration_ms", "width",
+        "height")
+      .orderBy("doc_id")
+  }
+
+  /** q132: video quality gate — the q129/q130 rule for the video
+    * pillar, now that q131 makes container metadata REAL: drop
+    * unparseable containers (the poisoned -1 rows — corrupt uploads),
+    * too-short clips (< 1 s), absurd durations (> 4 h — timestamp-unit
+    * bugs), tiny frames (min dim < 64), and extreme aspects (> 4:1) —
+    * the metadata-level screen a video pipeline runs BEFORE paying for
+    * bitstream decode, so a 100 TB crawl prunes on KB-scale container
+    * walks. One failing fixture class per rule; every derived number
+    * exact-integer → oracle-exact.
+    */
+  private val q132: Q = (s, dir) => {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 6 === 3)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val c = (id % 5).toInt
+        val bytes =
+          if (c == 4) s"not a container $id".getBytes("UTF-8")
+          else {
+            val dur = if (c == 3) 500L else 30000L + (id % 7) * 1000L
+            val (w, h) =
+              if (c == 1) (32, 24)
+              else if (c == 2) (1280, 120)
+              else (640, 360)
+            C.encodeMp4Meta(1000, dur, w, h)
+          }
+        (id, bytes)
+      }).toDF("media_id", "content")
+    Multimodal.parseVideoMeta(media).toDF()
+      .select(col("media_id").as("doc_id"), col("timescale"),
+        col("duration_ms"), col("width"), col("height"))
+      .withColumn("aspect_fp",
+        when(col("width") > 0 && col("height") > 0,
+          expr("(greatest(width, height) * 1000000L) div " +
+            "least(width, height)")).otherwise(lit(-1L)))
+      .withColumn("keep",
+        col("timescale") > 0 &&
+          col("duration_ms").between(1000L, 14400000L) &&
+          least(col("width"), col("height")) >= 64 &&
+          col("aspect_fp") <= 4000000L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3542,7 +3626,9 @@ object LlmPipeline {
     "q127_pq_recall" -> q127,
     "q128_audio_dedup" -> q128,
     "q129_image_quality" -> q129,
-    "q130_audio_quality" -> q130)
+    "q130_audio_quality" -> q130,
+    "q131_video_meta" -> q131,
+    "q132_video_quality" -> q132)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4911,6 +4997,50 @@ object LlmPipeline {
         | (duration_ms >= 100 AND clip_fp <= 10000
         |  AND mean_energy >= 10000) AS keep
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q131: the container round trip recomputed analytically from the
+    // doc_id formulas; integer // ≡ the Spark-side exact division.
+    "q131_video_meta" ->
+      """WITH m AS (
+        | SELECT doc_id,
+        |  CAST(600 + (doc_id % 3) * 200 AS INT) AS timescale,
+        |  CAST((doc_id % 50 + 1) * 400 AS BIGINT) AS duration,
+        |  CAST(160 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(120 + (doc_id % 5) * 24 AS INT) AS height
+        | FROM documents WHERE doc_id % 6 = 2)
+        |SELECT doc_id, timescale, duration,
+        | CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
+        | width, height
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // q132: the gate recomputed from the class formulas (c = doc_id %
+    // 5); the corrupt class (c = 4) is the parser's poisoned -1 row.
+    "q132_video_quality" ->
+      """WITH m AS (
+        | SELECT doc_id, doc_id % 5 AS c FROM documents
+        | WHERE doc_id % 6 = 3),
+        |d AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN c = 4 THEN -1 ELSE 1000 END AS INT)
+        |   AS timescale,
+        |  CAST(CASE WHEN c = 4 THEN -1 WHEN c = 3 THEN 500
+        |   ELSE 30000 + (doc_id % 7) * 1000 END AS BIGINT)
+        |   AS duration_ms,
+        |  CAST(CASE WHEN c = 4 THEN -1 WHEN c = 1 THEN 32
+        |   WHEN c = 2 THEN 1280 ELSE 640 END AS INT) AS width,
+        |  CAST(CASE WHEN c = 4 THEN -1 WHEN c = 1 THEN 24
+        |   WHEN c = 2 THEN 120 ELSE 360 END AS INT) AS height
+        | FROM m),
+        |a AS (
+        | SELECT doc_id, timescale, duration_ms, width, height,
+        |  CAST(CASE WHEN width > 0 AND height > 0
+        |   THEN (greatest(width, height) * 1000000)
+        |     // least(width, height)
+        |   ELSE -1 END AS BIGINT) AS aspect_fp
+        | FROM d)
+        |SELECT doc_id, timescale, duration_ms, width, height, aspect_fp,
+        | (timescale > 0 AND duration_ms BETWEEN 1000 AND 14400000
+        |  AND least(width, height) >= 64 AND aspect_fp <= 4000000)
+        |  AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
     // q127: the PQ recall audit replayed — exact quantized-L2 top-3
     // (ed/ex), ADC ranking off penc + the per-query pd2 LUT rows
     // (ad/ar), the top-8 shortlist exact-rescored (rc/rr3), then the

@@ -256,4 +256,81 @@ class MultimodalSpec extends SparkSuite {
     assert(got.toSeq.sorted ===
       Seq((1L, 0L), (1L, 250L), (1L, 500L), (1L, 750L)))
   }
+
+  // hand-built ISO BMFF boxes: the writer only emits version-0 boxes,
+  // so the v1 / largesize / reordering laws need independent bytes
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def mkBox(t: String, content: Array[Byte]): Array[Byte] =
+    be32(8L + content.length) ++ t.getBytes("US-ASCII") ++ content
+
+  test("parseMp4Meta: real box walking — unknown boxes skipped by " +
+    "size, child order immaterial, version-1 and largesize boxes " +
+    "readable, malformed sizes poison instead of throwing") {
+    import graft.multimodal.Multimodal.{Codec => C}
+    // the writer's own output round-trips, and sniffs as video/mp4
+    val std = C.encodeMp4Meta(800, 4000L, 320, 240)
+    assert(C.parseMp4Meta(std) === Some((800, 4000L, 320, 240)))
+    assert(new String(std, 4, 4, "US-ASCII") === "ftyp")
+    // reordered: trak BEFORE mvhd, extra unknown 'skip' children —
+    // the walker must not assume the writer's layout
+    val mvhd0 = mkBox("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1800) ++
+        Array.fill(80)(0.toByte))
+    val tkhd0 = mkBox("tkhd",
+      be32(0) ++ Array.fill(72)(0.toByte) ++
+        be32(128L << 16) ++ be32(96L << 16))
+    val skip = mkBox("skip", Array.fill(9)(0x77.toByte))
+    val reordered = mkBox("moov",
+      skip ++ mkBox("trak", skip ++ tkhd0) ++ mvhd0)
+    assert(C.parseMp4Meta(reordered) === Some((600, 1800L, 128, 96)))
+    // version-1 mvhd/tkhd (64-bit times) — the modern-muxer form
+    val mvhd1 = mkBox("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1000) ++
+        be64(90000L) ++ Array.fill(80)(0.toByte))
+    val tkhd1 = mkBox("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill(84)(0.toByte) ++
+        be32(640L << 16) ++ be32(480L << 16))
+    val v1 = mkBox("moov", mvhd1 ++ mkBox("trak", tkhd1))
+    assert(C.parseMp4Meta(v1) === Some((1000, 90000L, 640, 480)))
+    // largesize (size field 1, real 64-bit size follows) on moov
+    val inner = mvhd0 ++ mkBox("trak", tkhd0)
+    val large = be32(1L) ++ "moov".getBytes("US-ASCII") ++
+      be64(16L + inner.length) ++ inner
+    assert(C.parseMp4Meta(large) === Some((600, 1800L, 128, 96)))
+    // a zero-dim track falls back, a dimensioned one wins regardless
+    // of order
+    val zeroTrak = mkBox("trak", mkBox("tkhd",
+      be32(0) ++ Array.fill(72)(0.toByte) ++ be32(0) ++ be32(0)))
+    val twoTraks = mkBox("moov",
+      mvhd0 ++ zeroTrak ++ mkBox("trak", tkhd0))
+    assert(C.parseMp4Meta(twoTraks) === Some((600, 1800L, 128, 96)))
+    // malformed: a child whose declared size overruns its container
+    val lying = mkBox("moov", be32(1000000L) ++ "mvhd".getBytes("US-ASCII"))
+    assert(C.parseMp4Meta(lying) === None)
+    assert(C.parseMp4Meta(Array[Byte](1, 2, 3)) === None)
+    assert(C.parseMp4Meta("not a container at all".getBytes) === None)
+  }
+
+  test("parseVideoMeta + frameSamplePlanFromContent: duration derives " +
+    "from the container bytes, poisoned rows plan no frames") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val df = Seq(
+      (1L, C.encodeMp4Meta(1000, 1000L, 320, 240)), // 1000 ms
+      (2L, C.encodeMp4Meta(600, 300L, 160, 120)),   // 500 ms
+      (3L, "garbage".getBytes)) // poisoned
+      .toDF("media_id", "content")
+    val meta = Multimodal.parseVideoMeta(df).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).duration_ms === 1000L)
+    assert((meta(2L).timescale, meta(2L).duration_ms,
+      meta(2L).width, meta(2L).height) === ((600, 500L, 160, 120)))
+    assert(meta(3L).duration_ms === -1L)
+    val plan = Multimodal.frameSamplePlanFromContent(df, 250L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(plan === Seq((1L, 0L), (1L, 250L), (1L, 500L), (1L, 750L),
+      (2L, 0L), (2L, 250L)))
+  }
 }
