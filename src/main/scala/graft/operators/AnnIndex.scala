@@ -279,10 +279,10 @@ object AnnIndex {
   // mass skews one update step and vanishes at the re-seed. Both are
   // the family's standard transients, documented rather than hidden.
 
-  private def lloydDir(root: String, gen: String) =
+  private[operators] def lloydDir(root: String, gen: String) =
     new org.apache.hadoop.fs.Path(s"$root/$gen/_lloyd")
 
-  private def committedLloydVersions(
+  private[operators] def committedLloydVersions(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(dir)) Seq.empty

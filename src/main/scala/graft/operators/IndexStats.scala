@@ -51,7 +51,8 @@ object IndexStats {
       retractionCeilingBytes: Long,
       pqPresent: Boolean, pqCoveredFiles: Int,
       pqResidualFiles: Int, pqResidualBytes: Long,
-      vacuumDue: Boolean, sidecarRebuildDue: Boolean)
+      vacuumDue: Boolean, sidecarRebuildDue: Boolean,
+      lloydStats: Boolean = false)
 
   /** Residual share above which the PQ sidecar counts as due. */
   private val MaxResidualShare = 0.25
@@ -98,7 +99,12 @@ object IndexStats {
       pqResidualFiles = residual.size, pqResidualBytes = residualBytes,
       vacuumDue = retractedBytes > ceiling / 2,
       sidecarRebuildDue = data.nonEmpty && (covered.isEmpty ||
-        residualBytes.toDouble > MaxResidualShare * dataBytes))
+        residualBytes.toDouble > MaxResidualShare * dataBytes),
+      // which retrain form applies when retrainDue fires: a committed
+      // _lloyd frame means retrainFromStats (zero-rescan update step);
+      // without one the full AnnIndex.retrain is the only option
+      lloydStats = AnnIndex.committedLloydVersions(fs,
+        AnnIndex.lloydDir(root, gen)).nonEmpty)
   }
 
   /** The retrain trigger's evidence — q91's per-list distortion report
@@ -124,8 +130,11 @@ object IndexStats {
 
   /** True when any inverted list's mean quantized distortion exceeds
     * `maxMeanDistFp` — centroids have drifted from the data they
-    * index; schedule [[AnnIndex.retrain]] (+ a sidecar rebuild). The
-    * collect is k rows (one per list), never corpus-sized.
+    * index; schedule [[AnnIndex.retrainFromStats]] when
+    * [[Stats.lloydStats]] reports a maintained `_lloyd` frame (the
+    * zero-rescan form), else the full [[AnnIndex.retrain]] (+ a
+    * sidecar rebuild either way). The collect is k rows (one per
+    * list), never corpus-sized.
     */
   def retrainDue(spark: SparkSession, root: String,
       maxMeanDistFp: Double): Boolean =

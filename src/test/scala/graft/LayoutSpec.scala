@@ -966,6 +966,14 @@ class LayoutSpec extends SparkSuite {
     val worst = d.map(_.getAs[Double]("mean_dist_fp")).max
     assert(IS.retrainDue(spark, root, worst - 1.0))
     assert(!IS.retrainDue(spark, root, worst + 1.0))
+    // 8: the Lloyd-stats flag — which retrain form retrainDue should
+    // schedule: this walk's generations carry no _lloyd frame; an
+    // opt-in rebuild flips it
+    assert(!s7.lloydStats,
+      "a generation built without lloydStats must not report one")
+    A.writeIndexVersioned(e, cents, root, lloydStats = true)
+    assert(IS.stats(spark, root).lloydStats,
+      "a stats-seeded generation must report the zero-rescan form")
   }
 
   test("IVF-PQ sidecar: ADC serving scans only probed code lists and " +
