@@ -450,16 +450,34 @@ object Streams {
     mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
       outDir, checkpointDir, "image_curation_feed_gated",
       maintenanceEvery,
-      gate = df => df.filter(
-          least(col("width"), col("height")) >= minDim &&
-            expr("(greatest(width, height) * 1000000L) div " +
-              "least(width, height)") <= maxAspectFp &&
-            expr("(px_sum * 1000000L) div (255L * width * height)")
-              .between(minBrightFp, maxBrightFp) &&
-            col("n_distinct") >= minDistinct)
-        .drop("width", "height", "px_sum", "n_distinct"))(
+      gate = imageQualityGate(minDim, maxAspectFp, minBrightFp,
+        maxBrightFp, minDistinct))(
       batch => graft.multimodal.Multimodal.imageProfile(
         graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** The q129 rule as a batch gate over an `imageProfile`d frame —
+    * ONE definition for the path and bucketed gated feeds.
+    */
+  private def imageQualityGate(minDim: Int, maxAspectFp: Long,
+      minBrightFp: Long, maxBrightFp: Long,
+      minDistinct: Long): DataFrame => DataFrame =
+    df => df.filter(
+        least(col("width"), col("height")) >= minDim &&
+          expr("(greatest(width, height) * 1000000L) div " +
+            "least(width, height)") <= maxAspectFp &&
+          expr("(px_sum * 1000000L) div (255L * width * height)")
+            .between(minBrightFp, maxBrightFp) &&
+          col("n_distinct") >= minDistinct)
+      .drop("width", "height", "px_sum", "n_distinct")
+
+  /** The q130 rule as a batch gate over an `audioProfile`d frame. */
+  private def audioQualityGate(minDurationMs: Long, maxClipFp: Long,
+      minMeanEnergy: Long): DataFrame => DataFrame =
+    df => df.filter(
+        expr("(n_samples * 1000L) div sample_rate") >= minDurationMs &&
+          expr("(n_clipped * 1000000L) div n_samples") <= maxClipFp &&
+          expr("energy div n_samples") >= minMeanEnergy)
+      .drop("sample_rate", "n_samples", "n_clipped", "energy")
 
   /** [[imageCurationFeedGated]]'s audio flank — q130's gate (duration,
     * clip ratio, silence floor) staged before the exact/near stores,
@@ -473,11 +491,44 @@ object Streams {
     mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
       outDir, checkpointDir, "audio_curation_feed_gated",
       maintenanceEvery,
-      gate = df => df.filter(
-          expr("(n_samples * 1000L) div sample_rate") >= minDurationMs &&
-            expr("(n_clipped * 1000000L) div n_samples") <= maxClipFp &&
-            expr("energy div n_samples") >= minMeanEnergy)
-        .drop("sample_rate", "n_samples", "n_clipped", "energy"))(
+      gate = audioQualityGate(minDurationMs, maxClipFp,
+        minMeanEnergy))(
+      batch => graft.multimodal.Multimodal.audioProfile(batch))
+
+  /** [[imageCurationFeedGated]] against BUCKETED catalog tables —
+    * the quality → exact → near staging (one fused decode) with both
+    * stores' probes planning zero store-side exchanges; the gated
+    * matrix closed along the store-form axis. Gate semantics are
+    * [[imageCurationFeedGated]]'s verbatim (shared definition):
+    * rejects drop before any store probe and are never recorded.
+    */
+  def imageCurationFeedGatedBucketed(media: DataFrame, idCol: String,
+      exactTable: String, nearTable: String, outDir: String,
+      checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0, minDim: Int = 8,
+      maxAspectFp: Long = 4000000L, minBrightFp: Long = 100000L,
+      maxBrightFp: Long = 900000L,
+      minDistinct: Long = 16L): StreamingQuery =
+    mediaCurationFeedBucketed(media, idCol, exactTable, nearTable,
+      outDir, checkpointDir, "image_curation_feed_gated_bucketed",
+      buckets, maintenanceEvery,
+      gate = imageQualityGate(minDim, maxAspectFp, minBrightFp,
+        maxBrightFp, minDistinct))(
+      batch => graft.multimodal.Multimodal.imageProfile(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageCurationFeedGatedBucketed]]'s audio flank. */
+  def audioCurationFeedGatedBucketed(media: DataFrame, idCol: String,
+      exactTable: String, nearTable: String, outDir: String,
+      checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0, minDurationMs: Long = 100L,
+      maxClipFp: Long = 10000L,
+      minMeanEnergy: Long = 10000L): StreamingQuery =
+    mediaCurationFeedBucketed(media, idCol, exactTable, nearTable,
+      outDir, checkpointDir, "audio_curation_feed_gated_bucketed",
+      buckets, maintenanceEvery,
+      gate = audioQualityGate(minDurationMs, maxClipFp,
+        minMeanEnergy))(
       batch => graft.multimodal.Multimodal.audioProfile(batch))
 
   private def mediaCurationFeed(media: DataFrame, idCol: String,
@@ -571,10 +622,134 @@ object Streams {
     * fingerprint staging (one decode, hex-packed `__phash`, band
     * columns riding the row) is the path form's, verbatim.
     */
+  /** Streamed CROSS-RUN PERCEPTUAL NEAR dedup for images —
+    * [[nearDedupThroughStore]]'s cycle over
+    * [[graft.ingest.MediaNearStore]]: every micro-batch fingerprints
+    * ONCE, drops images within Hamming ≤ 3 of ANY previously recorded
+    * hash (band candidate join + exact bitwise verify), persists
+    * survivors exactly-once, and records their bands at-least-once
+    * from the committed read-back's own hash columns (no re-decode).
+    * The near-only flank of the staged feeds — for pipelines that run
+    * their exact stage elsewhere. Undecodable payloads cannot be
+    * fingerprinted and DROP at the fingerprint join (the staged
+    * feeds' posture — audit by anti-joining survivors).
+    */
+  def imageNearDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaNearDedupThroughStore(media, idCol, storePath, outDir,
+      checkpointDir, "image_near_dedup_through_store",
+      maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.aHash64(
+        graft.multimodal.Multimodal.decodeImages(batch)))
+
+  /** [[imageNearDedupThroughStore]]'s audio flank (energy-profile
+    * hash — loudness-invariant).
+    */
+  def audioNearDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaNearDedupThroughStore(media, idCol, storePath, outDir,
+      checkpointDir, "audio_near_dedup_through_store",
+      maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.audioHash64(batch))
+
+  private def mediaNearDedupThroughStore(media: DataFrame,
+      idCol: String, storePath: String, outDir: String,
+      checkpointDir: String, queryName: String, maintenanceEvery: Int)(
+      hashOf: DataFrame => DataFrame): StreamingQuery = {
+    val it = org.apache.spark.sql.types.IntegerType
+    dedupThroughStoreWith(media, idCol, outDir, checkpointDir,
+      queryName,
+      committedSchema = _
+        .add("band0", it).add("band1", it).add("band2", it)
+        .add("band3", it),
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.MediaNearStore
+          .compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.MediaNearStore
+          .buildBloomSidecar(spark, storePath); () })))(
+      batch => {
+        val hs = hashOf(batch
+            .select(col(idCol).as("media_id"), col("content")))
+          .withColumnRenamed("media_id", "__hid")
+        val withBands =
+          batch.join(hs, batch(idCol) <=> col("__hid")).drop("__hid")
+        graft.ingest.MediaNearStore.newNearUniqueWithBloom(
+          withBands, idCol,
+          withBands.select(col(idCol).as("media_id"), col("band0"),
+            col("band1"), col("band2"), col("band3")), storePath)
+      },
+      committed => graft.ingest.MediaNearStore.recordHashes(
+        committed.select(col(idCol).as("media_id"), col("band0"),
+          col("band1"), col("band2"), col("band3")), storePath))
+  }
+
+  /** The VIDEO curation feed — the modality's staged form now that
+    * container metadata is REAL (q131/q132): the q132 quality gate
+    * FIRST (one KB-scale ISO BMFF walk per payload — unparseable,
+    * too-short, absurd-duration, tiny, extreme-aspect containers drop
+    * before anything else), then the EXACT content store (md5 of the
+    * payload bytes hex-packed into `__vhash` — byte-identical
+    * re-uploads collapse cross-run with the store family's whole
+    * contract). No perceptual NEAR stage: without bitstream decode
+    * there is no plane to hash — the documented external-decoder
+    * boundary; a deployment with a decoder slots
+    * [[graft.ingest.MediaNearStore]] here exactly as the image feed
+    * does. Gate rejects drop before the store probe and are never
+    * recorded (the gated-feed posture: a resubmission under relaxed
+    * thresholds is judged afresh).
+    */
+  def videoCurationFeedGated(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0, minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 14400000L, minDim: Int = 64,
+      maxAspectFp: Long = 4000000L): StreamingQuery =
+    dedupThroughStoreWith(media, "__vhash", outDir, checkpointDir,
+      "video_curation_feed_gated",
+      committedSchema = _
+        .add("__vhash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType),
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.DedupStore.compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.DedupStore
+          .buildBloomSidecar(spark, storePath); () })))(
+      batch => {
+        val meta = graft.multimodal.Multimodal
+          .parseVideoMeta(batch
+            .select(col(idCol).as("media_id"), col("content")))
+          .toDF()
+          .withColumnRenamed("media_id", "__mid")
+        val gated = batch
+          .join(meta, batch(idCol) <=> col("__mid"))
+          // the q132 rule; aspect guarded against poisoned/zero dims
+          // (ANSI division) exactly like the registry query
+          .withColumn("__aspect_fp",
+            when(col("width") > 0 && col("height") > 0,
+              expr("(greatest(width, height) * 1000000L) div " +
+                "least(width, height)")).otherwise(lit(-1L)))
+          .filter(col("timescale") > 0 &&
+            col("duration_ms").between(minDurationMs, maxDurationMs) &&
+            least(col("width"), col("height")) >= minDim &&
+            col("__aspect_fp").between(0L, maxAspectFp))
+          .drop("__mid", "timescale", "duration", "duration_ms",
+            "width", "height", "__aspect_fp")
+          .withColumn("__vhash", md5(col("content")))
+        graft.ingest.DedupStore.newUniqueWithBloom(gated, "__vhash",
+          idCol, storePath)
+      },
+      committed => graft.ingest.DedupStore
+        .recordHashes(committed, "__vhash", storePath))
+
   private def mediaCurationFeedBucketed(media: DataFrame, idCol: String,
       exactTable: String, nearTable: String, outDir: String,
       checkpointDir: String, queryName: String, buckets: Int,
-      maintenanceEvery: Int)(
+      maintenanceEvery: Int,
+      gate: DataFrame => DataFrame = identity)(
       hashOf: DataFrame => DataFrame): StreamingQuery = {
     val spark = media.sparkSession
     graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
@@ -613,8 +788,8 @@ object Streams {
               lpad(hex(col("band2")), 4, "0"),
               lpad(hex(col("band1")), 4, "0"),
               lpad(hex(col("band0")), 4, "0")))
-        val withBands =
-          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid")
+        val withBands = gate(
+          batch.join(hs, batch(idCol) <=> hs("__hid")).drop("__hid"))
         val exactSurvivors = graft.ingest.DedupStore
           .newUniqueBucketedWithBloom(withBands, "__phash", idCol,
             exactTable)

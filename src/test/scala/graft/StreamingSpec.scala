@@ -766,6 +766,163 @@ class StreamingSpec extends SparkSuite {
       "a gate reject must not poison the perceptual dedup history")
   }
 
+  test("gated bucketed image curation feed: the quality/exact/near " +
+    "staging through catalog tables — rejects drop unrecorded (a " +
+    "relaxed resubmission is admitted), the near variant drops, fresh " +
+    "survives") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("imggb-src")
+    val outDir = tmpDir("imggb-out") + "/media"
+    val exactT = "img_gated_exact_t"
+    val nearT = "img_gated_near_t"
+    for (t <- Seq(exactT, nearT, s"${exactT}_compact_stage",
+        s"${nearT}_compact_stage"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ckpt = tmpDir("imggb-ckpt")
+    try {
+      def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+      val imgA = C.encodePng(16, 16, base)
+      val imgAvar = C.encodePng(16, 16,
+        (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+      val imgB = C.encodePng(16, 16, (x, y) => (x * 16 + y) % 256)
+      val tiny = C.encodePng(4, 4, (x, y) => 64 + x * 16 + y * 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      def drain(minDim: Int): Unit =
+        graft.streaming.Streams.imageCurationFeedGatedBucketed(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "media_id", exactT, nearT, outDir, ckpt, buckets = 8,
+          minDim = minDim).awaitTermination()
+      Seq((1L, imgA), (2L, tiny)).toDF("media_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+      drain(minDim = 8)
+      Seq((3L, imgAvar), (4L, imgB), (5L, tiny))
+        .toDF("media_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+      drain(minDim = 8)
+      val it = org.apache.spark.sql.types.IntegerType
+      def survivors(): Set[Long] = spark.read
+        .schema(schema.add("band0", it).add("band1", it)
+          .add("band2", it).add("band3", it)
+          .add("__phash", org.apache.spark.sql.types.StringType)
+          .add("content_hash", org.apache.spark.sql.types.StringType))
+        .parquet(outDir).select("media_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors() === Set(1L, 4L),
+        "gate rejects and the near variant must drop; good fresh " +
+          "content must survive")
+      Seq((6L, tiny)).toDF("media_id", "content")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b3")
+      drain(minDim = 1)
+      assert(survivors() === Set(1L, 4L, 6L),
+        "a gate reject must not poison the bucketed dedup history")
+    } finally {
+      for (t <- Seq(exactT, nearT, s"${exactT}_compact_stage",
+          s"${nearT}_compact_stage"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("standalone image NEAR cycle: a Hamming-1 retouch of anything " +
+    "ever recorded drops cross-batch (no exact stage), fresh images " +
+    "survive, replay is a no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("imgnear-src")
+    val outDir = tmpDir("imgnear-out") + "/media"
+    val store = tmpDir("imgnear-store") + "/bands"
+    val ckpt = tmpDir("imgnear-ckpt")
+    def base(x: Int, y: Int): Int = (x / 2) * 8 + (y / 2) * 4
+    val imgA = C.encodePng(16, 16, base)
+    val imgAvar = C.encodePng(16, 16,
+      (x, y) => if (x < 2 && y < 2) 48 else base(x, y))
+    val imgB = C.encodePng(16, 16, (x, y) => (x * 16 + y) % 256)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit =
+      graft.streaming.Streams.imageNearDedupThroughStore(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", store, outDir, ckpt).awaitTermination()
+    Seq((1L, imgA)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    Seq((2L, imgAvar), (3L, imgB)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    val it = org.apache.spark.sql.types.IntegerType
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("band0", it).add("band1", it)
+        .add("band2", it).add("band3", it))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 3L),
+      "the Hamming-1 retouch must drop without any exact stage")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Set(1L, 3L),
+      "full-history replay must be a no-op")
+  }
+
+  test("video curation feed: the q132 container gate stages before " +
+    "the exact content store — corrupt/tiny/short containers drop " +
+    "unrecorded (relaxed resubmission admitted), a byte-identical " +
+    "re-upload drops cross-batch, fresh content survives") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("vidfeed-src")
+    val outDir = tmpDir("vidfeed-out") + "/media"
+    val store = tmpDir("vidfeed-store") + "/vhashes"
+    val ckpt = tmpDir("vidfeed-ckpt")
+    val good = C.encodeMp4Meta(1000, 30000L, 640, 360)
+    val tiny = C.encodeMp4Meta(1000, 30000L, 32, 24)
+    val short = C.encodeMp4Meta(1000, 500L, 640, 360)
+    val fresh = C.encodeMp4Meta(1000, 45000L, 1280, 720)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(minDim: Int): Unit =
+      graft.streaming.Streams.videoCurationFeedGated(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", store, outDir, ckpt, minDim = minDim)
+        .awaitTermination()
+    Seq((1L, good), (2L, tiny), (3L, "garbage bytes".getBytes))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain(minDim = 64)
+    Seq((4L, good), (5L, fresh), (6L, short))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain(minDim = 64)
+    def survivors(): Set[Long] = spark.read
+      .schema(schema
+        .add("__vhash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 5L),
+      "gate rejects and the re-upload must drop; fresh must survive")
+    // the tiny reject was never recorded: admitted under a relaxed gate
+    Seq((7L, tiny)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b3")
+    drain(minDim = 8)
+    assert(survivors() === Set(1L, 5L, 7L),
+      "a gate reject must not poison the content-dedup history")
+  }
+
   test("cross-run audio dedup: a volume-normalized re-encode drops at " +
     "the store; a distinct recording survives") {
     import spark.implicits._
