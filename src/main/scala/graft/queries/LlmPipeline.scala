@@ -3290,7 +3290,19 @@ object LlmPipeline {
     * attribute, and the only exchange in the consuming dedup is the
     * chunk-hash aggregation — per-position work, never per-pair.
     */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    cdcChunksWith(docs, "md5")
+
+  /** [[cdcChunks]] with 8-byte xxhash64 chunk identities — the SAME
+    * anchor/boundary chain (boundaries stay md5-derived, so both forms
+    * chunk every document identically), only the chunk id narrows from
+    * a 32-char string to a long: 4× less store and exchange per chunk
+    * for the cross-run store's 100 TB form.
+    */
+  private[graft] def cdcChunks64(docs: DataFrame): DataFrame =
+    cdcChunksWith(docs, "xxhash64")
+
+  private def cdcChunksWith(docs: DataFrame, chunkFn: String): DataFrame = {
     val h3 = "cast(conv(substring(md5(concat_ws(' ', " +
       "slice(toks, i - 2, 3))), 1, 15), 16, 10) as bigint)"
     val boundsSql = "filter(transform(sequence(3, size(toks)), " +
@@ -3304,7 +3316,7 @@ object LlmPipeline {
       .select(col("doc_id"), col("toks"),
         explode(array(expr(endsSql))).as("ends"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ends)), j -> md5(concat_ws(' ', " +
+        s"transform(sequence(1, size(ends)), j -> $chunkFn(concat_ws(' ', " +
           "slice(toks, if(j = 1, 1, element_at(ends, j - 1) + 1), " +
           "element_at(ends, j) " +
           "- if(j = 1, 1, element_at(ends, j - 1) + 1) + 1))))"))
@@ -3535,6 +3547,83 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Audio fingerprint frame (media_id, band0..band3) shared by q133 —
+    * q128's posture with PLANTED near (not byte- or hash-identical)
+    * recordings: each group of four documents renders a 64-frame
+    * two-level signal whose loud/quiet frame layout is the group's
+    * 60-bit md5 pattern (loud |sample| ∈ [1600, 1663] → frame energy
+    * ≥ 2.56e6; quiet |sample| ≤ 32 → ≤ 1024 — the energy-vs-mean bit
+    * can never sit near the boundary, so the fingerprint equals the
+    * pattern bit-for-bit and stays stable under the mean shift the
+    * variant itself causes), and the bottom pair XORs the pattern's
+    * low h = 1 + g%3 bits — a re-mixed recording at EXACTLY Hamming h
+    * from its base, the class only the banded near-dup join catches.
+    * All-integer analytic formula → the oracle replays it in SQL.
+    */
+  private def audioHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 8 >= 4)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val h = (1 + g % 3).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val pat0 = java.lang.Long.parseLong(hex, 16)
+        val pat = if (v >= 2) pat0 ^ ((1L << h) - 1) else pat0
+        val n = (256 + (g % 3) * 64).toInt
+        val samples = Array.tabulate(n) { i =>
+          val j = (i.toLong * 64 / n).toInt
+          val r = ((g * 31 + i * 17) % 64).toInt
+          if (((pat >> j) & 1L) == 1L) 1600 + r else r - 32
+        }
+        (id, C.encodeWavPcm16(samples, 8000))
+      }).toDF("media_id", "content")
+    Multimodal.audioHash64(media)
+      .transform(graft.operators.Exec.materialize)
+  }
+
+  /** q133: audio NEAR-dup pairs — q125's banded-Hamming report on the
+    * audio fingerprint: four position-tagged 16-bit band keys per
+    * recording, equi-join candidates (pigeonhole: Hamming ≤ 3 over 64
+    * bits ⇒ one band exactly equal — no false negatives, never
+    * all-pairs), Σ bit_count(xor) verify. Closes the symmetric gap
+    * left by q128 (exact groups only): the re-mixed / re-mastered
+    * recording whose energy profile moved in 1-3 frames. The decode +
+    * fingerprint runs once behind a materialize barrier; the only
+    * exchanges are the band-key join and the output sort.
+    */
+  private val q133: Q = (s, dir) => {
+    val hs = audioHashes(s, dir)
+    def side(tag: String): DataFrame = {
+      val bandCols = array((0 until 4).map { b =>
+        col(s"band$b").cast(LongType) + lit(65536L * b)
+      }: _*)
+      hs.select(col("media_id").as(s"doc_$tag"),
+        col("band0").as(s"b0_$tag"), col("band1").as(s"b1_$tag"),
+        col("band2").as(s"b2_$tag"), col("band3").as(s"b3_$tag"),
+        explode(bandCols).as("bk"))
+    }
+    side("a").join(side("b"), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "b0_a", "b1_a", "b2_a", "b3_a",
+        "b0_b", "b1_b", "b2_b", "b3_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("b0_a").bitwiseXOR(col("b0_b"))) +
+          bit_count(col("b1_a").bitwiseXOR(col("b1_b"))) +
+          bit_count(col("b2_a").bitwiseXOR(col("b2_b"))) +
+          bit_count(col("b3_a").bitwiseXOR(col("b3_b")))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3628,7 +3717,8 @@ object LlmPipeline {
     "q129_image_quality" -> q129,
     "q130_audio_quality" -> q130,
     "q131_video_meta" -> q131,
-    "q132_video_quality" -> q132)
+    "q132_video_quality" -> q132,
+    "q133_audio_neardup" -> q133)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4933,6 +5023,70 @@ object LlmPipeline {
         |SELECT band0, band1, band2, band3,
         | MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
         |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY keeper_id""".stripMargin,
+    // q133: the audio near-dup fixture replayed analytically — the
+    // md5-derived 60-bit frame pattern (variant = low-h-bit XOR), the
+    // two-level energy formula, the frame/mean bit rule, the 16-bit
+    // band packing, and the banded pair join, all in CTEs.
+    "q133_audio_neardup" ->
+      """WITH m AS (
+        | SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |  CAST(256 + ((doc_id // 4) % 3) * 64 AS INT) AS n,
+        |  CAST(1 + (doc_id // 4) % 3 AS INT) AS h
+        | FROM documents WHERE doc_id % 8 >= 4),
+        |pat AS (
+        | SELECT doc_id, g, n,
+        |  CASE WHEN v >= 2 THEN xor(
+        |    CAST('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15) AS BIGINT),
+        |    (1 << h) - 1)
+        |   ELSE
+        |    CAST('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15) AS BIGINT)
+        |  END AS p
+        | FROM m),
+        |px AS (
+        | SELECT t.doc_id, (s.i * 64) // t.n AS j,
+        |  CASE WHEN ((t.p >> CAST((s.i * 64) // t.n AS INT)) & 1) = 1
+        |   THEN 1600 + (t.g * 31 + s.i * 17) % 64
+        |   ELSE (t.g * 31 + s.i * 17) % 64 - 32 END AS a
+        | FROM pat t, generate_series(0, 383) s(i) WHERE s.i < t.n),
+        |box AS (
+        | SELECT doc_id, j, SUM(a * a) AS bs, COUNT(*) AS bc
+        | FROM px GROUP BY doc_id, j),
+        |tot AS (
+        | SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+        | FROM box GROUP BY doc_id),
+        |bits AS (
+        | SELECT b.doc_id, b.j,
+        |  CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        | FROM box b JOIN tot t ON b.doc_id = t.doc_id),
+        |bands AS (
+        | SELECT doc_id,
+        |  CAST(SUM(CASE WHEN j // 16 = 0 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band0,
+        |  CAST(SUM(CASE WHEN j // 16 = 1 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band1,
+        |  CAST(SUM(CASE WHEN j // 16 = 2 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band2,
+        |  CAST(SUM(CASE WHEN j // 16 = 3 THEN bit << (j % 16) ELSE 0 END)
+        |   AS INT) AS band3
+        | FROM bits GROUP BY doc_id),
+        |banded AS (
+        | SELECT doc_id, band0, band1, band2, band3,
+        |  unnest([band0 + 0, band1 + 65536,
+        |          band2 + 131072, band3 + 196608]) AS bk
+        | FROM bands),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+        |  b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+        | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        |  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT)
+        |  AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        | + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q129/q130: the media quality gates recomputed analytically from
     // the fixture formulas — exact integer sums / distinct counts,
     // integer divisions (// ≡ Spark div), the same keep rule.

@@ -221,6 +221,65 @@ class LlmPipelineSpec extends SparkSuite {
       "fixed 10-token chunks should all shift under a 1-token insertion")
   }
 
+  test("q133 audio near-dup: the banded join equals all-pairs Hamming " +
+    "semantics and every planted re-mix surfaces at its designed " +
+    "distance") {
+    // independent reference: the fixture's analytic energy formula,
+    // frame pooling, and bit rule in pure Scala — so the assertion
+    // covers the WAV encode/decode round trip AND the banded join
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 8 >= 4).sorted
+    def hash(id: Long): Long = {
+      val g = id / 4
+      val h = (1 + g % 3).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val pat0 = java.lang.Long.parseLong(hex, 16)
+      val pat = if (id % 4 >= 2) pat0 ^ ((1L << h) - 1) else pat0
+      val n = (256 + (g % 3) * 64).toInt
+      val es = new Array[Long](64)
+      val cs = new Array[Long](64)
+      for (i <- 0 until n) {
+        val j = (i.toLong * 64 / n).toInt
+        val r = ((g * 31 + i * 17) % 64).toInt
+        val a = if (((pat >> j) & 1L) == 1L) 1600 + r else r - 32
+        es(j) += a.toLong * a
+        cs(j) += 1
+      }
+      val te = es.sum
+      val tc = cs.sum
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (BigInt(es(j)) * tc > BigInt(te) * cs(j)) acc | (1L << j)
+        else acc
+      }
+    }
+    val hs = ids.map(id => id -> hash(id)).toMap
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = LlmPipeline.queries("q133_audio_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, "band-join report != all-pairs semantics")
+    // planted classes per complete group: the base pair is hash-exact
+    // (Hamming 0) and each cross pair sits at EXACTLY h = 1 + g%3 —
+    // the re-mixed recording only the near-dup join catches
+    val groups = ids.groupBy(_ / 4).filter(_._2.length == 4)
+    assert(groups.nonEmpty, "fixture must contain complete groups")
+    groups.foreach { case (g, _) =>
+      val h = 1L + g % 3
+      assert(got.contains((4 * g, 4 * g + 1, 0L)),
+        s"group $g base pair must be hash-exact")
+      assert(got.contains((4 * g, 4 * g + 2, h)),
+        s"group $g cross pair must sit at Hamming $h")
+      assert(got.contains((4 * g + 2, 4 * g + 3, 0L)),
+        s"group $g variant pair must be hash-exact")
+    }
+  }
+
   test("q58 stratified sample: en sampled near 10%, others near 25%") {
     val rows = LlmPipeline.queries("q58_stratified_sample")(spark, sf)
       .collect()

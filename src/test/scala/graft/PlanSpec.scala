@@ -34,7 +34,8 @@ class PlanSpec extends SparkSuite {
         "q101_dup_spans", "q103_minhash_precision",
         // the r15 multimodal/CDC flanks ride the same banded/bucketed
         // candidate patterns — same law
-        "q125_image_neardup", "q126_cdc_chunk_dedup")) {
+        "q125_image_neardup", "q126_cdc_chunk_dedup",
+        "q133_audio_neardup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q lost its equi-join")
