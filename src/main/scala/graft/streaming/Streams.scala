@@ -878,6 +878,64 @@ object Streams {
       committed => graft.ingest.SpanStore
         .recordWindows(committed, textCol, idCol, storePath))
 
+  /** Streamed CROSS-RUN CDC-chunk dedup — [[spanDedupThroughStore]]'s
+    * cycle over [[graft.ingest.CdcChunkStore]]: every micro-batch drops
+    * documents whose content-defined-chunk recycled share vs ALL
+    * history reaches `maxDupShare`, persists survivors exactly-once
+    * into `batch=<id>`, and records their chunk hashes at-least-once
+    * from the committed read-back. The insertion-robust streaming form:
+    * an edited re-submission of recorded text still matches history
+    * chunk-for-chunk past the edit (where the fixed-window span store
+    * pays ~1 row per character for the same robustness, this store pays
+    * ~1 per 16 tokens). Same replay matrix as the family: committed
+    * batch directories are skipped, so a full-history replay after
+    * checkpoint loss is a no-op.
+    */
+  def cdcChunkDedupThroughStore(docs: DataFrame, textCol: String,
+      idCol: String, storePath: String, outDir: String,
+      checkpointDir: String, maxDupShare: Double = 0.5,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "cdc_chunk_dedup_through_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.path(spark, storePath),
+        { graft.ingest.CdcChunkStore.compactStore(spark, storePath); () },
+        Some(() => { graft.ingest.CdcChunkStore
+          .buildBloomSidecar(spark, storePath); () })))(
+      batch => graft.ingest.CdcChunkStore
+        .newChunkUniqueWithBloom(batch, textCol, idCol, storePath,
+          maxDupShare),
+      committed => graft.ingest.CdcChunkStore
+        .recordChunks(committed, textCol, idCol, storePath))
+
+  /** [[cdcChunkDedupThroughStore]] against the BUCKETED chunk-store
+    * table — identical delivery semantics; the per-micro-batch chunk
+    * semi-join plans zero exchanges on the ever-growing chunk history.
+    * Bloom-aware like the siblings.
+    */
+  def cdcChunkDedupThroughBucketedStore(docs: DataFrame, textCol: String,
+      idCol: String, table: String, outDir: String,
+      checkpointDir: String, maxDupShare: Double = 0.5,
+      buckets: Int = 32, maintenanceEvery: Int = 0): StreamingQuery = {
+    graft.ingest.CdcChunkStore.ensureBucketedStore(
+      docs.sparkSession, table, buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "cdc_chunk_dedup_through_bucketed_store", committedSchema = identity,
+      maintenanceEvery = maintenanceEvery,
+      maintain = spark => maintainIfDue(
+        graft.ingest.StoreStats.bucketed(spark, table),
+        { graft.ingest.CdcChunkStore.compactBucketedStore(spark, table)
+          () },
+        Some(() => { graft.ingest.CdcChunkStore
+          .buildBloomSidecarBucketed(spark, table); () })))(
+      batch => graft.ingest.CdcChunkStore
+        .newChunkUniqueBucketedWithBloom(batch, textCol, idCol, table,
+          maxDupShare),
+      committed => graft.ingest.CdcChunkStore
+        .recordChunksBucketed(committed, textCol, idCol, table))
+  }
+
   /** [[nearDedupThroughStore]] against the BUCKETED band-store table —
     * identical delivery semantics; the per-micro-batch band candidate
     * join plans zero exchanges on the ever-growing signature history.

@@ -1177,6 +1177,167 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("cross-run CDC-CHUNK dedup: an insertion-edited re-submission " +
+    "of recorded text is flagged (chunks realign past the edit), fresh " +
+    "and sub-chunk docs pass; retraction un-records; compaction " +
+    "reclaims re-deliveries") {
+    import spark.implicits._
+    val S = graft.ingest.CdcChunkStore
+    val store = tmpDir("cdcstore") + "/chunks"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "body")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 150).map(i => f"alpha$i%03d lake$i%03d").mkString(" ")
+    val doc2 = (1 to 150).map(i => f"beta$i%03d stone$i%03d").mkString(" ")
+    val b1 = batch((1L, doc1), (2L, doc2))
+    // empty store: everything survives; unrecorded batches re-deliver
+    assert(ids(S.newChunkUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    assert(ids(S.newChunkUnique(b1, "body", "id", store)) === Seq(1L, 2L))
+    S.recordChunks(b1, "body", "id", store)
+    // the case the whole family exists for: ONE token inserted
+    // mid-document shifts every fixed-boundary chunk, but CDC
+    // boundaries realign at the next anchor — nearly every chunk still
+    // matches history and the edited copy is flagged
+    val toks = doc1.split(" ")
+    val edited = (toks.take(150) ++ Array("inserted") ++ toks.drop(150))
+      .mkString(" ")
+    val fresh = (1 to 150).map(i => f"gamma$i%03d reed$i%03d")
+      .mkString(" ")
+    val b2 = batch((10L, edited), (11L, fresh), (12L, "tiny doc"))
+    val n2 = S.newChunkUnique(b2, "body", "id", store)
+    assert(ids(n2) === Seq(11L, 12L),
+      "edited copy must be flagged; fresh and sub-chunk docs pass")
+    assert(n2.columns.toSeq === Seq("id", "body"))
+    S.recordChunks(n2, "body", "id", store)
+    // exact re-delivery of recorded content drops (share 1.0); a
+    // sub-chunk doc (< 3 tokens) was never recorded and passes again
+    assert(S.newChunkUnique(batch((20L, fresh)), "body", "id", store)
+      .count() === 0)
+    assert(ids(S.newChunkUnique(batch((21L, "tiny doc")), "body", "id",
+      store)) === Seq(21L))
+    // at-least-once re-record, then maintenance collapses to one row
+    // per hash without changing answers
+    S.recordChunks(b1, "body", "id", store)
+    S.compactStore(spark, store, 1L << 20)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(S.newChunkUnique(batch((30L, edited)), "body", "id", store)
+      .count() === 0)
+    // null ids pool into one identity through the null-safe joins
+    val nullableSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("body", StringType)))
+    def nullIdBatch(body: String) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, body))), nullableSchema)
+    assert(S.newChunkUnique(nullIdBatch(edited), "body", "id", store)
+      .count() === 0, "null-id edited copy escaped the anti-join")
+    assert(S.newChunkUnique(nullIdBatch(
+      (1 to 150).map(i => f"delta$i%03d moss$i%03d").mkString(" ")),
+      "body", "id", store).count() === 1)
+    // retraction: tombstoning doc1 un-records its chunks — a fresh
+    // copy of doc1 then survives while doc2's history still bites
+    S.retract(batch((1L, doc1)), "body", "id", store)
+    assert(ids(S.newChunkUnique(batch((40L, doc1)), "body", "id",
+      store)) === Seq(40L), "retracted chunks still flagged")
+    assert(S.newChunkUnique(batch((41L, doc2)), "body", "id", store)
+      .count() === 0)
+  }
+
+  test("CDC-chunk store parity laws: bloom, xxh64, and bucketed paths " +
+    "all flag the same documents; the xx store holds 8-byte longs; " +
+    "bucketed compaction preserves answers") {
+    import spark.implicits._
+    val S = graft.ingest.CdcChunkStore
+    val dir = tmpDir("cdc-parity")
+    val md5Store = dir + "/md5"
+    val xxStore = dir + "/xx"
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 150).map(i => f"alpha$i%03d lake$i%03d").mkString(" ")
+    val recorded = batch((1L, doc1))
+    S.recordChunks(recorded, "text", "doc_id", md5Store)
+    S.recordChunks(recorded, "text", "doc_id", xxStore,
+      hashForm = S.XxForm)
+    assert(S.storedHashForm(spark, md5Store) === S.Md5Form)
+    assert(S.storedHashForm(spark, xxStore) === S.XxForm)
+    // the xx store physically holds 8-byte longs — the 4× width win
+    assert(spark.read.parquet(xxStore).schema("h").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(spark.read.parquet(md5Store).schema("h").dataType
+      === org.apache.spark.sql.types.StringType)
+    val toks = doc1.split(" ")
+    val edited = (toks.take(150) ++ Array("inserted") ++ toks.drop(150))
+      .mkString(" ")
+    val probe = batch((10L, edited),
+      (11L, (1 to 150).map(i => f"nu$i%03d fern$i%03d").mkString(" ")))
+    val want = ids(S.newChunkUnique(probe, "text", "doc_id", md5Store))
+    assert(want === Seq(11L), "fixture did not discriminate")
+    assert(ids(S.newChunkUnique(probe, "text", "doc_id", xxStore))
+      === want, "hash forms disagree on the plain path")
+    // bloom path equality on both forms (stale-sidecar state included:
+    // record more content after the build so residual files exist)
+    assert(S.buildBloomSidecar(spark, md5Store, numShards = 4) > 0L)
+    assert(S.buildBloomSidecar(spark, xxStore, numShards = 4) > 0L)
+    assert(ids(S.newChunkUniqueWithBloom(probe, "text", "doc_id",
+      md5Store)) === want)
+    assert(ids(S.newChunkUniqueWithBloom(probe, "text", "doc_id",
+      xxStore)) === want, "hash forms disagree on the bloom path")
+    val late = (1 to 150).map(i => f"late$i%03d vine$i%03d").mkString(" ")
+    S.recordChunks(batch((2L, late)), "text", "doc_id", md5Store)
+    val staleProbe = batch((20L, late), (21L, edited),
+      (22L, (1 to 150).map(i => f"xi$i%03d bay$i%03d").mkString(" ")))
+    assert(ids(S.newChunkUniqueWithBloom(staleProbe, "text", "doc_id",
+      md5Store))
+      === ids(S.newChunkUnique(staleProbe, "text", "doc_id", md5Store)),
+      "stale-sidecar bloom path diverges from the plain path")
+    // xx retraction un-flags
+    S.retract(recorded, "text", "doc_id", xxStore)
+    assert(ids(S.newChunkUnique(probe, "text", "doc_id", xxStore))
+      === Seq(10L, 11L), "xx-form retraction did not un-flag")
+    // a non-empty store refuses the other form
+    intercept[IllegalArgumentException] {
+      S.recordChunks(probe, "text", "doc_id", md5Store,
+        hashForm = S.XxForm)
+    }
+    // bucketed-catalog form: same answers on plain/bloom paths, the
+    // hash-form property survives compaction, mixed forms refused
+    val tbl = "cdc_parity_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compact_stage")
+    try {
+      S.recordChunksBucketed(recorded, "text", "doc_id", tbl,
+        hashForm = S.XxForm)
+      assert(S.storedHashFormBucketed(spark, tbl) === S.XxForm)
+      assert(spark.table(tbl).schema("content_hash").dataType
+        === org.apache.spark.sql.types.LongType)
+      assert(ids(S.newChunkUniqueBucketed(probe, "text", "doc_id", tbl))
+        === want, "bucketed plain path diverges")
+      assert(S.buildBloomSidecarBucketed(spark, tbl, numShards = 4) > 0L)
+      assert(ids(S.newChunkUniqueBucketedWithBloom(probe, "text",
+        "doc_id", tbl)) === want, "bucketed bloom path diverges")
+      // at-least-once re-record, compact, answers preserved
+      S.recordChunksBucketed(recorded, "text", "doc_id", tbl)
+      val (before, after) = S.compactBucketedStore(spark, tbl)
+      assert(before > after && after > 0L)
+      assert(S.storedHashFormBucketed(spark, tbl) === S.XxForm,
+        "hash form property lost across the compaction swap")
+      assert(ids(S.newChunkUniqueBucketed(probe, "text", "doc_id", tbl))
+        === want, "bucketed answers changed across compaction")
+      // bucketed retraction
+      S.retractBucketed(recorded, "text", "doc_id", tbl)
+      assert(ids(S.newChunkUniqueBucketed(probe, "text", "doc_id", tbl))
+        === Seq(10L, 11L), "bucketed retraction did not un-flag")
+      intercept[IllegalArgumentException] {
+        S.recordChunksBucketed(probe, "text", "doc_id", tbl,
+          hashForm = S.Md5Form)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compact_stage")
+    }
+  }
+
   test("dedup hash-form law: an xxhash64 store admits the same " +
     "survivors as md5 (plain and bloom paths), stores 8-byte longs, " +
     "retracts, and refuses mixed-form and cross-form appends") {

@@ -1821,6 +1821,129 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamed cross-run CDC-CHUNK dedup: an insertion-edited " +
+    "re-submission of earlier batches' text drops; replay after " +
+    "checkpoint loss is a no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("cdcdedup-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("cdcdedup-out").toString + "/docs"
+    val store = java.nio.file.Files
+      .createTempDirectory("cdcdedup-store").toString + "/chunks"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdcdedup-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = graft.streaming.Streams.cdcChunkDedupThroughStore(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "text", "doc_id", store, outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val doc1 = (1 to 150).map(i => f"alpha$i%03d lake$i%03d").mkString(" ")
+    val doc2 = (1 to 150).map(i => f"beta$i%03d stone$i%03d").mkString(" ")
+    deliver("b1", Seq((1L, doc1), (2L, doc2)))
+    drain()
+    assert(survivors() === Seq(1L, 2L))
+    // an operator builds the sidecar on the maintenance schedule: the
+    // next micro-batches take the bloom fast path (same answers)
+    assert(graft.ingest.CdcChunkStore.buildBloomSidecar(spark, store) > 0L)
+    // batch 2: a one-token-inserted edit of recorded text (the case
+    // fixed-boundary chunking misses — CDC anchors realign past the
+    // edit) and fresh content
+    val toks = doc1.split(" ")
+    deliver("b2", Seq(
+      (10L, (toks.take(150) ++ Array("inserted") ++ toks.drop(150))
+        .mkString(" ")),
+      (11L, (1 to 150).map(i => f"gamma$i%03d reed$i%03d").mkString(" "))))
+    drain()
+    assert(survivors() === Seq(1L, 2L, 11L))
+    // replay after checkpoint loss: committed dirs skipped
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Seq(1L, 2L, 11L))
+    // compaction reclaims replay re-records; history still bites
+    graft.ingest.CdcChunkStore.compactStore(spark, store)
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === stored.distinct().count())
+    assert(graft.ingest.CdcChunkStore.newChunkUnique(
+      Seq((99L, doc1)).toDF("doc_id", "text"), "text", "doc_id", store)
+      .count() === 0)
+  }
+
+  test("streamed cross-run CDC-CHUNK dedup through the BUCKETED store: " +
+    "same delivery semantics, catalog-table history, replay no-op") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("cdcbucket-src").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("cdcbucket-out").toString + "/docs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdcbucket-ckpt").toString
+    val table = "graft_stream_cdc_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+        rows.toDF("doc_id", "text").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(): Unit =
+        graft.streaming.Streams.cdcChunkDedupThroughBucketedStore(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", table, outDir, ckpt).awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val doc1 = (1 to 150).map(i => f"alpha$i%03d lake$i%03d")
+        .mkString(" ")
+      val doc2 = (1 to 150).map(i => f"beta$i%03d stone$i%03d")
+        .mkString(" ")
+      deliver("b1", Seq((1L, doc1), (2L, doc2)))
+      drain()
+      assert(survivors() === Seq(1L, 2L))
+      assert(graft.ingest.CdcChunkStore
+        .buildBloomSidecarBucketed(spark, table) > 0L)
+      val toks = doc1.split(" ")
+      deliver("b2", Seq(
+        (10L, (toks.take(150) ++ Array("inserted") ++ toks.drop(150))
+          .mkString(" ")),
+        (11L, (1 to 150).map(i => f"gamma$i%03d reed$i%03d")
+          .mkString(" "))))
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      // replay after checkpoint loss: committed dirs skipped
+      val fs = new org.apache.hadoop.fs.Path(ckpt)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      drain()
+      assert(survivors() === Seq(1L, 2L, 11L))
+      // compaction reclaims replay re-records; history still bites
+      graft.ingest.CdcChunkStore.compactBucketedStore(spark, table)
+      assert(spark.table(table).count()
+        === spark.table(table).distinct().count())
+      assert(graft.ingest.CdcChunkStore.newChunkUniqueBucketed(
+        Seq((99L, doc1)).toDF("doc_id", "text"), "text", "doc_id", table)
+        .count() === 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_compact_stage")
+    }
+  }
+
   test("streamed pipeline composition: curation feed -> export stream " +
     "over the curated batches equals the one-shot export of the " +
     "curated survivors (the full continuously-fed corpus loop)") {
