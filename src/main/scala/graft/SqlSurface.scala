@@ -66,7 +66,16 @@ object SqlSurface {
     "q126_cdc_chunk_dedup",
     // q127 rides the build-time PQ codebook + materializes its truth
     // and shortlist frames (each feeds two recall joins)
-    "q127_pq_recall")
+    "q127_pq_recall",
+    // q133 materializes the decoded audio-fingerprint frame (the WAV
+    // round trip must not re-run per band-join side; q128/q129-q132
+    // are lazy end to end — single-reference decode projections)
+    "q133_audio_neardup",
+    // q136 materializes its (src, dst, outdeg) edge frame (referenced
+    // once per unrolled PageRank iteration); q137 materializes the
+    // shingle kernel frame and the per-doc prefix frame (each feeds
+    // both join sides)
+    "q136_link_rank", "q137_jaccard_join")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -723,6 +723,98 @@ object CoreAnalytics {
       .orderBy("l_returnflag", "quantile")
   }
 
+  /** q134: windowed conversion funnel (view → click → purchase, each
+    * step within 24 h of the previous anchor) — the product-analytics
+    * staple the reference's dashboard leg implies but Metabase cannot
+    * express in one question (readme.md:1-9 positions the warehouse as
+    * the BI backend). Step-k anchor = the EARLIEST step-k event
+    * STRICTLY after the user's step-(k−1) anchor and within the
+    * conversion window, chained as per-user unordered MIN windows over
+    * ONE events scan and ONE user_id shuffle (the three Window
+    * operators share the partitioning, so Spark plans a single
+    * Exchange — never a per-stage re-scan and never a per-user sort:
+    * min-when needs no ORDER BY). The funnel report itself is three
+    * rows exploded from the 1-row count frame; conversion pct = exact
+    * integer-count division (IEEE-exact cross-engine); interval
+    * arithmetic is exact on µs timestamps in both engines.
+    */
+  private val q134: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+    val conv = expr("INTERVAL 24 HOURS")
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1")
+          && col("ts") <= col("t1") + conv, col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+          && col("ts") <= col("t2") + conv, col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+    perUser
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("event_type"),
+          col("n1").as("users"), lit(100.0).as("conv_pct")),
+        struct(lit(2L).as("step"), lit("click").as("event_type"),
+          col("n2").as("users"),
+          ((col("n2") * 100).cast(DoubleType) /
+            col("n1").cast(DoubleType)).as("conv_pct")),
+        struct(lit(3L).as("step"), lit("purchase").as("event_type"),
+          col("n3").as("users"),
+          ((col("n3") * 100).cast(DoubleType) /
+            col("n2").cast(DoubleType)).as("conv_pct")))).as("r"))
+      .select(col("r.step").as("step"), col("r.event_type").as("event_type"),
+        col("r.users").as("users"), col("r.conv_pct").as("conv_pct"))
+      .orderBy("step")
+  }
+
+  /** q135: weekly cohort retention — the other classic BI matrix the
+    * reference's dashboard leg implies: cohort = ISO week of the
+    * user's FIRST SIGNUP event, activity = distinct weeks with a
+    * PURCHASE at/after that signup, offset = exact day-diff/7 on the
+    * week-truncated dates (always a multiple of 7, so the division is
+    * exact in any numeric type). Two event-type-pruned scans: signups
+    * → per-user min agg (map-side combined), purchases → equi-join on
+    * user_id against that (one row per signed-up user) then distinct
+    * (cohort, user, week); the denominator is the signup frame's own
+    * per-week count joined back broadcast (a per-cohort row, KBs at
+    * any corpus size). retention_pct = exact integer-count division
+    * (IEEE-exact cross-engine).
+    */
+  private val q135: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("first_signup"))
+    val active = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .filter(col("ts") >= col("first_signup"))
+      .select(
+        date_trunc("week", col("first_signup")).as("cohort_week"),
+        col("user_id"),
+        date_trunc("week", col("ts")).as("active_week"))
+      .distinct()
+      .select(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / lit(7))
+          .cast(LongType).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val cohorts = first
+      .select(date_trunc("week", col("first_signup")).as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    active.join(broadcast(cohorts), "cohort_week")
+      .withColumn("retention_pct",
+        (col("active_users") * 100).cast(DoubleType) /
+          col("cohort_users").cast(DoubleType))
+      .select("cohort_week", "week_offset", "active_users",
+        "cohort_users", "retention_pct")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -762,7 +854,9 @@ object CoreAnalytics {
     "q59_grouping_sets" -> q59,
     "q102_key_skew" -> q102,
     "q114_count_min" -> q114,
-    "q115_quantile_histogram" -> q115)
+    "q115_quantile_histogram" -> q115,
+    "q134_funnel_steps" -> q134,
+    "q135_retention_cohorts" -> q135)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1105,5 +1199,69 @@ object CoreAnalytics {
         |  ELSE ((bucket % 32) + 32)
         |   << CAST(bucket // 32 - 1 AS INTEGER) END AS BIGINT)
         |  AS value_fp
-        |FROM sel ORDER BY l_returnflag, quantile""".stripMargin)
+        |FROM sel ORDER BY l_returnflag, quantile""".stripMargin,
+    "q134_funnel_steps" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events),
+        |w1 AS (
+        | SELECT user_id, event_type, ts,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t1
+        | FROM ev),
+        |w2 AS (
+        | SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |   AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t2
+        | FROM w1),
+        |w3 AS (
+        | SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |   AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t3
+        | FROM w2),
+        |u AS (
+        | SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        | FROM w3 GROUP BY 1),
+        |c AS (
+        | SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+        |  CAST(COUNT(t2) AS BIGINT) AS n2,
+        |  CAST(COUNT(t3) AS BIGINT) AS n3
+        | FROM u)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        | n1 AS users, CAST(100 AS DOUBLE) AS conv_pct FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', n2,
+        | CAST(n2 * 100 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', n3,
+        | CAST(n3 * 100 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM c
+        |ORDER BY step""".stripMargin,
+    "q135_retention_cohorts" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events),
+        |f AS (
+        | SELECT user_id, MIN(ts) AS first_signup
+        | FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        | SELECT DISTINCT
+        |  date_trunc('week', f.first_signup) AS cohort_week,
+        |  e.user_id,
+        |  date_trunc('week', e.ts) AS active_week
+        | FROM ev e JOIN f ON e.user_id = f.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= f.first_signup),
+        |g AS (
+        | SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+        |   AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS active_users
+        | FROM a GROUP BY 1, 2),
+        |s AS (
+        | SELECT date_trunc('week', first_signup) AS cohort_week,
+        |  CAST(COUNT(*) AS BIGINT) AS cohort_users
+        | FROM f GROUP BY 1)
+        |SELECT g.cohort_week, g.week_offset, g.active_users,
+        | s.cohort_users,
+        | CAST(g.active_users * 100 AS DOUBLE)
+        |  / CAST(s.cohort_users AS DOUBLE) AS retention_pct
+        |FROM g JOIN s ON g.cohort_week = s.cohort_week
+        |ORDER BY g.cohort_week, g.week_offset""".stripMargin)
 }

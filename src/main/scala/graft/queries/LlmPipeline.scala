@@ -3624,6 +3624,113 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q136: link-graph authority rank — the crawl-graph signal a
+    * pre-training pipeline mixes into document quality (Common Crawl
+    * publishes harmonic-centrality/PageRank host ranks; quality-
+    * weighted sampling consumes them): 3 unrolled PageRank iterations,
+    * damping 0.85, over the deterministic doc_id-derived link graph
+    * (each doc emits 3 modular-affine outlinks; self-loops dropped,
+    * multi-edges collapsed — the planted-fixture doctrine of
+    * q124/q133). All arithmetic is 1e-6 fixed point on longs: r0 = 1.0
+    * per node, contribution = r DIV outdeg (exact floor), r' = 0.15 +
+    * 0.85·Σ via (85·Σ) DIV 100 — reduce-order-proof integer sums, so
+    * the oracle replays the whole chain in CTEs bit-for-bit. Scale:
+    * the (src, dst, outdeg) edge frame materializes ONCE; each
+    * iteration is one equi-join on src + one map-side-combined sum
+    * keyed dst + one left join back to the node frame — the canonical
+    * distributed PageRank step (fixed iteration count unrolled into
+    * the plan; no driver loop, no corpus-sized window). Dangling mass
+    * is not redistributed — the simplified form, documented.
+    */
+  private val q136: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val edges = docs.crossJoin(n)
+      .select(col("doc_id").as("src"), explode(array(
+        (col("doc_id") * 31 + 7) % col("n_docs"),
+        (col("doc_id") * 17 + 3) % col("n_docs"),
+        (col("doc_id") * 13 + 11) % col("n_docs"))).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .transform(graft.operators.Exec.materialize)
+    val r0 = docs.select(col("doc_id").as("node"), lit(1000000L).as("r"))
+    def step(r: DataFrame): DataFrame = {
+      val sums = withDeg
+        .join(r, withDeg("src") === r("node"))
+        .select(col("dst"), expr("r DIV outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      docs.join(sums, docs("doc_id") === sums("dst"), "left")
+        .select(col("doc_id").as("node"),
+          (lit(150000L) +
+            coalesce(expr("(85 * in_sum) DIV 100"), lit(0L))).as("r"))
+    }
+    step(step(step(r0)))
+      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+      .orderBy(desc("rank_fp"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** q137: exact-threshold Jaccard similarity JOIN with prefix
+    * filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    * Search") — the deterministic flank of the near-dup candidate
+    * family: q28's MinHash bands are probabilistic (a true pair can
+    * lose every band draw) and q31's min-bucket verifies only docs
+    * sharing the single global-min shingle; prefix filtering guarantees
+    * NO FALSE NEGATIVES at the threshold (LlmPipelineSpec pins q137 ⊇
+    * q31 and the planted MinHash-miss case). Total order on shingle
+    * hashes = (document frequency asc, hash asc) — rarest first; each
+    * doc's candidate keys are only the first |S| − ceil(τ|S|) + 1 of
+    * its shingles in that order (τ = 0.5 → size DIV 2 + 1): a pair
+    * with Jaccard ≥ τ has ≥ ceil(τ|S|) common shingles on each side,
+    * so at least one lands in both prefixes (pigeonhole), and
+    * rare-first ordering makes prefix keys the least-colliding ones —
+    * the candidate join stays off the stopword cliff that makes a
+    * plain shared-shingle join quadratic. Verify = exact set
+    * intersection (q31's arithmetic). The per-doc (shd, prefix) frame
+    * materializes once (one kernel pass); the only exchanges are the
+    * df agg, the per-doc sort-key agg, and the prefix-key equi-join.
+    * The oracle is the SEMANTIC spec: every shared-shingle pair
+    * exact-verified (q125's all-pairs-oracle pattern) — the engines
+    * must agree pair for pair.
+    */
+  private val q137: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
+    val keyed = kernelBarrier(t(s, dir, "documents"),
+      "shingle_hashes(text)", "shd")
+      .filter(size(col("shd")) > 0)
+      .transform(graft.operators.Exec.materialize)
+    val ex = keyed.select(col("doc_id"), explode(col("shd")).as("h"))
+    val ord = ex
+      .join(ex.groupBy("h").agg(count(lit(1)).as("df")), "h")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+        .as("ord"))
+    val pre = keyed.join(ord, "doc_id")
+      .select(col("doc_id"), col("shd"),
+        expr("transform(slice(ord, 1, size(shd) DIV 2 + 1), x -> x.h)")
+          .as("prefix"))
+      .transform(graft.operators.Exec.materialize)
+    def side(tag: String): DataFrame =
+      pre.select(col("doc_id").as(s"doc_$tag"),
+        col("shd").as(s"shd_$tag"), explode(col("prefix")).as("hp"))
+    side("a").join(side("b"), "hp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "shd_a", "shd_b")
+      .distinct()
+      .withColumn("n_common",
+        size(array_intersect(col("shd_a"), col("shd_b"))).cast(LongType))
+      .withColumn("n_union",
+        (size(col("shd_a")) + size(col("shd_b"))).cast(LongType) -
+          col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3718,7 +3825,9 @@ object LlmPipeline {
     "q130_audio_quality" -> q130,
     "q131_video_meta" -> q131,
     "q132_video_quality" -> q132,
-    "q133_audio_neardup" -> q133)
+    "q133_audio_neardup" -> q133,
+    "q136_link_rank" -> q136,
+    "q137_jaccard_join" -> q137)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5629,7 +5738,94 @@ object LlmPipeline {
          | CAST(1 + CASE WHEN vb.bx <= bd.b2 THEN 1 ELSE 0 END
          |  + CASE WHEN vb.bx <= bd.b1 THEN 1 ELSE 0 END AS BIGINT)
          |  AS tercile
-         |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin)
+         |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin,
+    // q136: the fixed-point PageRank chain replayed in CTEs — same
+    // modular-affine edges, same integer floor divisions (// ≡ Spark
+    // DIV on nonnegative values), three unrolled iterations.
+    "q136_link_rank" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |e0 AS (
+        | SELECT doc_id AS src, (doc_id * 31 + 7) % nd AS dst
+        | FROM documents, n
+        | UNION ALL
+        | SELECT doc_id, (doc_id * 17 + 3) % nd FROM documents, n
+        | UNION ALL
+        | SELECT doc_id, (doc_id * 13 + 11) % nd FROM documents, n),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+        |deg AS (
+        | SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        | FROM e GROUP BY 1),
+        |r0 AS (
+        | SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
+        | FROM documents),
+        |s1 AS (
+        | SELECT e.dst, CAST(SUM(r0.r // d.outdeg) AS BIGINT) AS in_sum
+        | FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.node = e.src
+        | GROUP BY 1),
+        |r1 AS (
+        | SELECT doc_id AS node,
+        |  CAST(150000 + COALESCE((85 * s1.in_sum) // 100, 0) AS BIGINT)
+        |   AS r
+        | FROM documents LEFT JOIN s1 ON s1.dst = doc_id),
+        |s2 AS (
+        | SELECT e.dst, CAST(SUM(r1.r // d.outdeg) AS BIGINT) AS in_sum
+        | FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
+        | GROUP BY 1),
+        |r2 AS (
+        | SELECT doc_id AS node,
+        |  CAST(150000 + COALESCE((85 * s2.in_sum) // 100, 0) AS BIGINT)
+        |   AS r
+        | FROM documents LEFT JOIN s2 ON s2.dst = doc_id),
+        |s3 AS (
+        | SELECT e.dst, CAST(SUM(r2.r // d.outdeg) AS BIGINT) AS in_sum
+        | FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.node = e.src
+        | GROUP BY 1),
+        |r3 AS (
+        | SELECT doc_id AS node,
+        |  CAST(150000 + COALESCE((85 * s3.in_sum) // 100, 0) AS BIGINT)
+        |   AS r
+        | FROM documents LEFT JOIN s3 ON s3.dst = doc_id)
+        |SELECT node AS doc_id, r AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, doc_id LIMIT 20""".stripMargin,
+    // q137: the SEMANTIC spec — every shared-shingle pair exact-
+    // verified (the prefix filter is an optimization that may only
+    // shrink the candidate set, never the answer); same md5 shingle
+    // derivation as the q31 oracle.
+    "q137_jaccard_join" ->
+      """WITH base AS (
+        | SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+        | FROM documents
+        |), shg AS (
+        | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+        |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+        | FROM base WHERE len(toks) >= 3
+        |), ex AS (
+        | SELECT doc_id, unnest(sh) AS shingle FROM shg
+        |), hs AS (
+        | SELECT doc_id,
+        |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+        | FROM ex
+        |), keyed AS (
+        | SELECT doc_id, list_distinct(list(h)) AS shd FROM hs GROUP BY 1
+        |), e2 AS (
+        | SELECT doc_id, unnest(shd) AS h FROM keyed
+        |), cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), pairs AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(ka.shd, kb.shd)) AS BIGINT) AS n_common,
+        |  CAST(len(ka.shd) + len(kb.shd) AS BIGINT)
+        |    - CAST(len(list_intersect(ka.shd, kb.shd)) AS BIGINT)
+        |   AS n_union
+        | FROM cand c JOIN keyed ka ON ka.doc_id = c.doc_a
+        |  JOIN keyed kb ON kb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_common, n_union,
+        | CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
+        | >= CAST(0.5 AS DOUBLE)
+        |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
     * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from

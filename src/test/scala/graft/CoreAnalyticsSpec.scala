@@ -156,4 +156,77 @@ class CoreAnalyticsSpec extends SparkSuite {
     }
     assert(rows.map(_.getAs[Double]("share_pct")).sum <= 100.0 + 1e-9)
   }
+
+  test("q134 funnel: step counts match a driver-side recompute of the " +
+    "24h-windowed min-chain; steps monotone; pcts reconcile exactly") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val win = 24L * 3600L * 1000000L
+    val per = ev.groupBy(_._1).values.map { g =>
+      val u = g.map(x => (x._2, x._3)).toSeq
+      val t1 = u.collect { case ("view", t) => t }.minOption
+      val t2 = t1.flatMap(a => u.collect {
+        case ("click", t) if t > a && t <= a + win => t }.minOption)
+      val t3 = t2.flatMap(a => u.collect {
+        case ("purchase", t) if t > a && t <= a + win => t }.minOption)
+      (t1, t2, t3)
+    }.toSeq
+    val n1 = per.count(_._1.isDefined).toLong
+    val n2 = per.count(_._2.isDefined).toLong
+    val n3 = per.count(_._3.isDefined).toLong
+    assert(n1 > 0L && n2 > 0L && n3 > 0L, "fixture lost discrimination")
+    val rows = run("q134_funnel_steps").collect()
+    assert(rows.map(r => r.getAs[Long]("step") ->
+      r.getAs[Long]("users")).toMap === Map(1L -> n1, 2L -> n2, 3L -> n3))
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+    val pct = rows.map(r => r.getAs[Long]("step") ->
+      r.getAs[Double]("conv_pct")).toMap
+    assert(pct(1L) === 100.0)
+    assert(pct(2L) === n2 * 100.0 / n1)
+    assert(pct(3L) === n3 * 100.0 / n2)
+  }
+
+  test("q135 retention: the cohort matrix matches a driver-side " +
+    "java.time recompute (independent week truncation); cells bounded " +
+    "by cohort size") {
+    import java.time.{DayOfWeek, Instant, ZoneOffset}
+    import java.time.temporal.TemporalAdjusters
+    def week(us: Long): java.time.LocalDate = Instant
+      .ofEpochSecond(Math.floorDiv(us, 1000000L))
+      .atZone(ZoneOffset.UTC).toLocalDate
+      .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstSignup = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val cohortUsers = firstSignup.groupBy { case (_, t) => week(t) }
+      .map { case (w, g) => w -> g.size.toLong }
+    val cells = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) => firstSignup.get(u)
+        .filter(t >= _).map(fs => (week(fs), u, week(t))) }
+      .distinct
+      .groupBy { case (cw, _, aw) =>
+        (cw, (aw.toEpochDay - cw.toEpochDay) / 7) }
+      .map { case (k, g) => k -> g.size.toLong }
+    val rows = run("q135_retention_cohorts").collect()
+    val got = rows.map(r => (r.getAs[java.sql.Timestamp]("cohort_week")
+      .toInstant.atZone(ZoneOffset.UTC).toLocalDate,
+      r.getAs[Long]("week_offset")) ->
+      (r.getAs[Long]("active_users"), r.getAs[Long]("cohort_users"))).toMap
+    assert(got.keySet === cells.keySet)
+    got.foreach { case ((cw, off), (active, size)) =>
+      assert(active === cells((cw, off)), s"cell ($cw, $off)")
+      assert(size === cohortUsers(cw), s"cohort size at $cw")
+      assert(active <= size && off >= 0L)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("retention_pct") ===
+        r.getAs[Long]("active_users") * 100.0 /
+          r.getAs[Long]("cohort_users"))
+    }
+  }
 }

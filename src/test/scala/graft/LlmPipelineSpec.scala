@@ -1077,6 +1077,62 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q136 link rank: the fixed-point PageRank chain matches an " +
+    "independent driver-side recompute exactly; every rank carries " +
+    "the 0.15 damping floor") {
+    val got = LlmPipeline.queries("q136_link_rank")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank_fp"))).toSeq
+    val ids = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = ids.flatMap { d =>
+      Seq((d * 31 + 7) % n, (d * 17 + 3) % n, (d * 13 + 11) % n)
+        .distinct.filter(_ != d).map(dst => (d, dst))
+    }
+    val outdeg = edges.groupBy(_._1).map { case (src, es) =>
+      src -> es.length.toLong }
+    var r = ids.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) => in(dst) += r(src) / outdeg(src) }
+      r = ids.map(d => d -> (150000L + 85L * in(d) / 100L)).toMap
+    }
+    val want = ids.map(d => (d, r(d)))
+      .sortBy { case (d, rk) => (-rk, d) }.take(20).toSeq
+    assert(got === want)
+    assert(got.forall(_._2 >= 150000L))
+  }
+
+  test("q137 exact jaccard join: equals the all-pairs semantic spec " +
+    "(the prefix filter admits no false negatives) and covers q31's " +
+    "min-bucket verify as a subset") {
+    val got = LlmPipeline.queries("q137_jaccard_join")(spark, sf)
+      .collect().map(r => ((r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_union")))).toMap
+    val sets = SignatureRefs.shingleSetRef(
+      Tables.load(spark, sf, "documents"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toSet).toMap
+    val keys = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- keys; b <- keys if a < b
+      c = (sets(a) intersect sets(b)).size
+      u = sets(a).size + sets(b).size - c
+      if u > 0 && c.toDouble / u >= 0.5
+    } yield ((a, b), (c.toLong, u.toLong))).toMap
+    assert(got === want,
+      "prefix-filtered join diverged from the semantic all-pairs spec")
+    assert(want.nonEmpty, "fixture has no qualifying pair")
+    val q31pairs = LlmPipeline.queries("q31_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"))).toSet
+    assert(q31pairs.subsetOf(got.keySet),
+      "q31's verified pairs must all appear in the exact join")
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
