@@ -380,4 +380,38 @@ class PlanSpec extends SparkSuite {
     assert(plan("q109_pq_adc_topk").contains("TakeOrderedAndProject"),
       "q109 lost its top-k lowering")
   }
+
+  test("r15 late additions: q134 funnels through ONE user_id exchange " +
+    "and one events scan; q135's denominator join broadcasts; q136 " +
+    "lowers its top-20 and never goes all-pairs; q137's prefix join " +
+    "stays an equi-join") {
+    // q134: the three min-when windows share the user_id partitioning —
+    // one hash exchange, one scan, zero joins (the whole funnel is one
+    // pass; the only other exchange is the 1-row global count's)
+    val p134 = plan("q134_funnel_steps")
+    assert("Exchange hashpartitioning".r.findAllIn(p134).size === 1,
+      s"q134 must shuffle exactly once (the shared user_id window):\n$p134")
+    assert("FileScan parquet".r.findAllIn(p134).size === 1,
+      "q134 must read events exactly once")
+    assert(!p134.contains("Join"), "q134 needs no join")
+    // q135: the per-cohort denominator (KB frame) must come in broadcast
+    val p135 = plan("q135_retention_cohorts")
+    assert(p135.contains("BroadcastHashJoin"),
+      "q135 lost its broadcast denominator join")
+    assert(!p135.contains("CartesianProduct") &&
+      !p135.contains("BroadcastNestedLoopJoin"),
+      "q135 degenerated into all-pairs")
+    // q136: per-iteration equi-joins only (the 1-row count crossJoin is
+    // behind the edge materialize barrier); bounded top-20 lowering
+    val p136 = plan("q136_link_rank")
+    assert(p136.contains("TakeOrderedAndProject"),
+      "q136 lost its top-k lowering")
+    assert(!p136.contains("CartesianProduct") &&
+      !p136.contains("BroadcastNestedLoopJoin"),
+      "q136's iteration joins degenerated")
+    // q137: prefix-key equi-join candidates, never all-pairs
+    val p137 = plan("q137_jaccard_join")
+    assert(!p137.contains("CartesianProduct") &&
+      !p137.contains("BroadcastNestedLoopJoin"), "q137 went all-pairs")
+  }
 }
