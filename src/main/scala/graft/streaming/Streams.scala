@@ -1100,6 +1100,97 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Input/output rows for the stateful streamed funnel. */
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  final case class FunnelAgg(anchors: Seq[Long], buf: Seq[(String, Long)],
+      lastMs: Long)
+  final case class FunnelProgress(user_id: Long, reached: Long,
+      anchors: Seq[java.sql.Timestamp])
+
+  /** Streamed conversion FUNNEL — q134's windowed min-chain as custom
+    * per-user `flatMapGroupsWithState` state, emitted when the user
+    * goes quiet (`quietSec` of event time, aged by the watermark).
+    * The chain is NOT cell-wise mergeable — an earlier step-1 event
+    * arriving late can shift the window and invalidate an already-
+    * chosen step-2 anchor — so per-batch snapshot merging (the sketch
+    * loop) would be WRONG here; instead events BUFFER in state until
+    * the watermark passes them (no earlier event can then arrive), at
+    * which point they fold irreversibly into the anchor chain in
+    * ascending event-time order (greedy first-qualifying ≡ the batch
+    * min-chain) and leave the buffer. State per user is therefore
+    * bounded by the watermark delay — anchors (≤ steps) + only the
+    * not-yet-final events — never the user's history. Same contract
+    * as [[sessionizeStream]]: events later than the watermark delay
+    * are dropped by the watermark operator; a user who returns after
+    * their timeout starts a fresh chain (append-mode, no retraction).
+    * With every event inside the delay, the emitted anchors are
+    * EXACTLY the batch q134 chain — the StreamingSpec parity law.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowSec: Long = 86400L, quietSec: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSec * 1000000L
+    val stepArr = steps.toIndexedSeq
+    val stepSet = steps.toSet
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    // Greedy first-qualifying extension over ascending event time ≡ the
+    // batch min-chain (each anchor is the MIN qualifying timestamp
+    // because no earlier event can still qualify once time has passed).
+    def fold(anchors: List[Long], evs: Seq[(String, Long)]): List[Long] = {
+      var a = anchors
+      evs.sortBy(e => (e._2, e._1)).foreach { case (tp, t) =>
+        val k = a.length
+        if (k < stepArr.length && tp == stepArr(k) &&
+            (k == 0 || (t > a.last && t <= a.last + winUs)))
+          a = a :+ t
+      }
+      a
+    }
+    def emit(userId: Long, s: FunnelAgg): FunnelProgress = {
+      val a = fold(s.anchors.toList, s.buf)
+      FunnelProgress(userId, a.length.toLong, a.map(toTs))
+    }
+
+    def fn(userId: Long, it: Iterator[FunnelEvent],
+        state: GroupState[FunnelAgg]): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) {
+        val out = Iterator(emit(userId, state.get))
+        state.remove()
+        out
+      } else {
+        val fresh = it.filter(e => stepSet.contains(e.event_type))
+          .map(e => (e.event_type, micros(e.ts))).toSeq
+        if (fresh.isEmpty && state.getOption.isEmpty)
+          return Iterator.empty // no funnel-step events: keep no state
+        val prev = state.getOption.getOrElse(FunnelAgg(Nil, Nil, 0L))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = (prev.buf ++ fresh).partition(_._2 < wmUs)
+        val anchors = fold(prev.anchors.toList, fin)
+        val lastMs = math.max(prev.lastMs,
+          if (fresh.isEmpty) 0L else fresh.map(_._2).max / 1000L)
+        state.update(FunnelAgg(anchors, pending, lastMs))
+        // never behind the watermark (Spark rejects a stale timeout)
+        state.setTimeoutTimestamp(math.max(lastMs + quietSec * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+        Iterator.empty
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Incrementally-maintained (term, document-frequency) stats table —
     * the side input of the lexical-search ranking (LlmPipeline q61),
     * kept fresh AT INGEST instead of recomputed from the corpus per

@@ -323,6 +323,71 @@ class StreamingSpec extends SparkSuite {
       closed.count(_._1 == 2L) <= 1) // user 2 at most its timeout close
   }
 
+  test("stateful streamed funnel: anchors fold only once final, quiet " +
+    "users emit their chain, and the emitted chains equal the batch " +
+    "q134 min-chain recomputed over the fed events") {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // the real sf events (µs-normalized by Tables.load), time-sorted and
+    // split into two micro-batches, then two watermark-advancing pokes
+    // far past everyone's quiet horizon (distinct sentinel users)
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(r => (micros(r._3), r._2))
+    val srcDir = tmpDir("funnel-src")
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    h1.toSeq.toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b1.parquet")
+    h2.toSeq.toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b2.parquet")
+    val maxMs = rows.map(_._3.getTime).max
+    Seq((-1L, "view", new java.sql.Timestamp(maxMs + 10L * 86400000L)))
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b3.parquet")
+    Seq((-2L, "view", new java.sql.Timestamp(maxMs + 20L * 86400000L)))
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b4.parquet")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[
+        graft.streaming.Streams.FunnelEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*.parquet")
+      .as[graft.streaming.Streams.FunnelEvent]
+    val steps = Seq("view", "click", "purchase")
+    val q = graft.streaming.Streams.funnelStream(stream, steps,
+      windowSec = 86400L, quietSec = 3600L, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("funnel_progress")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("funnel_progress").collect()
+      .filter(_.getLong(0) >= 0L)
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getSeq[java.sql.Timestamp](2).map(micros).toList)).toMap
+    // driver-side batch min-chain (the q134 semantics) per user
+    val winUs = 86400L * 1000000L
+    val want = rows.filter(r => steps.contains(r._2)).groupBy(_._1)
+      .map { case (u, g) =>
+        var a = List.empty[Long]
+        g.map(x => (x._2, micros(x._3))).sortBy(e => (e._2, e._1))
+          .foreach { case (tp, t) =>
+            val k = a.length
+            if (k < steps.length && tp == steps(k) &&
+                (k == 0 || (t > a.last && t <= a.last + winUs)))
+              a = a :+ t
+          }
+        u -> (a.length.toLong, a)
+      }
+    assert(got === want,
+      "streamed funnel diverged from the batch min-chain")
+    // the fixture must actually discriminate (some users stop mid-chain)
+    assert(want.values.map(_._1).toSet.size >= 2,
+      "fixture lost discrimination")
+  }
+
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
