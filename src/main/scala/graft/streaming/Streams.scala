@@ -1191,6 +1191,73 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Incrementally-maintained RETENTION inputs — q135's cohort matrix
+    * kept fresh at ingest. The contrast with [[funnelStream]] is the
+    * point: the funnel min-chain is not mergeable, but retention's
+    * sufficient statistics ARE — per-user first signup (a MIN: stored
+    * negated so the whole table merges under one MAX) and per-(user,
+    * purchase-week) latest purchase timestamp (a MAX that witnesses
+    * "∃ purchase in this week at/after any signup time resolved
+    * LATER") — so it rides the versioned-snapshot loop with cell-wise
+    * max-merge and the derived matrix is EXACT under ANY batch split
+    * or arrival order, no watermark caveat: a late-arriving earlier
+    * signup re-cohorts the user at read time because cohorting is
+    * derived from the maintained minimum, never frozen per batch.
+    * Table rows: (user_id, kind 'su'|'pw', wk = µs of the purchase
+    * week start | 0, v = −signup-µs | max purchase µs). State is one
+    * row per user plus one per active (user, week) — ≪ events.
+    */
+  def maintainRetentionInputs(events: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(events, path, checkpointDir,
+      "retention_inputs")(
+      batch => {
+        val su = batch.filter(col("event_type") === "signup")
+          .select(col("user_id"), lit("su").as("kind"),
+            lit(0L).as("wk"), (-unix_micros(col("ts"))).as("v"))
+        val pw = batch.filter(col("event_type") === "purchase")
+          .select(col("user_id"), lit("pw").as("kind"),
+            unix_micros(date_trunc("week", col("ts"))).as("wk"),
+            unix_micros(col("ts")).as("v"))
+        su.unionByName(pw)
+          .groupBy("user_id", "kind", "wk").agg(max("v").as("v"))
+      },
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("user_id", "kind", "wk").agg(max("v").as("v")))
+
+  /** q135's retention matrix derived from the latest
+    * [[maintainRetentionInputs]] snapshot — bit-identical to running
+    * the batch query over every event fed so far (StreamingSpec law).
+    * Week offsets divide exactly: UTC week starts are 7·86400 s apart.
+    */
+  def retentionFromSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val snap = readMergedSnapshot(spark, path, "retention inputs")
+    val su = snap.filter(col("kind") === "su")
+      .select(col("user_id"), (-col("v")).as("fs_us"))
+      .withColumn("cohort_us", unix_micros(
+        date_trunc("week", timestamp_micros(col("fs_us")))))
+    val cells = snap.filter(col("kind") === "pw")
+      .select(col("user_id"), col("wk"), col("v"))
+      .join(su, "user_id")
+      .filter(col("v") >= col("fs_us"))
+      .groupBy(col("cohort_us"),
+        ((col("wk") - col("cohort_us")) / lit(604800000000L))
+          .cast(org.apache.spark.sql.types.LongType).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sz = su.groupBy("cohort_us")
+      .agg(count(lit(1)).as("cohort_users"))
+    cells.join(broadcast(sz), "cohort_us")
+      .withColumn("retention_pct",
+        (col("active_users") * 100)
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          col("cohort_users")
+            .cast(org.apache.spark.sql.types.DoubleType))
+      .select(timestamp_micros(col("cohort_us")).as("cohort_week"),
+        col("week_offset"), col("active_users"), col("cohort_users"),
+        col("retention_pct"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Incrementally-maintained (term, document-frequency) stats table —
     * the side input of the lexical-search ranking (LlmPipeline q61),
     * kept fresh AT INGEST instead of recomputed from the corpus per
@@ -1602,12 +1669,19 @@ object Streams {
     * [[maintainTermStats]]; empty schema-less read errors are the
     * caller's signal that no batch has committed yet.
     */
-  def readTermStats(spark: SparkSession, statsPath: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(statsPath)
+  def readTermStats(spark: SparkSession, statsPath: String): DataFrame =
+    readMergedSnapshot(spark, statsPath, "term stats")
+
+  /** Latest committed `batch=<id>` snapshot under `path` (the
+    * [[maintainMergedSnapshot]] layout); errors when nothing committed.
+    */
+  private def readMergedSnapshot(spark: SparkSession, path: String,
+      what: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val latest = committedVersions(fs, root).sorted.lastOption
       .getOrElse(throw new IllegalArgumentException(
-        s"no committed term stats under $statsPath"))
+        s"no committed $what under $path"))
     spark.read.parquet(
       new org.apache.hadoop.fs.Path(root, s"batch=$latest").toString)
   }

@@ -388,6 +388,67 @@ class StreamingSpec extends SparkSuite {
       "fixture lost discrimination")
   }
 
+  test("incrementally-maintained retention: the snapshot-derived matrix " +
+    "equals batch q135 over the fed events (any split), a late earlier " +
+    "signup re-cohorts at read time, and replay is idempotent") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val srcDir = tmpDir("retention-src")
+    val path = tmpDir("retention-snap") + "/inputs"
+    val ckpt = tmpDir("retention-ckpt")
+    // the real sf events split by event_id parity — deliberately NOT
+    // time-ordered, the mergeable form must not care
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    def deliver(name: String,
+        rs: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rs.toDF("user_id", "event_type", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def drain(checkpoint: String = ckpt): Unit =
+      S.maintainRetentionInputs(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        path, checkpoint).awaitTermination()
+    def matrix(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    deliver("b1", rows.filter(_._1 % 2 == 0L).map(r => (r._2, r._3, r._4)))
+    drain()
+    deliver("b2", rows.filter(_._1 % 2 == 1L).map(r => (r._2, r._3, r._4)))
+    drain()
+    val batch = matrix(graft.queries.CoreAnalytics
+      .queries("q135_retention_cohorts")(spark, sf))
+    assert(matrix(S.retentionFromSnapshot(spark, path)) === batch,
+      "streamed retention diverged from batch q135")
+    // late re-cohort: a signup EARLIER than user 0's current first
+    // signup arrives in a third batch — the user must move cohorts at
+    // read time (min-merge), not stay frozen in the batch-1 cohort
+    val u = rows.filter(_._3 == "signup").map(_._2).head
+    val early = new java.sql.Timestamp(
+      rows.map(_._4.getTime).min - 14L * 86400000L)
+    deliver("b3", Seq((u, "signup", early), (u, "purchase",
+      new java.sql.Timestamp(early.getTime + 3600000L))))
+    drain()
+    val after = matrix(S.retentionFromSnapshot(spark, path))
+    assert(after !== batch, "the late signup must move the matrix")
+    assert(after.keySet.map(_._1).min < batch.keySet.map(_._1).min,
+      "the re-cohorted user must surface an earlier cohort week")
+    // replay after checkpoint loss: committed batch dirs are skipped
+    drain(tmpDir("retention-ckpt2"))
+    assert(matrix(S.retentionFromSnapshot(spark, path)) === after,
+      "full-history replay must be a no-op")
+  }
+
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
