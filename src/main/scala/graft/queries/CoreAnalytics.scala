@@ -743,6 +743,12 @@ object CoreAnalytics {
     val conv = expr("INTERVAL 24 HOURS")
     val perUser = t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
+      // only the three step types can anchor: pushing the IN filter into
+      // the scan drops the other event classes before the shuffle (the
+      // oracle needs no mirror — non-step rows never match a CASE arm,
+      // and a user with only non-step events contributes null anchors
+      // to COUNT either way)
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .withColumn("t1",
         min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2",

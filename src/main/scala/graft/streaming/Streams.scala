@@ -1185,7 +1185,12 @@ object Streams {
       }
     }
 
+    // non-step events can never anchor: drop them between the watermark
+    // and the shuffle — every event still advances the clock (a stream
+    // of only non-step traffic keeps aging state out), but only step
+    // rows pay the exchange
     events.withWatermark("ts", watermarkDelay)
+      .filter(e => stepSet.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

@@ -394,6 +394,8 @@ class PlanSpec extends SparkSuite {
     assert("FileScan parquet".r.findAllIn(p134).size === 1,
       "q134 must read events exactly once")
     assert(!p134.contains("Join"), "q134 needs no join")
+    assert(p134.contains("In(event_type"),
+      "q134's step-type IN filter must reach the parquet scan")
     // q135: the per-cohort denominator (KB frame) must come in broadcast
     val p135 = plan("q135_retention_cohorts")
     assert(p135.contains("BroadcastHashJoin"),
