@@ -821,6 +821,39 @@ object CoreAnalytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q138: hourly rate-anomaly audit — the ops-monitoring time series
+    * every warehouse runs over its event stream (the q116/StoreStats
+    * doctrine pointed at the DATA rather than the stores): per
+    * (event_type, hour) counts, each hour judged against the MEDIAN of
+    * its previous 24 OBSERVED hours (exact percentile over a 24-row
+    * trailing window frame — `percentile` ≡ DuckDB `quantile_cont`
+    * bit-for-bit, the q43 law; medians of integer counts are integers
+    * or exact .5 halves, so the 2× spike comparison can never waver
+    * cross-engine), flagged when the count reaches 2× that baseline;
+    * cold-start hours (< 24 prior observations) are withheld. Scale:
+    * the heavy aggregation (hourly counts) is one map-side-combined
+    * pass over the scan; the trailing window runs on the KB-scale
+    * aggregate — partitions = event types, rows = hours, both
+    * corpus-size-independent, never a data-sized window.
+    */
+  private val q138: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(-24, -1)
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("med_prev", expr("percentile(n_events, 0.5D)").over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === 24L &&
+        col("n_events").cast(DoubleType) >= lit(2.0) * col("med_prev"))
+      .withColumn("spike_ratio",
+        col("n_events").cast(DoubleType) / col("med_prev"))
+      .select("event_type", "hour_ts", "n_events", "med_prev",
+        "spike_ratio")
+      .orderBy("event_type", "hour_ts")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -862,7 +895,8 @@ object CoreAnalytics {
     "q114_count_min" -> q114,
     "q115_quantile_histogram" -> q115,
     "q134_funnel_steps" -> q134,
-    "q135_retention_cohorts" -> q135)
+    "q135_retention_cohorts" -> q135,
+    "q138_hourly_anomalies" -> q138)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1269,5 +1303,26 @@ object CoreAnalytics {
         | CAST(g.active_users * 100 AS DOUBLE)
         |  / CAST(s.cohort_users AS DOUBLE) AS retention_pct
         |FROM g JOIN s ON g.cohort_week = s.cohort_week
-        |ORDER BY g.cohort_week, g.week_offset""".stripMargin)
+        |ORDER BY g.cohort_week, g.week_offset""".stripMargin,
+    "q138_hourly_anomalies" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events),
+        |h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM ev GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, hour_ts, n_events,
+        |  quantile_cont(n_events, 0.5) OVER
+        |   (PARTITION BY event_type ORDER BY hour_ts
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS med_prev,
+        |  COUNT(*) OVER
+        |   (PARTITION BY event_type ORDER BY hour_ts
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+        | FROM h)
+        |SELECT event_type, hour_ts, n_events, med_prev,
+        | CAST(n_events AS DOUBLE) / med_prev AS spike_ratio
+        |FROM w
+        |WHERE n_prev = 24 AND CAST(n_events AS DOUBLE) >= 2 * med_prev
+        |ORDER BY event_type, hour_ts""".stripMargin)
 }

@@ -188,6 +188,39 @@ class CoreAnalyticsSpec extends SparkSuite {
     assert(pct(3L) === n3 * 100.0 / n2)
   }
 
+  test("q138 hourly anomalies: flagged hours match a driver-side " +
+    "trailing-median recompute; every flag is a real >= 2x spike with " +
+    "a full 24-hour baseline") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hourUs = 3600L * 1000000L
+    val counts = ev.groupBy { case (t, us) =>
+      (t, Math.floorDiv(us, hourUs) * hourUs) }
+      .map { case (k, g) => k -> g.length.toLong }
+    val want = counts.groupBy(_._1._1).flatMap { case (tp, g) =>
+      val hours = g.toSeq.map { case ((_, h), n) => (h, n) }.sortBy(_._1)
+      hours.indices.flatMap { i =>
+        if (i < 24) None
+        else {
+          val prev = hours.slice(i - 24, i).map(_._2).sorted
+          val med = (prev(11) + prev(12)) / 2.0 // (n-1)*0.5 = 11.5
+          val n = hours(i)._2
+          if (n.toDouble >= 2 * med)
+            Some((tp, hours(i)._1) -> (n, med, n / med))
+          else None
+        }
+      }
+    }
+    val got = run("q138_hourly_anomalies").collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime * 1000L) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))
+    }.toMap
+    assert(got === want,
+      "anomaly flags diverged from the driver-side recompute")
+    assert(want.nonEmpty, "fixture produced no spikes")
+  }
+
   test("q135 retention: the cohort matrix matches a driver-side " +
     "java.time recompute (independent week truncation); cells bounded " +
     "by cohort size") {
