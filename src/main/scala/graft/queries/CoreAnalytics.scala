@@ -836,23 +836,15 @@ object CoreAnalytics {
     * aggregate — partitions = event types, rows = hours, both
     * corpus-size-independent, never a data-sized window.
     */
-  private val q138: Q = (s, dir) => {
-    val w = Window.partitionBy("event_type").orderBy("hour_ts")
-      .rowsBetween(-24, -1)
-    t(s, dir, "events")
-      .groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("n_events"))
-      .withColumn("med_prev", expr("percentile(n_events, 0.5D)").over(w))
-      .withColumn("n_prev", count(lit(1)).over(w))
-      .filter(col("n_prev") === 24L &&
-        col("n_events").cast(DoubleType) >= lit(2.0) * col("med_prev"))
-      .withColumn("spike_ratio",
-        col("n_events").cast(DoubleType) / col("med_prev"))
-      .select("event_type", "hour_ts", "n_events", "med_prev",
-        "spike_ratio")
-      .orderBy("event_type", "hour_ts")
-  }
+  private val q138: Q = (s, dir) =>
+    // ONE spike rule shared with the streamed maintainer
+    // (Streams.maintainHourlyCounts → anomaliesFromSnapshot): the
+    // batch form aggregates the corpus and delegates
+    graft.streaming.Streams.hourlyAnomalies(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_events")))
 
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,

@@ -1263,6 +1263,61 @@ object Streams {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Incrementally-maintained hourly event counts — q138's input kept
+    * fresh at ingest, completing the analytics-maintenance triptych:
+    * the funnel chain is non-mergeable (buffered watermark fold), the
+    * retention inputs merge under MIN/MAX, and these counts merge under
+    * plain ADDITION — the file source's exactly-once batch tracking
+    * means each event lands in exactly one batch, so per-batch hour
+    * counts sum. Table rows: (event_type, hour_us, n_events); KB-scale
+    * at any corpus size (types × hours).
+    */
+  def maintainHourlyCounts(events: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(events, path, checkpointDir,
+      "hourly_counts")(
+      batch => batch
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("n_events")),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("event_type", "hour_us")
+        .agg(sum("n_events").as("n_events")))
+
+  /** q138's anomaly report derived from the latest
+    * [[maintainHourlyCounts]] snapshot — bit-identical to the batch
+    * query over every event fed so far (StreamingSpec law). ONE shared
+    * rule: the trailing-median spike test lives here and q138 delegates
+    * to it, so the streamed and batch forms cannot drift.
+    */
+  def anomaliesFromSnapshot(spark: SparkSession, path: String): DataFrame =
+    hourlyAnomalies(readMergedSnapshot(spark, path, "hourly counts")
+      .select(col("event_type"),
+        timestamp_micros(col("hour_us")).as("hour_ts"),
+        col("n_events")))
+
+  /** The q138 spike rule over a (event_type, hour_ts, n_events) frame:
+    * exact median of the previous 24 observed hours, ≥ 2× flags,
+    * cold-start withheld. The window runs on the KB-scale aggregate.
+    */
+  def hourlyAnomalies(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("med_prev", expr("percentile(n_events, 0.5D)").over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === 24L &&
+        col("n_events").cast(org.apache.spark.sql.types.DoubleType)
+          >= lit(2.0) * col("med_prev"))
+      .withColumn("spike_ratio",
+        col("n_events").cast(org.apache.spark.sql.types.DoubleType) /
+          col("med_prev"))
+      .select("event_type", "hour_ts", "n_events", "med_prev",
+        "spike_ratio")
+      .orderBy("event_type", "hour_ts")
+  }
+
   /** Incrementally-maintained (term, document-frequency) stats table —
     * the side input of the lexical-search ranking (LlmPipeline q61),
     * kept fresh AT INGEST instead of recomputed from the corpus per

@@ -449,6 +449,55 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("incrementally-maintained hourly counts: the snapshot-derived " +
+    "anomaly report equals batch q138 over the fed events; replay " +
+    "after checkpoint loss is idempotent") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val srcDir = tmpDir("hourly-src")
+    val path = tmpDir("hourly-snap") + "/counts"
+    val ckpt = tmpDir("hourly-ckpt")
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def drain(checkpoint: String = ckpt): Unit =
+      S.maintainHourlyCounts(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        path, checkpoint).awaitTermination()
+    def report(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // split mid-HOUR (by event id), so per-batch counts for the same
+    // (type, hour) cell must ADD, not overwrite
+    rows.filter(_._1 % 2 == 0L).map(r => (r._2, r._3, r._4)).toSeq
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b1")
+    drain()
+    rows.filter(_._1 % 2 == 1L).map(r => (r._2, r._3, r._4)).toSeq
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b2")
+    drain()
+    val batch = report(graft.queries.CoreAnalytics
+      .queries("q138_hourly_anomalies")(spark, sf))
+    assert(report(S.anomaliesFromSnapshot(spark, path)) === batch,
+      "streamed anomaly report diverged from batch q138")
+    assert(batch.nonEmpty, "fixture produced no spikes")
+    // replay after checkpoint loss: committed batch dirs are skipped
+    drain(tmpDir("hourly-ckpt2"))
+    assert(report(S.anomaliesFromSnapshot(spark, path)) === batch,
+      "full-history replay must be a no-op")
+  }
+
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
