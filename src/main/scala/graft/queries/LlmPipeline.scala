@@ -3652,22 +3652,9 @@ object LlmPipeline {
         (col("doc_id") * 13 + 11) % col("n_docs"))).as("dst"))
       .filter(col("dst") =!= col("src"))
       .distinct()
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .transform(graft.operators.Exec.materialize)
-    val r0 = docs.select(col("doc_id").as("node"), lit(1000000L).as("r"))
-    def step(r: DataFrame): DataFrame = {
-      val sums = withDeg
-        .join(r, withDeg("src") === r("node"))
-        .select(col("dst"), expr("r DIV outdeg").as("c"))
-        .groupBy("dst").agg(sum("c").as("in_sum"))
-      docs.join(sums, docs("doc_id") === sums("dst"), "left")
-        .select(col("doc_id").as("node"),
-          (lit(150000L) +
-            coalesce(expr("(85 * in_sum) DIV 100"), lit(0L))).as("r"))
-    }
-    step(step(step(r0)))
-      .select(col("node").as("doc_id"), col("r").as("rank_fp"))
+    graft.operators.LinkRank
+      .train(docs.select(col("doc_id").as("node")), edges, iters = 3)
+      .select(col("node").as("doc_id"), col("rank_fp"))
       .orderBy(desc("rank_fp"), col("doc_id"))
       .limit(20)
   }

@@ -399,4 +399,36 @@ class OperatorsSpec extends SparkSuite {
     assert(u1 === u2)
     assert(u1 <= cells.map(_.getLong(2)).max)
   }
+
+  test("LinkRank: hand-computed chain on a 3-node graph, damping-0 " +
+    "degeneracy, no-inlink floor, and deep iteration stays exact") {
+    import spark.implicits._
+    import graft.operators.LinkRank
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: in(1) = 2e6 -> 1,850,000; in(2) = 1e6 -> 1,000,000
+    assert(ranks(LinkRank.train(nodes, edges, iters = 1))
+      === Map(0L -> 150000L, 1L -> 1850000L, 2L -> 1000000L))
+    // round 2: in(1) = 150000 + 1e6 -> 1,127,500; in(2) = 1,850,000
+    // -> 1,722,500; node 0 stays at the no-inlink floor
+    assert(ranks(LinkRank.train(nodes, edges, iters = 2))
+      === Map(0L -> 150000L, 1L -> 1127500L, 2L -> 1722500L))
+    // damping 0: every rank is exactly the base, edges irrelevant
+    assert(ranks(LinkRank.train(nodes, edges, iters = 3, dampingPct = 0))
+      .values.toSet === Set(1000000L))
+    // 12 checkpointed rounds run (the plan cannot blow up) and agree
+    // with a driver-side fold of the same arithmetic
+    var r = Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L)
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 1L))
+    val deg = es.groupBy(_._1).map { case (s0, g) => s0 -> g.size.toLong }
+    for (_ <- 1 to 12) {
+      val in = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s0, _) => r(s0) / deg(s0) }.sum }
+      r = r.keys.map(k =>
+        k -> (150000L + 85L * in.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(ranks(LinkRank.train(nodes, edges, iters = 12)) === r)
+  }
 }
