@@ -1318,6 +1318,36 @@ object Streams {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** Incrementally-maintained LINK-GRAPH edge table — the input of
+    * [[graft.operators.LinkRank]] kept fresh at ingest: per-batch
+    * (src, dst) pairs merge under DISTINCT UNION (idempotent, so
+    * at-least-once replay and re-crawled duplicate edges are free).
+    * Ranks are NOT maintained incrementally — PageRank is a global
+    * fixed point, so the serving pattern is the retrain one (the
+    * AnnIndex doctrine): fold edges cheaply forever, re-run
+    * [[linkRankFromSnapshot]] on a schedule. Edge rows ≪ events at any
+    * scale that has a crawl graph worth ranking.
+    */
+  def maintainEdges(edges: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(edges, path, checkpointDir, "link_edges")(
+      batch => batch.select(col("src"), col("dst")).distinct(),
+      (prev, cur) => prev.unionByName(cur).distinct())
+
+  /** [[graft.operators.LinkRank]] over the latest [[maintainEdges]]
+    * snapshot (nodes = every edge endpoint) — bit-identical to a
+    * one-shot train over all edges ever fed, however they were
+    * micro-batched (StreamingSpec law; the trainer is deterministic
+    * and the edge set is order-free).
+    */
+  def linkRankFromSnapshot(spark: SparkSession, path: String,
+      iters: Int, dampingPct: Int = 85): DataFrame = {
+    val e = readMergedSnapshot(spark, path, "link edges")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    graft.operators.LinkRank.train(nodes, e, iters, dampingPct)
+  }
+
   /** Incrementally-maintained (term, document-frequency) stats table —
     * the side input of the lexical-search ranking (LlmPipeline q61),
     * kept fresh AT INGEST instead of recomputed from the corpus per

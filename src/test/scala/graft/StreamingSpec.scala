@@ -498,6 +498,51 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("incrementally-maintained link edges: ranks from the snapshot " +
+    "equal a one-shot train over all edges fed, duplicate re-crawled " +
+    "edges are free, and replay is idempotent") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val srcDir = tmpDir("edges-src")
+    val path = tmpDir("edges-snap") + "/edges"
+    val ckpt = tmpDir("edges-ckpt")
+    // a small deterministic graph, delivered in two batches with one
+    // edge RE-CRAWLED in both (distinct-union must not double it)
+    val all = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 11 + 5) % 40)))
+      .filter { case (a, b) => a != b }.distinct
+    val (e1, e2) = all.splitAt(all.length / 2)
+    def deliver(name: String, es: Seq[(Long, Long)]): Unit =
+      es.toDF("src", "dst").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType)))
+    def drain(checkpoint: String = ckpt): Unit =
+      S.maintainEdges(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        path, checkpoint).awaitTermination()
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    deliver("b1", e1 :+ e2.head) // e2.head re-crawled later
+    drain()
+    deliver("b2", e2)
+    drain()
+    val nodes = (all.map(_._1) ++ all.map(_._2)).distinct
+      .toDF("node")
+    val oneShot = ranks(graft.operators.LinkRank
+      .train(nodes, all.toDF("src", "dst"), iters = 3))
+    assert(ranks(S.linkRankFromSnapshot(spark, path, iters = 3))
+      === oneShot, "snapshot ranks diverged from the one-shot train")
+    // replay after checkpoint loss: committed batch dirs are skipped
+    drain(tmpDir("edges-ckpt2"))
+    assert(ranks(S.linkRankFromSnapshot(spark, path, iters = 3))
+      === oneShot, "full-history replay must be a no-op")
+  }
+
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
