@@ -738,10 +738,14 @@ object CoreAnalytics {
     * integer-count division (IEEE-exact cross-engine); interval
     * arithmetic is exact on µs timestamps in both engines.
     */
-  private val q134: Q = (s, dir) => {
+  /** Per-user funnel anchors (user_id, t1, t2, t3) — ONE definition of
+    * the 24h-windowed view→click→purchase min-chain, shared by q134
+    * (the step report) and q139 (the segment breakdown).
+    */
+  private def funnelAnchors(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
     val conv = expr("INTERVAL 24 HOURS")
-    val perUser = t(s, dir, "events")
+    t(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
       // only the three step types can anchor: pushing the IN filter into
       // the scan drops the other event classes before the shuffle (the
@@ -759,7 +763,10 @@ object CoreAnalytics {
           && col("ts") <= col("t2") + conv, col("ts"))).over(w))
       .groupBy("user_id")
       .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
-    perUser
+  }
+
+  private val q134: Q = (s, dir) => {
+    funnelAnchors(s, dir)
       .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
         count(col("t3")).as("n3"))
       .select(explode(array(
@@ -777,6 +784,33 @@ object CoreAnalytics {
         col("r.users").as("users"), col("r.conv_pct").as("conv_pct"))
       .orderBy("step")
   }
+
+  /** q139: the funnel BY DIMENSION — q134's per-user anchor chain
+    * (ONE definition, [[funnelAnchors]]) star-joined to the customer
+    * dimension (user_id ≡ c_custkey in the driver testdata) and
+    * broken down by market segment: the "which segment converts"
+    * question a BI tool asks right after the overall funnel. The
+    * dimension side comes in BROADCAST (customers needed: only key +
+    * segment, column-pruned); conversion pcts are against the
+    * segment's step-1 population (never a 0 denominator while any
+    * user in the segment viewed). Exact integer counts + IEEE-exact
+    * division, per the module doctrine.
+    */
+  private val q139: Q = (s, dir) =>
+    funnelAnchors(s, dir)
+      .join(broadcast(t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(col("t1")).as("n_step1"), count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"))
+      .withColumn("conv2_pct",
+        (col("n_step2") * 100).cast(DoubleType) /
+          col("n_step1").cast(DoubleType))
+      .withColumn("conv3_pct",
+        (col("n_step3") * 100).cast(DoubleType) /
+          col("n_step1").cast(DoubleType))
+      .orderBy("c_mktsegment")
 
   /** q135: weekly cohort retention — the other classic BI matrix the
     * reference's dashboard leg implies: cohort = ISO week of the
@@ -888,7 +922,8 @@ object CoreAnalytics {
     "q115_quantile_histogram" -> q115,
     "q134_funnel_steps" -> q134,
     "q135_retention_cohorts" -> q135,
-    "q138_hourly_anomalies" -> q138)
+    "q138_hourly_anomalies" -> q138,
+    "q139_funnel_segments" -> q139)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1296,6 +1331,40 @@ object CoreAnalytics {
         |  / CAST(s.cohort_users AS DOUBLE) AS retention_pct
         |FROM g JOIN s ON g.cohort_week = s.cohort_week
         |ORDER BY g.cohort_week, g.week_offset""".stripMargin,
+    "q139_funnel_segments" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events),
+        |w1 AS (
+        | SELECT user_id, event_type, ts,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t1
+        | FROM ev),
+        |w2 AS (
+        | SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |   AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t2
+        | FROM w1),
+        |w3 AS (
+        | SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |   AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t3
+        | FROM w2),
+        |u AS (
+        | SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        | FROM w3 GROUP BY 1),
+        |j AS (
+        | SELECT u.*, c.c_mktsegment
+        | FROM u JOIN customer c ON u.user_id = c.c_custkey)
+        |SELECT c_mktsegment,
+        | CAST(COUNT(t1) AS BIGINT) AS n_step1,
+        | CAST(COUNT(t2) AS BIGINT) AS n_step2,
+        | CAST(COUNT(t3) AS BIGINT) AS n_step3,
+        | CAST(COUNT(t2) * 100 AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+        |  AS conv2_pct,
+        | CAST(COUNT(t3) * 100 AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+        |  AS conv3_pct
+        |FROM j GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q138_hourly_anomalies" ->
       """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
         | FROM events),

@@ -221,6 +221,47 @@ class CoreAnalyticsSpec extends SparkSuite {
     assert(want.nonEmpty, "fixture produced no spikes")
   }
 
+  test("q139 funnel segments: per-segment cells match a driver-side " +
+    "recompute joined on custkey and sum to the q134 totals") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val seg = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val win = 24L * 3600L * 1000000L
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      val evs = g.map(x => (x._2, x._3)).toSeq
+      val t1 = evs.collect { case ("view", t) => t }.minOption
+      val t2 = t1.flatMap(a => evs.collect {
+        case ("click", t) if t > a && t <= a + win => t }.minOption)
+      val t3 = t2.flatMap(a => evs.collect {
+        case ("purchase", t) if t > a && t <= a + win => t }.minOption)
+      (u, t1, t2, t3)
+    }
+    val want = perUser.toSeq.flatMap { case (u, t1, t2, t3) =>
+      seg.get(u).map(sg => (sg, t1, t2, t3)) }
+      .groupBy(_._1).map { case (sg, g) =>
+        val n1 = g.count(_._2.isDefined).toLong
+        val n2 = g.count(_._3.isDefined).toLong
+        val n3 = g.count(_._4.isDefined).toLong
+        sg -> (n1, n2, n3, n2 * 100.0 / n1, n3 * 100.0 / n1)
+      }
+    val rows = run("q139_funnel_segments").collect()
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got === want,
+      "segment funnel diverged from the driver-side recompute")
+    // the dimension join drops no one here (every user is a custkey),
+    // so segment cells must sum to the overall q134 step counts
+    val totals = run("q134_funnel_steps").collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+    assert(got.values.map(_._1).sum === totals(1L))
+    assert(got.values.map(_._2).sum === totals(2L))
+    assert(got.values.map(_._3).sum === totals(3L))
+  }
+
   test("q135 retention: the cohort matrix matches a driver-side " +
     "java.time recompute (independent week truncation); cells bounded " +
     "by cohort size") {
