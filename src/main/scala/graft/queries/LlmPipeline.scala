@@ -3631,21 +3631,27 @@ object LlmPipeline {
     * damping 0.85, over the deterministic doc_id-derived link graph
     * (each doc emits 3 modular-affine outlinks; self-loops dropped,
     * multi-edges collapsed — the planted-fixture doctrine of
-    * q124/q133). All arithmetic is 1e-6 fixed point on longs: r0 = 1.0
-    * per node, contribution = r DIV outdeg (exact floor), r' = 0.15 +
-    * 0.85·Σ via (85·Σ) DIV 100 — reduce-order-proof integer sums, so
-    * the oracle replays the whole chain in CTEs bit-for-bit. Scale:
-    * the (src, dst, outdeg) edge frame materializes ONCE; each
-    * iteration is one equi-join on src + one map-side-combined sum
-    * keyed dst + one left join back to the node frame — the canonical
-    * distributed PageRank step (fixed iteration count unrolled into
-    * the plan; no driver loop, no corpus-sized window). Dangling mass
-    * is not redistributed — the simplified form, documented.
+    * q124/q133 — and every 7th doc emits NOTHING: the parsed-no-
+    * outlinks leaf every real crawl graph is full of, so the query
+    * exercises the dangling-mass path, not just the happy chain). All
+    * arithmetic is 1e-6 fixed point on longs: r0 = 1.0 per node,
+    * contribution = r DIV outdeg (exact floor), dangling share =
+    * (Σ dangling rank) DIV n folded back uniformly each round, r' =
+    * 0.15 + 0.85·(Σ + share) via (85·(Σ + share)) DIV 100 —
+    * reduce-order-proof integer sums, so the oracle replays the whole
+    * chain in CTEs bit-for-bit. Scale: the (src, dst, outdeg) edge
+    * frame materializes ONCE; each iteration is one equi-join on src
+    * + one map-side-combined sum keyed dst + one 1-row dangling
+    * aggregate (broadcast) + one left join back to the node frame —
+    * the canonical distributed PageRank step (fixed iteration count
+    * so the oracle can unroll it; `LinkRank.trainConverged` carries
+    * the tolerance-stop form for unbounded production graphs).
     */
   private val q136: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val edges = docs.crossJoin(n)
+    val edges = docs.crossJoin(broadcast(n))
+      .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id").as("src"), explode(array(
         (col("doc_id") * 31 + 7) % col("n_docs"),
         (col("doc_id") * 17 + 3) % col("n_docs"),
@@ -5727,17 +5733,21 @@ object LlmPipeline {
          |  AS tercile
          |FROM vb CROSS JOIN bd ORDER BY doc_id""".stripMargin,
     // q136: the fixed-point PageRank chain replayed in CTEs — same
-    // modular-affine edges, same integer floor divisions (// ≡ Spark
-    // DIV on nonnegative values), three unrolled iterations.
+    // modular-affine edges (every 7th doc emits nothing — the planted
+    // dangling leaves), same integer floor divisions (// ≡ Spark DIV
+    // on nonnegative values), same per-round dangling-share fold,
+    // three unrolled iterations.
     "q136_link_rank" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
         |e0 AS (
         | SELECT doc_id AS src, (doc_id * 31 + 7) % nd AS dst
-        | FROM documents, n
+        | FROM documents, n WHERE doc_id % 7 <> 0
         | UNION ALL
         | SELECT doc_id, (doc_id * 17 + 3) % nd FROM documents, n
+        | WHERE doc_id % 7 <> 0
         | UNION ALL
-        | SELECT doc_id, (doc_id * 13 + 11) % nd FROM documents, n),
+        | SELECT doc_id, (doc_id * 13 + 11) % nd FROM documents, n
+        | WHERE doc_id % 7 <> 0),
         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
         |deg AS (
         | SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
@@ -5745,33 +5755,48 @@ object LlmPipeline {
         |r0 AS (
         | SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
         | FROM documents),
+        |d1 AS (
+        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+        |  AS BIGINT) AS dd
+        | FROM r0 WHERE node NOT IN (SELECT src FROM deg)),
         |s1 AS (
         | SELECT e.dst, CAST(SUM(r0.r // d.outdeg) AS BIGINT) AS in_sum
         | FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.node = e.src
         | GROUP BY 1),
         |r1 AS (
         | SELECT doc_id AS node,
-        |  CAST(150000 + COALESCE((85 * s1.in_sum) // 100, 0) AS BIGINT)
+        |  CAST(150000 +
+        |   (85 * (COALESCE(s1.in_sum, 0) + d1.dd)) // 100 AS BIGINT)
         |   AS r
-        | FROM documents LEFT JOIN s1 ON s1.dst = doc_id),
+        | FROM documents LEFT JOIN s1 ON s1.dst = doc_id CROSS JOIN d1),
+        |d2 AS (
+        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+        |  AS BIGINT) AS dd
+        | FROM r1 WHERE node NOT IN (SELECT src FROM deg)),
         |s2 AS (
         | SELECT e.dst, CAST(SUM(r1.r // d.outdeg) AS BIGINT) AS in_sum
         | FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
         | GROUP BY 1),
         |r2 AS (
         | SELECT doc_id AS node,
-        |  CAST(150000 + COALESCE((85 * s2.in_sum) // 100, 0) AS BIGINT)
+        |  CAST(150000 +
+        |   (85 * (COALESCE(s2.in_sum, 0) + d2.dd)) // 100 AS BIGINT)
         |   AS r
-        | FROM documents LEFT JOIN s2 ON s2.dst = doc_id),
+        | FROM documents LEFT JOIN s2 ON s2.dst = doc_id CROSS JOIN d2),
+        |d3 AS (
+        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+        |  AS BIGINT) AS dd
+        | FROM r2 WHERE node NOT IN (SELECT src FROM deg)),
         |s3 AS (
         | SELECT e.dst, CAST(SUM(r2.r // d.outdeg) AS BIGINT) AS in_sum
         | FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.node = e.src
         | GROUP BY 1),
         |r3 AS (
         | SELECT doc_id AS node,
-        |  CAST(150000 + COALESCE((85 * s3.in_sum) // 100, 0) AS BIGINT)
+        |  CAST(150000 +
+        |   (85 * (COALESCE(s3.in_sum, 0) + d3.dd)) // 100 AS BIGINT)
         |   AS r
-        | FROM documents LEFT JOIN s3 ON s3.dst = doc_id)
+        | FROM documents LEFT JOIN s3 ON s3.dst = doc_id CROSS JOIN d3)
         |SELECT node AS doc_id, r AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, doc_id LIMIT 20""".stripMargin,
     // q137: the SEMANTIC spec — every shared-shingle pair exact-

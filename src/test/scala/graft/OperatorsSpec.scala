@@ -431,4 +431,46 @@ class OperatorsSpec extends SparkSuite {
     }
     assert(ranks(LinkRank.train(nodes, edges, iters = 12)) === r)
   }
+
+  test("LinkRank: dangling mass is redistributed (independent driver-" +
+    "fold law) and the convergence stop reaches the exact fixed point") {
+    import spark.implicits._
+    import graft.operators.LinkRank
+    // node 2 has no outlinks, node 3 is fully isolated — BOTH are
+    // dangling; the drop-it form would leak their rank every round
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val edges = es.toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deg = es.groupBy(_._1).map { case (s0, g) => s0 -> g.size.toLong }
+    def fold(iters: Int): Map[Long, Long] = {
+      var r = Seq(0L, 1L, 2L, 3L).map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val dd = r.collect {
+          case (k, v) if !deg.contains(k) => v }.sum / 4L
+        val in = es.groupBy(_._2).map { case (d, g) =>
+          d -> g.map { case (s0, _) => r(s0) / deg(s0) }.sum }
+        r = r.keys.map(k =>
+          k -> (150000L + 85L * (in.getOrElse(k, 0L) + dd) / 100L)).toMap
+      }
+      r
+    }
+    assert(ranks(LinkRank.train(nodes, edges, iters = 1)) === fold(1))
+    assert(ranks(LinkRank.train(nodes, edges, iters = 4)) === fold(4))
+    // convergence stop: tolFp = 1 stops only at an EXACT integer fixed
+    // point (max |Δ| = 0); the point must be genuine — folding further
+    // rounds from it changes nothing
+    val (rdf, rounds) = LinkRank.trainConverged(nodes, edges,
+      maxIters = 100, tolFp = 1L)
+    assert(rounds < 100, s"never converged within the cap ($rounds)")
+    val fixed = ranks(rdf)
+    assert(fixed === fold(rounds))
+    assert(fixed === fold(rounds + 5),
+      "stop fired before the chain actually reached its fixed point")
+    // tolFp = 0 disables the stop: exactly maxIters rounds run
+    val (_, ranAll) = LinkRank.trainConverged(nodes, edges,
+      maxIters = 6, tolFp = 0L)
+    assert(ranAll === 6)
+  }
 }
