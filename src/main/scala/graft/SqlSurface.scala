@@ -75,7 +75,11 @@ object SqlSurface {
     // once per unrolled PageRank iteration); q137 materializes the
     // shingle kernel frame and the per-doc prefix frame (each feeds
     // both join sides)
-    "q136_link_rank", "q137_jaccard_join")
+    "q136_link_rank", "q137_jaccard_join",
+    // q140/q141 materialize the container-derived video-fingerprint
+    // frame (the MP4 write + box walk must not re-run per band-join
+    // side — the q124/q133 doctrine on the video pillar)
+    "q140_video_dedup", "q141_video_neardup")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

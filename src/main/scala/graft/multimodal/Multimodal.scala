@@ -323,6 +323,80 @@ object Multimodal {
           }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** One ISO BMFF box: u32 size + 4-char type + content. */
+    private def box(t: String, content: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + content.length)
+      b.putInt(8 + content.length).put(t.getBytes("US-ASCII"))
+        .put(content)
+      b.array()
+    }
+
+    /** Parse the per-sample byte sizes of the FIRST track carrying an
+      * `stsz` box (moov → trak → mdia → minf → stbl → stsz — the walk
+      * [[parseMp4Meta]] stops one level above). Both stsz forms: the
+      * uniform-size header (sample_size ≠ 0 — every sample that size)
+      * and the per-sample u32 table. None when no readable stsz
+      * exists, a box size lies about its container, or the table
+      * overruns its box. The sample-size stream is the container's
+      * own BYTE-RATE PROFILE of the bitstream — it survives re-muxing,
+      * timestamp re-stamping, and metadata edits untouched, which is
+      * exactly what [[Multimodal.videoHash64]] fingerprints without
+      * ever decoding a frame.
+      */
+    def parseMp4SampleSizes(content: Array[Byte]): Option[Array[Long]] =
+      try {
+        def u32(o: Int): Long =
+          ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+            ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+        def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+        def typ(o: Int): String = new String(content, o, 4, "US-ASCII")
+        def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+          val out = scala.collection.mutable
+            .ArrayBuffer.empty[(String, Int, Int)]
+          var o = from
+          var ok = true
+          while (ok && o + 8 <= to) {
+            val sz = u32(o)
+            val (hdr, size): (Int, Long) =
+              if (sz == 1L)
+                if (o + 16 <= to) (16, u64(o + 8)) else (8, -1L)
+              else if (sz == 0L) (8, (to - o).toLong)
+              else (8, sz)
+            if (size < hdr || o + size > to) ok = false
+            else {
+              out += ((typ(o + 4), o + hdr, (o + size).toInt))
+              o = (o + size).toInt
+            }
+          }
+          out.toSeq
+        }
+        def child(in: Seq[(String, Int, Int)],
+            t: String): Option[(Int, Int)] =
+          in.find(_._1 == t).map { case (_, s, e) => (s, e) }
+        children(0, content.length).find(_._1 == "moov")
+          .map { case (_, ms, me) => children(ms, me) }
+          .toSeq.flatten.filter(_._1 == "trak")
+          .flatMap { case (_, ts, te) =>
+            child(children(ts, te), "mdia")
+              .flatMap { case (s, e) => child(children(s, e), "minf") }
+              .flatMap { case (s, e) => child(children(s, e), "stbl") }
+              .flatMap { case (s, e) => child(children(s, e), "stsz") }
+          }
+          .headOption
+          .flatMap { case (s, e) =>
+            if (e - s < 12) None
+            else {
+              val uniform = u32(s + 4)
+              val n = u32(s + 8)
+              if (n < 0 || n > Int.MaxValue) None
+              else if (uniform != 0L)
+                Some(Array.fill(n.toInt)(uniform))
+              else if (s + 12 + 4L * n > e) None
+              else Some(Array.tabulate(n.toInt)(i => u32(s + 12 + 4 * i)))
+            }
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Minimal deterministic MP4 metadata skeleton — ftyp + free +
       * moov(mvhd + udta + trak(tkhd)), version-0 boxes, no media data;
       * synthetic corpora and specs control the exact container layout
@@ -331,12 +405,6 @@ object Multimodal {
       */
     def encodeMp4Meta(timescale: Int, duration: Long, width: Int,
         height: Int): Array[Byte] = {
-      def box(t: String, content: Array[Byte]): Array[Byte] = {
-        val b = java.nio.ByteBuffer.allocate(8 + content.length)
-        b.putInt(8 + content.length).put(t.getBytes("US-ASCII"))
-          .put(content)
-        b.array()
-      }
       val unity = Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
       val mvhd = {
         val b = java.nio.ByteBuffer.allocate(100)
@@ -375,6 +443,65 @@ object Multimodal {
         b.array()
       })
       ftyp ++ box("free", Array.fill(12)(0.toByte)) ++ moov
+    }
+
+    /** [[encodeMp4Meta]] extended with a sample table — the trak gains
+      * mdia(minf(stbl(stsz + stco))), so [[parseMp4SampleSizes]] has a
+      * real per-sample byte-size stream to walk (the fingerprint
+      * input). `remuxPadding > 0` emits a RE-MUX of the same media:
+      * an extra free box of that size and the udta moved after the
+      * trak — byte-different container, identical stsz — exactly the
+      * duplicate class a byte hash misses and [[Multimodal
+      * .videoHash64]] must collapse (MultimodalSpec pins it). The stco
+      * offsets are synthetic (there is no mdat): deterministic
+      * 4-byte-per-chunk placeholders the parser never reads.
+      */
+    def encodeMp4WithSamples(timescale: Int, duration: Long, width: Int,
+        height: Int, sampleSizes: Array[Int],
+        remuxPadding: Int = 0): Array[Byte] = {
+      val bare = encodeMp4Meta(timescale, duration, width, height)
+      // splice: rebuild from the bare skeleton's parts rather than
+      // re-encoding mvhd/tkhd (ONE writer for the shared boxes)
+      def u32(a: Array[Byte], o: Int): Int =
+        ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+          ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+      def part(a: Array[Byte], from: Int): (String, Array[Byte], Int) = {
+        val sz = u32(a, from)
+        (new String(a, from + 4, 4, "US-ASCII"),
+          java.util.Arrays.copyOfRange(a, from + 8, from + sz), from + sz)
+      }
+      val (t1, ftyp, o1) = part(bare, 0)
+      val (_, _, o2) = part(bare, o1) // the skeleton's free box
+      val (t3, moovC, _) = part(bare, o2)
+      require(t1 == "ftyp" && t3 == "moov", "skeleton layout changed")
+      val (_, mvhd, m1) = part(moovC, 0)
+      val (_, udta, m2) = part(moovC, m1)
+      val (_, trakC, _) = part(moovC, m2)
+      val stsz = {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * sampleSizes.length)
+        b.putInt(0) // version + flags
+          .putInt(0) // sample_size 0: per-sample table follows
+          .putInt(sampleSizes.length)
+        sampleSizes.foreach(b.putInt)
+        box("stsz", b.array())
+      }
+      val stco = {
+        val b = java.nio.ByteBuffer.allocate(8 + 4)
+        b.putInt(0).putInt(1) // one placeholder chunk offset
+        b.putInt(0)
+        box("stco", b.array())
+      }
+      val mdia = box("mdia", box("minf", box("stbl", stsz ++ stco)))
+      val trak = box("trak", trakC ++ mdia)
+      val moov =
+        if (remuxPadding > 0) box("moov", box("mvhd", mvhd) ++ trak ++
+          box("udta", udta))
+        else box("moov", box("mvhd", mvhd) ++ box("udta", udta) ++ trak)
+      val pad =
+        if (remuxPadding > 0)
+          box("free", Array.fill(remuxPadding)(0x20.toByte))
+        else box("free", Array.fill(12)(0.toByte))
+      box("ftyp", ftyp) ++ pad ++ moov
     }
   }
 
@@ -767,4 +894,90 @@ object Multimodal {
       parseVideoMeta(df).toDF()
         .withColumn("media_type", lit("video/mp4"))
         .select("media_id", "media_type", "duration_ms"), everyMs)
+
+  /** 64-bit video fingerprint WITHOUT bitstream decode —
+    * [[audioHash64]]'s sign-band rule over the container's own
+    * byte-rate signal: the stsz per-sample byte sizes
+    * ([[Codec.parseMp4SampleSizes]] — a KB-scale box walk) split into
+    * 64 frames along the sample axis (floor boundaries), each frame
+    * accumulating its exact total byte size (Long), bit j set when
+    * frame j's mean sample size exceeds the stream's mean — the
+    * cross-multiplied integer comparison in BigInt (frame sums × count
+    * products overrun a long on feature-length tracks). Bits pack into
+    * four 16-bit bands, the shared near-dup band-join unit of the
+    * image/audio hashes and q30.
+    *
+    * Why this catches what the byte hash misses: a RE-MUXED copy
+    * (boxes reordered, metadata re-stamped, free padding added, faststart
+    * re-packaging) rewrites the container but carries the bitstream —
+    * and therefore the stsz table — verbatim, so it lands on the
+    * identical hash; and a constant-quality RE-SCALE moves every
+    * sample size roughly proportionally, which the mean comparison is
+    * invariant to (both sides scale alike — the audio hash's amplitude
+    * argument on the byte-rate axis). A genuinely different cut
+    * (scene inserted/removed) shifts the size-energy layout and flips
+    * profile bits. Rows with no parseable stsz drop, like
+    * [[decodeImages]].
+    */
+  def videoHash64(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.parseMp4SampleSizes(c).filter(_.nonEmpty).map { sizes =>
+          val b = sizeProfileBands(sizes)
+          (id, b(0), b(1), b(2), b(3))
+        }
+      }).toDF("media_id", "band0", "band1", "band2", "band3")
+  }
+
+  /** The 64-frame size-profile sign bands of a sample-size stream —
+    * ONE definition for [[videoHash64]] and [[videoProfile]].
+    */
+  private def sizeProfileBands(sizes: Array[Long]): Array[Int] = {
+    val n = sizes.length
+    val es = new Array[Long](64)
+    val cs = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * 64 / n).toInt
+      es(j) += sizes(i)
+      cs(j) += 1
+      i += 1
+    }
+    var te = 0L
+    var tc = 0L
+    var j = 0
+    while (j < 64) { te += es(j); tc += cs(j); j += 1 }
+    val bands = new Array[Int](4)
+    j = 0
+    while (j < 64) {
+      if (BigInt(es(j)) * tc > BigInt(te) * cs(j))
+        bands(j / 16) |= 1 << (j % 16)
+      j += 1
+    }
+    bands
+  }
+
+  /** One-pass video PROFILE — [[videoHash64]]'s bands AND the q132
+    * metadata facts (timescale, exact duration_ms, track dims) from a
+    * single row pass over the payload (two KB-scale box walks of the
+    * same byte array; no bitstream is ever touched), the video kernel
+    * of the staged curation feed. Rows whose container parses neither
+    * a movie header nor a sample table drop — the corrupt-upload
+    * class the gate would reject anyway.
+    */
+  def videoProfile(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        for {
+          (ts, dur, w, h) <- Codec.parseMp4Meta(c) if ts > 0
+          sizes <- Codec.parseMp4SampleSizes(c) if sizes.nonEmpty
+        } yield {
+          val b = sizeProfileBands(sizes)
+          (id, b(0), b(1), b(2), b(3), ts, dur * 1000L / ts, w, h)
+        }
+      }).toDF("media_id", "band0", "band1", "band2", "band3",
+        "timescale", "duration_ms", "width", "height")
+  }
 }

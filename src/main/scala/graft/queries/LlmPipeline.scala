@@ -3724,6 +3724,108 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Video fingerprint frame (media_id, band0..band3) shared by
+    * q140/q141 — the q133 posture on the VIDEO pillar, closing the
+    * media dedup matrix's last hole (video had only byte-exact dedup +
+    * the q132 metadata gate; a re-muxed copy with different bytes
+    * escaped both): each group of four documents renders a sample-size
+    * stream whose big/small frame layout is the group's 60-bit md5
+    * pattern (big sample ∈ [1600, 1663], small ∈ [8, 71] — the
+    * frame-mean-vs-stream-mean bit can never sit near the boundary),
+    * the bottom pair XORs the pattern's low h = 1 + g%3 bits (a
+    * re-edited cut at EXACTLY Hamming h), and — the part only a
+    * container-derived hash survives — every ODD variant is a RE-MUX
+    * of its even sibling: same stsz, byte-different container (extra
+    * free padding, moov children reordered), so v0/v1 and v2/v3 are
+    * byte-distinct files that MUST land on identical fingerprints.
+    * The stream round-trips through the production writer + box walk
+    * ([[graft.multimodal.Multimodal.Codec.encodeMp4WithSamples]] /
+    * `parseMp4SampleSizes`), so the oracle's analytic replay of the
+    * size formula pins the whole container path bit-for-bit. No
+    * bitstream is ever decoded — the q131 doctrine.
+    */
+  private def videoHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{Codec => C}
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 16 >= 12)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val h = (1 + g % 3).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(g.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val pat0 = java.lang.Long.parseLong(hex, 16)
+        val pat = if (v >= 2) pat0 ^ ((1L << h) - 1) else pat0
+        val n = (192 + (g % 3) * 64).toInt
+        val sizes = Array.tabulate(n) { i =>
+          val j = (i.toLong * 64 / n).toInt
+          val r = ((g * 31 + i * 17) % 64).toInt
+          if (((pat >> j) & 1L) == 1L) 1600 + r else 8 + r
+        }
+        (id, C.encodeMp4WithSamples(
+          timescale = (600 + (g % 3) * 200).toInt,
+          duration = n * 400L, width = 640, height = 360,
+          sampleSizes = sizes,
+          remuxPadding = if (v % 2 == 1) (16 + g % 5).toInt else 0))
+      }).toDF("media_id", "content")
+    Multimodal.videoHash64(media)
+      .transform(graft.operators.Exec.materialize)
+  }
+
+  /** q140: video fingerprint dedup — q128's exact-group report over
+    * [[graft.multimodal.Multimodal.videoHash64]]: group on the full
+    * 64-bit container-derived hash, keeper = min media_id. The
+    * re-muxed pairs of the fixture (byte-different containers,
+    * identical stsz) MUST collapse here — the duplicate class the
+    * byte-exact video store misses by construction. At 100 TB: the
+    * fingerprint is a KB-scale box walk per payload (no bitstream,
+    * no decode); the only shuffle is the 8-byte-key groupBy.
+    */
+  private val q140: Q = (s, dir) =>
+    videoHashes(s, dir)
+      .groupBy("band0", "band1", "band2", "band3")
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  /** q141: video NEAR-dup pairs — q133's banded-Hamming report on the
+    * video fingerprint: four position-tagged 16-bit band keys,
+    * equi-join candidates (pigeonhole: Hamming ≤ 3 ⇒ one band exactly
+    * equal — no false negatives, never all-pairs), Σ bit_count(xor)
+    * verify. Catches the re-EDITED copy whose size profile moved in
+    * 1-3 frames — the symmetric flank q140's exact groups leave open,
+    * completing the video column of the media dedup matrix.
+    */
+  private val q141: Q = (s, dir) => {
+    val hs = videoHashes(s, dir)
+    def side(tag: String): DataFrame = {
+      val bandCols = array((0 until 4).map { b =>
+        col(s"band$b").cast(LongType) + lit(65536L * b)
+      }: _*)
+      hs.select(col("media_id").as(s"doc_$tag"),
+        col("band0").as(s"b0_$tag"), col("band1").as(s"b1_$tag"),
+        col("band2").as(s"b2_$tag"), col("band3").as(s"b3_$tag"),
+        explode(bandCols).as("bk"))
+    }
+    side("a").join(side("b"), "bk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "b0_a", "b1_a", "b2_a", "b3_a",
+        "b0_b", "b1_b", "b2_b", "b3_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("b0_a").bitwiseXOR(col("b0_b"))) +
+          bit_count(col("b1_a").bitwiseXOR(col("b1_b"))) +
+          bit_count(col("b2_a").bitwiseXOR(col("b2_b"))) +
+          bit_count(col("b3_a").bitwiseXOR(col("b3_b")))).cast(LongType))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3820,7 +3922,9 @@ object LlmPipeline {
     "q132_video_quality" -> q132,
     "q133_audio_neardup" -> q133,
     "q136_link_rank" -> q136,
-    "q137_jaccard_join" -> q137)
+    "q137_jaccard_join" -> q137,
+    "q140_video_dedup" -> q140,
+    "q141_video_neardup" -> q141)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5837,7 +5941,90 @@ object LlmPipeline {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)
         | >= CAST(0.5 AS DOUBLE)
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q140/q141: the video size-profile fixture replayed analytically —
+    // the md5-derived 60-bit frame pattern (variant = low-h-bit XOR),
+    // the two-level sample-size formula, the frame-mean-vs-stream-mean
+    // bit rule, and the 16-bit band packing, all in CTEs. The re-mux
+    // variants (odd v) never appear here: the hash depends only on the
+    // stsz stream, which the analytic formula IS — a divergence
+    // anywhere in the container writer or the box walk breaks the
+    // Spark side's match against this replay.
+    "q140_video_dedup" ->
+      (videoBandCtes +
+        """SELECT band0, band1, band2, band3,
+          | MIN(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+          |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY keeper_id"""
+          .stripMargin),
+    "q141_video_neardup" ->
+      (videoBandCtes +
+        """,
+          |banded AS (
+          | SELECT doc_id, band0, band1, band2, band3,
+          |  unnest([band0 + 0, band1 + 65536,
+          |          band2 + 131072, band3 + 196608]) AS bk
+          | FROM bands),
+          |pairs AS (
+          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+          |  b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+          | FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b,
+          | CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+          |  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT)
+          |  AS hamming
+          |FROM pairs
+          |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+          | + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** The q140/q141 fixture's analytic band CTEs — pattern → sizes →
+    * 64-frame sums → sign bits → 16-bit bands, shared by both oracles
+    * (ONE formula, like the audioHashes/q133 convention).
+    */
+  private lazy val videoBandCtes: String =
+    """WITH m AS (
+      | SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+      |  CAST(192 + ((doc_id // 4) % 3) * 64 AS INT) AS n,
+      |  CAST(1 + (doc_id // 4) % 3 AS INT) AS h
+      | FROM documents WHERE doc_id % 16 >= 12),
+      |pat AS (
+      | SELECT doc_id, g, n,
+      |  CASE WHEN v >= 2 THEN xor(
+      |    CAST('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15) AS BIGINT),
+      |    (1 << h) - 1)
+      |   ELSE
+      |    CAST('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15) AS BIGINT)
+      |  END AS p
+      | FROM m),
+      |px AS (
+      | SELECT t.doc_id, (s.i * 64) // t.n AS j,
+      |  CASE WHEN ((t.p >> CAST((s.i * 64) // t.n AS INT)) & 1) = 1
+      |   THEN 1600 + (t.g * 31 + s.i * 17) % 64
+      |   ELSE 8 + (t.g * 31 + s.i * 17) % 64 END AS a
+      | FROM pat t, generate_series(0, 319) s(i) WHERE s.i < t.n),
+      |box AS (
+      | SELECT doc_id, j, SUM(a) AS bs, COUNT(*) AS bc
+      | FROM px GROUP BY doc_id, j),
+      |tot AS (
+      | SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc
+      | FROM box GROUP BY doc_id),
+      |bits AS (
+      | SELECT b.doc_id, b.j,
+      |  CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+      | FROM box b JOIN tot t ON b.doc_id = t.doc_id),
+      |bands AS (
+      | SELECT doc_id,
+      |  CAST(SUM(CASE WHEN j // 16 = 0 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band0,
+      |  CAST(SUM(CASE WHEN j // 16 = 1 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band1,
+      |  CAST(SUM(CASE WHEN j // 16 = 2 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band2,
+      |  CAST(SUM(CASE WHEN j // 16 = 3 THEN bit << (j % 16) ELSE 0 END)
+      |   AS INT) AS band3
+      | FROM bits GROUP BY doc_id)
+      |""".stripMargin
 
   /** PQ CTE chain shared by the q107–q109 oracles — the kmeansCtes
     * pattern over m=8 subspaces of 8 dims, k=8 codes seeded from

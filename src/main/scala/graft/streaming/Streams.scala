@@ -654,6 +654,25 @@ object Streams {
       maintenanceEvery)(
       batch => graft.multimodal.Multimodal.audioHash64(batch))
 
+  /** [[imageNearDedupThroughStore]]'s VIDEO flank — the container-
+    * derived size-profile fingerprint
+    * ([[graft.multimodal.Multimodal.videoHash64]]: a KB-scale stsz box
+    * walk, NO bitstream decode), so a re-muxed or re-stamped copy of
+    * an already-ingested clip — byte-different container, identical
+    * sample table — is dropped cross-run exactly like a re-encoded
+    * image or re-mastered recording (StreamingSpec plants one). This
+    * closes the media near-dup matrix's video hole; only bitstream-
+    * level perceptual hashing remains behind the external-decoder
+    * boundary.
+    */
+  def videoNearDedupThroughStore(media: DataFrame, idCol: String,
+      storePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    mediaNearDedupThroughStore(media, idCol, storePath, outDir,
+      checkpointDir, "video_near_dedup_through_store",
+      maintenanceEvery)(
+      batch => graft.multimodal.Multimodal.videoHash64(batch))
+
   private def mediaNearDedupThroughStore(media: DataFrame,
       idCol: String, storePath: String, outDir: String,
       checkpointDir: String, queryName: String, maintenanceEvery: Int)(
@@ -744,6 +763,62 @@ object Streams {
       },
       committed => graft.ingest.DedupStore
         .recordHashes(committed, "__vhash", storePath))
+
+  /** The q132 rule as a batch gate over a `videoProfile`d frame — ONE
+    * definition for the path and bucketed staged video feeds.
+    * Unparseable containers never reach the gate (the profile kernel
+    * drops them), so only the threshold legs live here.
+    */
+  private def videoQualityGate(minDurationMs: Long, maxDurationMs: Long,
+      minDim: Int, maxAspectFp: Long): DataFrame => DataFrame =
+    df => df.filter(
+        col("duration_ms").between(minDurationMs, maxDurationMs) &&
+          least(col("width"), col("height")) >= minDim &&
+          expr("(greatest(width, height) * 1000000L) div " +
+            "least(width, height)") <= maxAspectFp)
+      .drop("timescale", "duration_ms", "width", "height")
+
+  /** The staged VIDEO curation feed with a real NEAR stage — the
+    * [[imageCurationFeedGated]] shape on the video pillar, now that
+    * the container-derived fingerprint exists: quality gate (q132's
+    * metadata rule) → EXACT store (the hex-packed size-profile hash —
+    * byte-identical re-uploads AND re-muxed copies collapse) → NEAR
+    * store (banded Hamming ≤ 3 — the re-edited cut whose profile
+    * moved a bit or three), all off ONE
+    * [[graft.multimodal.Multimodal.videoProfile]] pass (two KB-scale
+    * box walks per payload; no bitstream is ever decoded — the feed
+    * prices a 100 TB crawl's video column at container-walk cost).
+    * [[videoCurationFeedGated]] remains the byte-exact form for
+    * deployments that want md5-of-payload semantics.
+    */
+  def videoCurationFeedGatedNear(media: DataFrame, idCol: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0,
+      minDurationMs: Long = 1000L, maxDurationMs: Long = 14400000L,
+      minDim: Int = 64, maxAspectFp: Long = 4000000L): StreamingQuery =
+    mediaCurationFeed(media, idCol, exactStorePath, nearStorePath,
+      outDir, checkpointDir, "video_curation_feed_gated_near",
+      maintenanceEvery,
+      gate = videoQualityGate(minDurationMs, maxDurationMs, minDim,
+        maxAspectFp))(
+      batch => graft.multimodal.Multimodal.videoProfile(batch))
+
+  /** [[videoCurationFeedGatedNear]] against BUCKETED catalog tables —
+    * the video column of the gated bucketed matrix (zero store-side
+    * exchanges on both probes, the image/audio flanks' posture).
+    */
+  def videoCurationFeedGatedNearBucketed(media: DataFrame,
+      idCol: String, exactTable: String, nearTable: String,
+      outDir: String, checkpointDir: String, buckets: Int = 32,
+      maintenanceEvery: Int = 0, minDurationMs: Long = 1000L,
+      maxDurationMs: Long = 14400000L, minDim: Int = 64,
+      maxAspectFp: Long = 4000000L): StreamingQuery =
+    mediaCurationFeedBucketed(media, idCol, exactTable, nearTable,
+      outDir, checkpointDir, "video_curation_feed_gated_near_bucketed",
+      buckets, maintenanceEvery,
+      gate = videoQualityGate(minDurationMs, maxDurationMs, minDim,
+        maxAspectFp))(
+      batch => graft.multimodal.Multimodal.videoProfile(batch))
 
   private def mediaCurationFeedBucketed(media: DataFrame, idCol: String,
       exactTable: String, nearTable: String, outDir: String,

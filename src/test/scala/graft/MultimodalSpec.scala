@@ -333,4 +333,124 @@ class MultimodalSpec extends SparkSuite {
     assert(plan === Seq((1L, 0L), (1L, 250L), (1L, 500L), (1L, 750L),
       (2L, 0L), (2L, 250L)))
   }
+
+  test("parseMp4SampleSizes: per-sample and uniform stsz forms parse, " +
+    "a re-mux keeps the table verbatim, malformed tables are None") {
+    import graft.multimodal.Multimodal.{Codec => C}
+    val sizes = Array.tabulate(37)(i => 100 + i * 7)
+    val std = C.encodeMp4WithSamples(800, 4000L, 320, 240, sizes)
+    assert(C.parseMp4SampleSizes(std).map(_.toSeq)
+      === Some(sizes.map(_.toLong).toSeq))
+    // the metadata walk still reads the same container (one writer)
+    assert(C.parseMp4Meta(std) === Some((800, 4000L, 320, 240)))
+    // re-mux: extra free padding + moov children reordered — bytes
+    // differ, the sample table must not
+    val remux = C.encodeMp4WithSamples(800, 4000L, 320, 240, sizes,
+      remuxPadding = 24)
+    assert(!java.util.Arrays.equals(std, remux))
+    assert(C.parseMp4SampleSizes(remux).map(_.toSeq)
+      === Some(sizes.map(_.toLong).toSeq))
+    // uniform-size stsz (sample_size != 0, no table) — hand-built
+    // container, the form faststart muxers write for CBR streams
+    def box(t: String, c: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + c.length)
+      b.putInt(8 + c.length).put(t.getBytes("US-ASCII")).put(c)
+      b.array()
+    }
+    val uniStsz = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0).putInt(512).putInt(9) // 9 samples of 512 bytes
+      box("stsz", b.array())
+    }
+    val uni = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", uniStsz)))))
+    assert(C.parseMp4SampleSizes(uni).map(_.toSeq)
+      === Some(Seq.fill(9)(512L)))
+    // no sample table at all (the metadata-only skeleton) -> None
+    assert(C.parseMp4SampleSizes(
+      C.encodeMp4Meta(800, 4000L, 320, 240)) === None)
+    // a table that overruns its box -> None, not a throw
+    val lyingStsz = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(0).putInt(0).putInt(999).putInt(100) // claims 999 entries
+      box("stsz", b.array())
+    }
+    val lying = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", lyingStsz)))))
+    assert(C.parseMp4SampleSizes(lying) === None)
+    assert(C.parseMp4SampleSizes("garbage".getBytes) === None)
+  }
+
+  test("videoHash64: re-muxed and proportionally-rescaled duplicates " +
+    "land on the identical fingerprint; a single-frame edit is " +
+    "Hamming-1; a reversed cut is far") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    // 640 samples = 64 uniform 10-sample frames at TWO byte-rate
+    // levels (small first half, big second): frame means 100 vs 1000,
+    // the global mean far from every frame, so single-frame edits
+    // move exactly their own bit (the audioHash64 spec's geometry on
+    // the size axis)
+    def base(i: Int): Int = if (i / 10 < 32) 100 else 1000
+    val n = 640
+    def clip(sz: Int => Int, pad: Int = 0): Array[Byte] =
+      C.encodeMp4WithSamples(600, n * 400L, 640, 360,
+        Array.tabulate(n)(sz), remuxPadding = pad)
+    val v1 = clip(base)
+    val v1remux = clip(base, pad = 20) // byte-different, same stsz
+    assert(!java.util.Arrays.equals(v1, v1remux))
+    // constant-quality transcode: every sample size scales alike —
+    // the mean-comparison bits cannot move
+    val v2 = clip(i => base(i) * 3)
+    // small frame 7 boosted to the big level: exactly its bit flips
+    val v3 = clip(i => if (i / 10 == 7) 1000 else base(i))
+    // reversed cut: every frame lands on the other side of the mean
+    val v4 = clip(i => base(n - 1 - i))
+    val df = Seq(1L -> v1, 2L -> v1remux, 3L -> v2, 4L -> v3,
+      5L -> v4).toDF("media_id", "content")
+    val hs = Multimodal.videoHash64(df)
+      .collect().map(r => r.getLong(0) ->
+        Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def hamming(a: Array[Int], b: Array[Int]): Int =
+      (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    assert(hs(1L).toSeq === hs(2L).toSeq,
+      "a re-muxed container must be an exact fingerprint dup")
+    assert(hs(1L).toSeq === hs(3L).toSeq,
+      "proportional size scaling must not move any profile bit")
+    assert(hamming(hs(1L), hs(4L)) === 1,
+      "boosting exactly one frame must flip exactly its bit")
+    assert(hamming(hs(1L), hs(5L)) === 64,
+      "a reversed cut must complement every profile bit")
+    // rows with no parseable sample table drop, like decodeImages
+    val mixed = Seq(6L -> v1, 7L -> "not a container".getBytes,
+      8L -> C.encodeMp4Meta(600, 1800L, 128, 96)).toDF(
+      "media_id", "content")
+    assert(Multimodal.videoHash64(mixed).collect().map(_.getLong(0))
+      .toSeq === Seq(6L))
+  }
+
+  test("videoProfile equals the single-purpose kernels (hash bands " +
+    "and q132 metadata facts from one pass)") {
+    import spark.implicits._
+    import Multimodal.{Codec => C}
+    val df = Seq(
+      (1L, C.encodeMp4WithSamples(1000, 2500L, 320, 240,
+        Array.tabulate(128)(i => 50 + (i % 9) * 100))),
+      (2L, C.encodeMp4WithSamples(600, 1800L, 1280, 720,
+        Array.fill(64)(777), remuxPadding = 8)),
+      (3L, "poison".getBytes)).toDF("media_id", "content")
+    val prof = Multimodal.videoProfile(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(prof.keySet === Set(1L, 2L), "poisoned rows must drop")
+    val hs = Multimodal.videoHash64(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toMap
+    for (id <- Seq(1L, 2L))
+      assert((prof(id).getInt(1), prof(id).getInt(2),
+        prof(id).getInt(3), prof(id).getInt(4)) === hs(id))
+    assert((prof(1L).getInt(5), prof(1L).getLong(6), prof(1L).getInt(7),
+      prof(1L).getInt(8)) === ((1000, 2500L, 320, 240)))
+    assert((prof(2L).getInt(5), prof(2L).getLong(6), prof(2L).getInt(7),
+      prof(2L).getInt(8)) === ((600, 3000L, 1280, 720)))
+  }
 }

@@ -1143,6 +1143,114 @@ class StreamingSpec extends SparkSuite {
       "a gate reject must not poison the content-dedup history")
   }
 
+  test("standalone video NEAR cycle: a re-muxed copy and a 1-frame " +
+    "re-edit of anything ever recorded drop cross-batch (no bitstream " +
+    "decode anywhere), a different cut survives, replay is a no-op") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("vidnear-src")
+    val outDir = tmpDir("vidnear-out") + "/media"
+    val store = tmpDir("vidnear-store") + "/bands"
+    val ckpt = tmpDir("vidnear-ckpt")
+    // the MultimodalSpec two-level geometry: 64 uniform frames whose
+    // profile bits sit far from the mean
+    def base(i: Int): Int = if (i / 10 < 32) 100 else 1000
+    val n = 640
+    def clip(sz: Int => Int, pad: Int = 0): Array[Byte] =
+      C.encodeMp4WithSamples(600, n * 400L, 640, 360,
+        Array.tabulate(n)(sz), remuxPadding = pad)
+    val orig = clip(base)
+    val remux = clip(base, pad = 20) // byte-different, same stsz
+    val reEdit = clip(i => if (i / 10 == 7) 1000 else base(i)) // Ham 1
+    val otherCut = clip(i => base(n - 1 - i)) // Ham 64
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit =
+      graft.streaming.Streams.videoNearDedupThroughStore(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", store, outDir, ckpt).awaitTermination()
+    Seq((1L, orig)).toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    Seq((2L, remux), (3L, reEdit), (4L, otherCut))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    val it = org.apache.spark.sql.types.IntegerType
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("band0", it).add("band1", it)
+        .add("band2", it).add("band3", it))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 4L),
+      "the re-mux (Hamming 0) and the re-edit (Hamming 1) must both " +
+        "drop against the recorded original")
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    drain()
+    assert(survivors() === Set(1L, 4L),
+      "full-history replay must be a no-op")
+  }
+
+  test("staged gated video feed: the q132 gate stages before the " +
+    "perceptual stores — rejects drop unrecorded, a re-muxed re-upload " +
+    "drops at the EXACT fingerprint stage, a re-edit at the NEAR " +
+    "stage, fresh content survives") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal.{Codec => C}
+    val srcDir = tmpDir("vidgated-src")
+    val outDir = tmpDir("vidgated-out") + "/media"
+    val exact = tmpDir("vidgated-exact") + "/hashes"
+    val near = tmpDir("vidgated-near") + "/bands"
+    val ckpt = tmpDir("vidgated-ckpt")
+    def base(i: Int): Int = if (i / 10 < 32) 100 else 1000
+    val n = 640
+    def clip(sz: Int => Int, pad: Int = 0, w: Int = 640,
+        h: Int = 360, dur: Long = n * 400L): Array[Byte] =
+      C.encodeMp4WithSamples(600, dur, w, h,
+        Array.tabulate(n)(sz), remuxPadding = pad)
+    val orig = clip(base)
+    val tiny = clip(base, w = 32, h = 24) // gate reject: min dim
+    val short = clip(base, dur = 300L)    // gate reject: 500 ms
+    val remux = clip(base, pad = 20)      // exact-stage duplicate
+    val reEdit = clip(i => if (i / 10 == 7) 1000 else base(i)) // near
+    val fresh = clip(i => base(n - 1 - i))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def drain(): Unit =
+      graft.streaming.Streams.videoCurationFeedGatedNear(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "media_id", exact, near, outDir, ckpt).awaitTermination()
+    Seq((1L, orig), (2L, tiny), (3L, "garbage".getBytes))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    drain()
+    Seq((4L, remux), (5L, reEdit), (6L, fresh), (7L, short))
+      .toDF("media_id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b2")
+    drain()
+    val it = org.apache.spark.sql.types.IntegerType
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("band0", it).add("band1", it)
+        .add("band2", it).add("band3", it)
+        .add("__phash", org.apache.spark.sql.types.StringType)
+        .add("content_hash", org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() === Set(1L, 6L),
+      "gate rejects, the re-mux, and the re-edit must drop; only the " +
+        "original and the genuinely different cut survive")
+  }
+
   test("cross-run audio dedup: a volume-normalized re-encode drops at " +
     "the store; a distinct recording survives") {
     import spark.implicits._
