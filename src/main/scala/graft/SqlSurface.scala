@@ -79,7 +79,10 @@ object SqlSurface {
     // q140/q141 materialize the container-derived video-fingerprint
     // frame (the MP4 write + box walk must not re-run per band-join
     // side — the q124/q133 doctrine on the video pillar)
-    "q140_video_dedup", "q141_video_neardup")
+    "q140_video_dedup", "q141_video_neardup",
+    // q142 materializes its quality-weight frame (referenced by the
+    // driver-side threshold collect AND the weighted selection)
+    "q142_weighted_export")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

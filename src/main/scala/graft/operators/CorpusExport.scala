@@ -75,7 +75,37 @@ object CorpusExport {
     */
   private[graft] def selectAndShard(docs: DataFrame, groupCol: String,
       idCol: String, thresholds: Seq[(String, Long)],
-      numShards: Int): DataFrame = {
+      numShards: Int): DataFrame =
+    selectAndShardCore(docs, groupCol, idCol, thresholds, numShards,
+      col("__threshold_ppm"))
+
+  /** [[selectAndShard]] with PER-DOCUMENT weight scaling — the
+    * "sample by quality × authority × dedup-weight" materialization a
+    * pretraining run actually performs: `weightPpmCol` carries a
+    * per-million weight per document (q122's soft-dedup weights, the
+    * q34/q123 quality score in 1e-6 fixed point, a LinkRank-derived
+    * authority — or any fixed-point PRODUCT of them: ppm weights
+    * compose by (a·b) DIV 1e6), and a document keeps iff
+    * `slot < min(1e6, (group threshold × weight) DIV 1e6)` — exactly
+    * the group rate scaled per document, floor-exact. The slot
+    * convention is UNCHANGED, so every deterministic-export property
+    * survives weighting: rerun/engine/partition stability, and nesting
+    * along BOTH axes — raising a group's rate or any document's
+    * weight only ever ADDS documents (OperatorsSpec pins both).
+    * Σ weight·rate / 1e12 over a group IS its expected keep fraction —
+    * the effective-size arithmetic of q122, applied at the export
+    * boundary.
+    */
+  private[graft] def selectAndShardWeighted(docs: DataFrame,
+      groupCol: String, idCol: String, weightPpmCol: String,
+      thresholds: Seq[(String, Long)], numShards: Int): DataFrame =
+    selectAndShardCore(docs, groupCol, idCol, thresholds, numShards,
+      least(lit(1000000L),
+        expr(s"(__threshold_ppm * $weightPpmCol) div 1000000")))
+
+  private def selectAndShardCore(docs: DataFrame, groupCol: String,
+      idCol: String, thresholds: Seq[(String, Long)], numShards: Int,
+      effectivePpm: org.apache.spark.sql.Column): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     for (reserved <- Seq("__slot", "shard"))
       require(!docs.columns.exists(_.equalsIgnoreCase(reserved)),
@@ -87,7 +117,7 @@ object CorpusExport {
       .withColumn("__slot", selectionSlot(idCol))
       .join(broadcast(th),
         col(groupCol).cast("string") === col("__grp"))
-      .filter(col("__slot") < col("__threshold_ppm"))
+      .filter(col("__slot") < effectivePpm)
       .drop("__grp", "__slot", "__threshold_ppm")
       .withColumn("shard", shardSlot(idCol, numShards))
   }
@@ -134,4 +164,36 @@ object CorpusExport {
       numShards: Int = 16): DataFrame =
     materialize(docs, groupCol, idCol,
       uniformMixThresholds(docs, groupCol, rate), outDir, numShards)
+
+  /** [[materialize]] with [[selectAndShardWeighted]]'s per-document
+    * weight scaling — same layout (`outDir/data/shard=N/` + the
+    * per-group manifest), the weight column carried into the export
+    * like every other input column, so a consumer can re-derive the
+    * effective sampling rate of anything it reads.
+    */
+  def materializeWeighted(docs: DataFrame, groupCol: String,
+      idCol: String, weightPpmCol: String,
+      thresholds: Seq[(String, Long)], outDir: String,
+      numShards: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("__grp", "__threshold_ppm")
+    val out = selectAndShardWeighted(docs, groupCol, idCol,
+      weightPpmCol, thresholds, numShards)
+      .repartition(col("shard"))
+    out.write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$outDir/data")
+    val manifest = spark.read.parquet(s"$outDir/data")
+      .groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n_selected"))
+      .join(broadcast(th.select(col("__grp").as("group"),
+        col("__threshold_ppm").as("threshold_ppm"))), Seq("group"),
+        "right_outer")
+      .select(col("group"),
+        col("threshold_ppm").cast(LongType),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/_export_manifest")
+    spark.read.parquet(s"$outDir/_export_manifest")
+  }
 }

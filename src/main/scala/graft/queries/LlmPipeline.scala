@@ -3826,6 +3826,55 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q142: QUALITY-WEIGHTED export audit — the q118 mix report with
+    * [[graft.operators.CorpusExport.selectAndShardWeighted]]'s
+    * per-document scaling: each document's keep-rate is its group's
+    * uniform-mix threshold (q74/q118's importance weight at rate 0.5,
+    * driver-computed over bounded group cardinality like every
+    * centroid/codebook collect) scaled by the document's OWN quality
+    * weight — q34/q123's score in 1e-6 fixed point — via
+    * `slot < (threshold × weight) DIV 1e6`. This is the "sample by
+    * quality × group mix" materialization a pretraining run actually
+    * performs, audited per (lang, shard) with the selected count and
+    * the selected quality mass. Deterministic end to end (the q46/q58
+    * slot convention, exact integer scaling), so the oracle replays
+    * the whole chain — quality fixed point, threshold rounding, slot
+    * filter, disjoint shard slice — in SQL. Runs through the REAL
+    * operator path, not a re-derivation: a drift between the export
+    * operator and this audit breaks the hash match.
+    */
+  private val q142: Q = (s, dir) => {
+    val scored = tokenized(s, dir, "text", "lang")
+      .withColumn("punct_ratio", expr(
+        "cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
+        / length(col("text")).cast(DoubleType))
+      .withColumn("stop_ratio", expr(
+        "cast(size(filter(toks, x -> x = 'the' or x = 'a' or x = 'and' " +
+          "or x = 'of' or x = 'to')) as bigint)").cast(DoubleType)
+        / size(col("toks")).cast(DoubleType))
+      .withColumn("len_score",
+        least(length(col("text")).cast(DoubleType)
+          / lit(500).cast(DoubleType), lit(1.0)))
+      .withColumn("quality",
+        lit(0.5) * col("len_score")
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.2) * (lit(1.0) - col("stop_ratio")))
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality") * lit(1000000d)).cast(LongType)
+          .as("weight_ppm"))
+      // referenced by the threshold collect AND the selection
+      .transform(graft.operators.Exec.materialize)
+    val th = graft.operators.CorpusExport
+      .uniformMixThresholds(scored, "lang", rate = 0.5)
+    graft.operators.CorpusExport
+      .selectAndShardWeighted(scored, "lang", "doc_id", "weight_ppm",
+        th, numShards = 8)
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("weight_ppm")).as("sum_weight_ppm"))
+      .orderBy("lang", "shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -3924,7 +3973,8 @@ object LlmPipeline {
     "q136_link_rank" -> q136,
     "q137_jaccard_join" -> q137,
     "q140_video_dedup" -> q140,
-    "q141_video_neardup" -> q141)
+    "q141_video_neardup" -> q141,
+    "q142_weighted_export" -> q142)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5976,7 +6026,56 @@ object LlmPipeline {
           |FROM pairs
           |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
           | + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    // q142: the weighted-export chain replayed end to end — the
+    // q34/q123 quality fixed point, the q118/q74 uniform-mix
+    // threshold (same rounding as uniformMixThresholds: round after
+    // min(1, rate·total/(g·n)), capped at 1e6), the q46/q58 selection
+    // slot scaled per document by (threshold × weight) // 1e6, and
+    // the disjoint shard slice.
+    "q142_weighted_export" ->
+      s"""WITH base AS (
+         | SELECT doc_id, lang, text, $dToks AS toks FROM documents),
+         |scored0 AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
+         |    OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         |  least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
+         |    CAST(1.0 AS DOUBLE)) AS len_score
+         | FROM base WHERE len(toks) >= 1),
+         |w AS (
+         | SELECT doc_id, lang,
+         |  CAST(floor((CAST(0.5 AS DOUBLE) * len_score
+         |   + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+         |   + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio))
+         |   * 1000000) AS BIGINT) AS weight_ppm
+         | FROM scored0),
+         |counts AS (
+         | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM w GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM counts),
+         |th AS (
+         | SELECT lang,
+         |  LEAST(CAST(1000000 AS BIGINT),
+         |   CAST(round(LEAST(CAST(1 AS DOUBLE),
+         |     (CAST(0.5 AS DOUBLE) * n_total) / (n_groups * n_g))
+         |    * 1000000) AS BIGINT)) AS threshold_ppm
+         | FROM counts, tot),
+         |kept AS (
+         | SELECT w.lang, w.weight_ppm,
+         |  CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 17, 15)
+         |   AS BIGINT) % 8 AS shard
+         | FROM w JOIN th ON th.lang = w.lang
+         | WHERE CAST('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 15)
+         |   AS BIGINT) % 1000000
+         |  < LEAST(1000000, (th.threshold_ppm * w.weight_ppm) // 1000000))
+         |SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_selected,
+         | CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm
+         |FROM kept GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin)
 
   /** The q140/q141 fixture's analytic band CTEs — pattern → sizes →
     * 64-frame sums → sign bits → 16-bit bands, shared by both oracles

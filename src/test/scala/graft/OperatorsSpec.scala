@@ -269,6 +269,71 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("CorpusExport weighted: full weight reproduces the unweighted " +
+    "export bit-for-bit, selection is the reference weight-scaled " +
+    "predicate, nesting holds on BOTH axes, and the weighted " +
+    "materialization records what landed") {
+    import spark.implicits._
+    val X = graft.operators.CorpusExport
+    def langOf(id: Long): String =
+      if (id <= 80) "en" else if (id <= 95) "fr" else "de"
+    // deterministic per-doc weights spanning the range: 1e6 down to 1/4
+    def wOf(id: Long): Long = 1000000L / (1L + id % 4)
+    val docs = (1L to 100L)
+      .map(i => (i, langOf(i), s"text $i", wOf(i)))
+      .toDF("doc_id", "lang", "text", "weight_ppm")
+    val th = X.uniformMixThresholds(docs, "lang", rate = 0.6)
+    val thMap = th.toMap
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // weight ≡ 1e6 IS the unweighted export — same set, same shards
+    assert(pairs(X.selectAndShardWeighted(
+        docs.withColumn("w1", lit(1000000L)), "lang", "doc_id", "w1",
+        th, 4))
+      === pairs(X.selectAndShard(docs, "lang", "doc_id", th, 4)),
+      "full weight must reproduce the unweighted selection exactly")
+    // reference predicate: slot < (threshold × weight) DIV 1e6,
+    // restated independently driver-side (effective-size math)
+    val got = pairs(X.selectAndShardWeighted(docs, "lang", "doc_id",
+      "weight_ppm", th, 4))
+    val expectIds = (1L to 100L).filter(id => refSlot(id) <
+      math.min(1000000L, thMap(langOf(id)) * wOf(id) / 1000000L)).toSet
+    assert(got.map(_._1) === expectIds,
+      "weighted selection diverged from the reference predicate")
+    // axis 1: raising any document's weight only ever ADDS documents
+    val heavier = pairs(X.selectAndShardWeighted(
+      docs.withColumn("weight_ppm",
+        least(col("weight_ppm") * 2, lit(1000000L))),
+      "lang", "doc_id", "weight_ppm", th, 4))
+    assert(got.subsetOf(heavier),
+      "doubling weights must nest the lighter export inside")
+    // axis 2: raising the mix rate only ever ADDS documents
+    val thLow = X.uniformMixThresholds(docs, "lang", rate = 0.3)
+    val lowRate = pairs(X.selectAndShardWeighted(docs, "lang",
+      "doc_id", "weight_ppm", thLow, 4))
+    assert(lowRate.subsetOf(got),
+      "a lower-rate weighted export must nest inside the higher-rate one")
+    // materializeWeighted: layout + manifest of what landed, the
+    // weight column carried into the export
+    val base = java.nio.file.Files.createTempDirectory("wexport").toString
+    val m = X.materializeWeighted(docs, "lang", "doc_id", "weight_ppm",
+        th, s"$base/w", numShards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val landed = spark.read.parquet(s"$base/w/data")
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSet
+      === expectIds)
+    assert(landed.columns.contains("weight_ppm"),
+      "the weight column must ride into the export")
+    assert(m === Seq("en", "fr", "de").map(l =>
+      l -> expectIds.count(langOf(_) == l).toLong).toMap, m.toString)
+    // the fixture must discriminate: weighting actually cuts documents
+    val unweightedIds = (1L to 100L)
+      .filter(id => refSlot(id) < thMap(langOf(id))).toSet
+    assert(expectIds.size < unweightedIds.size,
+      "fixture lost discrimination (weights cut nothing)")
+  }
+
   test("KMeans Lloyd sufficient statistics: the stats/merge/rebuild " +
     "chain is bit-identical to the inline fixed-point mean, and stats " +
     "merge cell-wise across any corpus split") {
