@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -1271,6 +1271,66 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Incrementally-maintained FUNNEL progress — [[funnelStream]]'s
+    * emitted chains folded into a per-user snapshot on the versioned
+    * loop, so the funnel family gains the maintained form retention
+    * (q135) already has. The composition is sound because emissions
+    * are FINAL at emission (the watermark argument: a chain leaves
+    * state only once no earlier event can still arrive), so the
+    * snapshot merge needs no retraction — per user, MAX(reached)
+    * across emissions, which is idempotent (replay no-op) and
+    * monotone. A user who returns after their quiet timeout starts a
+    * fresh chain ([[funnelStream]]'s documented append contract); the
+    * snapshot then carries their DEEPEST chain, which matches the
+    * batch q134/q139 single-chain answer exactly when each user's
+    * events fall in one quiet period (the StreamingSpec parity law) —
+    * the one-shot-vs-maintained contract of every maintainer here.
+    * State is one row per funnel-active user — never events.
+    */
+  def maintainFunnelProgress(events: Dataset[FunnelEvent],
+      steps: Seq[String], path: String, checkpointDir: String,
+      windowSec: Long = 86400L, quietSec: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): StreamingQuery =
+    maintainMergedSnapshot(
+      funnelStream(events, steps, windowSec, quietSec, watermarkDelay)
+        .toDF().select(col("user_id"), col("reached")),
+      path, checkpointDir, "funnel_progress")(
+      batch => batch.groupBy("user_id")
+        .agg(max("reached").as("reached")),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("user_id").agg(max("reached").as("reached")))
+
+  /** q139's funnel-by-segment derived from the latest
+    * [[maintainFunnelProgress]] snapshot — the dimensional breakdown
+    * at READ time against a broadcast dimension (the
+    * [[retentionFromSnapshot]] pattern: cohorting/segmenting is never
+    * frozen into the maintained state, so a corrected dimension row
+    * re-segments every user on the next read). `dim` carries
+    * (`user_id`, `segmentCol`); counts and conversion percentages are
+    * q139's expressions verbatim. Segments none of whose users ever
+    * produced a funnel-step event have no emissions and therefore no
+    * row — the batch form shows such segments as all-zero rows.
+    */
+  def funnelSegmentsFromSnapshot(spark: SparkSession, path: String,
+      dim: DataFrame, segmentCol: String): DataFrame = {
+    val snap = readMergedSnapshot(spark, path, "funnel progress")
+    snap.join(broadcast(dim), "user_id")
+      .groupBy(segmentCol)
+      .agg(
+        sum(when(col("reached") >= 1L, 1L).otherwise(0L)).as("n_step1"),
+        sum(when(col("reached") >= 2L, 1L).otherwise(0L)).as("n_step2"),
+        sum(when(col("reached") >= 3L, 1L).otherwise(0L)).as("n_step3"))
+      .withColumn("conv2_pct",
+        (col("n_step2") * 100)
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_step1").cast(org.apache.spark.sql.types.DoubleType))
+      .withColumn("conv3_pct",
+        (col("n_step3") * 100)
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_step1").cast(org.apache.spark.sql.types.DoubleType))
+      .orderBy(segmentCol)
+  }
+
   /** Incrementally-maintained RETENTION inputs — q135's cohort matrix
     * kept fresh at ingest. The contrast with [[funnelStream]] is the
     * point: the funnel min-chain is not mergeable, but retention's
@@ -1716,6 +1776,30 @@ object Streams {
   def exportMixStream(docs: DataFrame, groupCol: String, idCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
       checkpointDir: String, numShards: Int = 16): StreamingQuery =
+    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir)(
+      batch => graft.operators.CorpusExport
+        .selectAndShard(batch, groupCol, idCol, thresholds, numShards))
+
+  /** [[exportMixStream]] with
+    * [[graft.operators.CorpusExport.selectAndShardWeighted]]'s
+    * per-document quality/authority/dedup-weight scaling — the same
+    * batching-invariance argument holds verbatim (selection is
+    * per-row deterministic in (id, group, weight, thresholds), so any
+    * micro-batching lands the batch operator's exact document set;
+    * StreamingSpec pins it), and the manifest protocol is shared.
+    */
+  def exportMixStreamWeighted(docs: DataFrame, groupCol: String,
+      idCol: String, weightPpmCol: String,
+      thresholds: Seq[(String, Long)], outDir: String,
+      checkpointDir: String, numShards: Int = 16): StreamingQuery =
+    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir)(
+      batch => graft.operators.CorpusExport.selectAndShardWeighted(
+        batch, groupCol, idCol, weightPpmCol, thresholds, numShards))
+
+  private def exportStreamWith(docs: DataFrame, groupCol: String,
+      thresholds: Seq[(String, Long)], outDir: String,
+      checkpointDir: String)(
+      select: DataFrame => DataFrame): StreamingQuery =
     docs.writeStream
       .queryName("corpus_export")
       .trigger(Trigger.AvailableNow())
@@ -1729,8 +1813,7 @@ object Streams {
         if (!fs.exists(
             new org.apache.hadoop.fs.Path(dataDir, "_SUCCESS"))) {
           fs.delete(dataDir, true) // partial leftovers from a crash
-          graft.operators.CorpusExport
-            .selectAndShard(batch, groupCol, idCol, thresholds, numShards)
+          select(batch)
             .repartition(col("shard"))
             .write.partitionBy("shard").parquet(dataDir.toString)
         }
@@ -1790,8 +1873,13 @@ object Streams {
     * batch N must not merge into N's own output), and commit to
     * `batch=<id>` (_SUCCESS = commit point), retaining the
     * immediately-previous version for concurrent readers. Replayed
-    * already-committed batches skip — exactly-once snapshots on an
-    * at-least-once stream.
+    * already-committed batches skip the snapshot write — exactly-once
+    * snapshots on an at-least-once stream — but the batch is still
+    * CONSUMED (an empty foreachPartition pass): a maintainer whose
+    * streaming plan carries a stateful operator (the funnel fold)
+    * must commit its state stores on EVERY micro-batch, and Spark
+    * validates exactly that; for stateless sources the extra pass
+    * costs one scan of an already-bounded micro-batch.
     */
   private def maintainMergedSnapshot(src: DataFrame, path: String,
       checkpointDir: String, name: String)(
@@ -1825,6 +1913,11 @@ object Streams {
           committedVersions(fs, root).filter(_ < batchId - 1).foreach(v =>
             fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$v"),
               true))
+        } else {
+          // skip the write but DRAIN the batch: a stateful upstream
+          // commits its state stores only when every partition's
+          // iterator is exhausted, even on a replayed batch
+          batch.foreachPartition((it: Iterator[Row]) => it.foreach(_ => ()))
         }
         ()
       }

@@ -388,6 +388,68 @@ class StreamingSpec extends SparkSuite {
       "fixture lost discrimination")
   }
 
+  test("maintained funnel progress: the snapshot-derived segment " +
+    "breakdown equals batch q139 over the fed events; replay after " +
+    "checkpoint loss is a no-op") {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // the q134 parity harness: time-sorted real events in two
+    // micro-batches, then two watermark-advancing sentinel pokes
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(r => (micros(r._3), r._2))
+    val srcDir = tmpDir("funnelseg-src")
+    val path = tmpDir("funnelseg-snap") + "/progress"
+    val ckpt = tmpDir("funnelseg-ckpt")
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    h1.toSeq.toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b1.parquet")
+    h2.toSeq.toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b2.parquet")
+    val maxMs = rows.map(_._3.getTime).max
+    Seq((-1L, "view", new java.sql.Timestamp(maxMs + 10L * 86400000L)))
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b3.parquet")
+    Seq((-2L, "view", new java.sql.Timestamp(maxMs + 20L * 86400000L)))
+      .toDF("user_id", "event_type", "ts").coalesce(1)
+      .write.parquet(s"$srcDir/b4.parquet")
+    def drain(checkpoint: String = ckpt): Unit =
+      graft.streaming.Streams.maintainFunnelProgress(
+        spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[
+            graft.streaming.Streams.FunnelEvent]].schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$srcDir/*.parquet")
+          .as[graft.streaming.Streams.FunnelEvent],
+        Seq("view", "click", "purchase"), path, checkpoint,
+        watermarkDelay = "1 second").awaitTermination()
+    drain()
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    def segments(): Map[String, (Long, Long, Long, Double, Double)] =
+      graft.streaming.Streams
+        .funnelSegmentsFromSnapshot(spark, path, dim, "c_mktsegment")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+    val want = graft.queries.CoreAnalytics
+      .queries("q139_funnel_segments")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(segments() === want,
+      "snapshot segments diverged from batch q139 over the same events")
+    // the fixture must discriminate: some segment converts partially
+    assert(want.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "fixture lost discrimination")
+    // replay after checkpoint loss: committed batches skip, the
+    // snapshot is unchanged
+    drain(tmpDir("funnelseg-ckpt2"))
+    assert(segments() === want, "full-history replay must be a no-op")
+  }
+
   test("incrementally-maintained retention: the snapshot-derived matrix " +
     "equals batch q135 over the fed events (any split), a late earlier " +
     "signup re-cohorts at read time, and replay is idempotent") {
@@ -1539,6 +1601,50 @@ class StreamingSpec extends SparkSuite {
     drain()
     assert(streamedSet() === got && manifest() === mB,
       "replayed committed batches must be a no-op")
+  }
+
+  test("streamed WEIGHTED corpus export: any micro-batching lands the " +
+    "one-shot weighted selection in the same shards") {
+    import spark.implicits._
+    val CE = graft.operators.CorpusExport
+    val srcDir = tmpDir("wexp-src")
+    val outS = tmpDir("wexp-stream") + "/out"
+    val ckpt = tmpDir("wexp-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("weight_ppm",
+        org.apache.spark.sql.types.LongType)))
+    def rows(r: Range): Seq[(Long, String, Long)] = r.map(i =>
+      (i.toLong, if (i % 3 == 0) "fr" else "en",
+        1000000L / (1L + i % 4)))
+    val all = rows(1 to 120).toDF("doc_id", "lang", "weight_ppm")
+    val th = CE.uniformMixThresholds(all, "lang", rate = 0.7)
+    rows(1 to 60).toDF("doc_id", "lang", "weight_ppm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/b1")
+    rows(61 to 120).toDF("doc_id", "lang", "weight_ppm").coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/b2")
+    graft.streaming.Streams.exportMixStreamWeighted(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir),
+      "lang", "doc_id", "weight_ppm", th, outS, ckpt, numShards = 4)
+      .awaitTermination()
+    val got = spark.read.parquet(s"$outS/data")
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = CE.selectAndShardWeighted(all, "lang", "doc_id",
+        "weight_ppm", th, 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === oneShot,
+      "streamed weighted export must land the one-shot set and shards")
+    // weighting discriminates: some docs the unweighted mix keeps are cut
+    val unweighted = CE.selectAndShard(all, "lang", "doc_id", th, 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).subsetOf(unweighted) &&
+      got.size < unweighted.size, "fixture lost discrimination")
   }
 
   test("streamed cross-run dedup through the store: every batch drops " +
