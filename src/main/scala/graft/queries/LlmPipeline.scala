@@ -3688,10 +3688,35 @@ object LlmPipeline {
     * exact-verified (q125's all-pairs-oracle pattern) — the engines
     * must agree pair for pair.
     */
-  private val q137: Q = (s, dir) => {
-    graft.functions.Functions.register(s)
-    val keyed = kernelBarrier(t(s, dir, "documents"),
-      "shingle_hashes(text)", "shd")
+  /** The q137 candidate stage, exposed for the spec's planted-skew
+    * observation: prefix-key equi-join candidates, optionally pruned
+    * by the ppjoin LENGTH and POSITIONAL filters (Xiao/Wang/Lin/Yu,
+    * WWW'08) — both exact-integer, both provably lossless at τ = 0.5:
+    *
+    *  - length: J ≥ 1/2 ⇒ |∩|/|∪| ≤ min/max ⇒ 2·min(|Sa|,|Sb|) ≥ max —
+    *    a tweet can never be half of a novel, however many prefix
+    *    tokens they share.
+    *  - positional: J ≥ 1/2 ⇔ |∩| ≥ ⌈(|Sa|+|Sb|)/3⌉ (c/(sa+sb−c) ≥ ½
+    *    ⇔ 3c ≥ sa+sb, c integer), and at the pair's FIRST shared
+    *    prefix token (0-based positions p_a/p_b in the rare-first
+    *    total order) no common token can precede it in either order —
+    *    a common v before it would sit in both prefixes and be
+    *    earlier, contradicting firstness — so
+    *    |∩| ≤ 1 + min(|Sa|−p_a−1, |Sb|−p_b−1). A row whose bound
+    *    misses the floor is pruned; a qualifying pair always passes
+    *    on its first-shared-token row, so keep-if-any-row-passes
+    *    loses nothing (LlmPipelineSpec pins q137 ⊇ the all-pairs
+    *    spec either way).
+    *
+    * On skewed corpora the filters cut multiplicatively: a near-
+    * stopword landing at the END of two prefixes (rare-first order
+    * puts common tokens there) has small suffixes → small bound →
+    * pruned before the exchange-heavy distinct + verify.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame,
+      ppjoinFilters: Boolean): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
+    val keyed = kernelBarrier(docs, "shingle_hashes(text)", "shd")
       .filter(size(col("shd")) > 0)
       .transform(graft.operators.Exec.materialize)
     val ex = keyed.select(col("doc_id"), explode(col("shd")).as("h"))
@@ -3707,11 +3732,23 @@ object LlmPipeline {
       .transform(graft.operators.Exec.materialize)
     def side(tag: String): DataFrame =
       pre.select(col("doc_id").as(s"doc_$tag"),
-        col("shd").as(s"shd_$tag"), explode(col("prefix")).as("hp"))
-    side("a").join(side("b"), "hp")
+        col("shd").as(s"shd_$tag"),
+        posexplode(col("prefix")).as(Seq(s"p_$tag", "hp")))
+    val cand0 = side("a").join(side("b"), "hp")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "shd_a", "shd_b")
-      .distinct()
+    val cand =
+      if (!ppjoinFilters) cand0
+      else cand0
+        .filter(expr("2 * least(size(shd_a), size(shd_b)) >= " +
+          "greatest(size(shd_a), size(shd_b))"))
+        .filter(expr(
+          "1 + least(size(shd_a) - p_a - 1, size(shd_b) - p_b - 1) " +
+            ">= (size(shd_a) + size(shd_b) + 2) DIV 3"))
+    cand.select("doc_a", "doc_b", "shd_a", "shd_b").distinct()
+  }
+
+  private val q137: Q = (s, dir) => {
+    jaccardCandidates(t(s, dir, "documents"), ppjoinFilters = true)
       .withColumn("n_common",
         size(array_intersect(col("shd_a"), col("shd_b"))).cast(LongType))
       .withColumn("n_union",

@@ -1133,6 +1133,47 @@ class LlmPipelineSpec extends SparkSuite {
       "q31's verified pairs must all appear in the exact join")
   }
 
+  test("q137 ppjoin length/positional filters: planted-skew candidates " +
+    "drop multiplicatively and the verified answer is unchanged " +
+    "(lossless pruning)") {
+    import spark.implicits._
+    // skew fixture: every doc ends with the same near-stopword
+    // trigram run (a high-df shingle that lands in SHORT docs'
+    // prefixes), bodies are pairwise-disjoint and wildly
+    // length-skewed; docs 101/102 are a true near-dup pair
+    val docs = ((1L to 30L).map { i =>
+      val body = (1 to (3 + (i % 10).toInt * 6))
+        .map(k => s"w${i}x$k").mkString(" ")
+      (i, s"$body the end game over now")
+    } ++ Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    def verified(c: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      c.withColumn("nc",
+          size(array_intersect(col("shd_a"), col("shd_b"))))
+        .withColumn("nu", size(col("shd_a")) + size(col("shd_b"))
+          - col("nc"))
+        .filter(col("nc").cast("double") / col("nu").cast("double")
+          >= 0.5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = LlmPipeline.jaccardCandidates(docs,
+      ppjoinFilters = false)
+    val filtered = LlmPipeline.jaccardCandidates(docs,
+      ppjoinFilters = true)
+    val (nUn, nF) = (unfiltered.count(), filtered.count())
+    assert(nF < nUn,
+      s"ppjoin filters pruned nothing on planted skew ($nF vs $nUn)")
+    assert(nUn >= 2 * nF,
+      s"expected a multiplicative cut on planted skew ($nF vs $nUn)")
+    val want = verified(unfiltered)
+    assert(verified(filtered) === want,
+      "ppjoin pruning changed the verified answer (false negative)")
+    assert(want.contains((101L, 102L)),
+      "fixture lost its planted qualifying pair")
+  }
+
   test("q46 deterministic sample: identical across reruns, ~20% rate, " +
     "slot in [0,20)") {
     def ids = LlmPipeline.queries("q46_det_sample")(spark, sf)
