@@ -1077,16 +1077,17 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
-  test("q136 link rank: the fixed-point PageRank chain matches an " +
-    "independent driver-side recompute exactly; every rank carries " +
-    "the 0.15 damping floor") {
+  test("q136 link rank: the fixed-point PageRank chain — including " +
+    "the dangling-mass fold over the planted no-outlink leaves — " +
+    "matches an independent driver-side recompute exactly") {
     val got = LlmPipeline.queries("q136_link_rank")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("rank_fp"))).toSeq
     val ids = Tables.load(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0))
     val n = ids.length.toLong
-    val edges = ids.flatMap { d =>
+    // every 7th doc emits nothing — the planted dangling leaves
+    val edges = ids.filter(_ % 7 != 0).flatMap { d =>
       Seq((d * 31 + 7) % n, (d * 17 + 3) % n, (d * 13 + 11) % n)
         .distinct.filter(_ != d).map(dst => (d, dst))
     }
@@ -1094,15 +1095,18 @@ class LlmPipelineSpec extends SparkSuite {
       src -> es.length.toLong }
     var r = ids.map(_ -> 1000000L).toMap
     for (_ <- 1 to 3) {
+      val dd = ids.filter(d => !outdeg.contains(d)).map(r).sum / n
       val in = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)
       edges.foreach { case (src, dst) => in(dst) += r(src) / outdeg(src) }
-      r = ids.map(d => d -> (150000L + 85L * in(d) / 100L)).toMap
+      r = ids.map(d => d -> (150000L + 85L * (in(d) + dd) / 100L)).toMap
     }
     val want = ids.map(d => (d, r(d)))
       .sortBy { case (d, rk) => (-rk, d) }.take(20).toSeq
     assert(got === want)
-    assert(got.forall(_._2 >= 150000L))
+    // the fixture must actually carry dangling mass
+    assert(ids.exists(d => !outdeg.contains(d)),
+      "fixture lost its dangling leaves")
   }
 
   test("q137 exact jaccard join: equals the all-pairs semantic spec " +
