@@ -80,9 +80,10 @@ object SqlSurface {
     // frame (the MP4 write + box walk must not re-run per band-join
     // side — the q124/q133 doctrine on the video pillar)
     "q140_video_dedup", "q141_video_neardup",
-    // q142 materializes its quality-weight frame (referenced by the
-    // driver-side threshold collect AND the weighted selection)
-    "q142_weighted_export")
+    // q142/q143 materialize their weight frames (referenced by the
+    // driver-side threshold collect AND the weighted selection);
+    // q143 additionally runs the checkpointed LinkRank rounds
+    "q142_weighted_export", "q143_authority_mix")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

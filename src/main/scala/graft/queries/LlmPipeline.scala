@@ -3647,10 +3647,14 @@ object LlmPipeline {
     * so the oracle can unroll it; `LinkRank.trainConverged` carries
     * the tolerance-stop form for unbounded production graphs).
     */
-  private val q136: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+  /** The deterministic doc_id-derived link graph shared by q136 and
+    * q143 (ONE synthesis — the rank consumer can never disagree with
+    * the rank report): 3 modular-affine outlinks per doc, self-loops
+    * dropped, multi-edges collapsed, every 7th doc a dangling leaf.
+    */
+  private def linkEdges(docs: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val edges = docs.crossJoin(broadcast(n))
+    docs.crossJoin(broadcast(n))
       .filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id").as("src"), explode(array(
         (col("doc_id") * 31 + 7) % col("n_docs"),
@@ -3658,8 +3662,13 @@ object LlmPipeline {
         (col("doc_id") * 13 + 11) % col("n_docs"))).as("dst"))
       .filter(col("dst") =!= col("src"))
       .distinct()
+  }
+
+  private val q136: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
     graft.operators.LinkRank
-      .train(docs.select(col("doc_id").as("node")), edges, iters = 3)
+      .train(docs.select(col("doc_id").as("node")), linkEdges(docs),
+        iters = 3)
       .select(col("node").as("doc_id"), col("rank_fp"))
       .orderBy(desc("rank_fp"), col("doc_id"))
       .limit(20)
@@ -3880,8 +3889,13 @@ object LlmPipeline {
     * operator path, not a re-derivation: a drift between the export
     * operator and this audit breaks the hash match.
     */
-  private val q142: Q = (s, dir) => {
-    val scored = tokenized(s, dir, "text", "lang")
+  /** The per-document quality weight frame (doc_id, lang, weight_ppm —
+    * q34/q123's score in 1e-6 fixed point) shared by q142 and q143:
+    * ONE derivation, materialized (referenced by each consumer's
+    * threshold collect AND its selection).
+    */
+  private def qualityWeights(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir, "text", "lang")
       .withColumn("punct_ratio", expr(
         "cast(size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) as double)")
         / length(col("text")).cast(DoubleType))
@@ -3899,8 +3913,10 @@ object LlmPipeline {
       .select(col("doc_id"), col("lang"),
         floor(col("quality") * lit(1000000d)).cast(LongType)
           .as("weight_ppm"))
-      // referenced by the threshold collect AND the selection
       .transform(graft.operators.Exec.materialize)
+
+  private val q142: Q = (s, dir) => {
+    val scored = qualityWeights(s, dir)
     val th = graft.operators.CorpusExport
       .uniformMixThresholds(scored, "lang", rate = 0.5)
     graft.operators.CorpusExport
@@ -3909,6 +3925,48 @@ object LlmPipeline {
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_selected"),
         sum(col("weight_ppm")).as("sum_weight_ppm"))
+      .orderBy("lang", "shard")
+  }
+
+  /** q143: AUTHORITY × QUALITY composed export — the full "sample by
+    * quality × authority" materialization (the weighting every
+    * pretraining mix actually multiplies out): the q142 quality
+    * weight composes with a LinkRank-derived authority weight by the
+    * ppm product rule ((a·b) DIV 1e6 — the documented composition
+    * convention of [[graft.operators.CorpusExport
+    * .selectAndShardWeighted]]), where authority = min(1e6, rank_fp):
+    * below-average-authority documents are down-weighted by exactly
+    * their rank, hubs cap at weight 1 (an export samples AT MOST the
+    * group rate — authority restores mass quality took only up to
+    * that ceiling). Ranks come from the SAME trainer and the SAME
+    * planted graph as q136 ([[linkEdges]] — one synthesis), so the
+    * oracle replays rank chain, quality chain, product, threshold,
+    * slot filter, and shard slice end to end; a drift anywhere in
+    * the composition breaks the hash. Scale: the rank is a
+    * KB-per-node frame joined once onto the weight frame; selection
+    * stays the broadcast-threshold scan-side filter.
+    */
+  private val q143: Q = (s, dir) => {
+    val scored = qualityWeights(s, dir)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val ranks = graft.operators.LinkRank
+      .train(docs.select(col("doc_id").as("node")), linkEdges(docs),
+        iters = 3)
+    val weighted = scored
+      .join(ranks.select(col("node").as("doc_id"), col("rank_fp")),
+        "doc_id")
+      .withColumn("w_ppm",
+        expr("(weight_ppm * least(1000000L, rank_fp)) div 1000000"))
+      // referenced by the threshold collect AND the selection
+      .transform(graft.operators.Exec.materialize)
+    val th = graft.operators.CorpusExport
+      .uniformMixThresholds(weighted, "lang", rate = 0.5)
+    graft.operators.CorpusExport
+      .selectAndShardWeighted(weighted, "lang", "doc_id", "w_ppm",
+        th, numShards = 8)
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("w_ppm")).as("sum_weight_ppm"))
       .orderBy("lang", "shard")
   }
 
@@ -4011,7 +4069,8 @@ object LlmPipeline {
     "q137_jaccard_join" -> q137,
     "q140_video_dedup" -> q140,
     "q141_video_neardup" -> q141,
-    "q142_weighted_export" -> q142)
+    "q142_weighted_export" -> q142,
+    "q143_authority_mix" -> q143)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4195,6 +4254,97 @@ object LlmPipeline {
        |)
        |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash FROM bits""".stripMargin
   }
+
+  /** The q136 fixed-point PageRank oracle chain (edges with planted
+    * dangling leaves, per-round dangling-share folds, three unrolled
+    * rounds ending at r3) — shared by the q136 and q143 oracles.
+    */
+  private lazy val linkRankCtes: String =
+    """n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      |e0 AS (
+      | SELECT doc_id AS src, (doc_id * 31 + 7) % nd AS dst
+      | FROM documents, n WHERE doc_id % 7 <> 0
+      | UNION ALL
+      | SELECT doc_id, (doc_id * 17 + 3) % nd FROM documents, n
+      | WHERE doc_id % 7 <> 0
+      | UNION ALL
+      | SELECT doc_id, (doc_id * 13 + 11) % nd FROM documents, n
+      | WHERE doc_id % 7 <> 0),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+      |deg AS (
+      | SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+      | FROM e GROUP BY 1),
+      |r0 AS (
+      | SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
+      | FROM documents),
+      |d1 AS (
+      | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+      |  AS BIGINT) AS dd
+      | FROM r0 WHERE node NOT IN (SELECT src FROM deg)),
+      |s1 AS (
+      | SELECT e.dst, CAST(SUM(r0.r // d.outdeg) AS BIGINT) AS in_sum
+      | FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.node = e.src
+      | GROUP BY 1),
+      |r1 AS (
+      | SELECT doc_id AS node,
+      |  CAST(150000 +
+      |   (85 * (COALESCE(s1.in_sum, 0) + d1.dd)) // 100 AS BIGINT)
+      |   AS r
+      | FROM documents LEFT JOIN s1 ON s1.dst = doc_id CROSS JOIN d1),
+      |d2 AS (
+      | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+      |  AS BIGINT) AS dd
+      | FROM r1 WHERE node NOT IN (SELECT src FROM deg)),
+      |s2 AS (
+      | SELECT e.dst, CAST(SUM(r1.r // d.outdeg) AS BIGINT) AS in_sum
+      | FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
+      | GROUP BY 1),
+      |r2 AS (
+      | SELECT doc_id AS node,
+      |  CAST(150000 +
+      |   (85 * (COALESCE(s2.in_sum, 0) + d2.dd)) // 100 AS BIGINT)
+      |   AS r
+      | FROM documents LEFT JOIN s2 ON s2.dst = doc_id CROSS JOIN d2),
+      |d3 AS (
+      | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
+      |  AS BIGINT) AS dd
+      | FROM r2 WHERE node NOT IN (SELECT src FROM deg)),
+      |s3 AS (
+      | SELECT e.dst, CAST(SUM(r2.r // d.outdeg) AS BIGINT) AS in_sum
+      | FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.node = e.src
+      | GROUP BY 1),
+      |r3 AS (
+      | SELECT doc_id AS node,
+      |  CAST(150000 +
+      |   (85 * (COALESCE(s3.in_sum, 0) + d3.dd)) // 100 AS BIGINT)
+      |   AS r
+      | FROM documents LEFT JOIN s3 ON s3.dst = doc_id CROSS JOIN d3)"""
+      .stripMargin
+
+  /** The q142 quality-weight oracle chain (tokenized base → ratio
+    * facts → the q34/q123 fixed-point weight, ending at w) — shared
+    * by the q142 and q143 oracles.
+    */
+  private lazy val qualityWeightCtes: String =
+    s"""base AS (
+       | SELECT doc_id, lang, text, $dToks AS toks FROM documents),
+       |scored0 AS (
+       | SELECT doc_id, lang,
+       |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
+       |    OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
+       |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |  least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
+       |    CAST(1.0 AS DOUBLE)) AS len_score
+       | FROM base WHERE len(toks) >= 1),
+       |w AS (
+       | SELECT doc_id, lang,
+       |  CAST(floor((CAST(0.5 AS DOUBLE) * len_score
+       |   + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+       |   + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio))
+       |   * 1000000) AS BIGINT) AS weight_ppm
+       | FROM scored0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q24_cosine_topk" ->
@@ -5929,67 +6079,41 @@ object LlmPipeline {
     // on nonnegative values), same per-round dangling-share fold,
     // three unrolled iterations.
     "q136_link_rank" ->
-      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
-        |e0 AS (
-        | SELECT doc_id AS src, (doc_id * 31 + 7) % nd AS dst
-        | FROM documents, n WHERE doc_id % 7 <> 0
-        | UNION ALL
-        | SELECT doc_id, (doc_id * 17 + 3) % nd FROM documents, n
-        | WHERE doc_id % 7 <> 0
-        | UNION ALL
-        | SELECT doc_id, (doc_id * 13 + 11) % nd FROM documents, n
-        | WHERE doc_id % 7 <> 0),
-        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
-        |deg AS (
-        | SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
-        | FROM e GROUP BY 1),
-        |r0 AS (
-        | SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS r
-        | FROM documents),
-        |d1 AS (
-        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
-        |  AS BIGINT) AS dd
-        | FROM r0 WHERE node NOT IN (SELECT src FROM deg)),
-        |s1 AS (
-        | SELECT e.dst, CAST(SUM(r0.r // d.outdeg) AS BIGINT) AS in_sum
-        | FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.node = e.src
-        | GROUP BY 1),
-        |r1 AS (
-        | SELECT doc_id AS node,
-        |  CAST(150000 +
-        |   (85 * (COALESCE(s1.in_sum, 0) + d1.dd)) // 100 AS BIGINT)
-        |   AS r
-        | FROM documents LEFT JOIN s1 ON s1.dst = doc_id CROSS JOIN d1),
-        |d2 AS (
-        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
-        |  AS BIGINT) AS dd
-        | FROM r1 WHERE node NOT IN (SELECT src FROM deg)),
-        |s2 AS (
-        | SELECT e.dst, CAST(SUM(r1.r // d.outdeg) AS BIGINT) AS in_sum
-        | FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
-        | GROUP BY 1),
-        |r2 AS (
-        | SELECT doc_id AS node,
-        |  CAST(150000 +
-        |   (85 * (COALESCE(s2.in_sum, 0) + d2.dd)) // 100 AS BIGINT)
-        |   AS r
-        | FROM documents LEFT JOIN s2 ON s2.dst = doc_id CROSS JOIN d2),
-        |d3 AS (
-        | SELECT CAST(COALESCE(SUM(r), 0) // (SELECT nd FROM n)
-        |  AS BIGINT) AS dd
-        | FROM r2 WHERE node NOT IN (SELECT src FROM deg)),
-        |s3 AS (
-        | SELECT e.dst, CAST(SUM(r2.r // d.outdeg) AS BIGINT) AS in_sum
-        | FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.node = e.src
-        | GROUP BY 1),
-        |r3 AS (
-        | SELECT doc_id AS node,
-        |  CAST(150000 +
-        |   (85 * (COALESCE(s3.in_sum, 0) + d3.dd)) // 100 AS BIGINT)
-        |   AS r
-        | FROM documents LEFT JOIN s3 ON s3.dst = doc_id CROSS JOIN d3)
+      ("WITH " + linkRankCtes + """
         |SELECT node AS doc_id, r AS rank_fp FROM r3
-        |ORDER BY rank_fp DESC, doc_id LIMIT 20""".stripMargin,
+        |ORDER BY rank_fp DESC, doc_id LIMIT 20""".stripMargin),
+    // q143: the COMPOSED chain — q136's rank CTEs + q142's quality
+    // CTEs + the ppm product + the weighted selection, end to end.
+    "q143_authority_mix" ->
+      ("WITH " + linkRankCtes + ",\n" + qualityWeightCtes + """,
+        |wc AS (
+        | SELECT w.doc_id, w.lang,
+        |  (w.weight_ppm * LEAST(1000000, r3.r)) // 1000000 AS w_ppm
+        | FROM w JOIN r3 ON r3.node = w.doc_id),
+        |counts AS (
+        | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM wc GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM counts),
+        |th AS (
+        | SELECT lang,
+        |  LEAST(CAST(1000000 AS BIGINT),
+        |   CAST(round(LEAST(CAST(1 AS DOUBLE),
+        |     (CAST(0.5 AS DOUBLE) * n_total) / (n_groups * n_g))
+        |    * 1000000) AS BIGINT)) AS threshold_ppm
+        | FROM counts, tot),
+        |kept AS (
+        | SELECT wc.lang, wc.w_ppm,
+        |  CAST('0x' || substr(md5(CAST(wc.doc_id AS VARCHAR)), 17, 15)
+        |   AS BIGINT) % 8 AS shard
+        | FROM wc JOIN th ON th.lang = wc.lang
+        | WHERE CAST('0x' || substr(md5(CAST(wc.doc_id AS VARCHAR)), 1, 15)
+        |   AS BIGINT) % 1000000
+        |  < LEAST(1000000, (th.threshold_ppm * wc.w_ppm) // 1000000))
+        |SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_selected,
+        | CAST(SUM(w_ppm) AS BIGINT) AS sum_weight_ppm
+        |FROM kept GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin),
+
     // q137: the SEMANTIC spec — every shared-shingle pair exact-
     // verified (the prefix filter is an optimization that may only
     // shrink the candidate set, never the answer); same md5 shingle
@@ -6071,25 +6195,7 @@ object LlmPipeline {
     // slot scaled per document by (threshold × weight) // 1e6, and
     // the disjoint shard slice.
     "q142_weighted_export" ->
-      s"""WITH base AS (
-         | SELECT doc_id, lang, text, $dToks AS toks FROM documents),
-         |scored0 AS (
-         | SELECT doc_id, lang,
-         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
-         |  CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'
-         |    OR x = 'and' OR x = 'of' OR x = 'to')) AS DOUBLE)
-         |    / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-         |  least(CAST(length(text) AS DOUBLE) / CAST(500 AS DOUBLE),
-         |    CAST(1.0 AS DOUBLE)) AS len_score
-         | FROM base WHERE len(toks) >= 1),
-         |w AS (
-         | SELECT doc_id, lang,
-         |  CAST(floor((CAST(0.5 AS DOUBLE) * len_score
-         |   + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
-         |   + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - stop_ratio))
-         |   * 1000000) AS BIGINT) AS weight_ppm
-         | FROM scored0),
+      ("WITH " + qualityWeightCtes + """,
          |counts AS (
          | SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM w GROUP BY 1),
          |tot AS (
@@ -6112,7 +6218,7 @@ object LlmPipeline {
          |  < LEAST(1000000, (th.threshold_ppm * w.weight_ppm) // 1000000))
          |SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_selected,
          | CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm
-         |FROM kept GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin)
+         |FROM kept GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin))
 
   /** The q140/q141 fixture's analytic band CTEs — pattern → sizes →
     * 64-frame sums → sign bits → 16-bit bands, shared by both oracles
