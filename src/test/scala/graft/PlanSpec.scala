@@ -416,4 +416,26 @@ class PlanSpec extends SparkSuite {
     assert(!p137.contains("CartesianProduct") &&
       !p137.contains("BroadcastNestedLoopJoin"), "q137 went all-pairs")
   }
+
+  test("r16 additions: q140/q141's video band join stays an equi-join " +
+    "(never all-pairs); q142/q143's weighted selections filter against " +
+    "BROADCAST threshold frames (the scan side never shuffles to be " +
+    "sampled)") {
+    // q140: one 8-byte-key hash aggregate over the fingerprint frame
+    val p140 = plan("q140_video_dedup")
+    assert(!p140.contains("CartesianProduct") &&
+      !p140.contains("BroadcastNestedLoopJoin"), "q140 degenerated")
+    // q141: banded-Hamming candidates ride the pigeonhole equi-join
+    val p141 = plan("q141_video_neardup")
+    assert(!p141.contains("CartesianProduct") &&
+      !p141.contains("BroadcastNestedLoopJoin"), "q141 went all-pairs")
+    for (q <- Seq("q142_weighted_export", "q143_authority_mix")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast threshold join")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q's selection degenerated")
+    }
+  }
 }
