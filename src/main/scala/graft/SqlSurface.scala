@@ -83,7 +83,10 @@ object SqlSurface {
     // q142/q143 materialize their weight frames (referenced by the
     // driver-side threshold collect AND the weighted selection);
     // q143 additionally runs the checkpointed LinkRank rounds
-    "q142_weighted_export", "q143_authority_mix")
+    "q142_weighted_export", "q143_authority_mix",
+    // q144 materializes its per-customer RFM frame (referenced by
+    // three histogram builds AND the final scoring pass)
+    "q144_rfm_segments")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -880,6 +880,69 @@ object CoreAnalytics {
           date_trunc("hour", col("ts")).as("hour_ts"))
         .agg(count(lit(1)).as("n_events")))
 
+  /** q144: RFM customer segmentation — the classic CRM/BI construction
+    * (recency = days since the customer's last order, anchored to the
+    * corpus max order date so the answer is rerun-stable; frequency =
+    * order count; monetary = lifetime spend in exact integer cents via
+    * the DECIMAL-sum doctrine), each dimension scored 1–5 by QUINTILE.
+    * The quintile cuts come off [[graft.operators.QuantileSketch]]
+    * histograms (the q113/q115/q123 pattern — the 100 TB form of
+    * every global-ntile cut: per-partition histograms partial-
+    * aggregate map-side, the cut points broadcast as 4-row frames;
+    * never a corpus-sized single-partition window, never a value-
+    * buffering exact percentile), and scoring compares BUCKET ids
+    * (monotone in the value — the q123 exactness argument, so the
+    * oracle replays the walk bit-for-bit). Recency scores INVERTED
+    * (most recent = 5). Output carries the facts and the three scores
+    * plus the composed rfm_cell = r·100 + f·10 + m — the cell a
+    * campaign tool segments on.
+    */
+  private val q144: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val orders = t(s, dir, "orders")
+    val maxD = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val rfm = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(dec)).as("mon_dec"))
+      .crossJoin(broadcast(maxD))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("max_d"), col("last_d")).cast(LongType)
+          .as("recency_days"),
+        col("frequency"),
+        (col("mon_dec") * 100).cast(LongType).as("monetary_cents"))
+      // feeds three histogram builds AND the final scoring pass
+      .transform(graft.operators.Exec.materialize)
+    def bounds(valueCol: String, pfx: String): DataFrame = {
+      val h = QuantileSketch.build(rfm, valueCol, Seq.empty)
+      val cs = (1 to 4).map(k =>
+        max(when(col("quantile") === s"$pfx$k", col("value_fp")))
+          .as(s"$pfx$k"))
+      QuantileSketch.quantiles(h, Seq.empty,
+          (1 to 4).map(k => (s"$pfx$k", k.toLong, 5L)))
+        .groupBy().agg(cs.head, cs.tail: _*)
+    }
+    def rankScore(valueCol: String, pfx: String): Column =
+      (1 to 4).map(k =>
+        when(QuantileSketch.bucketExpr(valueCol) >
+          QuantileSketch.bucketExpr(s"$pfx$k"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+    rfm
+      .crossJoin(broadcast(bounds("recency_days", "rb")))
+      .crossJoin(broadcast(bounds("frequency", "fb")))
+      .crossJoin(broadcast(bounds("monetary_cents", "mb")))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        (lit(6L) - rankScore("recency_days", "rb")).as("r_score"),
+        rankScore("frequency", "fb").as("f_score"),
+        rankScore("monetary_cents", "mb").as("m_score"))
+      .withColumn("rfm_cell",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast(LongType))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -923,7 +986,8 @@ object CoreAnalytics {
     "q134_funnel_steps" -> q134,
     "q135_retention_cohorts" -> q135,
     "q138_hourly_anomalies" -> q138,
-    "q139_funnel_segments" -> q139)
+    "q139_funnel_segments" -> q139,
+    "q144_rfm_segments" -> q144)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1365,6 +1429,78 @@ object CoreAnalytics {
         |  AS conv3_pct
         |FROM j GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // q144: the RFM chain replayed — exact facts, the QuantileSketch
+    // log-linear bucket (p = 5), the ceil-rank quintile walk, and the
+    // bucket-granularity scoring (bucket(lowerBound(b)) = b, so
+    // comparing against the selected bucket ids is the same rule the
+    // Spark side applies to the lower-bound cut values).
+    "q144_rfm_segments" ->
+      """WITH mx AS (
+        | SELECT CAST(MAX(o_orderdate) AS DATE) AS max_d FROM orders),
+        |rfm AS (
+        | SELECT o_custkey AS c_custkey,
+        |  CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |    mx.max_d) AS BIGINT) AS recency_days,
+        |  CAST(COUNT(*) AS BIGINT) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) * 100
+        |   AS BIGINT) AS monetary_cents
+        | FROM orders, mx GROUP BY o_custkey, mx.max_d),
+        |q5(num) AS (VALUES (1), (2), (3), (4)),
+        |h_r AS (
+        | SELECT CASE WHEN recency_days < 32 THEN recency_days ELSE (length(bin(recency_days)) - 6) * 32 + recency_days // ((CAST(1 AS BIGINT)) << CAST(length(bin(recency_days)) - 6 AS INTEGER)) END AS b, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM rfm GROUP BY 1),
+        |c_r AS (
+        | SELECT b, SUM(n) OVER (ORDER BY b) AS cum,
+        |  SUM(n) OVER () AS total FROM h_r),
+        |s_r AS (
+        | SELECT q5.num, MIN(c_r.b) AS b FROM c_r
+        | JOIN q5 ON c_r.cum >= (c_r.total * q5.num + 4) // 5
+        | GROUP BY 1),
+        |bd_r AS (
+        | SELECT MIN(CASE WHEN num = 1 THEN b END) AS b1,
+        |  MIN(CASE WHEN num = 2 THEN b END) AS b2,
+        |  MIN(CASE WHEN num = 3 THEN b END) AS b3,
+        |  MIN(CASE WHEN num = 4 THEN b END) AS b4 FROM s_r),
+        |h_f AS (
+        | SELECT CASE WHEN frequency < 32 THEN frequency ELSE (length(bin(frequency)) - 6) * 32 + frequency // ((CAST(1 AS BIGINT)) << CAST(length(bin(frequency)) - 6 AS INTEGER)) END AS b, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM rfm GROUP BY 1),
+        |c_f AS (
+        | SELECT b, SUM(n) OVER (ORDER BY b) AS cum,
+        |  SUM(n) OVER () AS total FROM h_f),
+        |s_f AS (
+        | SELECT q5.num, MIN(c_f.b) AS b FROM c_f
+        | JOIN q5 ON c_f.cum >= (c_f.total * q5.num + 4) // 5
+        | GROUP BY 1),
+        |bd_f AS (
+        | SELECT MIN(CASE WHEN num = 1 THEN b END) AS b1,
+        |  MIN(CASE WHEN num = 2 THEN b END) AS b2,
+        |  MIN(CASE WHEN num = 3 THEN b END) AS b3,
+        |  MIN(CASE WHEN num = 4 THEN b END) AS b4 FROM s_f),
+        |h_m AS (
+        | SELECT CASE WHEN monetary_cents < 32 THEN monetary_cents ELSE (length(bin(monetary_cents)) - 6) * 32 + monetary_cents // ((CAST(1 AS BIGINT)) << CAST(length(bin(monetary_cents)) - 6 AS INTEGER)) END AS b, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM rfm GROUP BY 1),
+        |c_m AS (
+        | SELECT b, SUM(n) OVER (ORDER BY b) AS cum,
+        |  SUM(n) OVER () AS total FROM h_m),
+        |s_m AS (
+        | SELECT q5.num, MIN(c_m.b) AS b FROM c_m
+        | JOIN q5 ON c_m.cum >= (c_m.total * q5.num + 4) // 5
+        | GROUP BY 1),
+        |bd_m AS (
+        | SELECT MIN(CASE WHEN num = 1 THEN b END) AS b1,
+        |  MIN(CASE WHEN num = 2 THEN b END) AS b2,
+        |  MIN(CASE WHEN num = 3 THEN b END) AS b3,
+        |  MIN(CASE WHEN num = 4 THEN b END) AS b4 FROM s_m),
+        |scored AS (
+        | SELECT rfm.c_custkey, rfm.recency_days, rfm.frequency,
+        |  rfm.monetary_cents,
+        |  CAST(6 - (1 + CASE WHEN CASE WHEN rfm.recency_days < 32 THEN rfm.recency_days ELSE (length(bin(rfm.recency_days)) - 6) * 32 + rfm.recency_days // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.recency_days)) - 6 AS INTEGER)) END > bd_r.b1 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.recency_days < 32 THEN rfm.recency_days ELSE (length(bin(rfm.recency_days)) - 6) * 32 + rfm.recency_days // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.recency_days)) - 6 AS INTEGER)) END > bd_r.b2 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.recency_days < 32 THEN rfm.recency_days ELSE (length(bin(rfm.recency_days)) - 6) * 32 + rfm.recency_days // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.recency_days)) - 6 AS INTEGER)) END > bd_r.b3 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.recency_days < 32 THEN rfm.recency_days ELSE (length(bin(rfm.recency_days)) - 6) * 32 + rfm.recency_days // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.recency_days)) - 6 AS INTEGER)) END > bd_r.b4 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+        |  CAST(1 + CASE WHEN CASE WHEN rfm.frequency < 32 THEN rfm.frequency ELSE (length(bin(rfm.frequency)) - 6) * 32 + rfm.frequency // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.frequency)) - 6 AS INTEGER)) END > bd_f.b1 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.frequency < 32 THEN rfm.frequency ELSE (length(bin(rfm.frequency)) - 6) * 32 + rfm.frequency // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.frequency)) - 6 AS INTEGER)) END > bd_f.b2 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.frequency < 32 THEN rfm.frequency ELSE (length(bin(rfm.frequency)) - 6) * 32 + rfm.frequency // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.frequency)) - 6 AS INTEGER)) END > bd_f.b3 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.frequency < 32 THEN rfm.frequency ELSE (length(bin(rfm.frequency)) - 6) * 32 + rfm.frequency // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.frequency)) - 6 AS INTEGER)) END > bd_f.b4 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+        |  CAST(1 + CASE WHEN CASE WHEN rfm.monetary_cents < 32 THEN rfm.monetary_cents ELSE (length(bin(rfm.monetary_cents)) - 6) * 32 + rfm.monetary_cents // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.monetary_cents)) - 6 AS INTEGER)) END > bd_m.b1 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.monetary_cents < 32 THEN rfm.monetary_cents ELSE (length(bin(rfm.monetary_cents)) - 6) * 32 + rfm.monetary_cents // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.monetary_cents)) - 6 AS INTEGER)) END > bd_m.b2 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.monetary_cents < 32 THEN rfm.monetary_cents ELSE (length(bin(rfm.monetary_cents)) - 6) * 32 + rfm.monetary_cents // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.monetary_cents)) - 6 AS INTEGER)) END > bd_m.b3 THEN 1 ELSE 0 END + CASE WHEN CASE WHEN rfm.monetary_cents < 32 THEN rfm.monetary_cents ELSE (length(bin(rfm.monetary_cents)) - 6) * 32 + rfm.monetary_cents // ((CAST(1 AS BIGINT)) << CAST(length(bin(rfm.monetary_cents)) - 6 AS INTEGER)) END > bd_m.b4 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+        | FROM rfm CROSS JOIN bd_r CROSS JOIN bd_f CROSS JOIN bd_m)
+        |SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |  AS rfm_cell
+        |FROM scored ORDER BY c_custkey""".stripMargin,
     "q138_hourly_anomalies" ->
       """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
         | FROM events),
