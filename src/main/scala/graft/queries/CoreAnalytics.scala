@@ -914,6 +914,18 @@ object CoreAnalytics {
         (col("mon_dec") * 100).cast(LongType).as("monetary_cents"))
       // feeds three histogram builds AND the final scoring pass
       .transform(graft.operators.Exec.materialize)
+    scoreRfm(rfm)
+  }
+
+  /** q144's quintile scoring over a (c_custkey, recency_days,
+    * frequency, monetary_cents) facts frame — ONE definition shared
+    * with the maintained form ([[graft.streaming.Streams
+    * .rfmFromSnapshot]]), so the cuts the stream serves can never
+    * drift from the batch query's. The caller materializes `rfm`
+    * (three histogram builds + the scoring pass read it).
+    */
+  private[graft] def scoreRfm(rfm: DataFrame): DataFrame = {
+    import graft.operators.QuantileSketch
     def bounds(valueCol: String, pfx: String): DataFrame = {
       val h = QuantileSketch.build(rfm, valueCol, Seq.empty)
       val cs = (1 to 4).map(k =>

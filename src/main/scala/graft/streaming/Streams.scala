@@ -1331,6 +1331,52 @@ object Streams {
       .orderBy(segmentCol)
   }
 
+  /** Incrementally-maintained RFM inputs — q144's per-customer facts
+    * on the versioned-snapshot loop: all three sufficient statistics
+    * are cell-wise mergeable (last order = MAX of event-time micros,
+    * frequency = SUM of counts, monetary = SUM of per-batch exact
+    * DECIMAL-cent sums — longs add exactly under any batch split), so
+    * the facts ride the retention pattern. Quintile CUTS are never
+    * frozen into state: [[rfmFromSnapshot]] re-derives them from the
+    * maintained facts at read time — a new whale re-scores everyone's
+    * m_score on the next read, exactly as batch q144 would.
+    */
+  def maintainRfmInputs(orders: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(orders, path, checkpointDir, "rfm_inputs")(
+      batch => batch.groupBy(col("o_custkey").as("user_id"))
+        .agg(max(unix_micros(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          (sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+            .cast(org.apache.spark.sql.types.LongType).as("cents")),
+      (prev, cur) => prev.unionByName(cur)
+        .groupBy("user_id")
+        .agg(max("last_us").as("last_us"), sum("freq").as("freq"),
+          sum("cents").as("cents")))
+
+  /** q144's RFM segmentation derived from the latest
+    * [[maintainRfmInputs]] snapshot — bit-identical to the batch query
+    * over every order fed so far (StreamingSpec law): the recency
+    * anchor is the snapshot's own max order time (≡ the corpus max),
+    * and the scoring is q144's OWN definition
+    * ([[graft.queries.CoreAnalytics.scoreRfm]] — one set of quintile
+    * rules for batch and stream).
+    */
+  def rfmFromSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val snap = readMergedSnapshot(spark, path, "rfm inputs")
+    val mx = snap.agg(max("last_us").as("mx_us"))
+    val rfm = snap.crossJoin(broadcast(mx))
+      .select(col("user_id").as("c_custkey"),
+        datediff(to_date(timestamp_micros(col("mx_us"))),
+          to_date(timestamp_micros(col("last_us"))))
+          .cast(org.apache.spark.sql.types.LongType).as("recency_days"),
+        col("freq").as("frequency"),
+        col("cents").as("monetary_cents"))
+      .transform(graft.operators.Exec.materialize)
+    graft.queries.CoreAnalytics.scoreRfm(rfm)
+  }
+
   /** Incrementally-maintained RETENTION inputs — q135's cohort matrix
     * kept fresh at ingest. The contrast with [[funnelStream]] is the
     * point: the funnel min-chain is not mergeable, but retention's

@@ -450,6 +450,58 @@ class StreamingSpec extends SparkSuite {
     assert(segments() === want, "full-history replay must be a no-op")
   }
 
+  test("maintained RFM inputs: snapshot-derived segmentation equals " +
+    "batch q144 over the fed orders (any split), and replay after " +
+    "checkpoint loss is a no-op") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val srcDir = tmpDir("rfm-src")
+    val path = tmpDir("rfm-snap") + "/inputs"
+    val ckpt = tmpDir("rfm-ckpt")
+    // the real sf orders split by orderkey parity — deliberately NOT
+    // time-ordered, the mergeable facts must not care
+    val rows = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getDouble(3)))
+    def deliver(name: String,
+        rs: Seq[(Long, java.sql.Timestamp, Double)]): Unit =
+      rs.toDF("o_custkey", "o_orderdate", "o_totalprice").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    def drain(checkpoint: String = ckpt): Unit =
+      S.maintainRfmInputs(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        path, checkpoint).awaitTermination()
+    def seg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    deliver("b1", rows.filter(_._1 % 2 == 0L).map(r => (r._2, r._3, r._4)))
+    drain()
+    deliver("b2", rows.filter(_._1 % 2 == 1L).map(r => (r._2, r._3, r._4)))
+    drain()
+    val batch = seg(graft.queries.CoreAnalytics
+      .queries("q144_rfm_segments")(spark, sf))
+    assert(seg(S.rfmFromSnapshot(spark, path)) === batch,
+      "streamed RFM diverged from batch q144 over the same orders")
+    // the law must discriminate: scores spread across the range
+    assert(batch.values.map(_._4).toSet.size === 5,
+      "fixture lost quintile discrimination")
+    // replay after checkpoint loss: committed batch dirs are skipped
+    drain(tmpDir("rfm-ckpt2"))
+    assert(seg(S.rfmFromSnapshot(spark, path)) === batch,
+      "full-history replay must be a no-op")
+  }
+
   test("incrementally-maintained retention: the snapshot-derived matrix " +
     "equals batch q135 over the fed events (any split), a late earlier " +
     "signup re-cohorts at read time, and replay is idempotent") {
