@@ -955,6 +955,26 @@ object CoreAnalytics {
       .orderBy("c_custkey")
   }
 
+  /** q145: SEASONAL hourly rate anomalies — q138's flank for weekly
+    * seasonality: the trailing-24h median flags a Monday-morning
+    * surge on a site whose Mondays always surge; here each hour is
+    * judged against the exact median of its own HOUR-OF-WEEK slot's
+    * previous observations. The slot is pure epoch arithmetic —
+    * (µs DIV 3600000000) % 168 — never a locale-dependent dow/hod
+    * pair, so both engines agree by construction. ONE shared rule
+    * with the streamed maintainer
+    * ([[graft.streaming.Streams.seasonalAnomalies]], served from the
+    * same maintained hourly snapshot as q138); the heavy aggregation
+    * is the same one map-side-combined pass, and the seasonal window
+    * runs on the KB-scale (type × slot) aggregate.
+    */
+  private val q145: Q = (s, dir) =>
+    graft.streaming.Streams.seasonalAnomalies(
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_events")))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01,
     "q02_revenue_by_segment" -> q02,
@@ -999,7 +1019,8 @@ object CoreAnalytics {
     "q135_retention_cohorts" -> q135,
     "q138_hourly_anomalies" -> q138,
     "q139_funnel_segments" -> q139,
-    "q144_rfm_segments" -> q144)
+    "q144_rfm_segments" -> q144,
+    "q145_seasonal_anomalies" -> q145)
 
   // =====================================================================
   // DuckDB oracle SQL (ANSI, same parquet tables registered by name)
@@ -1513,6 +1534,36 @@ object CoreAnalytics {
         |SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
         |  AS rfm_cell
         |FROM scored ORDER BY c_custkey""".stripMargin,
+    // q145: the seasonal spike rule replayed — epoch hour-of-week
+    // slots (never calendar dow/hod), quantile_cont over the 2-deep
+    // same-slot frame (the q43/q138 window-percentile law).
+    "q145_seasonal_anomalies" ->
+      """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+        | FROM events),
+        |h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM ev GROUP BY 1, 2),
+        |w AS (
+        | SELECT event_type, hour_ts, n_events,
+        |  CAST((epoch_us(hour_ts) // 3600000000) % 168 AS BIGINT)
+        |   AS slot,
+        |  quantile_cont(n_events, 0.5) OVER
+        |   (PARTITION BY event_type,
+        |     (epoch_us(hour_ts) // 3600000000) % 168
+        |    ORDER BY hour_ts
+        |    ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS med_seasonal,
+        |  COUNT(*) OVER
+        |   (PARTITION BY event_type,
+        |     (epoch_us(hour_ts) // 3600000000) % 168
+        |    ORDER BY hour_ts
+        |    ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS n_prev
+        | FROM h)
+        |SELECT event_type, hour_ts, n_events, slot, med_seasonal,
+        | CAST(n_events AS DOUBLE) / med_seasonal AS spike_ratio
+        |FROM w
+        |WHERE n_prev = 2 AND CAST(n_events AS DOUBLE) >= 2 * med_seasonal
+        |ORDER BY event_type, hour_ts""".stripMargin,
     "q138_hourly_anomalies" ->
       """WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
         | FROM events),

@@ -1499,6 +1499,55 @@ object Streams {
       .orderBy("event_type", "hour_ts")
   }
 
+  /** The SEASONAL spike rule over the same hourly-counts shape —
+    * q145's flank of [[hourlyAnomalies]]: the trailing-24h median
+    * flags a Monday 9am surge on a site whose Mondays always surge,
+    * so each hour is judged against the exact median of its own
+    * HOUR-OF-WEEK slot's previous 2 observations instead (the weekly
+    * seasonality every traffic series carries; a 2-deep lookback
+    * because the driver corpus spans ~4 weeks — the frame constant is
+    * the only thing to widen on a longer series). The slot is epoch
+    * arithmetic — (µs DIV 3600000000) % 168 — NOT a calendar dow/hod
+    * pair, so both engines agree without touching locale/week
+    * conventions. Cold-start slots (< 2 prior weeks) are withheld.
+    * Still runs on the KB-scale (type × hour) aggregate; partitions =
+    * type × 168 slots — corpus-size-independent. Serves identically
+    * from the [[maintainHourlyCounts]] snapshot
+    * ([[seasonalAnomaliesFromSnapshot]]).
+    */
+  def seasonalAnomalies(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("slot")).orderBy("hour_ts")
+      .rowsBetween(-2, -1)
+    hourly
+      .withColumn("slot",
+        expr("(unix_micros(hour_ts) div 3600000000) % 168"))
+      .withColumn("med_seasonal",
+        expr("percentile(n_events, 0.5D)").over(w))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .filter(col("n_prev") === 2L &&
+        col("n_events").cast(org.apache.spark.sql.types.DoubleType)
+          >= lit(2.0) * col("med_seasonal"))
+      .withColumn("spike_ratio",
+        col("n_events").cast(org.apache.spark.sql.types.DoubleType) /
+          col("med_seasonal"))
+      .select("event_type", "hour_ts", "n_events", "slot",
+        "med_seasonal", "spike_ratio")
+      .orderBy("event_type", "hour_ts")
+  }
+
+  /** q145 served from the latest [[maintainHourlyCounts]] snapshot —
+    * same shared rule, so the stream cannot drift from the batch
+    * query (the anomaliesFromSnapshot pattern).
+    */
+  def seasonalAnomaliesFromSnapshot(spark: SparkSession,
+      path: String): DataFrame =
+    seasonalAnomalies(
+      readMergedSnapshot(spark, path, "hourly counts")
+        .select(col("event_type"),
+          timestamp_micros(col("hour_us")).as("hour_ts"),
+          col("n_events")))
+
   /** Incrementally-maintained LINK-GRAPH edge table — the input of
     * [[graft.operators.LinkRank]] kept fresh at ingest: per-batch
     * (src, dst) pairs merge under DISTINCT UNION (idempotent, so
@@ -1527,6 +1576,24 @@ object Streams {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     graft.operators.LinkRank.train(nodes, e, iters, dampingPct)
+  }
+
+  /** [[linkRankFromSnapshot]] with the CONVERGENCE stop — the form a
+    * scheduled production retrain actually runs (a fixed iteration
+    * budget either wastes rounds after the fixed point or stops short
+    * on a deep graph; `LinkRank.trainConverged` stops when the
+    * largest per-node movement drops below `tolFp`, capped at
+    * `maxIters`). Returns (ranks, rounds run) so the retrain log can
+    * record how hard the graph was.
+    */
+  def linkRankFromSnapshotConverged(spark: SparkSession, path: String,
+      maxIters: Int, tolFp: Long,
+      dampingPct: Int = 85): (DataFrame, Int) = {
+    val e = readMergedSnapshot(spark, path, "link edges")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    graft.operators.LinkRank.trainConverged(nodes, e, maxIters, tolFp,
+      dampingPct)
   }
 
   /** Incrementally-maintained (term, document-frequency) stats table —

@@ -606,6 +606,16 @@ class StreamingSpec extends SparkSuite {
     assert(report(S.anomaliesFromSnapshot(spark, path)) === batch,
       "streamed anomaly report diverged from batch q138")
     assert(batch.nonEmpty, "fixture produced no spikes")
+    // the SEASONAL flank serves from the SAME snapshot: ≡ batch q145
+    def sreport(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val sbatch = sreport(graft.queries.CoreAnalytics
+      .queries("q145_seasonal_anomalies")(spark, sf))
+    assert(sreport(S.seasonalAnomaliesFromSnapshot(spark, path))
+      === sbatch, "streamed seasonal report diverged from batch q145")
+    assert(sbatch.nonEmpty, "fixture produced no seasonal spikes")
     // replay after checkpoint loss: committed batch dirs are skipped
     drain(tmpDir("hourly-ckpt2"))
     assert(report(S.anomaliesFromSnapshot(spark, path)) === batch,
@@ -655,6 +665,18 @@ class StreamingSpec extends SparkSuite {
     drain(tmpDir("edges-ckpt2"))
     assert(ranks(S.linkRankFromSnapshot(spark, path, iters = 3))
       === oneShot, "full-history replay must be a no-op")
+    // the converged retrain form: stops at an exact integer fixed
+    // point of the SAME chain (folding more rounds changes nothing)
+    val (rdf, rounds) = S.linkRankFromSnapshotConverged(spark, path,
+      maxIters = 100, tolFp = 1L)
+    assert(rounds < 100, s"never converged within the cap ($rounds)")
+    val fixed = ranks(rdf)
+    assert(fixed === ranks(graft.operators.LinkRank
+        .train(nodes, all.toDF("src", "dst"), iters = rounds)),
+      "converged ranks must equal the fixed-count chain at that depth")
+    assert(fixed === ranks(graft.operators.LinkRank
+        .train(nodes, all.toDF("src", "dst"), iters = rounds + 3)),
+      "stop fired before the chain reached its fixed point")
   }
 
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
