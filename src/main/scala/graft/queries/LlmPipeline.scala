@@ -706,11 +706,22 @@ object LlmPipeline {
   }
 
   /** [[minhashPairs]] over an arbitrary (doc_id, text, …) frame. */
-  private def minhashPairsOf(docs: DataFrame): DataFrame = {
+  private def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashPairsFromSignatures(minhashedOf(docs))
+
+  /** Verified near-dup pairs from a (doc_id, sig, bk) SIGNATURE frame —
+    * the band candidate join + ≥8/16 agreement verify factored off the
+    * text kernel, ONE definition for the in-corpus form (q28/q60) and
+    * the maintained-snapshot form
+    * ([[graft.streaming.Streams.nearDupClustersFromSnapshot]], whose
+    * signatures were computed at ingest and never re-derived from
+    * text).
+    */
+  private[graft] def minhashPairsFromSignatures(
+      sigRows: DataFrame): DataFrame = {
     def side(tag: String): DataFrame =
-      minhashedOf(docs)
-        .select(col("doc_id").as(s"doc_$tag"), col("sig").as(s"sig_$tag"),
-          col("bk"))
+      sigRows.select(col("doc_id").as(s"doc_$tag"),
+        col("sig").as(s"sig_$tag"), col("bk"))
     side("a").join(side("b"), "bk")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")
@@ -720,6 +731,13 @@ object LlmPipeline {
           "0, (a, x) -> a + x) as bigint)"))
       .filter(col("n_match") >= 8)
   }
+
+  /** q60's cluster report over a verified pair frame — ONE epilogue
+    * for the batch query and the maintained-snapshot form.
+    */
+  private[graft] def nearDupClustersOf(pairs: DataFrame): DataFrame =
+    clustered(connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b"))), "doc_id")
 
   private val q28: Q = (s, dir) =>
     minhashPairs(s, dir)
@@ -1591,8 +1609,7 @@ object LlmPipeline {
     * half-merged clustering.
     */
   private val q60: Q = (s, dir) =>
-    clustered(connectedComponents(
-      minhashPairs(s, dir).select("doc_a", "doc_b")), "doc_id")
+    nearDupClustersOf(minhashPairs(s, dir))
 
   /** Cluster report over [[connectedComponents]] labels: one row per
     * node with its keeper and cluster size — the epilogue q60 and q83

@@ -1548,6 +1548,47 @@ object Streams {
           timestamp_micros(col("hour_us")).as("hour_ts"),
           col("n_events")))
 
+  /** Incrementally-maintained NEAR-DUP SIGNATURES — q60's clustering
+    * input kept fresh at ingest: each micro-batch runs the minhash
+    * kernel ONCE over its documents (the expensive text pass) and the
+    * (doc_id, sig, band-key) rows merge under DISTINCT UNION
+    * (idempotent — re-delivered documents and full replays are free).
+    * CLUSTER LABELS are deliberately NOT maintained incrementally:
+    * like PageRank ([[maintainEdges]]), connected components is a
+    * global fixed point — a single new document can merge two old
+    * clusters, so any frozen per-batch label is retroactively wrong;
+    * the serving pattern is the retrain one — fold signatures cheaply
+    * forever, derive labels on a schedule from the snapshot
+    * ([[nearDupClustersFromSnapshot]]: band equi-join + signature
+    * verify + the checkpointed CC loop, all over the maintained
+    * 16-long signatures — the corpus text is never re-read).
+    */
+  def maintainNearDupSignatures(docs: DataFrame, textCol: String,
+      idCol: String, path: String,
+      checkpointDir: String): StreamingQuery =
+    maintainMergedSnapshot(docs, path, checkpointDir, "neardup_sigs")(
+      batch => {
+        graft.functions.Functions.register(batch.sparkSession)
+        graft.queries.LlmPipeline.minhashedOf(
+          batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+          .select("doc_id", "sig", "bk")
+      },
+      (prev, cur) => prev.unionByName(cur).distinct())
+
+  /** q60's near-dup cluster report derived from the latest
+    * [[maintainNearDupSignatures]] snapshot — bit-identical to the
+    * batch query over every document fed so far (StreamingSpec law;
+    * q28's band join, verify rule, and CC epilogue are the SAME
+    * definitions — `minhashPairsFromSignatures` / `nearDupClustersOf`
+    * — so the maintained form can never drift from the query it
+    * serves).
+    */
+  def nearDupClustersFromSnapshot(spark: SparkSession,
+      path: String): DataFrame =
+    graft.queries.LlmPipeline.nearDupClustersOf(
+      graft.queries.LlmPipeline.minhashPairsFromSignatures(
+        readMergedSnapshot(spark, path, "near-dup signatures")))
+
   /** Incrementally-maintained LINK-GRAPH edge table — the input of
     * [[graft.operators.LinkRank]] kept fresh at ingest: per-batch
     * (src, dst) pairs merge under DISTINCT UNION (idempotent, so

@@ -679,6 +679,50 @@ class StreamingSpec extends SparkSuite {
       "stop fired before the chain reached its fixed point")
   }
 
+  test("maintained near-dup signatures: snapshot-derived clusters " +
+    "equal batch q60 over the fed documents (any split), and replay " +
+    "after checkpoint loss is a no-op") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val srcDir = tmpDir("ndsig-src")
+    val path = tmpDir("ndsig-snap") + "/sigs"
+    val ckpt = tmpDir("ndsig-ckpt")
+    val rows = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def deliver(name: String, rs: Seq[(Long, String)]): Unit =
+      rs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(checkpoint: String = ckpt): Unit =
+      S.maintainNearDupSignatures(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", path, checkpoint).awaitTermination()
+    def clusters(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // split by parity — a near-dup pair can straddle the batches, the
+    // snapshot-derived band join must still find it
+    deliver("b1", rows.filter(_._1 % 2 == 0L).toSeq)
+    drain()
+    deliver("b2", rows.filter(_._1 % 2 == 1L).toSeq)
+    drain()
+    val batch = clusters(graft.queries.LlmPipeline
+      .queries("q60_neardup_clusters")(spark, sf))
+    assert(clusters(S.nearDupClustersFromSnapshot(spark, path))
+      === batch, "snapshot clusters diverged from batch q60")
+    assert(batch.values.exists(_._2 > 1L),
+      "fixture lost discrimination (no multi-doc cluster)")
+    // replay after checkpoint loss: distinct-union absorbs it
+    drain(tmpDir("ndsig-ckpt2"))
+    assert(clusters(S.nearDupClustersFromSnapshot(spark, path))
+      === batch, "full-history replay must be a no-op")
+  }
+
   test("incremental (term, df) stats: streamed batches equal one recompute; replay is idempotent") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("docs-src").toString
