@@ -388,7 +388,13 @@ object Multimodal {
             else {
               val uniform = u32(s + 4)
               val n = u32(s + 8)
-              if (n < 0 || n > Int.MaxValue) None
+              // the uniform form carries NO table, so the count is
+              // unbounded by the file size — a 12-byte corrupt header
+              // must not drive a GB allocation (OutOfMemoryError is
+              // fatal, not NonFatal); 2^22 samples ≈ 19 h at 60 fps,
+              // beyond it the header is treated as malformed. The
+              // per-sample branch is file-size-bounded by its table.
+              if (n < 0 || (uniform != 0L && n > (1L << 22))) None
               else if (uniform != 0L)
                 Some(Array.fill(n.toInt)(uniform))
               else if (s + 12 + 4L * n > e) None

@@ -131,30 +131,10 @@ object CorpusExport {
     */
   def materialize(docs: DataFrame, groupCol: String, idCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
-      numShards: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val th = thresholds.toDF("__grp", "__threshold_ppm")
-    val out = selectAndShard(docs, groupCol, idCol, thresholds, numShards)
-      .repartition(col("shard"))
-    out.write.mode(SaveMode.Overwrite).partitionBy("shard")
-      .parquet(s"$outDir/data")
-    // manifest: achieved per-group counts + the thresholds that
-    // produced them, read back from the written data (what landed on
-    // disk, not what the plan promised)
-    val manifest = spark.read.parquet(s"$outDir/data")
-      .groupBy(col(groupCol).cast("string").as("group"))
-      .agg(count(lit(1)).as("n_selected"))
-      .join(broadcast(th.select(col("__grp").as("group"),
-        col("__threshold_ppm").as("threshold_ppm"))), Seq("group"),
-        "right_outer")
-      .select(col("group"),
-        col("threshold_ppm").cast(LongType),
-        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/_export_manifest")
-    spark.read.parquet(s"$outDir/_export_manifest")
-  }
+      numShards: Int = 16): DataFrame =
+    materializeCore(
+      selectAndShard(docs, groupCol, idCol, thresholds, numShards),
+      groupCol, thresholds, outDir)
 
   /** [[uniformMixThresholds]] + [[materialize]] in one call — export a
     * uniform-target mix at output rate `rate`.
@@ -174,15 +154,28 @@ object CorpusExport {
   def materializeWeighted(docs: DataFrame, groupCol: String,
       idCol: String, weightPpmCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
-      numShards: Int = 16): DataFrame = {
-    val spark = docs.sparkSession
+      numShards: Int = 16): DataFrame =
+    materializeCore(
+      selectAndShardWeighted(docs, groupCol, idCol, weightPpmCol,
+        thresholds, numShards),
+      groupCol, thresholds, outDir)
+
+  /** The write + manifest protocol shared by [[materialize]] and
+    * [[materializeWeighted]] — one commit path, so the manifest
+    * schema and read-back-what-landed rule cannot drift between the
+    * plain and weighted exports.
+    */
+  private def materializeCore(selected: DataFrame, groupCol: String,
+      thresholds: Seq[(String, Long)], outDir: String): DataFrame = {
+    val spark = selected.sparkSession
     import spark.implicits._
     val th = thresholds.toDF("__grp", "__threshold_ppm")
-    val out = selectAndShardWeighted(docs, groupCol, idCol,
-      weightPpmCol, thresholds, numShards)
-      .repartition(col("shard"))
-    out.write.mode(SaveMode.Overwrite).partitionBy("shard")
+    selected.repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/data")
+    // manifest: achieved per-group counts + the thresholds that
+    // produced them, read back from the written data (what landed on
+    // disk, not what the plan promised)
     val manifest = spark.read.parquet(s"$outDir/data")
       .groupBy(col(groupCol).cast("string").as("group"))
       .agg(count(lit(1)).as("n_selected"))

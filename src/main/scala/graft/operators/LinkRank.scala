@@ -66,14 +66,24 @@ object LinkRank {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val base = (100L - dampingPct) * 10000L
+    // the node frame feeds every round's rebuild (plus the divisor
+    // count and r0) — materialize ONCE or a derived caller frame
+    // (e.g. the snapshot union-distinct) re-executes per reference
+    val nodesM = nodes.select(col("node")).transform(Exec.materialize)
+    // the uniform-share divisor; a scalar off the materialized frame
+    val nNodes = nodesM.count()
+    var ranks = nodesM.select(col("node"), lit(1000000L).as("rank_fp"))
+      .transform(Exec.materialize)
+    if (nNodes == 0L) {
+      // empty graph: the fixed point is the empty frame — returning it
+      // beats evaluating `DIV 0` under ANSI in the dangling share
+      Exec.release(nodesM)
+      return (ranks, 0)
+    }
     val withDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .transform(Exec.materialize)
     val srcs = withDeg.select("src").distinct()
-      .transform(Exec.materialize)
-    // the uniform-share divisor; a scalar, priced as one narrow count
-    val nNodes = nodes.count()
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_fp"))
       .transform(Exec.materialize)
     var rounds = 0
     var converged = false
@@ -88,10 +98,10 @@ object LinkRank {
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank_fp DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      val next = nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
+      val next = nodesM
+        .join(sums, nodesM("node") === sums("dst"), "left")
         .crossJoin(broadcast(dang))
-        .select(nodes("node"),
+        .select(nodesM("node"),
           (lit(base) + expr(
             s"($dampingPct * (coalesce(in_sum, 0L) + dd)) DIV 100"))
             .cast(LongType).as("rank_fp"))
@@ -112,6 +122,7 @@ object LinkRank {
     }
     Exec.release(withDeg)
     Exec.release(srcs)
+    Exec.release(nodesM)
     (ranks, rounds)
   }
 }

@@ -898,22 +898,25 @@ object CoreAnalytics {
     * campaign tool segments on.
     */
   private val q144: Q = (s, dir) => {
-    import graft.operators.QuantileSketch
-    val orders = t(s, dir, "orders")
-    val maxD = orders.agg(max(col("o_orderdate")).as("max_d"))
-    val rfm = orders
+    // ONE orders scan: the per-customer aggregate materializes, the
+    // recency anchor derives from its OWN max (≡ the corpus max order
+    // date — max of per-group maxes), never a second corpus pass; the
+    // downstream histogram builds and scoring re-read only the narrow
+    // materialized frame
+    val perCust = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_d"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast(dec)).as("mon_dec"))
+      .transform(graft.operators.Exec.materialize)
+    val maxD = perCust.agg(max(col("last_d")).as("max_d"))
+    val rfm = perCust
       .crossJoin(broadcast(maxD))
       .select(col("o_custkey").as("c_custkey"),
         datediff(col("max_d"), col("last_d")).cast(LongType)
           .as("recency_days"),
         col("frequency"),
         (col("mon_dec") * 100).cast(LongType).as("monetary_cents"))
-      // feeds three histogram builds AND the final scoring pass
-      .transform(graft.operators.Exec.materialize)
     scoreRfm(rfm)
   }
 

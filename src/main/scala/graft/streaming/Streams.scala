@@ -771,12 +771,20 @@ object Streams {
     */
   private def videoQualityGate(minDurationMs: Long, maxDurationMs: Long,
       minDim: Int, maxAspectFp: Long): DataFrame => DataFrame =
-    df => df.filter(
+    df => df
+      // aspect guarded against poisoned/zero dims (ANSI division)
+      // exactly like the registry query and the byte-exact feed — an
+      // audio-only track's tkhd carries width = height = 0, and a
+      // reordered conjunct must never divide by it
+      .withColumn("__aspect_fp",
+        when(col("width") > 0 && col("height") > 0,
+          expr("(greatest(width, height) * 1000000L) div " +
+            "least(width, height)")).otherwise(lit(-1L)))
+      .filter(
         col("duration_ms").between(minDurationMs, maxDurationMs) &&
           least(col("width"), col("height")) >= minDim &&
-          expr("(greatest(width, height) * 1000000L) div " +
-            "least(width, height)") <= maxAspectFp)
-      .drop("timescale", "duration_ms", "width", "height")
+          col("__aspect_fp").between(0L, maxAspectFp))
+      .drop("timescale", "duration_ms", "width", "height", "__aspect_fp")
 
   /** The staged VIDEO curation feed with a real NEAR stage — the
     * [[imageCurationFeedGated]] shape on the video pillar, now that
@@ -1612,12 +1620,9 @@ object Streams {
     * and the edge set is order-free).
     */
   def linkRankFromSnapshot(spark: SparkSession, path: String,
-      iters: Int, dampingPct: Int = 85): DataFrame = {
-    val e = readMergedSnapshot(spark, path, "link edges")
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    graft.operators.LinkRank.train(nodes, e, iters, dampingPct)
-  }
+      iters: Int, dampingPct: Int = 85): DataFrame =
+    linkRankFromSnapshotConverged(spark, path, maxIters = iters,
+      tolFp = 0L, dampingPct = dampingPct)._1
 
   /** [[linkRankFromSnapshot]] with the CONVERGENCE stop — the form a
     * scheduled production retrain actually runs (a fixed iteration
