@@ -66,18 +66,18 @@ object LinkRank {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val base = (100L - dampingPct) * 10000L
-    // the node frame feeds every round's rebuild (plus the divisor
-    // count and r0) — materialize ONCE or a derived caller frame
-    // (e.g. the snapshot union-distinct) re-executes per reference
-    val nodesM = nodes.select(col("node")).transform(Exec.materialize)
-    // the uniform-share divisor; a scalar off the materialized frame
-    val nNodes = nodesM.count()
-    var ranks = nodesM.select(col("node"), lit(1000000L).as("rank_fp"))
+    // the caller's node frame is read exactly ONCE (r0); every later
+    // round derives its node set from the PREVIOUS round's already-
+    // materialized rank frame, so an expensive caller derivation
+    // (e.g. the snapshot union-distinct) never re-executes per round
+    // and no extra barrier is paid for it
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_fp"))
       .transform(Exec.materialize)
+    // the uniform-share divisor; a scalar off the materialized frame
+    val nNodes = ranks.count()
     if (nNodes == 0L) {
       // empty graph: the fixed point is the empty frame — returning it
       // beats evaluating `DIV 0` under ANSI in the dangling share
-      Exec.release(nodesM)
       return (ranks, 0)
     }
     val withDeg = edges
@@ -98,10 +98,11 @@ object LinkRank {
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank_fp DIV outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("in_sum"))
-      val next = nodesM
-        .join(sums, nodesM("node") === sums("dst"), "left")
+      val nodesR = ranks.select(col("node"))
+      val next = nodesR
+        .join(sums, nodesR("node") === sums("dst"), "left")
         .crossJoin(broadcast(dang))
-        .select(nodesM("node"),
+        .select(nodesR("node"),
           (lit(base) + expr(
             s"($dampingPct * (coalesce(in_sum, 0L) + dd)) DIV 100"))
             .cast(LongType).as("rank_fp"))
@@ -122,7 +123,6 @@ object LinkRank {
     }
     Exec.release(withDeg)
     Exec.release(srcs)
-    Exec.release(nodesM)
     (ranks, rounds)
   }
 }
