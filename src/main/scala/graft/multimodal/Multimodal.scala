@@ -480,9 +480,14 @@ object Multimodal {
       val (_, _, o2) = part(bare, o1) // the skeleton's free box
       val (t3, moovC, _) = part(bare, o2)
       require(t1 == "ftyp" && t3 == "moov", "skeleton layout changed")
-      val (_, mvhd, m1) = part(moovC, 0)
-      val (_, udta, m2) = part(moovC, m1)
-      val (_, trakC, _) = part(moovC, m2)
+      val (tm1, mvhd, m1) = part(moovC, 0)
+      val (tm2, udta, m2) = part(moovC, m1)
+      val (tm3, trakC, _) = part(moovC, m2)
+      // the splice is positional — assert the destructured child types
+      // too, or a reordered skeleton would silently mislabel mvhd/udta/
+      // trak and re-wrap them into a malformed container
+      require(tm1 == "mvhd" && tm2 == "udta" && tm3 == "trak",
+        s"skeleton moov layout changed ($tm1/$tm2/$tm3)")
       val stsz = {
         val b = java.nio.ByteBuffer.allocate(12 + 4 * sampleSizes.length)
         b.putInt(0) // version + flags

@@ -57,10 +57,15 @@ object LinkRank {
     * the replayable fixed-count form the q136 oracle pins). The delta
     * check is one node-keyed equi-join + max aggregate per round over
     * the two materialized rank frames — a scalar leaves the cluster,
-    * never the frame. Returns (ranks, rounds actually run).
+    * never the frame; it runs on EVERY round including the last, so
+    * the returned flag distinguishes "converged exactly at the cap"
+    * from "cap hit while still moving" — the signal a retrain log
+    * needs to decide whether to raise the iteration budget. Returns
+    * (ranks, rounds actually run, converged); with `tolFp = 0` the
+    * flag is always false (no tolerance to converge against).
     */
   def trainConverged(nodes: DataFrame, edges: DataFrame, maxIters: Int,
-      tolFp: Long, dampingPct: Int = 85): (DataFrame, Int) = {
+      tolFp: Long, dampingPct: Int = 85): (DataFrame, Int, Boolean) = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tolFp >= 0L, s"tolFp must be >= 0, got $tolFp")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -78,7 +83,7 @@ object LinkRank {
     if (nNodes == 0L) {
       // empty graph: the fixed point is the empty frame — returning it
       // beats evaluating `DIV 0` under ANSI in the dangling share
-      return (ranks, 0)
+      return (ranks, 0, tolFp > 0L)
     }
     val withDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
@@ -108,7 +113,7 @@ object LinkRank {
             .cast(LongType).as("rank_fp"))
         .transform(Exec.materialize)
       rounds += 1
-      if (tolFp > 0L && rounds < maxIters) {
+      if (tolFp > 0L) {
         val moved = next.join(
             ranks.select(col("node").as("pnode"),
               col("rank_fp").as("prev_fp")),
@@ -123,6 +128,6 @@ object LinkRank {
     }
     Exec.release(withDeg)
     Exec.release(srcs)
-    (ranks, rounds)
+    (ranks, rounds, converged)
   }
 }

@@ -3770,7 +3770,17 @@ object LlmPipeline {
         .filter(expr(
           "1 + least(size(shd_a) - p_a - 1, size(shd_b) - p_b - 1) " +
             ">= (size(shd_a) + size(shd_b) + 2) DIV 3"))
-    cand.select("doc_a", "doc_b", "shd_a", "shd_b").distinct()
+    // distinct on the 16-byte id PAIR, not the pair-plus-arrays: each
+    // surviving prefix-key collision would otherwise drag two ~60-long
+    // shingle arrays through the dedup exchange; the arrays re-attach
+    // from the already-materialized `keyed` (two joins against a frame
+    // the plan holds once — no re-tokenization)
+    cand.select("doc_a", "doc_b").distinct()
+      .join(keyed.select(col("doc_id").as("doc_a"),
+        col("shd").as("shd_a")), "doc_a")
+      .join(keyed.select(col("doc_id").as("doc_b"),
+        col("shd").as("shd_b")), "doc_b")
+      .select("doc_a", "doc_b", "shd_a", "shd_b")
   }
 
   private val q137: Q = (s, dir) => {

@@ -1316,26 +1316,40 @@ object Streams {
     * re-segments every user on the next read). `dim` carries
     * (`user_id`, `segmentCol`); counts and conversion percentages are
     * q139's expressions verbatim. Segments none of whose users ever
-    * produced a funnel-step event have no emissions and therefore no
-    * row — the batch form shows such segments as all-zero rows.
+    * produced a funnel-step event have no emissions in the snapshot —
+    * the left join back to the dimension's distinct segment values
+    * coalesces them to all-zero rows, so the snapshot's row set
+    * matches what a consumer diffing against a batch-style report
+    * over the full dimension expects (both frames enumerate every
+    * segment).
     */
   def funnelSegmentsFromSnapshot(spark: SparkSession, path: String,
       dim: DataFrame, segmentCol: String): DataFrame = {
     val snap = readMergedSnapshot(spark, path, "funnel progress")
-    snap.join(broadcast(dim), "user_id")
+    val counts = snap.join(broadcast(dim), "user_id")
       .groupBy(segmentCol)
       .agg(
         sum(when(col("reached") >= 1L, 1L).otherwise(0L)).as("n_step1"),
         sum(when(col("reached") >= 2L, 1L).otherwise(0L)).as("n_step2"),
         sum(when(col("reached") >= 3L, 1L).otherwise(0L)).as("n_step3"))
+    dim.select(col(segmentCol)).distinct()
+      .join(counts, Seq(segmentCol), "left_outer")
+      .select(col(segmentCol),
+        coalesce(col("n_step1"), lit(0L)).as("n_step1"),
+        coalesce(col("n_step2"), lit(0L)).as("n_step2"),
+        coalesce(col("n_step3"), lit(0L)).as("n_step3"))
+      // an enumerated segment with no step-1 population has no defined
+      // conversion rate: NULL, never a DIV 0 (ANSI) or NaN
       .withColumn("conv2_pct",
-        (col("n_step2") * 100)
-          .cast(org.apache.spark.sql.types.DoubleType) /
-          col("n_step1").cast(org.apache.spark.sql.types.DoubleType))
+        when(col("n_step1") > 0L,
+          (col("n_step2") * 100)
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_step1").cast(org.apache.spark.sql.types.DoubleType)))
       .withColumn("conv3_pct",
-        (col("n_step3") * 100)
-          .cast(org.apache.spark.sql.types.DoubleType) /
-          col("n_step1").cast(org.apache.spark.sql.types.DoubleType))
+        when(col("n_step1") > 0L,
+          (col("n_step3") * 100)
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_step1").cast(org.apache.spark.sql.types.DoubleType)))
       .orderBy(segmentCol)
   }
 
@@ -1629,12 +1643,15 @@ object Streams {
     * budget either wastes rounds after the fixed point or stops short
     * on a deep graph; `LinkRank.trainConverged` stops when the
     * largest per-node movement drops below `tolFp`, capped at
-    * `maxIters`). Returns (ranks, rounds run) so the retrain log can
-    * record how hard the graph was.
+    * `maxIters`). Returns (ranks, rounds run, converged) so the
+    * retrain log can record how hard the graph was — and, when the
+    * cap was hit, whether the chain had actually settled there or the
+    * iteration budget needs raising (the flag is evaluated on the
+    * final round too).
     */
   def linkRankFromSnapshotConverged(spark: SparkSession, path: String,
       maxIters: Int, tolFp: Long,
-      dampingPct: Int = 85): (DataFrame, Int) = {
+      dampingPct: Int = 85): (DataFrame, Int, Boolean) = {
     val e = readMergedSnapshot(spark, path, "link edges")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
@@ -1935,7 +1952,8 @@ object Streams {
   def exportMixStream(docs: DataFrame, groupCol: String, idCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
       checkpointDir: String, numShards: Int = 16): StreamingQuery =
-    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir)(
+    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir,
+      "corpus_export")(
       batch => graft.operators.CorpusExport
         .selectAndShard(batch, groupCol, idCol, thresholds, numShards))
 
@@ -1951,16 +1969,19 @@ object Streams {
       idCol: String, weightPpmCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
       checkpointDir: String, numShards: Int = 16): StreamingQuery =
-    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir)(
+    // own query name: a session can run a plain and a weighted export
+    // concurrently without a duplicate-active-query-name failure
+    exportStreamWith(docs, groupCol, thresholds, outDir, checkpointDir,
+      "corpus_export_weighted")(
       batch => graft.operators.CorpusExport.selectAndShardWeighted(
         batch, groupCol, idCol, weightPpmCol, thresholds, numShards))
 
   private def exportStreamWith(docs: DataFrame, groupCol: String,
       thresholds: Seq[(String, Long)], outDir: String,
-      checkpointDir: String)(
+      checkpointDir: String, queryName: String)(
       select: DataFrame => DataFrame): StreamingQuery =
     docs.writeStream
-      .queryName("corpus_export")
+      .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

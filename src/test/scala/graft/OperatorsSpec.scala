@@ -526,16 +526,29 @@ class OperatorsSpec extends SparkSuite {
     // convergence stop: tolFp = 1 stops only at an EXACT integer fixed
     // point (max |Δ| = 0); the point must be genuine — folding further
     // rounds from it changes nothing
-    val (rdf, rounds) = LinkRank.trainConverged(nodes, edges,
+    val (rdf, rounds, conv) = LinkRank.trainConverged(nodes, edges,
       maxIters = 100, tolFp = 1L)
     assert(rounds < 100, s"never converged within the cap ($rounds)")
+    assert(conv, "converged flag must be set when the stop fired")
     val fixed = ranks(rdf)
     assert(fixed === fold(rounds))
     assert(fixed === fold(rounds + 5),
       "stop fired before the chain actually reached its fixed point")
     // tolFp = 0 disables the stop: exactly maxIters rounds run
-    val (_, ranAll) = LinkRank.trainConverged(nodes, edges,
+    val (_, ranAll, convAll) = LinkRank.trainConverged(nodes, edges,
       maxIters = 6, tolFp = 0L)
     assert(ranAll === 6)
+    assert(!convAll, "tolFp = 0 has no tolerance to converge against")
+    // cap-hit-while-settled vs cap-hit-while-moving: the flag is
+    // evaluated on the FINAL round too, so stopping exactly at the
+    // fixed point's depth reads converged, one round earlier does not
+    val (_, _, atCap) = LinkRank.trainConverged(nodes, edges,
+      maxIters = rounds, tolFp = 1L)
+    assert(atCap, "converged exactly at the cap must read converged")
+    if (rounds > 1) {
+      val (_, _, early) = LinkRank.trainConverged(nodes, edges,
+        maxIters = rounds - 1, tolFp = 1L)
+      assert(!early, "cap hit while still moving must read unconverged")
+    }
   }
 }

@@ -428,19 +428,33 @@ class StreamingSpec extends SparkSuite {
     drain()
     val dim = Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-    def segments(): Map[String, (Long, Long, Long, Double, Double)] =
+    type SegRow = (Long, Long, Long, Option[Double], Option[Double])
+    def segments(): Map[String, SegRow] =
       graft.streaming.Streams
         .funnelSegmentsFromSnapshot(spark, path, dim, "c_mktsegment")
         .collect().map(r => r.getString(0) -> ((r.getLong(1),
-          r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+          r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
         .toMap
-    val want = graft.queries.CoreAnalytics
+    val batch: Map[String, SegRow] = graft.queries.CoreAnalytics
       .queries("q139_funnel_segments")(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1),
-        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
-      .toMap
+        r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // the snapshot form ENUMERATES the dimension: a segment none of
+    // whose users ever emitted a funnel event shows as an all-zero row
+    // with undefined (NULL) conversion — batch q139's inner join has
+    // no row for it; everywhere batch HAS a row the two must agree
+    val allSegs = dim.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).toSet
+    val want: Map[String, SegRow] = allSegs.map(s =>
+      s -> batch.getOrElse(s, (0L, 0L, 0L, None, None))).toMap
     assert(segments() === want,
       "snapshot segments diverged from batch q139 over the same events")
+    assert(batch.keySet.subsetOf(allSegs) && batch.size < allSegs.size,
+      "fixture lost its event-less segment (the enumeration case)")
     // the fixture must discriminate: some segment converts partially
     assert(want.values.exists(v => v._2 > 0 && v._2 < v._1),
       "fixture lost discrimination")
@@ -667,9 +681,10 @@ class StreamingSpec extends SparkSuite {
       === oneShot, "full-history replay must be a no-op")
     // the converged retrain form: stops at an exact integer fixed
     // point of the SAME chain (folding more rounds changes nothing)
-    val (rdf, rounds) = S.linkRankFromSnapshotConverged(spark, path,
+    val (rdf, rounds, conv) = S.linkRankFromSnapshotConverged(spark, path,
       maxIters = 100, tolFp = 1L)
     assert(rounds < 100, s"never converged within the cap ($rounds)")
+    assert(conv, "converged flag must be set when the stop fired")
     val fixed = ranks(rdf)
     assert(fixed === ranks(graft.operators.LinkRank
         .train(nodes, all.toDF("src", "dst"), iters = rounds)),
