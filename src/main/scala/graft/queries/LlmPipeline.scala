@@ -3775,12 +3775,18 @@ object LlmPipeline {
     // shingle arrays through the dedup exchange; the arrays re-attach
     // from the already-materialized `keyed` (two joins against a frame
     // the plan holds once — no re-tokenization)
-    cand.select("doc_a", "doc_b").distinct()
-      .join(keyed.select(col("doc_id").as("doc_a"),
-        col("shd").as("shd_a")), "doc_a")
-      .join(keyed.select(col("doc_id").as("doc_b"),
-        col("shd").as("shd_b")), "doc_b")
-      .select("doc_a", "doc_b", "shd_a", "shd_b")
+    // The pair dedup deliberately carries both shingle arrays through
+    // its ONE exchange. The slimmer-looking alternative — distinct on
+    // the 16-byte (doc_a, doc_b) pair, then re-attaching shd from the
+    // materialized `keyed` — was built and MEASURED (r17): 3.05 s vs
+    // 1.94 s solo (sf0.1, 5 reps, same host), because the two
+    // re-attach joins add four exchanges and the second one moves
+    // shd_a through the doc_b shuffle anyway, while prefix-key
+    // multiplicity after the ppjoin filters is too low for the pair
+    // dedup to shed much array volume. At larger scale the trade
+    // re-opens only if candidate multiplicity grows (more bands per
+    // pair); revisit with that measurement, not by eye.
+    cand.select("doc_a", "doc_b", "shd_a", "shd_b").distinct()
   }
 
   private val q137: Q = (s, dir) => {
