@@ -4003,6 +4003,34 @@ object LlmPipeline {
       .orderBy("lang", "shard")
   }
 
+  /** q146: the benchmark-contamination audit THROUGH the cross-run
+    * store — q53's decontamination arithmetic exercised over the REAL
+    * [[graft.ingest.ContaminationStore]] record → probe path (the
+    * q142 real-operator-path doctrine): the synthetic benchmark slice
+    * (doc_id % 97, q53's split) REGISTERS into a fresh store via the
+    * production recorder, the corpus side probes it via the
+    * production overlap join, and the oracle replays the whole chain
+    * from the raw table — a drift anywhere in the recorder's
+    * distinct/append or the prober's gram join breaks the hash
+    * against q53's own SQL. The store is built per-invocation in a
+    * fresh temp directory (registration is idempotent for every
+    * probe — countDISTINCT arithmetic — so re-runs cannot drift).
+    * Scale: recording is one kernel pass over the BENCHMARK slice;
+    * the probe's store side is broadcast-gated (KB–GB at any corpus
+    * size, the class doctrine).
+    */
+  private val q146: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-contam-q146")
+      .toString + "/bench_grams"
+    graft.ingest.ContaminationStore.recordBenchmark(
+      docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", store)
+    graft.ingest.ContaminationStore.overlap(
+      docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id", store)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -4103,7 +4131,8 @@ object LlmPipeline {
     "q140_video_dedup" -> q140,
     "q141_video_neardup" -> q141,
     "q142_weighted_export" -> q142,
-    "q143_authority_mix" -> q143)
+    "q143_authority_mix" -> q143,
+    "q146_contamination_store" -> q146)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4784,22 +4813,11 @@ object LlmPipeline {
         |      WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
         |      ELSE 'application/octet-stream' END AS sniffed_type
         |FROM h ORDER BY doc_id""".stripMargin,
-    "q53_contamination" ->
-      s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
-         |shg AS (
-         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
-         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
-         | FROM base WHERE len(toks) >= 3),
-         |hs AS (
-         | SELECT DISTINCT doc_id,
-         |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
-         | FROM (SELECT doc_id, unnest(sh) AS shingle FROM shg)),
-         |bench AS (SELECT g, doc_id AS bench_id FROM hs WHERE doc_id % 97 = 0),
-         |corpus AS (SELECT doc_id, g FROM hs WHERE doc_id % 97 <> 0)
-         |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams,
-         | COUNT(DISTINCT b.bench_id) AS n_bench_docs
-         |FROM corpus c JOIN bench b ON c.g = b.g
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q53_contamination" -> contaminationSql,
+    // q146 replays the SAME decontamination arithmetic — the Spark
+    // side runs it through the ContaminationStore record → probe path
+    // instead of in-query, and must land on the identical answer.
+    "q146_contamination_store" -> contaminationSql,
     "q54_gopher_quality" ->
       s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
          |m AS (
@@ -6252,6 +6270,28 @@ object LlmPipeline {
          |SELECT lang, shard, CAST(COUNT(*) AS BIGINT) AS n_selected,
          | CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm
          |FROM kept GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin))
+
+  /** q53's decontamination SQL, shared VERBATIM with q146 (same gram
+    * derivation, same %97 benchmark split, same countDISTINCT pair) —
+    * the in-query pass and the store-backed pass must both hash-match
+    * this one replay.
+    */
+  private lazy val contaminationSql: String =
+    s"""WITH base AS (SELECT doc_id, $dToks AS toks FROM documents),
+       |shg AS (
+       | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+       |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+       | FROM base WHERE len(toks) >= 3),
+       |hs AS (
+       | SELECT DISTINCT doc_id,
+       |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
+       | FROM (SELECT doc_id, unnest(sh) AS shingle FROM shg)),
+       |bench AS (SELECT g, doc_id AS bench_id FROM hs WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, g FROM hs WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared_grams,
+       | COUNT(DISTINCT b.bench_id) AS n_bench_docs
+       |FROM corpus c JOIN bench b ON c.g = b.g
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   /** The q140/q141 fixture's analytic band CTEs — pattern → sizes →
     * 64-frame sums → sign bits → 16-bit bands, shared by both oracles

@@ -2306,6 +2306,72 @@ object Streams {
     (q, () => graft.operators.Exec.release(model.get()))
   }
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the
+    * BENCHMARK-CONTAMINATION gate — the one standing curation stage
+    * every production pretraining feed runs that the dedup stores
+    * cannot express: documents sharing ≥ `minSharedGrams` distinct
+    * 3-word shingles with the registered benchmark set
+    * ([[graft.ingest.ContaminationStore]] — q53's gram rule, ONE
+    * kernel definition) are dropped BEFORE any dedup-store probe.
+    * Staging rationale: the gate is a per-row kernel + a semi-join
+    * whose store side is broadcast-scale BY DESIGN (a held-out
+    * benchmark is KB–GB of grams at any corpus size), so it is the
+    * cheapest store-backed check in the chain — and uniquely, its
+    * verdict is INDEPENDENT of feed history: a contaminated document
+    * must drop on every run even if the feed has never admitted
+    * anything, which is why it cannot ride the exact/near stores'
+    * "seen" semantics. Rejects are dropped, never recorded anywhere
+    * (the quality-gate doctrine: a resubmission after a benchmark
+    * RETRACTION is judged afresh against the then-live store).
+    * The contamination store is READ-ONLY here — registration
+    * ([[graft.ingest.ContaminationStore.recordBenchmark]]) is an
+    * offline act, so a concurrently registered benchmark takes effect
+    * on the next micro-batch without coordination. Inline
+    * self-maintenance covers all THREE stores (the contamination
+    * store's tombstone backlog from retractions compacts on the same
+    * schedule its siblings do).
+    */
+  def contaminationGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, contamStorePath: String, exactStorePath: String,
+      nearStorePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0,
+      minSharedGrams: Int = 1): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "contamination_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, contamStorePath),
+          { graft.ingest.ContaminationStore
+            .compactStore(s2, contamStorePath); () },
+          Some(() => { graft.ingest.ContaminationStore
+            .buildBloomSidecar(s2, contamStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
+        graft.ingest.DedupStore.newUniqueWithBloom(
+          graft.ingest.ContaminationStore.newCleanWithBloom(
+            batch, textCol, idCol, contamStorePath, minSharedGrams),
+          textCol, idCol, exactStorePath),
+        textCol, idCol, nearStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
   /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
     * the adoption semantics are directly testable: when due (`every`
     * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED

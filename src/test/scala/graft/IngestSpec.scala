@@ -1734,6 +1734,71 @@ class IngestSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("ContaminationStore lifecycle: register → overlap/threshold " +
+    "probes → bloom parity → benchmark retraction (shared grams stay " +
+    "armed) → compaction applies physically; StoreStats reports it") {
+    import spark.implicits._
+    val C = graft.ingest.ContaminationStore
+    val store = tmpDir("contam-store") + "/bench_grams"
+    // benchmark A and B share exactly one 3-token shingle
+    // ("two three four"); every other gram is unique to its owner
+    val benchA = Seq((100L, "zeta one two three four"))
+      .toDF("doc_id", "text")
+    val benchB = Seq((101L, "two three four five six"))
+      .toDF("doc_id", "text")
+    C.recordBenchmark(benchA, "text", "doc_id", store)
+    C.recordBenchmark(benchB, "text", "doc_id", store)
+    val probe = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // no overlap
+      (2L, "xx one two three yy"),            // 1 gram, A only
+      (3L, "one two three four qq"),          // 2 grams, A and (A∩B)
+      (4L, "four five six seven eight"))      // 1 gram, B only
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(C.overlap(probe, "text", "doc_id", store))
+      === Set((2L, 1L, 1L), (3L, 2L, 2L), (4L, 1L, 1L)),
+      "overlap must replay q53's countDISTINCT pair per probe doc")
+    assert(ids(C.newClean(probe, "text", "doc_id", store)) === Seq(1L))
+    assert(ids(C.newClean(probe, "text", "doc_id", store,
+      minSharedGrams = 2)) === Seq(1L, 2L, 4L),
+      "the threshold must count DISTINCT shared grams")
+    // bloom parity: with a sidecar, and with post-sidecar residual
+    // appends, the gated answer is unchanged
+    C.buildBloomSidecar(spark, store)
+    assert(ids(C.newCleanWithBloom(probe, "text", "doc_id", store))
+      === Seq(1L))
+    C.recordBenchmark(Seq((102L, "gamma delta epsilon www"))
+      .toDF("doc_id", "text"), "text", "doc_id", store)
+    assert(ids(C.newCleanWithBloom(probe, "text", "doc_id", store))
+      === Seq(), "a residual (post-sidecar) registration must gate " +
+        "through the miss leg")
+    assert(ids(C.newCleanWithBloom(probe, "text", "doc_id", store,
+      minSharedGrams = 2)) === Seq(1L, 2L, 4L))
+    // retraction: retiring A disarms A-only grams immediately, but the
+    // gram A SHARES with B stays armed through B's rows
+    C.retractBenchmark(benchA, "text", "doc_id", store)
+    assert(rows(C.overlap(probe, "text", "doc_id", store)
+        .filter(col("doc_id").isin(2L, 3L, 4L)))
+      === Set((3L, 1L, 1L), (4L, 1L, 1L)),
+      "retraction must not disarm a gram another benchmark shares")
+    val stats1 = graft.ingest.StoreStats.path(spark, store)
+    assert(stats1.tombstoneFiles > 0 && stats1.dataFiles > 0
+      && stats1.sidecarPresent)
+    C.compactStore(spark, store)
+    assert(spark.read.parquet(store)
+      .filter(col("bench_id") === 100L).count() === 0L,
+      "retracted benchmark rows survived compaction")
+    assert(graft.ingest.StoreStats.path(spark, store).tombstoneFiles
+      === 0, "compaction must consume the tombstone backlog")
+    C.buildBloomSidecar(spark, store)
+    assert(ids(C.newCleanWithBloom(probe, "text", "doc_id", store))
+      === Seq(2L), "post-compaction gate drifted")
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(

@@ -2972,6 +2972,96 @@ class StreamingSpec extends SparkSuite {
       "a gate reject must not poison the dedup history")
   }
 
+  test("contamination-gated curation feed: a benchmark-contaminated " +
+    "doc drops on EVERY run (history-independent), rejects are never " +
+    "recorded, replay after checkpoint loss is a no-op, and a " +
+    "benchmark retraction reopens the gate") {
+    import spark.implicits._
+    val srcDir = tmpDir("cgate-src")
+    val outDir = tmpDir("cgate-out") + "/docs"
+    val contamStore = tmpDir("cgate-contam") + "/bench_grams"
+    val exactStore = tmpDir("cgate-exact") + "/hashes"
+    val nearStore = tmpDir("cgate-near") + "/bands"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // the standing benchmark: registered once, offline, BEFORE any run
+    val benchText = "held out eval question forty two exactly"
+    graft.ingest.ContaminationStore.recordBenchmark(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "text", "doc_id",
+      contamStore)
+    graft.ingest.ContaminationStore.buildBloomSidecar(spark, contamStore)
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.contaminationGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", contamStore, exactStore, nearStore,
+        outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val good = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    // leaks one 3-word benchmark shingle inside otherwise-fresh text
+    val leaky = (1 to 30).map(i => s"beta$i item$i entry$i")
+      .mkString(" ") + " eval question forty " +
+      (31 to 60).map(i => s"beta$i item$i entry$i").mkString(" ")
+    val ckpt1 = tmpDir("cgate-ckpt1")
+    deliver("b1", Seq((1L, good), (2L, leaky)))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L), "the gate must drop the leaky doc")
+    // the reject never reached the exact store: its hash is unseen
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((50L, leaky)).toDF("doc_id", "text"), "text", "doc_id",
+      exactStore).count() === 1,
+      "a gate reject must not poison the dedup history")
+    // replay after checkpoint loss: committed batches skip — no-op
+    drain(tmpDir("cgate-ckpt2"))
+    assert(survivors() === Seq(1L), "full-history replay must be a no-op")
+    // CROSS-RUN: a brand-new run (fresh out dir + checkpoint, same
+    // stores) re-submits the leak under a new id — the gate's verdict
+    // is independent of feed history, so it drops on this run too,
+    // while a copy of run 1's survivor drops via the exact store and
+    // fresh content passes
+    val srcDir2 = tmpDir("cgate-src2")
+    val outDir2 = tmpDir("cgate-out2") + "/docs"
+    val fresh = (1 to 60).map(i => s"gamma$i fresh$i novel$i")
+      .mkString(" ")
+    Seq((20L, leaky), (21L, good), (22L, fresh))
+      .toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir2/b1")
+    graft.streaming.Streams.contaminationGatedCurationFeed(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir2),
+      "text", "doc_id", contamStore, exactStore, nearStore,
+      outDir2, tmpDir("cgate-ckpt3")).awaitTermination()
+    assert(spark.read.parquet(outDir2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(22L),
+      "cross-run: the contaminated doc must drop with no feed history")
+    // retraction reopens: the retired benchmark's grams disarm, and
+    // since rejects were never recorded, the once-leaky text is
+    // judged afresh and admitted
+    graft.ingest.ContaminationStore.retractBenchmark(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "text", "doc_id",
+      contamStore)
+    val outDir3 = tmpDir("cgate-out3") + "/docs"
+    val srcDir3 = tmpDir("cgate-src3")
+    Seq((30L, leaky)).toDF("doc_id", "text").coalesce(1).write
+      .mode("overwrite").parquet(s"$srcDir3/b1")
+    graft.streaming.Streams.contaminationGatedCurationFeed(
+      spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(srcDir3),
+      "text", "doc_id", contamStore, exactStore, nearStore,
+      outDir3, tmpDir("cgate-ckpt4")).awaitTermination()
+    assert(spark.read.parquet(outDir3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(30L),
+      "a retraction must reopen the gate for resubmissions")
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
