@@ -4031,6 +4031,40 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
+    * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
+    * deterministically PAIRED frame (the q39/q48 synthesize-then-
+    * operate pattern: the testdata ships one embeddings table, so the
+    * even vec_id of each adjacent pair plays the caption embedding
+    * and the odd one the image embedding — pair_id = vec_id DIV 2).
+    * The score is the REAL operator path
+    * ([[graft.multimodal.CrossModal.scored]] — the native codegen'd
+    * q24 cosine primitive), the verdict is the gate's own predicate
+    * at τ = 0.25, and `same_label` audits the verdict against the
+    * synthesis's cluster structure (same-cluster pairs should align).
+    * Scale: pairing is an id equi-join (co-partitionable at rest);
+    * the score is one fused per-row loop, no further shuffle.
+    */
+  private val q147: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val cap = e.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("vec_id").as("caption_id"), col("v").as("cv"),
+        col("label").cast(LongType).as("caption_label"))
+    val img = e.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id DIV 2").as("pair_id"),
+        col("vec_id").as("image_id"), col("v").as("iv"),
+        col("label").cast(LongType).as("image_label"))
+    graft.multimodal.CrossModal
+      .scored(cap.join(img, "pair_id"), "cv", "iv")
+      .select(col("pair_id"), col("caption_id"), col("image_id"),
+        col("alignment"),
+        (col("caption_label") === col("image_label")).as("same_label"),
+        (col("alignment") >= lit(0.25)).as("aligned"))
+      .orderBy("pair_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -4132,7 +4166,8 @@ object LlmPipeline {
     "q141_video_neardup" -> q141,
     "q142_weighted_export" -> q142,
     "q143_authority_mix" -> q143,
-    "q146_contamination_store" -> q146)
+    "q146_contamination_store" -> q146,
+    "q147_crossmodal_alignment" -> q147)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4416,6 +4451,19 @@ object LlmPipeline {
          | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
          |FROM e CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q147_crossmodal_alignment" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id // 2 AS pair_id, vec_id AS caption_id,
+         |  v AS cv, CAST(label AS BIGINT) AS cl FROM e WHERE vec_id % 2 = 0),
+         |i AS (SELECT vec_id // 2 AS pair_id, vec_id AS image_id,
+         |  v AS iv, CAST(label AS BIGINT) AS il FROM e WHERE vec_id % 2 = 1),
+         |p AS (SELECT c.pair_id, caption_id, image_id,
+         |  ${dot("cv", "iv")} / (${norm("cv")} * ${norm("iv")}) AS alignment,
+         |  (cl = il) AS same_label
+         | FROM c JOIN i ON c.pair_id = i.pair_id)
+         |SELECT pair_id, caption_id, image_id, alignment, same_label,
+         | (alignment >= CAST(0.25 AS DOUBLE)) AS aligned
+         |FROM p ORDER BY pair_id""".stripMargin,
     "q25_ann_lsh_bucket" ->
       s"""WITH e AS (
          | SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -2372,6 +2372,58 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the
+    * CROSS-MODAL alignment gate — the CLIP-score filter as a feed
+    * stage: each arriving row carries BOTH modality vectors (the
+    * caller's upstream pairing join, co-partitionable by the shared
+    * id at any scale), and rows whose caption↔image cosine falls
+    * below `minAlignment` drop BEFORE any store probe
+    * ([[graft.multimodal.CrossModal.keepAligned]] — a stateless
+    * per-row native-codegen filter, so like the literal quality gate
+    * it composes pre-sink: no join, no state, no watermark, zero
+    * per-batch model cost). A pair with an UNDEFINED score (missing
+    * modality, dimension mismatch) is misaligned by definition and
+    * drops the same way. Rejects are dropped, never recorded (the
+    * gate doctrine: a re-scraped caption for the same image is judged
+    * afresh). Dedup keys on the text side: `textCol` is the caption —
+    * the media content dedups through its own gated media feeds.
+    */
+  def crossModalGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, captionVecCol: String, imageVecCol: String,
+      minAlignment: Double, exactStorePath: String,
+      nearStorePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    dedupThroughStoreWith(
+      graft.multimodal.CrossModal.keepAligned(docs, captionVecCol,
+        imageVecCol, minAlignment),
+      textCol, outDir, checkpointDir,
+      "crossmodal_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
+        graft.ingest.DedupStore.newUniqueWithBloom(
+          batch, textCol, idCol, exactStorePath),
+        textCol, idCol, nearStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
   /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
     * the adoption semantics are directly testable: when due (`every`
     * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED

@@ -23,6 +23,46 @@ class MultimodalSpec extends SparkSuite {
       spark.sparkContext.parallelize(rows.toSeq),
       Multimodal.mediaSchema)
 
+  test("CrossModal: alignment is the exact cosine, the gate keeps " +
+    "pairs at/above tau, and undefined pairs (missing modality, " +
+    "dimension mismatch) drop as misaligned") {
+    import spark.implicits._
+    val C = graft.multimodal.CrossModal
+    val pairs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)),   // cosine 1
+      (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),   // cosine 0
+      (3L, Seq(3.0, 4.0, 0.0), Seq(3.0, 4.0, 0.0)),   // cosine 1, unnormalized
+      (4L, Seq(1.0, 1.0, 0.0), Seq(1.0, 0.0, 0.0)))   // cosine 1/sqrt(2)
+      .toDF("pair_id", "cv", "iv")
+      .withColumn("cv", col("cv").cast("array<double>"))
+      .withColumn("iv", col("iv").cast("array<double>"))
+    val scored = C.scored(pairs, "cv", "iv")
+      .select("pair_id", "alignment").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) === 1.0 && scored(3L) === 1.0)
+    assert(scored(2L) === 0.0)
+    assert(scored(4L) === 1.0 / math.sqrt(2.0))
+    def kept(df: org.apache.spark.sql.DataFrame, tau: Double): Seq[Long] =
+      C.keepAligned(df, "cv", "iv", tau)
+        .select("pair_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept(pairs, 0.25) === Seq(1L, 3L, 4L))
+    assert(kept(pairs, 0.8) === Seq(1L, 3L))
+    // undefined scores never clear the gate: null vector, mismatched
+    // dimensions
+    val broken = Seq(
+      (10L, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))), // fine
+      (11L, None, Some(Seq(1.0, 0.0))),                // missing caption
+      (12L, Some(Seq(1.0, 0.0, 0.0)), Some(Seq(1.0, 0.0)))) // dim drift
+      .toDF("pair_id", "cv", "iv")
+      .withColumn("cv", col("cv").cast("array<double>"))
+      .withColumn("iv", col("iv").cast("array<double>"))
+    assert(kept(broken, 0.0) === Seq(10L),
+      "an unscorable pair must drop as misaligned")
+    assert(C.scored(broken, "cv", "iv")
+      .filter(col("pair_id") > 10L)
+      .select("alignment").collect().forall(_.isNullAt(0)))
+  }
+
   test("magic-byte sniffing: png/jpeg/wav/mp4/unknown") {
     val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2, 3, 4)
     val jpg = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0, 1, 2, 3, 4, 5, 6, 7)

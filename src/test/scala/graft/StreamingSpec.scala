@@ -3062,6 +3062,72 @@ class StreamingSpec extends SparkSuite {
       "a retraction must reopen the gate for resubmissions")
   }
 
+  test("cross-modal-gated curation feed: a misaligned caption-image " +
+    "pair drops before any store probe and is never recorded; " +
+    "aligned pairs ride the dedup chain; unscorable pairs drop") {
+    import spark.implicits._
+    val srcDir = tmpDir("xmgate-src")
+    val outDir = tmpDir("xmgate-out") + "/docs"
+    val exactStore = tmpDir("xmgate-exact") + "/hashes"
+    val nearStore = tmpDir("xmgate-near") + "/bands"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("iv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    def deliver(name: String, rows: Seq[(Long, String,
+        Option[Seq[Double]], Option[Seq[Double]])]): Unit =
+      rows.toDF("doc_id", "text", "cv", "iv")
+        .withColumn("cv", col("cv").cast("array<double>"))
+        .withColumn("iv", col("iv").cast("array<double>"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String = tmpDir("xmgate-ckpt")): Unit =
+      graft.streaming.Streams.crossModalGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", "cv", "iv", 0.25,
+        exactStore, nearStore, outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val capA = (1 to 60).map(i => s"alpha$i caption$i word$i")
+      .mkString(" ")
+    val capB = (1 to 60).map(i => s"beta$i snippet$i token$i")
+      .mkString(" ")
+    val v = Some(Seq(1.0, 0.0, 0.0))
+    val w = Some(Seq(0.0, 1.0, 0.0)) // orthogonal to v: alignment 0
+    val ckpt1 = tmpDir("xmgate-ckpt1")
+    deliver("b1", Seq(
+      (1L, capA, v, v),      // aligned (cosine 1) — lands
+      (2L, capB, v, w),      // misaligned — drops at the gate
+      (3L, capB, v, None)))  // unscorable — drops at the gate
+    drain(ckpt1)
+    assert(survivors() === Seq(1L),
+      "only the aligned pair may land")
+    // the rejects never reached the exact store: capB's hash is unseen
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((50L, capB)).toDF("doc_id", "text"), "text", "doc_id",
+      exactStore).count() === 1,
+      "a gate reject must not poison the dedup history")
+    // batch 2: an aligned duplicate of batch 1's survivor drops via
+    // the store behind the gate; the previously-misaligned caption,
+    // resubmitted WITH an aligned image, is judged afresh and lands
+    deliver("b2", Seq(
+      (10L, capA, v, v),     // exact dup of survivor — store drops it
+      (11L, capB, w, w)))    // now aligned — judged afresh, lands
+    drain(ckpt1)
+    assert(survivors() === Seq(1L, 11L))
+    // replay after checkpoint loss: committed batches skip — no-op
+    drain(tmpDir("xmgate-ckpt2"))
+    assert(survivors() === Seq(1L, 11L),
+      "full-history replay must be a no-op")
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
