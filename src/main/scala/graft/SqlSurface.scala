@@ -86,7 +86,12 @@ object SqlSurface {
     "q142_weighted_export", "q143_authority_mix",
     // q144 materializes its per-customer RFM frame (referenced by
     // three histogram builds AND the final scoring pass)
-    "q144_rfm_segments")
+    "q144_rfm_segments",
+    // q146 builds + probes its contamination store at build time
+    // (the recordBenchmark write job); q147 is lazy end to end.
+    // q148 materializes its top-64 seed frame (referenced by the
+    // Σn/|V| aggregate AND the scoring join)
+    "q146_contamination_store", "q148_ulm_seed_vocab")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

@@ -4065,6 +4065,31 @@ object LlmPipeline {
       .orderBy("pair_id")
   }
 
+  /** q148: unigram-LM SEED-VOCABULARY statistic — the q63/q71-style
+    * one-step audit of the OTHER production tokenizer family
+    * ([[graft.operators.Ulm]] — SentencePiece's unigram model, beside
+    * BPE): the top-64 substring pieces (length ≤ 4) of the corpus by
+    * word-frequency-weighted occurrence count, with their ilog2
+    * fixed-point scores (score = ilog2(n+1) − ilog2(Σn + |V|), the
+    * q113 doctrine — integer-exact on any engine). The counts AND the
+    * scoring run the REAL trainer code paths (`Ulm.seedCounts` /
+    * `Ulm.scored` — the same derivations every EM round re-applies),
+    * so the oracle pins the trainer's seed arithmetic; the EM loop and
+    * Viterbi encode are pinned against an independent in-memory
+    * reference in OperatorsSpec (the Bpe pattern — q71 audits BPE's
+    * one-step statistic the same way). Scale: one hash agg over
+    * |V| × O(len·maxLen) generated substrings, then a 64-row frame.
+    */
+  private val q148: Q = (s, dir) => {
+    val top = graft.operators.Ulm
+      .seedCounts(t(s, dir, "documents"), "text", maxLen = 4)
+      .orderBy(desc("n"), col("piece")).limit(64)
+      // referenced twice inside scored (the Σn/|V| agg + the join)
+      .transform(graft.operators.Exec.materialize)
+    graft.operators.Ulm.scored(top)
+      .orderBy(desc("n"), col("piece"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_cosine_topk" -> q24,
     "q25_ann_lsh_bucket" -> q25,
@@ -4167,7 +4192,8 @@ object LlmPipeline {
     "q142_weighted_export" -> q142,
     "q143_authority_mix" -> q143,
     "q146_contamination_store" -> q146,
-    "q147_crossmodal_alignment" -> q147)
+    "q147_crossmodal_alignment" -> q147,
+    "q148_ulm_seed_vocab" -> q148)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4451,6 +4477,25 @@ object LlmPipeline {
          | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
          |FROM e CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q148_ulm_seed_vocab" ->
+      s"""WITH b AS (SELECT $dToks AS toks FROM documents),
+         |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM (SELECT unnest(toks) AS t FROM b) GROUP BY 1),
+         |subs AS (
+         | SELECT substring(word, i, l) AS piece, freq
+         | FROM (SELECT word, freq,
+         |        unnest(generate_series(1, length(word))) AS i FROM w),
+         |      (SELECT unnest(generate_series(1, 4)) AS l)
+         | WHERE i + l - 1 <= length(word)),
+         |c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+         |      FROM subs GROUP BY 1),
+         |top AS (SELECT piece, n FROM c ORDER BY n DESC, piece LIMIT 64),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         |        CAST(COUNT(*) AS BIGINT) AS v FROM top)
+         |SELECT piece, n,
+         | CAST((length(bin(n + 1)) - 1) - (length(bin(t + v)) - 1)
+         |  AS BIGINT) AS score_fp
+         |FROM top, tot ORDER BY n DESC, piece""".stripMargin,
     "q147_crossmodal_alignment" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id // 2 AS pair_id, vec_id AS caption_id,

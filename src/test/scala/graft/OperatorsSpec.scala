@@ -52,6 +52,120 @@ class OperatorsSpec extends SparkSuite {
     merges.toSeq
   }
 
+  // ── independent in-memory unigram-LM reference (the Bpe refTrain
+  // pattern): seed substring counts, ilog2 scores, Viterbi with the
+  // (score desc, fewer pieces, longest-final-piece) total order, hard
+  // EM recount + top-K + char-coverage reselection. No Spark.
+  private def ulmIlog2(x: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(x)
+  private def ulmScore(counts: Map[String, Long]): Map[String, Long] = {
+    val t = counts.values.sum + counts.size
+    counts.map { case (p, n) => p -> (ulmIlog2(n + 1) - ulmIlog2(t)) }
+  }
+  private def ulmSeed(freq: Map[String, Long],
+      maxLen: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      m(p) = m.getOrElse(p, 0L) + f
+    }
+    m.toMap
+  }
+  private def ulmSelect(counts: Map[String, Long],
+      maxVocab: Int): Map[String, Long] = {
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(maxVocab)
+    (top ++ counts.filter(_._1.length == 1)).toMap
+  }
+  private def ulmViterbi(w: String, score: Map[String, Long],
+      maxLen: Int): Vector[String] = {
+    val unk = score.values.min - 1
+    // best(i) = (score, nPieces, cut) for prefix length i
+    val best = new Array[(Long, Long, Int)](w.length + 1)
+    best(0) = (0L, 0L, 0)
+    for (i <- 1 to w.length) {
+      var b: (Long, Long, Int) = null
+      for (j <- math.max(1, i - maxLen + 1) to i) {
+        val piece = w.substring(j - 1, i)
+        val sc: Option[Long] = score.get(piece)
+          .orElse(if (i == j) Some(unk) else None)
+        sc.foreach { s =>
+          val cand = (best(j - 1)._1 + s, best(j - 1)._2 + 1, j - 1)
+          if (b == null || cand._1 > b._1 ||
+              (cand._1 == b._1 && cand._2 < b._2) ||
+              (cand._1 == b._1 && cand._2 == b._2 && cand._3 < b._3))
+            b = cand
+        }
+      }
+      best(i) = b
+    }
+    var pos = w.length
+    var out = List.empty[String]
+    while (pos > 0) {
+      val cut = best(pos)._3
+      out = w.substring(cut, pos) :: out
+      pos = cut
+    }
+    out.toVector
+  }
+  private def ulmRefTrain(freq: Map[String, Long], maxLen: Int,
+      maxVocab: Int, emRounds: Int): Seq[(String, Long)] = {
+    var vocab = ulmScore(ulmSelect(ulmSeed(freq, maxLen), maxVocab))
+    for (_ <- 1 to emRounds) {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- freq; p <- ulmViterbi(w, vocab, maxLen))
+        m(p) = m.getOrElse(p, 0L) + f
+      vocab = ulmScore(ulmSelect(m.toMap, maxVocab))
+    }
+    vocab.toSeq.sortBy(_._1)
+  }
+
+  test("unigram-LM training matches the in-memory reference " +
+    "round-for-round (hard EM in ilog2 fixed point), Viterbi encode " +
+    "segments exactly, and pieces reconstruct every word") {
+    val docs = Tables.load(spark, sf, "documents")
+    val freq = graft.operators.Bpe.wordFreq(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (maxLen, maxVocab) = (4, 128)
+    // seed round alone (emRounds = 0), then the EM rounds
+    assert(graft.operators.Ulm.train(docs, "text", maxLen, maxVocab,
+      emRounds = 0) === ulmRefTrain(freq, maxLen, maxVocab, 0),
+      "seed vocabulary diverged from the reference")
+    val got = graft.operators.Ulm.train(docs, "text", maxLen, maxVocab,
+      emRounds = 2)
+    val want = ulmRefTrain(freq, maxLen, maxVocab, 2)
+    assert(got === want, "EM rounds diverged from the reference")
+    // EM must actually prune/refine: the trained vocab differs from
+    // the seed (otherwise the loop is a no-op on this corpus)
+    assert(got !== ulmRefTrain(freq, maxLen, maxVocab, 0),
+      "fixture lost discrimination: EM changed nothing")
+    // encode: Viterbi under the trained scores, exactly; pieces
+    // reconstruct the word; unseen characters ride the unk fallback
+    import spark.implicits._
+    val vocabMap = got.toMap
+    val sample = freq.keys.toSeq.sorted.take(50) :+ "zzqxj7"
+    val enc = graft.operators.Ulm
+      .segment(sample.toDF("word"), "word", got, maxLen)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    for (w <- sample) {
+      assert(enc(w) === ulmViterbi(w, vocabMap, maxLen), s"word $w")
+      assert(enc(w).mkString === w, s"pieces must reconstruct $w")
+    }
+    // corpus-scale encodeDocs: per-document pieces concatenate to the
+    // document's own lowercase token stream
+    val sub = docs.limit(10)
+    val flat = graft.operators.Ulm.encodeDocs(sub, "text", got, maxLen)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString)
+      .toMap
+    val toks = sub.select(col("doc_id"), expr(
+        "array_join(regexp_extract_all(lower(text), '\\\\w+', 0), '')"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, s) <- toks)
+      assert(flat.getOrElse(id, "") === s, s"doc $id reconstruction")
+  }
+
   test("BPE training matches the reference implementation " +
     "merge-for-merge; encode applies the learned rules exactly") {
     val docs = Tables.load(spark, sf, "documents")
