@@ -180,9 +180,23 @@ object Ulm {
     * corpus-sized ever leaves the cluster.
     */
   def train(docs: DataFrame, textCol: String, maxLen: Int = 4,
+      maxVocab: Int = 256, emRounds: Int = 2): Seq[(String, Long)] =
+    trainFromWordFreq(Bpe.wordFreq(docs, textCol), maxLen, maxVocab,
+      emRounds)
+
+  /** [[train]] from an already-built (word, freq) frame — the form the
+    * maintainer→serving loop uses (`Streams.ulmVocabFromSnapshot`
+    * feeds the latest maintained term-counts snapshot here, so a
+    * scheduled tokenizer retrain reads KB of counts, never the
+    * corpus). Training on a maintained snapshot is bit-identical to
+    * training on everything the maintainer has seen BECAUSE every
+    * step is a pure function of the (word, freq) table — the
+    * StreamingSpec law.
+    */
+  def trainFromWordFreq(wordFreq: DataFrame, maxLen: Int = 4,
       maxVocab: Int = 256, emRounds: Int = 2): Seq[(String, Long)] = {
     require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
-    val wf = Exec.materialize(Bpe.wordFreq(docs, textCol))
+    val wf = Exec.materialize(wordFreq)
     try {
       var vocab = collectVocab(
         selectVocab(seedCounts0(wf, maxLen), maxVocab))

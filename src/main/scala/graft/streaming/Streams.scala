@@ -1748,6 +1748,27 @@ object Streams {
       (prev, cur) => prev.unionByName(cur)
         .groupBy("term").agg(sum(col("n")).as("n")))
 
+  /** Unigram-LM vocabulary trained from the latest
+    * [[maintainTermCounts]] snapshot — the maintainer→serving loop
+    * closed for the SECOND tokenizer family ([[graft.operators.Ulm]];
+    * the same posture as the quality model's snapshot form): a
+    * scheduled tokenizer retrain reads the KB-scale (term, n)
+    * snapshot, never the corpus, and lands BIT-IDENTICAL to batch-
+    * training over everything the maintainer has seen, because every
+    * Ulm step (seed, ilog2 scores, Viterbi-EM) is a pure function of
+    * the word-frequency table and the snapshot IS that table —
+    * [[maintainTermCounts]]'s tokenization is `LlmPipeline.toksE`,
+    * the same `\w+` lowercase rule [[graft.operators.Bpe.wordFreq]]
+    * applies (StreamingSpec pins the equality).
+    */
+  def ulmVocabFromSnapshot(spark: SparkSession, statsPath: String,
+      maxLen: Int = 4, maxVocab: Int = 256,
+      emRounds: Int = 2): Seq[(String, Long)] =
+    graft.operators.Ulm.trainFromWordFreq(
+      readTermStats(spark, statsPath)
+        .select(col("term").as("word"), col("n").as("freq")),
+      maxLen, maxVocab, emRounds)
+
   /** Term-frequency drift between two MAINTAINED snapshots — the form
     * q117's docstring promises ("two snapshot dates in production"):
     * the per-term two-sample χ² in 1e-6 fixed point, q117's arithmetic

@@ -438,4 +438,34 @@ class PlanSpec extends SparkSuite {
         s"$q's selection degenerated")
     }
   }
+
+  test("r17 additions: q146's store probe rides a BROADCAST gram join " +
+    "(the benchmark side is broadcast-scale by design); q147's score " +
+    "is the codegen'd cosine over ONE pairing join, never all-pairs; " +
+    "q148's seed agg is map-side partial") {
+    // q146: the gram join's store side comes in broadcast (gatedHint —
+    // a KB benchmark store is far under the ceiling), so the corpus
+    // gram stream never shuffles to be gated
+    val p146 = plan("q146_contamination_store")
+    assert(p146.contains("BroadcastHashJoin"),
+      s"q146's store probe lost its broadcast:\n$p146")
+    assert(!p146.contains("CartesianProduct") &&
+      !p146.contains("BroadcastNestedLoopJoin"), "q146 degenerated")
+    // q147: exactly one join (the pair_id equi-join); cosine_sim is a
+    // native expression inside the projection, no extra exchange
+    val p147 = plan("q147_crossmodal_alignment")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p147).size === 1,
+      s"q147 must pair with exactly one equi-join:\n$p147")
+    assert(p147.contains("cosine_sim"),
+      "q147's score must be the native cosine expression")
+    assert(!p147.contains("CartesianProduct") &&
+      !p147.contains("BroadcastNestedLoopJoin"), "q147 went all-pairs")
+    // q148: the substring-count aggregate partials map-side before its
+    // exchange (the corpus never ships raw substring rows)
+    val p148 = plan("q148_ulm_seed_vocab")
+    assert(p148.contains("partial_sum") || p148.contains("partial_count")
+      || "HashAggregate.*partial".r.findFirstIn(p148).isDefined,
+      s"q148's seed agg lost its map-side partial:\n$p148")
+  }
 }

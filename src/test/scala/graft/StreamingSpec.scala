@@ -864,6 +864,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ULM vocab from the maintained term-counts snapshot equals " +
+    "batch training over the same corpus bit-for-bit (the tokenizer " +
+    "retrain never reads the corpus)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val src = tmpDir("ulm-snap-src")
+    val path = tmpDir("ulm-snap") + "/counts"
+    val ckpt = tmpDir("ulm-snap-ckpt")
+    // two micro-batches so the snapshot's cell-wise merge is real
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val half = ids.sorted.apply(ids.length / 2)
+    def drain(): Unit = graft.streaming.Streams.maintainTermCounts(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(src),
+      path, ckpt).awaitTermination()
+    docs.filter(col("doc_id") < half).coalesce(1).write
+      .mode("overwrite").parquet(s"$src/b1")
+    drain()
+    docs.filter(col("doc_id") >= half).coalesce(1).write
+      .mode("overwrite").parquet(s"$src/b2")
+    drain()
+    val got = graft.streaming.Streams
+      .ulmVocabFromSnapshot(spark, path, maxLen = 4, maxVocab = 128,
+        emRounds = 2)
+    val want = graft.operators.Ulm
+      .train(docs, "text", maxLen = 4, maxVocab = 128, emRounds = 2)
+    assert(got === want,
+      "snapshot-trained vocab diverged from the batch trainer")
+  }
+
   test("maintained term counts: drift between two independently-" +
     "maintained snapshots equals q117 BIT-FOR-BIT (the two-crawl-" +
     "dates form of the drift monitor)") {
@@ -3126,6 +3155,61 @@ class StreamingSpec extends SparkSuite {
     drain(tmpDir("xmgate-ckpt2"))
     assert(survivors() === Seq(1L, 11L),
       "full-history replay must be a no-op")
+  }
+
+  test("contamination-gated feed inline self-maintenance: a " +
+    "retraction backlog past the ceiling compacts mid-stream and the " +
+    "sidecar rebuilds — the store inherits the family discipline") {
+    import spark.implicits._
+    val C = graft.ingest.ContaminationStore
+    val SS = graft.ingest.StoreStats
+    val srcDir = tmpDir("cmaint-src")
+    val outDir = tmpDir("cmaint-out") + "/docs"
+    val contamStore = tmpDir("cmaint-contam") + "/bench_grams"
+    val exactStore = tmpDir("cmaint-exact") + "/hashes"
+    val nearStore = tmpDir("cmaint-near") + "/bands"
+    // a live benchmark, a retired one (pending tombstones), a sidecar
+    C.recordBenchmark(Seq((900L, "held out benchmark phrase one"))
+      .toDF("doc_id", "text"), "text", "doc_id", contamStore)
+    C.recordBenchmark(Seq((901L, "retired benchmark phrase two"))
+      .toDF("doc_id", "text"), "text", "doc_id", contamStore)
+    C.buildBloomSidecar(spark, contamStore)
+    C.retractBenchmark(Seq((901L, "retired benchmark phrase two"))
+      .toDF("doc_id", "text"), "text", "doc_id", contamStore)
+    assert(SS.path(spark, contamStore).tombstoneBytes > 0L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val leak = (1 to 40).map(i => s"w$i t$i").mkString(" ") +
+      " held out benchmark phrase"
+    val clean = (1 to 40).map(i => s"c$i fresh$i").mkString(" ")
+    Seq((1L, clean), (2L, leak)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/b1")
+    try {
+      spark.conf.set("graft.tombstone.broadcast.maxBytes", "2")
+      assert(SS.path(spark, contamStore).compactionDue)
+      graft.streaming.Streams.contaminationGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", contamStore, exactStore, nearStore,
+        outDir, tmpDir("cmaint-ckpt"),
+        maintenanceEvery = 1).awaitTermination()
+      val s = SS.path(spark, contamStore)
+      assert(s.tombstoneBytes === 0L,
+        "mid-stream compaction must clear the contamination backlog")
+      assert(!s.compactionDue)
+      assert(s.sidecarPresent && !s.sidecarStale,
+        "maintenance must rebuild the contamination sidecar")
+      // gate semantics held through maintenance: the live benchmark
+      // still drops the leak, the clean doc landed
+      assert(spark.read.parquet(outDir).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // the retired benchmark's rows are physically gone
+      assert(spark.read.parquet(contamStore)
+        .filter(col("bench_id") === 901L).count() === 0L)
+    } finally spark.conf.unset("graft.tombstone.broadcast.maxBytes")
   }
 
   test("quality-gated feed FROM the maintained snapshot: gating " +
