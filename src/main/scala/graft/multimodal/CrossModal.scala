@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * pair whose alignment cannot be established is MISALIGNED by
   * definition (the conservative curation direction), so [[keepAligned]]
   * drops it (`NULL >= τ` is never true). Degenerate zero-norm vectors
-  * score NaN and drop the same way under Spark semantics; screen them
-  * upstream with the q119 embedding-health audit if they can occur.
+  * score NaN and are rejected by an explicit isnan guard (Spark
+  * orders NaN ABOVE every number, so a bare threshold compare would
+  * admit them); the q119 embedding-health audit remains the upstream
+  * screen for the vectors themselves.
   *
   * Scale posture (100 TB): one fused primitive loop per already-paired
   * row inside whole-stage codegen — no shuffle, no state; the expensive
@@ -50,13 +52,18 @@ object CrossModal {
   }
 
   /** Rows of `pairs` whose alignment clears `minAlignment` — the CLIP
-    * gate. Pairs with an undefined score (missing modality, dimension
-    * mismatch, null element) drop: NULL (and NaN) never clear the
-    * threshold. A stateless per-row filter — streaming-safe pre-sink.
+    * gate. Pairs with an undefined score drop: NULL (missing modality,
+    * dimension mismatch, null element) never clears the threshold, and
+    * NaN (zero-norm vector — the dead-encoder output q119 screens
+    * for) is rejected EXPLICITLY, because Spark's comparison semantics
+    * order NaN above every number and a bare `>= τ` would wave the
+    * degenerate pair through. A stateless per-row filter —
+    * streaming-safe pre-sink.
     */
   def keepAligned(pairs: DataFrame, captionVecCol: String,
       imageVecCol: String, minAlignment: Double): DataFrame = {
     graft.functions.Functions.register(pairs.sparkSession)
-    pairs.filter(alignment(captionVecCol, imageVecCol) >= minAlignment)
+    val a = alignment(captionVecCol, imageVecCol)
+    pairs.filter(a >= minAlignment && !isnan(a))
   }
 }

@@ -1332,9 +1332,14 @@ object Streams {
         sum(when(col("reached") >= 1L, 1L).otherwise(0L)).as("n_step1"),
         sum(when(col("reached") >= 2L, 1L).otherwise(0L)).as("n_step2"),
         sum(when(col("reached") >= 3L, 1L).otherwise(0L)).as("n_step3"))
-    dim.select(col(segmentCol)).distinct()
-      .join(counts, Seq(segmentCol), "left_outer")
-      .select(col(segmentCol),
+    // null-safe enumeration join (the family convention): a NULL
+    // segment is one identity — a plain using-column join would never
+    // match NULL to NULL and silently zero out that group's real counts
+    val segs = dim.select(col(segmentCol)).distinct()
+    segs
+      .join(counts.withColumnRenamed(segmentCol, "__seg"),
+        segs(segmentCol) <=> col("__seg"), "left_outer")
+      .select(segs(segmentCol),
         coalesce(col("n_step1"), lit(0L)).as("n_step1"),
         coalesce(col("n_step2"), lit(0L)).as("n_step2"),
         coalesce(col("n_step3"), lit(0L)).as("n_step3"))
@@ -2403,8 +2408,9 @@ object Streams {
     * per-row native-codegen filter, so like the literal quality gate
     * it composes pre-sink: no join, no state, no watermark, zero
     * per-batch model cost). A pair with an UNDEFINED score (missing
-    * modality, dimension mismatch) is misaligned by definition and
-    * drops the same way. Rejects are dropped, never recorded (the
+    * modality, dimension mismatch — NULL; zero-norm degenerate — NaN,
+    * explicitly guarded) is misaligned by definition and drops the
+    * same way. Rejects are dropped, never recorded (the
     * gate doctrine: a re-scraped caption for the same image is judged
     * afresh). Dedup keys on the text side: `textCol` is the caption —
     * the media content dedups through its own gated media feeds.

@@ -52,15 +52,22 @@ class MultimodalSpec extends SparkSuite {
     val broken = Seq(
       (10L, Some(Seq(1.0, 0.0)), Some(Seq(1.0, 0.0))), // fine
       (11L, None, Some(Seq(1.0, 0.0))),                // missing caption
-      (12L, Some(Seq(1.0, 0.0, 0.0)), Some(Seq(1.0, 0.0)))) // dim drift
+      (12L, Some(Seq(1.0, 0.0, 0.0)), Some(Seq(1.0, 0.0))), // dim drift
+      (13L, Some(Seq(0.0, 0.0)), Some(Seq(1.0, 0.0)))) // zero norm: NaN
       .toDF("pair_id", "cv", "iv")
       .withColumn("cv", col("cv").cast("array<double>"))
       .withColumn("iv", col("iv").cast("array<double>"))
+    // 13 is the dangerous one: Spark orders NaN ABOVE every number,
+    // so without the explicit isnan guard a dead-encoder zero-norm
+    // pair would pass any threshold
     assert(kept(broken, 0.0) === Seq(10L),
       "an unscorable pair must drop as misaligned")
     assert(C.scored(broken, "cv", "iv")
-      .filter(col("pair_id") > 10L)
+      .filter(col("pair_id").isin(11L, 12L))
       .select("alignment").collect().forall(_.isNullAt(0)))
+    assert(C.scored(broken, "cv", "iv")
+      .filter(col("pair_id") === 13L)
+      .select("alignment").collect()(0).getDouble(0).isNaN)
   }
 
   test("magic-byte sniffing: png/jpeg/wav/mp4/unknown") {
