@@ -4022,8 +4022,25 @@ object LlmPipeline {
     */
   private val q146: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // key the standing store by the table directory AND its content
+    // fingerprint (file names + sizes + mtimes): regenerated testdata
+    // at the same path gets a fresh store instead of a stale one that
+    // would silently drift from the oracle
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val sfs = src.getFileSystem(s.sessionState.newHadoopConf())
+    val stamp =
+      if (!sfs.exists(src)) "absent"
+      else if (sfs.getFileStatus(src).isDirectory)
+        sfs.listStatus(src).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|")
+      else {
+        val st = sfs.getFileStatus(src)
+        s"${st.getLen}:${st.getModificationTime}"
+      }
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val root = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft-contam-q146-$key"
     val store = s"$root/bench_grams"
