@@ -1799,6 +1799,52 @@ class IngestSpec extends SparkSuite {
       === Seq(2L), "post-compaction gate drifted")
   }
 
+  test("ContaminationStore laws: re-registration is probe-idempotent, " +
+    "the gate is monotone in minSharedGrams, and null ids are one " +
+    "pooled identity (the family contract)") {
+    import spark.implicits._
+    val C = graft.ingest.ContaminationStore
+    val store = tmpDir("contam-laws") + "/bench_grams"
+    val bench = Seq((100L, "one two three four five"))
+      .toDF("doc_id", "text")
+    C.recordBenchmark(bench, "text", "doc_id", store)
+    val probe = Seq(
+      (1L, "xx one two three yy"),        // 1 shared gram
+      (2L, "one two three four zz"))      // 2 shared grams
+      .toDF("doc_id", "text")
+    def overlapRows(): Set[(Long, Long, Long)] =
+      C.overlap(probe, "text", "doc_id", store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val once = overlapRows()
+    // idempotence: registering the SAME benchmark again changes no
+    // probe answer (countDISTINCT arithmetic; compaction reclaims)
+    C.recordBenchmark(bench, "text", "doc_id", store)
+    assert(overlapRows() === once,
+      "re-registration must be probe-idempotent")
+    def survivors(minShared: Int): Seq[Long] =
+      C.newClean(probe, "text", "doc_id", store, minShared)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // monotone: raising the threshold only ADMITS documents
+    assert(survivors(1) === Seq())
+    assert(survivors(2) === Seq(1L))
+    assert(survivors(3) === Seq(1L, 2L))
+    // null ids pool: two null-id rows each sharing ONE distinct gram
+    // form one identity whose pooled distinct count crosses 2 — both
+    // rows drop at minSharedGrams = 2, exactly like a single doc that
+    // carried both grams (SpanStore's documented cohort semantics)
+    val nullProbe = Seq(
+      (Option.empty[Long], "aa one two three bb"),  // gram A
+      (Option.empty[Long], "cc three four five dd"), // gram B
+      (Some(9L), "clean words only here"))
+      .toDF("doc_id", "text")
+    val pooled = C.newClean(nullProbe, "text", "doc_id", store,
+        minSharedGrams = 2)
+      .select("doc_id").collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(pooled === Seq(9L),
+      "null-id rows must pool into one identity at the threshold")
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(
