@@ -90,8 +90,10 @@ object SqlSurface {
     // q146 builds + probes its contamination store at build time
     // (the recordBenchmark write job); q147 is lazy end to end.
     // q148 materializes its top-64 seed frame (referenced by the
-    // Σn/|V| aggregate AND the scoring join)
-    "q146_contamination_store", "q148_ulm_seed_vocab")
+    // Σn/|V| aggregate AND the scoring join); q149 builds its
+    // standing blocklist store at build time (the recordHashes job)
+    "q146_contamination_store", "q148_ulm_seed_vocab",
+    "q149_blocklist_gate")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

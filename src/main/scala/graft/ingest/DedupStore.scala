@@ -130,6 +130,81 @@ object DedupStore {
       .drop("__rn")
   }
 
+  /** MEMBERSHIP gate over the store — rows of `docs` whose `keyCol`
+    * content hash is ABSENT from the store, row multiplicity
+    * PRESERVED: where [[newUnique]] asks "is this content new" and
+    * collapses within-batch duplicates to one keeper (the dedup
+    * shape), this asks "is this row's KEY on the list" (the BLOCKLIST
+    * shape — a domain/URL blocklist is exactly a content-hash store
+    * whose recorded keys are domains, and every row from an UNLISTED
+    * domain must survive, not one per domain). Hashing inherits
+    * [[hashOf]]'s case/whitespace normalization — case-insensitive
+    * domain matching for free — and the store's persisted hash form.
+    * Output columns are the input's, unchanged. Un-listing a key is
+    * the standard retraction protocol ([[retract]] the key rows);
+    * compaction/sidecar likewise.
+    */
+  def newUnseen(docs: DataFrame, keyCol: String,
+      storePath: String): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("content_hash")),
+      "DedupStore reserves the column name content_hash")
+    val spark = docs.sparkSession
+    val form = storedHashForm(spark, storePath)
+    docs.withColumn("content_hash", hashOf(keyCol, form))
+      .join(storeHashes(spark, storePath, form), Seq("content_hash"),
+        "left_anti")
+      .drop("content_hash")
+  }
+
+  /** [[newUnseen]] accelerated by the Bloom sidecar — the
+    * [[newUniqueWithBloom]] split without the keeper collapse:
+    * bloom-MISS rows are proven unlisted against the covered files
+    * and only anti-join the residual; bloom-HIT rows anti-join the
+    * full current store. No sidecar (or no surviving covered file)
+    * falls back to the plain probe.
+    */
+  def newUnseenWithBloom(docs: DataFrame, keyCol: String,
+      storePath: String): DataFrame = {
+    require(!docs.columns.exists(_.equalsIgnoreCase("content_hash")),
+      "DedupStore reserves the column name content_hash")
+    val spark = docs.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    readSidecar(fs, sidecarPath(storePath)).flatMap(sc =>
+        probeFor(spark, fs, sidecarPath(storePath), sc).map((sc, _))) match {
+      case None => newUnseen(docs, keyCol, storePath)
+      case Some((sc, mightContain)) =>
+        val coveredNames = sc.covered
+        val current = storeDataFiles(fs, store)
+        val covered = current.filter(f => coveredNames.contains(f.getName))
+        if (covered.isEmpty) return newUnseen(docs, keyCol, storePath)
+        val residual =
+          current.filterNot(f => coveredNames.contains(f.getName))
+        val form = storedHashForm(spark, storePath)
+        val schema = schemaOf(form)
+        val hashed = docs.withColumn("content_hash", hashOf(keyCol, form))
+        val probeKey = col("content_hash").cast("string")
+        val tomb = readTombstones(spark, tombstonesPath(storePath),
+          schema)
+        val coveredDf = minusTombstones(
+          spark.read.schema(schema)
+            .parquet(covered.map(_.toString): _*), tomb,
+          Seq("content_hash"))
+        val maybe = hashed.filter(mightContain(probeKey))
+          .join(coveredDf, Seq("content_hash"), "left_anti")
+        val unioned = hashed.filter(!mightContain(probeKey))
+          .unionByName(maybe)
+        val result =
+          if (residual.isEmpty) unioned
+          else unioned.join(
+            minusTombstones(spark.read.schema(schema)
+              .parquet(residual.map(_.toString): _*), tomb,
+              Seq("content_hash")),
+            Seq("content_hash"), "left_anti")
+        result.drop("content_hash")
+    }
+  }
+
   /** Mark `docs` seen: append their content hashes to the store. Call
     * AFTER the survivors are durably persisted (see class doc), ideally
     * on the persisted read-back. Reuses a `content_hash` column when

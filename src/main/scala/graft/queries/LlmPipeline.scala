@@ -4020,12 +4020,18 @@ object LlmPipeline {
     * is broadcast-gated (KB–GB at any corpus size, the class
     * doctrine).
     */
-  private val q146: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // key the standing store by the table directory AND its content
-    // fingerprint (file names + sizes + mtimes): regenerated testdata
-    // at the same path gets a fresh store instead of a stale one that
-    // would silently drift from the oracle
+  /** Deterministic STANDING-store root for store-backed audit queries
+    * (q146/q149): keyed by the table directory AND the documents
+    * parquet's content fingerprint (file names + sizes + mtimes), so
+    * regenerated testdata at the same path gets a fresh store instead
+    * of a stale one silently drifting from the oracle; `build` runs
+    * ONCE per key behind a `.complete` marker (a partial crash
+    * rebuilds from scratch) — registration is offline in the store
+    * doctrines, so bench reps time the PROBE path, and /tmp holds one
+    * store per (tag, data) instead of one per invocation.
+    */
+  private def standingStore(s: SparkSession, dir: String, tag: String)(
+      build: String => Unit): String = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val sfs = src.getFileSystem(s.sessionState.newHadoopConf())
     val stamp =
@@ -4041,20 +4047,73 @@ object LlmPipeline {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$stamp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-contam-q146-$key"
-    val store = s"$root/bench_grams"
-    val done = new org.apache.hadoop.fs.Path(s"$root/.complete")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
+    val store = s"$root/store"
+    // the marker attests the STORE path, not just the root: a root
+    // left by an older layout (different store subpath) must rebuild,
+    // not skip
+    val done = new org.apache.hadoop.fs.Path(s"$store.complete")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      graft.ingest.ContaminationStore.recordBenchmark(
-        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", store)
+      build(store)
       fs.create(done, true).close()
+    }
+    store
+  }
+
+  private val q146: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val store = standingStore(s, dir, "contam-q146") { st =>
+      graft.ingest.ContaminationStore.recordBenchmark(
+        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", st)
     }
     graft.ingest.ContaminationStore.overlap(
       docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id", store)
       .orderBy("doc_id")
+  }
+
+  /** q149: URL/domain BLOCKLIST gate through the cross-run store —
+    * stage #1 of every production web-curation pipeline (CCNet/
+    * RefinedWeb/FineWeb drop listed domains before any content work),
+    * exercised over the REAL membership probe: the q55 URL/domain
+    * synthesis (one derivation with its oracle), a standing blocklist
+    * registering the % 7 ∈ {2, 5} domain slices through
+    * [[graft.ingest.DedupStore.recordHashes]] (a blocklist IS a
+    * content-hash store whose keys are domains — zero new machinery),
+    * and the gate via `newUnseenWithBloom` — the membership shape
+    * that preserves row MULTIPLICITY (every doc of an unlisted domain
+    * survives; `newUnique`'s keeper collapse would be wrong here).
+    * The oracle replays the synthesis + the slice rule semantically;
+    * a drift anywhere in the store's record/normalize/probe path
+    * breaks the per-domain kept counts. Scale: the gate is one
+    * broadcast-scale anti-join on the domain hash; the blocklist is
+    * KB–MB at any corpus size.
+    */
+  private val q149: Q = (s, dir) => {
+    val withDomain = t(s, dir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"),
+          (col("doc_id") % 7).cast(StringType),
+          lit(".example.com/page/"), col("doc_id")))
+      .withColumn("domain",
+        regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .select("doc_id", "domain")
+    val store = standingStore(s, dir, "blocklist-q149") { st =>
+      graft.ingest.DedupStore.recordHashes(
+        withDomain.filter(col("doc_id") % 7 isin (2L, 5L))
+          .select("domain").distinct(), "domain", st)
+      graft.ingest.DedupStore.buildBloomSidecar(s, st)
+      ()
+    }
+    val kept = graft.ingest.DedupStore
+      .newUnseenWithBloom(withDomain, "domain", store)
+    withDomain.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("domain").agg(count(lit(1)).as("n_kept")),
+        Seq("domain"), "left_outer")
+      .select(col("domain"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("domain")
   }
 
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
@@ -4223,7 +4282,8 @@ object LlmPipeline {
     "q143_authority_mix" -> q143,
     "q146_contamination_store" -> q146,
     "q147_crossmodal_alignment" -> q147,
-    "q148_ulm_seed_vocab" -> q148)
+    "q148_ulm_seed_vocab" -> q148,
+    "q149_blocklist_gate" -> q149)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4507,6 +4567,18 @@ object LlmPipeline {
          | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
          |FROM e CROSS JOIN q WHERE vec_id <> 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q149_blocklist_gate" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  regexp_extract('https://' || source || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.example.com/page/' || doc_id, 'https://([^/]+)/', 1)
+        |   AS domain,
+        |  doc_id % 7 AS slice
+        | FROM documents)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN slice IN (2, 5) THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_kept
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
     "q148_ulm_seed_vocab" ->
       s"""WITH b AS (SELECT $dToks AS toks FROM documents),
          |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq

@@ -2451,6 +2451,63 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the
+    * URL/DOMAIN BLOCKLIST gate — stage #1 of every production
+    * web-curation pipeline (listed domains drop before any content
+    * work prices them): rows whose `keyCol` (the extracted domain —
+    * the caller's projection, q55's derivation) is ON the standing
+    * blocklist drop BEFORE any dedup probe, via
+    * [[graft.ingest.DedupStore.newUnseenWithBloom]] — the membership
+    * probe that preserves row multiplicity (every doc of an unlisted
+    * domain survives; a blocklist is a content-hash store whose
+    * recorded keys are domains, so the gate is ZERO new machinery and
+    * inherits normalization ≈ case-insensitive domain matching,
+    * bloom pruning, retraction = un-listing, compaction). Like the
+    * contamination gate its verdict is history-INDEPENDENT (the list
+    * is maintained offline; a domain listed mid-stream takes effect
+    * next micro-batch) and rejects are never recorded anywhere.
+    * Inline maintenance covers all three stores.
+    */
+  def blocklistGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, keyCol: String, blocklistStorePath: String,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "blocklist_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, blocklistStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, blocklistStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, blocklistStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
+        graft.ingest.DedupStore.newUniqueWithBloom(
+          graft.ingest.DedupStore.newUnseenWithBloom(
+            batch, keyCol, blocklistStorePath),
+          textCol, idCol, exactStorePath),
+        textCol, idCol, nearStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
   /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
     * the adoption semantics are directly testable: when due (`every`
     * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED

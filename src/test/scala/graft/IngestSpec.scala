@@ -1845,6 +1845,45 @@ class IngestSpec extends SparkSuite {
       "null-id rows must pool into one identity at the threshold")
   }
 
+  test("DedupStore.newUnseen (the blocklist/membership probe): row " +
+    "multiplicity preserved, normalization gives case-insensitive " +
+    "keys, un-listing retracts, and the bloom path answers " +
+    "identically through residual appends") {
+    import spark.implicits._
+    val D = graft.ingest.DedupStore
+    val store = tmpDir("blocklist") + "/keys"
+    D.recordHashes(Seq(Tuple1("spam.example.com"))
+      .toDF("domain"), "domain", store)
+    val docs = Seq(
+      (1L, "good.example.com"),
+      (2L, "good.example.com"),  // same unlisted domain — BOTH survive
+      (3L, "spam.example.com"),
+      (4L, "SPAM.Example.COM")) // normalization: case-insensitive hit
+      .toDF("doc_id", "domain")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(D.newUnseen(docs, "domain", store)) === Seq(1L, 2L),
+      "membership gate must keep EVERY row of an unlisted key")
+    assert(D.newUnseen(docs, "domain", store).columns.toSeq
+      === Seq("doc_id", "domain"), "output columns must be the input's")
+    // contrast pin: the dedup probe's keeper collapse is the WRONG
+    // shape here (one row per unlisted domain)
+    assert(D.newUnique(docs, "domain", "doc_id", store).count() === 1L)
+    // bloom parity, incl. a residual (post-sidecar) listing
+    D.buildBloomSidecar(spark, store)
+    assert(ids(D.newUnseenWithBloom(docs, "domain", store))
+      === Seq(1L, 2L))
+    D.recordHashes(Seq(Tuple1("good.example.com")).toDF("domain"),
+      "domain", store)
+    assert(ids(D.newUnseenWithBloom(docs, "domain", store)) === Seq(),
+      "a residual listing must gate through the miss leg")
+    // un-listing = the standard retraction: probes reopen immediately
+    D.retract(Seq(Tuple1("spam.example.com")).toDF("domain"),
+      "domain", store)
+    assert(ids(D.newUnseen(docs, "domain", store)) === Seq(3L, 4L),
+      "retraction must un-list the key for every row")
+  }
+
   test("O5 validate: accepts exact and superset columns, rejects missing") {
     import spark.implicits._
     val ok = Seq(("a", "b", "c", "d", "e", "f")).toDF(

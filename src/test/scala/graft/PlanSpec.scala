@@ -467,5 +467,12 @@ class PlanSpec extends SparkSuite {
     assert(p148.contains("partial_sum") || p148.contains("partial_count")
       || "HashAggregate.*partial".r.findFirstIn(p148).isDefined,
       s"q148's seed agg lost its map-side partial:\n$p148")
+    // q149: the blocklist membership gate anti-joins a broadcast-scale
+    // store side and never degenerates
+    val p149 = plan("q149_blocklist_gate")
+    assert(p149.contains("BroadcastHashJoin"),
+      s"q149's membership gate lost its broadcast anti-join:\n$p149")
+    assert(!p149.contains("CartesianProduct") &&
+      !p149.contains("BroadcastNestedLoopJoin"), "q149 degenerated")
   }
 }

@@ -3212,6 +3212,73 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.unset("graft.tombstone.broadcast.maxBytes")
   }
 
+  test("blocklist-gated curation feed: a listed-domain doc drops on " +
+    "every run before any store probe, rejects are never recorded, " +
+    "and un-listing reopens the gate") {
+    import spark.implicits._
+    val srcDir = tmpDir("blgate-src")
+    val outDir = tmpDir("blgate-out") + "/docs"
+    val blocklist = tmpDir("blgate-list") + "/keys"
+    val exactStore = tmpDir("blgate-exact") + "/hashes"
+    val nearStore = tmpDir("blgate-near") + "/bands"
+    graft.ingest.DedupStore.recordHashes(
+      Seq(Tuple1("spam.example.com")).toDF("domain"), "domain",
+      blocklist)
+    graft.ingest.DedupStore.buildBloomSidecar(spark, blocklist)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("domain",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "domain", "text").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.blocklistGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", "domain", blocklist, exactStore, nearStore,
+        outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val good = (1 to 60).map(i => s"alpha$i token$i word$i").mkString(" ")
+    val spamText = (1 to 60).map(i => s"beta$i item$i entry$i")
+      .mkString(" ")
+    val ckpt1 = tmpDir("blgate-ckpt1")
+    deliver("b1", Seq(
+      (1L, "good.example.com", good),
+      (2L, "spam.example.com", spamText)))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L), "the listed domain must drop")
+    // the reject never reached the exact store
+    assert(graft.ingest.DedupStore.newUnique(
+      Seq((50L, spamText)).toDF("doc_id", "text"), "text", "doc_id",
+      exactStore).count() === 1,
+      "a gate reject must not poison the dedup history")
+    // replay after checkpoint loss: no-op
+    drain(tmpDir("blgate-ckpt2"))
+    assert(survivors() === Seq(1L))
+    // batch 2: a dup of the survivor drops via the store behind the
+    // gate; the same TEXT from an unlisted domain is judged afresh
+    deliver("b2", Seq(
+      (10L, "fresh.example.com", good),
+      (11L, "fresh.example.com", spamText)))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L, 11L))
+    // un-listing reopens: retract the domain, a new doc from it lands
+    graft.ingest.DedupStore.retract(
+      Seq(Tuple1("spam.example.com")).toDF("domain"), "domain",
+      blocklist)
+    deliver("b3", Seq(
+      (20L, "spam.example.com",
+        (1 to 60).map(i => s"gamma$i novel$i fresh$i").mkString(" "))))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L, 11L, 20L),
+      "an un-listed domain's fresh doc must land")
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
