@@ -167,42 +167,66 @@ object DedupStore {
       storePath: String): DataFrame = {
     require(!docs.columns.exists(_.equalsIgnoreCase("content_hash")),
       "DedupStore reserves the column name content_hash")
-    val spark = docs.sparkSession
+    bloomSplitAnti(docs.sparkSession, storePath)(form =>
+        docs.withColumn("content_hash", hashOf(keyCol, form)))
+      .map(_.drop("content_hash"))
+      .getOrElse(newUnseen(docs, keyCol, storePath))
+  }
+
+  /** The path-form bloom-split ANTI-probe core shared by
+    * [[newUniqueWithBloom]] and [[newUnseenWithBloom]] (one skeleton —
+    * a fix to the split's tombstone/residual handling reaches every
+    * probe): resolve the sidecar + a usable covered set, hash the
+    * batch via `hashedOf(form)` (a `content_hash`-carrying frame),
+    * then bloom-MISS rows are proven absent from covered files and
+    * anti-join only the residual, while bloom-HIT rows anti-join the
+    * full current store — live tombstones subtracted from every
+    * store-side frame. Returns None when there is no sidecar or no
+    * covered file survives (caller falls back to its plain probe).
+    */
+  private def bloomSplitAnti(
+      spark: org.apache.spark.sql.SparkSession, storePath: String)(
+      hashedOf: String => DataFrame): Option[DataFrame] = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     readSidecar(fs, sidecarPath(storePath)).flatMap(sc =>
-        probeFor(spark, fs, sidecarPath(storePath), sc).map((sc, _))) match {
-      case None => newUnseen(docs, keyCol, storePath)
-      case Some((sc, mightContain)) =>
+        probeFor(spark, fs, sidecarPath(storePath), sc).map((sc, _)))
+      .flatMap { case (sc, mightContain) =>
         val coveredNames = sc.covered
         val current = storeDataFiles(fs, store)
         val covered = current.filter(f => coveredNames.contains(f.getName))
-        if (covered.isEmpty) return newUnseen(docs, keyCol, storePath)
-        val residual =
-          current.filterNot(f => coveredNames.contains(f.getName))
-        val form = storedHashForm(spark, storePath)
-        val schema = schemaOf(form)
-        val hashed = docs.withColumn("content_hash", hashOf(keyCol, form))
-        val probeKey = col("content_hash").cast("string")
-        val tomb = readTombstones(spark, tombstonesPath(storePath),
-          schema)
-        val coveredDf = minusTombstones(
-          spark.read.schema(schema)
-            .parquet(covered.map(_.toString): _*), tomb,
-          Seq("content_hash"))
-        val maybe = hashed.filter(mightContain(probeKey))
-          .join(coveredDf, Seq("content_hash"), "left_anti")
-        val unioned = hashed.filter(!mightContain(probeKey))
-          .unionByName(maybe)
-        val result =
-          if (residual.isEmpty) unioned
-          else unioned.join(
-            minusTombstones(spark.read.schema(schema)
-              .parquet(residual.map(_.toString): _*), tomb,
-              Seq("content_hash")),
-            Seq("content_hash"), "left_anti")
-        result.drop("content_hash")
-    }
+        if (covered.isEmpty) None
+        else {
+          val residual =
+            current.filterNot(f => coveredNames.contains(f.getName))
+          val form = storedHashForm(spark, storePath)
+          val schema = schemaOf(form)
+          val hashed = hashedOf(form)
+          // the probe expression hashes STRINGS; the xx64 form's long
+          // hashes cast to their decimal string — bit-identical to
+          // what the sidecar build cast when it recorded them
+          val probeKey = col("content_hash").cast("string")
+          // live tombstones subtract from EVERY store-side frame (the
+          // retraction contract) — covered and residual alike
+          val tomb = readTombstones(spark, tombstonesPath(storePath),
+            schema)
+          val coveredDf = minusTombstones(
+            spark.read.schema(schema)
+              .parquet(covered.map(_.toString): _*), tomb,
+            Seq("content_hash"))
+          val maybe = hashed.filter(mightContain(probeKey))
+            .join(coveredDf, Seq("content_hash"), "left_anti")
+          val unioned = hashed.filter(!mightContain(probeKey))
+            .unionByName(maybe)
+          Some(
+            if (residual.isEmpty) unioned
+            else unioned.join(
+              minusTombstones(spark.read.schema(schema)
+                .parquet(residual.map(_.toString): _*), tomb,
+                Seq("content_hash")),
+              Seq("content_hash"), "left_anti"))
+        }
+      }
   }
 
   /** Mark `docs` seen: append their content hashes to the store. Call
@@ -722,51 +746,13 @@ object DedupStore {
     * ingest predicate, loading only the probed row's shard.
     */
   def newUniqueWithBloom(docs: DataFrame, textCol: String, idCol: String,
-      storePath: String): DataFrame = {
-    val spark = docs.sparkSession
-    val store = new org.apache.hadoop.fs.Path(storePath)
-    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    readSidecar(fs, sidecarPath(storePath)).flatMap(sc =>
-        probeFor(spark, fs, sidecarPath(storePath), sc).map((sc, _))) match {
-      case None => newUnique(docs, textCol, idCol, storePath)
-      case Some((sc, mightContain)) =>
-        val coveredNames = sc.covered
-        val current = storeDataFiles(fs, store)
-        val covered = current.filter(f => coveredNames.contains(f.getName))
-        if (covered.isEmpty) return newUnique(docs, textCol, idCol, storePath)
-        val residual =
-          current.filterNot(f => coveredNames.contains(f.getName))
-        val form = storedHashForm(spark, storePath)
-        val schema = schemaOf(form)
-        val k = keepers(docs, textCol, idCol, form)
-        // the probe expression hashes STRINGS; the xx64 form's long
-        // hashes cast to their decimal string — bit-identical to what
-        // the sidecar build cast when it recorded them
-        val probeKey = col("content_hash").cast("string")
-        // live tombstones subtract from EVERY store-side frame (the
-        // retraction contract) — covered and residual alike
-        val tomb = readTombstones(spark, tombstonesPath(storePath),
-          schema)
-        val coveredDf = minusTombstones(
-          spark.read.schema(schema)
-            .parquet(covered.map(_.toString): _*), tomb,
-          Seq("content_hash"))
-        val maybe = k.filter(mightContain(probeKey))
-          .join(coveredDf, Seq("content_hash"), "left_anti")
-        val definite = k.filter(!mightContain(probeKey))
-        val unioned = definite.unionByName(maybe)
-        val result =
-          if (residual.isEmpty) unioned
-          else unioned.join(
-            minusTombstones(spark.read.schema(schema)
-              .parquet(residual.map(_.toString): _*), tomb,
-              Seq("content_hash")),
-            Seq("content_hash"), "left_anti")
-        // same column order as newUnique (whose USING-key join leads
-        // with the hash), whichever branches ran
-        result.select(("content_hash" +: docs.columns.toSeq).map(col): _*)
-    }
-  }
+      storePath: String): DataFrame =
+    bloomSplitAnti(docs.sparkSession, storePath)(form =>
+        keepers(docs, textCol, idCol, form))
+      // same column order as newUnique (whose USING-key join leads
+      // with the hash), whichever branches ran
+      .map(_.select(("content_hash" +: docs.columns.toSeq).map(col): _*))
+      .getOrElse(newUnique(docs, textCol, idCol, storePath))
 
   // ── bucketed-catalog store form (the 100 TB path) ──────────────────
   //

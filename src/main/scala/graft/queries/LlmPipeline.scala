@@ -4021,18 +4021,28 @@ object LlmPipeline {
     * doctrine).
     */
   /** Deterministic STANDING-store root for store-backed audit queries
-    * (q146/q149): keyed by the table directory AND the documents
-    * parquet's content fingerprint (file names + sizes + mtimes), so
-    * regenerated testdata at the same path gets a fresh store instead
-    * of a stale one silently drifting from the oracle; `build` runs
-    * ONCE per key behind a `.complete` marker (a partial crash
-    * rebuilds from scratch) — registration is offline in the store
-    * doctrines, so bench reps time the PROBE path, and /tmp holds one
-    * store per (tag, data) instead of one per invocation.
+    * (q146/q149): keyed by the table directory AND the source table's
+    * content fingerprint (file names + sizes + mtimes — `srcTable`
+    * names the table the store derives from), so regenerated testdata
+    * at the same path gets a fresh store instead of a stale one
+    * silently drifting from the oracle; `build` runs ONCE per key —
+    * registration is offline in the store doctrines, so bench reps
+    * time the PROBE path, and /tmp holds one live store per tag.
+    *
+    * Crash/concurrency protocol: the build lands in a UUID staging
+    * root, gains its `store.complete` marker there, and installs by
+    * one atomic rename — a reader can never see a marked-but-partial
+    * store (the failure the naive check-build-mark sequence allows
+    * when two JVMs interleave); concurrent builders race to the
+    * rename and any loser's staging is discarded (both built the same
+    * deterministic content). Superseded sibling roots (older data
+    * generations, pre-r17 layouts) are pruned on install, bounding
+    * /tmp to one root per tag.
     */
-  private def standingStore(s: SparkSession, dir: String, tag: String)(
+  private def standingStore(s: SparkSession, dir: String, tag: String,
+      srcTable: String = "documents")(
       build: String => Unit): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
     val sfs = src.getFileSystem(s.sessionState.newHadoopConf())
     val stamp =
       if (!sfs.exists(src)) "absent"
@@ -4047,17 +4057,26 @@ object LlmPipeline {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|$stamp".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$key"
+    val tmpDir = System.getProperty("java.io.tmpdir")
+    val root = new org.apache.hadoop.fs.Path(s"$tmpDir/graft-$tag-$key")
     val store = s"$root/store"
-    // the marker attests the STORE path, not just the root: a root
-    // left by an older layout (different store subpath) must rebuild,
-    // not skip
     val done = new org.apache.hadoop.fs.Path(s"$store.complete")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      build(store)
-      fs.create(done, true).close()
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$tmpDir/graft-$tag-staging-${java.util.UUID.randomUUID()}")
+      build(s"$staging/store")
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$staging/store.complete"), true).close()
+      // prune superseded generations + any stale unmarked root, then
+      // install; a lost race leaves the winner's identical store
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$tmpDir/graft-$tag-*"))
+        // name compare: globStatus returns fs-QUALIFIED paths, which
+        // never equal the unqualified staging path object
+        .filter(st => st.getPath.getName != staging.getName)
+        .foreach(st => fs.delete(st.getPath, true))
+      if (!fs.rename(staging, root)) fs.delete(staging, true)
     }
     store
   }
