@@ -95,8 +95,14 @@ object Ulm {
     def sc = s"""coalesce(element_at($mapLit,
                 |   substring($wordCol, j, i - j + 1)),
                 | if(i = j, ${unk}L, cast(null as bigint)))""".stripMargin
+    // the empty word (possible through the public segment/encodeDocs
+    // entry points; internal callers feed \w+ words) short-circuits:
+    // sequence(1, 0, 1) would throw Spark's illegal-boundaries error,
+    // and its answer is trivially the empty segmentation
     val best =
-      s"""aggregate(sequence(1, char_length($wordCol), 1),
+      s"""if(char_length($wordCol) = 0,
+         | array(named_struct('s', 0L, 'np', 0L, 'cut', 0)),
+         | aggregate(sequence(1, char_length($wordCol), 1),
          | array(named_struct('s', 0L, 'np', 0L, 'cut', 0)),
          | (acc, i) -> concat(acc, array(
          |   aggregate(sequence(greatest(1, i - ${maxLen - 1}), i, 1),
@@ -112,9 +118,11 @@ object Ulm {
          |         named_struct('s', element_at(acc, j).s + $sc,
          |                      'np', element_at(acc, j).np + 1L,
          |                      'cut', j - 1),
-         |         b))))))""".stripMargin
+         |         b)))))))""".stripMargin
     val pieces =
-      s"""aggregate(sequence(1, char_length($wordCol), 1),
+      s"""if(char_length($wordCol) = 0,
+         | cast(array() as array<string>),
+         | aggregate(sequence(1, char_length($wordCol), 1),
          | named_struct('pos', char_length($wordCol),
          |              'ps', cast(array() as array<string>)),
          | (st, x) -> if(st.pos <= 0, st,
@@ -123,7 +131,7 @@ object Ulm {
          |     'ps', concat(st.ps, array(substring($wordCol,
          |       element_at(__ulm_best, st.pos + 1).cut + 1,
          |       st.pos - element_at(__ulm_best, st.pos + 1).cut))))),
-         | st -> reverse(st.ps))""".stripMargin
+         | st -> reverse(st.ps)))""".stripMargin
     (best, pieces)
   }
 

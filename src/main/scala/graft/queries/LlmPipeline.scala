@@ -90,7 +90,13 @@ object LlmPipeline {
     */
   private def tokenized(s: SparkSession, dir: String,
       extra: String*): DataFrame =
-    t(s, dir, "documents")
+    tokenizedOf(t(s, dir, "documents"), extra: _*)
+
+  /** [[tokenized]] over an arbitrary frame carrying doc_id + text —
+    * same Generate barrier, same ≥ 1-token domain.
+    */
+  private def tokenizedOf(docs: DataFrame, extra: String*): DataFrame =
+    docs
       .select(col("doc_id") +: extra.map(col) :+
         explode(array(expr(toksE))).as("toks"): _*)
       .filter(size(col("toks")) >= 1)
@@ -2089,10 +2095,22 @@ object LlmPipeline {
     * skips the barrier write.
     */
   private def pipelineStages(s: SparkSession, dir: String,
+      materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) =
+    pipelineStagesOf(t(s, dir, "documents"), materializePassed)
+
+  /** [[pipelineStages]] over an arbitrary ENTRANT frame (doc_id, text,
+    * n_chars, …) instead of the raw table — the composed-pipeline form
+    * (q150 feeds it the blocklist+contamination survivors): keeper
+    * election and CC clustering then run over exactly the documents
+    * that reached each stage, which is what a staged pipeline's log
+    * must reflect (an exact-dup group whose keeper fell to an earlier
+    * gate elects the next-lowest survivor, not the gated ghost).
+    */
+  private def pipelineStagesOf(entrants: DataFrame,
       materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    graft.functions.Functions.register(s)
+    graft.functions.Functions.register(entrants.sparkSession)
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val passed0 = gopherMetrics(tokenized(s, dir, "text", "n_chars"))
+    val passed0 = gopherMetrics(tokenizedOf(entrants, "text", "n_chars"))
       .filter(gopherPass)
       .select("doc_id", "text", "n_chars")
     val passed =
@@ -4027,20 +4045,31 @@ object LlmPipeline {
     * at the same path gets a fresh store instead of a stale one
     * silently drifting from the oracle; `build` runs ONCE per key —
     * registration is offline in the store doctrines, so bench reps
-    * time the PROBE path, and /tmp holds one live store per tag.
+    * time the PROBE path, and the root holds one live store per
+    * (tag, table directory).
+    *
+    * Root resolution: `spark.graft.standingStoreRoot` if set, else
+    * `java.io.tmpdir` — the default is a LOCAL-MODE-ONLY harness
+    * convenience (the driver's /tmp is not a shared filesystem; on a
+    * real cluster set the conf to a path every executor and the
+    * driver can reach, or use the production store APIs, which take
+    * caller-owned paths directly).
     *
     * Crash/concurrency protocol: the build lands in a UUID staging
     * root, gains its `store.complete` marker there, and installs by
     * one atomic rename — a reader can never see a marked-but-partial
     * store (the failure the naive check-build-mark sequence allows
-    * when two JVMs interleave); concurrent builders race to the
-    * rename and any loser's staging is discarded (both built the same
-    * deterministic content). Superseded sibling roots (older data
-    * generations, pre-r17 layouts) are pruned on install, bounding
-    * /tmp to one root per tag.
+    * when two JVMs interleave). The marker is re-checked after the
+    * build (a concurrent winner's install is adopted, our staging
+    * discarded — both built the same deterministic content), and
+    * superseded sibling generations are pruned only AFTER a
+    * successful install, scoped to this table directory's roots and
+    * never matching `-staging-` names — so an in-flight builder's
+    * staging and another directory's live store are both safe from
+    * the prune (the r17 glob pruned both).
     */
-  private def standingStore(s: SparkSession, dir: String, tag: String,
-      srcTable: String = "documents")(
+  private[graft] def standingStore(s: SparkSession, dir: String,
+      tag: String, srcTable: String = "documents")(
       build: String => Unit): String = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
     val sfs = src.getFileSystem(s.sessionState.newHadoopConf())
@@ -4054,11 +4083,15 @@ object LlmPipeline {
         val st = sfs.getFileStatus(src)
         s"${st.getLen}:${st.getModificationTime}"
       }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$stamp".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val tmpDir = System.getProperty("java.io.tmpdir")
-    val root = new org.apache.hadoop.fs.Path(s"$tmpDir/graft-$tag-$key")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val key = md5hex(s"$dir|$stamp")
+    val dirKey = md5hex(dir).take(8)
+    val tmpDir = s.conf.get("spark.graft.standingStoreRoot",
+      System.getProperty("java.io.tmpdir"))
+    val root = new org.apache.hadoop.fs.Path(
+      s"$tmpDir/graft-$tag-$dirKey-$key")
     val store = s"$root/store"
     val done = new org.apache.hadoop.fs.Path(s"$store.complete")
     val fs = done.getFileSystem(s.sessionState.newHadoopConf())
@@ -4068,25 +4101,60 @@ object LlmPipeline {
       build(s"$staging/store")
       fs.create(new org.apache.hadoop.fs.Path(
         s"$staging/store.complete"), true).close()
-      // prune superseded generations + any stale unmarked root, then
-      // install; a lost race leaves the winner's identical store
-      fs.globStatus(new org.apache.hadoop.fs.Path(
-          s"$tmpDir/graft-$tag-*"))
-        // name compare: globStatus returns fs-QUALIFIED paths, which
-        // never equal the unqualified staging path object
-        .filter(st => st.getPath.getName != staging.getName)
-        .foreach(st => fs.delete(st.getPath, true))
-      if (!fs.rename(staging, root)) fs.delete(staging, true)
+      if (fs.exists(done)) {
+        // a concurrent builder installed while we built: adopt its
+        // (identical) store, discard ours
+        fs.delete(staging, true)
+      } else {
+        var installed = fs.rename(staging, root)
+        if (!installed && !fs.exists(done)) {
+          // destination exists but carries no marker: stale junk from
+          // a pre-r18 layout or an interrupted legacy build — clear it
+          // and retry once
+          fs.delete(root, true)
+          installed = fs.rename(staging, root)
+        }
+        if (installed) {
+          // prune superseded generations of THIS directory only, and
+          // only after our install succeeded; staging dirs carry
+          // `-staging-` (never a hex dirKey segment) and are excluded
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              s"$tmpDir/graft-$tag-$dirKey-*"))
+            .filter(st => st.getPath.getName != root.getName &&
+              !st.getPath.getName.contains("-staging-"))
+            .foreach(st => fs.delete(st.getPath, true))
+          // orphaned staging dirs (crashed builders) age out — a live
+          // build is minutes old, so a day-old staging is never in
+          // flight; this keeps the root bounded without the r17
+          // prune's delete-anything-in-flight hazard
+          val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              s"$tmpDir/graft-$tag-staging-*"))
+            .filter(st => st.getModificationTime < cutoff)
+            .foreach(st => fs.delete(st.getPath, true))
+        } else fs.delete(staging, true)
+      }
     }
     store
   }
 
+  /** The standing benchmark-contamination store shared by q146 and
+    * q150 (ONE registration: the doc_id % 97 slice through the
+    * production recorder, Bloom sidecar included so gate probes take
+    * the pruned path).
+    */
+  private def contamStandingStore(s: SparkSession, dir: String): String =
+    standingStore(s, dir, "contam-q146") { st =>
+      graft.ingest.ContaminationStore.recordBenchmark(
+        t(s, dir, "documents").filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", st)
+      graft.ingest.ContaminationStore.buildBloomSidecar(s, st)
+      ()
+    }
+
   private val q146: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val store = standingStore(s, dir, "contam-q146") { st =>
-      graft.ingest.ContaminationStore.recordBenchmark(
-        docs.filter(col("doc_id") % 97 === 0), "text", "doc_id", st)
-    }
+    val store = contamStandingStore(s, dir)
     graft.ingest.ContaminationStore.overlap(
       docs.filter(col("doc_id") % 97 =!= 0), "text", "doc_id", store)
       .orderBy("doc_id")
@@ -4109,22 +4177,38 @@ object LlmPipeline {
     * broadcast-scale anti-join on the domain hash; the blocklist is
     * KB–MB at any corpus size.
     */
-  private val q149: Q = (s, dir) => {
-    val withDomain = t(s, dir, "documents")
-      .withColumn("url",
-        concat(lit("https://"), col("source"),
-          (col("doc_id") % 7).cast(StringType),
-          lit(".example.com/page/"), col("doc_id")))
-      .withColumn("domain",
-        regexp_extract(col("url"), "https://([^/]+)/", 1))
-      .select("doc_id", "domain")
-    val store = standingStore(s, dir, "blocklist-q149") { st =>
+  /** q55/q149's URL → domain synthesis over the documents table — ONE
+    * derivation shared by q149 and q150 (the blocklist's key rule and
+    * the audit that replays it can never drift apart). Keeps every
+    * input column and adds `url` + `domain`.
+    */
+  private def withDomainOf(docs: DataFrame): DataFrame = docs
+    .withColumn("url",
+      concat(lit("https://"), col("source"),
+        (col("doc_id") % 7).cast(StringType),
+        lit(".example.com/page/"), col("doc_id")))
+    .withColumn("domain",
+      regexp_extract(col("url"), "https://([^/]+)/", 1))
+
+  /** The standing domain blocklist shared by q149 and q150 — the
+    * doc_id % 7 ∈ {2, 5} domain slices through the production
+    * content-hash recorder, Bloom sidecar included.
+    */
+  private def blocklistStandingStore(s: SparkSession,
+      dir: String): String =
+    standingStore(s, dir, "blocklist-q149") { st =>
       graft.ingest.DedupStore.recordHashes(
-        withDomain.filter(col("doc_id") % 7 isin (2L, 5L))
+        withDomainOf(t(s, dir, "documents"))
+          .filter(col("doc_id") % 7 isin (2L, 5L))
           .select("domain").distinct(), "domain", st)
       graft.ingest.DedupStore.buildBloomSidecar(s, st)
       ()
     }
+
+  private val q149: Q = (s, dir) => {
+    val withDomain = withDomainOf(t(s, dir, "documents"))
+      .select("doc_id", "domain")
+    val store = blocklistStandingStore(s, dir)
     val kept = graft.ingest.DedupStore
       .newUnseenWithBloom(withDomain, "domain", store)
     withDomain.groupBy("domain").agg(count(lit(1)).as("n_docs"))

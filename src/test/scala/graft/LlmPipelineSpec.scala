@@ -1190,4 +1190,86 @@ class LlmPipelineSpec extends SparkSuite {
     val frac = run1.length / total
     assert(frac > 0.10 && frac < 0.30, s"sample fraction $frac")
   }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(); ()
+  }
+
+  test("standingStore protocol: conf-resolved root, build-once per " +
+    "(tag, dir, generation); the prune spares in-flight staging dirs " +
+    "and other directories' stores but removes superseded " +
+    "generations; a concurrent winner's install is adopted") {
+    val confRoot = java.nio.file.Files
+      .createTempDirectory("graft-ss-root").toString
+    spark.conf.set("spark.graft.standingStoreRoot", confRoot)
+    try {
+      var builds = 0
+      def build(st: String): Unit = {
+        builds += 1
+        assert(new java.io.File(st).mkdirs(), s"mkdirs $st")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(st, "data.txt"), "x".getBytes("UTF-8"))
+        ()
+      }
+      val p1 = LlmPipeline.standingStore(spark, sf, "spec-tag")(build)
+      assert(p1.startsWith(confRoot),
+        s"store $p1 ignored spark.graft.standingStoreRoot")
+      assert(new java.io.File(p1, "data.txt").exists(), "store content")
+      assert(new java.io.File(p1 + ".complete").exists(), "marker")
+      assert(builds === 1)
+      // marker hit: same path, no rebuild
+      assert(LlmPipeline.standingStore(spark, sf, "spec-tag")(build) === p1)
+      assert(builds === 1, "rebuilt despite a committed marker")
+      // another DIRECTORY's same-tag store: its install must not prune
+      // this directory's live store (the r17 cross-dir-prune fix)
+      val pOther = LlmPipeline
+        .standingStore(spark, "/root/testdata/sf0.01", "spec-tag")(build)
+      assert(builds === 2)
+      assert(new java.io.File(p1, "data.txt").exists(),
+        "other-directory install pruned this directory's live store")
+      // superseded generation of THIS dir is pruned on reinstall, but
+      // an in-flight staging dir survives (the r17 staging-race fix)
+      val rootDir = new java.io.File(p1).getParentFile
+      val base = rootDir.getName
+      val genPrefix = base.substring(0, base.lastIndexOf('-') + 1)
+      val oldGen = new java.io.File(confRoot, genPrefix + "0ldgen")
+      assert(new java.io.File(oldGen, "store").mkdirs())
+      val inflight = new java.io.File(confRoot,
+        "graft-spec-tag-staging-inflight")
+      assert(new java.io.File(inflight, "store").mkdirs())
+      rmrf(rootDir) // force a rebuild
+      assert(LlmPipeline.standingStore(spark, sf, "spec-tag")(build) === p1)
+      assert(builds === 3)
+      assert(!oldGen.exists(), "superseded generation survived the prune")
+      assert(inflight.exists(), "in-flight staging dir was pruned")
+      assert(new java.io.File(pOther, "data.txt").exists(),
+        "reinstall pruned another directory's store")
+      // concurrent-winner adoption: a marker committed mid-build wins;
+      // our staging is discarded, never renamed over the winner
+      val pA = LlmPipeline.standingStore(spark, sf, "spec-tag2")(build)
+      rmrf(new java.io.File(pA).getParentFile)
+      val pB = LlmPipeline.standingStore(spark, sf, "spec-tag2") { st =>
+        assert(new java.io.File(pA).mkdirs())
+        java.nio.file.Files.write(java.nio.file.Paths.get(pA,
+          "winner.txt"), "w".getBytes("UTF-8"))
+        assert(new java.io.File(pA + ".complete").createNewFile())
+        assert(new java.io.File(st).mkdirs())
+        java.nio.file.Files.write(java.nio.file.Paths.get(st,
+          "loser.txt"), "l".getBytes("UTF-8"))
+        ()
+      }
+      assert(pB === pA)
+      assert(new java.io.File(pA, "winner.txt").exists(),
+        "winner's store was not adopted")
+      assert(!new java.io.File(pA, "loser.txt").exists(),
+        "loser's staging replaced the committed winner")
+      assert(!new java.io.File(confRoot).listFiles()
+        .exists(_.getName.startsWith("graft-spec-tag2-staging-")),
+        "loser's staging dir leaked")
+    } finally {
+      spark.conf.unset("spark.graft.standingStoreRoot")
+      rmrf(new java.io.File(confRoot))
+    }
+  }
 }

@@ -166,6 +166,19 @@ class OperatorsSpec extends SparkSuite {
       assert(flat.getOrElse(id, "") === s, s"doc $id reconstruction")
   }
 
+  test("ULM segment guards the empty word (public entry point): no " +
+    "illegal-sequence-boundaries error, empty pieces, siblings exact") {
+    import spark.implicits._
+    val vocab = Seq(("a", -1L), ("b", -2L))
+    val out = graft.operators.Ulm
+      .segment(Seq("", "ab", "a").toDF("word"), "word", vocab, 4)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(out("") === Vector.empty, "empty word must segment to nothing")
+    assert(out("ab") === Vector("a", "b"))
+    assert(out("a") === Vector("a"))
+  }
+
   test("BPE training matches the reference implementation " +
     "merge-for-merge; encode applies the learned rules exactly") {
     val docs = Tables.load(spark, sf, "documents")
