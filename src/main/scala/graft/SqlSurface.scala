@@ -93,7 +93,10 @@ object SqlSurface {
     // Σn/|V| aggregate AND the scoring join); q149 builds its
     // standing blocklist store at build time (the recordHashes job)
     "q146_contamination_store", "q148_ulm_seed_vocab",
-    "q149_blocklist_gate")
+    "q149_blocklist_gate",
+    // q150 builds/probes both standing stores AND rides the q116
+    // CC loop + gate-survivor barriers at build time
+    "q150_full_stack_log")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

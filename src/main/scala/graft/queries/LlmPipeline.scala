@@ -4219,6 +4219,84 @@ object LlmPipeline {
       .orderBy("domain")
   }
 
+  /** q150: the FULL-STACK curation decision log — q116's audit
+    * extended across every gate of the production order
+    * (blocklist → contamination → quality → exact → near → span):
+    * each document of the corpus with the FIRST stage that dropped it
+    * or `kept`, so "why is doc X not in the training set" has ONE
+    * answer across the whole composed pipeline (and per-stage yields
+    * are a `GROUP BY outcome` away). Stage semantics are the REAL
+    * operator paths, each shared with the query that audits it alone:
+    * the blocklist gate is q149's standing store through the
+    * multiplicity-preserving membership probe, the contamination gate
+    * is q146's standing store through the production clean-filter
+    * (≥ 1 shared 3-gram with the registered benchmark — benchmark
+    * docs themselves self-match and drop, the realistic reading),
+    * quality/exact/near are q80/q116's own derivations
+    * ([[pipelineStagesOf]]) over exactly the documents that SURVIVED
+    * the gates — composition changes elections (an exact-dup group
+    * whose min doc was blocklisted elects the next survivor; CC
+    * clusters form over gate survivors only), which is why the log
+    * cannot be stitched from the single-stage audits — and the span
+    * stage applies q106's first-occurrence-wins rule at document
+    * grain over the near survivors (a doc drops if any of its
+    * K=32-char windows first occurred in an earlier surviving doc).
+    *
+    * Scale: the gates are one broadcast-scale anti-join (blocklist),
+    * one Bloom-pruned broadcast gram semi-join (contamination), and a
+    * stateless scan (quality); exact/near/span are the q80/q101
+    * shapes over monotonically SHRINKING frames. Gate survivors
+    * materialize once each (the q61 barrier — each feeds the next
+    * stage AND the audit join); the final assembly is id-keyed
+    * left-joins.
+    */
+  private val q150: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val blockStore = blocklistStandingStore(s, dir)
+    val contamStore = contamStandingStore(s, dir)
+    val afterBlock = graft.ingest.DedupStore
+      .newUnseenWithBloom(
+        withDomainOf(docs).select("doc_id", "text", "n_chars", "domain"),
+        "domain", blockStore)
+      .select("doc_id", "text", "n_chars")
+      .transform(graft.operators.Exec.materialize)
+    val afterContam = graft.ingest.ContaminationStore
+      .newCleanWithBloom(afterBlock, "text", "doc_id", contamStore)
+      .transform(graft.operators.Exec.materialize)
+    val (passed, exact, labels) =
+      pipelineStagesOf(afterContam, materializePassed = true)
+    val survivors = exact.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .select("doc_id", "text")
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val spanDropped = windowHashesOf(survivors, SpanK)
+      .withColumn("first_doc", min("doc_id").over(hw))
+      .filter(col("doc_id") > col("first_doc"))
+      .select("doc_id").distinct()
+    docs.select("doc_id")
+      .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
+        Seq("doc_id"), "left")
+      .join(afterContam.select(col("doc_id"), lit(1).as("c_pass")),
+        Seq("doc_id"), "left")
+      .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
+        Seq("doc_id"), "left")
+      .join(exact.select(col("doc_id"), lit(1).as("e_pass")),
+        Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .join(spanDropped.withColumn("s_drop", lit(1)), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("b_pass").isNull, lit("blocklisted"))
+          .when(col("c_pass").isNull, lit("contaminated"))
+          .when(col("q_pass").isNull, lit("quality"))
+          .when(col("e_pass").isNull, lit("exact_dup"))
+          .when(col("label").isNotNull && col("label") =!= col("doc_id"),
+            lit("near_dup"))
+          .when(col("s_drop").isNotNull, lit("span_dup"))
+          .otherwise(lit("kept")).as("outcome"))
+      .orderBy("doc_id")
+  }
+
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
     * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
     * deterministically PAIRED frame (the q39/q48 synthesize-then-
@@ -4386,7 +4464,8 @@ object LlmPipeline {
     "q146_contamination_store" -> q146,
     "q147_crossmodal_alignment" -> q147,
     "q148_ulm_seed_vocab" -> q148,
-    "q149_blocklist_gate" -> q149)
+    "q149_blocklist_gate" -> q149,
+    "q150_full_stack_log" -> q150)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4682,6 +4761,90 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slice IN (2, 5) THEN 0 ELSE 1 END) AS BIGINT)
         |  AS n_kept
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    // q150: the whole composed stack replayed in CTEs — the blocklist
+    // rule (every listed domain was registered by its own slice-2/5
+    // doc, so membership ⟺ slice ∈ {2,5}), q53's gram rule against
+    // the RAW-table benchmark slice, then q116's quality/exact/near
+    // chain over the gate survivors, then q106's first-occurrence
+    // window rule over the near survivors.
+    "q150_full_stack_log" ->
+      s"""WITH RECURSIVE b1 AS (
+         | SELECT doc_id, text, n_chars FROM documents
+         | WHERE doc_id % 7 NOT IN (2, 5)),
+         |ctok AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |cshg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM ctok WHERE len(toks) >= 3),
+         |chs AS (
+         | SELECT DISTINCT doc_id,
+         |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
+         | FROM (SELECT doc_id, unnest(sh) AS shingle FROM cshg)),
+         |bench AS (SELECT DISTINCT g FROM chs WHERE doc_id % 97 = 0),
+         |contam AS (
+         | SELECT DISTINCT c.doc_id FROM chs c
+         | JOIN bench bn ON c.g = bn.g
+         | JOIN b1 ON c.doc_id = b1.doc_id),
+         |b2 AS (
+         | SELECT b1.* FROM b1 LEFT JOIN contam USING (doc_id)
+         | WHERE contam.doc_id IS NULL),
+         |qtok AS (SELECT doc_id, text, n_chars, $dToks AS toks FROM b2),
+         |qm AS (
+         | SELECT doc_id, text, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(list_reduce(list_transform(toks, x -> length(x)),
+         |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |    AS mean_tok_len,
+         |  CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+         |    AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+         | FROM qtok WHERE len(toks) >= 1),
+         |q AS (
+         | SELECT doc_id, text, n_chars FROM qm
+         | WHERE n_tokens >= 40 AND n_tokens <= 100000
+         |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
+         |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9),
+         |hkeep AS (
+         | SELECT doc_id, text, n_chars, MIN(doc_id) OVER (PARTITION BY
+         |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+         |  AS keeper
+         | FROM q),
+         |survivors AS (
+         | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
+         |${minhashCtesFrom("survivors")},
+         |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
+         |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")},
+         |nsurv AS (
+         | SELECT s.doc_id, s.text FROM survivors s
+         | LEFT JOIN comp c ON s.doc_id = c.doc_id
+         | WHERE c.doc_id IS NULL OR c.cluster_keeper = s.doc_id),
+         |win AS (
+         | SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 32)) AS h
+         | FROM (SELECT doc_id, text,
+         |        unnest(generate_series(1, length(text) - 31)) AS i
+         |       FROM nsurv WHERE length(text) >= 32)),
+         |wfirst AS (SELECT h, MIN(doc_id) AS first_doc FROM win GROUP BY h),
+         |sdrop AS (
+         | SELECT DISTINCT w.doc_id FROM win w
+         | JOIN wfirst f ON w.h = f.h WHERE w.doc_id > f.first_doc)
+         |SELECT d.doc_id,
+         | CASE WHEN b1.doc_id IS NULL THEN 'blocklisted'
+         |  WHEN b2.doc_id IS NULL THEN 'contaminated'
+         |  WHEN q.doc_id IS NULL THEN 'quality'
+         |  WHEN s.doc_id IS NULL THEN 'exact_dup'
+         |  WHEN c.cluster_keeper IS NOT NULL
+         |   AND c.cluster_keeper <> d.doc_id THEN 'near_dup'
+         |  WHEN sd.doc_id IS NOT NULL THEN 'span_dup'
+         |  ELSE 'kept' END AS outcome
+         |FROM documents d
+         |LEFT JOIN b1 ON d.doc_id = b1.doc_id
+         |LEFT JOIN b2 ON d.doc_id = b2.doc_id
+         |LEFT JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN survivors s ON d.doc_id = s.doc_id
+         |LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q148_ulm_seed_vocab" ->
       s"""WITH b AS (SELECT $dToks AS toks FROM documents),
          |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq

@@ -475,4 +475,14 @@ class PlanSpec extends SparkSuite {
     assert(!p149.contains("CartesianProduct") &&
       !p149.contains("BroadcastNestedLoopJoin"), "q149 degenerated")
   }
+
+  test("r18 additions: q150's audit assembly is pure id-keyed equi-" +
+    "joins over the materialized stage barriers — no cartesian, no " +
+    "nested-loop, and the gate probes stay on their pinned q146/q149 " +
+    "shapes (asserted there)") {
+    val p150 = plan("q150_full_stack_log")
+    assert(!p150.contains("CartesianProduct") &&
+      !p150.contains("BroadcastNestedLoopJoin"),
+      s"q150's assembly degenerated:\n$p150")
+  }
 }
