@@ -2508,6 +2508,99 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** The FULL production curation stack as ONE streamed feed — every
+    * gate and store staged in the order a production pretraining
+    * pipeline runs them (the q150 decision-log order):
+    *
+    *   blocklist → contamination → quality → exact → near → span
+    *
+    * Staging rationale, stage by stage: the blocklist membership probe
+    * is the cheapest check (one broadcast-scale anti-join on the
+    * domain key) and history-INDEPENDENT, so it runs first — a listed
+    * domain's documents never price anything else; the contamination
+    * gate is next (per-row gram kernel + a Bloom-pruned broadcast
+    * semi-join against the KB–GB benchmark store), also
+    * history-independent; the literal-model quality gate is a
+    * stateless per-row projection (zero per-batch model cost, weights
+    * and threshold pinned at stream start — the
+    * [[qualityGatedCurationFeed]] posture); then the three dedup
+    * stores in increasing per-document cost exactly as
+    * [[curationFeedThroughStores]] stages them. Every gate's rejects
+    * are dropped and NEVER recorded anywhere (a stage's reject cannot
+    * poison any later stage's history — re-submission after a
+    * benchmark retraction, an un-listing, or a model retrain is
+    * judged afresh); only documents that clear ALL SIX stages commit,
+    * and the three dedup stores record at-least-once from the
+    * committed read-back. The blocklist and contamination stores are
+    * READ-ONLY here (maintained offline; a mid-stream listing or
+    * registration takes effect next micro-batch). Inline
+    * self-maintenance covers all five stores on one schedule. Same
+    * exactly-once commit + replay matrix as every feed in the family:
+    * a replayed committed batch skips gates and stores entirely.
+    */
+  def fullStackCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, keyCol: String, blocklistStorePath: String,
+      contamStorePath: String, denseWeights: Seq[Long], thFp: Long,
+      dims: Int, exactStorePath: String, nearStorePath: String,
+      spanStorePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0,
+      minSharedGrams: Int = 1): StreamingQuery =
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "full_stack_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, blocklistStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, blocklistStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, blocklistStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, contamStorePath),
+          { graft.ingest.ContaminationStore
+            .compactStore(s2, contamStorePath); () },
+          Some(() => { graft.ingest.ContaminationStore
+            .buildBloomSidecar(s2, contamStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, spanStorePath),
+          { graft.ingest.SpanStore
+            .compactStore(s2, spanStorePath); () },
+          Some(() => { graft.ingest.SpanStore
+            .buildBloomSidecar(s2, spanStorePath); () }))
+      })(
+      batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
+        graft.ingest.NearDupStore.newNearUniqueWithBloom(
+          graft.ingest.DedupStore.newUniqueWithBloom(
+            graft.operators.QualityModel.keepGood(
+              graft.ingest.ContaminationStore.newCleanWithBloom(
+                graft.ingest.DedupStore.newUnseenWithBloom(
+                  batch, keyCol, blocklistStorePath),
+                textCol, idCol, contamStorePath, minSharedGrams),
+              textCol, denseWeights, thFp, dims),
+            textCol, idCol, exactStorePath),
+          textCol, idCol, nearStorePath),
+        textCol, idCol, spanStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+        graft.ingest.SpanStore
+          .recordWindows(committed, textCol, idCol, spanStorePath)
+      })
+
   /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
     * the adoption semantics are directly testable: when due (`every`
     * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED

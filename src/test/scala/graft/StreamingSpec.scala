@@ -3279,6 +3279,124 @@ class StreamingSpec extends SparkSuite {
       "an un-listed domain's fresh doc must land")
   }
 
+  test("full-stack curation feed: blocklist, contamination, quality, " +
+    "exact, near, span as ONE feed in production order; every gate's " +
+    "rejects drop before ANY later store and are never recorded; the " +
+    "dedup legs work behind the gates; replay is a no-op") {
+    import spark.implicits._
+    val srcDir = tmpDir("fsc-src")
+    val outDir = tmpDir("fsc-out") + "/docs"
+    val blockStore = tmpDir("fsc-block") + "/domains"
+    val contamStore = tmpDir("fsc-contam") + "/bench_grams"
+    val exactStore = tmpDir("fsc-exact") + "/hashes"
+    val nearStore = tmpDir("fsc-near") + "/bands"
+    val spanStore = tmpDir("fsc-span") + "/windows"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("domain",
+        org.apache.spark.sql.types.StringType)))
+    // standing gate stores, registered offline (read-only in the feed)
+    graft.ingest.DedupStore.recordHashes(
+      Seq(Tuple1("bad.example.com")).toDF("domain"), "domain",
+      blockStore)
+    graft.ingest.DedupStore.buildBloomSidecar(spark, blockStore)
+    val benchText = "held out eval question forty two exactly"
+    graft.ingest.ContaminationStore.recordBenchmark(
+      Seq((900L, benchText)).toDF("doc_id", "text"), "text", "doc_id",
+      contamStore)
+    graft.ingest.ContaminationStore.buildBloomSidecar(spark, contamStore)
+    // literal quality model: every feature mildly good, the "spamword"
+    // feature catastrophic (the qgate fixture)
+    val dims = 512
+    val spamFid = Seq(Tuple1(Seq("spamword"))).toDF("toks")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.QualityModel.featuresExpr("toks", dims)))
+      .collect()(0).getLong(0)
+    val dense = Seq.tabulate(dims)(i =>
+      if (i.toLong == spamFid) -1000000L else 1000L)
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "domain").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.fullStackCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", "domain", blockStore, contamStore,
+        dense, 0L, dims, exactStore, nearStore, spanStore,
+        outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ok = "ok.example.com"
+    // with ~180 tokens per doc and 512 hashed features, some innocent
+    // token collides with spamFid about 1 run in 3 — scrub those from
+    // the generated filler so only the planted "spamword" can trip
+    // the model gate (the benchmark shingle is asserted clean below)
+    def fid(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % dims
+    }
+    def scrub(s: String): String =
+      s.split(" ").filter(t => fid(t) != spamFid).mkString(" ")
+    assert(Seq("eval", "question", "forty").forall(t =>
+      fid(t) != spamFid), "fixture premise: benchmark shingle clean")
+    val docA = scrub((1 to 60).map(i => s"alpha$i token$i word$i")
+      .mkString(" "))
+    val docB = scrub((1 to 60).map(i => s"beta$i item$i entry$i")
+      .mkString(" "))
+    // each reject is OTHERWISE ADMISSIBLE: it fails exactly one gate
+    val blockedText = scrub((1 to 60).map(i => s"delta$i clean$i page$i")
+      .mkString(" "))
+    val leaky = scrub((1 to 30).map(i => s"epsil$i item$i entry$i")
+      .mkString(" ")) + " eval question forty " +
+      scrub((31 to 60).map(i => s"epsil$i item$i entry$i").mkString(" "))
+    val spam = scrub((1 to 60).map(i => s"zeta$i spamish$i filler$i")
+      .mkString(" ")) + " spamword"
+    val ckpt1 = tmpDir("fsc-ckpt1")
+    deliver("b1", Seq((1L, docA, ok), (2L, docB, ok),
+      (3L, blockedText, "bad.example.com"), (4L, leaky, ok),
+      (5L, spam, ok)))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L, 2L),
+      "exactly the gate-clean docs must land")
+    // THE LAW: a stage's rejects never reach any later store — each
+    // reject's content probes unseen in the exact, near, AND span
+    // stores (rejects are dropped, never recorded)
+    for ((id, tx) <- Seq((50L, blockedText), (51L, leaky), (52L, spam))) {
+      val d = Seq((id, tx)).toDF("doc_id", "text")
+      assert(graft.ingest.DedupStore
+        .newUnique(d, "text", "doc_id", exactStore).count() === 1,
+        s"doc $id leaked into the exact store")
+      assert(graft.ingest.NearDupStore
+        .newNearUnique(d, "text", "doc_id", nearStore).count() === 1,
+        s"doc $id leaked into the near store")
+      assert(graft.ingest.SpanStore
+        .newSpanUnique(d, "text", "doc_id", spanStore).count() === 1,
+        s"doc $id leaked into the span store")
+    }
+    // batch 2 exercises the dedup legs BEHIND the gates: an exact
+    // copy, a paraphrase, a half-and-half mashup (under the near
+    // threshold — only the span store flags it), and fresh content
+    val mashup = docA.substring(0, docA.length / 2) + " " +
+      docB.substring(docB.length / 2)
+    deliver("b2", Seq(
+      (10L, docA, ok),
+      (11L, docB + " " + scrub("appended footer line"), ok),
+      (12L, mashup, ok),
+      (13L, scrub((1 to 60).map(i => s"gamma$i fresh$i novel$i")
+        .mkString(" ")), ok)))
+    drain(ckpt1)
+    assert(survivors() === Seq(1L, 2L, 13L),
+      "copy/paraphrase/mashup must drop via the store legs")
+    // replay after checkpoint loss: committed batches skip — no-op
+    drain(tmpDir("fsc-ckpt2"))
+    assert(survivors() === Seq(1L, 2L, 13L),
+      "full-history replay must be a no-op")
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
