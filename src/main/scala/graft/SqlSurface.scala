@@ -95,8 +95,9 @@ object SqlSurface {
     "q146_contamination_store", "q148_ulm_seed_vocab",
     "q149_blocklist_gate",
     // q150 builds/probes both standing stores AND rides the q116
-    // CC loop + gate-survivor barriers at build time
-    "q150_full_stack_log")
+    // CC loop + gate-survivor barriers at build time; q151 collects
+    // its K dense weight vectors at build (the literal-serving form)
+    "q150_full_stack_log", "q151_langid_confusion")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

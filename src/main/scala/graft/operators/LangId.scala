@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** LEARNED language identification — the fastText/CCNet-lineage LID
+  * stage every production pretraining pipeline runs before its
+  * language-specific filters (CCNet buckets the whole of Common Crawl
+  * by a learned LID before anything else touches it). q37's
+  * character-trigram HEURISTIC stays as the zero-training flank; this
+  * is the trained form, built entirely through [[QualityModel]]'s
+  * closed-form machinery — same hashed-feature convention (md5 →
+  * 16-bit → mod dims), same Laplace-smoothed class-rate weights in
+  * 1e-6 fixed point, same floor-mean doc score — lifted from binary
+  * to ONE-VS-REST multiclass: for each language L the binary model
+  * "L vs everything else" is fitted, and a document's predicted
+  * language is the argmax of its K floor-mean scores (ties break to
+  * the lexicographically smallest language — a total order, so the
+  * prediction is deterministic and oracle-exact; no softmax, per the
+  * q52 no-libm doctrine).
+  *
+  * Features are hashed character N-GRAMS of the lowercased text (not
+  * word tokens): language identity lives in character statistics —
+  * n-gram shapes, diacritics, scripts — and char n-grams are exactly
+  * what fastText's LID models use. The ngram array builds inside one
+  * projection with an explicit empty-text guard (the Ulm
+  * sequence(1,0) lesson).
+  *
+  * Training is ONE corpus scan for ALL K classes (not K scans): the
+  * per-(feature, language) document counts and per-language totals
+  * are sufficient statistics for every one-vs-rest model at once —
+  * n_neg(f, L) = n_all(f) − n_pos(f, L) and t_neg(L) = t_all −
+  * t_pos(L) — so the scan's exchange carries ≤ dims·K partially
+  * aggregated count rows and the grid completes model-side.
+  * OperatorsSpec pins the law that this equals K independent
+  * [[QualityModel.train]] runs bit for bit.
+  *
+  * Scale posture at 100 TB: train = one scan + a KB-scale grid
+  * (≤ dims·K rows); [[predictLiteral]] serves with the K weight
+  * vectors as PLAN LITERALS — scoring is a pure map-side projection
+  * computing K integer folds over the doc's feature array behind one
+  * Generate barrier (the array is NOT re-derived per language), NO
+  * join, NO shuffle. The join-based [[scoreAll]] stays the lazy
+  * oracle-audited form (broadcast ≤ dims·K model rows), the
+  * q110/q111 split.
+  */
+object LangId {
+
+  /** Hashed char-ngram feature-array SQL over `textCol` (an expression
+    * yielding string): lowercased sliding n-grams, deduplicated and
+    * hashed by [[QualityModel]]'s convention. Empty/short text yields
+    * the empty array (sequence(1, 0) would throw).
+    */
+  /** Raw (unhashed) lowercased char-ngram array SQL — exposed so the
+    * spec can feed the SAME ngrams through QualityModel.train for the
+    * one-vs-rest parity law.
+    */
+  private[graft] def ngramsSql(textCol: String, n: Int): String = {
+    val t = s"lower($textCol)"
+    s"""if(char_length($t) < $n,
+       |  cast(array() as array<string>),
+       |  transform(sequence(1, char_length($t) - ${n - 1}, 1),
+       |    i -> substring($t, cast(i as int), $n)))""".stripMargin
+  }
+
+  private[operators] def featuresSql(textCol: String, dims: Int,
+      n: Int): String =
+    QualityModel.featuresExprSql(ngramsSql(textCol, n), dims)
+
+  /** (doc_id, fid) rows — one per distinct hashed char-ngram feature
+    * per document; documents with no ngram contribute no rows (they
+    * are outside the model's domain, the ≥ 1-token rule's analog).
+    */
+  def featurize(docs: DataFrame, textCol: String, dims: Int,
+      n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(featuresSql(textCol, dims, n))).as("fid"))
+
+  private def q6(x: Column): Column =
+    floor(x * lit(1000000.0)).cast(LongType)
+
+  /** Fit ALL K one-vs-rest models in one corpus scan: (lang, fid,
+    * n_pos, n_neg, weight_fp) — for every feature id observed
+    * ANYWHERE and every language (the full grid, so a feature seen
+    * only in other languages carries its informative negative weight,
+    * exactly as the binary model would fit it). Bit-identical per
+    * language to `QualityModel.train(docs.withColumn("y", lang = L),
+    * ngrams, "y", dims)` — same integer counts, same IEEE-exact
+    * formula (spec-pinned).
+    */
+  def train(docs: DataFrame, textCol: String, langCol: String,
+      dims: Int, n: Int = 3): DataFrame = {
+    val feats = docs.select(col(langCol).as("lang"), col("doc_id"),
+      explode(expr(featuresSql(textCol, dims, n))).as("fid"))
+    val perLang = feats.groupBy("fid", "lang")
+      .agg(count(lit(1)).as("n_pos"))
+    val perFid = perLang.groupBy("fid").agg(sum("n_pos").as("n_all"))
+    val langTotals = docs.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("t_pos"))
+    val tot = docs.agg(count(lit(1)).as("t_all"))
+    perFid.crossJoin(broadcast(langTotals))
+      .join(perLang, Seq("fid", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("fid"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        (col("n_all") - coalesce(col("n_pos"), lit(0L))).as("n_neg"),
+        col("t_pos"), (col("t_all") - col("t_pos")).as("t_neg"))
+      .select(col("lang"), col("fid"), col("n_pos"), col("n_neg"),
+        (q6((col("n_pos") + lit(1L)).cast(DoubleType) /
+            (col("t_pos") + lit(2L)).cast(DoubleType)) -
+          q6((col("n_neg") + lit(1L)).cast(DoubleType) /
+            (col("t_neg") + lit(2L)).cast(DoubleType)))
+          .as("weight_fp"))
+  }
+
+  /** Per-document per-language floor-mean scores via a broadcast model
+    * join — the lazy, oracle-audited form: (doc_id, lang, wmean).
+    * Model-missing features contribute 0 (never on the training
+    * corpus; possible on fresh data).
+    */
+  def scoreAll(docs: DataFrame, textCol: String, model: DataFrame,
+      dims: Int, n: Int = 3): DataFrame =
+    featurize(docs, textCol, dims, n)
+      .join(broadcast(model.select("lang", "fid", "weight_fp")),
+        Seq("fid"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("weight_fp").as("wsum"), count(lit(1)).as("nf"))
+      .select(col("doc_id"), col("lang"),
+        floor(col("wsum").cast(DoubleType) / col("nf").cast(DoubleType))
+          .cast(LongType).as("wmean"))
+
+  /** Deterministic argmax over [[scoreAll]]: (doc_id, pred_lang) —
+    * highest wmean wins, ties to the lexicographically smallest
+    * language. Documents with no features get no row.
+    */
+  def predict(docs: DataFrame, textCol: String, model: DataFrame,
+      dims: Int, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("wmean"), col("lang"))
+    scoreAll(docs, textCol, model, dims, n)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+  }
+
+  /** Collect a fitted model into its per-language dense weight
+    * vectors, language-sorted — ≤ dims·K cells, KB-scale (the
+    * codebook/centroid bounded-collect contract).
+    */
+  def collectModels(model: DataFrame,
+      dims: Int): Seq[(String, Seq[Long])] =
+    model.select("lang", "fid", "weight_fp").collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        val dense = Array.fill[Long](dims)(0L)
+        rows.foreach(r => dense(r.getLong(1).toInt) = r.getLong(2))
+        (lang, dense.toSeq)
+      }
+      .toSeq.sortBy(_._1)
+
+  /** Literal-model SERVING — the map-only form: the K dense weight
+    * vectors ride the plan as literals; each document derives its
+    * feature array ONCE behind a Generate barrier, folds it K times
+    * (one integer (sum, count) fold per language — the
+    * QualityModel.scoreLiteral shape), and takes the deterministic
+    * argmax in the same projection via an array_max over (score,
+    * −index) structs (index = language rank ascending, so equal
+    * scores break to the smallest language). NO join, NO shuffle, NO
+    * driver lookup at serve time — identical predictions to
+    * [[predict]] on any frame (bit-exact integer arithmetic;
+    * spec-pinned). Documents with no features drop (outside the
+    * model's domain).
+    */
+  def predictLiteral(docs: DataFrame, textCol: String,
+      models: Seq[(String, Seq[Long])], dims: Int,
+      n: Int = 3): DataFrame = {
+    require(models.nonEmpty, "no language models")
+    require(models.forall(_._2.size == dims),
+      s"every dense weight vector must have size $dims")
+    val sorted = models.sortBy(_._1)
+    val withW = sorted.zipWithIndex.foldLeft(
+      docs.select(col("*"),
+        explode(array(expr(featuresSql(textCol, dims, n))))
+          .as("__lid_f"))
+        .filter(size(col("__lid_f")) >= 1)) {
+      case (df, ((_, dense), i)) => df.withColumn(s"__w_$i",
+        typedLit(dense))
+    }
+    val scoreFold = (i: Int) =>
+      s"""named_struct(
+         | 's', aggregate(__lid_f, named_struct('s', 0L, 'n', 0L),
+         |   (a, f) -> named_struct(
+         |     's', a.s + element_at(__w_$i, cast(f as int) + 1),
+         |     'n', a.n + 1L),
+         |   a -> cast(floor(cast(a.s as double)
+         |     / cast(a.n as double)) as bigint)),
+         | 'nk', ${-i})""".stripMargin
+    val arr = s"array(${sorted.indices.map(scoreFold).mkString(", ")})"
+    withW
+      .withColumn("__best", expr(s"array_max($arr)"))
+      .withColumn("pred_lang",
+        element_at(typedLit(sorted.map(_._1)),
+          (lit(0) - col("__best.nk")) + lit(1)))
+      .drop((sorted.indices.map(i => s"__w_$i") ++
+        Seq("__lid_f", "__best")): _*)
+  }
+}

@@ -292,7 +292,11 @@ object QualityModel {
        |  a -> cast(floor(cast(a.s as double)
        |    / cast(a.n as double)) as bigint) - ${thFp}L)""".stripMargin
 
-  private def featuresExprSql(toksCol: String, dims: Int): String =
+  /** `toksCol` may be any SQL expression yielding array<string> —
+    * [[LangId]] feeds a char-ngram array through the same hash.
+    */
+  private[operators] def featuresExprSql(toksCol: String,
+      dims: Int): String =
     s"array_distinct(transform($toksCol, t -> " +
       s"cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint) % $dims))"
 }

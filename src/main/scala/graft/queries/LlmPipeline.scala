@@ -4297,6 +4297,101 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Hashed-feature width of the q151 learned language-ID model —
+    * wider than the quality model's 512 (char trigrams are a much
+    * larger space than word tokens; 512 aliased them into mush —
+    * measured 0.19 vs 0.99 accuracy). The full K-language model is
+    * still ≤ dims·K weight rows (KBs), broadcast- or literal-servable
+    * at any corpus size.
+    */
+  private[graft] val LangIdDims = 2048
+
+  /** Per-language function-word translations planting a REAL textual
+    * language signal — the testdata's `lang` labels sit on text drawn
+    * from ONE shared vocabulary (verified: per-language top-token
+    * distributions are identical), so no text-based classifier can
+    * recover them from the raw corpus; the q39/q48/q140 synthesize-
+    * then-operate doctrine applies and this table derives a
+    * language-MARKED corpus deterministically from (text, lang). ONE
+    * definition generates BOTH the Spark derivation and the oracle's
+    * CASE chain, so the fixture can never drift between engines.
+    */
+  private[graft] val LangMarkers: Seq[(String, Map[String, String])] =
+    Seq(
+      "the" -> Map("de" -> "der", "fr" -> "le", "es" -> "el",
+        "zh" -> "的"),
+      "a" -> Map("de" -> "ein", "fr" -> "un", "es" -> "una",
+        "zh" -> "一"),
+      "big" -> Map("de" -> "gross", "fr" -> "grand", "es" -> "grande",
+        "zh" -> "大"),
+      "small" -> Map("de" -> "klein", "fr" -> "petit",
+        "es" -> "pequeno", "zh" -> "小"),
+      "fast" -> Map("de" -> "schnell", "fr" -> "rapide",
+        "es" -> "rapido", "zh" -> "快"),
+      "slow" -> Map("de" -> "langsam", "fr" -> "lent", "es" -> "lento",
+        "zh" -> "慢"))
+
+  private[graft] val MarkedLangs = Seq("de", "fr", "es", "zh")
+
+  /** The language-marked corpus: each document's marker words replaced
+    * by its language's translations (word-boundary regex, global);
+    * `en` (and any unlisted language) keeps the original text.
+    */
+  private[graft] def langMarkedOf(docs: DataFrame): DataFrame = {
+    def chainFor(lang: String): Column =
+      LangMarkers.foldLeft(col("text")) { case (c, (w, m)) =>
+        regexp_replace(c, s"\\b$w\\b", m(lang))
+      }
+    docs.withColumn("text",
+      MarkedLangs.foldRight(col("text"): Column) { (l, acc) =>
+        when(col("lang") === l, chainFor(l)).otherwise(acc)
+      })
+  }
+
+  /** [[langMarkedOf]]'s DuckDB replay, generated from the SAME
+    * [[LangMarkers]] table.
+    */
+  private lazy val langMarkedCaseSql: String = {
+    def chain(lang: String): String =
+      LangMarkers.foldLeft("text") { case (e, (w, m)) =>
+        s"regexp_replace($e, '\\b$w\\b', '${m(lang)}', 'g')"
+      }
+    "CASE lang " + MarkedLangs.map(l =>
+      s"WHEN '$l' THEN ${chain(l)}").mkString(" ") + " ELSE text END"
+  }
+
+  /** q151: LEARNED language-ID confusion audit — the trained flank of
+    * q37's character-trigram heuristic (the CCNet/fastText-lineage LID
+    * every production pipeline runs): over the [[langMarkedOf]]
+    * corpus, one-vs-rest hashed char-trigram models for all K
+    * languages fitted in ONE corpus scan through
+    * [[graft.operators.LangId]] (QualityModel's closed-form path
+    * lifted to multiclass — spec-pinned bit-identical to K binary
+    * trains), served through the LITERAL map-only scorer (K dense
+    * weight vectors as plan literals, the feature array derived once
+    * behind a Generate barrier, K integer folds + in-projection
+    * argmax — no join, no shuffle at serve time), and audited as the
+    * confusion matrix against the planted labels. Train-set
+    * predictions over marked text, so the diagonal dominates
+    * (measured 0.99 at sf0.01; off-diagonal rows are docs carrying no
+    * marker word — realistically ambiguous); the oracle replays
+    * mark + train + serve end to end (every step is integer/
+    * fixed-point, the q110/q111 doctrine, so the matrix is
+    * cell-exact).
+    */
+  private val q151: Q = (s, dir) => {
+    val docs = langMarkedOf(t(s, dir, "documents"))
+    val model = graft.operators.LangId
+      .train(docs, "text", "lang", LangIdDims)
+    val dense = graft.operators.LangId.collectModels(model, LangIdDims)
+    graft.operators.LangId
+      .predictLiteral(docs.select("doc_id", "text", "lang"), "text",
+        dense, LangIdDims)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
     * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
     * deterministically PAIRED frame (the q39/q48 synthesize-then-
@@ -4465,7 +4560,8 @@ object LlmPipeline {
     "q147_crossmodal_alignment" -> q147,
     "q148_ulm_seed_vocab" -> q148,
     "q149_blocklist_gate" -> q149,
-    "q150_full_stack_log" -> q150)
+    "q150_full_stack_log" -> q150,
+    "q151_langid_confusion" -> q151)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -4845,6 +4941,66 @@ object LlmPipeline {
          |LEFT JOIN comp c ON d.doc_id = c.doc_id
          |LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q151: mark + train + serve replayed end to end — the
+    // LangMarkers CASE chain (generated from the same table as the
+    // Spark side), distinct hashed char trigrams per doc (the qmCtes
+    // 16-bit md5 convention), the full (fid × lang) one-vs-rest grid
+    // with Laplace q6 weights, floor-mean scores, argmax with
+    // lang-asc tie-break.
+    "q151_langid_confusion" ->
+      s"""WITH marked AS (
+         | SELECT doc_id, lang, $langMarkedCaseSql AS text
+         | FROM documents),
+         |f0 AS (
+         | SELECT doc_id, lang,
+         |  CAST('0x' || substr(md5(substr(lower(text),
+         |    CAST(i AS INTEGER), 3)), 1, 4) AS BIGINT) % $LangIdDims
+         |   AS fid
+         | FROM (SELECT doc_id, lang, text,
+         |        unnest(generate_series(1, length(lower(text)) - 2)) AS i
+         |       FROM marked)),
+         |f AS (SELECT DISTINCT doc_id, lang, fid FROM f0),
+         |perlang AS (
+         | SELECT fid, lang, CAST(COUNT(*) AS BIGINT) AS n_pos
+         | FROM f GROUP BY 1, 2),
+         |perfid AS (
+         | SELECT fid, CAST(SUM(n_pos) AS BIGINT) AS n_all
+         | FROM perlang GROUP BY 1),
+         |langs AS (
+         | SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_pos
+         | FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM documents),
+         |grid AS (
+         | SELECT p.fid, l.lang, p.n_all, l.t_pos,
+         |  COALESCE(pl.n_pos, CAST(0 AS BIGINT)) AS n_pos
+         | FROM perfid p CROSS JOIN langs l
+         | LEFT JOIN perlang pl ON pl.fid = p.fid AND pl.lang = l.lang),
+         |w AS (
+         | SELECT fid, lang,
+         |  CAST(floor(CAST(n_pos + 1 AS DOUBLE)
+         |    / CAST(t_pos + 2 AS DOUBLE) * 1000000) AS BIGINT)
+         |  - CAST(floor(CAST(n_all - n_pos + 1 AS DOUBLE)
+         |    / CAST(t_all - t_pos + 2 AS DOUBLE) * 1000000) AS BIGINT)
+         |   AS weight_fp
+         | FROM grid, tot),
+         |s AS (
+         | SELECT f.doc_id, w.lang,
+         |  CAST(SUM(w.weight_fp) AS BIGINT) AS wsum,
+         |  CAST(COUNT(*) AS BIGINT) AS nf
+         | FROM f JOIN w USING (fid) GROUP BY 1, 2),
+         |sm AS (
+         | SELECT doc_id, lang,
+         |  CAST(floor(CAST(wsum AS DOUBLE) / CAST(nf AS DOUBLE))
+         |   AS BIGINT) AS wmean
+         | FROM s),
+         |pred AS (
+         | SELECT doc_id, lang AS pred_lang FROM (
+         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY wmean DESC, lang ASC) AS rn
+         |  FROM sm) WHERE rn = 1)
+         |SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q148_ulm_seed_vocab" ->
       s"""WITH b AS (SELECT $dToks AS toks FROM documents),
          |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq

@@ -179,6 +179,64 @@ class OperatorsSpec extends SparkSuite {
     assert(out("a") === Vector("a"))
   }
 
+  test("learned language-ID: one-pass multiclass train equals K " +
+    "independent QualityModel one-vs-rest trains bit for bit; the " +
+    "literal map-only scorer equals the join scorer; the marked " +
+    "corpus classifies with a dominant diagonal; empty text is safe") {
+    import graft.operators.{LangId, QualityModel}
+    val dims = graft.queries.LlmPipeline.LangIdDims
+    val docs = graft.queries.LlmPipeline
+      .langMarkedOf(Tables.load(spark, sf, "documents"))
+      .select("doc_id", "text", "lang")
+    val model = LangId.train(docs, "text", "lang", dims)
+      .transform(graft.operators.Exec.materialize)
+    try {
+      // (a) the one-pass grid IS K binary models: for every language,
+      // QualityModel.train over the same ngram features produces the
+      // same (fid, n_pos, n_neg, weight_fp) rows exactly
+      val withNgrams = docs.withColumn("ngrams",
+        expr(LangId.ngramsSql("text", 3)))
+      val langs = docs.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      for (l <- langs) {
+        val binary = QualityModel.train(
+            withNgrams.withColumn("y", col("lang") === lit(l)),
+            "ngrams", "y", dims)
+          .select("fid", "n_pos", "n_neg", "weight_fp")
+          .collect().map(_.toSeq).toSet
+        val slice = model.filter(col("lang") === l)
+          .select("fid", "n_pos", "n_neg", "weight_fp")
+          .collect().map(_.toSeq).toSet
+        assert(slice === binary, s"one-vs-rest drift for lang $l")
+      }
+      // (b) literal serving ≡ join scoring, doc for doc
+      val dense = LangId.collectModels(model, dims)
+      val lit_ = LangId.predictLiteral(docs, "text", dense, dims)
+        .select("doc_id", "pred_lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val join = LangId.predict(docs, "text", model, dims)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(lit_ === join, "literal scorer drifted from the join form")
+      // (c) the planted signal is recovered: train-set accuracy on the
+      // marked corpus clears 0.8 (measured 0.90 at sf0.001)
+      val truth = docs.select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val correct = lit_.count { case (id, p) => truth(id) == p }
+      assert(lit_.nonEmpty &&
+        correct.toDouble / lit_.size >= 0.8,
+        s"accuracy ${correct.toDouble / lit_.size} under the 0.8 floor")
+      // (d) featureless text drops instead of crashing (the Ulm
+      // sequence guard), and scoring others is unaffected
+      import spark.implicits._
+      val tiny = Seq((1L, ""), (2L, "ab"), (3L, "der gross klein"))
+        .toDF("doc_id", "text")
+      val preds = LangId.predictLiteral(tiny, "text", dense, dims)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(preds.toSeq === Seq(3L),
+        "docs without a single trigram must drop, others score")
+    } finally graft.operators.Exec.release(model)
+  }
+
   test("BPE training matches the reference implementation " +
     "merge-for-merge; encode applies the learned rules exactly") {
     val docs = Tables.load(spark, sf, "documents")

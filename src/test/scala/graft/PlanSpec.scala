@@ -484,5 +484,11 @@ class PlanSpec extends SparkSuite {
     assert(!p150.contains("CartesianProduct") &&
       !p150.contains("BroadcastNestedLoopJoin"),
       s"q150's assembly degenerated:\n$p150")
+    // q151 serves through the LITERAL scorer: the audit plan carries
+    // NO join of any kind — scoring is one map-side projection, the
+    // only exchange is the confusion-matrix aggregation
+    val p151 = plan("q151_langid_confusion")
+    assert(!p151.contains("Join"),
+      s"q151's literal serving must be join-free:\n$p151")
   }
 }
