@@ -96,8 +96,11 @@ object SqlSurface {
     "q149_blocklist_gate",
     // q150 builds/probes both standing stores AND rides the q116
     // CC loop + gate-survivor barriers at build time; q151 collects
-    // its K dense weight vectors at build (the literal-serving form)
-    "q150_full_stack_log", "q151_langid_confusion")
+    // its K dense weight vectors at build (the literal-serving form);
+    // q152 collects its trained ULM vocabulary at build (plan-literal
+    // Viterbi serving, the q148/Ulm.train shape)
+    "q150_full_stack_log", "q151_langid_confusion",
+    "q152_ulm_lm_score")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

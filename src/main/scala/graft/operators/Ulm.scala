@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** UNIGRAM-LM tokenizer training (the SentencePiece family's other
   * half, beside [[Bpe]]): a vocabulary of substring PIECES with
@@ -150,6 +150,56 @@ object Ulm {
       .select(col("*"), explode(array(expr(best))).as("__ulm_best"))
       .withColumn("pieces", expr(pieces))
       .drop("__ulm_best")
+  }
+
+  /** (…, score_fp, n_pieces) — the Viterbi-optimal segmentation's
+    * TOTAL score and piece count of `wordCol` under `vocab`, read
+    * straight from the DP's final cell (no piece reconstruction).
+    * Same fold, same tie order, same unk fallback as [[segment]] —
+    * ONE Viterbi definition, so a score can never disagree with the
+    * segmentation it prices. The empty word scores (0, 0).
+    */
+  def segmentStats(words: DataFrame, wordCol: String,
+      vocab: Seq[(String, Long)], maxLen: Int): DataFrame = {
+    val (best, _) = viterbiExprs(wordCol, vocab, maxLen)
+    words
+      .select(col("*"), explode(array(expr(best))).as("__ulm_best"))
+      .withColumn("score_fp",
+        expr(s"element_at(__ulm_best, char_length($wordCol) + 1).s"))
+      .withColumn("n_pieces",
+        expr(s"element_at(__ulm_best, char_length($wordCol) + 1).np"))
+      .drop("__ulm_best")
+  }
+
+  /** Per-document LM score under the unigram-LM tokenizer — the q113
+    * mean-ll shape with ULM pieces in place of bigrams: ll_sum = the
+    * sum of each word occurrence's Viterbi-optimal total score,
+    * n_pieces = the total pieces emitted, ll_mean_fp =
+    * floor(10^6 · ll_sum / n_pieces) (1e-6 fixed point per piece —
+    * length-invariant, the mean-not-sum rationale; every step integer
+    * or exact-floor, so the score is oracle-exact). This is the
+    * CCNet-shaped "perplexity under the target-domain tokenizer+LM"
+    * statistic the ULM trainer's scores induce. Factored through
+    * DISTINCT words (the class doctrine — the Viterbi fold runs once
+    * per distinct word, never per occurrence); the join back to the
+    * occurrence stream is word-keyed and Catalyst sizes it (the
+    * distinct-word side is vocabulary-scale). Documents with no
+    * tokens are unscorable and get no row (the q113 < 2-bigram rule's
+    * analog).
+    */
+  def scoreDocs(docs: DataFrame, textCol: String,
+      vocab: Seq[(String, Long)], maxLen: Int = 4): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(expr(
+      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("word"))
+    val stats = segmentStats(words.select("word").distinct(), "word",
+      vocab, maxLen)
+    words.join(stats, "word")
+      .groupBy("doc_id")
+      .agg(sum("n_pieces").as("n_pieces"), sum("score_fp").as("ll_sum"))
+      .select(col("doc_id"), col("n_pieces"), col("ll_sum"),
+        floor((col("ll_sum") * lit(1000000L)).cast(DoubleType)
+          / col("n_pieces").cast(DoubleType)).cast(LongType)
+          .as("ll_mean_fp"))
   }
 
   /** One hard-EM round: segment the distinct-word table under the

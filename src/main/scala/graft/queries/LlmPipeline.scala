@@ -4392,6 +4392,33 @@ object LlmPipeline {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q152: per-document LM score under the ULM tokenizer — the
+    * CCNet-shaped "perplexity under the target-domain tokenizer" audit
+    * that composes q148's trainer with q113's mean-ll doctrine:
+    * the unigram-LM vocabulary trains on the corpus through the REAL
+    * `Ulm.train` path (seed statistics + selection + ilog2 scores;
+    * emRounds = 0 so the oracle can replay training exactly — the EM
+    * loop itself is pinned against an independent in-memory reference
+    * in OperatorsSpec, and scoring under a refined vocab is the same
+    * [[graft.operators.Ulm.scoreDocs]] code path), then every
+    * document scores as the 1e-6 fixed-point mean Viterbi
+    * log-likelihood per piece. The oracle replays the WHOLE chain in
+    * DuckDB — including the Viterbi DP as a recursive CTE carrying
+    * the growing best-cell array, same total tie order — so a drift
+    * anywhere in seed counts, selection, ilog2 scoring, the DP, or
+    * the per-doc fold breaks the hash. This is the scoring leg the
+    * [[graft.streaming.Streams.ulmGatedCurationFeed]] gate serves.
+    * Scale: train is the q148 shape (one corpus scan + KB frames);
+    * scoring folds once per DISTINCT word and joins back word-keyed.
+    */
+  private val q152: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.operators.Ulm
+      .train(docs, "text", maxLen = 4, maxVocab = 64, emRounds = 0)
+    graft.operators.Ulm.scoreDocs(docs, "text", vocab, maxLen = 4)
+      .orderBy("doc_id")
+  }
+
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
     * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
     * deterministically PAIRED frame (the q39/q48 synthesize-then-
@@ -4561,7 +4588,8 @@ object LlmPipeline {
     "q148_ulm_seed_vocab" -> q148,
     "q149_blocklist_gate" -> q149,
     "q150_full_stack_log" -> q150,
-    "q151_langid_confusion" -> q151)
+    "q151_langid_confusion" -> q151,
+    "q152_ulm_lm_score" -> q152)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5001,6 +5029,82 @@ object LlmPipeline {
          |SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM documents d JOIN pred p USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q152: the whole ULM chain replayed — q148's seed counts, the
+    // trainer's top-64 ∪ single-char selection with max-n dedup and
+    // ilog2 scores, then the Viterbi DP per DISTINCT word as a
+    // recursive CTE (the growing best-cell array; same total tie
+    // order: score desc, pieces asc, earliest start = longest final
+    // piece; unk = min score − 1 for single chars), and the q113
+    // mean-ll fold per document.
+    "q152_ulm_lm_score" ->
+      s"""WITH RECURSIVE b AS (
+         | SELECT doc_id, $dToks AS toks FROM documents),
+         |wf AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM (SELECT doc_id, unnest(toks) AS t FROM b) GROUP BY 1),
+         |subs AS (
+         | SELECT substring(word, i, l) AS piece, freq
+         | FROM (SELECT word, freq,
+         |        unnest(generate_series(1, length(word))) AS i FROM wf),
+         |      (SELECT unnest(generate_series(1, 4)) AS l)
+         | WHERE i + l - 1 <= length(word)),
+         |c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+         |      FROM subs GROUP BY 1),
+         |top AS (SELECT piece, n FROM c ORDER BY n DESC, piece LIMIT 64),
+         |sel AS (SELECT piece, MAX(n) AS n FROM (
+         |  SELECT * FROM top
+         |  UNION ALL SELECT piece, n FROM c WHERE length(piece) = 1)
+         | GROUP BY piece),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         |        CAST(COUNT(*) AS BIGINT) AS v FROM sel),
+         |vocab AS (SELECT piece,
+         |  CAST((length(bin(n + 1)) - 1) - (length(bin(t + v)) - 1)
+         |   AS BIGINT) AS score_fp
+         | FROM sel, tot),
+         |unk AS (SELECT MIN(score_fp) - 1 AS u FROM vocab),
+         |words AS (SELECT word FROM wf),
+         |wj AS (SELECT word, unnest(generate_series(1, length(word)))
+         |       AS i FROM words),
+         |cand0 AS (SELECT word, i,
+         |  unnest(generate_series(greatest(1, i - 3), i)) AS j FROM wj),
+         |cand AS (
+         | SELECT c0.word, c0.i, c0.j,
+         |  COALESCE(v.score_fp,
+         |   CASE WHEN c0.i = c0.j THEN (SELECT u FROM unk) END) AS sc
+         | FROM cand0 c0
+         | LEFT JOIN vocab v ON substr(c0.word, c0.j, c0.i - c0.j + 1)
+         |  = v.piece),
+         |candv AS (SELECT * FROM cand WHERE sc IS NOT NULL),
+         |rec AS (
+         | SELECT word, 0 AS i,
+         |  [struct_pack(s := CAST(0 AS BIGINT),
+         |    np := CAST(0 AS BIGINT), cut := 0)] AS acc
+         | FROM words
+         | UNION ALL
+         | SELECT r.word, r.i + 1,
+         |  list_append(r.acc, (
+         |    SELECT struct_pack(s := r.acc[c.j].s + c.sc,
+         |                       np := r.acc[c.j].np + CAST(1 AS BIGINT),
+         |                       cut := c.j - 1)
+         |    FROM candv c
+         |    WHERE c.word = r.word AND c.i = r.i + 1
+         |    ORDER BY r.acc[c.j].s + c.sc DESC,
+         |     r.acc[c.j].np + 1 ASC, c.j ASC
+         |    LIMIT 1))
+         | FROM rec r WHERE r.i < length(r.word)),
+         |fin AS (SELECT word, acc[length(word) + 1].s AS s,
+         |  acc[length(word) + 1].np AS np
+         | FROM rec WHERE i = length(word)),
+         |stream AS (SELECT doc_id, unnest(toks) AS word FROM b
+         |           WHERE len(toks) >= 1),
+         |agg AS (
+         | SELECT st.doc_id,
+         |  CAST(SUM(f.np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(f.s) AS BIGINT) AS ll_sum
+         | FROM stream st JOIN fin f USING (word) GROUP BY 1)
+         |SELECT doc_id, n_pieces, ll_sum,
+         | CAST(floor(CAST(ll_sum * 1000000 AS DOUBLE)
+         |  / CAST(n_pieces AS DOUBLE)) AS BIGINT) AS ll_mean_fp
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q148_ulm_seed_vocab" ->
       s"""WITH b AS (SELECT $dToks AS toks FROM documents),
          |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq

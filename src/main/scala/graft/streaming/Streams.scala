@@ -2508,6 +2508,84 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the
+    * UNIGRAM-LM perplexity gate — the CCNet "filter by LM score under
+    * the target-domain tokenizer" loop closed over the ULM family:
+    * documents whose [[graft.operators.Ulm.scoreDocs]] 1e-6
+    * fixed-point mean Viterbi log-likelihood per piece falls below
+    * `minLlMeanFp` drop BEFORE any store probe (derive the cut from
+    * q152's score distribution — e.g. the q115-histogram tail
+    * tercile, the q113/lmGated doctrine), and rejects are never
+    * recorded (a resubmission after the vocab improves is judged
+    * afresh). The MODEL is the unigram-LM vocabulary trained from the
+    * latest [[maintainTermCounts]] snapshot at stream start
+    * ([[ulmVocabFromSnapshot]] — the maintainer→serving loop: the
+    * retrain reads the KB-scale (term, n) snapshot, never the
+    * corpus), pinned as a plain driver-side Seq — unlike the bigram
+    * gate there is NO DataFrame pin to barrier-manage, the vocab IS
+    * plan literals (the Viterbi fold's map literal), so the refresh
+    * leg (`modelRefreshEvery` > 0) just re-trains from the latest
+    * committed snapshot every N processed batches and swaps the
+    * reference; gating is at-least-once-consistent across replays
+    * exactly as the bigram form (a replayed committed batch skips the
+    * gate entirely). Documents with zero tokens are unscorable and
+    * drop at the gate (no perplexity, no admission). The gate runs
+    * inside the micro-batch cycle (it aggregates per-document piece
+    * scores — a streaming frame cannot express that pre-sink).
+    */
+  def ulmGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, statsPath: String, minLlMeanFp: Long,
+      exactStorePath: String, nearStorePath: String, outDir: String,
+      checkpointDir: String, maintenanceEvery: Int = 0,
+      modelRefreshEvery: Int = 0, maxLen: Int = 4, maxVocab: Int = 256,
+      emRounds: Int = 2): StreamingQuery = {
+    val spark = docs.sparkSession
+    val vocab = new java.util.concurrent.atomic.AtomicReference[
+      Seq[(String, Long)]](
+      ulmVocabFromSnapshot(spark, statsPath, maxLen, maxVocab, emRounds))
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "ulm_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => {
+        val n = processed.getAndIncrement()
+        if (modelRefreshEvery > 0 && n > 0 && n % modelRefreshEvery == 0)
+          vocab.set(ulmVocabFromSnapshot(batch.sparkSession, statsPath,
+            maxLen, maxVocab, emRounds))
+        val kept = graft.operators.Ulm.scoreDocs(
+            batch.select(col(idCol).as("doc_id"),
+              col(textCol).as("text")), "text", vocab.get(), maxLen)
+          .filter(col("ll_mean_fp") >= minLlMeanFp)
+          .select(col("doc_id").as("__ulm_keep_id"))
+        val gated = batch.join(kept,
+          batch(idCol) <=> kept("__ulm_keep_id"), "left_semi")
+        graft.ingest.NearDupStore.newNearUniqueWithBloom(
+          graft.ingest.DedupStore.newUniqueWithBloom(
+            gated, textCol, idCol, exactStorePath),
+          textCol, idCol, nearStorePath)
+      },
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+  }
+
   /** The FULL production curation stack as ONE streamed feed — every
     * gate and store staged in the order a production pretraining
     * pipeline runs them (the q150 decision-log order):

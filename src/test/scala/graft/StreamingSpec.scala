@@ -1685,6 +1685,80 @@ class StreamingSpec extends SparkSuite {
       "a gate-rejected document was recorded as seen")
   }
 
+  test("ULM-gated curation feed: gating from the maintained term-count " +
+    "snapshot equals the batch scoreDocs cut (streamed ≡ batch), " +
+    "below-cut docs drop before any store and are never recorded, " +
+    "survivors dedup through the stores, replay is a no-op") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val tcSrc = tmpDir("ulmg-tcsrc")
+    val statsPath = tmpDir("ulmg-stats") + "/terms"
+    val srcDir = tmpDir("ulmg-src")
+    val outDir = tmpDir("ulmg-out") + "/docs"
+    val exactStore = tmpDir("ulmg-exact") + "/hashes"
+    val nearStore = tmpDir("ulmg-near") + "/bands"
+    // 1: maintain the term counts the vocab trains from
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tcSrc/b1")
+    graft.streaming.Streams.maintainTermCounts(
+      spark.readStream.schema(docs.schema)
+        .option("recursiveFileLookup", "true").parquet(tcSrc),
+      statsPath, tmpDir("ulmg-tcckpt")).awaitTermination()
+    // 2: the BATCH side of the law — scoreDocs under the snapshot
+    // vocab, cut at the median
+    val vocab = graft.streaming.Streams
+      .ulmVocabFromSnapshot(spark, statsPath, 4, 64, 1)
+    val scores = graft.operators.Ulm.scoreDocs(docs, "text", vocab, 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("ll_mean_fp"))
+      .toMap
+    val cut = scores.values.toSeq.sorted.apply(scores.size / 2)
+    val wantKept = scores.filter(_._2 >= cut).keySet
+    assert(wantKept.nonEmpty && wantKept.size < scores.size,
+      "the median cut must split the corpus")
+    // 3: feed the corpus + an exact dup of a high-scoring doc
+    val hiId = wantKept.head
+    val hiText = docs.filter(col("doc_id") === hiId)
+      .collect().head.getAs[String]("text")
+    docs.select("doc_id", "text")
+      .union(Seq((900001L, hiText)).toDF("doc_id", "text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/d1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.ulmGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", statsPath, cut, exactStore, nearStore,
+        outDir, ckpt, maxLen = 4, maxVocab = 64, emRounds = 1)
+        .awaitTermination()
+    drain(tmpDir("ulmg-ckpt1"))
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("content_hash",
+        org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // streamed ≡ batch: exactly the at-or-above-cut docs, minus the
+    // within-batch duplicate (min-id keeper)
+    assert(survivors() === wantKept,
+      "streamed gate drifted from the batch scoreDocs cut")
+    assert(!survivors().contains(900001L),
+      "the exact duplicate slipped past the store stage")
+    // rejects were never recorded: a below-cut text probes as NEW
+    val lowText = docs
+      .filter(col("doc_id") === scores.filter(_._2 < cut).keys.head)
+      .collect().head.getAs[String]("text")
+    assert(graft.ingest.DedupStore.newUnique(
+        Seq((999999L, lowText)).toDF("doc_id", "text"),
+        "text", "doc_id", exactStore).count() === 1L,
+      "a gate-rejected document was recorded as seen")
+    // replay after checkpoint loss: committed batches skip — no-op
+    drain(tmpDir("ulmg-ckpt2"))
+    assert(survivors() === wantKept,
+      "full-history replay must be a no-op")
+  }
+
   test("streamed corpus export: any micro-batching selects exactly the " +
     "one-shot mix into the same shards, the manifest accumulates from " +
     "committed read-backs (zero-survivor batches included), and replay " +
