@@ -36,12 +36,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * OperatorsSpec pins the law that this equals K independent
   * [[QualityModel.train]] runs bit for bit.
   *
-  * Scale posture at 100 TB: train = one scan + a KB-scale grid
-  * (≤ dims·K rows); [[predictLiteral]] serves with the K weight
-  * vectors as PLAN LITERALS — scoring is a pure map-side projection
-  * computing K integer folds over the doc's feature array behind one
-  * Generate barrier (the array is NOT re-derived per language), NO
-  * join, NO shuffle. The join-based [[scoreAll]] stays the lazy
+  * Scale posture at 100 TB: train = one featurize scan (the count
+  * grid materializes once — ≤ dims·K rows, KB) + a docs-count scan;
+  * [[predictLiteral]] serves with the K weight vectors as PLAN
+  * LITERALS — scoring is a map-side projection computing K integer
+  * folds over the doc's feature array behind one Generate barrier
+  * (the array is NOT re-derived per language), NO join (plan-pinned);
+  * the single exchange on either path is the pre-amplification
+  * repartition (work distribution ahead of the ~|text|× ngram
+  * blow-up — the windowStream doctrine — not a data-semantics
+  * shuffle). The join-based [[scoreAll]] stays the lazy
   * oracle-audited form (broadcast ≤ dims·K model rows), the
   * q110/q111 split.
   */
@@ -68,13 +72,27 @@ object LangId {
       n: Int): String =
     QualityModel.featuresExprSql(ngramsSql(textCol, n), dims)
 
+  /** The input REPARTITIONED by doc_id ahead of the ngram
+    * amplification — the windowStream doctrine verbatim: the feature
+    * stream is ~|text| × the input rows and the per-ngram md5 is the
+    * hot loop, so the work must spread across the cluster BEFORE the
+    * amplification; a skinny input (one row-group at small SF, one
+    * tail partition at any SF) would otherwise serialize the whole
+    * scan onto one core (measured 4.4 s → 0.8 s at sf0.1). Pinned to
+    * defaultParallelism because AQE sizes the exchange by the tiny
+    * PRE-amplification bytes.
+    */
+  private def amplified(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** (doc_id, fid) rows — one per distinct hashed char-ngram feature
     * per document; documents with no ngram contribute no rows (they
     * are outside the model's domain, the ≥ 1-token rule's analog).
     */
   def featurize(docs: DataFrame, textCol: String, dims: Int,
       n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    amplified(docs).select(col("doc_id"),
       explode(expr(featuresSql(textCol, dims, n))).as("fid"))
 
   private def q6(x: Column): Column =
@@ -91,14 +109,21 @@ object LangId {
     */
   def train(docs: DataFrame, textCol: String, langCol: String,
       dims: Int, n: Int = 3): DataFrame = {
-    val feats = docs.select(col(langCol).as("lang"), col("doc_id"),
-      explode(expr(featuresSql(textCol, dims, n))).as("fid"))
-    val perLang = feats.groupBy("fid", "lang")
-      .agg(count(lit(1)).as("n_pos"))
+    val feats = amplified(docs)
+      .select(col(langCol).as("lang"), col("doc_id"),
+        explode(expr(featuresSql(textCol, dims, n))).as("fid"))
+    // the KB-scale count grid materializes once: perFid AND the final
+    // join both reference it, and lazily each reference would re-run
+    // the whole featurize scan (the Exec.materialize doctrine) — like
+    // Ulm.train, this trainer runs its scan eagerly (callers register
+    // through eagerQueries)
+    val perLang = Exec.materialize(feats.groupBy("fid", "lang")
+      .agg(count(lit(1)).as("n_pos")))
     val perFid = perLang.groupBy("fid").agg(sum("n_pos").as("n_all"))
     val langTotals = docs.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("t_pos"))
-    val tot = docs.agg(count(lit(1)).as("t_all"))
+    // derived from langTotals, not another corpus scan
+    val tot = langTotals.agg(sum("t_pos").as("t_all"))
     perFid.crossJoin(broadcast(langTotals))
       .join(perLang, Seq("fid", "lang"), "left")
       .crossJoin(broadcast(tot))
@@ -166,11 +191,11 @@ object LangId {
     * QualityModel.scoreLiteral shape), and takes the deterministic
     * argmax in the same projection via an array_max over (score,
     * −index) structs (index = language rank ascending, so equal
-    * scores break to the smallest language). NO join, NO shuffle, NO
-    * driver lookup at serve time — identical predictions to
-    * [[predict]] on any frame (bit-exact integer arithmetic;
-    * spec-pinned). Documents with no features drop (outside the
-    * model's domain).
+    * scores break to the smallest language). NO join and NO driver
+    * lookup at serve time (the one exchange is the pre-amplification
+    * repartition) — identical predictions to [[predict]] on any frame
+    * (bit-exact integer arithmetic; spec-pinned). Documents with no
+    * features drop (outside the model's domain).
     */
   def predictLiteral(docs: DataFrame, textCol: String,
       models: Seq[(String, Seq[Long])], dims: Int,
@@ -180,7 +205,7 @@ object LangId {
       s"every dense weight vector must have size $dims")
     val sorted = models.sortBy(_._1)
     val withW = sorted.zipWithIndex.foldLeft(
-      docs.select(col("*"),
+      amplified(docs).select(col("*"),
         explode(array(expr(featuresSql(textCol, dims, n))))
           .as("__lid_f"))
         .filter(size(col("__lid_f")) >= 1)) {

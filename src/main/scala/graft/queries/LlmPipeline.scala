@@ -2149,7 +2149,10 @@ object LlmPipeline {
     * tokens) fail `quality`, matching the Gopher floor. The quality
     * frame materializes once (the q61 barrier: it feeds both the dedup
     * chain and the audit join); the final joins are id-keyed
-    * left-joins against frames the pipeline already built.
+    * left-joins against frames the pipeline already built. q116
+    * scopes to q80's three stages by construction; the FULL
+    * production stack (blocklist → contamination → quality → exact →
+    * near → span) is q150's log — same doctrine, every gate.
     */
   private val q116: Q = (s, dir) => {
     val (passed, exact, labels) = pipelineStages(s, dir,

@@ -490,5 +490,14 @@ class PlanSpec extends SparkSuite {
     val p151 = plan("q151_langid_confusion")
     assert(!p151.contains("Join"),
       s"q151's literal serving must be join-free:\n$p151")
+    // q152 scores through ONE word-keyed equi-join (occurrence stream
+    // × distinct-word Viterbi stats) and never degenerates
+    val p152 = plan("q152_ulm_lm_score")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p152).size === 1,
+      s"q152 must score with exactly one word equi-join:\n$p152")
+    assert(!p152.contains("CartesianProduct") &&
+      !p152.contains("BroadcastNestedLoopJoin"),
+      s"q152 degenerated:\n$p152")
   }
 }
