@@ -2679,6 +2679,89 @@ object Streams {
           .recordWindows(committed, textCol, idCol, spanStorePath)
       })
 
+  /** [[fullStackCurationFeed]] against BUCKETED dedup tables — the
+    * year-of-recording form of the flagship composition: the three
+    * ever-growing dedup stores ride the bucketed catalog (zero
+    * store-side exchanges on every probe, plan-asserted in
+    * LayoutSpec's family laws), while the blocklist and contamination
+    * gates stay on their PATH stores deliberately — both are
+    * broadcast-scale at any corpus size BY DESIGN (a domain list is
+    * KB–MB, a held-out benchmark KB–GB of grams), so a bucketed form
+    * would buy nothing and cost a catalog table each (the r17
+    * contamination-store disposition). Same staging order, same
+    * rejects-never-recorded law, same replay matrix as the path form.
+    */
+  def fullStackCurationFeedBucketed(docs: DataFrame, textCol: String,
+      idCol: String, keyCol: String, blocklistStorePath: String,
+      contamStorePath: String, denseWeights: Seq[Long], thFp: Long,
+      dims: Int, exactTable: String, nearTable: String,
+      spanTable: String, outDir: String, checkpointDir: String,
+      buckets: Int = 32, maintenanceEvery: Int = 0,
+      minSharedGrams: Int = 1): StreamingQuery = {
+    val spark = docs.sparkSession
+    graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
+      buckets)
+    graft.ingest.NearDupStore.ensureBucketedStore(spark, nearTable,
+      buckets)
+    graft.ingest.SpanStore.ensureBucketedStore(spark, spanTable,
+      buckets)
+    dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
+      "full_stack_curation_feed_bucketed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, blocklistStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, blocklistStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, blocklistStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, contamStorePath),
+          { graft.ingest.ContaminationStore
+            .compactStore(s2, contamStorePath); () },
+          Some(() => { graft.ingest.ContaminationStore
+            .buildBloomSidecar(s2, contamStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, exactTable),
+          { graft.ingest.DedupStore
+            .compactBucketedStore(s2, exactTable); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecarBucketed(s2, exactTable); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, nearTable),
+          { graft.ingest.NearDupStore
+            .compactBucketedStore(s2, nearTable); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecarBucketed(s2, nearTable); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.bucketed(s2, spanTable),
+          { graft.ingest.SpanStore
+            .compactBucketedStore(s2, spanTable); () },
+          Some(() => { graft.ingest.SpanStore
+            .buildBloomSidecarBucketed(s2, spanTable); () }))
+      })(
+      batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
+        graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
+          graft.ingest.DedupStore.newUniqueBucketedWithBloom(
+            graft.operators.QualityModel.keepGood(
+              graft.ingest.ContaminationStore.newCleanWithBloom(
+                graft.ingest.DedupStore.newUnseenWithBloom(
+                  batch, keyCol, blocklistStorePath),
+                textCol, idCol, contamStorePath, minSharedGrams),
+              textCol, denseWeights, thFp, dims),
+            textCol, idCol, exactTable),
+          textCol, idCol, nearTable),
+        textCol, idCol, spanTable),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashesBucketed(committed, textCol, exactTable)
+        graft.ingest.NearDupStore
+          .recordSignaturesBucketed(committed, textCol, idCol, nearTable)
+        graft.ingest.SpanStore
+          .recordWindowsBucketed(committed, textCol, idCol, spanTable)
+      })
+  }
+
   /** The model-refresh policy of [[lmGatedCurationFeed]], extracted so
     * the adoption semantics are directly testable: when due (`every`
     * > 0, n > 0, n % every == 0), re-resolve the LATEST COMMITTED

@@ -3471,6 +3471,115 @@ class StreamingSpec extends SparkSuite {
       "full-history replay must be a no-op")
   }
 
+  test("full-stack curation feed against BUCKETED dedup tables: same " +
+    "gate laws as the path form (rejects never reach any store), " +
+    "dedup legs drop copies/paraphrases/mashups from catalog " +
+    "history, replay is a no-op") {
+    import spark.implicits._
+    val srcDir = tmpDir("fscb-src")
+    val outDir = tmpDir("fscb-out") + "/docs"
+    val blockStore = tmpDir("fscb-block") + "/domains"
+    val contamStore = tmpDir("fscb-contam") + "/bench_grams"
+    val tables = Seq("graft_fscb_exact", "graft_fscb_near",
+      "graft_fscb_span")
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType)))
+      graft.ingest.DedupStore.recordHashes(
+        Seq(Tuple1("bad.example.com")).toDF("domain"), "domain",
+        blockStore)
+      val benchText = "held out eval question forty two exactly"
+      graft.ingest.ContaminationStore.recordBenchmark(
+        Seq((900L, benchText)).toDF("doc_id", "text"), "text",
+        "doc_id", contamStore)
+      val dims = 512
+      val spamFid = Seq(Tuple1(Seq("spamword"))).toDF("toks")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.operators.QualityModel.featuresExpr("toks", dims)))
+        .collect()(0).getLong(0)
+      def fid(t: String): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h.substring(0, 4), 16) % dims
+      }
+      def scrub(s: String): String =
+        s.split(" ").filter(t => fid(t) != spamFid).mkString(" ")
+      val dense = Seq.tabulate(dims)(i =>
+        if (i.toLong == spamFid) -1000000L else 1000L)
+      def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("doc_id", "text", "domain").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(ckpt: String): Unit =
+        graft.streaming.Streams.fullStackCurationFeedBucketed(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", "domain", blockStore, contamStore,
+          dense, 0L, dims, tables(0), tables(1), tables(2),
+          outDir, ckpt).awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val ok = "ok.example.com"
+      val docA = scrub((1 to 60).map(i => s"alpha$i token$i word$i")
+        .mkString(" "))
+      val docB = scrub((1 to 60).map(i => s"beta$i item$i entry$i")
+        .mkString(" "))
+      val leaky = scrub((1 to 30).map(i => s"epsil$i item$i entry$i")
+        .mkString(" ")) + " eval question forty " +
+        scrub((31 to 60).map(i => s"epsil$i item$i entry$i")
+          .mkString(" "))
+      val spam = scrub((1 to 60).map(i => s"zeta$i spamish$i filler$i")
+        .mkString(" ")) + " spamword"
+      val ckpt1 = tmpDir("fscb-ckpt1")
+      deliver("b1", Seq((1L, docA, ok), (2L, docB, ok),
+        (3L, docA, "bad.example.com"), (4L, leaky, ok), (5L, spam, ok)))
+      drain(ckpt1)
+      assert(survivors() === Seq(1L, 2L), "gate-clean docs only")
+      // gate rejects never recorded in the bucketed catalog either:
+      // the leaky/spam texts probe as new against all three tables
+      for ((id, tx) <- Seq((51L, leaky), (52L, spam))) {
+        val d = Seq((id, tx)).toDF("doc_id", "text")
+        assert(graft.ingest.DedupStore
+          .newUniqueBucketed(d, "text", "doc_id", tables(0))
+          .count() === 1, s"doc $id leaked into the exact table")
+        assert(graft.ingest.NearDupStore
+          .newNearUniqueBucketed(d, "text", "doc_id", tables(1))
+          .count() === 1, s"doc $id leaked into the near table")
+        assert(graft.ingest.SpanStore
+          .newSpanUniqueBucketed(d, "text", "doc_id", tables(2))
+          .count() === 1, s"doc $id leaked into the span table")
+      }
+      // dedup legs behind the gates, against catalog history — note
+      // doc 3's blocklisted COPY of docA did not poison the store:
+      // docA's hash is recorded exactly once (from doc 1)
+      val mashup = docA.substring(0, docA.length / 2) + " " +
+        docB.substring(docB.length / 2)
+      deliver("b2", Seq(
+        (10L, docA, ok),
+        (11L, docB + " " + scrub("appended footer line"), ok),
+        (12L, mashup, ok),
+        (13L, scrub((1 to 60).map(i => s"gamma$i fresh$i novel$i")
+          .mkString(" ")), ok)))
+      drain(ckpt1)
+      assert(survivors() === Seq(1L, 2L, 13L),
+        "copy/paraphrase/mashup must drop via the bucketed legs")
+      // replay no-op
+      drain(tmpDir("fscb-ckpt2"))
+      assert(survivors() === Seq(1L, 2L, 13L))
+    } finally tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
+    }
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
