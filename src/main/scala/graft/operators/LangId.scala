@@ -56,21 +56,43 @@ object LangId {
     * hashed by [[QualityModel]]'s convention. Empty/short text yields
     * the empty array (sequence(1, 0) would throw).
     */
-  /** Raw (unhashed) lowercased char-ngram array SQL — exposed so the
-    * spec can feed the SAME ngrams through QualityModel.train for the
-    * one-vs-rest parity law.
+  /** Raw ngram array SQL over an ALREADY-LOWERED string expression —
+    * callers bind the lowered text to a real column behind a Generate
+    * barrier ([[withLowered]]) so the lambda's per-position substring
+    * reads a row value instead of re-running lower() once per ngram
+    * (Catalyst does not hoist loop invariants out of HOF lambdas —
+    * O(|text|²) character work, measured as a q151 hot spot).
     */
-  private[graft] def ngramsSql(textCol: String, n: Int): String = {
-    val t = s"lower($textCol)"
-    s"""if(char_length($t) < $n,
+  private def ngramsOfLoweredSql(c: String, n: Int): String =
+    s"""if(char_length($c) < $n,
        |  cast(array() as array<string>),
-       |  transform(sequence(1, char_length($t) - ${n - 1}, 1),
-       |    i -> substring($t, cast(i as int), $n)))""".stripMargin
-  }
+       |  transform(sequence(1, char_length($c) - ${n - 1}, 1),
+       |    i -> substring($c, cast(i as int), $n)))""".stripMargin
+
+  /** Raw lowercased char-ngram array SQL — the SEMANTIC definition
+    * (lower inlined), exposed so the spec can feed the SAME ngrams
+    * through QualityModel.train for the one-vs-rest parity law; the
+    * hot paths use the hoisted [[withLowered]] form, same values.
+    */
+  private[graft] def ngramsSql(textCol: String, n: Int): String =
+    ngramsOfLoweredSql(s"lower($textCol)", n)
+
+  /** `__lid_lt` = lower(textCol) bound behind a Generate barrier (a
+    * plain alias would be substituted back into every lambda
+    * reference by CollapseProject — the tokenized lesson).
+    */
+  private def withLowered(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*"),
+      explode(array(lower(col(textCol)))).as("__lid_lt"))
 
   private[operators] def featuresSql(textCol: String, dims: Int,
       n: Int): String =
     QualityModel.featuresExprSql(ngramsSql(textCol, n), dims)
+
+  /** The hoisted-features SQL over the [[withLowered]] column. */
+  private def featuresHoistedSql(dims: Int, n: Int): String =
+    QualityModel.featuresExprSql(ngramsOfLoweredSql("__lid_lt", n),
+      dims)
 
   /** The input REPARTITIONED by doc_id ahead of the ngram
     * amplification — the windowStream doctrine verbatim: the feature
@@ -92,11 +114,8 @@ object LangId {
     */
   def featurize(docs: DataFrame, textCol: String, dims: Int,
       n: Int = 3): DataFrame =
-    amplified(docs).select(col("doc_id"),
-      explode(expr(featuresSql(textCol, dims, n))).as("fid"))
-
-  private def q6(x: Column): Column =
-    floor(x * lit(1000000.0)).cast(LongType)
+    withLowered(amplified(docs), textCol).select(col("doc_id"),
+      explode(expr(featuresHoistedSql(dims, n))).as("fid"))
 
   /** Fit ALL K one-vs-rest models in one corpus scan: (lang, fid,
     * n_pos, n_neg, weight_fp) — for every feature id observed
@@ -109,9 +128,9 @@ object LangId {
     */
   def train(docs: DataFrame, textCol: String, langCol: String,
       dims: Int, n: Int = 3): DataFrame = {
-    val feats = amplified(docs)
+    val feats = withLowered(amplified(docs), textCol)
       .select(col(langCol).as("lang"), col("doc_id"),
-        explode(expr(featuresSql(textCol, dims, n))).as("fid"))
+        explode(expr(featuresHoistedSql(dims, n))).as("fid"))
     // the KB-scale count grid materializes once: perFid AND the final
     // join both reference it, and lazily each reference would re-run
     // the whole featurize scan (the Exec.materialize doctrine) — like
@@ -132,28 +151,38 @@ object LangId {
         (col("n_all") - coalesce(col("n_pos"), lit(0L))).as("n_neg"),
         col("t_pos"), (col("t_all") - col("t_pos")).as("t_neg"))
       .select(col("lang"), col("fid"), col("n_pos"), col("n_neg"),
-        (q6((col("n_pos") + lit(1L)).cast(DoubleType) /
-            (col("t_pos") + lit(2L)).cast(DoubleType)) -
-          q6((col("n_neg") + lit(1L)).cast(DoubleType) /
-            (col("t_neg") + lit(2L)).cast(DoubleType)))
-          .as("weight_fp"))
+        QualityModel.laplaceWeightFp(col("n_pos"), col("n_neg"),
+          col("t_pos"), col("t_neg")).as("weight_fp"))
   }
 
   /** Per-document per-language floor-mean scores via a broadcast model
     * join — the lazy, oracle-audited form: (doc_id, lang, wmean).
-    * Model-missing features contribute 0 (never on the training
-    * corpus; possible on fresh data).
+    * Features MISSING from the model (possible on fresh data, never
+    * when scoring the training corpus — the grid covers every
+    * observed fid) contribute 0 to the sum and still count in the
+    * mean's denominator — the QualityModel.rawScores convention, and
+    * exactly what [[predictLiteral]]'s dense fold computes (absent =
+    * weight 0), so the two serving forms agree on ANY frame
+    * (spec-pinned on out-of-vocabulary data); a doc whose every
+    * feature is unseen scores 0 for every language. The featurize
+    * subplan is referenced twice (denominator + sums) — acceptable in
+    * this audit form; the serving path is [[predictLiteral]].
     */
   def scoreAll(docs: DataFrame, textCol: String, model: DataFrame,
-      dims: Int, n: Int = 3): DataFrame =
-    featurize(docs, textCol, dims, n)
+      dims: Int, n: Int = 3): DataFrame = {
+    val feats = featurize(docs, textCol, dims, n)
+    val nf = feats.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val sums = feats
       .join(broadcast(model.select("lang", "fid", "weight_fp")),
         Seq("fid"))
-      .groupBy("doc_id", "lang")
-      .agg(sum("weight_fp").as("wsum"), count(lit(1)).as("nf"))
+      .groupBy("doc_id", "lang").agg(sum("weight_fp").as("wsum"))
+    nf.crossJoin(broadcast(model.select("lang").distinct()))
+      .join(sums, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
-        floor(col("wsum").cast(DoubleType) / col("nf").cast(DoubleType))
+        floor(coalesce(col("wsum"), lit(0L)).cast(DoubleType)
+            / col("nf").cast(DoubleType))
           .cast(LongType).as("wmean"))
+  }
 
   /** Deterministic argmax over [[scoreAll]]: (doc_id, pred_lang) —
     * highest wmean wins, ties to the lexicographically smallest
@@ -205,8 +234,8 @@ object LangId {
       s"every dense weight vector must have size $dims")
     val sorted = models.sortBy(_._1)
     val withW = sorted.zipWithIndex.foldLeft(
-      amplified(docs).select(col("*"),
-        explode(array(expr(featuresSql(textCol, dims, n))))
+      withLowered(amplified(docs), textCol).select(col("*"),
+        explode(array(expr(featuresHoistedSql(dims, n))))
           .as("__lid_f"))
         .filter(size(col("__lid_f")) >= 1)) {
       case (df, ((_, dense), i)) => df.withColumn(s"__w_$i",
@@ -228,6 +257,6 @@ object LangId {
         element_at(typedLit(sorted.map(_._1)),
           (lit(0) - col("__best.nk")) + lit(1)))
       .drop((sorted.indices.map(i => s"__w_$i") ++
-        Seq("__lid_f", "__best")): _*)
+        Seq("__lid_lt", "__lid_f", "__best")): _*)
   }
 }

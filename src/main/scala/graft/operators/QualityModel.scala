@@ -76,8 +76,20 @@ object QualityModel {
       sum(when(col(labelCol), 1L).otherwise(0L)).as("t_pos"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("t_neg"))
 
-  private def q6(x: Column): Column =
+  private[operators] def q6(x: Column): Column =
     floor(x * lit(1000000.0)).cast(LongType)
+
+  /** THE model family's weight formula — the Laplace-smoothed
+    * class-rate difference in 1e-6 fixed point, shared by [[train]],
+    * [[weightsOf]], and [[LangId.train]] (one definition, so the
+    * one-vs-rest lift can never drift from the binary model).
+    */
+  private[operators] def laplaceWeightFp(nPos: Column, nNeg: Column,
+      tPos: Column, tNeg: Column): Column =
+    q6((nPos + lit(1L)).cast(DoubleType) /
+        (tPos + lit(2L)).cast(DoubleType)) -
+      q6((nNeg + lit(1L)).cast(DoubleType) /
+        (tNeg + lit(2L)).cast(DoubleType))
 
   /** The model's SUFFICIENT STATISTICS over a labeled frame — per
     * observed feature id the class counts (fid, n_pos, n_neg), plus a
@@ -120,11 +132,8 @@ object QualityModel {
       .crossJoin(broadcast(counts.filter(col("fid") === lit(-1L))
         .select(col("n_pos").as("t_pos"), col("n_neg").as("t_neg"))))
       .select(col("fid"), col("n_pos"), col("n_neg"),
-        (q6((col("n_pos") + lit(1L)).cast(DoubleType) /
-            (col("t_pos") + lit(2L)).cast(DoubleType)) -
-          q6((col("n_neg") + lit(1L)).cast(DoubleType) /
-            (col("t_neg") + lit(2L)).cast(DoubleType)))
-          .as("weight_fp"))
+        laplaceWeightFp(col("n_pos"), col("n_neg"), col("t_pos"),
+          col("t_neg")).as("weight_fp"))
 
   /** Fit the weights: (fid, n_pos, n_neg, weight_fp), one row per
     * OBSERVED feature id, weight in 1e-6 fixed point. `labeled` must
@@ -150,11 +159,8 @@ object QualityModel {
         sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
       .crossJoin(broadcast(classTotals(labeled, labelCol)))
       .select(col("fid"), col("n_pos"), col("n_neg"),
-        (q6((col("n_pos") + lit(1L)).cast(DoubleType) /
-            (col("t_pos") + lit(2L)).cast(DoubleType)) -
-          q6((col("n_neg") + lit(1L)).cast(DoubleType) /
-            (col("t_neg") + lit(2L)).cast(DoubleType)))
-          .as("weight_fp"))
+        laplaceWeightFp(col("n_pos"), col("n_neg"), col("t_pos"),
+          col("t_neg")).as("weight_fp"))
   }
 
   /** Raw per-doc scores (doc_id, wmean): floor-mean of the doc's

@@ -4064,12 +4064,17 @@ object LlmPipeline {
     * store (the failure the naive check-build-mark sequence allows
     * when two JVMs interleave). The marker is re-checked after the
     * build (a concurrent winner's install is adopted, our staging
-    * discarded — both built the same deterministic content), and
-    * superseded sibling generations are pruned only AFTER a
-    * successful install, scoped to this table directory's roots and
-    * never matching `-staging-` names — so an in-flight builder's
-    * staging and another directory's live store are both safe from
-    * the prune (the r17 glob pruned both).
+    * discarded — both built the same deterministic content), any
+    * unmarked destination is cleared BEFORE the rename (Hadoop's
+    * local-fs rename onto an existing non-empty dir NESTS the source
+    * inside it and returns true — probed; a completed install always
+    * carries the marker, so unmarked = stale junk), a nested copy
+    * left by a lost rename race is removed, and superseded sibling
+    * generations are pruned only AFTER a successful install, scoped
+    * to this table directory's roots and never matching `-staging-`
+    * names — so an in-flight builder's staging and another
+    * directory's live store are both safe from the prune (the r17
+    * glob pruned both).
     */
   private[graft] def standingStore(s: SparkSession, dir: String,
       tag: String, srcTable: String = "documents")(
@@ -4109,15 +4114,25 @@ object LlmPipeline {
         // (identical) store, discard ours
         fs.delete(staging, true)
       } else {
-        var installed = fs.rename(staging, root)
-        if (!installed && !fs.exists(done)) {
-          // destination exists but carries no marker: stale junk from
-          // a pre-r18 layout or an interrupted legacy build — clear it
-          // and retry once
-          fs.delete(root, true)
-          installed = fs.rename(staging, root)
-        }
-        if (installed) {
+        // a destination dir without a marker is stale junk (a
+        // completed install always carries `done` — the marker
+        // travels inside the staging dir through the rename): clear
+        // it FIRST, because Hadoop's local-fs rename onto an existing
+        // non-empty directory NESTS the source inside it and returns
+        // true (probed against hadoop 3.4.2 — the naive
+        // rename-then-retry protocol would "succeed" into a broken
+        // layout and rebuild forever)
+        if (fs.exists(root)) fs.delete(root, true)
+        val renamed = fs.rename(staging, root)
+        // if a concurrent winner installed root between the delete
+        // and our rename, that same nest-into semantics put our
+        // staging INSIDE the winner's root — remove any such nested
+        // copy (no-op on the clean path, where root IS the renamed
+        // staging) and settle by the marker alone
+        fs.delete(new org.apache.hadoop.fs.Path(root, staging.getName),
+          true)
+        if (!renamed) fs.delete(staging, true)
+        if (renamed && fs.exists(done)) {
           // prune superseded generations of THIS directory only, and
           // only after our install succeeded; staging dirs carry
           // `-staging-` (never a hex dirKey segment) and are excluded
@@ -4135,7 +4150,7 @@ object LlmPipeline {
               s"$tmpDir/graft-$tag-staging-*"))
             .filter(st => st.getModificationTime < cutoff)
             .foreach(st => fs.delete(st.getPath, true))
-        } else fs.delete(staging, true)
+        }
       }
     }
     store

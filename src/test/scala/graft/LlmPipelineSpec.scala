@@ -1267,6 +1267,28 @@ class LlmPipelineSpec extends SparkSuite {
       assert(!new java.io.File(confRoot).listFiles()
         .exists(_.getName.startsWith("graft-spec-tag2-staging-")),
         "loser's staging dir leaked")
+      // stale UNMARKED root (pre-protocol junk): cleared and rebuilt
+      // cleanly — Hadoop's local rename onto an existing non-empty
+      // dir NESTS the source inside it (returns true), so without
+      // the pre-clear the store would "install" broken and rebuild
+      // forever
+      val pC = LlmPipeline.standingStore(spark, sf, "spec-tag3")(build)
+      val rootC = new java.io.File(pC).getParentFile
+      val preBuilds = {
+        assert(new java.io.File(pC + ".complete").delete(), "unmark")
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          rootC.getPath, "junk.txt"), "j".getBytes("UTF-8"))
+        builds
+      }
+      assert(LlmPipeline.standingStore(spark, sf, "spec-tag3")(build)
+        === pC)
+      assert(builds === preBuilds + 1, "stale root must force a rebuild")
+      assert(new java.io.File(pC, "data.txt").exists(), "store content")
+      assert(new java.io.File(pC + ".complete").exists(), "marker back")
+      assert(!rootC.listFiles().exists(_.getName.contains("-staging-")),
+        "staging nested inside the root (the local-rename hazard)")
+      assert(!new java.io.File(rootC, "junk.txt").exists(),
+        "stale junk survived the pre-clear")
     } finally {
       spark.conf.unset("spark.graft.standingStoreRoot")
       rmrf(new java.io.File(confRoot))

@@ -234,6 +234,24 @@ class OperatorsSpec extends SparkSuite {
         .select("doc_id").collect().map(_.getLong(0)).sorted
       assert(preds.toSeq === Seq(3L),
         "docs without a single trigram must drop, others score")
+      // (e) OUT-OF-VOCABULARY data: trigrams unseen in training
+      // contribute weight 0 but still count in the mean's denominator
+      // in BOTH serving forms (the QualityModel.rawScores convention)
+      // — literal ≡ join on fresh frames too, doc for doc
+      val fresh = Seq(
+        (20L, "@@@ ### %%% ^^^ &&&"),
+        (21L, "der gross @@@ ###"),
+        (22L, "le petit rapide ???"))
+        .toDF("doc_id", "text")
+      val litF = LangId.predictLiteral(fresh, "text", dense, dims)
+        .select("doc_id", "pred_lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val joinF = LangId.predict(fresh, "text", model, dims)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(litF === joinF,
+        "serving forms diverged on out-of-vocabulary features")
+      assert(litF.keySet === Set(20L, 21L, 22L),
+        "fresh docs with features must score in both forms")
     } finally graft.operators.Exec.release(model)
   }
 
