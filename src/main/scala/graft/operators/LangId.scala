@@ -259,4 +259,22 @@ object LangId {
       .drop((sorted.indices.map(i => s"__w_$i") ++
         Seq("__lid_lt", "__lid_f", "__best")): _*)
   }
+
+  /** The streaming/ingest LANGUAGE gate — CCNet's stage #2 (bucket by
+    * learned LID before any content work prices a document): keep
+    * only rows whose [[predictLiteral]] language lands in `keep`.
+    * Stateless per-row work end to end (plan-literal models, Generate
+    * barriers, in-projection argmax — the keepGood posture), so it
+    * composes PRE-SINK on a streaming frame; documents with no
+    * features drop (no language, no admission — the unscorable-drop
+    * doctrine), all other columns pass through untouched.
+    */
+  def keepLangs(docs: DataFrame, textCol: String,
+      models: Seq[(String, Seq[Long])], dims: Int,
+      keep: Set[String], n: Int = 3): DataFrame = {
+    require(keep.nonEmpty, "empty language keep-set")
+    predictLiteral(docs, textCol, models, dims, n)
+      .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
+      .drop("pred_lang")
+  }
 }

@@ -2508,6 +2508,57 @@ object Streams {
           .recordSignatures(committed, textCol, idCol, nearStorePath)
       })
 
+  /** [[curationFeedThroughStores]] (2-store form) behind the LEARNED
+    * LANGUAGE-ID gate — CCNet's stage #2 (bucket the crawl by learned
+    * LID before any content work): documents whose
+    * [[graft.operators.LangId.predictLiteral]] language falls outside
+    * `keepLangs` drop BEFORE any store probe. The gate is stateless
+    * per-row end to end (K plan-literal weight vectors, Generate
+    * barriers, in-projection argmax — the literal quality gate's
+    * posture), so it composes PRE-SINK: no join, no state, no
+    * watermark interaction, zero per-batch model cost. Models train
+    * OFFLINE on labeled data ([[graft.operators.LangId.train]] +
+    * collectModels) and pin as plan literals for the stream's life
+    * (rotation = restart, the pin-at-start posture). Rejects are
+    * dropped, never recorded (a document resubmitted after a model
+    * retrain — or under a widened keep-set — is judged afresh);
+    * documents with no features drop at the gate.
+    */
+  def lidGatedCurationFeed(docs: DataFrame, textCol: String,
+      idCol: String, models: Seq[(String, Seq[Long])], dims: Int,
+      keepLangs: Set[String], exactStorePath: String,
+      nearStorePath: String, outDir: String, checkpointDir: String,
+      maintenanceEvery: Int = 0): StreamingQuery =
+    dedupThroughStoreWith(
+      graft.operators.LangId.keepLangs(docs, textCol, models, dims,
+        keepLangs),
+      textCol, outDir, checkpointDir, "lid_gated_curation_feed",
+      maintenanceEvery = maintenanceEvery,
+      maintain = s2 => {
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, exactStorePath),
+          { graft.ingest.DedupStore
+            .compactStore(s2, exactStorePath); () },
+          Some(() => { graft.ingest.DedupStore
+            .buildBloomSidecar(s2, exactStorePath); () }))
+        maintainIfDue(
+          graft.ingest.StoreStats.path(s2, nearStorePath),
+          { graft.ingest.NearDupStore
+            .compactStore(s2, nearStorePath); () },
+          Some(() => { graft.ingest.NearDupStore
+            .buildBloomSidecar(s2, nearStorePath); () }))
+      })(
+      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
+        graft.ingest.DedupStore.newUniqueWithBloom(
+          batch, textCol, idCol, exactStorePath),
+        textCol, idCol, nearStorePath),
+      committed => {
+        graft.ingest.DedupStore
+          .recordHashes(committed, textCol, exactStorePath)
+        graft.ingest.NearDupStore
+          .recordSignatures(committed, textCol, idCol, nearStorePath)
+      })
+
   /** [[curationFeedThroughStores]] (2-store form) behind the
     * UNIGRAM-LM perplexity gate — the CCNet "filter by LM score under
     * the target-domain tokenizer" loop closed over the ULM family:

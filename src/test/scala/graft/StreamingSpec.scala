@@ -1685,6 +1685,71 @@ class StreamingSpec extends SparkSuite {
       "a gate-rejected document was recorded as seen")
   }
 
+  test("LID-gated curation feed: out-of-language docs drop before any " +
+    "store probe and are never recorded; in-language docs dedup " +
+    "through the stores; gate ≡ batch keepLangs; replay is a no-op") {
+    import spark.implicits._
+    val docs = graft.queries.LlmPipeline
+      .langMarkedOf(Tables.load(spark, sf, "documents"))
+      .select("doc_id", "text", "lang")
+    val dims = graft.queries.LlmPipeline.LangIdDims
+    // models trained OFFLINE on the labeled marked corpus
+    val model = graft.operators.LangId.train(docs, "text", "lang", dims)
+    val dense = graft.operators.LangId.collectModels(model, dims)
+    val keep = Set("en", "de")
+    // the BATCH side of the law
+    val wantKept = graft.operators.LangId
+      .keepLangs(docs, "text", dense, dims, keep)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wantKept.nonEmpty && wantKept.size < allIds.size,
+      "the keep-set must split the corpus")
+    val srcDir = tmpDir("lidg-src")
+    val outDir = tmpDir("lidg-out") + "/docs"
+    val exactStore = tmpDir("lidg-exact") + "/hashes"
+    val nearStore = tmpDir("lidg-near") + "/bands"
+    val hiId = wantKept.head
+    val hiText = docs.filter(col("doc_id") === hiId)
+      .collect().head.getAs[String]("text")
+    docs.select("doc_id", "text")
+      .union(Seq((900001L, hiText)).toDF("doc_id", "text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/d1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.lidGatedCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", dense, dims, keep, exactStore, nearStore,
+        outDir, ckpt).awaitTermination()
+    drain(tmpDir("lidg-ckpt1"))
+    def survivors(): Set[Long] = spark.read
+      .schema(schema.add("content_hash",
+        org.apache.spark.sql.types.StringType))
+      .parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // streamed gate ≡ batch keepLangs, minus the within-batch dup
+    assert(survivors() === wantKept,
+      "streamed LID gate drifted from the batch keepLangs set")
+    assert(!survivors().contains(900001L),
+      "the exact duplicate slipped past the store stage")
+    // rejects never recorded: an out-of-language text probes as NEW
+    val outId = (allIds -- wantKept).head
+    val outText = docs.filter(col("doc_id") === outId)
+      .collect().head.getAs[String]("text")
+    assert(graft.ingest.DedupStore.newUnique(
+        Seq((999999L, outText)).toDF("doc_id", "text"),
+        "text", "doc_id", exactStore).count() === 1L,
+      "a gate-rejected document was recorded as seen")
+    // replay after checkpoint loss: no-op
+    drain(tmpDir("lidg-ckpt2"))
+    assert(survivors() === wantKept,
+      "full-history replay must be a no-op")
+  }
+
   test("ULM-gated curation feed: gating from the maintained term-count " +
     "snapshot equals the batch scoreDocs cut (streamed ≡ batch), " +
     "below-cut docs drop before any store and are never recorded, " +
