@@ -184,18 +184,27 @@ object LangId {
           .cast(LongType).as("wmean"))
   }
 
-  /** Deterministic argmax over [[scoreAll]]: (doc_id, pred_lang) —
-    * highest wmean wins, ties to the lexicographically smallest
-    * language. Documents with no features get no row.
+  /** Deterministic argmax over [[scoreAll]]: (doc_id, pred_lang,
+    * pred_spread) — highest wmean wins, ties to the lexicographically
+    * smallest language; `pred_spread` = max − min of the K scores,
+    * the model's separation evidence (0 ⟺ every language scores the
+    * same — canonically a document whose every feature is
+    * out-of-vocabulary — i.e. a NO-CONFIDENCE prediction, which
+    * gates treat as a reject). Documents with no features get no row.
     */
   def predict(docs: DataFrame, textCol: String, model: DataFrame,
       dims: Int, n: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("wmean"), col("lang"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
     scoreAll(docs, textCol, model, dims, n)
       .withColumn("__rn", row_number().over(w))
+      .withColumn("pred_spread",
+        max(col("wmean")).over(wAll) - min(col("wmean")).over(wAll))
       .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"))
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("pred_spread"))
   }
 
   /** Collect a fitted model into its per-language dense weight
@@ -220,11 +229,13 @@ object LangId {
     * QualityModel.scoreLiteral shape), and takes the deterministic
     * argmax in the same projection via an array_max over (score,
     * −index) structs (index = language rank ascending, so equal
-    * scores break to the smallest language). NO join and NO driver
+    * scores break to the smallest language). Emits `pred_lang` and
+    * `pred_spread` (max − min of the K scores — [[predict]]'s
+    * no-confidence evidence, same definition). NO join and NO driver
     * lookup at serve time (the one exchange is the pre-amplification
-    * repartition) — identical predictions to [[predict]] on any frame
-    * (bit-exact integer arithmetic; spec-pinned). Documents with no
-    * features drop (outside the model's domain).
+    * repartition) — identical predictions AND spreads to [[predict]]
+    * on any frame (bit-exact integer arithmetic; spec-pinned).
+    * Documents with no features drop (outside the model's domain).
     */
   def predictLiteral(docs: DataFrame, textCol: String,
       models: Seq[(String, Seq[Long])], dims: Int,
@@ -252,29 +263,42 @@ object LangId {
          | 'nk', ${-i})""".stripMargin
     val arr = s"array(${sorted.indices.map(scoreFold).mkString(", ")})"
     withW
-      .withColumn("__best", expr(s"array_max($arr)"))
+      // the K folds land behind a Generate barrier: __arr is read by
+      // BOTH the argmax and the spread, and a plain alias would
+      // substitute the folds into each reference (the tokenized
+      // lesson)
+      .select(col("*"), explode(array(expr(arr))).as("__arr"))
+      .withColumn("__best", expr("array_max(__arr)"))
       .withColumn("pred_lang",
         element_at(typedLit(sorted.map(_._1)),
           (lit(0) - col("__best.nk")) + lit(1)))
+      .withColumn("pred_spread",
+        col("__best.s") - expr("array_min(__arr)").getField("s"))
       .drop((sorted.indices.map(i => s"__w_$i") ++
-        Seq("__lid_lt", "__lid_f", "__best")): _*)
+        Seq("__lid_lt", "__lid_f", "__arr", "__best")): _*)
   }
 
   /** The streaming/ingest LANGUAGE gate — CCNet's stage #2 (bucket by
     * learned LID before any content work prices a document): keep
-    * only rows whose [[predictLiteral]] language lands in `keep`.
-    * Stateless per-row work end to end (plan-literal models, Generate
-    * barriers, in-projection argmax — the keepGood posture), so it
-    * composes PRE-SINK on a streaming frame; documents with no
-    * features drop (no language, no admission — the unscorable-drop
-    * doctrine), all other columns pass through untouched.
+    * only rows whose [[predictLiteral]] language lands in `keep` AND
+    * whose prediction carries model evidence (pred_spread > 0 — an
+    * all-equal score vector means the model cannot separate the
+    * languages at all, canonically a document whose every feature is
+    * out-of-vocabulary; its argmax is a vacuous tie-break, and
+    * CCNet/fastText LID semantics treat a no-confidence prediction as
+    * a reject). Stateless per-row work end to end (plan-literal
+    * models, Generate barriers, in-projection argmax — the keepGood
+    * posture), so it composes PRE-SINK on a streaming frame;
+    * documents with no features drop the same way (no language, no
+    * admission), all other columns pass through untouched.
     */
   def keepLangs(docs: DataFrame, textCol: String,
       models: Seq[(String, Seq[Long])], dims: Int,
       keep: Set[String], n: Int = 3): DataFrame = {
     require(keep.nonEmpty, "empty language keep-set")
     predictLiteral(docs, textCol, models, dims, n)
-      .filter(col("pred_lang").isin(keep.toSeq.sorted: _*))
-      .drop("pred_lang")
+      .filter(col("pred_spread") > lit(0L) &&
+        col("pred_lang").isin(keep.toSeq.sorted: _*))
+      .drop("pred_lang", "pred_spread")
   }
 }

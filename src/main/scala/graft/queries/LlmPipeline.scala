@@ -4109,9 +4109,16 @@ object LlmPipeline {
       build(s"$staging/store")
       fs.create(new org.apache.hadoop.fs.Path(
         s"$staging/store.complete"), true).close()
-      if (fs.exists(done)) {
-        // a concurrent builder installed while we built: adopt its
-        // (identical) store, discard ours
+      // a committed marker means a concurrent winner installed while
+      // we built — adopt its (identical) store, discard ours; when
+      // the destination exists the marker is RE-CHECKED after
+      // observing it, so a winner landing between the two stats is
+      // adopted rather than deleted (only the adjacent-syscall window
+      // before the delete below remains — documented as accepted)
+      val committed0 = fs.exists(done)
+      val rootExists = !committed0 && fs.exists(root)
+      val committed = committed0 || (rootExists && fs.exists(done))
+      if (committed) {
         fs.delete(staging, true)
       } else {
         // a destination dir without a marker is stale junk (a
@@ -4122,7 +4129,7 @@ object LlmPipeline {
         // true (probed against hadoop 3.4.2 — the naive
         // rename-then-retry protocol would "succeed" into a broken
         // layout and rebuild forever)
-        if (fs.exists(root)) fs.delete(root, true)
+        if (rootExists) fs.delete(root, true)
         val renamed = fs.rename(staging, root)
         // if a concurrent winner installed root between the delete
         // and our rename, that same nest-into semantics put our

@@ -2294,20 +2294,7 @@ object Streams {
     val q = dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "lm_gated_curation_feed",
       maintenanceEvery = maintenanceEvery,
-      maintain = s2 => {
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
-      })(
+      maintain = twoStoreMaintain(exactStorePath, nearStorePath))(
       batch => {
         refreshPinnedModel(model, batch.sparkSession, statsPath,
           processed.getAndIncrement(), modelRefreshEvery)
@@ -2318,17 +2305,10 @@ object Streams {
           .select(col("doc_id").as("__lm_keep_id"))
         val gated = batch.join(kept,
           batch(idCol) <=> kept("__lm_keep_id"), "left_semi")
-        graft.ingest.NearDupStore.newNearUniqueWithBloom(
-          graft.ingest.DedupStore.newUniqueWithBloom(
-            gated, textCol, idCol, exactStorePath),
-          textCol, idCol, nearStorePath)
+        twoStoreCheck(textCol, idCol, exactStorePath,
+          nearStorePath)(gated)
       },
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
     (q, () => graft.operators.Exec.release(model.get()))
   }
 
@@ -2372,31 +2352,13 @@ object Streams {
             .compactStore(s2, contamStorePath); () },
           Some(() => { graft.ingest.ContaminationStore
             .buildBloomSidecar(s2, contamStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
+        twoStoreMaintain(exactStorePath, nearStorePath)(s2)
       })(
-      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
-        graft.ingest.DedupStore.newUniqueWithBloom(
-          graft.ingest.ContaminationStore.newCleanWithBloom(
-            batch, textCol, idCol, contamStorePath, minSharedGrams),
-          textCol, idCol, exactStorePath),
-        textCol, idCol, nearStorePath),
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      batch => twoStoreCheck(textCol, idCol, exactStorePath,
+        nearStorePath)(
+        graft.ingest.ContaminationStore.newCleanWithBloom(
+          batch, textCol, idCol, contamStorePath, minSharedGrams)),
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
 
   /** [[curationFeedThroughStores]] (2-store form) behind the
     * CROSS-MODAL alignment gate — the CLIP-score filter as a feed
@@ -2426,30 +2388,9 @@ object Streams {
       textCol, outDir, checkpointDir,
       "crossmodal_gated_curation_feed",
       maintenanceEvery = maintenanceEvery,
-      maintain = s2 => {
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
-      })(
-      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
-        graft.ingest.DedupStore.newUniqueWithBloom(
-          batch, textCol, idCol, exactStorePath),
-        textCol, idCol, nearStorePath),
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      maintain = twoStoreMaintain(exactStorePath, nearStorePath))(
+      twoStoreCheck(textCol, idCol, exactStorePath, nearStorePath),
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
 
   /** [[curationFeedThroughStores]] (2-store form) behind the
     * URL/DOMAIN BLOCKLIST gate — stage #1 of every production
@@ -2482,31 +2423,51 @@ object Streams {
             .compactStore(s2, blocklistStorePath); () },
           Some(() => { graft.ingest.DedupStore
             .buildBloomSidecar(s2, blocklistStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
+        twoStoreMaintain(exactStorePath, nearStorePath)(s2)
       })(
-      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
-        graft.ingest.DedupStore.newUniqueWithBloom(
-          graft.ingest.DedupStore.newUnseenWithBloom(
-            batch, keyCol, blocklistStorePath),
-          textCol, idCol, exactStorePath),
-        textCol, idCol, nearStorePath),
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      batch => twoStoreCheck(textCol, idCol, exactStorePath,
+        nearStorePath)(
+        graft.ingest.DedupStore.newUnseenWithBloom(
+          batch, keyCol, blocklistStorePath)),
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
+
+  /** The exact+near maintenance block every 2-store gated feed shares
+    * — ONE definition (the compact+bloom pairing cannot drift between
+    * feed legs; it was copied verbatim in four of them before r18).
+    */
+  private def twoStoreMaintain(exactStorePath: String,
+      nearStorePath: String)(s2: SparkSession): Unit = {
+    maintainIfDue(
+      graft.ingest.StoreStats.path(s2, exactStorePath),
+      { graft.ingest.DedupStore.compactStore(s2, exactStorePath); () },
+      Some(() => { graft.ingest.DedupStore
+        .buildBloomSidecar(s2, exactStorePath); () }))
+    maintainIfDue(
+      graft.ingest.StoreStats.path(s2, nearStorePath),
+      { graft.ingest.NearDupStore
+        .compactStore(s2, nearStorePath); () },
+      Some(() => { graft.ingest.NearDupStore
+        .buildBloomSidecar(s2, nearStorePath); () }))
+  }
+
+  /** The exact → near probe chain of the 2-store feeds. */
+  private def twoStoreCheck(textCol: String, idCol: String,
+      exactStorePath: String, nearStorePath: String)(
+      batch: DataFrame): DataFrame =
+    graft.ingest.NearDupStore.newNearUniqueWithBloom(
+      graft.ingest.DedupStore.newUniqueWithBloom(
+        batch, textCol, idCol, exactStorePath),
+      textCol, idCol, nearStorePath)
+
+  /** The committed-read-back recording of the 2-store feeds. */
+  private def twoStoreRecord(textCol: String, idCol: String,
+      exactStorePath: String, nearStorePath: String)(
+      committed: DataFrame): Unit = {
+    graft.ingest.DedupStore
+      .recordHashes(committed, textCol, exactStorePath)
+    graft.ingest.NearDupStore
+      .recordSignatures(committed, textCol, idCol, nearStorePath)
+  }
 
   /** [[curationFeedThroughStores]] (2-store form) behind the LEARNED
     * LANGUAGE-ID gate — CCNet's stage #2 (bucket the crawl by learned
@@ -2534,30 +2495,9 @@ object Streams {
         keepLangs),
       textCol, outDir, checkpointDir, "lid_gated_curation_feed",
       maintenanceEvery = maintenanceEvery,
-      maintain = s2 => {
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
-      })(
-      batch => graft.ingest.NearDupStore.newNearUniqueWithBloom(
-        graft.ingest.DedupStore.newUniqueWithBloom(
-          batch, textCol, idCol, exactStorePath),
-        textCol, idCol, nearStorePath),
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      maintain = twoStoreMaintain(exactStorePath, nearStorePath))(
+      twoStoreCheck(textCol, idCol, exactStorePath, nearStorePath),
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
 
   /** [[curationFeedThroughStores]] (2-store form) behind the
     * UNIGRAM-LM perplexity gate — the CCNet "filter by LM score under
@@ -2598,20 +2538,7 @@ object Streams {
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "ulm_gated_curation_feed",
       maintenanceEvery = maintenanceEvery,
-      maintain = s2 => {
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
-      })(
+      maintain = twoStoreMaintain(exactStorePath, nearStorePath))(
       batch => {
         val n = processed.getAndIncrement()
         if (modelRefreshEvery > 0 && n > 0 && n % modelRefreshEvery == 0)
@@ -2624,17 +2551,10 @@ object Streams {
           .select(col("doc_id").as("__ulm_keep_id"))
         val gated = batch.join(kept,
           batch(idCol) <=> kept("__ulm_keep_id"), "left_semi")
-        graft.ingest.NearDupStore.newNearUniqueWithBloom(
-          graft.ingest.DedupStore.newUniqueWithBloom(
-            gated, textCol, idCol, exactStorePath),
-          textCol, idCol, nearStorePath)
+        twoStoreCheck(textCol, idCol, exactStorePath,
+          nearStorePath)(gated)
       },
-      committed => {
-        graft.ingest.DedupStore
-          .recordHashes(committed, textCol, exactStorePath)
-        graft.ingest.NearDupStore
-          .recordSignatures(committed, textCol, idCol, nearStorePath)
-      })
+      twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
   }
 
   /** The FULL production curation stack as ONE streamed feed — every
@@ -2690,18 +2610,7 @@ object Streams {
             .compactStore(s2, contamStorePath); () },
           Some(() => { graft.ingest.ContaminationStore
             .buildBloomSidecar(s2, contamStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, exactStorePath),
-          { graft.ingest.DedupStore
-            .compactStore(s2, exactStorePath); () },
-          Some(() => { graft.ingest.DedupStore
-            .buildBloomSidecar(s2, exactStorePath); () }))
-        maintainIfDue(
-          graft.ingest.StoreStats.path(s2, nearStorePath),
-          { graft.ingest.NearDupStore
-            .compactStore(s2, nearStorePath); () },
-          Some(() => { graft.ingest.NearDupStore
-            .buildBloomSidecar(s2, nearStorePath); () }))
+        twoStoreMaintain(exactStorePath, nearStorePath)(s2)
         maintainIfDue(
           graft.ingest.StoreStats.path(s2, spanStorePath),
           { graft.ingest.SpanStore

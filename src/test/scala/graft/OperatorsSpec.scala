@@ -209,19 +209,22 @@ class OperatorsSpec extends SparkSuite {
           .collect().map(_.toSeq).toSet
         assert(slice === binary, s"one-vs-rest drift for lang $l")
       }
-      // (b) literal serving ≡ join scoring, doc for doc
+      // (b) literal serving ≡ join scoring, doc for doc — prediction
+      // AND the no-confidence spread
       val dense = LangId.collectModels(model, dims)
       val lit_ = LangId.predictLiteral(docs, "text", dense, dims)
-        .select("doc_id", "pred_lang")
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .select("doc_id", "pred_lang", "pred_spread")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       val join = LangId.predict(docs, "text", model, dims)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       assert(lit_ === join, "literal scorer drifted from the join form")
       // (c) the planted signal is recovered: train-set accuracy on the
       // marked corpus clears 0.8 (measured 0.90 at sf0.001)
       val truth = docs.select("doc_id", "lang")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      val correct = lit_.count { case (id, p) => truth(id) == p }
+      val correct = lit_.count { case (id, (p, _)) => truth(id) == p }
       assert(lit_.nonEmpty &&
         correct.toDouble / lit_.size >= 0.8,
         s"accuracy ${correct.toDouble / lit_.size} under the 0.8 floor")
@@ -244,14 +247,28 @@ class OperatorsSpec extends SparkSuite {
         (22L, "le petit rapide ???"))
         .toDF("doc_id", "text")
       val litF = LangId.predictLiteral(fresh, "text", dense, dims)
-        .select("doc_id", "pred_lang")
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .select("doc_id", "pred_lang", "pred_spread")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       val joinF = LangId.predict(fresh, "text", model, dims)
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       assert(litF === joinF,
         "serving forms diverged on out-of-vocabulary features")
       assert(litF.keySet === Set(20L, 21L, 22L),
         "fresh docs with features must score in both forms")
+      // (f) NO-CONFIDENCE rule: under a model whose K weight vectors
+      // are identical, every document's scores tie across languages
+      // (pred_spread = 0 by construction) and the keepLangs gate
+      // rejects them all — a vacuous argmax must never admit
+      val flat = Seq(("aa", Seq.fill(dims)(7L)), ("bb", Seq.fill(dims)(7L)))
+      val flatPreds = LangId.predictLiteral(tiny, "text", flat, dims)
+        .select("pred_spread").collect().map(_.getLong(0))
+      assert(flatPreds.nonEmpty && flatPreds.forall(_ === 0L),
+        "identical models must yield zero spread")
+      assert(LangId.keepLangs(tiny, "text", flat, dims,
+          Set("aa", "bb")).count() === 0L,
+        "the gate admitted a no-confidence prediction")
     } finally graft.operators.Exec.release(model)
   }
 
