@@ -127,7 +127,31 @@ object LangId {
     * formula (spec-pinned).
     */
   def train(docs: DataFrame, textCol: String, langCol: String,
-      dims: Int, n: Int = 3): DataFrame = {
+      dims: Int, n: Int = 3): DataFrame = trainGrid(docs, textCol,
+    langCol, dims, n)._2
+
+  /** [[train]] scoped to `use`, with the internal count grid RELEASED
+    * afterwards (the Ulm.trainFromWordFreq try/finally discipline):
+    * `train` materializes its per-(feature, language) grid eagerly and
+    * the returned model references it lazily, so a bare `train` leaks
+    * one grid's checkpoint blocks per call until the session dies —
+    * fine for a one-shot query, wrong for a long-lived session that
+    * retrains periodically. Callers that consume the model within a
+    * scope (collect it, write it to a store) go through here; the
+    * model frame is UNUSABLE after `use` returns.
+    */
+  def withTrained[T](docs: DataFrame, textCol: String, langCol: String,
+      dims: Int, n: Int = 3)(use: DataFrame => T): T = {
+    val (grid, model) = trainGrid(docs, textCol, langCol, dims, n)
+    try use(model) finally Exec.release(grid)
+  }
+
+  /** The trainer core: returns (materialized count grid, model). The
+    * model references the grid lazily — release the grid only once the
+    * model is itself materialized or collected ([[withTrained]]).
+    */
+  private def trainGrid(docs: DataFrame, textCol: String,
+      langCol: String, dims: Int, n: Int): (DataFrame, DataFrame) = {
     val feats = withLowered(amplified(docs), textCol)
       .select(col(langCol).as("lang"), col("doc_id"),
         explode(expr(featuresHoistedSql(dims, n))).as("fid"))
@@ -143,7 +167,7 @@ object LangId {
       .agg(count(lit(1)).as("t_pos"))
     // derived from langTotals, not another corpus scan
     val tot = langTotals.agg(sum("t_pos").as("t_all"))
-    perFid.crossJoin(broadcast(langTotals))
+    perLang -> perFid.crossJoin(broadcast(langTotals))
       .join(perLang, Seq("fid", "lang"), "left")
       .crossJoin(broadcast(tot))
       .select(col("lang"), col("fid"),
@@ -240,7 +264,13 @@ object LangId {
   def predictLiteral(docs: DataFrame, textCol: String,
       models: Seq[(String, Seq[Long])], dims: Int,
       n: Int = 3): DataFrame = {
-    require(models.nonEmpty, "no language models")
+    // K = 1 is rejected, not just discouraged: one-vs-rest argmax is
+    // meaningless for a single language (pred_spread is identically
+    // 0 — max and min of one score), so keepLangs would silently
+    // reject EVERY document under its no-confidence rule
+    require(models.size >= 2,
+      s"one-vs-rest LID needs at least 2 language models, got " +
+        s"${models.size}")
     require(models.forall(_._2.size == dims),
       s"every dense weight vector must have size $dims")
     val sorted = models.sortBy(_._1)

@@ -4157,6 +4157,25 @@ object LlmPipeline {
               s"$tmpDir/graft-$tag-staging-*"))
             .filter(st => st.getModificationTime < cutoff)
             .foreach(st => fs.delete(st.getPath, true))
+          // upgrade sweep: pre-dirKey roots were named
+          // graft-<tag>-<32 hex> (no dirKey segment) — the scoped glob
+          // above never matches them, so a host upgraded mid-life
+          // would leak them forever. No current reader resolves that
+          // layout, so a marked old root is settled junk; an unmarked
+          // one could still be an old-version builder mid-install on
+          // a mixed-version host, so those get the staging age-out
+          // rule instead of an immediate delete.
+          val oldLayout =
+            ("graft-" + java.util.regex.Pattern.quote(tag) +
+              "-[0-9a-f]{32}").r
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              s"$tmpDir/graft-$tag-*"))
+            .filter(st =>
+              oldLayout.pattern.matcher(st.getPath.getName).matches())
+            .filter(st => fs.exists(new org.apache.hadoop.fs.Path(
+                st.getPath, "store.complete")) ||
+              st.getModificationTime < cutoff)
+            .foreach(st => fs.delete(st.getPath, true))
         }
       }
     }

@@ -1238,11 +1238,27 @@ class LlmPipelineSpec extends SparkSuite {
       val inflight = new java.io.File(confRoot,
         "graft-spec-tag-staging-inflight")
       assert(new java.io.File(inflight, "store").mkdirs())
+      // pre-dirKey LAYOUT roots (graft-<tag>-<32 hex>): a MARKED one
+      // is settled junk on an upgraded host and must be swept; an
+      // unmarked FRESH one could be an old-version builder mid-install
+      // and gets the age-out rule (spared while young)
+      val oldMarked = new java.io.File(confRoot,
+        "graft-spec-tag-" + "a" * 32)
+      assert(new java.io.File(oldMarked, "store").mkdirs())
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        oldMarked.getPath, "store.complete"), Array.empty[Byte])
+      val oldUnmarked = new java.io.File(confRoot,
+        "graft-spec-tag-" + "b" * 32)
+      assert(new java.io.File(oldUnmarked, "store").mkdirs())
       rmrf(rootDir) // force a rebuild
       assert(LlmPipeline.standingStore(spark, sf, "spec-tag")(build) === p1)
       assert(builds === 3)
       assert(!oldGen.exists(), "superseded generation survived the prune")
       assert(inflight.exists(), "in-flight staging dir was pruned")
+      assert(!oldMarked.exists(),
+        "marked old-layout root survived the upgrade sweep")
+      assert(oldUnmarked.exists(),
+        "fresh unmarked old-layout root was swept (mid-install hazard)")
       assert(new java.io.File(pOther, "data.txt").exists(),
         "reinstall pruned another directory's store")
       // concurrent-winner adoption: a marker committed mid-build wins;
