@@ -1613,9 +1613,60 @@ object LlmPipeline {
     * DECIMAL, no join) instead of diffing rounds. maxIter guards
     * pathological inputs: overrun fails loud rather than emitting a
     * half-merged clustering.
+    *
+    * r19: the batch form rides the STANDING label snapshot
+    * ([[ccLabelsStanding]]) — the loop runs once per data fingerprint,
+    * every probe reads the installed labels (identical values: the
+    * fixpoint is unique). [[nearDupClustersOf]] remains the in-query
+    * epilogue for arbitrary pair frames (the maintained-snapshot
+    * form).
     */
   private val q60: Q = (s, dir) =>
-    nearDupClustersOf(minhashPairs(s, dir))
+    clustered(ccLabelsStanding(s, dir), "doc_id")
+
+  /** STANDING snapshot of the q60 component labels — the
+    * [[standingStore]] doctrine (content-fingerprint-keyed, crash-safe
+    * atomic install, build-once per (tag, table directory)) applied to
+    * the label-propagation loop: the raw corpus's verified minhash
+    * pairs cluster ONCE per data fingerprint, land as a (doc_id,
+    * label) parquet store, and every audit that rides the q60 labels
+    * (q60/q100/q105/q122) PROBES the store instead of re-running the
+    * iterative loop per query. Labels are deterministic (component-min
+    * fixpoint — unique regardless of execution order), so the
+    * snapshot is oracle-exact by construction and invalidates with
+    * the table fingerprint exactly like the q146/q149 stores. The
+    * loop's final checkpoint is released after the write (build-once
+    * — no checkpoint-block accumulation across registrations). Scale:
+    * this is the serving split every production dedup pipeline makes
+    * — clustering is a scheduled job, audits read its output; the
+    * in-query loop remains the path for arbitrary entrant frames
+    * (q150's gate survivors, q83's embedding pairs).
+    */
+  private def ccLabelsStanding(s: SparkSession, dir: String): DataFrame = {
+    val store = standingStore(s, dir, "cclabels-q60") { st =>
+      val labels = connectedComponents(
+        minhashPairs(s, dir).select("doc_a", "doc_b"))
+      labels.write.mode("overwrite").parquet(st)
+      graft.operators.Exec.release(labels)
+    }
+    s.read.parquet(store)
+  }
+
+  /** The q80/q116 pipeline-survivor labels as a standing snapshot —
+    * [[ccLabelsStanding]]'s doctrine for the exact-survivor frame
+    * (a DIFFERENT deterministic label set: CC over the minhash pairs
+    * of the quality+exact survivors, so it gets its own tag).
+    */
+  private def pipelineCcLabelsStanding(s: SparkSession, dir: String)(
+      exact: DataFrame): DataFrame = {
+    val store = standingStore(s, dir, "cclabels-q80") { st =>
+      val labels = connectedComponents(
+        minhashPairsOf(exact).select("doc_a", "doc_b"))
+      labels.write.mode("overwrite").parquet(st)
+      graft.operators.Exec.release(labels)
+    }
+    s.read.parquet(store)
+  }
 
   /** Cluster report over [[connectedComponents]] labels: one row per
     * node with its keeper and cluster size — the epilogue q60 and q83
@@ -2095,19 +2146,36 @@ object LlmPipeline {
     * skips the barrier write.
     */
   private def pipelineStages(s: SparkSession, dir: String,
-      materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) =
-    pipelineStagesOf(t(s, dir, "documents"), materializePassed)
+      materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val (passed, _, exact, labels) =
+      pipelineStagesOf(t(s, dir, "documents"), materializePassed,
+        labelsOf = pipelineCcLabelsStanding(s, dir))
+    (passed, exact, labels)
+  }
 
   /** [[pipelineStages]] over an arbitrary ENTRANT frame (doc_id, text,
     * n_chars, …) instead of the raw table — the composed-pipeline form
-    * (q150 feeds it the blocklist+contamination survivors): keeper
+    * (q150 feeds it the blocklist+LID+contamination survivors): keeper
     * election and CC clustering then run over exactly the documents
     * that reached each stage, which is what a staged pipeline's log
     * must reflect (an exact-dup group whose keeper fell to an earlier
     * gate elects the next-lowest survivor, not the gated ghost).
+    * `gateAfterQuality` is the optional LM-score stage between the
+    * quality gate and the dedup chain (the CCNet order — q150 passes
+    * [[lmScoreGate]]); identity for the q80/q116 three-stage form.
+    * `labelsOf` maps the exact survivors to their CC label frame —
+    * the default runs the in-query loop (arbitrary entrants, q150);
+    * the raw-table wrapper passes [[pipelineCcLabelsStanding]] so the
+    * q80/q116 family probes the standing snapshot instead. Returns
+    * (passed, admitted, exact, labels) where `admitted` is the
+    * gate's survivors (≡ passed under identity).
     */
   private def pipelineStagesOf(entrants: DataFrame,
-      materializePassed: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      materializePassed: Boolean,
+      gateAfterQuality: DataFrame => DataFrame = identity,
+      labelsOf: DataFrame => DataFrame = e => connectedComponents(
+        minhashPairsOf(e).select("doc_a", "doc_b")))
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.Functions.register(entrants.sparkSession)
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val passed0 = gopherMetrics(tokenizedOf(entrants, "text", "n_chars"))
@@ -2116,15 +2184,20 @@ object LlmPipeline {
     val passed =
       if (materializePassed) passed0.transform(graft.operators.Exec.materialize)
       else passed0
-    val exact = passed
+    val admitted0 = gateAfterQuality(passed)
+    // the gate's survivors feed BOTH the dedup chain and the audit
+    // join (the q61 barrier), so a non-identity gate materializes
+    val admitted =
+      if (admitted0 eq passed) passed
+      else admitted0.transform(graft.operators.Exec.materialize)
+    val exact = admitted
       .withColumn("h", contentHash(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") === col("keeper"))
       .select("doc_id", "text", "n_chars")
       .transform(graft.operators.Exec.materialize)
-    val labels = connectedComponents(
-      minhashPairsOf(exact).select("doc_a", "doc_b"))
-    (passed, exact, labels)
+    val labels = labelsOf(exact)
+    (passed, admitted, exact, labels)
   }
 
   private val q80: Q = (s, dir) => {
@@ -2413,7 +2486,7 @@ object LlmPipeline {
     * by the largest cluster, not the corpus.
     */
   private val q100: Q = (s, dir) =>
-    connectedComponents(minhashPairs(s, dir).select("doc_a", "doc_b"))
+    ccLabelsStanding(s, dir)
       .groupBy("label").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
@@ -2695,7 +2768,7 @@ object LlmPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_keeper")
       .orderBy(desc("quality"), col("doc_id"))
-    connectedComponents(minhashPairs(s, dir).select("doc_a", "doc_b"))
+    ccLabelsStanding(s, dir)
       .withColumnRenamed("label", "cluster_keeper")
       .join(qual, "doc_id")
       .withColumn("best_keeper", first("doc_id").over(w))
@@ -3154,8 +3227,7 @@ object LlmPipeline {
     * the corpus side joins the cluster frame on doc_id once.
     */
   private val q122: Q = (s, dir) => {
-    val labels = clustered(connectedComponents(
-      minhashPairs(s, dir).select("doc_a", "doc_b")), "doc_id")
+    val labels = clustered(ccLabelsStanding(s, dir), "doc_id")
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_size")),
         Seq("doc_id"), "left")
@@ -4263,52 +4335,124 @@ object LlmPipeline {
       .orderBy("domain")
   }
 
+  /** The two languages q150's LID stage admits — a bilingual
+    * pretraining mix (CCNet buckets the crawl per language and a run
+    * keeps its targets; en rides unmarked text, de proves marked text
+    * flows through every later stage).
+    */
+  private[graft] val Q150KeepLangs = Set("en", "de")
+
+  /** q150's LM-score stage: drop the lowest-score ~fifth of the
+    * quality survivors under the composed corpus's own ULM tokenizer
+    * — the CCNet "filter by LM score under the target-domain LM"
+    * stage, cut the q113 way: a [[graft.operators.QuantileSketch]]
+    * log-linear histogram over the NEGATED 1e-6 fixed-point mean
+    * Viterbi log-likelihood (non-negative — every piece score is
+    * ≤ 0), ONE ceiling-rank 4/5 boundary bucket walked off its
+    * KB-scale cells, and a bucket-side keep (boundary docs share
+    * their bucket's side — the 2^−10 bracket law; equal scores can
+    * never straddle the cut). Zero global sorts, zero corpus-sized
+    * windows, and bit-identical in DuckDB (the q115 law). The scored
+    * frame materializes once (the q61 barrier — it feeds the
+    * histogram build AND the cut filter). The streamed form
+    * ([[graft.streaming.Streams.fullStackCurationFeed]]) takes the
+    * cut as a pinned literal instead — deriving it per batch would
+    * make admission depend on batch boundaries.
+    */
+  private def lmScoreGate(vocab: Seq[(String, Long)])(
+      passed: DataFrame): DataFrame = {
+    import graft.operators.QuantileSketch
+    val P = 10
+    val scored = graft.operators.Ulm
+      .scoreDocs(passed.select("doc_id", "text"), "text", vocab,
+        maxLen = 4)
+      .withColumn("s_fp", -col("ll_mean_fp"))
+      .transform(graft.operators.Exec.materialize)
+    val hist = QuantileSketch.build(scored, "s_fp", Seq.empty, P)
+    val cut = QuantileSketch
+      .quantiles(hist, Seq.empty, Seq(("cut", 4L, 5L)), P)
+      .select(col("value_fp"))
+    val keep = scored.crossJoin(broadcast(cut))
+      .filter(QuantileSketch.bucketExpr("s_fp", P) <=
+        QuantileSketch.bucketExpr("value_fp", P))
+      .select("doc_id")
+    passed.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** q150: the FULL-STACK curation decision log — q116's audit
-    * extended across every gate of the production order
-    * (blocklist → contamination → quality → exact → near → span):
-    * each document of the corpus with the FIRST stage that dropped it
-    * or `kept`, so "why is doc X not in the training set" has ONE
-    * answer across the whole composed pipeline (and per-stage yields
-    * are a `GROUP BY outcome` away). Stage semantics are the REAL
-    * operator paths, each shared with the query that audits it alone:
-    * the blocklist gate is q149's standing store through the
-    * multiplicity-preserving membership probe, the contamination gate
-    * is q146's standing store through the production clean-filter
-    * (≥ 1 shared 3-gram with the registered benchmark — benchmark
-    * docs themselves self-match and drop, the realistic reading),
-    * quality/exact/near are q80/q116's own derivations
-    * ([[pipelineStagesOf]]) over exactly the documents that SURVIVED
-    * the gates — composition changes elections (an exact-dup group
-    * whose min doc was blocklisted elects the next survivor; CC
-    * clusters form over gate survivors only), which is why the log
-    * cannot be stitched from the single-stage audits — and the span
-    * stage applies q106's first-occurrence-wins rule at document
-    * grain over the near survivors (a doc drops if any of its
-    * K=32-char windows first occurred in an earlier surviving doc).
+    * extended across every gate of the CCNet production order
+    * (blocklist → language → contamination → quality → lm_score →
+    * exact → near → span): each document of the corpus with the FIRST
+    * stage that dropped it or `kept`, so "why is doc X not in the
+    * training set" has ONE answer across the whole composed pipeline
+    * — including "wrong language" and "high perplexity" (and
+    * per-stage yields are a `GROUP BY outcome` away). The corpus is
+    * the [[langMarkedOf]] marked corpus (the q151 fixture — the raw
+    * testdata's lang labels carry no textual signal), so the learned
+    * gates have something real to learn; en text rides unmarked and
+    * de-marked text proves the multilingual flank flows through every
+    * content stage. Stage semantics are the REAL operator paths, each
+    * shared with the query that audits it alone: the blocklist gate
+    * is q149's standing store through the multiplicity-preserving
+    * membership probe; the LANGUAGE gate is q151's one-scan-trained
+    * LID served through [[graft.operators.LangId.keepLangs]] (the
+    * literal map-only scorer + the no-confidence reject, keep =
+    * [[Q150KeepLangs]]); the contamination gate is q146's standing
+    * store through the production clean-filter (≥ 1 shared 3-gram
+    * with the RAW-text-registered benchmark — benchmark docs
+    * self-match and drop, the realistic reading); quality/exact/near
+    * are q80/q116's own derivations ([[pipelineStagesOf]]) over
+    * exactly the documents that SURVIVED the gates — composition
+    * changes elections (an exact-dup group whose min doc was
+    * blocklisted elects the next survivor; CC clusters form over gate
+    * survivors only), which is why the log cannot be stitched from
+    * the single-stage audits; the LM-SCORE gate is q152's
+    * [[graft.operators.Ulm.scoreDocs]] under the corpus-trained ULM
+    * vocab with [[lmScoreGate]]'s histogram-bucket cut between
+    * quality and the dedup chain; and the span stage applies q106's
+    * first-occurrence-wins rule at document grain over the near
+    * survivors (a doc drops if any of its K=32-char windows first
+    * occurred in an earlier surviving doc).
     *
     * Scale: the gates are one broadcast-scale anti-join (blocklist),
-    * one Bloom-pruned broadcast gram semi-join (contamination), and a
-    * stateless scan (quality); exact/near/span are the q80/q101
-    * shapes over monotonically SHRINKING frames. Gate survivors
+    * a stateless literal-model scan (language — K plan-literal weight
+    * vectors, no join), one Bloom-pruned broadcast gram semi-join
+    * (contamination), a stateless scan (quality), and a
+    * distinct-word-factored fold + KB-histogram cut (lm_score);
+    * exact/near/span are the q80/q101 shapes over monotonically
+    * SHRINKING frames. Both models train in-query for oracle
+    * exactness (ONE corpus scan each — the q151/q152 shapes; the
+    * streamed form pins them at stream start instead). Gate survivors
     * materialize once each (the q61 barrier — each feeds the next
     * stage AND the audit join); the final assembly is id-keyed
     * left-joins.
     */
   private val q150: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val raw = t(s, dir, "documents")
+    val docs = langMarkedOf(raw)
     val blockStore = blocklistStandingStore(s, dir)
     val contamStore = contamStandingStore(s, dir)
+    val lidDense = graft.operators.LangId.collectModels(
+      graft.operators.LangId.train(docs, "text", "lang", LangIdDims),
+      LangIdDims)
+    val ulmVocab = graft.operators.Ulm.train(docs, "text", maxLen = 4,
+      maxVocab = 64, emRounds = 0)
     val afterBlock = graft.ingest.DedupStore
       .newUnseenWithBloom(
         withDomainOf(docs).select("doc_id", "text", "n_chars", "domain"),
         "domain", blockStore)
       .select("doc_id", "text", "n_chars")
       .transform(graft.operators.Exec.materialize)
-    val afterContam = graft.ingest.ContaminationStore
-      .newCleanWithBloom(afterBlock, "text", "doc_id", contamStore)
+    val afterLid = graft.operators.LangId
+      .keepLangs(afterBlock, "text", lidDense, LangIdDims,
+        Q150KeepLangs)
       .transform(graft.operators.Exec.materialize)
-    val (passed, exact, labels) =
-      pipelineStagesOf(afterContam, materializePassed = true)
+    val afterContam = graft.ingest.ContaminationStore
+      .newCleanWithBloom(afterLid, "text", "doc_id", contamStore)
+      .transform(graft.operators.Exec.materialize)
+    val (passed, admitted, exact, labels) =
+      pipelineStagesOf(afterContam, materializePassed = true,
+        gateAfterQuality = lmScoreGate(ulmVocab))
     val survivors = exact.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select("doc_id", "text")
@@ -4317,12 +4461,16 @@ object LlmPipeline {
       .withColumn("first_doc", min("doc_id").over(hw))
       .filter(col("doc_id") > col("first_doc"))
       .select("doc_id").distinct()
-    docs.select("doc_id")
+    raw.select("doc_id")
       .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
+        Seq("doc_id"), "left")
+      .join(afterLid.select(col("doc_id"), lit(1).as("l_pass")),
         Seq("doc_id"), "left")
       .join(afterContam.select(col("doc_id"), lit(1).as("c_pass")),
         Seq("doc_id"), "left")
       .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
+        Seq("doc_id"), "left")
+      .join(admitted.select(col("doc_id"), lit(1).as("m_pass")),
         Seq("doc_id"), "left")
       .join(exact.select(col("doc_id"), lit(1).as("e_pass")),
         Seq("doc_id"), "left")
@@ -4331,8 +4479,10 @@ object LlmPipeline {
         "left")
       .select(col("doc_id"),
         when(col("b_pass").isNull, lit("blocklisted"))
+          .when(col("l_pass").isNull, lit("language"))
           .when(col("c_pass").isNull, lit("contaminated"))
           .when(col("q_pass").isNull, lit("quality"))
+          .when(col("m_pass").isNull, lit("lm_score"))
           .when(col("e_pass").isNull, lit("exact_dup"))
           .when(col("label").isNotNull && col("label") =!= col("doc_id"),
             lit("near_dup"))
@@ -4929,36 +5079,107 @@ object LlmPipeline {
         | CAST(SUM(CASE WHEN slice IN (2, 5) THEN 0 ELSE 1 END) AS BIGINT)
         |  AS n_kept
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
-    // q150: the whole composed stack replayed in CTEs — the blocklist
+    // q150: the whole composed stack replayed in CTEs, now the CCNet
+    // order — the marked corpus (q151's CASE chain), the blocklist
     // rule (every listed domain was registered by its own slice-2/5
-    // doc, so membership ⟺ slice ∈ {2,5}), q53's gram rule against
-    // the RAW-table benchmark slice, then q116's quality/exact/near
-    // chain over the gate survivors, then q106's first-occurrence
-    // window rule over the near survivors.
+    // doc, so membership ⟺ slice ∈ {2,5}), the full LID train+serve
+    // grid (q151's CTEs, l-prefixed) with the spread>0 no-confidence
+    // rule and the {de,en} keep-set, q53's gram rule probing MARKED
+    // survivor text against the RAW-table benchmark slice, q116's
+    // quality gate, the ULM train + recursive-Viterti + mean-ll score
+    // (q152's CTEs, u-prefixed) cut at the q113-style histogram 4/5
+    // boundary bucket, then exact/near over the admitted survivors
+    // and q106's first-occurrence window rule over the near
+    // survivors.
     "q150_full_stack_log" ->
-      s"""WITH RECURSIVE b1 AS (
-         | SELECT doc_id, text, n_chars FROM documents
+      s"""WITH RECURSIVE marked AS (
+         | SELECT doc_id, lang, $langMarkedCaseSql AS text, n_chars
+         | FROM documents),
+         |b1 AS (
+         | SELECT doc_id, text, n_chars FROM marked
          | WHERE doc_id % 7 NOT IN (2, 5)),
-         |ctok AS (SELECT doc_id, $dToks AS toks FROM documents),
+         |lf AS (
+         | SELECT DISTINCT doc_id, lang, fid FROM (
+         |  SELECT doc_id, lang,
+         |   CAST('0x' || substr(md5(substr(lower(text),
+         |     CAST(i AS INTEGER), 3)), 1, 4) AS BIGINT) % $LangIdDims
+         |    AS fid
+         |  FROM (SELECT doc_id, lang, text,
+         |         unnest(generate_series(1, length(lower(text)) - 2)) AS i
+         |        FROM marked))),
+         |lpl AS (
+         | SELECT fid, lang, CAST(COUNT(*) AS BIGINT) AS n_pos
+         | FROM lf GROUP BY 1, 2),
+         |lpf AS (
+         | SELECT fid, CAST(SUM(n_pos) AS BIGINT) AS n_all
+         | FROM lpl GROUP BY 1),
+         |llang AS (
+         | SELECT lang, CAST(COUNT(*) AS BIGINT) AS t_pos
+         | FROM documents GROUP BY 1),
+         |ltot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM documents),
+         |lgrid AS (
+         | SELECT p.fid, l.lang, p.n_all, l.t_pos,
+         |  COALESCE(pl.n_pos, CAST(0 AS BIGINT)) AS n_pos
+         | FROM lpf p CROSS JOIN llang l
+         | LEFT JOIN lpl pl ON pl.fid = p.fid AND pl.lang = l.lang),
+         |lw AS (
+         | SELECT fid, lang,
+         |  CAST(floor(CAST(n_pos + 1 AS DOUBLE)
+         |    / CAST(t_pos + 2 AS DOUBLE) * 1000000) AS BIGINT)
+         |  - CAST(floor(CAST(n_all - n_pos + 1 AS DOUBLE)
+         |    / CAST(t_all - t_pos + 2 AS DOUBLE) * 1000000) AS BIGINT)
+         |   AS weight_fp
+         | FROM lgrid, ltot),
+         |lsm AS (
+         | SELECT doc_id, lang,
+         |  CAST(floor(CAST(wsum AS DOUBLE) / CAST(nf AS DOUBLE))
+         |   AS BIGINT) AS wmean
+         | FROM (SELECT lf.doc_id, lw.lang,
+         |        CAST(SUM(lw.weight_fp) AS BIGINT) AS wsum,
+         |        CAST(COUNT(*) AS BIGINT) AS nf
+         |       FROM lf JOIN lw USING (fid) GROUP BY 1, 2)),
+         |lpred AS (
+         | SELECT doc_id, lang AS pred_lang, spread FROM (
+         |  SELECT doc_id, lang,
+         |   ROW_NUMBER() OVER (PARTITION BY doc_id
+         |     ORDER BY wmean DESC, lang ASC) AS rn,
+         |   MAX(wmean) OVER (PARTITION BY doc_id)
+         |    - MIN(wmean) OVER (PARTITION BY doc_id) AS spread
+         |  FROM lsm) WHERE rn = 1),
+         |b2 AS (
+         | SELECT b1.doc_id, b1.text, b1.n_chars FROM b1
+         | JOIN lpred USING (doc_id)
+         | WHERE lpred.spread > 0
+         |  AND lpred.pred_lang IN (${Q150KeepLangs.toSeq.sorted
+          .map(l => s"'$l'").mkString(", ")})),
+         |ctok AS (SELECT doc_id, $dToks AS toks FROM documents
+         |        WHERE doc_id % 97 = 0),
          |cshg AS (
          | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
          |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
          | FROM ctok WHERE len(toks) >= 3),
-         |chs AS (
-         | SELECT DISTINCT doc_id,
+         |bench AS (
+         | SELECT DISTINCT
          |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
          | FROM (SELECT doc_id, unnest(sh) AS shingle FROM cshg)),
-         |bench AS (SELECT DISTINCT g FROM chs WHERE doc_id % 97 = 0),
+         |ptok AS (SELECT doc_id, $dToks AS toks FROM b2),
+         |pshg AS (
+         | SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS sh
+         | FROM ptok WHERE len(toks) >= 3),
+         |phs AS (
+         | SELECT DISTINCT doc_id,
+         |  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS g
+         | FROM (SELECT doc_id, unnest(sh) AS shingle FROM pshg)),
          |contam AS (
-         | SELECT DISTINCT c.doc_id FROM chs c
-         | JOIN bench bn ON c.g = bn.g
-         | JOIN b1 ON c.doc_id = b1.doc_id),
-         |b2 AS (
-         | SELECT b1.* FROM b1 LEFT JOIN contam USING (doc_id)
+         | SELECT DISTINCT p.doc_id FROM phs p
+         | JOIN bench bn ON p.g = bn.g),
+         |b3 AS (
+         | SELECT b2.* FROM b2 LEFT JOIN contam USING (doc_id)
          | WHERE contam.doc_id IS NULL),
-         |qtok AS (SELECT doc_id, text, n_chars, $dToks AS toks FROM b2),
+         |qtok AS (SELECT doc_id, text, n_chars, $dToks AS toks FROM b3),
          |qm AS (
-         | SELECT doc_id, text, n_chars,
+         | SELECT doc_id, text, n_chars, toks,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(list_reduce(list_transform(toks, x -> length(x)),
          |    (a, x) -> a + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
@@ -4969,15 +5190,97 @@ object LlmPipeline {
          |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
          | FROM qtok WHERE len(toks) >= 1),
          |q AS (
-         | SELECT doc_id, text, n_chars FROM qm
+         | SELECT doc_id, text, n_chars, toks FROM qm
          | WHERE n_tokens >= 40 AND n_tokens <= 100000
          |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
          |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9),
+         |ub AS (SELECT $dToks AS toks FROM marked),
+         |uwf AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |      FROM (SELECT unnest(toks) AS t FROM ub) GROUP BY 1),
+         |usubs AS (
+         | SELECT substring(word, i, l) AS piece, freq
+         | FROM (SELECT word, freq,
+         |        unnest(generate_series(1, length(word))) AS i FROM uwf),
+         |      (SELECT unnest(generate_series(1, 4)) AS l)
+         | WHERE i + l - 1 <= length(word)),
+         |uc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+         |      FROM usubs GROUP BY 1),
+         |utop AS (SELECT piece, n FROM uc ORDER BY n DESC, piece LIMIT 64),
+         |usel AS (SELECT piece, MAX(n) AS n FROM (
+         |  SELECT * FROM utop
+         |  UNION ALL SELECT piece, n FROM uc WHERE length(piece) = 1)
+         | GROUP BY piece),
+         |utot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         |        CAST(COUNT(*) AS BIGINT) AS v FROM usel),
+         |uvocab AS (SELECT piece,
+         |  CAST((length(bin(n + 1)) - 1) - (length(bin(t + v)) - 1)
+         |   AS BIGINT) AS score_fp
+         | FROM usel, utot),
+         |uunk AS (SELECT MIN(score_fp) - 1 AS u FROM uvocab),
+         |uwords AS (SELECT word FROM uwf),
+         |uwj AS (SELECT word, unnest(generate_series(1, length(word)))
+         |       AS i FROM uwords),
+         |ucand0 AS (SELECT word, i,
+         |  unnest(generate_series(greatest(1, i - 3), i)) AS j FROM uwj),
+         |ucand AS (
+         | SELECT c0.word, c0.i, c0.j,
+         |  COALESCE(v.score_fp,
+         |   CASE WHEN c0.i = c0.j THEN (SELECT u FROM uunk) END) AS sc
+         | FROM ucand0 c0
+         | LEFT JOIN uvocab v ON substr(c0.word, c0.j, c0.i - c0.j + 1)
+         |  = v.piece),
+         |ucandv AS (SELECT * FROM ucand WHERE sc IS NOT NULL),
+         |urec AS (
+         | SELECT word, 0 AS i,
+         |  [struct_pack(s := CAST(0 AS BIGINT),
+         |    np := CAST(0 AS BIGINT), cut := 0)] AS acc
+         | FROM uwords
+         | UNION ALL
+         | SELECT r.word, r.i + 1,
+         |  list_append(r.acc, (
+         |    SELECT struct_pack(s := r.acc[c.j].s + c.sc,
+         |                       np := r.acc[c.j].np + CAST(1 AS BIGINT),
+         |                       cut := c.j - 1)
+         |    FROM ucandv c
+         |    WHERE c.word = r.word AND c.i = r.i + 1
+         |    ORDER BY r.acc[c.j].s + c.sc DESC,
+         |     r.acc[c.j].np + 1 ASC, c.j ASC
+         |    LIMIT 1))
+         | FROM urec r WHERE r.i < length(r.word)),
+         |ufin AS (SELECT word, acc[length(word) + 1].s AS s,
+         |  acc[length(word) + 1].np AS np
+         | FROM urec WHERE i = length(word)),
+         |uagg AS (
+         | SELECT st.doc_id,
+         |  CAST(SUM(f.np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(f.s) AS BIGINT) AS ll_sum
+         | FROM (SELECT doc_id, unnest(toks) AS word FROM q) st
+         | JOIN ufin f USING (word) GROUP BY 1),
+         |ubx AS (
+         | SELECT doc_id, CASE WHEN sx < 1024 THEN sx
+         |  ELSE (length(bin(sx)) - 11) * 1024
+         |   + (sx // ((CAST(1 AS BIGINT))
+         |      << CAST(length(bin(sx)) - 11 AS INTEGER))) END AS bx
+         | FROM (SELECT doc_id,
+         |        -CAST(floor(CAST(ll_sum * 1000000 AS DOUBLE)
+         |          / CAST(n_pieces AS DOUBLE)) AS BIGINT) AS sx
+         |       FROM uagg)),
+         |ucum AS (
+         | SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
+         |  SUM(n) OVER () AS total
+         | FROM (SELECT bx AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM ubx GROUP BY 1)),
+         |ucut AS (SELECT MIN(bucket) AS b FROM ucum
+         |        WHERE cum >= (total * 4 + 4) // 5),
+         |adm AS (
+         | SELECT q.doc_id, q.text, q.n_chars FROM q
+         | JOIN ubx USING (doc_id) CROSS JOIN ucut
+         | WHERE ubx.bx <= ucut.b),
          |hkeep AS (
          | SELECT doc_id, text, n_chars, MIN(doc_id) OVER (PARTITION BY
          |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          |  AS keeper
-         | FROM q),
+         | FROM adm),
          |survivors AS (
          | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
          |${minhashCtesFrom("survivors")},
@@ -4998,8 +5301,10 @@ object LlmPipeline {
          | JOIN wfirst f ON w.h = f.h WHERE w.doc_id > f.first_doc)
          |SELECT d.doc_id,
          | CASE WHEN b1.doc_id IS NULL THEN 'blocklisted'
-         |  WHEN b2.doc_id IS NULL THEN 'contaminated'
+         |  WHEN b2.doc_id IS NULL THEN 'language'
+         |  WHEN b3.doc_id IS NULL THEN 'contaminated'
          |  WHEN q.doc_id IS NULL THEN 'quality'
+         |  WHEN adm.doc_id IS NULL THEN 'lm_score'
          |  WHEN s.doc_id IS NULL THEN 'exact_dup'
          |  WHEN c.cluster_keeper IS NOT NULL
          |   AND c.cluster_keeper <> d.doc_id THEN 'near_dup'
@@ -5008,7 +5313,9 @@ object LlmPipeline {
          |FROM documents d
          |LEFT JOIN b1 ON d.doc_id = b1.doc_id
          |LEFT JOIN b2 ON d.doc_id = b2.doc_id
+         |LEFT JOIN b3 ON d.doc_id = b3.doc_id
          |LEFT JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN adm ON d.doc_id = adm.doc_id
          |LEFT JOIN survivors s ON d.doc_id = s.doc_id
          |LEFT JOIN comp c ON d.doc_id = c.doc_id
          |LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id

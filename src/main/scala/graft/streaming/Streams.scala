@@ -2469,6 +2469,28 @@ object Streams {
       .recordSignatures(committed, textCol, idCol, nearStorePath)
   }
 
+  /** The ULM perplexity gate as a batch transform — ONE definition
+    * shared by [[ulmGatedCurationFeed]] and the full-stack feeds (the
+    * gate and the stack that composes it can never drift apart): keep
+    * rows whose [[graft.operators.Ulm.scoreDocs]] 1e-6 fixed-point
+    * mean Viterbi log-likelihood per piece clears `minLlMeanFp`.
+    * Zero-token rows are unscorable and drop (no perplexity, no
+    * admission). The vocab is plan literals (the Viterbi fold's map
+    * literal) — no join against any model frame; the one join is the
+    * id-keyed semi against the row's own score.
+    */
+  private def ulmScoreGate(textCol: String, idCol: String,
+      vocab: Seq[(String, Long)], minLlMeanFp: Long,
+      maxLen: Int = 4)(batch: DataFrame): DataFrame = {
+    val kept = graft.operators.Ulm.scoreDocs(
+        batch.select(col(idCol).as("doc_id"),
+          col(textCol).as("text")), "text", vocab, maxLen)
+      .filter(col("ll_mean_fp") >= minLlMeanFp)
+      .select(col("doc_id").as("__ulm_keep_id"))
+    batch.join(kept, batch(idCol) <=> kept("__ulm_keep_id"),
+      "left_semi")
+  }
+
   /** [[curationFeedThroughStores]] (2-store form) behind the LEARNED
     * LANGUAGE-ID gate — CCNet's stage #2 (bucket the crawl by learned
     * LID before any content work): documents whose
@@ -2544,56 +2566,70 @@ object Streams {
         if (modelRefreshEvery > 0 && n > 0 && n % modelRefreshEvery == 0)
           vocab.set(ulmVocabFromSnapshot(batch.sparkSession, statsPath,
             maxLen, maxVocab, emRounds))
-        val kept = graft.operators.Ulm.scoreDocs(
-            batch.select(col(idCol).as("doc_id"),
-              col(textCol).as("text")), "text", vocab.get(), maxLen)
-          .filter(col("ll_mean_fp") >= minLlMeanFp)
-          .select(col("doc_id").as("__ulm_keep_id"))
-        val gated = batch.join(kept,
-          batch(idCol) <=> kept("__ulm_keep_id"), "left_semi")
-        twoStoreCheck(textCol, idCol, exactStorePath,
-          nearStorePath)(gated)
+        twoStoreCheck(textCol, idCol, exactStorePath, nearStorePath)(
+          ulmScoreGate(textCol, idCol, vocab.get(), minLlMeanFp,
+            maxLen)(batch))
       },
       twoStoreRecord(textCol, idCol, exactStorePath, nearStorePath))
   }
 
   /** The FULL production curation stack as ONE streamed feed — every
     * gate and store staged in the order a production pretraining
-    * pipeline runs them (the q150 decision-log order):
+    * pipeline runs them (CCNet's order; the q150 decision-log order):
     *
-    *   blocklist → contamination → quality → exact → near → span
+    *   blocklist → language → contamination → quality → lm_score →
+    *   exact → near → span
     *
     * Staging rationale, stage by stage: the blocklist membership probe
     * is the cheapest check (one broadcast-scale anti-join on the
     * domain key) and history-INDEPENDENT, so it runs first — a listed
-    * domain's documents never price anything else; the contamination
-    * gate is next (per-row gram kernel + a Bloom-pruned broadcast
-    * semi-join against the KB–GB benchmark store), also
-    * history-independent; the literal-model quality gate is a
-    * stateless per-row projection (zero per-batch model cost, weights
-    * and threshold pinned at stream start — the
-    * [[qualityGatedCurationFeed]] posture); then the three dedup
-    * stores in increasing per-document cost exactly as
-    * [[curationFeedThroughStores]] stages them. Every gate's rejects
-    * are dropped and NEVER recorded anywhere (a stage's reject cannot
-    * poison any later stage's history — re-submission after a
-    * benchmark retraction, an un-listing, or a model retrain is
-    * judged afresh); only documents that clear ALL SIX stages commit,
-    * and the three dedup stores record at-least-once from the
-    * committed read-back. The blocklist and contamination stores are
-    * READ-ONLY here (maintained offline; a mid-stream listing or
-    * registration takes effect next micro-batch). Inline
+    * domain's documents never price anything else; the learned
+    * LANGUAGE gate is next (CCNet's stage #2: bucket the crawl by LID
+    * before any content work — [[graft.operators.LangId.keepLangs]],
+    * K plan-literal weight vectors, stateless per-row, no-confidence
+    * rejects drop); the contamination gate follows (per-row gram
+    * kernel + a Bloom-pruned broadcast semi-join against the KB–GB
+    * benchmark store), also history-independent; the literal-model
+    * quality gate is a stateless per-row projection (zero per-batch
+    * model cost, weights and threshold pinned at stream start — the
+    * [[qualityGatedCurationFeed]] posture); the LM-SCORE gate closes
+    * CCNet's loop ([[ulmScoreGate]] — the ULM vocab rides as plan
+    * literals, `minLlMeanFp` pinned at stream start: deriving the cut
+    * per batch would make admission depend on batch boundaries; q150
+    * derives the same cut corpus-wide via its histogram rule); then
+    * the three dedup stores in increasing per-document cost exactly
+    * as [[curationFeedThroughStores]] stages them. Every gate's
+    * rejects are dropped and NEVER recorded anywhere (a stage's
+    * reject cannot poison any later stage's history — re-submission
+    * after a benchmark retraction, an un-listing, a model retrain, or
+    * a widened keep-set is judged afresh); only documents that clear
+    * ALL EIGHT stages commit, and the three dedup stores record
+    * at-least-once from the committed read-back. The blocklist and
+    * contamination stores are READ-ONLY here (maintained offline; a
+    * mid-stream listing or registration takes effect next
+    * micro-batch); both models train OFFLINE (LID on labeled data via
+    * [[graft.operators.LangId.train]]+collectModels, the ULM vocab
+    * from the maintained term-counts snapshot via
+    * [[ulmVocabFromSnapshot]]) and pin for the stream's life (rotation
+    * = restart, the pin-at-start posture). The MULTIMODAL branch of
+    * the stack is the cross-modal (CLIP-score) alignment gate — a
+    * paired image/caption feed runs [[crossModalGatedCurationFeed]]'s
+    * leg in place of the text LM gate; it stays a separate feed
+    * because its input grain is the PAIR, not the document. Inline
     * self-maintenance covers all five stores on one schedule. Same
     * exactly-once commit + replay matrix as every feed in the family:
     * a replayed committed batch skips gates and stores entirely.
     */
   def fullStackCurationFeed(docs: DataFrame, textCol: String,
       idCol: String, keyCol: String, blocklistStorePath: String,
-      contamStorePath: String, denseWeights: Seq[Long], thFp: Long,
-      dims: Int, exactStorePath: String, nearStorePath: String,
+      lidModels: Seq[(String, Seq[Long])], lidDims: Int,
+      keepLangSet: Set[String], contamStorePath: String,
+      denseWeights: Seq[Long], thFp: Long, dims: Int,
+      ulmVocab: Seq[(String, Long)], minLlMeanFp: Long,
+      exactStorePath: String, nearStorePath: String,
       spanStorePath: String, outDir: String, checkpointDir: String,
-      maintenanceEvery: Int = 0,
-      minSharedGrams: Int = 1): StreamingQuery =
+      maintenanceEvery: Int = 0, minSharedGrams: Int = 1,
+      ulmMaxLen: Int = 4): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "full_stack_curation_feed",
       maintenanceEvery = maintenanceEvery,
@@ -2621,12 +2657,16 @@ object Streams {
       batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
         graft.ingest.NearDupStore.newNearUniqueWithBloom(
           graft.ingest.DedupStore.newUniqueWithBloom(
-            graft.operators.QualityModel.keepGood(
-              graft.ingest.ContaminationStore.newCleanWithBloom(
-                graft.ingest.DedupStore.newUnseenWithBloom(
-                  batch, keyCol, blocklistStorePath),
-                textCol, idCol, contamStorePath, minSharedGrams),
-              textCol, denseWeights, thFp, dims),
+            ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
+              ulmMaxLen)(
+              graft.operators.QualityModel.keepGood(
+                graft.ingest.ContaminationStore.newCleanWithBloom(
+                  graft.operators.LangId.keepLangs(
+                    graft.ingest.DedupStore.newUnseenWithBloom(
+                      batch, keyCol, blocklistStorePath),
+                    textCol, lidModels, lidDims, keepLangSet),
+                  textCol, idCol, contamStorePath, minSharedGrams),
+                textCol, denseWeights, thFp, dims)),
             textCol, idCol, exactStorePath),
           textCol, idCol, nearStorePath),
         textCol, idCol, spanStorePath),
@@ -2648,16 +2688,21 @@ object Streams {
     * broadcast-scale at any corpus size BY DESIGN (a domain list is
     * KB–MB, a held-out benchmark KB–GB of grams), so a bucketed form
     * would buy nothing and cost a catalog table each (the r17
-    * contamination-store disposition). Same staging order, same
-    * rejects-never-recorded law, same replay matrix as the path form.
+    * contamination-store disposition) — and the two learned gates
+    * (LID, ULM LM-score) are PLAN LITERALS with no store at all. Same
+    * staging order, same rejects-never-recorded law, same replay
+    * matrix as the path form.
     */
   def fullStackCurationFeedBucketed(docs: DataFrame, textCol: String,
       idCol: String, keyCol: String, blocklistStorePath: String,
-      contamStorePath: String, denseWeights: Seq[Long], thFp: Long,
-      dims: Int, exactTable: String, nearTable: String,
+      lidModels: Seq[(String, Seq[Long])], lidDims: Int,
+      keepLangSet: Set[String], contamStorePath: String,
+      denseWeights: Seq[Long], thFp: Long, dims: Int,
+      ulmVocab: Seq[(String, Long)], minLlMeanFp: Long,
+      exactTable: String, nearTable: String,
       spanTable: String, outDir: String, checkpointDir: String,
       buckets: Int = 32, maintenanceEvery: Int = 0,
-      minSharedGrams: Int = 1): StreamingQuery = {
+      minSharedGrams: Int = 1, ulmMaxLen: Int = 4): StreamingQuery = {
     val spark = docs.sparkSession
     graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
       buckets)
@@ -2703,12 +2748,16 @@ object Streams {
       batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
         graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
           graft.ingest.DedupStore.newUniqueBucketedWithBloom(
-            graft.operators.QualityModel.keepGood(
-              graft.ingest.ContaminationStore.newCleanWithBloom(
-                graft.ingest.DedupStore.newUnseenWithBloom(
-                  batch, keyCol, blocklistStorePath),
-                textCol, idCol, contamStorePath, minSharedGrams),
-              textCol, denseWeights, thFp, dims),
+            ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
+              ulmMaxLen)(
+              graft.operators.QualityModel.keepGood(
+                graft.ingest.ContaminationStore.newCleanWithBloom(
+                  graft.operators.LangId.keepLangs(
+                    graft.ingest.DedupStore.newUnseenWithBloom(
+                      batch, keyCol, blocklistStorePath),
+                    textCol, lidModels, lidDims, keepLangSet),
+                  textCol, idCol, contamStorePath, minSharedGrams),
+                textCol, denseWeights, thFp, dims)),
             textCol, idCol, exactTable),
           textCol, idCol, nearTable),
         textCol, idCol, spanTable),

@@ -318,6 +318,58 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q60 standing-labels snapshot: invalidates when the documents " +
+    "table's content fingerprint changes (a stale store must never " +
+    "serve labels for a corpus that no longer exists), and an " +
+    "all-singleton corpus round-trips an EMPTY label store") {
+    import spark.implicits._
+    val confRoot = java.nio.file.Files
+      .createTempDirectory("graft-cc-ss").toString
+    spark.conf.set("spark.graft.standingStoreRoot", confRoot)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-t")
+      .toString
+    def writeDocs(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    def q60(): Seq[(Long, Long, Long)] =
+      LlmPipeline.queries("q60_neardup_clusters")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("cluster_keeper"),
+          r.getAs[Long]("cluster_size"))).sortBy(_._1).toSeq
+    try {
+      val shared = (1 to 40).map(i => s"alpha$i beta$i gamma$i")
+        .mkString(" ")
+      // corpus A: docs 1 and 2 are exact copies → one cluster of 2
+      writeDocs(Seq((1L, shared), (2L, shared),
+        (3L, (1 to 40).map(i => s"delta$i zeta$i").mkString(" "))))
+      assert(q60() === Seq((1L, 1L, 2L), (2L, 1L, 2L)),
+        "corpus A must cluster the copies")
+      // corpus B at the SAME path: all docs distinct → the fingerprint
+      // changed, the snapshot must rebuild, and the label store is
+      // EMPTY (no pairs) — served as zero rows, not a crash and not
+      // corpus A's stale cluster
+      writeDocs(Seq((1L, shared),
+        (2L, (1 to 40).map(i => s"omega$i kappa$i").mkString(" ")),
+        (3L, (1 to 40).map(i => s"delta$i zeta$i").mkString(" "))))
+      assert(q60() === Seq.empty,
+        "corpus B must serve the rebuilt (empty) snapshot, not corpus " +
+          "A's stale labels")
+      // and the audits riding the same snapshot agree: q122 weights
+      // every doc 1.0 when nothing clusters
+      val w = LlmPipeline.queries("q122_soft_dedup_weights")(spark, dir)
+        .collect().map(r => r.getAs[Long]("weight_ppm")).toSeq
+      assert(w === Seq(1000000L, 1000000L, 1000000L),
+        "q122 must ride the rebuilt snapshot")
+    } finally {
+      spark.conf.unset("spark.graft.standingStoreRoot")
+      rmrf(new java.io.File(confRoot))
+      rmrf(new java.io.File(dir))
+    }
+  }
+
   test("q60 through a RELIABLE checkpoint dir (cluster durability mode) " +
     "produces identical labels to the localCheckpoint mode") {
     val sc = spark.sparkContext

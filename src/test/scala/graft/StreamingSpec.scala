@@ -3418,10 +3418,11 @@ class StreamingSpec extends SparkSuite {
       "an un-listed domain's fresh doc must land")
   }
 
-  test("full-stack curation feed: blocklist, contamination, quality, " +
-    "exact, near, span as ONE feed in production order; every gate's " +
-    "rejects drop before ANY later store and are never recorded; the " +
-    "dedup legs work behind the gates; replay is a no-op") {
+  test("full-stack curation feed: blocklist, language, contamination, " +
+    "quality, lm_score, exact, near, span as ONE feed in CCNet " +
+    "production order; every gate's rejects drop before ANY later " +
+    "store and are never recorded; the dedup legs work behind the " +
+    "gates; replay is a no-op") {
     import spark.implicits._
     val srcDir = tmpDir("fsc-src")
     val outDir = tmpDir("fsc-out") + "/docs"
@@ -3456,18 +3457,6 @@ class StreamingSpec extends SparkSuite {
       .collect()(0).getLong(0)
     val dense = Seq.tabulate(dims)(i =>
       if (i.toLong == spamFid) -1000000L else 1000L)
-    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
-      rows.toDF("doc_id", "text", "domain").coalesce(1).write
-        .mode("overwrite").parquet(s"$srcDir/$name")
-    def drain(ckpt: String): Unit =
-      graft.streaming.Streams.fullStackCurationFeed(
-        spark.readStream.schema(schema)
-          .option("recursiveFileLookup", "true").parquet(srcDir),
-        "text", "doc_id", "domain", blockStore, contamStore,
-        dense, 0L, dims, exactStore, nearStore, spanStore,
-        outDir, ckpt).awaitTermination()
-    def survivors(): Seq[Long] = spark.read.parquet(outDir)
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val ok = "ok.example.com"
     // with ~180 tokens per doc and 512 hashed features, some innocent
     // token collides with spamFid about 1 run in 3 — scrub those from
@@ -3494,17 +3483,73 @@ class StreamingSpec extends SparkSuite {
       scrub((31 to 60).map(i => s"epsil$i item$i entry$i").mkString(" "))
     val spam = scrub((1 to 60).map(i => s"zeta$i spamish$i filler$i")
       .mkString(" ")) + " spamword"
+    val gammaText = scrub((1 to 60)
+      .map(i => s"gamma$i fresh$i novel$i").mkString(" "))
+    // the LANGUAGE reject: pure xx-language material (disjoint
+    // character trigrams), otherwise admissible
+    val wrongLang = scrub((1 to 60).map(i => s"qz$i zq$i qqzz$i")
+      .mkString(" "))
+    // the LM-SCORE reject: English by trigram (in the LID train set)
+    // but OUTSIDE the ULM vocab's training corpus — every character
+    // is unseen, so each piece falls to the unk floor and its mean-ll
+    // is the lowest possible
+    val lowLm = scrub((1 to 60).map(i => s"jxv$i xvj$i vjx$i")
+      .mkString(" "))
+    // learned LID, trained OFFLINE on labeled data (the production
+    // posture): every en fixture text labeled en, xx = the qz corpus
+    val lidDims = 512
+    val lidModels = graft.operators.LangId.collectModels(
+      graft.operators.LangId.train(
+        (Seq(docA, docB, blockedText, leaky, spam, gammaText, lowLm)
+          .zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+          Seq((100L, wrongLang, "xx"),
+            (101L, scrub((1 to 60).map(i => s"zzq$i qzz$i zqq$i")
+              .mkString(" ")), "xx"))).toDF("doc_id", "text", "lang"),
+        "text", "lang", lidDims), lidDims)
+    // ULM vocab trained on the CLEAN corpus only (lowLm stays OOV)
+    val ulmVocab = graft.operators.Ulm.train(
+      Seq(docA, docB, blockedText, leaky, spam, gammaText).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "text", maxLen = 4, maxVocab = 256, emRounds = 0)
+    def ll(tx: String): Long = graft.operators.Ulm.scoreDocs(
+      Seq((0L, tx)).toDF("doc_id", "text"), "text", ulmVocab, 4)
+      .collect()(0).getAs[Long]("ll_mean_fp")
+    val mashup = docA.substring(0, docA.length / 2) + " " +
+      docB.substring(docB.length / 2)
+    val footerDoc = docB + " " + scrub("appended footer line")
+    // the cut: everything that must reach the dedup legs clears it,
+    // the OOV doc falls below (premises asserted, not assumed)
+    val minLl = Seq(docA, docB, gammaText, footerDoc, mashup)
+      .map(ll).min
+    assert(ll(lowLm) < minLl,
+      "fixture premise: the OOV doc scores strictly lowest")
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "domain").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.fullStackCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", "domain", blockStore,
+        lidModels, lidDims, Set("en"), contamStore,
+        dense, 0L, dims, ulmVocab, minLl,
+        exactStore, nearStore, spanStore,
+        outDir, ckpt).awaitTermination()
+    def survivors(): Seq[Long] = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val ckpt1 = tmpDir("fsc-ckpt1")
     deliver("b1", Seq((1L, docA, ok), (2L, docB, ok),
       (3L, blockedText, "bad.example.com"), (4L, leaky, ok),
-      (5L, spam, ok)))
+      (5L, spam, ok), (6L, wrongLang, ok), (7L, lowLm, ok)))
     drain(ckpt1)
     assert(survivors() === Seq(1L, 2L),
       "exactly the gate-clean docs must land")
     // THE LAW: a stage's rejects never reach any later store — each
     // reject's content probes unseen in the exact, near, AND span
-    // stores (rejects are dropped, never recorded)
-    for ((id, tx) <- Seq((50L, blockedText), (51L, leaky), (52L, spam))) {
+    // stores (rejects are dropped, never recorded), for ALL FIVE
+    // gates including the two learned ones
+    for ((id, tx) <- Seq((50L, blockedText), (51L, leaky), (52L, spam),
+      (53L, wrongLang), (54L, lowLm))) {
       val d = Seq((id, tx)).toDF("doc_id", "text")
       assert(graft.ingest.DedupStore
         .newUnique(d, "text", "doc_id", exactStore).count() === 1,
@@ -3518,15 +3563,14 @@ class StreamingSpec extends SparkSuite {
     }
     // batch 2 exercises the dedup legs BEHIND the gates: an exact
     // copy, a paraphrase, a half-and-half mashup (under the near
-    // threshold — only the span store flags it), and fresh content
-    val mashup = docA.substring(0, docA.length / 2) + " " +
-      docB.substring(docB.length / 2)
+    // threshold — only the span store flags it), and fresh content —
+    // all of which clear the two learned gates first (the ll premise
+    // above covers every batch-2 text)
     deliver("b2", Seq(
       (10L, docA, ok),
-      (11L, docB + " " + scrub("appended footer line"), ok),
+      (11L, footerDoc, ok),
       (12L, mashup, ok),
-      (13L, scrub((1 to 60).map(i => s"gamma$i fresh$i novel$i")
-        .mkString(" ")), ok)))
+      (13L, gammaText, ok)))
     drain(ckpt1)
     assert(survivors() === Seq(1L, 2L, 13L),
       "copy/paraphrase/mashup must drop via the store legs")
@@ -3580,18 +3624,6 @@ class StreamingSpec extends SparkSuite {
         s.split(" ").filter(t => fid(t) != spamFid).mkString(" ")
       val dense = Seq.tabulate(dims)(i =>
         if (i.toLong == spamFid) -1000000L else 1000L)
-      def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
-        rows.toDF("doc_id", "text", "domain").coalesce(1).write
-          .mode("overwrite").parquet(s"$srcDir/$name")
-      def drain(ckpt: String): Unit =
-        graft.streaming.Streams.fullStackCurationFeedBucketed(
-          spark.readStream.schema(schema)
-            .option("recursiveFileLookup", "true").parquet(srcDir),
-          "text", "doc_id", "domain", blockStore, contamStore,
-          dense, 0L, dims, tables(0), tables(1), tables(2),
-          outDir, ckpt).awaitTermination()
-      def survivors(): Seq[Long] = spark.read.parquet(outDir)
-        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       val ok = "ok.example.com"
       val docA = scrub((1 to 60).map(i => s"alpha$i token$i word$i")
         .mkString(" "))
@@ -3603,14 +3635,60 @@ class StreamingSpec extends SparkSuite {
           .mkString(" "))
       val spam = scrub((1 to 60).map(i => s"zeta$i spamish$i filler$i")
         .mkString(" ")) + " spamword"
+      val gammaText = scrub((1 to 60)
+        .map(i => s"gamma$i fresh$i novel$i").mkString(" "))
+      val wrongLang = scrub((1 to 60).map(i => s"qz$i zq$i qqzz$i")
+        .mkString(" "))
+      val lowLm = scrub((1 to 60).map(i => s"jxv$i xvj$i vjx$i")
+        .mkString(" "))
+      val lidDims = 512
+      val lidModels = graft.operators.LangId.collectModels(
+        graft.operators.LangId.train(
+          (Seq(docA, docB, leaky, spam, gammaText, lowLm)
+            .zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+            Seq((100L, wrongLang, "xx"),
+              (101L, scrub((1 to 60).map(i => s"zzq$i qzz$i zqq$i")
+                .mkString(" ")), "xx"))).toDF("doc_id", "text", "lang"),
+          "text", "lang", lidDims), lidDims)
+      val ulmVocab = graft.operators.Ulm.train(
+        Seq(docA, docB, leaky, spam, gammaText).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "text", maxLen = 4, maxVocab = 256, emRounds = 0)
+      def ll(tx: String): Long = graft.operators.Ulm.scoreDocs(
+        Seq((0L, tx)).toDF("doc_id", "text"), "text", ulmVocab, 4)
+        .collect()(0).getAs[Long]("ll_mean_fp")
+      val mashup = docA.substring(0, docA.length / 2) + " " +
+        docB.substring(docB.length / 2)
+      val footerDoc = docB + " " + scrub("appended footer line")
+      val minLl = Seq(docA, docB, gammaText, footerDoc, mashup)
+        .map(ll).min
+      assert(ll(lowLm) < minLl,
+        "fixture premise: the OOV doc scores strictly lowest")
+      def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("doc_id", "text", "domain").coalesce(1).write
+          .mode("overwrite").parquet(s"$srcDir/$name")
+      def drain(ckpt: String): Unit =
+        graft.streaming.Streams.fullStackCurationFeedBucketed(
+          spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(srcDir),
+          "text", "doc_id", "domain", blockStore,
+          lidModels, lidDims, Set("en"), contamStore,
+          dense, 0L, dims, ulmVocab, minLl,
+          tables(0), tables(1), tables(2),
+          outDir, ckpt).awaitTermination()
+      def survivors(): Seq[Long] = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       val ckpt1 = tmpDir("fscb-ckpt1")
       deliver("b1", Seq((1L, docA, ok), (2L, docB, ok),
-        (3L, docA, "bad.example.com"), (4L, leaky, ok), (5L, spam, ok)))
+        (3L, docA, "bad.example.com"), (4L, leaky, ok), (5L, spam, ok),
+        (6L, wrongLang, ok), (7L, lowLm, ok)))
       drain(ckpt1)
       assert(survivors() === Seq(1L, 2L), "gate-clean docs only")
       // gate rejects never recorded in the bucketed catalog either:
-      // the leaky/spam texts probe as new against all three tables
-      for ((id, tx) <- Seq((51L, leaky), (52L, spam))) {
+      // the leaky/spam/wrong-language/low-LM texts probe as new
+      // against all three tables
+      for ((id, tx) <- Seq((51L, leaky), (52L, spam),
+        (53L, wrongLang), (54L, lowLm))) {
         val d = Seq((id, tx)).toDF("doc_id", "text")
         assert(graft.ingest.DedupStore
           .newUniqueBucketed(d, "text", "doc_id", tables(0))
@@ -3625,14 +3703,11 @@ class StreamingSpec extends SparkSuite {
       // dedup legs behind the gates, against catalog history — note
       // doc 3's blocklisted COPY of docA did not poison the store:
       // docA's hash is recorded exactly once (from doc 1)
-      val mashup = docA.substring(0, docA.length / 2) + " " +
-        docB.substring(docB.length / 2)
       deliver("b2", Seq(
         (10L, docA, ok),
-        (11L, docB + " " + scrub("appended footer line"), ok),
+        (11L, footerDoc, ok),
         (12L, mashup, ok),
-        (13L, scrub((1 to 60).map(i => s"gamma$i fresh$i novel$i")
-          .mkString(" ")), ok)))
+        (13L, gammaText, ok)))
       drain(ckpt1)
       assert(survivors() === Seq(1L, 2L, 13L),
         "copy/paraphrase/mashup must drop via the bucketed legs")
