@@ -2548,6 +2548,30 @@ object LlmPipeline {
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(text, cast(pos as int), $k)")).as("h"))
 
+  /** q150's SPAN stage — q106's first-occurrence-wins rule at DOCUMENT
+    * grain over a survivor frame: a doc drops iff any of its k-char
+    * windows first occurred (min doc_id over the frame's window
+    * stream) in an EARLIER doc of the same frame. ONE definition
+    * (this) feeds q150 and the spec law that pins it against the
+    * [[graft.ingest.SpanStore]] probe: on history-free frames the two
+    * flag IDENTICAL doc sets (same [[windowHashesOf]] identity, and
+    * an id-ordered one-doc-at-a-time store feed recording survivors
+    * reproduces the frame's min-doc election); they DIVERGE only on
+    * the transitive case — a doc whose every shared window points at
+    * an already-span-dropped doc drops here (the min is taken over
+    * ALL frame members) but survives the store feed (rejects are
+    * never recorded) — the deliberate audit/serving split the spec
+    * demonstrates.
+    */
+  private[graft] def spanFirstOccurrenceDrops(survivors: DataFrame,
+      k: Int = SpanK): DataFrame = {
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    windowHashesOf(survivors, k)
+      .withColumn("first_doc", min("doc_id").over(hw))
+      .filter(col("doc_id") > col("first_doc"))
+      .select("doc_id").distinct()
+  }
+
   /** [[windowHashesOf]] with an 8-byte xxhash64 window identity in
     * place of the 32-char md5 string — the documented 100 TB swap:
     * the span store records ~1 hash row per corpus character, so the
@@ -4456,11 +4480,7 @@ object LlmPipeline {
     val survivors = exact.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select("doc_id", "text")
-    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val spanDropped = windowHashesOf(survivors, SpanK)
-      .withColumn("first_doc", min("doc_id").over(hw))
-      .filter(col("doc_id") > col("first_doc"))
-      .select("doc_id").distinct()
+    val spanDropped = spanFirstOccurrenceDrops(survivors)
     raw.select("doc_id")
       .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
         Seq("doc_id"), "left")

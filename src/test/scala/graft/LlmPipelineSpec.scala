@@ -318,6 +318,67 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q150 span stage vs SpanStore probe: identical flagged sets on " +
+    "history-free frames (the shared-definition law), divergence ONLY " +
+    "on the transitive already-dropped-source case — the deliberate " +
+    "audit/serving split (frame-wide min-doc election vs " +
+    "rejects-never-recorded history)") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def inQuery(rows: Seq[(Long, String)]): Set[Long] =
+      LlmPipeline.spanFirstOccurrenceDrops(df(rows))
+        .collect().map(_.getLong(0)).toSet
+    // the serving form: feed docs in doc_id order, one per batch,
+    // any-single-window match flags, survivors record — exactly the
+    // streamed span leg's shape
+    def storeFeed(rows: Seq[(Long, String)]): Set[Long] = {
+      val store = java.nio.file.Files
+        .createTempDirectory("spanlaw").toString + "/windows"
+      rows.sortBy(_._1).flatMap { case (id, tx) =>
+        val d = df(Seq((id, tx)))
+        val survived = graft.ingest.SpanStore
+          .newSpanUnique(d, "text", "doc_id", store,
+            maxDupShare = 1e-9).count() == 1L
+        if (survived)
+          graft.ingest.SpanStore
+            .recordWindows(d, "text", "doc_id", store)
+        if (survived) None else Some(id)
+      }.toSet
+    }
+    def uniq(tag: String): String =
+      (1 to 12).map(i => s"$tag-chunk-$i-filler-material").mkString(" ")
+    val passage1 = "this exact shared passage runs well past the " +
+      "thirty-two character window width"
+    val passage2 = "another recycled run of text comfortably " +
+      "exceeding the window size threshold"
+    // history-free frame: every shared window's first occurrence is a
+    // doc that itself SURVIVES → the two rules agree exactly
+    val frame = Seq(
+      (1L, uniq("aa") + " " + passage1),
+      (2L, uniq("bb") + " " + passage1 + " " + uniq("bc")),
+      (3L, uniq("cc")),
+      (4L, uniq("dd") + " " + passage2),
+      (5L, uniq("ee") + " " + passage2))
+    assert(inQuery(frame) === Set(2L, 5L))
+    assert(storeFeed(frame) === Set(2L, 5L),
+      "store feed diverged from the in-query rule on a history-free " +
+        "frame")
+    // the ONE divergent configuration: doc 3 shares text only with
+    // doc 2, which itself span-dropped against doc 1 — the in-query
+    // min-doc election still points doc 3 at doc 2 (both are frame
+    // members), while the store feed never recorded the reject
+    val tailB = "a tail unique to document two but long enough to " +
+      "cover a full window"
+    val transitive = Seq(
+      (1L, uniq("aa") + " " + passage1),
+      (2L, uniq("bb") + " " + passage1 + " " + tailB),
+      (3L, uniq("ff") + " " + tailB))
+    assert(inQuery(transitive) === Set(2L, 3L),
+      "audit rule: min-doc election spans ALL frame members")
+    assert(storeFeed(transitive) === Set(2L),
+      "serving rule: a reject's windows must never flag a later doc")
+  }
+
   test("q60 standing-labels snapshot: invalidates when the documents " +
     "table's content fingerprint changes (a stale store must never " +
     "serve labels for a corpus that no longer exists), and an " +
