@@ -4633,6 +4633,51 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** The boilerplate-framed page corpus for q153 — the q39/q48/q98
+    * synthesize-then-operate pattern (the testdata ships clean text,
+    * so the web-page frame is planted deterministically): nav bar,
+    * heading, the document's text as two paragraph lines, a
+    * related-links block, and a footer, newline-separated. The
+    * related block is deliberately long enough to pass the token
+    * floor so ONLY the link-density rule can reject it; nav/heading/
+    * footer fall to the token floor — each boilerplate line tests a
+    * specific signal.
+    */
+  private[graft] def boilerplateFramedOf(docs: DataFrame): DataFrame =
+    docs.withColumn("page", concat(
+      lit("<nav>home | <a href=\"/products\">products</a> | " +
+        "<a href=\"/about\">about us</a></nav>\n"),
+      lit("<h1>Story "), col("doc_id").cast(StringType),
+      lit("</h1>\n<p>"),
+      expr("substring(text, 1, char_length(text) div 2)"),
+      lit("</p>\n<p>"),
+      expr("substring(text, char_length(text) div 2 + 1)"),
+      lit("</p>\n<div>see also <a href=\"/d/1\">related article " +
+        "one</a> and <a href=\"/d/2\">related article two</a></div>\n" +
+        "<footer>copyright 2026 example corp | " +
+        "<a href=\"/terms\">terms</a></footer>")))
+
+  /** q153: MAIN-CONTENT extraction audit — the
+    * [[graft.operators.MainContent]] jusText-class line rule (token
+    * floor + link density, integer thresholds) over the
+    * [[boilerplateFramedOf]] page corpus: per document the line
+    * counts, extracted-content size, and the post-extraction q27-style
+    * content hash (boilerplate-invariant dedup is what this stage buys
+    * — two pages differing only in nav/footer hash identical after
+    * extraction). The oracle replays synthesis → line split → tag
+    * strip → anchor-char fold → the two-signal rule → reassembly in
+    * DuckDB HOFs, so a drift anywhere in the rule breaks the hash.
+    * Scale: one stateless per-row projection, zero shuffle; the feed
+    * form ([[graft.operators.MainContent.extract]]) composes pre-LID
+    * in the full-stack feed.
+    */
+  private val q153: Q = (s, dir) =>
+    graft.operators.MainContent.report(
+      boilerplateFramedOf(t(s, dir, "documents"))
+        .select(col("doc_id"), col("page")), "page")
+      .drop("content")
+      .orderBy("doc_id")
+
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
     * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
     * deterministically PAIRED frame (the q39/q48 synthesize-then-
@@ -4803,7 +4848,8 @@ object LlmPipeline {
     "q149_blocklist_gate" -> q149,
     "q150_full_stack_log" -> q150,
     "q151_langid_confusion" -> q151,
-    "q152_ulm_lm_score" -> q152)
+    "q152_ulm_lm_score" -> q152,
+    "q153_main_content" -> q153)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5476,6 +5522,53 @@ object LlmPipeline {
          | CAST(floor(CAST(ll_sum * 1000000 AS DOUBLE)
          |  / CAST(n_pieces AS DOUBLE)) AS BIGINT) AS ll_mean_fp
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // q153: synthesis → line split → tag strip → anchor-char fold →
+    // the two-signal rule (token floor 8, link-density linkc·2 <
+    // plain chars) → content reassembly, all in DuckDB list HOFs.
+    "q153_main_content" ->
+      """WITH pg AS (
+        | SELECT doc_id,
+        |  '<nav>home | <a href="/products">products</a> | ' ||
+        |  '<a href="/about">about us</a></nav>' || chr(10) ||
+        |  '<h1>Story ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |  '<p>' || substr(text, 1, length(text) // 2) || '</p>'
+        |   || chr(10) ||
+        |  '<p>' || substr(text, length(text) // 2 + 1) || '</p>'
+        |   || chr(10) ||
+        |  '<div>see also <a href="/d/1">related article one</a> and ' ||
+        |  '<a href="/d/2">related article two</a></div>' || chr(10) ||
+        |  '<footer>copyright 2026 example corp | ' ||
+        |  '<a href="/terms">terms</a></footer>' AS page
+        | FROM documents),
+        |st AS (
+        | SELECT doc_id,
+        |  list_transform(string_split(page, chr(10)), l -> struct_pack(
+        |    plain := trim(regexp_replace(regexp_replace(l,
+        |      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    linkc := COALESCE(list_sum(list_transform(
+        |      regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
+        |      x -> length(x))), 0))) AS ls
+        | FROM pg),
+        |cf AS (
+        | SELECT doc_id, ls,
+        |  list_filter(ls, x ->
+        |    len(regexp_extract_all(x.plain, '\w+')) >= 8
+        |    AND x.linkc * 2 < length(x.plain)) AS cs
+        | FROM st),
+        |fin AS (
+        | SELECT doc_id, ls, cs,
+        |  -- array_to_string(NULL-safe): an all-boilerplate page has an
+        |  -- EMPTY content list, which DuckDB folds to NULL — Spark's
+        |  -- array_join yields '' there
+        |  trim(COALESCE(array_to_string(
+        |    list_transform(cs, x -> x.plain), ' '), '')) AS content
+        | FROM cf)
+        |SELECT doc_id,
+        | CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(cs) AS BIGINT) AS n_content_lines,
+        | CAST(length(content) AS BIGINT) AS content_chars,
+        | md5(content) AS content_hash
+        |FROM fin ORDER BY doc_id""".stripMargin,
     "q148_ulm_seed_vocab" ->
       s"""WITH b AS (SELECT $dToks AS toks FROM documents),
          |w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq

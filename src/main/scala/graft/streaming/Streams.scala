@@ -2619,6 +2619,12 @@ object Streams {
     * self-maintenance covers all five stores on one schedule. Same
     * exactly-once commit + replay matrix as every feed in the family:
     * a replayed committed batch skips gates and stores entirely.
+    * `extractMainContent` inserts the
+    * [[graft.operators.MainContent.extract]] boilerplate-removal
+    * stage between the (text-free) domain gate and the LID gate — the
+    * web-pipeline position: every later gate and store judges the
+    * MAIN content, so two pages differing only in nav/footer dedup as
+    * exact copies (the StreamingSpec boilerplate-invariance law).
     */
   def fullStackCurationFeed(docs: DataFrame, textCol: String,
       idCol: String, keyCol: String, blocklistStorePath: String,
@@ -2629,7 +2635,8 @@ object Streams {
       exactStorePath: String, nearStorePath: String,
       spanStorePath: String, outDir: String, checkpointDir: String,
       maintenanceEvery: Int = 0, minSharedGrams: Int = 1,
-      ulmMaxLen: Int = 4): StreamingQuery =
+      ulmMaxLen: Int = 4,
+      extractMainContent: Boolean = false): StreamingQuery =
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "full_stack_curation_feed",
       maintenanceEvery = maintenanceEvery,
@@ -2654,22 +2661,34 @@ object Streams {
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecar(s2, spanStorePath); () }))
       })(
-      batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
-        graft.ingest.NearDupStore.newNearUniqueWithBloom(
-          graft.ingest.DedupStore.newUniqueWithBloom(
-            ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
-              ulmMaxLen)(
-              graft.operators.QualityModel.keepGood(
-                graft.ingest.ContaminationStore.newCleanWithBloom(
-                  graft.operators.LangId.keepLangs(
-                    graft.ingest.DedupStore.newUnseenWithBloom(
-                      batch, keyCol, blocklistStorePath),
-                    textCol, lidModels, lidDims, keepLangSet),
-                  textCol, idCol, contamStorePath, minSharedGrams),
-                textCol, denseWeights, thFp, dims)),
-            textCol, idCol, exactStorePath),
-          textCol, idCol, nearStorePath),
-        textCol, idCol, spanStorePath),
+      batch => {
+        // the CONTENT-EXTRACTION stage sits between the (text-free)
+        // domain gate and the LID gate — exactly where a web pipeline
+        // runs it: everything downstream judges the MAIN content, so
+        // boilerplate can neither carry a page through a gate nor
+        // poison a dedup store (nav-only variants hash identical)
+        val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
+          batch, keyCol, blocklistStorePath)
+        val entrants =
+          if (extractMainContent)
+            graft.operators.MainContent.extract(blocked, textCol)
+          else blocked
+        graft.ingest.SpanStore.newSpanUniqueWithBloom(
+          graft.ingest.NearDupStore.newNearUniqueWithBloom(
+            graft.ingest.DedupStore.newUniqueWithBloom(
+              ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
+                ulmMaxLen)(
+                graft.operators.QualityModel.keepGood(
+                  graft.ingest.ContaminationStore.newCleanWithBloom(
+                    graft.operators.LangId.keepLangs(
+                      entrants,
+                      textCol, lidModels, lidDims, keepLangSet),
+                    textCol, idCol, contamStorePath, minSharedGrams),
+                  textCol, denseWeights, thFp, dims)),
+              textCol, idCol, exactStorePath),
+            textCol, idCol, nearStorePath),
+          textCol, idCol, spanStorePath)
+      },
       committed => {
         graft.ingest.DedupStore
           .recordHashes(committed, textCol, exactStorePath)
@@ -2702,7 +2721,8 @@ object Streams {
       exactTable: String, nearTable: String,
       spanTable: String, outDir: String, checkpointDir: String,
       buckets: Int = 32, maintenanceEvery: Int = 0,
-      minSharedGrams: Int = 1, ulmMaxLen: Int = 4): StreamingQuery = {
+      minSharedGrams: Int = 1, ulmMaxLen: Int = 4,
+      extractMainContent: Boolean = false): StreamingQuery = {
     val spark = docs.sparkSession
     graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
       buckets)
@@ -2745,22 +2765,29 @@ object Streams {
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecarBucketed(s2, spanTable); () }))
       })(
-      batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
-        graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
-          graft.ingest.DedupStore.newUniqueBucketedWithBloom(
-            ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
-              ulmMaxLen)(
-              graft.operators.QualityModel.keepGood(
-                graft.ingest.ContaminationStore.newCleanWithBloom(
-                  graft.operators.LangId.keepLangs(
-                    graft.ingest.DedupStore.newUnseenWithBloom(
-                      batch, keyCol, blocklistStorePath),
-                    textCol, lidModels, lidDims, keepLangSet),
-                  textCol, idCol, contamStorePath, minSharedGrams),
-                textCol, denseWeights, thFp, dims)),
-            textCol, idCol, exactTable),
-          textCol, idCol, nearTable),
-        textCol, idCol, spanTable),
+      batch => {
+        val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
+          batch, keyCol, blocklistStorePath)
+        val entrants =
+          if (extractMainContent)
+            graft.operators.MainContent.extract(blocked, textCol)
+          else blocked
+        graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
+          graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
+            graft.ingest.DedupStore.newUniqueBucketedWithBloom(
+              ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
+                ulmMaxLen)(
+                graft.operators.QualityModel.keepGood(
+                  graft.ingest.ContaminationStore.newCleanWithBloom(
+                    graft.operators.LangId.keepLangs(
+                      entrants,
+                      textCol, lidModels, lidDims, keepLangSet),
+                    textCol, idCol, contamStorePath, minSharedGrams),
+                  textCol, denseWeights, thFp, dims)),
+              textCol, idCol, exactTable),
+            textCol, idCol, nearTable),
+          textCol, idCol, spanTable)
+      },
       committed => {
         graft.ingest.DedupStore
           .recordHashesBucketed(committed, textCol, exactTable)

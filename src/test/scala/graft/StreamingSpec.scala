@@ -3720,6 +3720,90 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("full-stack feed with MAIN-CONTENT extraction: every later " +
+    "stage judges the extracted content — two pages differing only " +
+    "in boilerplate dedup as exact copies, and shared boilerplate " +
+    "never collides fresh content (the boilerplate-invariance law)") {
+    import spark.implicits._
+    val srcDir = tmpDir("mce-src")
+    val outDir = tmpDir("mce-out") + "/docs"
+    val blockStore = tmpDir("mce-block") + "/domains"
+    val contamStore = tmpDir("mce-contam") + "/bench_grams"
+    val exactStore = tmpDir("mce-exact") + "/hashes"
+    val nearStore = tmpDir("mce-near") + "/bands"
+    val spanStore = tmpDir("mce-span") + "/windows"
+    // standing gate stores hold only unrelated entries — every page is
+    // gate-clean, so the test isolates the extraction semantics
+    graft.ingest.DedupStore.recordHashes(
+      Seq(Tuple1("unrelated.example.com")).toDF("domain"), "domain",
+      blockStore)
+    graft.ingest.ContaminationStore.recordBenchmark(
+      Seq((900L, "completely unrelated benchmark material here"))
+        .toDF("doc_id", "text"), "text", "doc_id", contamStore)
+    val contentA = (1 to 30).map(i => s"alpha$i story$i detail$i")
+      .mkString(" ")
+    val contentB = (1 to 30).map(i => s"beta$i report$i figure$i")
+      .mkString(" ")
+    val navX = "<nav>home | <a href=\"/m\">menu items here</a></nav>"
+    val navY = "<div>see <a href=\"/z\">other links entirely</a> " +
+      "now</div>"
+    def page(content: String, boiler: String): String =
+      boiler + "\n<p>" + content + "</p>\n" +
+        "<footer>copyright 2026 example corp</footer>"
+    val lidDims = 512
+    val lidModels = graft.operators.LangId.collectModels(
+      graft.operators.LangId.train(
+        Seq((1L, contentA, "en"), (2L, contentB, "en"),
+          (3L, (1 to 30).map(i => s"qz$i zq$i qqzz$i").mkString(" "),
+            "xx"),
+          (4L, (1 to 30).map(i => s"zzq$i qzz$i zqq$i").mkString(" "),
+            "xx")).toDF("doc_id", "text", "lang"),
+        "text", "lang", lidDims), lidDims)
+    val ulmVocab = graft.operators.Ulm.train(
+      Seq((1L, contentA), (2L, contentB)).toDF("doc_id", "text"),
+      "text", maxLen = 4, maxVocab = 256, emRounds = 0)
+    val dims = 512
+    val dense = Seq.fill(dims)(1000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("domain",
+        org.apache.spark.sql.types.StringType)))
+    def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "domain").coalesce(1).write
+        .mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(ckpt: String): Unit =
+      graft.streaming.Streams.fullStackCurationFeed(
+        spark.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(srcDir),
+        "text", "doc_id", "domain", blockStore,
+        lidModels, lidDims, Set("en"), contamStore,
+        dense, 0L, dims, ulmVocab, Long.MinValue,
+        exactStore, nearStore, spanStore,
+        outDir, ckpt, extractMainContent = true).awaitTermination()
+    val ok = "ok.example.com"
+    val ckpt = tmpDir("mce-ckpt")
+    deliver("b1", Seq((1L, page(contentA, navX), ok)))
+    drain(ckpt)
+    val landed = spark.read.parquet(outDir)
+    assert(landed.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    // the committed text IS the extracted content, not the page
+    assert(landed.select("text").collect()(0).getString(0) === contentA,
+      "committed text must be the extracted main content")
+    // batch 2: same content under DIFFERENT boilerplate → exact dup;
+    // fresh content under doc 1's boilerplate → lands
+    deliver("b2", Seq((2L, page(contentA, navY), ok),
+      (3L, page(contentB, navX), ok)))
+    drain(ckpt)
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L),
+      "boilerplate-only variant must dedup; shared boilerplate must " +
+        "not collide fresh content")
+  }
+
   test("quality-gated feed FROM the maintained snapshot: gating " +
     "equals the one-shot-trained literal gate (the maintainer-to-" +
     "serving loop closed end to end)") {
