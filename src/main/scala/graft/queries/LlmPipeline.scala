@@ -4444,23 +4444,64 @@ object LlmPipeline {
     * (contamination), a stateless scan (quality), and a
     * distinct-word-factored fold + KB-histogram cut (lm_score);
     * exact/near/span are the q80/q101 shapes over monotonically
-    * SHRINKING frames. Both models train in-query for oracle
-    * exactness (ONE corpus scan each — the q151/q152 shapes; the
-    * streamed form pins them at stream start instead). Gate survivors
-    * materialize once each (the q61 barrier — each feeds the next
-    * stage AND the audit join); the final assembly is id-keyed
-    * left-joins.
+    * SHRINKING frames. Both models ride STANDING stores
+    * ([[lidModelStanding]]/[[ulmVocabStanding]] — trained once per
+    * table fingerprint, the feed's models-train-OFFLINE posture at
+    * registry grain; the oracle replays the training, which is
+    * deterministic, so parity is free). Gate survivors materialize
+    * once each (the q61 barrier — each feeds the next stage AND the
+    * audit join); the final assembly is id-keyed left-joins.
     */
+  /** STANDING trained LID model for q150 — the standingStore doctrine
+    * applied to the model itself (the feed's "models train OFFLINE and
+    * pin" posture made real at registry grain): the one-scan trainer
+    * runs once per table fingerprint, its KB-scale (lang, fid,
+    * weight_fp) grid installs as parquet, and q150 collects the dense
+    * literals from the installed store. Deterministic training →
+    * oracle parity is free; q151 keeps training in-query BY DESIGN
+    * (its audit pins the trainer itself).
+    */
+  private def lidModelStanding(s: SparkSession,
+      dir: String): Seq[(String, Seq[Long])] = {
+    val store = standingStore(s, dir, "lidmodel-q150") { st =>
+      graft.operators.LangId.withTrained(
+        langMarkedOf(t(s, dir, "documents")), "text", "lang",
+        LangIdDims) { m =>
+        m.select("lang", "fid", "weight_fp").write
+          .mode("overwrite").parquet(st)
+      }
+      ()
+    }
+    graft.operators.LangId.collectModels(s.read.parquet(store),
+      LangIdDims)
+  }
+
+  /** STANDING trained ULM vocabulary for q150 — [[lidModelStanding]]'s
+    * doctrine for the tokenizer (q152 keeps training in-query BY
+    * DESIGN — its audit pins the trainer).
+    */
+  private def ulmVocabStanding(s: SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val store = standingStore(s, dir, "ulmvocab-q150") { st =>
+      val v = graft.operators.Ulm.train(
+        langMarkedOf(t(s, dir, "documents")), "text", maxLen = 4,
+        maxVocab = 64, emRounds = 0)
+      import s.implicits._
+      v.toDF("piece", "score_fp").coalesce(1).write
+        .mode("overwrite").parquet(st)
+      ()
+    }
+    s.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
   private val q150: Q = (s, dir) => {
     val raw = t(s, dir, "documents")
     val docs = langMarkedOf(raw)
     val blockStore = blocklistStandingStore(s, dir)
     val contamStore = contamStandingStore(s, dir)
-    val lidDense = graft.operators.LangId.collectModels(
-      graft.operators.LangId.train(docs, "text", "lang", LangIdDims),
-      LangIdDims)
-    val ulmVocab = graft.operators.Ulm.train(docs, "text", maxLen = 4,
-      maxVocab = 64, emRounds = 0)
+    val lidDense = lidModelStanding(s, dir)
+    val ulmVocab = ulmVocabStanding(s, dir)
     val afterBlock = graft.ingest.DedupStore
       .newUnseenWithBloom(
         withDomainOf(docs).select("doc_id", "text", "n_chars", "domain"),
@@ -4595,9 +4636,12 @@ object LlmPipeline {
     */
   private val q151: Q = (s, dir) => {
     val docs = langMarkedOf(t(s, dir, "documents"))
-    val model = graft.operators.LangId
-      .train(docs, "text", "lang", LangIdDims)
-    val dense = graft.operators.LangId.collectModels(model, LangIdDims)
+    // the scoped trainer: the model is collected to plan literals, so
+    // the count grid's checkpoint blocks release immediately — a
+    // repeatedly re-registered session never accumulates them
+    val dense = graft.operators.LangId
+      .withTrained(docs, "text", "lang", LangIdDims)(
+        graft.operators.LangId.collectModels(_, LangIdDims))
     graft.operators.LangId
       .predictLiteral(docs.select("doc_id", "text", "lang"), "text",
         dense, LangIdDims)

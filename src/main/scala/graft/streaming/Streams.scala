@@ -2491,6 +2491,40 @@ object Streams {
       "left_semi")
   }
 
+  /** The FIVE-GATE prefix of the full-stack feeds — blocklist →
+    * (optional main-content extraction) → language → contamination →
+    * quality → lm_score — as ONE definition: the path and bucketed
+    * forms differ only in their dedup-store legs, so the gate chain
+    * must not be able to drift between them.
+    */
+  private def fullStackGates(textCol: String, idCol: String,
+      keyCol: String, blocklistStorePath: String,
+      lidModels: Seq[(String, Seq[Long])], lidDims: Int,
+      keepLangSet: Set[String], contamStorePath: String,
+      denseWeights: Seq[Long], thFp: Long, dims: Int,
+      ulmVocab: Seq[(String, Long)], minLlMeanFp: Long,
+      ulmMaxLen: Int, minSharedGrams: Int,
+      extractMainContent: Boolean)(batch: DataFrame): DataFrame = {
+    // the CONTENT-EXTRACTION stage sits between the (text-free)
+    // domain gate and the LID gate — exactly where a web pipeline
+    // runs it: everything downstream judges the MAIN content, so
+    // boilerplate can neither carry a page through a gate nor
+    // poison a dedup store (nav-only variants hash identical)
+    val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
+      batch, keyCol, blocklistStorePath)
+    val entrants =
+      if (extractMainContent)
+        graft.operators.MainContent.extract(blocked, textCol)
+      else blocked
+    ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp, ulmMaxLen)(
+      graft.operators.QualityModel.keepGood(
+        graft.ingest.ContaminationStore.newCleanWithBloom(
+          graft.operators.LangId.keepLangs(entrants, textCol,
+            lidModels, lidDims, keepLangSet),
+          textCol, idCol, contamStorePath, minSharedGrams),
+        textCol, denseWeights, thFp, dims))
+  }
+
   /** [[curationFeedThroughStores]] (2-store form) behind the LEARNED
     * LANGUAGE-ID gate — CCNet's stage #2 (bucket the crawl by learned
     * LID before any content work): documents whose
@@ -2661,34 +2695,16 @@ object Streams {
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecar(s2, spanStorePath); () }))
       })(
-      batch => {
-        // the CONTENT-EXTRACTION stage sits between the (text-free)
-        // domain gate and the LID gate — exactly where a web pipeline
-        // runs it: everything downstream judges the MAIN content, so
-        // boilerplate can neither carry a page through a gate nor
-        // poison a dedup store (nav-only variants hash identical)
-        val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
-          batch, keyCol, blocklistStorePath)
-        val entrants =
-          if (extractMainContent)
-            graft.operators.MainContent.extract(blocked, textCol)
-          else blocked
-        graft.ingest.SpanStore.newSpanUniqueWithBloom(
-          graft.ingest.NearDupStore.newNearUniqueWithBloom(
-            graft.ingest.DedupStore.newUniqueWithBloom(
-              ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
-                ulmMaxLen)(
-                graft.operators.QualityModel.keepGood(
-                  graft.ingest.ContaminationStore.newCleanWithBloom(
-                    graft.operators.LangId.keepLangs(
-                      entrants,
-                      textCol, lidModels, lidDims, keepLangSet),
-                    textCol, idCol, contamStorePath, minSharedGrams),
-                  textCol, denseWeights, thFp, dims)),
-              textCol, idCol, exactStorePath),
-            textCol, idCol, nearStorePath),
-          textCol, idCol, spanStorePath)
-      },
+      batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
+        graft.ingest.NearDupStore.newNearUniqueWithBloom(
+          graft.ingest.DedupStore.newUniqueWithBloom(
+            fullStackGates(textCol, idCol, keyCol, blocklistStorePath,
+              lidModels, lidDims, keepLangSet, contamStorePath,
+              denseWeights, thFp, dims, ulmVocab, minLlMeanFp,
+              ulmMaxLen, minSharedGrams, extractMainContent)(batch),
+            textCol, idCol, exactStorePath),
+          textCol, idCol, nearStorePath),
+        textCol, idCol, spanStorePath),
       committed => {
         graft.ingest.DedupStore
           .recordHashes(committed, textCol, exactStorePath)
@@ -2765,29 +2781,16 @@ object Streams {
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecarBucketed(s2, spanTable); () }))
       })(
-      batch => {
-        val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
-          batch, keyCol, blocklistStorePath)
-        val entrants =
-          if (extractMainContent)
-            graft.operators.MainContent.extract(blocked, textCol)
-          else blocked
-        graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
-          graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
-            graft.ingest.DedupStore.newUniqueBucketedWithBloom(
-              ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp,
-                ulmMaxLen)(
-                graft.operators.QualityModel.keepGood(
-                  graft.ingest.ContaminationStore.newCleanWithBloom(
-                    graft.operators.LangId.keepLangs(
-                      entrants,
-                      textCol, lidModels, lidDims, keepLangSet),
-                    textCol, idCol, contamStorePath, minSharedGrams),
-                  textCol, denseWeights, thFp, dims)),
-              textCol, idCol, exactTable),
-            textCol, idCol, nearTable),
-          textCol, idCol, spanTable)
-      },
+      batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
+        graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
+          graft.ingest.DedupStore.newUniqueBucketedWithBloom(
+            fullStackGates(textCol, idCol, keyCol, blocklistStorePath,
+              lidModels, lidDims, keepLangSet, contamStorePath,
+              denseWeights, thFp, dims, ulmVocab, minLlMeanFp,
+              ulmMaxLen, minSharedGrams, extractMainContent)(batch),
+            textCol, idCol, exactTable),
+          textCol, idCol, nearTable),
+        textCol, idCol, spanTable),
       committed => {
         graft.ingest.DedupStore
           .recordHashesBucketed(committed, textCol, exactTable)

@@ -500,4 +500,17 @@ class PlanSpec extends SparkSuite {
       !p152.contains("BroadcastNestedLoopJoin"),
       s"q152 degenerated:\n$p152")
   }
+
+  test("r19 additions: q153 main-content extraction is a join-free " +
+    "per-row projection — its only exchange is the final global " +
+    "order (presentation, not the operator)") {
+    val p153 = plan("q153_main_content")
+    assert(!p153.contains("Join"),
+      s"q153 must stay join-free:\n$p153")
+    // one rangepartitioning exchange for ORDER BY doc_id; no
+    // hash-partitioned exchange anywhere (no aggregation, no shuffle
+    // in the operator itself)
+    assert(!p153.contains("hashpartitioning"),
+      s"q153 grew a shuffle beyond the presentation sort:\n$p153")
+  }
 }
