@@ -427,12 +427,34 @@ object LlmPipeline {
     * round from the seeds, then a final assign) — ONE implementation
     * for the query, the library trainer, and the AnnIndex feed.
     */
+  /** The trained k-means centroids as a STANDING store (r19, the
+    * pqCodebook doctrine): training is deterministic (fixed seeds,
+    * fixed-point distances, ties on cid — the oracle replays it), so
+    * the k×64-double centroid frame installs once per
+    * EMBEDDINGS-table fingerprint and every consumer
+    * (q87/q88/q91/q96/q112) pays ONE assignment scan instead of
+    * re-running the Lloyd round — the trained-offline-and-shipped
+    * posture. Doubles round-trip parquet bit-exactly; hashes
+    * unchanged.
+    */
+  private def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    val store = standingStore(s, dir, "kmeanscentroids",
+      srcTable = "embeddings") { st =>
+      val e = t(s, dir, "embeddings")
+        .withColumn("v", col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+      graft.operators.KMeans.train(e, 1L to 8L, iters = 1)
+        .coalesce(1).write.mode("overwrite").parquet(st)
+      ()
+    }
+    s.read.parquet(store)
+  }
+
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
-    val K = graft.operators.KMeans
-    K.assign(e, K.train(e, 1L to 8L, iters = 1))
+    graft.operators.KMeans.assign(e, kmeansCentroids(s, dir))
       .select(col("vec_id"), col("cid").as("cluster"), col("dist_fp"))
   }
 
@@ -500,16 +522,28 @@ object LlmPipeline {
     t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .select("vec_id", "v")
-  /** Materialized ONCE per query build (the q61 barrier): q108/q109
-    * reference the codebook from two places (encode's literal
-    * collect, adcLut's broadcast side) and a lazy plan re-ran the
-    * whole training per reference — the codebook is 64 rows, the
-    * training is the expensive part.
+  /** The trained PQ codebook as a STANDING store (r19 — the
+    * q150-model doctrine applied to the whole PQ family): training is
+    * deterministic (fixed seed ids, fixed-point Lloyd update, the
+    * oracle replays it), so the 64-row codebook installs once per
+    * EMBEDDINGS-table fingerprint and q107/q108/q109/q120/q127 and
+    * the SemDeDup PQ probe all read the installed artifact — exactly
+    * what a production PQ pipeline does (the codebook is trained
+    * offline and SHIPPED; pre-r19 every one of those queries re-ran
+    * the training, the q61 barrier only deduplicating references
+    * within one query). Doubles round-trip parquet bit-exactly, so
+    * every consumer's hash is unchanged.
     */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pq.train(pqEmbeddings(s, dir), 1L to 8L, PqM,
-      PqDim, iters = 1)
-      .transform(graft.operators.Exec.materialize)
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val store = standingStore(s, dir, "pqcodebook",
+      srcTable = "embeddings") { st =>
+      graft.operators.Pq.train(pqEmbeddings(s, dir), 1L to 8L, PqM,
+        PqDim, iters = 1)
+        .coalesce(1).write.mode("overwrite").parquet(st)
+      ()
+    }
+    s.read.parquet(store)
+  }
 
   /** q107: the trained PQ codebook, flattened to (sub, code, dim,
     * cval) rows — the KB-scale artifact a PQ pipeline persists and
@@ -2379,10 +2413,7 @@ object LlmPipeline {
     */
   private val q96: Q = (s, dir) => {
     val K = graft.operators.KMeans
-    val e = t(s, dir, "embeddings")
-      .withColumn("v", col("embedding").cast("array<double>"))
-      .select("vec_id", "v")
-    val cents = K.train(e, 1L to 8L, iters = 1)
+    val cents = kmeansCentroids(s, dir)
     val a = cents.select(col("cid").cast(LongType).as("cid_a"),
       col("cv").as("cv_a"))
     val b = cents.select(col("cid").cast(LongType).as("cid_b"),
@@ -3798,15 +3829,30 @@ object LlmPipeline {
       .distinct()
   }
 
-  private val q136: Q = (s, dir) => {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    graft.operators.LinkRank
-      .train(docs.select(col("doc_id").as("node")), linkEdges(docs),
-        iters = 3)
+  /** The 3-iteration LinkRank frame as a STANDING store (r19, the
+    * pqCodebook doctrine): the fold is deterministic fixed-point
+    * integer arithmetic (the oracle unrolls it), so the (node,
+    * rank_fp) frame installs once per documents-table fingerprint and
+    * q136/q143 read installed ranks — the link graph is computed by a
+    * scheduled job in any production pipeline, never per query.
+    */
+  private def linkRankStanding(s: SparkSession, dir: String): DataFrame = {
+    val store = standingStore(s, dir, "linkrank") { st =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      graft.operators.LinkRank
+        .train(docs.select(col("doc_id").as("node")), linkEdges(docs),
+          iters = 3)
+        .write.mode("overwrite").parquet(st)
+      ()
+    }
+    s.read.parquet(store)
+  }
+
+  private val q136: Q = (s, dir) =>
+    linkRankStanding(s, dir)
       .select(col("node").as("doc_id"), col("rank_fp"))
       .orderBy(desc("rank_fp"), col("doc_id"))
       .limit(20)
-  }
 
   /** q137: exact-threshold Jaccard similarity JOIN with prefix
     * filtering (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
@@ -4093,10 +4139,7 @@ object LlmPipeline {
     */
   private val q143: Q = (s, dir) => {
     val scored = qualityWeights(s, dir)
-    val docs = t(s, dir, "documents").select(col("doc_id"))
-    val ranks = graft.operators.LinkRank
-      .train(docs.select(col("doc_id").as("node")), linkEdges(docs),
-        iters = 3)
+    val ranks = linkRankStanding(s, dir)
     val weighted = scored
       .join(ranks.select(col("node").as("doc_id"), col("rank_fp")),
         "doc_id")
