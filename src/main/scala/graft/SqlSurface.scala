@@ -100,7 +100,10 @@ object SqlSurface {
     // q152 collects its trained ULM vocabulary at build (plan-literal
     // Viterbi serving, the q148/Ulm.train shape)
     "q150_full_stack_log", "q151_langid_confusion",
-    "q152_ulm_lm_score")
+    "q152_ulm_lm_score",
+    // q154 rides the full q150 chain (standing stores + gate-survivor
+    // barriers at build time) plus the export threshold collect
+    "q154_curated_export")
 
   /** Register the driver testdata tables under `dir` as temp views
     * (`region … lineitem events documents embeddings`), plus the graft

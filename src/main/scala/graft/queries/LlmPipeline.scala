@@ -4538,9 +4538,17 @@ object LlmPipeline {
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
   }
 
-  private val q150: Q = (s, dir) => {
-    val raw = t(s, dir, "documents")
-    val docs = langMarkedOf(raw)
+  /** The eight-stage frames shared by q150 (the decision log) and
+    * q154 (the curated-export materialization) — ONE chain, so the
+    * log and the training set it explains can never disagree.
+    */
+  private case class FullStack(afterBlock: DataFrame,
+      afterLid: DataFrame, afterContam: DataFrame, passed: DataFrame,
+      admitted: DataFrame, exact: DataFrame, labels: DataFrame,
+      survivors: DataFrame, spanDropped: DataFrame)
+
+  private def fullStackStages(s: SparkSession, dir: String): FullStack = {
+    val docs = langMarkedOf(t(s, dir, "documents"))
     val blockStore = blocklistStandingStore(s, dir)
     val contamStore = contamStandingStore(s, dir)
     val lidDense = lidModelStanding(s, dir)
@@ -4564,7 +4572,15 @@ object LlmPipeline {
     val survivors = exact.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select("doc_id", "text")
-    val spanDropped = spanFirstOccurrenceDrops(survivors)
+    FullStack(afterBlock, afterLid, afterContam, passed, admitted,
+      exact, labels, survivors, spanFirstOccurrenceDrops(survivors))
+  }
+
+  private val q150: Q = (s, dir) => {
+    val raw = t(s, dir, "documents")
+    val st = fullStackStages(s, dir)
+    import st.{afterBlock, afterLid, afterContam, passed, admitted,
+      exact, labels, spanDropped}
     raw.select("doc_id")
       .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
         Seq("doc_id"), "left")
@@ -4765,6 +4781,47 @@ object LlmPipeline {
       .drop("content")
       .orderBy("doc_id")
 
+  /** q154: the CURATED-EXPORT capstone — "raw crawl → training mix"
+    * end to end as ONE audited materialization: the q150 eight-stage
+    * chain's kept documents ([[fullStackStages]] — the SAME derivation
+    * as the decision log, so the log and the training set it explains
+    * cannot disagree), bucketed by the LID gate's PREDICTED language
+    * (a production pipeline mixes by what the classifier says, not by
+    * provenance labels — the re-prediction over kept docs is the
+    * stateless literal scorer against the same standing model, so it
+    * matches the gate's verdict bit-for-bit), fed through the REAL
+    * training-mix materializer ([[graft.operators.CorpusExport]]'s
+    * uniform thresholds at rate 0.5 + content-addressed selection +
+    * disjoint-hash sharding — the q118/q142 algebra), reported as the
+    * per-(pred_lang, shard) manifest with thresholds. The oracle
+    * replays the ENTIRE path — every q150 CTE, the kept rule, the
+    * pred join, the q142 threshold spelling, the slot selection.
+    * Scale: the chain is q150's (gates + shrinking dedup frames); the
+    * export adds one KB threshold collect and one scan-side filter —
+    * nothing new shuffles except the manifest agg.
+    */
+  private val q154: Q = (s, dir) => {
+    import s.implicits._
+    val st = fullStackStages(s, dir)
+    val kept = st.survivors
+      .join(st.spanDropped, Seq("doc_id"), "left_anti")
+    val withLang = graft.operators.LangId
+      .predictLiteral(kept, "text", lidModelStanding(s, dir),
+        LangIdDims)
+      .select(col("doc_id"), col("pred_lang"))
+      .transform(graft.operators.Exec.materialize)
+    val th = graft.operators.CorpusExport
+      .uniformMixThresholds(withLang, "pred_lang", rate = 0.5)
+    graft.operators.CorpusExport
+      .selectAndShard(withLang, "pred_lang", "doc_id", th,
+        numShards = 8)
+      .join(broadcast(th.toDF("pred_lang", "threshold_ppm")),
+        Seq("pred_lang"))
+      .groupBy("pred_lang", "threshold_ppm", "shard")
+      .agg(count(lit(1)).as("n_selected"))
+      .orderBy("pred_lang", "shard")
+  }
+
   /** q147: CROSS-MODAL alignment scoring — the CLIP-score filter
     * (LAION/DataComp's keep-if-cosine-clears-τ gate) over a
     * deterministically PAIRED frame (the q39/q48 synthesize-then-
@@ -4936,7 +4993,8 @@ object LlmPipeline {
     "q150_full_stack_log" -> q150,
     "q151_langid_confusion" -> q151,
     "q152_ulm_lm_score" -> q152,
-    "q153_main_content" -> q153)
+    "q153_main_content" -> q153,
+    "q154_curated_export" -> q154)
 
   // =====================================================================
   // DuckDB oracle SQL
@@ -5212,43 +5270,16 @@ object LlmPipeline {
        |   * 1000000) AS BIGINT) AS weight_ppm
        | FROM scored0)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q24_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-         |SELECT vec_id, CAST(label AS BIGINT) AS label,
-         | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
-         |FROM e CROSS JOIN q WHERE vec_id <> 0
-         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
-    "q149_blocklist_gate" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  regexp_extract('https://' || source || CAST(doc_id % 7 AS VARCHAR)
-        |   || '.example.com/page/' || doc_id, 'https://([^/]+)/', 1)
-        |   AS domain,
-        |  doc_id % 7 AS slice
-        | FROM documents)
-        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        | CAST(SUM(CASE WHEN slice IN (2, 5) THEN 0 ELSE 1 END) AS BIGINT)
-        |  AS n_kept
-        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
-    // q150: the whole composed stack replayed in CTEs, now the CCNet
-    // order — the marked corpus (q151's CASE chain), the blocklist
-    // rule (every listed domain was registered by its own slice-2/5
-    // doc, so membership ⟺ slice ∈ {2,5}), the full LID train+serve
-    // grid (q151's CTEs, l-prefixed) with the spread>0 no-confidence
-    // rule and the {de,en} keep-set, q53's gram rule probing MARKED
-    // survivor text against the RAW-table benchmark slice, q116's
-    // quality gate, the ULM train + recursive-Viterti + mean-ll score
-    // (q152's CTEs, u-prefixed) cut at the q113-style histogram 4/5
-    // boundary bucket, then exact/near over the admitted survivors
-    // and q106's first-occurrence window rule over the near
-    // survivors.
-    "q150_full_stack_log" ->
-      s"""WITH RECURSIVE marked AS (
+  /** The q150 eight-stage chain as shared oracle CTEs (marked …
+    * sdrop) — ONE definition for the q150 and q154 oracles, mirroring
+    * the Spark-side [[fullStackStages]] factoring. The enclosing WITH
+    * must be RECURSIVE; the block ends without a trailing comma.
+    */
+  private lazy val fullStackCtes: String =
+    s"""marked AS MATERIALIZED (
          | SELECT doc_id, lang, $langMarkedCaseSql AS text, n_chars
          | FROM documents),
-         |b1 AS (
+         |b1 AS MATERIALIZED (
          | SELECT doc_id, text, n_chars FROM marked
          | WHERE doc_id % 7 NOT IN (2, 5)),
          |lf AS (
@@ -5291,7 +5322,7 @@ object LlmPipeline {
          |        CAST(SUM(lw.weight_fp) AS BIGINT) AS wsum,
          |        CAST(COUNT(*) AS BIGINT) AS nf
          |       FROM lf JOIN lw USING (fid) GROUP BY 1, 2)),
-         |lpred AS (
+         |lpred AS MATERIALIZED (
          | SELECT doc_id, lang AS pred_lang, spread FROM (
          |  SELECT doc_id, lang,
          |   ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -5299,7 +5330,7 @@ object LlmPipeline {
          |   MAX(wmean) OVER (PARTITION BY doc_id)
          |    - MIN(wmean) OVER (PARTITION BY doc_id) AS spread
          |  FROM lsm) WHERE rn = 1),
-         |b2 AS (
+         |b2 AS MATERIALIZED (
          | SELECT b1.doc_id, b1.text, b1.n_chars FROM b1
          | JOIN lpred USING (doc_id)
          | WHERE lpred.spread > 0
@@ -5327,7 +5358,7 @@ object LlmPipeline {
          |contam AS (
          | SELECT DISTINCT p.doc_id FROM phs p
          | JOIN bench bn ON p.g = bn.g),
-         |b3 AS (
+         |b3 AS MATERIALIZED (
          | SELECT b2.* FROM b2 LEFT JOIN contam USING (doc_id)
          | WHERE contam.doc_id IS NULL),
          |qtok AS (SELECT doc_id, text, n_chars, $dToks AS toks FROM b3),
@@ -5342,13 +5373,13 @@ object LlmPipeline {
          |  CAST(len(list_distinct(toks)) AS DOUBLE)
          |    / CAST(len(toks) AS DOUBLE) AS distinct_ratio
          | FROM qtok WHERE len(toks) >= 1),
-         |q AS (
+         |q AS MATERIALIZED (
          | SELECT doc_id, text, n_chars, toks FROM qm
          | WHERE n_tokens >= 40 AND n_tokens <= 100000
          |  AND mean_tok_len >= 3.5 AND mean_tok_len <= 5.5
          |  AND distinct_ratio >= 0.3 AND alpha_ratio >= 0.9),
          |ub AS (SELECT $dToks AS toks FROM marked),
-         |uwf AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+         |uwf AS MATERIALIZED (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
          |      FROM (SELECT unnest(toks) AS t FROM ub) GROUP BY 1),
          |usubs AS (
          | SELECT substring(word, i, l) AS piece, freq
@@ -5425,7 +5456,7 @@ object LlmPipeline {
          |       FROM ubx GROUP BY 1)),
          |ucut AS (SELECT MIN(bucket) AS b FROM ucum
          |        WHERE cum >= (total * 4 + 4) // 5),
-         |adm AS (
+         |adm AS MATERIALIZED (
          | SELECT q.doc_id, q.text, q.n_chars FROM q
          | JOIN ubx USING (doc_id) CROSS JOIN ucut
          | WHERE ubx.bx <= ucut.b),
@@ -5434,14 +5465,15 @@ object LlmPipeline {
          |   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
          |  AS keeper
          | FROM adm),
-         |survivors AS (
+         |survivors AS MATERIALIZED (
          | SELECT doc_id, text, n_chars FROM hkeep WHERE doc_id = keeper),
          |${minhashCtesFrom("survivors")},
          |mpairs AS (SELECT doc_a, doc_b FROM scored WHERE n_match >= 8),
          |${componentClosureSql("mpairs", "doc_a", "doc_b", "doc_id")},
-         |nsurv AS (
+         |compm AS MATERIALIZED (SELECT * FROM comp),
+       |nsurv AS (
          | SELECT s.doc_id, s.text FROM survivors s
-         | LEFT JOIN comp c ON s.doc_id = c.doc_id
+         | LEFT JOIN compm c ON s.doc_id = c.doc_id
          | WHERE c.doc_id IS NULL OR c.cluster_keeper = s.doc_id),
          |win AS (
          | SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 32)) AS h
@@ -5449,9 +5481,44 @@ object LlmPipeline {
          |        unnest(generate_series(1, length(text) - 31)) AS i
          |       FROM nsurv WHERE length(text) >= 32)),
          |wfirst AS (SELECT h, MIN(doc_id) AS first_doc FROM win GROUP BY h),
-         |sdrop AS (
+         |sdrop AS MATERIALIZED (
          | SELECT DISTINCT w.doc_id FROM win w
-         | JOIN wfirst f ON w.h = f.h WHERE w.doc_id > f.first_doc)
+         | JOIN wfirst f ON w.h = f.h WHERE w.doc_id > f.first_doc)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q24_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         | ${dot("v", "qv")} / (${norm("v")} * ${norm("qv")}) AS cosine
+         |FROM e CROSS JOIN q WHERE vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q149_blocklist_gate" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  regexp_extract('https://' || source || CAST(doc_id % 7 AS VARCHAR)
+        |   || '.example.com/page/' || doc_id, 'https://([^/]+)/', 1)
+        |   AS domain,
+        |  doc_id % 7 AS slice
+        | FROM documents)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN slice IN (2, 5) THEN 0 ELSE 1 END) AS BIGINT)
+        |  AS n_kept
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    // q150: the whole composed stack replayed in CTEs, now the CCNet
+    // order — the marked corpus (q151's CASE chain), the blocklist
+    // rule (every listed domain was registered by its own slice-2/5
+    // doc, so membership ⟺ slice ∈ {2,5}), the full LID train+serve
+    // grid (q151's CTEs, l-prefixed) with the spread>0 no-confidence
+    // rule and the {de,en} keep-set, q53's gram rule probing MARKED
+    // survivor text against the RAW-table benchmark slice, q116's
+    // quality gate, the ULM train + recursive-Viterti + mean-ll score
+    // (q152's CTEs, u-prefixed) cut at the q113-style histogram 4/5
+    // boundary bucket, then exact/near over the admitted survivors
+    // and q106's first-occurrence window rule over the near
+    // survivors.
+    "q150_full_stack_log" ->
+      ("WITH RECURSIVE " + fullStackCtes + """
          |SELECT d.doc_id,
          | CASE WHEN b1.doc_id IS NULL THEN 'blocklisted'
          |  WHEN b2.doc_id IS NULL THEN 'language'
@@ -5470,9 +5537,48 @@ object LlmPipeline {
          |LEFT JOIN q ON d.doc_id = q.doc_id
          |LEFT JOIN adm ON d.doc_id = adm.doc_id
          |LEFT JOIN survivors s ON d.doc_id = s.doc_id
-         |LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |LEFT JOIN compm c ON d.doc_id = c.doc_id
          |LEFT JOIN sdrop sd ON d.doc_id = sd.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |ORDER BY d.doc_id""".stripMargin),
+    // q154: the q150 chain verbatim (the SHARED fullStackCtes — one
+    // definition, mirroring the Spark-side fullStackStages factoring),
+    // then the kept rule, the LID prediction join (lpred is already in
+    // the chain), the q142 uniform-threshold spelling over pred_lang,
+    // and the q118 slot-selection/shard rule.
+    "q154_curated_export" ->
+      ("WITH RECURSIVE " + fullStackCtes + """,
+         |kept AS (
+         | SELECT s.doc_id FROM survivors s
+         | LEFT JOIN compm c ON s.doc_id = c.doc_id
+         | LEFT JOIN sdrop sd ON s.doc_id = sd.doc_id
+         | WHERE (c.doc_id IS NULL OR c.cluster_keeper = s.doc_id)
+         |  AND sd.doc_id IS NULL),
+         |kl AS MATERIALIZED (
+         | SELECT k.doc_id, p.pred_lang FROM kept k
+         | JOIN lpred p USING (doc_id)),
+         |kcounts AS (
+         | SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_g
+         | FROM kl GROUP BY 1),
+         |ktot AS (
+         | SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups FROM kcounts),
+         |kth AS (
+         | SELECT pred_lang,
+         |  LEAST(CAST(1000000 AS BIGINT),
+         |   CAST(round(LEAST(CAST(1 AS DOUBLE),
+         |     (CAST(0.5 AS DOUBLE) * n_total) / (n_groups * n_g))
+         |    * 1000000) AS BIGINT)) AS threshold_ppm
+         | FROM kcounts, ktot),
+         |ksel AS (
+         | SELECT kl.pred_lang, kth.threshold_ppm,
+         |  CAST('0x' || substr(md5(CAST(kl.doc_id AS VARCHAR)), 17, 15)
+         |   AS BIGINT) % 8 AS shard
+         | FROM kl JOIN kth ON kth.pred_lang = kl.pred_lang
+         | WHERE CAST('0x' || substr(md5(CAST(kl.doc_id AS VARCHAR)), 1, 15)
+         |   AS BIGINT) % 1000000 < kth.threshold_ppm)
+         |SELECT pred_lang, threshold_ppm, shard,
+         | CAST(COUNT(*) AS BIGINT) AS n_selected
+         |FROM ksel GROUP BY 1, 2, 3 ORDER BY pred_lang, shard""".stripMargin),
     // q151: mark + train + serve replayed end to end — the
     // LangMarkers CASE chain (generated from the same table as the
     // Spark side), distinct hashed char trigrams per doc (the qmCtes

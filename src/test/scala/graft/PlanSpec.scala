@@ -512,5 +512,12 @@ class PlanSpec extends SparkSuite {
     // in the operator itself)
     assert(!p153.contains("hashpartitioning"),
       s"q153 grew a shuffle beyond the presentation sort:\n$p153")
+    // q154: the export epilogue over the materialized chain — the
+    // selection is a broadcast-threshold scan-side filter, never a
+    // cartesian/nested-loop, and the manifest agg is the only wide op
+    val p154 = plan("q154_curated_export")
+    assert(!p154.contains("CartesianProduct") &&
+      !p154.contains("BroadcastNestedLoopJoin"),
+      s"q154 degenerated:\n$p154")
   }
 }
