@@ -318,6 +318,40 @@ class LlmPipelineSpec extends SparkSuite {
     }
   }
 
+  test("MainContent edge cases: a links-only line is boilerplate by " +
+    "link density even past the token floor; an all-boilerplate page " +
+    "extracts to the empty string; a newline-free plain document is " +
+    "the identity; extract preserves every other column") {
+    import spark.implicits._
+    val MC = graft.operators.MainContent
+    val body = (1 to 20).map(i => s"word$i token$i").mkString(" ")
+    // nine+ tokens of anchor text: clears the floor, fails link density
+    val linksOnly = "<div>" + (1 to 9).map(i =>
+      s"""<a href="/$i">linked$i</a>""").mkString(" ") + "</div>"
+    val page = linksOnly + "\n<p>" + body + "</p>"
+    val r = MC.report(Seq((1L, page)).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_lines") === 2L)
+    assert(r.getAs[Long]("n_content_lines") === 1L,
+      "the links-only line must fall to link density")
+    assert(r.getAs[String]("content") === body)
+    // all boilerplate → empty extraction, not null/crash
+    val r2 = MC.report(Seq((2L, linksOnly)).toDF("doc_id", "text"),
+      "text").collect()(0)
+    assert(r2.getAs[Long]("n_content_lines") === 0L)
+    assert(r2.getAs[String]("content") === "")
+    assert(r2.getAs[Long]("content_chars") === 0L)
+    // a plain newline-free document with enough tokens passes through
+    val r3 = MC.extract(
+      Seq((3L, body, "keep")).toDF("doc_id", "text", "extra"), "text")
+      .collect()(0)
+    assert(r3.getAs[String]("text") === body, "plain text is identity")
+    assert(r3.getAs[String]("extra") === "keep",
+      "extract must pass other columns through")
+    assert(r3.schema.fieldNames.toSeq === Seq("doc_id", "text", "extra"),
+      "extract must preserve column order and drop helpers")
+  }
+
   test("q150 span stage vs SpanStore probe: identical flagged sets on " +
     "history-free frames (the shared-definition law), divergence ONLY " +
     "on the transitive already-dropped-source case — the deliberate " +

@@ -519,5 +519,11 @@ class PlanSpec extends SparkSuite {
     assert(!p154.contains("CartesianProduct") &&
       !p154.contains("BroadcastNestedLoopJoin"),
       s"q154 degenerated:\n$p154")
+    // q100 PROBES the standing label store: two aggs over a parquet
+    // read, join-free — a revert to in-query label propagation would
+    // put joins (and the iterative loop) back in this plan
+    val p100 = plan("q100_cluster_sizes")
+    assert(!p100.contains("Join"),
+      s"q100 must probe the standing label snapshot, not recluster:\n$p100")
   }
 }
