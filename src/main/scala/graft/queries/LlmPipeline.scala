@@ -4739,12 +4739,20 @@ object LlmPipeline {
   /** The boilerplate-framed page corpus for q153 — the q39/q48/q98
     * synthesize-then-operate pattern (the testdata ships clean text,
     * so the web-page frame is planted deterministically): nav bar,
-    * heading, the document's text as two paragraph lines, a
-    * related-links block, and a footer, newline-separated. The
-    * related block is deliberately long enough to pass the token
-    * floor so ONLY the link-density rule can reject it; nav/heading/
-    * footer fall to the token floor — each boilerplate line tests a
-    * specific signal.
+    * heading, the document's text as two paragraph lines, and a
+    * planted line per MainContent rule, newline-separated. The
+    * related block passes the token floor so ONLY link density can
+    * reject it (its FIRST anchor is attribute-free — the `<a>` form
+    * the fixed regex must count); nav/heading/footer fall to the
+    * token floor or the short band's stopword test. The three planted
+    * short/anchor lines exercise the r20 rules one each: a
+    * high-stopword short line BETWEEN the two paragraphs (context
+    * smoothing keeps it), a zero-stopword short line between two
+    * content lines (stopword density drops it even where context
+    * would promote), and a high-stopword short line whose next
+    * neighbour is boilerplate (context smoothing drops it). The
+    * constant "story of the day" line is the always-CONTENT anchor
+    * (14 tokens, link-free) the latter two lean on.
     */
   private[graft] def boilerplateFramedOf(docs: DataFrame): DataFrame =
     docs.withColumn("page", concat(
@@ -4753,23 +4761,29 @@ object LlmPipeline {
       lit("<h1>Story "), col("doc_id").cast(StringType),
       lit("</h1>\n<p>"),
       expr("substring(text, 1, char_length(text) div 2)"),
-      lit("</p>\n<p>"),
+      lit("</p>\n<p>It was the best of the lot.</p>\n<p>"),
       expr("substring(text, char_length(text) div 2 + 1)"),
-      lit("</p>\n<div>see also <a href=\"/d/1\">related article " +
+      lit("</p>\n<p>Widget Pro Deluxe Max Nine</p>\n" +
+        "<p>The story of the day and all of the rest of it went " +
+        "on.</p>\n" +
+        "<p>And that was all of it.</p>\n" +
+        "<div>see also <a>related article " +
         "one</a> and <a href=\"/d/2\">related article two</a></div>\n" +
         "<footer>copyright 2026 example corp | " +
         "<a href=\"/terms\">terms</a></footer>")))
 
   /** q153: MAIN-CONTENT extraction audit — the
     * [[graft.operators.MainContent]] jusText-class line rule (token
-    * floor + link density, integer thresholds) over the
+    * floor + link density + short-band stopword density + context
+    * smoothing, integer thresholds) over the
     * [[boilerplateFramedOf]] page corpus: per document the line
     * counts, extracted-content size, and the post-extraction q27-style
     * content hash (boilerplate-invariant dedup is what this stage buys
     * — two pages differing only in nav/footer hash identical after
     * extraction). The oracle replays synthesis → line split → tag
-    * strip → anchor-char fold → the two-signal rule → reassembly in
-    * DuckDB HOFs, so a drift anywhere in the rule breaks the hash.
+    * strip → anchor-char fold → the 3-way class rule → context
+    * smoothing → reassembly in DuckDB HOFs, so a drift anywhere in
+    * the rule breaks the hash.
     * Scale: one stateless per-row projection, zero shuffle; the feed
     * form ([[graft.operators.MainContent.extract]]) composes pre-LID
     * in the full-stack feed.
@@ -5716,8 +5730,10 @@ object LlmPipeline {
          |  / CAST(n_pieces AS DOUBLE)) AS BIGINT) AS ll_mean_fp
          |FROM agg ORDER BY doc_id""".stripMargin,
     // q153: synthesis → line split → tag strip → anchor-char fold →
-    // the two-signal rule (token floor 8, link-density linkc·2 <
-    // plain chars) → content reassembly, all in DuckDB list HOFs.
+    // the 3-way class rule (link density linkc·2 < plain chars;
+    // token floor 8 → CONTENT; short band ≥3 tokens + stopword
+    // density nstop·4 ≥ ntok → NEAR) → context smoothing (NEAR kept
+    // iff both neighbours CONTENT) → reassembly, all in DuckDB HOFs.
     "q153_main_content" ->
       """WITH pg AS (
         | SELECT doc_id,
@@ -5726,28 +5742,48 @@ object LlmPipeline {
         |  '<h1>Story ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
         |  '<p>' || substr(text, 1, length(text) // 2) || '</p>'
         |   || chr(10) ||
+        |  '<p>It was the best of the lot.</p>' || chr(10) ||
         |  '<p>' || substr(text, length(text) // 2 + 1) || '</p>'
         |   || chr(10) ||
-        |  '<div>see also <a href="/d/1">related article one</a> and ' ||
+        |  '<p>Widget Pro Deluxe Max Nine</p>' || chr(10) ||
+        |  '<p>The story of the day and all of the rest of it went ' ||
+        |  'on.</p>' || chr(10) ||
+        |  '<p>And that was all of it.</p>' || chr(10) ||
+        |  '<div>see also <a>related article one</a> and ' ||
         |  '<a href="/d/2">related article two</a></div>' || chr(10) ||
         |  '<footer>copyright 2026 example corp | ' ||
         |  '<a href="/terms">terms</a></footer>' AS page
         | FROM documents),
         |st AS (
         | SELECT doc_id,
-        |  list_transform(string_split(page, chr(10)), l -> struct_pack(
+        |  list_transform(
+        |   list_transform(string_split(page, chr(10)), l -> struct_pack(
         |    plain := trim(regexp_replace(regexp_replace(l,
         |      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
         |    linkc := COALESCE(list_sum(list_transform(
-        |      regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
-        |      x -> length(x))), 0))) AS ls
+        |      regexp_extract_all(l, '<a(\s[^>]*)?>([^<]*)</a>', 2),
+        |      x -> length(x))), 0))),
+        |   x -> struct_pack(plain := x.plain, linkc := x.linkc,
+        |    toks := regexp_extract_all(x.plain, '\w+'))) AS ls
         | FROM pg),
+        |cl AS (
+        | SELECT doc_id, ls,
+        |  list_transform(ls, x -> CASE
+        |    WHEN x.linkc * 2 >= length(x.plain) THEN 0
+        |    WHEN len(x.toks) >= 8 THEN 2
+        |    WHEN len(x.toks) >= 3 AND len(list_filter(x.toks,
+        |      t -> lower(t) IN ('the', 'a', 'and', 'of', 'to'))) * 4
+        |      >= len(x.toks) THEN 1
+        |    ELSE 0 END) AS cls
+        | FROM st),
         |cf AS (
         | SELECT doc_id, ls,
-        |  list_filter(ls, x ->
-        |    len(regexp_extract_all(x.plain, '\w+')) >= 8
-        |    AND x.linkc * 2 < length(x.plain)) AS cs
-        | FROM st),
+        |  list_transform(
+        |   list_filter(generate_series(1, len(cls)), i ->
+        |    cls[i] = 2 OR (cls[i] = 1 AND i > 1 AND i < len(cls)
+        |     AND cls[i - 1] = 2 AND cls[i + 1] = 2)),
+        |   i -> ls[i]) AS cs
+        | FROM cl),
         |fin AS (
         | SELECT doc_id, ls, cs,
         |  -- array_to_string(NULL-safe): an all-boilerplate page has an

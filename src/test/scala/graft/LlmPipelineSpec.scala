@@ -352,6 +352,38 @@ class LlmPipelineSpec extends SparkSuite {
       "extract must preserve column order and drop helpers")
   }
 
+  test("MainContent r20 rules: context smoothing keeps a high-stopword " +
+    "short line only between two content lines; the short band's " +
+    "stopword-density test drops prose-free short lines even there; " +
+    "an attribute-free <a> anchor counts toward link density") {
+    import spark.implicits._
+    val MC = graft.operators.MainContent
+    val para = (1 to 12).map(i => s"alpha$i beta$i").mkString(" ")
+    val near = "It was the best of the lot." // 7 toks, 3 stopwords
+    val noStop = "Widget Pro Deluxe Max Nine" // 5 toks, 0 stopwords
+    def content(page: String): String =
+      MC.report(Seq((1L, page)).toDF("doc_id", "text"), "text")
+        .collect()(0).getAs[String]("content")
+    // NEAR between two CONTENT lines → promoted
+    assert(content(s"<p>$para</p>\n<p>$near</p>\n<p>$para</p>")
+      === s"$para $near $para",
+      "a short prose line between two paragraphs is body text")
+    // same NEAR line against a boilerplate neighbour → dropped
+    assert(content(s"<nav>site map</nav>\n<p>$near</p>\n<p>$para</p>")
+      === para,
+      "context smoothing requires BOTH neighbours to be content")
+    // zero-stopword short line between two CONTENT lines → dropped
+    assert(content(s"<p>$para</p>\n<p>$noStop</p>\n<p>$para</p>")
+      === s"$para $para",
+      "the short band's stopword test drops prose-free lines")
+    // attribute-free <a> counts link chars: nine tokens of bare-anchor
+    // text clears the token floor yet fails link density
+    val bare = "<div>" + (1 to 9).map(i => s"<a>linked$i</a>")
+      .mkString(" ") + "</div>"
+    assert(content(s"$bare\n<p>$para</p>") === para,
+      "an attribute-free <a> anchor must count toward link density")
+  }
+
   test("q150 span stage vs SpanStore probe: identical flagged sets on " +
     "history-free frames (the shared-definition law), divergence ONLY " +
     "on the transitive already-dropped-source case — the deliberate " +
