@@ -2271,11 +2271,14 @@ object LlmPipeline {
         Seq("doc_id"), "left")
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("q_pass").isNull, lit("quality"))
-          .when(col("e_pass").isNull, lit("exact_dup"))
+        when(col("q_pass").isNull,
+            lit(graft.operators.CurationOutcome.Quality))
+          .when(col("e_pass").isNull,
+            lit(graft.operators.CurationOutcome.ExactDup))
           .when(col("label").isNotNull && col("label") =!= col("doc_id"),
-            lit("near_dup"))
-          .otherwise(lit("kept")).as("outcome"))
+            lit(graft.operators.CurationOutcome.NearDup))
+          .otherwise(lit(graft.operators.CurationOutcome.Kept))
+          .as("outcome"))
       .orderBy("doc_id")
   }
 
@@ -4598,16 +4601,24 @@ object LlmPipeline {
       .join(spanDropped.withColumn("s_drop", lit(1)), Seq("doc_id"),
         "left")
       .select(col("doc_id"),
-        when(col("b_pass").isNull, lit("blocklisted"))
-          .when(col("l_pass").isNull, lit("language"))
-          .when(col("c_pass").isNull, lit("contaminated"))
-          .when(col("q_pass").isNull, lit("quality"))
-          .when(col("m_pass").isNull, lit("lm_score"))
-          .when(col("e_pass").isNull, lit("exact_dup"))
+        when(col("b_pass").isNull,
+            lit(graft.operators.CurationOutcome.Blocklisted))
+          .when(col("l_pass").isNull,
+            lit(graft.operators.CurationOutcome.Language))
+          .when(col("c_pass").isNull,
+            lit(graft.operators.CurationOutcome.Contaminated))
+          .when(col("q_pass").isNull,
+            lit(graft.operators.CurationOutcome.Quality))
+          .when(col("m_pass").isNull,
+            lit(graft.operators.CurationOutcome.LmScore))
+          .when(col("e_pass").isNull,
+            lit(graft.operators.CurationOutcome.ExactDup))
           .when(col("label").isNotNull && col("label") =!= col("doc_id"),
-            lit("near_dup"))
-          .when(col("s_drop").isNotNull, lit("span_dup"))
-          .otherwise(lit("kept")).as("outcome"))
+            lit(graft.operators.CurationOutcome.NearDup))
+          .when(col("s_drop").isNotNull,
+            lit(graft.operators.CurationOutcome.SpanDup))
+          .otherwise(lit(graft.operators.CurationOutcome.Kept))
+          .as("outcome"))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -293,7 +293,11 @@ object Streams {
         org.apache.spark.sql.types.StructType =
         _.add("content_hash", org.apache.spark.sql.types.StringType),
       maintenanceEvery: Int = 0,
-      maintain: SparkSession => Unit = _ => ())(
+      maintain: SparkSession => Unit = _ => (),
+      // batch-id-aware check override (the observed full-stack form
+      // writes its yield frame keyed by batch id); when set, `check`
+      // is ignored. Runs only on UNCOMMITTED batches, like `check`.
+      checkWithId: Option[(DataFrame, Long) => DataFrame] = None)(
       check: DataFrame => DataFrame,
       record: DataFrame => Unit): StreamingQuery =
     docs.writeStream
@@ -307,7 +311,8 @@ object Streams {
         val committed = fs.exists(
           new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
         if (!committed) {
-          val fresh = check(batch)
+          val fresh = checkWithId.map(_(batch, batchId))
+            .getOrElse(check(batch))
             .localCheckpoint(true) // one evaluation feeds the write
           try fresh.write.mode("overwrite").parquet(target.toString)
           finally fresh.unpersist()
@@ -2491,39 +2496,173 @@ object Streams {
       "left_semi")
   }
 
-  /** The FIVE-GATE prefix of the full-stack feeds — blocklist →
+  /** The EIGHT stage functions of the full-stack feeds — blocklist →
     * (optional main-content extraction) → language → contamination →
-    * quality → lm_score — as ONE definition: the path and bucketed
-    * forms differ only in their dedup-store legs, so the gate chain
-    * must not be able to drift between them.
+    * quality → lm_score → exact → near → span — as ONE labelled list
+    * (labels = [[graft.operators.CurationOutcome]], q150's outcome
+    * vocabulary): the path and bucketed forms differ only in the
+    * three injected dedup-leg functions, so the stage chain and its
+    * observability labels cannot drift between them, or between the
+    * plain fold (one composed plan — today's feed path) and the
+    * observed per-stage run ([[observedStageRun]]).
     */
-  private def fullStackGates(textCol: String, idCol: String,
+  private def fullStackStageFns(textCol: String, idCol: String,
       keyCol: String, blocklistStorePath: String,
       lidModels: Seq[(String, Seq[Long])], lidDims: Int,
       keepLangSet: Set[String], contamStorePath: String,
       denseWeights: Seq[Long], thFp: Long, dims: Int,
       ulmVocab: Seq[(String, Long)], minLlMeanFp: Long,
       ulmMaxLen: Int, minSharedGrams: Int,
-      extractMainContent: Boolean)(batch: DataFrame): DataFrame = {
-    // the CONTENT-EXTRACTION stage sits between the (text-free)
-    // domain gate and the LID gate — exactly where a web pipeline
-    // runs it: everything downstream judges the MAIN content, so
-    // boilerplate can neither carry a page through a gate nor
-    // poison a dedup store (nav-only variants hash identical)
-    val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
-      batch, keyCol, blocklistStorePath)
-    val entrants =
-      if (extractMainContent)
-        graft.operators.MainContent.extract(blocked, textCol)
-      else blocked
-    ulmScoreGate(textCol, idCol, ulmVocab, minLlMeanFp, ulmMaxLen)(
-      graft.operators.QualityModel.keepGood(
-        graft.ingest.ContaminationStore.newCleanWithBloom(
-          graft.operators.LangId.keepLangs(entrants, textCol,
-            lidModels, lidDims, keepLangSet),
-          textCol, idCol, contamStorePath, minSharedGrams),
-        textCol, denseWeights, thFp, dims))
+      extractMainContent: Boolean,
+      exactCheck: DataFrame => DataFrame,
+      nearCheck: DataFrame => DataFrame,
+      spanCheck: DataFrame => DataFrame)
+      : Seq[(String, DataFrame => DataFrame)] = {
+    val O = graft.operators.CurationOutcome
+    Seq(
+      // the CONTENT-EXTRACTION stage sits between the (text-free)
+      // domain gate and the LID gate — exactly where a web pipeline
+      // runs it: everything downstream judges the MAIN content, so
+      // boilerplate can neither carry a page through a gate nor
+      // poison a dedup store (nav-only variants hash identical).
+      // Extraction drops no rows, so it folds into the blocklist
+      // stage for yield accounting.
+      O.Blocklisted -> { b: DataFrame =>
+        val blocked = graft.ingest.DedupStore.newUnseenWithBloom(
+          b, keyCol, blocklistStorePath)
+        if (extractMainContent)
+          graft.operators.MainContent.extract(blocked, textCol)
+        else blocked
+      },
+      O.Language -> ((b: DataFrame) => graft.operators.LangId
+        .keepLangs(b, textCol, lidModels, lidDims, keepLangSet)),
+      O.Contaminated -> ((b: DataFrame) => graft.ingest
+        .ContaminationStore.newCleanWithBloom(b, textCol, idCol,
+          contamStorePath, minSharedGrams)),
+      O.Quality -> ((b: DataFrame) => graft.operators.QualityModel
+        .keepGood(b, textCol, denseWeights, thFp, dims)),
+      O.LmScore -> ((b: DataFrame) => ulmScoreGate(textCol, idCol,
+        ulmVocab, minLlMeanFp, ulmMaxLen)(b)),
+      O.ExactDup -> exactCheck,
+      O.NearDup -> nearCheck,
+      O.SpanDup -> spanCheck)
   }
+
+  /** The q46 content-addressed sampling slot in [0, 100) keyed on the
+    * id column — md5, NOT rand(): the sampled reject log is stable
+    * across reruns, partitionings, and replays.
+    */
+  private def sampleSlotExpr(idCol: String): Column =
+    expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), " +
+      "16, 10) as bigint) % 100")
+
+  /** Per-batch OBSERVED run of the eight-stage chain — the feed's
+    * per-stage yield observability (the StoreStats posture: a small
+    * metadata frame beside the data, never a re-run of the batch
+    * audit over the corpus): fold the stages with a materialization
+    * barrier per stage, count each boundary, and write beside the
+    * commit
+    *
+    *   `yieldDir/yields/batch=<id>`  — (batch_id, outcome, n_docs):
+    *     one row per [[graft.operators.CurationOutcome]] drop stage
+    *     with the documents that stage dropped this batch, plus the
+    *     `kept` row with the batch's survivors — so cumulative
+    *     streamed yields are the same GROUP BY outcome report as the
+    *     batch q150 decision log (StreamingSpec pins the equality);
+    *   `yieldDir/rejects/batch=<id>` — (doc_id, stage, text): the
+    *     content-addressed sample of each stage's rejects
+    *     (`rejectSampleSlots` of 100 q46 md5 slots, never rand()),
+    *     written only when sampling is on — the "show me example
+    *     documents the language gate dropped today" answer.
+    *
+    * Exactly-once per batch id with replay-no-op, inherited from the
+    * cycle: this runs only on UNCOMMITTED batches (a replayed
+    * committed batch skips check entirely, so yields are neither
+    * recomputed nor double-counted), and a crash between the yield
+    * write and the data commit replays into an identical overwrite —
+    * the stages are deterministic and the crashed attempt recorded
+    * nothing, so the store state they judge against is unchanged.
+    * Cost: one materialization barrier + count per stage on the
+    * MICRO-BATCH (not the corpus) — the observed form trades the
+    * single fused plan for per-stage visibility; leave `yieldDir`
+    * unset to keep today's one-plan path. Barrier lifecycle: every
+    * intermediate barrier releases before returning; the FINAL
+    * barrier is the frame the cycle commits, so it parks in
+    * `pending` (one per stream) and releases at the NEXT call — a
+    * one-micro-batch-deep deferral, so barrier storage is bounded by
+    * one batch however long the stream runs.
+    */
+  private def observedStageRun(
+      stages: Seq[(String, DataFrame => DataFrame)],
+      idCol: String, textCol: String, yieldDir: String,
+      rejectSampleSlots: Int,
+      pending: scala.collection.mutable.ArrayBuffer[DataFrame])(
+      batch: DataFrame, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    pending.foreach(graft.operators.Exec.release)
+    pending.clear()
+    val barriers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = graft.operators.Exec.materialize(batch)
+    barriers += cur
+    var curN = cur.count()
+    val yields = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val rejectParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for ((label, f) <- stages) {
+      val next = graft.operators.Exec.materialize(f(cur))
+      val nextN = next.count()
+      yields += ((batchId, label, curN - nextN))
+      if (rejectSampleSlots > 0 && nextN != curN)
+        rejectParts += cur
+          .join(next.select(col(idCol)), Seq(idCol), "left_anti")
+          .filter(sampleSlotExpr(idCol) < rejectSampleSlots)
+          .select(col(idCol).as("doc_id"), lit(label).as("stage"),
+            col(textCol).cast(org.apache.spark.sql.types.StringType)
+              .as("text"))
+      barriers += next
+      cur = next
+      curN = nextN
+    }
+    yields += ((batchId, graft.operators.CurationOutcome.Kept, curN))
+    yields.toSeq.toDF("batch_id", "outcome", "n_docs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$yieldDir/yields/batch=$batchId")
+    if (rejectSampleSlots > 0)
+      rejectParts.reduceOption(_.union(_))
+        .map(_.coalesce(1))
+        // an all-kept batch still writes a READABLE empty frame
+        // (repartition(1) forces one part file carrying the schema)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              batch.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("stage",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .repartition(1))
+        .write.mode("overwrite")
+        .parquet(s"$yieldDir/rejects/batch=$batchId")
+    // every intermediate barrier is consumed (counts + reject writes
+    // above); the survivors frame returns to the cycle's commit and
+    // releases at the next call (see the lifecycle note above)
+    barriers.dropRight(1).foreach(graft.operators.Exec.release)
+    pending += cur
+    cur
+  }
+
+  /** Read back a feed's cumulative yield frame — one row per
+    * [[graft.operators.CurationOutcome]] label with total documents
+    * across all observed batches (the `GROUP BY outcome` report the
+    * batch q150 log answers corpus-wide, here from the per-batch
+    * metadata alone).
+    */
+  def readCurationYields(spark: SparkSession,
+      yieldDir: String): DataFrame =
+    spark.read.parquet(s"$yieldDir/yields")
+      .groupBy("outcome")
+      .agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"))
 
   /** [[curationFeedThroughStores]] (2-store form) behind the LEARNED
     * LANGUAGE-ID gate — CCNet's stage #2 (bucket the crawl by learned
@@ -2659,6 +2798,12 @@ object Streams {
     * web-pipeline position: every later gate and store judges the
     * MAIN content, so two pages differing only in nav/footer dedup as
     * exact copies (the StreamingSpec boilerplate-invariance law).
+    * `yieldDir` turns on per-stage OBSERVABILITY: each batch writes
+    * its (outcome, n_docs) yield frame — q150's label vocabulary —
+    * and (with `rejectSampleSlots` > 0) a content-addressed sample of
+    * each stage's rejects beside the commit; see [[observedStageRun]]
+    * for the exactly-once/replay contract and [[readCurationYields]]
+    * for the cumulative report.
     */
   def fullStackCurationFeed(docs: DataFrame, textCol: String,
       idCol: String, keyCol: String, blocklistStorePath: String,
@@ -2670,7 +2815,21 @@ object Streams {
       spanStorePath: String, outDir: String, checkpointDir: String,
       maintenanceEvery: Int = 0, minSharedGrams: Int = 1,
       ulmMaxLen: Int = 4,
-      extractMainContent: Boolean = false): StreamingQuery =
+      extractMainContent: Boolean = false,
+      yieldDir: Option[String] = None,
+      rejectSampleSlots: Int = 0): StreamingQuery = {
+    val stageFns = fullStackStageFns(textCol, idCol, keyCol,
+      blocklistStorePath, lidModels, lidDims, keepLangSet,
+      contamStorePath, denseWeights, thFp, dims, ulmVocab,
+      minLlMeanFp, ulmMaxLen, minSharedGrams, extractMainContent,
+      b => graft.ingest.DedupStore.newUniqueWithBloom(
+        b, textCol, idCol, exactStorePath),
+      b => graft.ingest.NearDupStore.newNearUniqueWithBloom(
+        b, textCol, idCol, nearStorePath),
+      b => graft.ingest.SpanStore.newSpanUniqueWithBloom(
+        b, textCol, idCol, spanStorePath))
+    val pendingRelease =
+      scala.collection.mutable.ArrayBuffer[DataFrame]()
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "full_stack_curation_feed",
       maintenanceEvery = maintenanceEvery,
@@ -2694,17 +2853,11 @@ object Streams {
             .compactStore(s2, spanStorePath); () },
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecar(s2, spanStorePath); () }))
-      })(
-      batch => graft.ingest.SpanStore.newSpanUniqueWithBloom(
-        graft.ingest.NearDupStore.newNearUniqueWithBloom(
-          graft.ingest.DedupStore.newUniqueWithBloom(
-            fullStackGates(textCol, idCol, keyCol, blocklistStorePath,
-              lidModels, lidDims, keepLangSet, contamStorePath,
-              denseWeights, thFp, dims, ulmVocab, minLlMeanFp,
-              ulmMaxLen, minSharedGrams, extractMainContent)(batch),
-            textCol, idCol, exactStorePath),
-          textCol, idCol, nearStorePath),
-        textCol, idCol, spanStorePath),
+      },
+      checkWithId = yieldDir.map(yd =>
+        observedStageRun(stageFns, idCol, textCol, yd,
+          rejectSampleSlots, pendingRelease) _))(
+      batch => stageFns.foldLeft(batch) { case (d, (_, f)) => f(d) },
       committed => {
         graft.ingest.DedupStore
           .recordHashes(committed, textCol, exactStorePath)
@@ -2713,6 +2866,7 @@ object Streams {
         graft.ingest.SpanStore
           .recordWindows(committed, textCol, idCol, spanStorePath)
       })
+  }
 
   /** [[fullStackCurationFeed]] against BUCKETED dedup tables — the
     * year-of-recording form of the flagship composition: the three
@@ -2726,7 +2880,9 @@ object Streams {
     * contamination-store disposition) — and the two learned gates
     * (LID, ULM LM-score) are PLAN LITERALS with no store at all. Same
     * staging order, same rejects-never-recorded law, same replay
-    * matrix as the path form.
+    * matrix, and same `yieldDir` observability leg
+    * ([[observedStageRun]] — shared stage list, shared labels) as the
+    * path form.
     */
   def fullStackCurationFeedBucketed(docs: DataFrame, textCol: String,
       idCol: String, keyCol: String, blocklistStorePath: String,
@@ -2738,7 +2894,9 @@ object Streams {
       spanTable: String, outDir: String, checkpointDir: String,
       buckets: Int = 32, maintenanceEvery: Int = 0,
       minSharedGrams: Int = 1, ulmMaxLen: Int = 4,
-      extractMainContent: Boolean = false): StreamingQuery = {
+      extractMainContent: Boolean = false,
+      yieldDir: Option[String] = None,
+      rejectSampleSlots: Int = 0): StreamingQuery = {
     val spark = docs.sparkSession
     graft.ingest.DedupStore.ensureBucketedStore(spark, exactTable,
       buckets)
@@ -2746,6 +2904,18 @@ object Streams {
       buckets)
     graft.ingest.SpanStore.ensureBucketedStore(spark, spanTable,
       buckets)
+    val stageFns = fullStackStageFns(textCol, idCol, keyCol,
+      blocklistStorePath, lidModels, lidDims, keepLangSet,
+      contamStorePath, denseWeights, thFp, dims, ulmVocab,
+      minLlMeanFp, ulmMaxLen, minSharedGrams, extractMainContent,
+      b => graft.ingest.DedupStore.newUniqueBucketedWithBloom(
+        b, textCol, idCol, exactTable),
+      b => graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
+        b, textCol, idCol, nearTable),
+      b => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
+        b, textCol, idCol, spanTable))
+    val pendingRelease =
+      scala.collection.mutable.ArrayBuffer[DataFrame]()
     dedupThroughStoreWith(docs, textCol, outDir, checkpointDir,
       "full_stack_curation_feed_bucketed",
       maintenanceEvery = maintenanceEvery,
@@ -2780,17 +2950,11 @@ object Streams {
             .compactBucketedStore(s2, spanTable); () },
           Some(() => { graft.ingest.SpanStore
             .buildBloomSidecarBucketed(s2, spanTable); () }))
-      })(
-      batch => graft.ingest.SpanStore.newSpanUniqueBucketedWithBloom(
-        graft.ingest.NearDupStore.newNearUniqueBucketedWithBloom(
-          graft.ingest.DedupStore.newUniqueBucketedWithBloom(
-            fullStackGates(textCol, idCol, keyCol, blocklistStorePath,
-              lidModels, lidDims, keepLangSet, contamStorePath,
-              denseWeights, thFp, dims, ulmVocab, minLlMeanFp,
-              ulmMaxLen, minSharedGrams, extractMainContent)(batch),
-            textCol, idCol, exactTable),
-          textCol, idCol, nearTable),
-        textCol, idCol, spanTable),
+      },
+      checkWithId = yieldDir.map(yd =>
+        observedStageRun(stageFns, idCol, textCol, yd,
+          rejectSampleSlots, pendingRelease) _))(
+      batch => stageFns.foldLeft(batch) { case (d, (_, f)) => f(d) },
       committed => {
         graft.ingest.DedupStore
           .recordHashesBucketed(committed, textCol, exactTable)

@@ -3422,7 +3422,11 @@ class StreamingSpec extends SparkSuite {
     "quality, lm_score, exact, near, span as ONE feed in CCNet " +
     "production order; every gate's rejects drop before ANY later " +
     "store and are never recorded; the dedup legs work behind the " +
-    "gates; replay is a no-op") {
+    "gates; replay is a no-op — and the OBSERVED form's per-batch " +
+    "yield frames carry q150's outcome vocabulary, sum to the batch " +
+    "decision-log counts over the fed corpus, conserve every " +
+    "delivered document, sample rejects content-addressed, and " +
+    "replay adds nothing") {
     import spark.implicits._
     val srcDir = tmpDir("fsc-src")
     val outDir = tmpDir("fsc-out") + "/docs"
@@ -3526,6 +3530,9 @@ class StreamingSpec extends SparkSuite {
     def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
       rows.toDF("doc_id", "text", "domain").coalesce(1).write
         .mode("overwrite").parquet(s"$srcDir/$name")
+    // the OBSERVED form: per-stage yields + the full (100-slot)
+    // content-addressed reject sample, written beside the commit
+    val yieldRoot = tmpDir("fsc-yield")
     def drain(ckpt: String): Unit =
       graft.streaming.Streams.fullStackCurationFeed(
         spark.readStream.schema(schema)
@@ -3534,7 +3541,22 @@ class StreamingSpec extends SparkSuite {
         lidModels, lidDims, Set("en"), contamStore,
         dense, 0L, dims, ulmVocab, minLl,
         exactStore, nearStore, spanStore,
-        outDir, ckpt).awaitTermination()
+        outDir, ckpt, yieldDir = Some(yieldRoot),
+        rejectSampleSlots = 100).awaitTermination()
+    val O = graft.operators.CurationOutcome
+    def batchYields(): Map[(Long, String), Long] =
+      spark.read.parquet(s"$yieldRoot/yields").collect()
+        .map(r => (r.getAs[Long]("batch_id"),
+          r.getAs[String]("outcome")) -> r.getAs[Long]("n_docs"))
+        .toMap
+    def cumulative(): Map[String, Long] =
+      graft.streaming.Streams.readCurationYields(spark, yieldRoot)
+        .collect().map(r => r.getAs[String]("outcome") ->
+          r.getAs[Long]("n_docs")).toMap
+    def sampledRejects(): Set[(Long, String)] =
+      spark.read.parquet(s"$yieldRoot/rejects").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("stage")))
+        .toSet
     def survivors(): Seq[Long] = spark.read.parquet(outDir)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val ckpt1 = tmpDir("fsc-ckpt1")
@@ -3544,6 +3566,21 @@ class StreamingSpec extends SparkSuite {
     drain(ckpt1)
     assert(survivors() === Seq(1L, 2L),
       "exactly the gate-clean docs must land")
+    // batch-0 yields: one count per outcome label, first-drop
+    // semantics — each planted reject charges exactly its gate
+    assert(batchYields() === Map(
+      (0L, O.Blocklisted) -> 1L, (0L, O.Language) -> 1L,
+      (0L, O.Contaminated) -> 1L, (0L, O.Quality) -> 1L,
+      (0L, O.LmScore) -> 1L, (0L, O.ExactDup) -> 0L,
+      (0L, O.NearDup) -> 0L, (0L, O.SpanDup) -> 0L,
+      (0L, O.Kept) -> 2L),
+      "batch-0 per-stage yields must match the planted outcomes")
+    // the 100-slot sample is the complete reject log: each reject
+    // appears once, labelled with the stage that dropped it
+    assert(sampledRejects() === Set(
+      (3L, O.Blocklisted), (6L, O.Language), (4L, O.Contaminated),
+      (5L, O.Quality), (7L, O.LmScore)),
+      "the sampled reject log must name each reject's drop stage")
     // THE LAW: a stage's rejects never reach any later store — each
     // reject's content probes unseen in the exact, near, AND span
     // stores (rejects are dropped, never recorded), for ALL FIVE
@@ -3574,10 +3611,42 @@ class StreamingSpec extends SparkSuite {
     drain(ckpt1)
     assert(survivors() === Seq(1L, 2L, 13L),
       "copy/paraphrase/mashup must drop via the store legs")
+    // batch-1 yields: the dedup legs charge their own labels
+    assert(batchYields().filter(_._1._1 == 1L) === Map(
+      (1L, O.Blocklisted) -> 0L, (1L, O.Language) -> 0L,
+      (1L, O.Contaminated) -> 0L, (1L, O.Quality) -> 0L,
+      (1L, O.LmScore) -> 0L, (1L, O.ExactDup) -> 1L,
+      (1L, O.NearDup) -> 1L, (1L, O.SpanDup) -> 1L,
+      (1L, O.Kept) -> 1L),
+      "batch-1 yields must charge the dedup stages")
+    assert(sampledRejects().filter(_._1 >= 10L) === Set(
+      (10L, O.ExactDup), (11L, O.NearDup), (12L, O.SpanDup)),
+      "batch-1 sampled rejects must name the dedup stages")
+    // THE YIELD LAW: cumulative streamed yields ARE the batch
+    // decision log's GROUP BY outcome over the fed corpus (q150's
+    // vocabulary and first-drop semantics), and they conserve every
+    // delivered document: 11 fed = 8 dropped + 3 kept
+    val cum = cumulative()
+    assert(cum === Map(
+      O.Blocklisted -> 1L, O.Language -> 1L, O.Contaminated -> 1L,
+      O.Quality -> 1L, O.LmScore -> 1L, O.ExactDup -> 1L,
+      O.NearDup -> 1L, O.SpanDup -> 1L, O.Kept -> 3L),
+      "cumulative streamed yields must equal the batch outcome counts")
+    assert(cum.keySet === (O.stages :+ O.Kept).toSet,
+      "the yield vocabulary IS the q150 outcome vocabulary")
+    assert(cum.values.sum === 11L,
+      "yields must conserve every delivered document")
     // replay after checkpoint loss: committed batches skip — no-op
+    // for survivors AND for the observability legs (no re-count, no
+    // double-charge, no third batch directory)
     drain(tmpDir("fsc-ckpt2"))
     assert(survivors() === Seq(1L, 2L, 13L),
       "full-history replay must be a no-op")
+    assert(cumulative() === cum,
+      "replay must not recompute or double-count yields")
+    assert(spark.read.parquet(s"$yieldRoot/yields")
+      .select("batch_id").distinct().count() === 2L,
+      "replay must add no yield batch")
   }
 
   test("full-stack curation feed against BUCKETED dedup tables: same " +
