@@ -1689,13 +1689,24 @@ object LlmPipeline {
   /** The q80/q116 pipeline-survivor labels as a standing snapshot —
     * [[ccLabelsStanding]]'s doctrine for the exact-survivor frame
     * (a DIFFERENT deterministic label set: CC over the minhash pairs
-    * of the quality+exact survivors, so it gets its own tag).
+    * of the quality+exact survivors, so it gets its own tag). The
+    * builder derives that survivor frame ITSELF from the raw table
+    * (the shared [[qualitySurvivorsOf]]/[[exactKeepersOf]] chain,
+    * identity gate) and deliberately ignores the caller's frame: the
+    * store key is (tag, table fingerprint) alone, so the content must
+    * be a pure function of the table — honoring a caller-supplied
+    * entrant frame or gate would serve foreign labels under this key
+    * on the next probe (the r19 advice hazard). Callers threading a
+    * non-identity chain belong on [[pipelineStagesOf]]'s default
+    * in-query `labelsOf` instead (q150 does exactly that).
     */
   private def pipelineCcLabelsStanding(s: SparkSession, dir: String)(
-      exact: DataFrame): DataFrame = {
+      ignoredCallerExact: DataFrame): DataFrame = {
     val store = standingStore(s, dir, "cclabels-q80") { st =>
       val labels = connectedComponents(
-        minhashPairsOf(exact).select("doc_a", "doc_b"))
+        minhashPairsOf(exactKeepersOf(
+          qualitySurvivorsOf(t(s, dir, "documents"))))
+          .select("doc_a", "doc_b"))
       labels.write.mode("overwrite").parquet(st)
       graft.operators.Exec.release(labels)
     }
@@ -2204,17 +2215,38 @@ object LlmPipeline {
     * (passed, admitted, exact, labels) where `admitted` is the
     * gate's survivors (≡ passed under identity).
     */
+  /** Quality survivors of an entrant frame — q54's exact Gopher rule.
+    * ONE definition for [[pipelineStagesOf]] and the standing CC-label
+    * builder (which must re-derive the chain from the raw table —
+    * see [[pipelineCcLabelsStanding]]).
+    */
+  private def qualitySurvivorsOf(entrants: DataFrame): DataFrame = {
+    graft.functions.Functions.register(entrants.sparkSession)
+    gopherMetrics(tokenizedOf(entrants, "text", "n_chars"))
+      .filter(gopherPass)
+      .select("doc_id", "text", "n_chars")
+  }
+
+  /** Exact-dedup keepers of an admitted frame — q27's hash with the
+    * min-doc_id election. Same one-definition doctrine as
+    * [[qualitySurvivorsOf]].
+    */
+  private def exactKeepersOf(admitted: DataFrame): DataFrame = {
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    admitted
+      .withColumn("h", contentHash(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text", "n_chars")
+  }
+
   private def pipelineStagesOf(entrants: DataFrame,
       materializePassed: Boolean,
       gateAfterQuality: DataFrame => DataFrame = identity,
       labelsOf: DataFrame => DataFrame = e => connectedComponents(
         minhashPairsOf(e).select("doc_a", "doc_b")))
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    graft.functions.Functions.register(entrants.sparkSession)
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val passed0 = gopherMetrics(tokenizedOf(entrants, "text", "n_chars"))
-      .filter(gopherPass)
-      .select("doc_id", "text", "n_chars")
+    val passed0 = qualitySurvivorsOf(entrants)
     val passed =
       if (materializePassed) passed0.transform(graft.operators.Exec.materialize)
       else passed0
@@ -2224,11 +2256,7 @@ object LlmPipeline {
     val admitted =
       if (admitted0 eq passed) passed
       else admitted0.transform(graft.operators.Exec.materialize)
-    val exact = admitted
-      .withColumn("h", contentHash(col("text")))
-      .withColumn("keeper", min(col("doc_id")).over(wH))
-      .filter(col("doc_id") === col("keeper"))
-      .select("doc_id", "text", "n_chars")
+    val exact = exactKeepersOf(admitted)
       .transform(graft.operators.Exec.materialize)
     val labels = labelsOf(exact)
     (passed, admitted, exact, labels)
@@ -4185,10 +4213,12 @@ object LlmPipeline {
     */
   /** Deterministic STANDING-store root for store-backed audit queries
     * (q146/q149): keyed by the table directory AND the source table's
-    * content fingerprint (file names + sizes + mtimes — `srcTable`
-    * names the table the store derives from), so regenerated testdata
-    * at the same path gets a fresh store instead of a stale one
-    * silently drifting from the oracle; `build` runs ONCE per key —
+    * content fingerprint — per file `name:length:mtime:tail-md5`,
+    * where the tail digest covers the file's LAST 64 bytes (the
+    * parquet footer length + magic + metadata tail: any row-group,
+    * stats, or schema change moves it), closing the r19 advice gap
+    * where a rewrite preserving names/sizes within mtime granularity
+    * could serve stale trained artifacts. `build` runs ONCE per key —
     * registration is offline in the store doctrines, so bench reps
     * time the PROBE path, and the root holds one live store per
     * (tag, table directory).
@@ -4200,128 +4230,93 @@ object LlmPipeline {
     * driver can reach, or use the production store APIs, which take
     * caller-owned paths directly).
     *
-    * Crash/concurrency protocol: the build lands in a UUID staging
-    * root, gains its `store.complete` marker there, and installs by
-    * one atomic rename — a reader can never see a marked-but-partial
-    * store (the failure the naive check-build-mark sequence allows
-    * when two JVMs interleave). The marker is re-checked after the
-    * build (a concurrent winner's install is adopted, our staging
-    * discarded — both built the same deterministic content), any
-    * unmarked destination is cleared BEFORE the rename (Hadoop's
-    * local-fs rename onto an existing non-empty dir NESTS the source
-    * inside it and returns true — probed; a completed install always
-    * carries the marker, so unmarked = stale junk), a nested copy
-    * left by a lost rename race is removed, and superseded sibling
-    * generations are pruned only AFTER a successful install, scoped
-    * to this table directory's roots and never matching `-staging-`
-    * names — so an in-flight builder's staging and another
-    * directory's live store are both safe from the prune (the r17
-    * glob pruned both).
+    * Crash/concurrency protocol: [[graft.ingest.Generations]] — the
+    * AnnIndex manifest+immutable-generation lifecycle, generalized
+    * (r19 verdict #3): the build fills a fresh `gen-<uuid>` directory
+    * inside the key's root and commits by installing the `_manifest`
+    * FILE (temp + one single-file rename — no directory rename, no
+    * rename onto an existing destination, so nothing here leans on
+    * rename(dst-exists) semantics, the posture that held only on
+    * HDFS-style filesystems). A reader resolves the manifest and then
+    * reads an immutable directory — it can never observe a partial
+    * store, a crashed build leaves the previous generation serving,
+    * and the predecessor is retained one install cycle for in-flight
+    * readers. Superseded sibling KEYS (regenerated testdata) are
+    * pruned only after a successful install, scoped to this table
+    * directory's `dirKey` and never matching legacy `-staging-`
+    * names; legacy pre-manifest layouts (marker-file roots, aged
+    * staging dirs) get a one-time marked-or-aged sweep.
     */
   private[graft] def standingStore(s: SparkSession, dir: String,
       tag: String, srcTable: String = "documents")(
       build: String => Unit): String = {
     val src = new org.apache.hadoop.fs.Path(s"$dir/$srcTable.parquet")
     val sfs = src.getFileSystem(s.sessionState.newHadoopConf())
+    def md5hexBytes(x: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x).map("%02x".format(_)).mkString
+    def md5hex(x: String): String = md5hexBytes(x.getBytes("UTF-8"))
+    def tailMd5(st: org.apache.hadoop.fs.FileStatus): String = {
+      val n = math.min(st.getLen, 64L).toInt
+      if (n <= 0) "empty"
+      else {
+        val in = sfs.open(st.getPath)
+        try {
+          in.seek(st.getLen - n)
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          md5hexBytes(buf)
+        } finally in.close()
+      }
+    }
+    def fileStamp(st: org.apache.hadoop.fs.FileStatus): String =
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}:" +
+        (if (st.isFile) tailMd5(st) else "dir")
     val stamp =
       if (!sfs.exists(src)) "absent"
       else if (sfs.getFileStatus(src).isDirectory)
-        sfs.listStatus(src).map(st =>
-          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .sorted.mkString("|")
-      else {
-        val st = sfs.getFileStatus(src)
-        s"${st.getLen}:${st.getModificationTime}"
-      }
-    def md5hex(x: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        sfs.listStatus(src).map(fileStamp).sorted.mkString("|")
+      else fileStamp(sfs.getFileStatus(src))
     val key = md5hex(s"$dir|$stamp")
     val dirKey = md5hex(dir).take(8)
     val tmpDir = s.conf.get("spark.graft.standingStoreRoot",
       System.getProperty("java.io.tmpdir"))
     val root = new org.apache.hadoop.fs.Path(
       s"$tmpDir/graft-$tag-$dirKey-$key")
-    val store = s"$root/store"
-    val done = new org.apache.hadoop.fs.Path(s"$store.complete")
-    val fs = done.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(done)) {
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$tmpDir/graft-$tag-staging-${java.util.UUID.randomUUID()}")
-      build(s"$staging/store")
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"$staging/store.complete"), true).close()
-      // a committed marker means a concurrent winner installed while
-      // we built — adopt its (identical) store, discard ours; when
-      // the destination exists the marker is RE-CHECKED after
-      // observing it, so a winner landing between the two stats is
-      // adopted rather than deleted (only the adjacent-syscall window
-      // before the delete below remains — documented as accepted)
-      val committed0 = fs.exists(done)
-      val rootExists = !committed0 && fs.exists(root)
-      val committed = committed0 || (rootExists && fs.exists(done))
-      if (committed) {
-        fs.delete(staging, true)
-      } else {
-        // a destination dir without a marker is stale junk (a
-        // completed install always carries `done` — the marker
-        // travels inside the staging dir through the rename): clear
-        // it FIRST, because Hadoop's local-fs rename onto an existing
-        // non-empty directory NESTS the source inside it and returns
-        // true (probed against hadoop 3.4.2 — the naive
-        // rename-then-retry protocol would "succeed" into a broken
-        // layout and rebuild forever)
-        if (rootExists) fs.delete(root, true)
-        val renamed = fs.rename(staging, root)
-        // if a concurrent winner installed root between the delete
-        // and our rename, that same nest-into semantics put our
-        // staging INSIDE the winner's root — remove any such nested
-        // copy (no-op on the clean path, where root IS the renamed
-        // staging) and settle by the marker alone
-        fs.delete(new org.apache.hadoop.fs.Path(root, staging.getName),
-          true)
-        if (!renamed) fs.delete(staging, true)
-        if (renamed && fs.exists(done)) {
-          // prune superseded generations of THIS directory only, and
-          // only after our install succeeded; staging dirs carry
-          // `-staging-` (never a hex dirKey segment) and are excluded
-          fs.globStatus(new org.apache.hadoop.fs.Path(
-              s"$tmpDir/graft-$tag-$dirKey-*"))
-            .filter(st => st.getPath.getName != root.getName &&
-              !st.getPath.getName.contains("-staging-"))
-            .foreach(st => fs.delete(st.getPath, true))
-          // orphaned staging dirs (crashed builders) age out — a live
-          // build is minutes old, so a day-old staging is never in
-          // flight; this keeps the root bounded without the r17
-          // prune's delete-anything-in-flight hazard
-          val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-          fs.globStatus(new org.apache.hadoop.fs.Path(
-              s"$tmpDir/graft-$tag-staging-*"))
-            .filter(st => st.getModificationTime < cutoff)
-            .foreach(st => fs.delete(st.getPath, true))
-          // upgrade sweep: pre-dirKey roots were named
-          // graft-<tag>-<32 hex> (no dirKey segment) — the scoped glob
-          // above never matches them, so a host upgraded mid-life
-          // would leak them forever. No current reader resolves that
-          // layout, so a marked old root is settled junk; an unmarked
-          // one could still be an old-version builder mid-install on
-          // a mixed-version host, so those get the staging age-out
-          // rule instead of an immediate delete.
-          val oldLayout =
-            ("graft-" + java.util.regex.Pattern.quote(tag) +
-              "-[0-9a-f]{32}").r
-          fs.globStatus(new org.apache.hadoop.fs.Path(
-              s"$tmpDir/graft-$tag-*"))
-            .filter(st =>
-              oldLayout.pattern.matcher(st.getPath.getName).matches())
-            .filter(st => fs.exists(new org.apache.hadoop.fs.Path(
-                st.getPath, "store.complete")) ||
-              st.getModificationTime < cutoff)
-            .foreach(st => fs.delete(st.getPath, true))
-        }
-      }
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val G = graft.ingest.Generations
+    if (G.resolve(fs, root).isEmpty) {
+      G.install(fs, root)(gen => build(s"$gen/store"))
+      // prune superseded KEYS of this table directory only, and only
+      // after our install succeeded; legacy staging dirs carry
+      // `-staging-` (never a hex dirKey segment) and are excluded
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$tmpDir/graft-$tag-$dirKey-*"))
+        .filter(st => st.getPath.getName != root.getName &&
+          !st.getPath.getName.contains("-staging-"))
+        .foreach(st => fs.delete(st.getPath, true))
+      // legacy sweeps (pre-Generations layouts), kept one transition
+      // round: orphaned `-staging-` dirs from crashed r19 builders
+      // age out; pre-dirKey roots (graft-<tag>-<32 hex>) settle by
+      // their old marker or by age — no current reader resolves
+      // either layout
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$tmpDir/graft-$tag-staging-*"))
+        .filter(st => st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+      val oldLayout =
+        ("graft-" + java.util.regex.Pattern.quote(tag) +
+          "-[0-9a-f]{32}").r
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpDir/graft-$tag-*"))
+        .filter(st =>
+          oldLayout.pattern.matcher(st.getPath.getName).matches())
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(
+            st.getPath, "store.complete")) ||
+          st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     }
-    store
+    s"${G.resolve(fs, root).get}/store"
   }
 
   /** The standing benchmark-contamination store shared by q146 and

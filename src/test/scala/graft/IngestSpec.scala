@@ -728,6 +728,63 @@ class IngestSpec extends SparkSuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("Generations: a reader across install/crash sees only complete " +
+    "generations — the manifest commits only after the build returns, " +
+    "a crashed build leaves the previous generation serving, the " +
+    "predecessor is retained one cycle for in-flight readers, and no " +
+    "step renames a directory or targets an existing destination") {
+    val G = graft.ingest.Generations
+    val root = new org.apache.hadoop.fs.Path(tmpDir("genroot"), "store")
+    val fs = root.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(G.resolve(fs, root).isEmpty, "empty root resolves to nothing")
+    val g1 = G.install(fs, root) { gen =>
+      write(new org.apache.hadoop.fs.Path(gen, "data"), "v1")
+    }
+    assert(G.resolve(fs, root).contains(g1))
+    assert(read(new org.apache.hadoop.fs.Path(g1, "data")) === "v1")
+    // crashed build: the partial generation gains NO manifest — a
+    // concurrent reader still resolves the old complete generation
+    intercept[RuntimeException] {
+      G.install(fs, root) { gen =>
+        write(new org.apache.hadoop.fs.Path(gen, "data"), "partial")
+        sys.error("builder died mid-install")
+      }
+    }
+    assert(G.resolve(fs, root).contains(g1),
+      "a crashed build must leave the previous generation serving")
+    assert(read(new org.apache.hadoop.fs.Path(g1, "data")) === "v1")
+    // a reader pins g1 just before a swap: the install retains it
+    val pinned = G.resolve(fs, root).get
+    val g2 = G.install(fs, root) { gen =>
+      write(new org.apache.hadoop.fs.Path(gen, "data"), "v2")
+    }
+    assert(G.resolve(fs, root).contains(g2))
+    assert(read(new org.apache.hadoop.fs.Path(pinned, "data")) === "v1",
+      "the in-flight reader's generation must survive one swap")
+    // the crashed build's junk generation was GC'd by the install
+    val gens = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(gens === Set(g1.getName, g2.getName),
+      "GC must keep exactly the live generation and its predecessor")
+    // next install retires g1, retains g2
+    val g3 = G.install(fs, root) { gen =>
+      write(new org.apache.hadoop.fs.Path(gen, "data"), "v3")
+    }
+    assert(!fs.exists(g1), "two-generations-old directories retire")
+    assert(read(new org.apache.hadoop.fs.Path(g2, "data")) === "v2")
+    assert(G.resolve(fs, root).contains(g3))
+  }
+
   test("sharded bloom sidecar: per-shard executor-built filters, each " +
     "sized for its own shard (build memory bounded by largest shard, " +
     "never the store); rebuild GCs the old generation") {

@@ -1248,4 +1248,35 @@ class LayoutSpec extends SparkSuite {
     assert(!after.find(_._1 == 99001L).get._2,
       "retracted vector still vetoed through the code path")
   }
+
+  test("rename-atomicity contract is runtime-checked: the directory " +
+    "swap refuses object-store schemes loudly, accepts HDFS-style " +
+    "filesystems, and honors the explicit operator override") {
+    val L = graft.layout.Layout
+    // HDFS-style schemes pass
+    for (s <- Seq("file", "hdfs", "viewfs", "FILE"))
+      L.requireAtomicRenameScheme(spark, s, "test")
+    // object-store schemes refuse with the documented requirement
+    for (s <- Seq("s3a", "s3", "gs", "abfs", "wasbs")) {
+      val e = intercept[IllegalStateException] {
+        L.requireAtomicRenameScheme(spark, s, "test")
+      }
+      assert(e.getMessage.contains("non-atomic") &&
+        e.getMessage.contains("Generations"),
+        s"refusal for $s must name the contract and the alternative")
+    }
+    // the override conf restores the old behavior explicitly
+    spark.conf.set("spark.graft.allowNonAtomicRename", "true")
+    try L.requireAtomicRenameScheme(spark, "s3a", "test")
+    finally spark.conf.unset("spark.graft.allowNonAtomicRename")
+    // and the real swap path runs the check (local fs passes through:
+    // a compact on file:// must still work)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("atomic-ck")
+      .toString + "/t"
+    (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(dir)
+    val (b, a) = L.compact(spark, dir)
+    assert(b >= a && spark.read.parquet(dir).count() === 10L)
+  }
 }

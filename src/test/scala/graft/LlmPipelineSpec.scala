@@ -1489,4 +1489,49 @@ class LlmPipelineSpec extends SparkSuite {
       rmrf(new java.io.File(confRoot))
     }
   }
+
+  test("standingStore fingerprint carries a content digest: a source " +
+    "rewrite preserving file name, length, AND mtime still keys a " +
+    "FRESH store (six trained artifacts hang off this key — stale " +
+    "serving is the failure); an unchanged source reuses the " +
+    "installed generation without rebuilding") {
+    val confRoot = java.nio.file.Files
+      .createTempDirectory("graft-fp-ss").toString
+    spark.conf.set("spark.graft.standingStoreRoot", confRoot)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-t")
+      .toString
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val mtime = 1700000000000L
+    def writeSrc(content: String): Unit = {
+      java.nio.file.Files.write(src.toPath, content.getBytes("UTF-8"))
+      assert(src.setLastModified(mtime))
+    }
+    var builds = 0
+    def call(): String =
+      LlmPipeline.standingStore(spark, dir, "fpspec") { st =>
+        builds += 1
+        val p = new org.apache.hadoop.fs.Path(st)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+      }
+    try {
+      writeSrc("generation one content AAAA")
+      val p1 = call()
+      assert(builds === 1)
+      assert(call() === p1, "unchanged source must reuse the store")
+      assert(builds === 1, "unchanged source must not rebuild")
+      // the adversarial rewrite: same name, same byte length, same
+      // mtime — only the bytes differ (the r19 advice scenario)
+      writeSrc("generation two content BBBB")
+      assert(src.length() === "generation one content AAAA".length &&
+        src.lastModified() === mtime, "fixture premise: stat-identical")
+      val p2 = call()
+      assert(builds === 2,
+        "a stat-identical content rewrite must key a fresh store")
+      assert(p2 !== p1)
+    } finally {
+      spark.conf.unset("spark.graft.standingStoreRoot")
+      rmrf(new java.io.File(confRoot))
+      rmrf(new java.io.File(dir))
+    }
+  }
 }
