@@ -67,15 +67,21 @@ object Generations {
     val genDir = new Path(root, gen)
     build(genDir)
     val m = manifestPath(root)
+    // re-read just before committing: a concurrent builder that
+    // installed DURING our build is the generation we supersede — it
+    // must get the same one-cycle retention as an entry-time
+    // predecessor, or a reader that resolved it moments ago loses
+    // the directory under its feet
+    val superseded = current(fs, root)
     val tmp = new Path(root, s"_manifest.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(m, false)
     require(fs.rename(tmp, m), s"Generations: could not install $m")
-    // GC: every generation except the new one and its predecessor
+    // GC: every generation except the new one and its predecessors
     // (in-flight-reader retention), plus stale manifest temp files
-    val keep: Set[String] = Set(gen) ++ previous
+    val keep: Set[String] = Set(gen) ++ previous ++ superseded
     for (st <- fs.listStatus(root)
          if st.isDirectory && st.getPath.getName.startsWith("gen-") &&
            !keep.contains(st.getPath.getName))

@@ -4287,6 +4287,13 @@ object LlmPipeline {
     val G = graft.ingest.Generations
     if (G.resolve(fs, root).isEmpty) {
       G.install(fs, root)(gen => build(s"$gen/store"))
+      // legacy intra-root layout (a pre-Generations `store` +
+      // `store.complete` under this root): settled junk once a
+      // manifest generation serves — swept so the root holds only
+      // the generation layout
+      fs.delete(new org.apache.hadoop.fs.Path(root, "store"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root, "store.complete"),
+        true)
       // prune superseded KEYS of this table directory only, and only
       // after our install succeeded; legacy staging dirs carry
       // `-staging-` (never a hex dirKey segment) and are excluded

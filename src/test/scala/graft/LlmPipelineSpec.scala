@@ -1375,10 +1375,12 @@ class LlmPipelineSpec extends SparkSuite {
     f.delete(); ()
   }
 
-  test("standingStore protocol: conf-resolved root, build-once per " +
-    "(tag, dir, generation); the prune spares in-flight staging dirs " +
-    "and other directories' stores but removes superseded " +
-    "generations; a concurrent winner's install is adopted") {
+  test("standingStore protocol (Generations form): conf-resolved " +
+    "root, build-once per (tag, dir, fingerprint); a crashed build " +
+    "leaves no manifest and a clean retry; a mid-build concurrent " +
+    "install converges under last-writer-wins with the predecessor " +
+    "retained; reinstall prunes superseded keys and legacy layouts " +
+    "but spares other directories' stores and young staging dirs") {
     val confRoot = java.nio.file.Files
       .createTempDirectory("graft-ss-root").toString
     spark.conf.set("spark.graft.standingStoreRoot", confRoot)
@@ -1395,11 +1397,15 @@ class LlmPipelineSpec extends SparkSuite {
       assert(p1.startsWith(confRoot),
         s"store $p1 ignored spark.graft.standingStoreRoot")
       assert(new java.io.File(p1, "data.txt").exists(), "store content")
-      assert(new java.io.File(p1 + ".complete").exists(), "marker")
+      val rootDir = new java.io.File(p1).getParentFile.getParentFile
+      assert(new java.io.File(rootDir, "_manifest").exists(),
+        "the generation manifest is the commit point")
+      assert(new java.io.File(p1).getParentFile.getName
+        .startsWith("gen-"), "stores live inside immutable generations")
       assert(builds === 1)
-      // marker hit: same path, no rebuild
+      // manifest hit: same path, no rebuild
       assert(LlmPipeline.standingStore(spark, sf, "spec-tag")(build) === p1)
-      assert(builds === 1, "rebuilt despite a committed marker")
+      assert(builds === 1, "rebuilt despite an installed generation")
       // another DIRECTORY's same-tag store: its install must not prune
       // this directory's live store (the r17 cross-dir-prune fix)
       val pOther = LlmPipeline
@@ -1407,20 +1413,27 @@ class LlmPipelineSpec extends SparkSuite {
       assert(builds === 2)
       assert(new java.io.File(p1, "data.txt").exists(),
         "other-directory install pruned this directory's live store")
-      // superseded generation of THIS dir is pruned on reinstall, but
-      // an in-flight staging dir survives (the r17 staging-race fix)
-      val rootDir = new java.io.File(p1).getParentFile
+      // a CRASHED build: no manifest lands, the next call retries
+      // cleanly (the generation-level laws live in IngestSpec)
+      rmrf(rootDir) // force a rebuild window
+      intercept[RuntimeException] {
+        LlmPipeline.standingStore(spark, sf, "spec-tag") { st =>
+          build(st); sys.error("builder died before commit")
+        }
+      }
+      assert(!new java.io.File(rootDir, "_manifest").exists(),
+        "a crashed build must not commit a manifest")
+      // superseded KEY of THIS dir is pruned on reinstall; a legacy
+      // in-flight staging dir survives; legacy pre-dirKey roots get
+      // the marked-or-aged sweep; legacy intra-root store layout is
+      // cleared once a generation serves
       val base = rootDir.getName
-      val genPrefix = base.substring(0, base.lastIndexOf('-') + 1)
-      val oldGen = new java.io.File(confRoot, genPrefix + "0ldgen")
-      assert(new java.io.File(oldGen, "store").mkdirs())
+      val keyPrefix = base.substring(0, base.lastIndexOf('-') + 1)
+      val oldKey = new java.io.File(confRoot, keyPrefix + "0ldkey")
+      assert(new java.io.File(oldKey, "store").mkdirs())
       val inflight = new java.io.File(confRoot,
         "graft-spec-tag-staging-inflight")
       assert(new java.io.File(inflight, "store").mkdirs())
-      // pre-dirKey LAYOUT roots (graft-<tag>-<32 hex>): a MARKED one
-      // is settled junk on an upgraded host and must be swept; an
-      // unmarked FRESH one could be an old-version builder mid-install
-      // and gets the age-out rule (spared while young)
       val oldMarked = new java.io.File(confRoot,
         "graft-spec-tag-" + "a" * 32)
       assert(new java.io.File(oldMarked, "store").mkdirs())
@@ -1429,61 +1442,52 @@ class LlmPipelineSpec extends SparkSuite {
       val oldUnmarked = new java.io.File(confRoot,
         "graft-spec-tag-" + "b" * 32)
       assert(new java.io.File(oldUnmarked, "store").mkdirs())
-      rmrf(rootDir) // force a rebuild
-      assert(LlmPipeline.standingStore(spark, sf, "spec-tag")(build) === p1)
-      assert(builds === 3)
-      assert(!oldGen.exists(), "superseded generation survived the prune")
+      // legacy intra-root layout under THIS key's root
+      assert(new java.io.File(rootDir, "store").mkdirs())
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        rootDir.getPath, "store.complete"), Array.empty[Byte])
+      val preBuilds = builds
+      val p2 = LlmPipeline.standingStore(spark, sf, "spec-tag")(build)
+      assert(builds === preBuilds + 1, "no manifest -> rebuild")
+      assert(new java.io.File(p2, "data.txt").exists())
+      assert(!oldKey.exists(), "superseded key survived the prune")
       assert(inflight.exists(), "in-flight staging dir was pruned")
       assert(!oldMarked.exists(),
         "marked old-layout root survived the upgrade sweep")
       assert(oldUnmarked.exists(),
         "fresh unmarked old-layout root was swept (mid-install hazard)")
+      assert(!new java.io.File(rootDir, "store").exists() &&
+        !new java.io.File(rootDir, "store.complete").exists(),
+        "legacy intra-root layout survived the sweep")
       assert(new java.io.File(pOther, "data.txt").exists(),
         "reinstall pruned another directory's store")
-      // concurrent-winner adoption: a marker committed mid-build wins;
-      // our staging is discarded, never renamed over the winner
+      // mid-build CONCURRENT install: last manifest wins (both builds
+      // are deterministic and identical by contract), the earlier
+      // winner's generation is RETAINED one cycle for its readers
       val pA = LlmPipeline.standingStore(spark, sf, "spec-tag2")(build)
-      rmrf(new java.io.File(pA).getParentFile)
+      val rootA = new java.io.File(pA).getParentFile.getParentFile
+      rmrf(rootA)
+      var winnerGen: String = null
       val pB = LlmPipeline.standingStore(spark, sf, "spec-tag2") { st =>
-        assert(new java.io.File(pA).mkdirs())
-        java.nio.file.Files.write(java.nio.file.Paths.get(pA,
-          "winner.txt"), "w".getBytes("UTF-8"))
-        assert(new java.io.File(pA + ".complete").createNewFile())
-        assert(new java.io.File(st).mkdirs())
-        java.nio.file.Files.write(java.nio.file.Paths.get(st,
-          "loser.txt"), "l".getBytes("UTF-8"))
-        ()
+        // a concurrent builder completes a full install first
+        val fs = new org.apache.hadoop.fs.Path(rootA.getPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        winnerGen = graft.ingest.Generations.install(fs,
+          new org.apache.hadoop.fs.Path(rootA.getPath)) { gen =>
+          val d = new java.io.File(gen.toString, "store")
+          assert(d.mkdirs())
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            d.getPath, "data.txt"), "x".getBytes("UTF-8"))
+        }.toString
+        build(st)
       }
-      assert(pB === pA)
-      assert(new java.io.File(pA, "winner.txt").exists(),
-        "winner's store was not adopted")
-      assert(!new java.io.File(pA, "loser.txt").exists(),
-        "loser's staging replaced the committed winner")
-      assert(!new java.io.File(confRoot).listFiles()
-        .exists(_.getName.startsWith("graft-spec-tag2-staging-")),
-        "loser's staging dir leaked")
-      // stale UNMARKED root (pre-protocol junk): cleared and rebuilt
-      // cleanly — Hadoop's local rename onto an existing non-empty
-      // dir NESTS the source inside it (returns true), so without
-      // the pre-clear the store would "install" broken and rebuild
-      // forever
-      val pC = LlmPipeline.standingStore(spark, sf, "spec-tag3")(build)
-      val rootC = new java.io.File(pC).getParentFile
-      val preBuilds = {
-        assert(new java.io.File(pC + ".complete").delete(), "unmark")
-        java.nio.file.Files.write(java.nio.file.Paths.get(
-          rootC.getPath, "junk.txt"), "j".getBytes("UTF-8"))
-        builds
-      }
-      assert(LlmPipeline.standingStore(spark, sf, "spec-tag3")(build)
-        === pC)
-      assert(builds === preBuilds + 1, "stale root must force a rebuild")
-      assert(new java.io.File(pC, "data.txt").exists(), "store content")
-      assert(new java.io.File(pC + ".complete").exists(), "marker back")
-      assert(!rootC.listFiles().exists(_.getName.contains("-staging-")),
-        "staging nested inside the root (the local-rename hazard)")
-      assert(!new java.io.File(rootC, "junk.txt").exists(),
-        "stale junk survived the pre-clear")
+      assert(new java.io.File(pB, "data.txt").exists(),
+        "the last writer's generation must serve")
+      assert(new java.io.File(new java.io.File(winnerGen), "store")
+        .exists(),
+        "the concurrent winner's generation must be retained one cycle")
+      assert(pB !== s"$winnerGen/store",
+        "last-writer-wins: our manifest supersedes the mid-build winner")
     } finally {
       spark.conf.unset("spark.graft.standingStoreRoot")
       rmrf(new java.io.File(confRoot))

@@ -3652,7 +3652,8 @@ class StreamingSpec extends SparkSuite {
   test("full-stack curation feed against BUCKETED dedup tables: same " +
     "gate laws as the path form (rejects never reach any store), " +
     "dedup legs drop copies/paraphrases/mashups from catalog " +
-    "history, replay is a no-op") {
+    "history, replay is a no-op — and the shared observed runner " +
+    "yields the same outcome accounting over catalog-table legs") {
     import spark.implicits._
     val srcDir = tmpDir("fscb-src")
     val outDir = tmpDir("fscb-out") + "/docs"
@@ -3736,6 +3737,7 @@ class StreamingSpec extends SparkSuite {
       def deliver(name: String, rows: Seq[(Long, String, String)]): Unit =
         rows.toDF("doc_id", "text", "domain").coalesce(1).write
           .mode("overwrite").parquet(s"$srcDir/$name")
+      val yieldRoot = tmpDir("fscb-yield")
       def drain(ckpt: String): Unit =
         graft.streaming.Streams.fullStackCurationFeedBucketed(
           spark.readStream.schema(schema)
@@ -3744,7 +3746,7 @@ class StreamingSpec extends SparkSuite {
           lidModels, lidDims, Set("en"), contamStore,
           dense, 0L, dims, ulmVocab, minLl,
           tables(0), tables(1), tables(2),
-          outDir, ckpt).awaitTermination()
+          outDir, ckpt, yieldDir = Some(yieldRoot)).awaitTermination()
       def survivors(): Seq[Long] = spark.read.parquet(outDir)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       val ckpt1 = tmpDir("fscb-ckpt1")
@@ -3780,9 +3782,24 @@ class StreamingSpec extends SparkSuite {
       drain(ckpt1)
       assert(survivors() === Seq(1L, 2L, 13L),
         "copy/paraphrase/mashup must drop via the bucketed legs")
+      // the observed runner over catalog legs: cumulative yields are
+      // the decision-log counts (doc 3 is a blocklisted COPY of docA
+      // — charged to the blocklist stage, never the exact table)
+      val O = graft.operators.CurationOutcome
+      assert(graft.streaming.Streams
+        .readCurationYields(spark, yieldRoot).collect()
+        .map(r => r.getAs[String]("outcome") -> r.getAs[Long]("n_docs"))
+        .toMap === Map(
+          O.Blocklisted -> 1L, O.Language -> 1L, O.Contaminated -> 1L,
+          O.Quality -> 1L, O.LmScore -> 1L, O.ExactDup -> 1L,
+          O.NearDup -> 1L, O.SpanDup -> 1L, O.Kept -> 3L),
+        "bucketed-leg yields must match the planted outcomes")
       // replay no-op
       drain(tmpDir("fscb-ckpt2"))
       assert(survivors() === Seq(1L, 2L, 13L))
+      assert(spark.read.parquet(s"$yieldRoot/yields")
+        .select("batch_id").distinct().count() === 2L,
+        "replay must add no yield batch")
     } finally tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_stage")
