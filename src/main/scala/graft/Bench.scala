@@ -291,7 +291,12 @@ object Bench {
         System.err.println(
           s"[bench] could not update $bandsFile: ${e.getMessage}") }
     }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs$bandJson$errJson$noisyJson$overJson$onlyJson,"sf":"$sfDir"}"""
+    // field order = tail-window layout: the band map (fully present in
+    // bench_line.json and derivable from the committed ledger) leads,
+    // so the driver's 2000-char stdout tail retains what it always
+    // retained — the END of the queries map plus every compact
+    // diagnostic field (errors/noisy/over_band/sf)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps$bandJson,"queries":$qs$errJson$noisyJson$overJson$onlyJson,"sf":"$sfDir"}"""
     // mirror to a well-known file FIRST — immune to anything stop() or
     // the JVM teardown does to the streams
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
