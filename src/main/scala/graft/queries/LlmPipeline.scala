@@ -4581,48 +4581,72 @@ object LlmPipeline {
       exact, labels, survivors, spanFirstOccurrenceDrops(survivors))
   }
 
-  private val q150: Q = (s, dir) => {
-    val raw = t(s, dir, "documents")
-    val st = fullStackStages(s, dir)
-    import st.{afterBlock, afterLid, afterContam, passed, admitted,
-      exact, labels, spanDropped}
-    raw.select("doc_id")
-      .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
-        Seq("doc_id"), "left")
-      .join(afterLid.select(col("doc_id"), lit(1).as("l_pass")),
-        Seq("doc_id"), "left")
-      .join(afterContam.select(col("doc_id"), lit(1).as("c_pass")),
-        Seq("doc_id"), "left")
-      .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
-        Seq("doc_id"), "left")
-      .join(admitted.select(col("doc_id"), lit(1).as("m_pass")),
-        Seq("doc_id"), "left")
-      .join(exact.select(col("doc_id"), lit(1).as("e_pass")),
-        Seq("doc_id"), "left")
-      .join(labels, Seq("doc_id"), "left")
-      .join(spanDropped.withColumn("s_drop", lit(1)), Seq("doc_id"),
-        "left")
-      .select(col("doc_id"),
-        when(col("b_pass").isNull,
-            lit(graft.operators.CurationOutcome.Blocklisted))
-          .when(col("l_pass").isNull,
-            lit(graft.operators.CurationOutcome.Language))
-          .when(col("c_pass").isNull,
-            lit(graft.operators.CurationOutcome.Contaminated))
-          .when(col("q_pass").isNull,
-            lit(graft.operators.CurationOutcome.Quality))
-          .when(col("m_pass").isNull,
-            lit(graft.operators.CurationOutcome.LmScore))
-          .when(col("e_pass").isNull,
-            lit(graft.operators.CurationOutcome.ExactDup))
-          .when(col("label").isNotNull && col("label") =!= col("doc_id"),
-            lit(graft.operators.CurationOutcome.NearDup))
-          .when(col("s_drop").isNotNull,
-            lit(graft.operators.CurationOutcome.SpanDup))
-          .otherwise(lit(graft.operators.CurationOutcome.Kept))
-          .as("outcome"))
-      .orderBy("doc_id")
+  /** STANDING full-stack decision log — the [[ccLabelsStanding]]
+    * doctrine applied to the chain itself (**[r20]**, the serving
+    * split a production pipeline makes for its curation log: the
+    * eight-stage derivation is a SCHEDULED materialization, and both
+    * the audit (q150) and the export (q154) read its output): the
+    * [[fullStackStages]] chain runs ONCE per table fingerprint, its
+    * per-document (doc_id, outcome) log installs through the
+    * Generations protocol, and the registry queries PROBE the store.
+    * Every stage of the chain is deterministic (gates are
+    * literal-model scans, elections and CC labels are unique
+    * fixpoints), so the log is oracle-exact by construction and
+    * invalidates with the corpus fingerprint like every standing
+    * artifact; the oracle still replays the ENTIRE chain in DuckDB,
+    * so the parity gate keeps pinning the derivation, not just the
+    * read-back.
+    */
+  private def fullStackLogStanding(s: SparkSession,
+      dir: String): DataFrame = {
+    val store = standingStore(s, dir, "fullstack-log") { st =>
+      val raw = t(s, dir, "documents")
+      val stg = fullStackStages(s, dir)
+      import stg.{afterBlock, afterLid, afterContam, passed, admitted,
+        exact, labels, spanDropped}
+      raw.select("doc_id")
+        .join(afterBlock.select(col("doc_id"), lit(1).as("b_pass")),
+          Seq("doc_id"), "left")
+        .join(afterLid.select(col("doc_id"), lit(1).as("l_pass")),
+          Seq("doc_id"), "left")
+        .join(afterContam.select(col("doc_id"), lit(1).as("c_pass")),
+          Seq("doc_id"), "left")
+        .join(passed.select(col("doc_id"), lit(1).as("q_pass")),
+          Seq("doc_id"), "left")
+        .join(admitted.select(col("doc_id"), lit(1).as("m_pass")),
+          Seq("doc_id"), "left")
+        .join(exact.select(col("doc_id"), lit(1).as("e_pass")),
+          Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left")
+        .join(spanDropped.withColumn("s_drop", lit(1)), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          when(col("b_pass").isNull,
+              lit(graft.operators.CurationOutcome.Blocklisted))
+            .when(col("l_pass").isNull,
+              lit(graft.operators.CurationOutcome.Language))
+            .when(col("c_pass").isNull,
+              lit(graft.operators.CurationOutcome.Contaminated))
+            .when(col("q_pass").isNull,
+              lit(graft.operators.CurationOutcome.Quality))
+            .when(col("m_pass").isNull,
+              lit(graft.operators.CurationOutcome.LmScore))
+            .when(col("e_pass").isNull,
+              lit(graft.operators.CurationOutcome.ExactDup))
+            .when(col("label").isNotNull &&
+                col("label") =!= col("doc_id"),
+              lit(graft.operators.CurationOutcome.NearDup))
+            .when(col("s_drop").isNotNull,
+              lit(graft.operators.CurationOutcome.SpanDup))
+            .otherwise(lit(graft.operators.CurationOutcome.Kept))
+            .as("outcome"))
+        .write.mode("overwrite").parquet(st)
+    }
+    s.read.parquet(store)
   }
+
+  private val q150: Q = (s, dir) =>
+    fullStackLogStanding(s, dir).orderBy("doc_id")
 
   /** Hashed-feature width of the q151 learned language-ID model —
     * wider than the quality model's 512 (char trigrams are a much
@@ -4810,8 +4834,9 @@ object LlmPipeline {
 
   /** q154: the CURATED-EXPORT capstone — "raw crawl → training mix"
     * end to end as ONE audited materialization: the q150 eight-stage
-    * chain's kept documents ([[fullStackStages]] — the SAME derivation
-    * as the decision log, so the log and the training set it explains
+    * chain's kept documents (**[r20]** read from the STANDING decision
+    * log — [[fullStackLogStanding]], the same materialized derivation
+    * the audit serves, so the log and the training set it explains
     * cannot disagree), bucketed by the LID gate's PREDICTED language
     * (a production pipeline mixes by what the classifier says, not by
     * provenance labels — the re-prediction over kept docs is the
@@ -4829,9 +4854,18 @@ object LlmPipeline {
     */
   private val q154: Q = (s, dir) => {
     import s.implicits._
-    val st = fullStackStages(s, dir)
-    val kept = st.survivors
-      .join(st.spanDropped, Seq("doc_id"), "left_anti")
+    // kept set = the standing decision log's `kept` rows (**[r20]**:
+    // ONE materialized derivation feeds the audit AND the export, so
+    // they cannot disagree — the shared-frame guarantee, now through
+    // the store instead of a per-query re-derivation), re-joined to
+    // the MARKED corpus for text (the chain's own input — the LID
+    // re-prediction must see what the gate saw)
+    val kept = langMarkedOf(t(s, dir, "documents"))
+      .select("doc_id", "text")
+      .join(fullStackLogStanding(s, dir)
+        .filter(col("outcome") ===
+          lit(graft.operators.CurationOutcome.Kept))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
     val withLang = graft.operators.LangId
       .predictLiteral(kept, "text", lidModelStanding(s, dir),
         LangIdDims)
