@@ -2319,10 +2319,29 @@ object LlmPipeline {
     * bucketed (never all-pairs) exactly as q26 plans it.
     */
   private val q83: Q = (s, dir) =>
-    clustered(connectedComponents(
-      embeddingNeardup(DefaultBucketBits)(s, dir)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))),
-      "vec_id")
+    clustered(semanticCcLabelsStanding(s, dir), "vec_id")
+
+  /** STANDING snapshot of the q83 semantic component labels —
+    * [[ccLabelsStanding]]'s doctrine on the EMBEDDINGS table
+    * (**[r20]**): the hyperplane-bucketed cosine pairs cluster once
+    * per embeddings fingerprint, the (doc_id, label) frame installs
+    * through the Generations protocol, and the audit probes it.
+    * Labels are the unique component-min fixpoint → oracle-exact by
+    * construction, invalidating with the table fingerprint like the
+    * whole standing family.
+    */
+  private def semanticCcLabelsStanding(s: SparkSession,
+      dir: String): DataFrame = {
+    val store = standingStore(s, dir, "cclabels-q83",
+      srcTable = "embeddings") { st =>
+      val labels = connectedComponents(
+        embeddingNeardup(DefaultBucketBits)(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      labels.write.mode("overwrite").parquet(st)
+      graft.operators.Exec.release(labels)
+    }
+    s.read.parquet(store)
+  }
 
   /** q81: document-length histogram — corpus token counts in power-of-2
     * buckets (the length-distribution report that drives packing
