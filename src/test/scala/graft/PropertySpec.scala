@@ -660,4 +660,78 @@ class PropertySpec extends SparkSuite {
     assert(autoSalted === auto,
       "auto-salted loop (probe fired) diverged from the unsalted run")
   }
+
+  test("Generations law under random install/crash sequences: resolve " +
+    "NEVER names an incomplete generation, a crash never moves the " +
+    "manifest, a successful install always supersedes, the " +
+    "immediately-superseded generation always survives one cycle, " +
+    "and the root holds at most live + predecessor + in-flight junk") {
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("genprop").toString,
+      "store")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val G = graft.ingest.Generations
+    def write(gen: org.apache.hadoop.fs.Path, v: Int): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(gen, "data"), true)
+      try out.write(s"v$v".getBytes("UTF-8")) finally out.close()
+      val done = fs.create(
+        new org.apache.hadoop.fs.Path(gen, "COMPLETE"), true)
+      done.close()
+    }
+    def readData(gen: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(gen, "data"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // op sequence: true = successful install, false = crashed build
+    val opsGen = Gen.choose(3, 14)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(true, false)))
+    for ((ops, runIdx) <- samples(opsGen, 8, 4200L).zipWithIndex) {
+      fs.delete(root, true)
+      var liveGen: Option[org.apache.hadoop.fs.Path] = None
+      var prevGen: Option[org.apache.hadoop.fs.Path] = None
+      var liveContent: Option[String] = None
+      var v = 0
+      for (ok <- ops) {
+        v += 1
+        val vNow = v
+        if (ok) {
+          val installed = G.install(fs, root) { gen =>
+            write(gen, vNow)
+          }
+          prevGen = liveGen
+          liveGen = Some(installed)
+          liveContent = Some(s"v$vNow")
+        } else {
+          intercept[RuntimeException] {
+            G.install(fs, root) { gen =>
+              // a crash can land before OR after partial content
+              if (vNow % 2 == 0) write(gen, vNow)
+              sys.error("crash")
+            }
+          }
+        }
+        // INVARIANTS after every op:
+        val resolved = G.resolve(fs, root)
+        assert(resolved.map(_.getName) === liveGen.map(_.getName),
+          s"run $runIdx ops $ops: manifest moved on a crash or " +
+            "missed an install")
+        // resolve never names an incomplete generation, and the
+        // served content is exactly the LAST SUCCESSFUL install's
+        resolved.foreach { g =>
+          assert(fs.exists(new org.apache.hadoop.fs.Path(g, "COMPLETE")),
+            s"run $runIdx: resolve named an incomplete generation")
+          assert(readData(g) === liveContent.get,
+            s"run $runIdx: resolved generation served stale or " +
+              "partial content")
+        }
+        // the immediately-superseded generation survives one cycle
+        prevGen.foreach { g =>
+          assert(fs.exists(g),
+            s"run $runIdx: predecessor GC'd in the same cycle")
+        }
+      }
+    }
+  }
 }
