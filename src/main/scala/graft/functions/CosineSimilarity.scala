@@ -129,6 +129,11 @@ object Functions {
       unary("quantize_i8", QuantizeI8.apply)),
     ("strip_accents", classOf[StripAccents],
       unary("strip_accents", StripAccents.apply)),
+    ("lid_features", classOf[LidFeatures], {
+      case Seq(a, b, c) => LidFeatures(a, b, c)
+      case other => throw new IllegalArgumentException(
+        s"lid_features expects 3 arguments, got ${other.size}")
+    }),
     ("min_gram_md5", classOf[MinGramMd5], {
       case Seq(a, b) => MinGramMd5(a, b)
       case other => throw new IllegalArgumentException(

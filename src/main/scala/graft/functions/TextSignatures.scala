@@ -162,6 +162,43 @@ object TextSignatures {
     new GenericArrayData(out)
   }
 
+  /** Distinct hashed char-n-gram feature ids of the LOWERCASED text in
+    * first-seen order — the [[graft.operators.LangId]] featurizer as
+    * one compiled pass. Bit-identical to the SQL form it replaces,
+    * `array_distinct(transform(<code-point n-grams of lower(text)>,
+    * t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint)
+    * % dims))`: the first 4 md5 hex digits are the first 2 digest
+    * bytes as an unsigned 16-bit int; grams are CODE-POINT windows
+    * (SQL substring counts code points — the zh markers are
+    * supplementary-plane-safe the same way [[minGramMd5]] is); the
+    * empty array (never null) when the text has < n code points (the
+    * SQL form's char_length guard). The SQL chain allocated a hex
+    * string + a conv parse + an UTF8String per gram and ran the
+    * lambda interpreted; this is one MessageDigest reused across the
+    * row (measured as the q151 featurize hot spot).
+    */
+  def lidFeatures(text: UTF8String, dims: Int, n: Int): ArrayData = {
+    val cps = text.toLowerCase.toString.codePoints().toArray
+    if (cps.length < n)
+      return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = md5Local.get()
+    var i = 0
+    while (i + n <= cps.length) {
+      md.reset()
+      val d = md.digest(
+        new String(cps, i, n).getBytes(StandardCharsets.UTF_8))
+      val h = (((d(0) & 0xffL) << 8) | (d(1) & 0xffL)) % dims
+      seen.add(java.lang.Long.valueOf(h))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Lexicographic min of md5 hex over the character n-grams of the
     * input (the q36 winnowing fingerprint); null when length < n.
     * Grams are indexed by CODE POINT, not UTF-16 code unit — Spark's
@@ -261,6 +298,53 @@ final case class ShingleHashes(child: Expression)
     "org.apache.spark.sql.catalyst.util.ArrayData"
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)
+}
+
+/** `lid_features(text, dims, n)` → array<long> of distinct hashed
+  * char-n-gram feature ids (first-seen order). `dims` and `n` must be
+  * foldable positive integer literals (they shape the kernel, not the
+  * data) — the [[MinGramMd5]] convention.
+  */
+final case class LidFeatures(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private lazy val dims: Int =
+    second.eval(null).asInstanceOf[Number].intValue()
+  private lazy val gramLen: Int =
+    third.eval(null).asInstanceOf[Number].intValue()
+
+  private def intLit(e: Expression): Boolean =
+    e.foldable &&
+      Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(e.dataType) &&
+      e.eval(null) != null &&
+      e.eval(null).asInstanceOf[Number].intValue() >= 1
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"lid_features expects a string column, got ${first.dataType.simpleString}")
+    else if (!intLit(second) || !intLit(third))
+      TypeCheckResult.TypeCheckFailure(
+        "lid_features dims and gram length must be positive integer literals")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lid_features"
+  override def nullSafeEval(input: Any, d: Any, n: Any): Any =
+    TextSignatures.lidFeatures(input.asInstanceOf[UTF8String], dims,
+      gramLen)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _, _) => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatures.lidFeatures(
+         |  $c, $dims, $gramLen);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): LidFeatures =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `min_gram_md5(text, n)` → lexicographic-min md5 hex over char

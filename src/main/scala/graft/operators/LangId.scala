@@ -57,11 +57,11 @@ object LangId {
     * the empty array (sequence(1, 0) would throw).
     */
   /** Raw ngram array SQL over an ALREADY-LOWERED string expression —
-    * callers bind the lowered text to a real column behind a Generate
-    * barrier ([[withLowered]]) so the lambda's per-position substring
-    * reads a row value instead of re-running lower() once per ngram
-    * (Catalyst does not hoist loop invariants out of HOF lambdas —
-    * O(|text|²) character work, measured as a q151 hot spot).
+    * the spec-facing semantic definition (Catalyst does not hoist
+    * loop invariants out of HOF lambdas, so the inlined-lower form
+    * would re-run lower() once per ngram). The hot paths stopped
+    * using this SQL form in r21: the native [[featuresKernelSql]]
+    * kernel computes the same values in one compiled pass.
     */
   private def ngramsOfLoweredSql(c: String, n: Int): String =
     s"""if(char_length($c) < $n,
@@ -72,27 +72,26 @@ object LangId {
   /** Raw lowercased char-ngram array SQL — the SEMANTIC definition
     * (lower inlined), exposed so the spec can feed the SAME ngrams
     * through QualityModel.train for the one-vs-rest parity law; the
-    * hot paths use the hoisted [[withLowered]] form, same values.
+    * hot paths use the native [[featuresKernelSql]] kernel, same
+    * values (FunctionsSpec pins the parity).
     */
   private[graft] def ngramsSql(textCol: String, n: Int): String =
     ngramsOfLoweredSql(s"lower($textCol)", n)
-
-  /** `__lid_lt` = lower(textCol) bound behind a Generate barrier (a
-    * plain alias would be substituted back into every lambda
-    * reference by CollapseProject — the tokenized lesson).
-    */
-  private def withLowered(df: DataFrame, textCol: String): DataFrame =
-    df.select(col("*"),
-      explode(array(lower(col(textCol)))).as("__lid_lt"))
 
   private[operators] def featuresSql(textCol: String, dims: Int,
       n: Int): String =
     QualityModel.featuresExprSql(ngramsSql(textCol, n), dims)
 
-  /** The hoisted-features SQL over the [[withLowered]] column. */
-  private def featuresHoistedSql(dims: Int, n: Int): String =
-    QualityModel.featuresExprSql(ngramsOfLoweredSql("__lid_lt", n),
-      dims)
+  /** The NATIVE feature kernel call — one compiled pass per row
+    * ([[graft.functions.TextSignatures.lidFeatures]]), bit-identical
+    * to [[featuresSql]] (FunctionsSpec pins the parity): the SQL chain
+    * ran the per-gram md5 + hex + conv lambda interpreted with a
+    * per-gram UTF8String/hex-string allocation, measured as the q151
+    * featurize hot spot. Callers register [[graft.functions.Functions]]
+    * first.
+    */
+  private def featuresKernelSql(textCol: String, dims: Int,
+      n: Int): String = s"lid_features($textCol, $dims, $n)"
 
   /** The input REPARTITIONED by doc_id ahead of the ngram
     * amplification — the windowStream doctrine verbatim: the feature
@@ -114,8 +113,25 @@ object LangId {
     */
   def featurize(docs: DataFrame, textCol: String, dims: Int,
       n: Int = 3): DataFrame =
-    withLowered(amplified(docs), textCol).select(col("doc_id"),
-      explode(expr(featuresHoistedSql(dims, n))).as("fid"))
+    featurizeKeyed(docs, textCol, dims)
+
+  /** [[featurize]] with passthrough columns and an optional
+    * amplification skip: (doc_id, extra..., fid). Callers that have
+    * ALREADY spread the input — e.g. to parallelize an upstream
+    * per-row derivation such as q151's marker regexes, which would
+    * otherwise run serially below [[amplified]]'s exchange on a
+    * few-row-group scan — pass amplify = false and avoid a second
+    * exchange on the same key.
+    */
+  def featurizeKeyed(docs: DataFrame, textCol: String, dims: Int,
+      extra: Seq[String] = Seq.empty, n: Int = 3,
+      amplify: Boolean = true): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
+    val base = if (amplify) amplified(docs) else docs
+    base.select(
+      (col("doc_id") +: extra.map(col)) :+
+        explode(expr(featuresKernelSql(textCol, dims, n))).as("fid"): _*)
+  }
 
   /** Fit ALL K one-vs-rest models in one corpus scan: (lang, fid,
     * n_pos, n_neg, weight_fp) — for every feature id observed
@@ -152,9 +168,10 @@ object LangId {
     */
   private def trainGrid(docs: DataFrame, textCol: String,
       langCol: String, dims: Int, n: Int): (DataFrame, DataFrame) = {
-    val feats = withLowered(amplified(docs), textCol)
+    graft.functions.Functions.register(docs.sparkSession)
+    val feats = amplified(docs)
       .select(col(langCol).as("lang"), col("doc_id"),
-        explode(expr(featuresHoistedSql(dims, n))).as("fid"))
+        explode(expr(featuresKernelSql(textCol, dims, n))).as("fid"))
     // the KB-scale count grid materializes once: perFid AND the final
     // join both reference it, and lazily each reference would re-run
     // the whole featurize scan (the Exec.materialize doctrine) — like
@@ -162,12 +179,26 @@ object LangId {
     // through eagerQueries)
     val perLang = Exec.materialize(feats.groupBy("fid", "lang")
       .agg(count(lit(1)).as("n_pos")))
-    val perFid = perLang.groupBy("fid").agg(sum("n_pos").as("n_all"))
     val langTotals = docs.groupBy(col(langCol).as("lang"))
       .agg(count(lit(1)).as("t_pos"))
+    perLang -> gridComplete(perLang, langTotals)
+  }
+
+  /** The grid-completion epilogue shared by [[trainGrid]] and the
+    * shared-scan q151 form: per-(fid, lang) POSITIVE counts + the
+    * per-lang doc totals are the sufficient statistics; n_neg and
+    * t_neg derive arithmetically (n_all − n_pos, t_all − t_pos) and
+    * the weights are [[QualityModel.laplaceWeightFp]] — bit-identical
+    * to K binary trains (the OperatorsSpec law). `perLang` is read
+    * twice (the per-fid totals and the final grid join); callers pass
+    * a materialized or cheap-to-recompute frame.
+    */
+  private[graft] def gridComplete(perLang: DataFrame,
+      langTotals: DataFrame): DataFrame = {
+    val perFid = perLang.groupBy("fid").agg(sum("n_pos").as("n_all"))
     // derived from langTotals, not another corpus scan
     val tot = langTotals.agg(sum("t_pos").as("t_all"))
-    perLang -> perFid.crossJoin(broadcast(langTotals))
+    perFid.crossJoin(broadcast(langTotals))
       .join(perLang, Seq("fid", "lang"), "left")
       .crossJoin(broadcast(tot))
       .select(col("lang"), col("fid"),
@@ -177,6 +208,51 @@ object LangId {
       .select(col("lang"), col("fid"), col("n_pos"), col("n_neg"),
         QualityModel.laplaceWeightFp(col("n_pos"), col("n_neg"),
           col("t_pos"), col("t_neg")).as("weight_fp"))
+  }
+
+  /** Deterministic argmax predictions from an EXPLODED (doc_id,
+    * extra..., fid) feature frame and a fitted model — the
+    * SHARED-SCAN serving form: when the scorer's input is the very
+    * frame the trainer aggregated (the q151 audit: train-set
+    * predictions), re-deriving features per side doubles the corpus
+    * scan; this form broadcast-joins the KB model onto the one
+    * materialized frame instead. wmean is [[scoreAll]]'s arithmetic
+    * verbatim (integer weight sums, one floor-division per (doc,
+    * lang) — the model grid covers every observed fid, so the join is
+    * total and the sums equal [[predictLiteral]]'s dense folds bit
+    * for bit; OperatorsSpec pins the equivalence). The argmax is the
+    * same total order: highest wmean, ties to the lexicographically
+    * smallest language (min over (−wmean, lang) structs). Documents
+    * with no features have no rows and drop, as in [[predict]].
+    *
+    * DOMAIN CONTRACT: train-set scoring only. A fid absent from the
+    * model drops out of the join and out of the mean's DENOMINATOR,
+    * where [[predict]]/[[predictLiteral]] count it with weight 0 —
+    * identical results exactly when the model's grid covers every fid
+    * in `feats` (always true when `feats` is the frame the grid was
+    * trained on, the q151 audit); fresh/OOV frames must go through
+    * [[predictLiteral]].
+    */
+  def predictFromFeats(feats: DataFrame, model: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val keys = col("doc_id") +: extra.map(col)
+    feats
+      .join(broadcast(model.select(col("lang").as("__lid_ml"),
+        col("fid"), col("weight_fp"))), Seq("fid"))
+      .groupBy(keys :+ col("__lid_ml"): _*)
+      .agg(sum("weight_fp").as("wsum"), count(lit(1)).as("nf"))
+      .select(keys :+
+        col("__lid_ml") :+
+        floor(col("wsum").cast(DoubleType)
+            / col("nf").cast(DoubleType))
+          .cast(LongType).as("wmean"): _*)
+      .groupBy(keys: _*)
+      .agg(min(struct((lit(0L) - col("wmean")).as("nw"),
+        col("__lid_ml").as("l"))).as("__best"),
+        max(col("wmean")).as("__wmax"), min(col("wmean")).as("__wmin"))
+      .select(keys :+
+        col("__best.l").as("pred_lang") :+
+        (col("__wmax") - col("__wmin")).as("pred_spread"): _*)
   }
 
   /** Per-document per-language floor-mean scores via a broadcast model
@@ -273,10 +349,11 @@ object LangId {
         s"${models.size}")
     require(models.forall(_._2.size == dims),
       s"every dense weight vector must have size $dims")
+    graft.functions.Functions.register(docs.sparkSession)
     val sorted = models.sortBy(_._1)
     val withW = sorted.zipWithIndex.foldLeft(
-      withLowered(amplified(docs), textCol).select(col("*"),
-        explode(array(expr(featuresHoistedSql(dims, n))))
+      amplified(docs).select(col("*"),
+        explode(array(expr(featuresKernelSql(textCol, dims, n))))
           .as("__lid_f"))
         .filter(size(col("__lid_f")) >= 1)) {
       case (df, ((_, dense), i)) => df.withColumn(s"__w_$i",
@@ -305,7 +382,7 @@ object LangId {
       .withColumn("pred_spread",
         col("__best.s") - expr("array_min(__arr)").getField("s"))
       .drop((sorted.indices.map(i => s"__w_$i") ++
-        Seq("__lid_lt", "__lid_f", "__arr", "__best")): _*)
+        Seq("__lid_f", "__arr", "__best")): _*)
   }
 
   /** The streaming/ingest LANGUAGE gate — CCNet's stage #2 (bucket by

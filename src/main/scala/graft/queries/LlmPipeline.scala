@@ -4750,16 +4750,44 @@ object LlmPipeline {
     * cell-exact).
     */
   private val q151: Q = (s, dir) => {
-    val docs = langMarkedOf(t(s, dir, "documents"))
-    // the scoped trainer: the model is collected to plan literals, so
-    // the count grid's checkpoint blocks release immediately — a
-    // repeatedly re-registered session never accumulates them
-    val dense = graft.operators.LangId
-      .withTrained(docs, "text", "lang", LangIdDims)(
-        graft.operators.LangId.collectModels(_, LangIdDims))
-    graft.operators.LangId
-      .predictLiteral(docs.select("doc_id", "text", "lang"), "text",
-        dense, LangIdDims)
+    import graft.operators.LangId
+    val raw = t(s, dir, "documents")
+    // spread BEFORE the mark: the marker regex chain is a Project
+    // below LangId's amplification exchange, so on a few-row-group
+    // scan it would run serially on one core (measured: every q151
+    // stall dump caught task 0 alone inside java.util.regex) — the
+    // windowStream doctrine applied one exchange earlier
+    val docs = langMarkedOf(raw.repartition(
+      s.sparkContext.defaultParallelism, col("doc_id")))
+    // ONE featurize scan feeds BOTH the trainer's count grid and the
+    // serving sums (r21: the literal scorer re-derived every feature —
+    // a second full mark+ngram+md5 corpus pass per execution — and its
+    // K dense plan-literal vectors made every task deserialize 10k
+    // boxed longs; the shared-scan form materializes the exploded
+    // frame once and serves through the KB broadcast model instead).
+    // Bench's between-queries unpersist reclaims the checkpoint.
+    // the doc's own lang stays OUT of the wide frame (it is a
+    // function of doc_id; carrying it through the 1.4M-row feature
+    // stream and both score aggregations paid for 5000 values a
+    // million times) — it re-attaches to the 5000-row prediction
+    // frame through one broadcast join at the end
+    val feats = LangId
+      .featurizeKeyed(docs, "text", LangIdDims, amplify = false)
+      .transform(graft.operators.Exec.materialize)
+    val langTotals = raw.groupBy(col("lang"))
+      .agg(count(lit(1)).as("t_pos"))
+    // the KB count grid materializes (the trainGrid doctrine): it is
+    // read twice inside gridComplete, and each lazy read would re-run
+    // the 1.4M-row count aggregation over the feature checkpoint
+    // (measured: the double evaluation WAS the model-build cost)
+    val perLang = graft.operators.Exec.materialize(
+      feats.join(broadcast(raw.select(col("doc_id"), col("lang"))),
+          Seq("doc_id"))
+        .groupBy("fid", "lang").agg(count(lit(1)).as("n_pos")))
+    val model = LangId.gridComplete(perLang, langTotals)
+    LangId.predictFromFeats(feats, model)
+      .join(broadcast(raw.select(col("doc_id"), col("lang"))),
+        Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")

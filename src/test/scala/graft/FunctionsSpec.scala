@@ -131,6 +131,35 @@ class FunctionsSpec extends SparkSuite {
     assert(joined.filter(col("fp") =!= col("ref_fp")).count() === 0)
   }
 
+  test("lid_features matches the SQL md5-hash chain it replaces, " +
+    "including non-ASCII (code-point) grams and short/null inputs") {
+    import spark.implicits._
+    Functions.register(spark)
+    val dims = graft.queries.LlmPipeline.LangIdDims
+    // the marked corpus exercises the zh code-point branch; the SQL
+    // reference is LangId's semantic definition over lower(text)
+    val marked = graft.queries.LlmPipeline
+      .langMarkedOf(docs)
+      .unionByName(Seq(
+        (100001L, "ab"), (100002L, ""), (100003L, "的大的小的"),
+        (100004L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    val refSql = "array_distinct(transform(" +
+      "if(char_length(lower(text)) < 3, " +
+      "  cast(array() as array<string>), " +
+      "  transform(sequence(1, char_length(lower(text)) - 2, 1), " +
+      s"    i -> substring(lower(text), cast(i as int), 3))), " +
+      s"t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint) " +
+      s"% $dims))"
+    val cmp = marked.select(col("doc_id"),
+      expr(s"lid_features(text, $dims, 3)").as("native"),
+      expr(refSql).as("ref"))
+    assert(cmp.filter(col("native").isNull =!= col("ref").isNull)
+      .count() === 0)
+    assert(cmp.filter(col("native").isNotNull &&
+      col("native") =!= col("ref")).count() === 0)
+  }
+
   test("text-signature kernels: null and too-short-input semantics") {
     import spark.implicits._
     Functions.register(spark)

@@ -220,6 +220,15 @@ class OperatorsSpec extends SparkSuite {
         .collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
       assert(lit_ === join, "literal scorer drifted from the join form")
+      // (b') r21 shared-scan serving: predictFromFeats over the very
+      // frame the grid was trained on (its domain contract) equals
+      // the join scorer doc for doc — prediction AND spread
+      val feats = LangId.featurize(docs, "text", dims)
+      val fromFeats = LangId.predictFromFeats(feats, model)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(fromFeats === join,
+        "shared-scan scorer drifted from the join form")
       // (c) the planted signal is recovered: train-set accuracy on the
       // marked corpus clears 0.8 (measured 0.90 at sf0.001)
       val truth = docs.select("doc_id", "lang")

@@ -485,12 +485,23 @@ class PlanSpec extends SparkSuite {
     val p150 = plan("q150_full_stack_log")
     assert(!p150.contains("Join"),
       s"q150's standing-log probe must be join-free:\n$p150")
-    // q151 serves through the LITERAL scorer: the audit plan carries
-    // NO join of any kind — scoring is one map-side projection, the
-    // only exchange is the confusion-matrix aggregation
+    // q151 (r21 shared-scan form): ONE featurize pass feeds trainer
+    // and scorer — the final plan reads the materialized feature/grid
+    // RDDs and must contain NO feature kernel and NO marker regex
+    // (a revert to the two-scan literal form re-runs the corpus
+    // featurize per side); every data-bearing join is a broadcast
+    // hash join (model, doc-lang re-attach) — the only nested-loop
+    // joins are the bounded 1-row/K-row total frames of the grid
+    // completion, never a corpus product
     val p151 = plan("q151_langid_confusion")
-    assert(!p151.contains("Join"),
-      s"q151's literal serving must be join-free:\n$p151")
+    val o151 = SparkEntry.queries("q151_langid_confusion")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!o151.contains("lid_features") &&
+      !o151.contains("regexp_replace"),
+      s"q151 re-featurizes past the checkpoint:\n$o151")
+    assert(!p151.contains("CartesianProduct"), s"q151 went all-pairs")
+    assert(p151.contains("BroadcastHashJoin"),
+      s"q151's model/score joins must be broadcast hash joins:\n$p151")
     // q152 scores through ONE word-keyed equi-join (occurrence stream
     // × distinct-word Viterbi stats) and never degenerates
     val p152 = plan("q152_ulm_lm_score")
