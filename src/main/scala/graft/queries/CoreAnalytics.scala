@@ -394,14 +394,97 @@ object CoreAnalytics {
     * linearly interpolate at (n−1)·p. Exact, not a sketch — the
     * approx_percentile/t-digest path can't hash-match across engines.
     */
-  private val q43: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.5D)").as("med_qty"),
-        expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
+  /** r21 form: the same exact percentiles computed from per-value
+    * COUNTS + an all-integer rank walk instead of the `percentile`
+    * aggregate. The aggregate's per-group buffer is a value→count
+    * OpenHashMap whose final merge + generic AnyRef sort ran
+    * single-threaded per group (measured: the whole q43 cost); the
+    * counts form does the identical dedup in a codegen hash
+    * aggregate, sorts in the window operator, and walks the ranks
+    * arithmetically. Every step replicates Percentile.getPercentile
+    * bit for bit: position = (n−1)·p in doubles, lower/higher =
+    * floor/ceil as longs, keys = the values whose cumulative-count
+    * bracket covers each index, and the same two short-circuits
+    * (integer position; equal keys) before the
+    * (higher−pos)·lk + (pos−lower)·hk interpolation — CoreAnalyticsSpec
+    * pins equality against the percentile aggregate itself.
+    */
+  private val q43: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val W = org.apache.spark.sql.expressions.Window
+    def pcts(valCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val cum = li.filter(col(valCol).isNotNull)
+        .groupBy(col("l_returnflag"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum("c").over(W.partitionBy("l_returnflag").orderBy("v")))
+        .withColumn("n",
+          sum("c").over(W.partitionBy("l_returnflag")))
+      val aggs = ps.flatMap { case (name, p) =>
+        val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        Seq(
+          max(when(col("cum") - col("c") <= lo && col("cum") > lo,
+            col("v"))).as(s"${name}_lk"),
+          max(when(col("cum") - col("c") <= hi && col("cum") > hi,
+            col("v"))).as(s"${name}_hk"))
+      } :+ max(col("n")).as("n")
+      val grouped = cum.groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+      ps.foldLeft(grouped) { case (df, (name, p)) =>
+        val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+        df.withColumn(name,
+          when(floor(pos) === ceil(pos), col(s"${name}_lk"))
+            .when(col(s"${name}_lk") === col(s"${name}_hk"),
+              col(s"${name}_lk"))
+            .otherwise(
+              (ceil(pos).cast(DoubleType) - pos) * col(s"${name}_lk") +
+                (pos - floor(pos).cast(DoubleType)) *
+                  col(s"${name}_hk")))
+      }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
+    }
+    // l_extendedprice is near-unique (583k distinct of 600k at sf0.1),
+    // so the counts dedup buys nothing there — its percentile selects
+    // by INDEX over the raw sorted rows instead: row_number over the
+    // per-flag order (ties place equal VALUES at the probed indices
+    // either way), pick the two bracketing ranks, interpolate with the
+    // identical short-circuited formula.
+    def pctsByIndex(valCol: String,
+        ps: Seq[(String, Double)]): DataFrame = {
+      val w = W.partitionBy("l_returnflag").orderBy("v")
+      val ranked = li.filter(col(valCol).isNotNull)
+        .select(col("l_returnflag"), col(valCol).as("v"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(W.partitionBy("l_returnflag")))
+      val aggs = ps.flatMap { case (name, p) =>
+        val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+        Seq(
+          max(when(col("rn") === floor(pos) + lit(1L), col("v")))
+            .as(s"${name}_lk"),
+          max(when(col("rn") === ceil(pos) + lit(1L), col("v")))
+            .as(s"${name}_hk"))
+      } :+ max(col("n")).as("n")
+      val grouped = ranked.groupBy("l_returnflag")
+        .agg(aggs.head, aggs.tail: _*)
+      ps.foldLeft(grouped) { case (df, (name, p)) =>
+        val pos = (col("n") - lit(1L)).cast(DoubleType) * lit(p)
+        df.withColumn(name,
+          when(floor(pos) === ceil(pos), col(s"${name}_lk"))
+            .when(col(s"${name}_lk") === col(s"${name}_hk"),
+              col(s"${name}_lk"))
+            .otherwise(
+              (ceil(pos).cast(DoubleType) - pos) * col(s"${name}_lk") +
+                (pos - floor(pos).cast(DoubleType)) *
+                  col(s"${name}_hk")))
+      }.select(col("l_returnflag") +: ps.map(p => col(p._1)): _*)
+    }
+    pcts("l_quantity", Seq(("med_qty", 0.5), ("p90_qty", 0.9)))
+      .join(pctsByIndex("l_extendedprice", Seq(("med_price", 0.5))),
+        Seq("l_returnflag"))
       .orderBy("l_returnflag")
+  }
 
   /** q68: the SKETCH flank of q43 — approx_percentile with a bounded
     * error budget (accuracy 10000 ⇒ rank error ≤ 1e-4·n). Exact

@@ -19,6 +19,34 @@ class CoreAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q43's rank-walk form equals the percentile aggregate bit for " +
+    "bit (both value columns, all three percentiles)") {
+    // r21 replaced the sort-based `percentile` aggregate with a
+    // counts/row_number rank walk; this law pins the replication of
+    // Percentile.getPercentile — position arithmetic, bracketing keys,
+    // both short-circuits, interpolation — against the aggregate
+    // itself on the same data.
+    val ref = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("med_qty"),
+        expr("percentile(l_quantity, 0.9D)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = run("q43_percentiles")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === ref.keySet)
+    for (k <- ref.keys; i <- 0 until 3) {
+      val e = ref(k).productElement(i).asInstanceOf[Double]
+      val g = got(k).productElement(i).asInstanceOf[Double]
+      assert(java.lang.Double.doubleToLongBits(e) ===
+        java.lang.Double.doubleToLongBits(g),
+        s"$k percentile #$i: got $g want $e")
+    }
+  }
+
   test("q68 approx percentiles track the exact q43 answers") {
     // The sketch flank must stay within its rank-error budget of the
     // exact sort-based aggregate; at accuracy 10000 over sf0.001 the
