@@ -134,6 +134,11 @@ object Functions {
       case other => throw new IllegalArgumentException(
         s"lid_features expects 3 arguments, got ${other.size}")
     }),
+    ("tok_fids", classOf[TokFids], {
+      case Seq(a, b) => TokFids(a, b)
+      case other => throw new IllegalArgumentException(
+        s"tok_fids expects 2 arguments, got ${other.size}")
+    }),
     ("min_gram_md5", classOf[MinGramMd5], {
       case Seq(a, b) => MinGramMd5(a, b)
       case other => throw new IllegalArgumentException(

@@ -199,6 +199,41 @@ object TextSignatures {
     new GenericArrayData(out)
   }
 
+  /** Distinct hashed feature ids of a TOKEN ARRAY in first-seen order
+    * — the [[graft.operators.QualityModel]] featurizer as one compiled
+    * pass. Bit-identical to the SQL form it replaces,
+    * `array_distinct(transform(toks, t -> cast(conv(substring(md5(t),
+    * 1, 4), 16, 10) as bigint) % dims))`: the first 4 md5 hex digits
+    * are the first 2 digest bytes as an unsigned 16-bit int (≥ 0, so
+    * SQL % = Java %); a null ELEMENT maps to a null feature id kept at
+    * its first occurrence, exactly as the lambda (md5(null) = null)
+    * and array_distinct do. The SQL chain allocated a hex string + a
+    * conv parse + an UTF8String per token and ran the lambda
+    * interpreted (the q151 lesson, replayed on the word-token
+    * featurizer).
+    */
+  def tokFids(toks: ArrayData, dims: Int): ArrayData = {
+    val n = toks.numElements()
+    val seen = new java.util.LinkedHashSet[Any]()
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) seen.add(null)
+      else {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(i).getBytes)
+        seen.add(java.lang.Long.valueOf(
+          (((d(0) & 0xffL) << 8) | (d(1) & 0xffL)) % dims))
+      }
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Lexicographic min of md5 hex over the character n-grams of the
     * input (the q36 winnowing fingerprint); null when length < n.
     * Grams are indexed by CODE POINT, not UTF-16 code unit — Spark's
@@ -345,6 +380,50 @@ final case class LidFeatures(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): LidFeatures =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `tok_fids(toks, dims)` → array<long> of distinct hashed feature
+  * ids of a token array in first-seen order (the QualityModel
+  * featurizer; see [[TextSignatures.tokFids]] for the bit-identical
+  * SQL form). `dims` must be a foldable positive integer literal.
+  */
+final case class TokFids(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private lazy val dims: Int =
+    right.eval(null).asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(StringType, _)
+          if right.foldable &&
+            Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+              .contains(right.dataType) &&
+            right.eval(null) != null &&
+            right.eval(null).asInstanceOf[Number].intValue() >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckFailure(
+          "tok_fids dims must be a positive integer literal")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"tok_fids expects an array<string> column, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull =
+      left.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "tok_fids"
+  override def nullSafeEval(input: Any, d: Any): Any =
+    TextSignatures.tokFids(input.asInstanceOf[ArrayData], dims)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, _) => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatures.tokFids($c, $dims);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TokFids =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `min_gram_md5(text, n)` → lexicographic-min md5 hex over char

@@ -66,9 +66,11 @@ object QualityModel {
 
   /** (doc_id, fid) rows — one per distinct hashed feature per doc. */
   def featurize(labeled: DataFrame, toksCol: String,
-      dims: Int): DataFrame =
+      dims: Int): DataFrame = {
+    graft.functions.Functions.register(labeled.sparkSession)
     labeled.select(col("doc_id"),
       explode(featuresExpr(toksCol, dims)).as("fid"))
+  }
 
   /** 1-row class totals (t_pos, t_neg) of a boolean-labeled frame. */
   def classTotals(labeled: DataFrame, labelCol: String): DataFrame =
@@ -102,7 +104,8 @@ object QualityModel {
     * sketches. Bounded: ≤ dims + 1 rows (KBs) whatever the corpus.
     */
   def countsOf(labeled: DataFrame, toksCol: String, labelCol: String,
-      dims: Int): DataFrame =
+      dims: Int): DataFrame = {
+    graft.functions.Functions.register(labeled.sparkSession)
     labeled.select(col("doc_id"), col(labelCol).as("y"),
         explode(featuresExpr(toksCol, dims)).as("fid"))
       .groupBy("fid")
@@ -111,6 +114,7 @@ object QualityModel {
       .unionByName(classTotals(labeled, labelCol)
         .select(lit(-1L).as("fid"), col("t_pos").as("n_pos"),
           col("t_neg").as("n_neg")))
+  }
 
   /** Cell-wise addition of two [[countsOf]] frames: integer sums are
     * associative/commutative, so any batching of a corpus folds to the
@@ -148,10 +152,11 @@ object QualityModel {
     * free over a KB-scale committed snapshot file but would re-run the
     * corpus featurization here (Catalyst re-executes a subplan per
     * reference), and train must stay LAZY (SqlSurface registration
-    * contract for q110/q111).
+    * contract for q110; q111 feeds it a materialized frame since r21).
     */
   def train(labeled: DataFrame, toksCol: String, labelCol: String,
       dims: Int): DataFrame = {
+    graft.functions.Functions.register(labeled.sparkSession)
     val feats = labeled.select(col("doc_id"), col(labelCol).as("y"),
       explode(featuresExpr(toksCol, dims)).as("fid"))
     feats.groupBy("fid")
@@ -185,15 +190,27 @@ object QualityModel {
     */
   def threshold(labeled: DataFrame, toksCol: String, labelCol: String,
       weights: DataFrame, dims: Int): DataFrame =
-    rawScores(labeled, toksCol, weights, dims)
-      .join(labeled.select(col("doc_id"), col(labelCol).as("__y")),
-        "doc_id")
+    thresholdOfRaw(
+      rawScores(labeled, toksCol, weights, dims)
+        .join(labeled.select(col("doc_id"), col(labelCol).as("__y")),
+          "doc_id"), "__y")
+
+  /** The [[threshold]] aggregate over an ALREADY-SCORED labeled frame
+    * (doc_id, wmean, labelCol) — split out (r21) so a caller that
+    * materializes its raw-score frame once (q111) derives the
+    * threshold from the SAME integers without a second scoring pass;
+    * [[threshold]] is defined through this, so the formula cannot
+    * drift.
+    */
+  def thresholdOfRaw(rawWithLabel: DataFrame,
+      labelCol: String): DataFrame =
+    rawWithLabel
       .agg(
-        floor(sum(when(col("__y"), col("wmean"))).cast(DoubleType) /
-          sum(when(col("__y"), 1L).otherwise(0L)).cast(DoubleType))
+        floor(sum(when(col(labelCol), col("wmean"))).cast(DoubleType) /
+          sum(when(col(labelCol), 1L).otherwise(0L)).cast(DoubleType))
           .cast(LongType).as("c_pos"),
-        floor(sum(when(!col("__y"), col("wmean"))).cast(DoubleType) /
-          sum(when(!col("__y"), 1L).otherwise(0L)).cast(DoubleType))
+        floor(sum(when(!col(labelCol), col("wmean"))).cast(DoubleType) /
+          sum(when(!col(labelCol), 1L).otherwise(0L)).cast(DoubleType))
           .cast(LongType).as("c_neg"))
       .select(floor((col("c_pos") + col("c_neg")).cast(DoubleType)
         / lit(2.0)).cast(LongType).as("th_fp"))
@@ -215,11 +232,22 @@ object QualityModel {
   def scoreWithThreshold(docs: DataFrame, toksCol: String,
       weights: DataFrame, thresholdDf: DataFrame,
       dims: Int): DataFrame =
-    rawScores(docs, toksCol, weights, dims)
+    scoreOfRaw(rawScores(docs, toksCol, weights, dims), thresholdDf)
+
+  /** The [[scoreWithThreshold]] projection over an ALREADY-SCORED
+    * frame (doc_id, wmean, …) — split out (r21) for callers that
+    * materialize their raw scores once (q111); extra columns pass
+    * through. [[scoreWithThreshold]] is defined through this, so the
+    * score/predict formula cannot drift.
+    */
+  def scoreOfRaw(raw: DataFrame, thresholdDf: DataFrame): DataFrame =
+    raw
       .crossJoin(broadcast(thresholdDf))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         (col("wmean") - col("th_fp")).as("score_fp"),
-        (col("wmean") - col("th_fp") > lit(0L)).as("predicted"))
+        (col("wmean") - col("th_fp") > lit(0L)).as("predicted")) ++
+        raw.columns.filter(c => c != "doc_id" && c != "wmean")
+          .map(col): _*)
 
   /** floor-mean of the per-doc weight sum — deterministic cross-engine
     * at any magnitude (long→double conversion and division are both
@@ -255,6 +283,7 @@ object QualityModel {
       denseWeights: Seq[Long], thFp: Long, dims: Int): DataFrame = {
     require(denseWeights.size == dims,
       s"dense weight vector must have size $dims")
+    graft.functions.Functions.register(docs.sparkSession)
     docs
       .withColumn("__w", typedLit(denseWeights))
       .select(col("doc_id"),
@@ -275,6 +304,7 @@ object QualityModel {
       denseWeights: Seq[Long], thFp: Long, dims: Int): DataFrame = {
     require(denseWeights.size == dims,
       s"dense weight vector must have size $dims")
+    graft.functions.Functions.register(docs.sparkSession)
     val toks = s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"
     docs
       .withColumn("__w", typedLit(denseWeights))
@@ -300,9 +330,16 @@ object QualityModel {
 
   /** `toksCol` may be any SQL expression yielding array<string> —
     * [[LangId]] feeds a char-ngram array through the same hash.
+    *
+    * r21: emits the native `tok_fids` kernel — ONE compiled pass per
+    * row, bit-identical to the interpreted chain it replaces,
+    * `array_distinct(transform($toksCol, t -> cast(conv(substring(
+    * md5(t), 1, 4), 16, 10) as bigint) % $dims))` (FunctionsSpec pins
+    * the parity, null elements included). Callers that feed this to
+    * `expr(...)` must have [[graft.functions.Functions.register]] run
+    * on the session — every DataFrame-accepting entry point here does.
     */
   private[operators] def featuresExprSql(toksCol: String,
       dims: Int): String =
-    s"array_distinct(transform($toksCol, t -> " +
-      s"cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint) % $dims))"
+    s"tok_fids($toksCol, $dims)"
 }

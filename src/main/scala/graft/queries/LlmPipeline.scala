@@ -864,12 +864,18 @@ object LlmPipeline {
     */
   private val q90: Q = (s, dir) => {
     graft.functions.Functions.register(s)
-    val a = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
-      "shd")
+    // ONE kernel pass feeds both pair sides (r21): the lazy two-side
+    // form evaluated shingle_hashes over the full corpus twice per
+    // execution; the q137 jaccardCandidates materialize-once pattern
+    // applies here verbatim (Bench's between-queries unpersist
+    // reclaims the checkpoint)
+    val keyed = kernelBarrier(t(s, dir, "documents"),
+      "shingle_hashes(text)", "shd")
+      .transform(graft.operators.Exec.materialize)
+    val a = keyed
       .select(col("doc_id").as("doc_small"), col("shd").as("shd_a"),
         element_at(col("shd"), 1).as("g"))
-    val b = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
-      "shd")
+    val b = keyed
       .select(col("doc_id").as("doc_big"), col("shd").as("shd_b"),
         explode(col("shd")).as("g"))
     a.join(b, "g")
@@ -2941,14 +2947,32 @@ object LlmPipeline {
     * with NO join at all (spec-pinned map-only plan).
     */
   private val q111: Q = (s, dir) => {
-    import graft.operators.QualityModel
-    val labeled = qualityLabeled(s, dir)
+    import graft.operators.{Exec, QualityModel}
+    // TWO corpus passes instead of six (r21): the lazy form evaluated
+    // the qualityLabeled tokenize+Gopher chain SIX times per execution
+    // (train feats + class totals, rawScores under both score and
+    // threshold, the threshold label join, the final label join) —
+    // Catalyst re-executes a referenced subplan per reference, and
+    // each rawScores leg re-hashed every token. Now: materialize the
+    // labeled frame once (one tokenize pass), featurize it exactly
+    // twice (train counts; one scoring pass, materialized WITH the
+    // label so the threshold aggregate, the score projection and the
+    // audit column all read the same per-doc integers), derive
+    // threshold and prediction from the tiny raw frame. Same integer
+    // sums, same floor-means, same formulas (QualityModel.threshold /
+    // scoreWithThreshold are defined through the *_OfRaw forms used
+    // here) — oracle-hash-identical. q111 moves to
+    // SqlSurface.eagerQueries (deliberate trade, recorded there).
+    val labeled = qualityLabeled(s, dir).transform(Exec.materialize)
     val weights = QualityModel.train(labeled, "toks", "y", QualityDims)
-    QualityModel.scoreWithThreshold(labeled, "toks", weights,
-        QualityModel.threshold(labeled, "toks", "y", weights,
-          QualityDims), QualityDims)
-      .join(labeled.select(col("doc_id"), col("y").as("label")), "doc_id")
-      .select("doc_id", "score_fp", "predicted", "label")
+    val raw = QualityModel.rawScores(labeled, "toks", weights,
+        QualityDims)
+      .join(labeled.select(col("doc_id"), col("y")), "doc_id")
+      .transform(Exec.materialize)
+    QualityModel.scoreOfRaw(raw,
+        QualityModel.thresholdOfRaw(raw, "y"))
+      .select(col("doc_id"), col("score_fp"), col("predicted"),
+        col("y").as("label"))
       .orderBy("doc_id")
   }
 
@@ -3522,12 +3546,20 @@ object LlmPipeline {
       "slice(toks, i - 2, 3))), 1, 15), 16, 10) as bigint)"
     val boundsSql = "filter(transform(sequence(3, size(toks)), " +
       s"i -> if($h3 % 16 = 0, i, -1)), x -> x > 0)"
-    val endsSql = s"case when size($boundsSql) > 0 and " +
-      s"element_at($boundsSql, -1) = size(toks) then $boundsSql " +
-      s"else concat($boundsSql, array(size(toks))) end"
+    // `__cdc_b` rides its own Generate barrier: the CASE below reads
+    // the bounds array three times (guard ×2 + one branch), and the
+    // inlined form re-ran the whole per-position md5 scan per read —
+    // lambda-bearing subtrees are excluded from codegen subexpression
+    // elimination, so this was 3× the anchor work per document
+    // (measured: q126 2.0 s → the barrier halves it)
+    val endsSql = "case when size(__cdc_b) > 0 and " +
+      "element_at(__cdc_b, -1) = size(toks) then __cdc_b " +
+      "else concat(__cdc_b, array(size(toks))) end"
     docs
       .select(col("doc_id"), explode(array(expr(toksE))).as("toks"))
       .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        explode(array(expr(boundsSql))).as("__cdc_b"))
       .select(col("doc_id"), col("toks"),
         explode(array(expr(endsSql))).as("ends"))
       .select(col("doc_id"), explode(expr(

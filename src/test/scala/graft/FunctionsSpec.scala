@@ -160,6 +160,34 @@ class FunctionsSpec extends SparkSuite {
       col("native") =!= col("ref")).count() === 0)
   }
 
+  test("tok_fids matches the SQL md5-hash chain it replaces, " +
+    "including null arrays, null elements, unicode tokens and dedup " +
+    "order") {
+    import spark.implicits._
+    Functions.register(spark)
+    val dims = 512
+    // real corpus token arrays + adversarial hand-built ones
+    val corpus = docs.selectExpr("doc_id",
+      "regexp_extract_all(lower(text), '\\\\w+', 0) AS toks")
+    val edge = Seq(
+      (900001L, Seq("a", "b", "a", "b", "a")),     // dedup order
+      (900002L, Seq.empty[String]),                // empty array
+      (900003L, Seq("的", "naïve", "…", "", "的")), // unicode + empty tok
+      (900004L, null.asInstanceOf[Seq[String]]),   // null array
+      (900005L, Seq("x", null, "x", null)))        // null elements
+      .toDF("doc_id", "toks")
+    val refSql = "array_distinct(transform(toks, t -> " +
+      s"cast(conv(substring(md5(t), 1, 4), 16, 10) as bigint) % $dims))"
+    val cmp = corpus.unionByName(edge)
+      .select(col("doc_id"),
+        expr(s"tok_fids(toks, $dims)").as("native"),
+        expr(refSql).as("ref"))
+    assert(cmp.filter(col("native").isNull =!= col("ref").isNull)
+      .count() === 0)
+    assert(cmp.filter(col("native").isNotNull &&
+      !(col("native") <=> col("ref"))).count() === 0)
+  }
+
   test("text-signature kernels: null and too-short-input semantics") {
     import spark.implicits._
     Functions.register(spark)

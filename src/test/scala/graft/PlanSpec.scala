@@ -157,7 +157,11 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
     assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
     assert(cnt(opt("q53_contamination"), "shingle_hashes") === 2)
-    assert(cnt(opt("q90_containment"), "shingle_hashes") === 2)
+    // q90 (r21): ONE materialized kernel frame feeds both pair sides —
+    // the final plan re-reads the checkpointed RDD and contains NO
+    // kernel at all (the q61/q86 barrier doctrine; 2 would mean the
+    // lazy two-side form regressed)
+    assert(cnt(opt("q90_containment"), "shingle_hashes") === 0)
     // q103 joins ONE shingle-set frame from both pair sides (a/b) on
     // top of the minhash candidate pipeline: 2 shingle kernels (one
     // per side) + q28's 2 signature kernels, and no more.
