@@ -242,16 +242,70 @@ object TextSignatures {
     * split surrogate pairs) on supplementary characters.
     */
   def minGramMd5(text: UTF8String, gramLen: Int): UTF8String = {
+    // r21: per-gram work drops from (String alloc + UTF-8 encode +
+    // hex-string alloc + hex compare) to (digest over a byte RANGE of
+    // the one whole-text encoding + unsigned byte compare) — the hex
+    // of the digest is ordered exactly like its unsigned bytes, and a
+    // gram's UTF-8 encoding is the corresponding byte slice of the
+    // whole text's encoding (UTF-8 is context-free per code point;
+    // parquet strings are well-formed). Same min, hexed once at the
+    // end — bit-identical output (FunctionsSpec fingerprint laws).
     val cps = text.toString.codePoints().toArray
     if (cps.length < gramLen) return null
-    var best: String = null
+    val bytes = text.getBytes
+    // byte offset of each code-point start (+ end sentinel): a start
+    // byte is anything but a 10xxxxxx continuation byte
+    var nStarts = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xc0) != 0x80) nStarts += 1
+      bi += 1
+    }
+    if (nStarts != cps.length) {
+      // byte walk and code-point walk disagree (malformed UTF-8):
+      // take the allocation-heavy but definition-exact path
+      var bestHex: String = null
+      var i = 0
+      while (i + gramLen <= cps.length) {
+        val hex = md5Hex(new String(cps, i, gramLen))
+        if (bestHex == null || hex.compareTo(bestHex) < 0) bestHex = hex
+        i += 1
+      }
+      return UTF8String.fromString(bestHex)
+    }
+    val starts = new Array[Int](cps.length + 1)
+    var ci = 0
+    bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xc0) != 0x80) { starts(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    starts(cps.length) = bytes.length
+    val md = md5Local.get()
+    var best: Array[Byte] = null
     var i = 0
     while (i + gramLen <= cps.length) {
-      val hex = md5Hex(new String(cps, i, gramLen))
-      if (best == null || hex.compareTo(best) < 0) best = hex
+      md.reset()
+      md.update(bytes, starts(i), starts(i + gramLen) - starts(i))
+      val d = md.digest()
+      if (best == null || {
+        var j = 0
+        var cmp = 0
+        while (j < 16 && cmp == 0) {
+          cmp = (d(j) & 0xff) - (best(j) & 0xff); j += 1
+        }
+        cmp < 0
+      }) best = d
       i += 1
     }
-    UTF8String.fromString(best)
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      out(2 * j) = Hex((best(j) >> 4) & 0xf)
+      out(2 * j + 1) = Hex(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
   }
 }
 

@@ -38,15 +38,28 @@ object Generations {
 
   def manifestPath(root: Path): Path = new Path(root, "_manifest")
 
-  /** The live generation's name, if one is installed. */
+  /** The live generation's name, if one is installed.
+    *
+    * exists-then-open is a TOCTOU against a concurrent installer's
+    * delete+rename commit window; a reader that loses the race sees
+    * FileNotFoundException on open, which MEANS "between manifests" —
+    * report absent (exactly what exists=false would have said a
+    * millisecond earlier), never throw. Callers treat absent as
+    * rebuild-or-retry, so the documented reader guarantee (never a
+    * partial store) holds through the window.
+    */
   def current(fs: FileSystem, root: Path): Option[String] = {
     val m = manifestPath(root)
     if (!fs.exists(m)) None
     else {
-      val in = fs.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim).filter(_.nonEmpty)
-      finally in.close()
+      try {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim).filter(_.nonEmpty)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
     }
   }
 

@@ -604,10 +604,10 @@ object AnnIndex {
           (s2, rank, cv.toSeq,
             cv.map(x => math.floor(x * x * 1e12).toLong).sum) } }
       .toDF("sub", "code", "cv", "normsq_fp")
+    // native dot_fp kernel (r21) — bit-identical to the
+    // aggregate(zip_with(...)) fold it replaces (FunctionsSpec)
     val dotFp = expr(
-      s"aggregate(zip_with(slice(qv, sub * $d + 1, $d), cv, " +
-        "(x, y) -> cast(floor((x * y) * 1000000000000d) as bigint)), " +
-        "0L, (acc, p) -> acc + p)")
+      s"dot_fp(slice(qv, sub * $d + 1, $d), cv, 1000000000000d)")
     val lut = probes.crossJoin(broadcast(cbDf))
       .select(col("query_id"), col("cid"), col("sub"), col("code"),
         dotFp.as("qdot_fp"), col("normsq_fp"))
@@ -1057,6 +1057,7 @@ object AnnIndex {
   def topKPqCurrent(spark: SparkSession, root: String,
       query: Array[Double], k: Int, nprobe: Int,
       rerank: Int = 0): DataFrame = {
+    graft.functions.Functions.register(spark)
     val dir = currentIndexDir(spark, root)
     val fs = fsOf(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(pqDir(dir))))
@@ -1137,6 +1138,7 @@ object AnnIndex {
   def topKBatchPqCurrent(spark: SparkSession, root: String,
       queries: Seq[(Long, Array[Double])], k: Int,
       nprobe: Int): DataFrame = {
+    graft.functions.Functions.register(spark)
     val dir = currentIndexDir(spark, root)
     val fs = fsOf(spark, root)
     val cents = readCentroids(spark, root)

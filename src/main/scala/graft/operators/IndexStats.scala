@@ -116,6 +116,7 @@ object IndexStats {
     * the one [[stats]] deliberately does not run.
     */
   def listDistortion(spark: SparkSession, root: String): DataFrame = {
+    graft.functions.Functions.register(spark)
     val dir = AnnIndex.currentIndexDir(spark, root)
     val cents = AnnIndex.readCentroids(spark, root)
     spark.read.parquet(dir)

@@ -24,15 +24,22 @@ object KMeans {
   /** Quantized squared-L2 — see class doc. Shared with q87's oracle
     * spelling bit-for-bit.
     */
-  private[graft] def distFp(v: String, c: String) = expr(
-    s"aggregate(zip_with($v, $c, (x, y) -> " +
-      "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint)), " +
-      "0L, (acc, d) -> acc + d)")
+  /** Quantized squared-L2 in 1e-12 fixed point — since r21 the native
+    * [[graft.functions.L2Fp]] kernel (one fused codegen loop), built
+    * directly as an Expression so no session registration is needed;
+    * bit-identical to the interpreted fold it replaces,
+    * `aggregate(zip_with(v, c, (x, y) -> cast(floor(((x - y) *
+    * (x - y)) * 1e12) as bigint)), 0L, (acc, d) -> acc + d)`
+    * (FunctionsSpec parity law, null/length semantics included).
+    */
+  private[graft] def distFp(v: String, c: String) =
+    call_function("l2_fp", col(v), col(c))
 
   /** One assignment pass: each vector to its argmin-distance centroid
     * (ties → lowest cid). Returns (vec_id, v, cid, dist_fp).
     */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.Functions.register(embeddings.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("dist_fp"), col("cid"))
     embeddings.select("vec_id", "v")

@@ -55,6 +55,7 @@ object Pq {
     * dist_fp).
     */
   def assign(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    graft.functions.Functions.register(subs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "sub").orderBy(col("dist_fp"), col("code"))
     subs.join(broadcast(codebook), Seq("sub"))
@@ -120,6 +121,7 @@ object Pq {
     */
   def encode(embeddings: DataFrame, codebook: DataFrame, m: Int,
       dim: Int): DataFrame = {
+    graft.functions.Functions.register(embeddings.sparkSession)
     require(m >= 1 && dim % m == 0,
       s"dim $dim must be a positive multiple of m $m")
     val d = dim / m
@@ -137,15 +139,17 @@ object Pq {
       .withColumn("__cbc", typedLit(codes))
       .withColumn("__cbv", typedLit(cvs))
       .select(col("vec_id"), posexplode(expr(
+        // the per-(sub, code) distance is the native l2_fp kernel
+        // (r21) — bit-identical to the aggregate(zip_with(...)) fold
+        // it replaces (FunctionsSpec parity); the outer transform/
+        // array_min lambdas stay interpreted but now do k struct
+        // compares per subspace instead of k·d boxed lambda evals
         s"""transform(sequence(0, ${m - 1}), s ->
            |  array_min(transform(
            |    sequence(1, size(element_at(__cbc, s + 1))), j ->
            |    struct(
-           |      aggregate(zip_with(slice(v, s * $d + 1, $d),
-           |          element_at(element_at(__cbv, s + 1), j),
-           |          (x, y) -> cast(floor(((x - y) * (x - y))
-           |            * 1000000000000d) as bigint)),
-           |        0L, (a, b) -> a + b) as dist_fp,
+           |      l2_fp(slice(v, s * $d + 1, $d),
+           |        element_at(element_at(__cbv, s + 1), j)) as dist_fp,
            |      element_at(element_at(__cbc, s + 1), j) as code))))
            |""".stripMargin)).as(Seq("sub", "best")))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"),
@@ -158,11 +162,13 @@ object Pq {
     * one-row (vec_id, v) frame.
     */
   def adcLut(query: DataFrame, codebook: DataFrame, m: Int,
-      dim: Int): DataFrame =
+      dim: Int): DataFrame = {
+    graft.functions.Functions.register(query.sparkSession)
     subvectors(query, m, dim)
       .join(broadcast(codebook), Seq("sub"))
       .select(col("sub"), col("code"),
         KMeans.distFp("sv", "cv").as("qdist_fp"))
+  }
 
   /** ADC top-k: rank encoded vectors by the sum of their m LUT
     * entries, smallest first (ties → vec_id). `encoded` is

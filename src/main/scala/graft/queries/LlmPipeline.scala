@@ -607,6 +607,7 @@ object LlmPipeline {
     * (≤ |Q|·8 rows) — each feeds two of the recall joins.
     */
   private val q127: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     import graft.operators.{KMeans, Pq => P}
     val W = org.apache.spark.sql.expressions.Window
     val e = pqEmbeddings(s, dir)
@@ -693,18 +694,20 @@ object LlmPipeline {
     * Per-row work is 16 fused zip_with/aggregate folds inside codegen;
     * no shuffle at all before the final presentation sort.
     */
-  private val q89: Q = (s, dir) =>
+  private val q89: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     t(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("S", typedLit(rpSigns))
       .select(col("vec_id"), posexplode(expr(
+        // native dot_fp kernel (r21) — bit-identical to the
+        // aggregate(zip_with(...)) fold it replaces (FunctionsSpec)
         "transform(sequence(0, 15), o -> " +
-          "aggregate(zip_with(v, S[o], (x, s) -> " +
-          "cast(floor((x * s) * 1000000d) as bigint)), " +
-          "0L, (acc, d) -> acc + d))")).as(Seq("out_dim", "comp_fp")))
+          "dot_fp(v, S[o], 1000000d))")).as(Seq("out_dim", "comp_fp")))
       .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
         (col("comp_fp").cast(DoubleType) / lit(1000000d)).as("component"))
       .orderBy("vec_id", "out_dim")
+  }
 
   // =====================================================================
   // Deduplication over documents
@@ -2468,6 +2471,7 @@ object LlmPipeline {
     * distances (the q87 fixed-point kernel) keep it bit-stable.
     */
   private val q96: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     val K = graft.operators.KMeans
     val cents = kmeansCentroids(s, dir)
     val a = cents.select(col("cid").cast(LongType).as("cid_a"),

@@ -160,6 +160,65 @@ class FunctionsSpec extends SparkSuite {
       col("native") =!= col("ref")).count() === 0)
   }
 
+  test("l2_fp matches the aggregate(zip_with(...)) quantized-L2 fold " +
+    "it replaces, including null/length-mismatch semantics") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rnd = new scala.util.Random(21)
+    // domain = unit-scale embedding/centroid vectors (values where the
+    // SQL fold itself is ANSI-safe; a 1e8 element overflows BOTH forms)
+    val rows = Seq.fill(128)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1))) ++
+      Seq((Array(1e3, -1e3, 0.33), Array(-1e3, 1e3, 0.999)))
+    val foldSql = "aggregate(zip_with(a, b, (x, y) -> " +
+      "cast(floor(((x - y) * (x - y)) * 1000000000000d) as bigint)), " +
+      "0L, (acc, d) -> acc + d)"
+    val got = rows.toDF("a", "b")
+      .select(expr("l2_fp(a, b)").as("native"), expr(foldSql).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null array, length mismatch, null element -> null, like the fold
+    val edge = Seq(
+      (null.asInstanceOf[Seq[Double]], Seq(1.0)),
+      (Seq(1.0, 2.0), Seq(1.0)),
+      (Seq(1.0, Double.NaN), Seq(1.0, 2.0))) // NaN floors to 0, non-null
+      .toDF("a", "b")
+      .select(expr("l2_fp(a, b)").as("native"), expr(foldSql).as("ref"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("dot_fp matches the aggregate(zip_with(...)) fixed-point dot " +
+    "fold it replaces at both house scales (1e6, 1e12)") {
+    import spark.implicits._
+    Functions.register(spark)
+    val rnd = new scala.util.Random(89)
+    val rows = Seq.fill(128)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+    for (scale <- Seq("1000000d", "1000000000000d")) {
+      val foldSql = s"aggregate(zip_with(a, b, (x, y) -> " +
+        s"cast(floor((x * y) * $scale) as bigint)), " +
+        "0L, (acc, d) -> acc + d)"
+      val got = rows.toDF("a", "b")
+        .select(expr(s"dot_fp(a, b, $scale)").as("native"),
+          expr(foldSql).as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    }
+    val edge = Seq(
+      (null.asInstanceOf[Seq[Double]], Seq(1.0)),
+      (Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(expr("dot_fp(a, b, 1000000d)").as("native"))
+      .collect()
+    edge.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("tok_fids matches the SQL md5-hash chain it replaces, " +
     "including null arrays, null elements, unicode tokens and dedup " +
     "order") {
