@@ -199,6 +199,47 @@ object TextSignatures {
     new GenericArrayData(out)
   }
 
+  /** Per-document distinct-bigram occurrence counts of a token array,
+    * in first-seen order: array<struct<w1, w2, n_occ>> — the q113
+    * bigram-LM feature frame as ONE compiled pass per row. Replaces
+    * explode(zip_with(slice, slice, named_struct)) + groupBy(doc_id,
+    * w1, w2): the per-DOC grouping needs no data movement at all (a
+    * document's bigrams are already co-located in its row), so the
+    * corpus-token-sized exchange that hash aggregate paid disappears;
+    * every downstream consumer (the c2 model counts, the scoring
+    * join) is order-independent over this row set, so first-seen
+    * order is as good as any. Null tokens (impossible from the house
+    * tokenizer, handled anyway) key like SQL grouping: null = null.
+    */
+  def tokBigramCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val m = new java.util.LinkedHashMap[(UTF8String, UTF8String), Array[Long]]()
+    var i = 0
+    var prev: UTF8String =
+      if (toks.isNullAt(0)) null else toks.getUTF8String(0)
+    while (i < n - 1) {
+      val cur =
+        if (toks.isNullAt(i + 1)) null else toks.getUTF8String(i + 1)
+      val k = (prev, cur)
+      val c = m.get(k)
+      if (c == null) m.put(k, Array(1L)) else c(0) += 1L
+      prev = cur
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(
+          Array[Any](e.getKey._1, e.getKey._2, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashed feature ids of a TOKEN ARRAY in first-seen order
     * — the [[graft.operators.QualityModel]] featurizer as one compiled
     * pass. Bit-identical to the SQL form it replaces,
@@ -434,6 +475,39 @@ final case class LidFeatures(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): LidFeatures =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `tok_bigram_counts(toks)` → array<struct<w1, w2, n_occ>> of the
+  * token array's distinct-bigram occurrence counts (the q113 per-doc
+  * feature frame; see [[TextSignatures.tokBigramCounts]]).
+  */
+final case class TokBigramCounts(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"tok_bigram_counts expects array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType,
+      nullable = child.dataType.asInstanceOf[ArrayType].containsNull),
+    StructField("w2", StringType,
+      nullable = child.dataType.asInstanceOf[ArrayType].containsNull),
+    StructField("n_occ", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "tok_bigram_counts"
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.tokBigramCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatures.tokBigramCounts($c);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): TokBigramCounts = copy(child = newChild)
 }
 
 /** `tok_fids(toks, dims)` → array<long> of distinct hashed feature

@@ -3075,6 +3075,7 @@ object LlmPipeline {
     * correctly-rounded division, one exact floor).
     */
   private val q113: Q = (s, dir) => {
+    graft.functions.Functions.register(s)
     val base = tokenized(s, dir).filter(size(col("toks")) >= 2)
     // ONE tokenize/explode pass: everything derives from the per-doc
     // distinct-bigram occurrence counts (bgc). c2 = Σ_doc bgc;
@@ -3086,13 +3087,17 @@ object LlmPipeline {
     // (the r13 first cut executed 16 Generates / 8 corpus scans;
     // exchange reuse recovered only 2), so bgc (the per-doc feature
     // frame) and c2 (the model) pin the two-phase shape explicitly.
-    val bgc = base.select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), " +
-          "slice(toks, 2, size(toks) - 1), " +
-          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n_occ"))
+    //
+    // r21: the per-DOC grouping is the native tok_bigram_counts
+    // kernel — a document's bigrams are already co-located in its
+    // row, so the explode + hash-aggregate EXCHANGE over the
+    // corpus-token-sized (doc_id, w1, w2) stream bought nothing;
+    // bgc is now map-only into its barrier (same row multiset —
+    // every consumer aggregates order-independently).
+    val bgc = base.select(col("doc_id"),
+        explode(expr("tok_bigram_counts(toks)")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"), col("bg.n_occ").as("n_occ"))
       .transform(graft.operators.Exec.materialize)
     val c2 = bgc.groupBy("w1", "w2").agg(sum(col("n_occ")).as("c2"))
       .transform(graft.operators.Exec.materialize)

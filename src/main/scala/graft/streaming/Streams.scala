@@ -1845,16 +1845,20 @@ object Streams {
     * q113 derivation (shared `\w+` lowercase tokenization, adjacent
     * pairs via one zip_with, map-side-combined count).
     */
-  private def bigramCounts(docs: DataFrame): DataFrame =
+  private def bigramCounts(docs: DataFrame): DataFrame = {
+    // r21: per-doc counts via the native tok_bigram_counts kernel
+    // (the q113 form) — the exchange now carries per-doc bigram TYPES
+    // (pre-counted in-row) instead of every occurrence; Σ of per-doc
+    // counts ≡ the occurrence count, bit-for-bit.
+    graft.functions.Functions.register(docs.sparkSession)
     docs
       .select(expr(graft.queries.LlmPipeline.toksE).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), " +
-          "slice(toks, 2, size(toks) - 1), " +
-          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .select(explode(expr("tok_bigram_counts(toks)")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"),
+        col("bg.n_occ").as("n_occ"))
+      .groupBy("w1", "w2").agg(sum(col("n_occ")).as("c2"))
+  }
 
   /** Score documents against the latest committed bigram-LM snapshot —
     * q113's exact arithmetic (integer ilog2 scores, 1e-6 fixed-point
@@ -1881,18 +1885,19 @@ object Streams {
       .select(col("w1"), col("w2"),
         (ilog2(col("c2") + lit(1L)) -
           ilog2(col("c1") + col("vocab"))).cast("long").as("score"))
+    // r21: map-only per-doc bigram counting via tok_bigram_counts —
+    // same rows as the explode + (doc_id, w1, w2) hash aggregate
+    // (the q113 change, mirrored so the streamed-≡-batch law holds
+    // by construction)
+    graft.functions.Functions.register(docs.sparkSession)
     val bgc = docs
       .select(col("doc_id"), expr(graft.queries.LlmPipeline.toksE)
         .as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), " +
-          "slice(toks, 2, size(toks) - 1), " +
-          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"),
+        explode(expr("tok_bigram_counts(toks)")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"),
-        col("bg.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2")
-      .agg(count(lit(1)).as("n_occ"))
+        col("bg.w2").as("w2"), col("bg.n_occ").as("n_occ"))
     bgc.join(sc, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum(col("n_occ") * col("score")).as("ll_sum"),

@@ -192,6 +192,29 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("tok_bigram_counts equals the zip_with explode + " +
+    "(doc_id, w1, w2) groupBy row multiset on the real corpus") {
+    Functions.register(spark)
+    val base = docs.selectExpr("doc_id",
+      "regexp_extract_all(lower(text), '\\\\w+', 0) AS toks")
+      .filter(size(col("toks")) >= 2)
+    val ref = base.select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), " +
+          "slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n_occ"))
+    val got = base.select(col("doc_id"),
+        explode(expr("tok_bigram_counts(toks)")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"), col("bg.n_occ").as("n_occ"))
+    assert(got.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(got).count() === 0)
+    assert(got.count() === ref.count())
+  }
+
   test("dot_fp matches the aggregate(zip_with(...)) fixed-point dot " +
     "fold it replaces at both house scales (1e6, 1e12)") {
     import spark.implicits._
