@@ -78,6 +78,11 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   *    exceeds 1.5 × band AND band + 0.4 s, worst 12 by excess, each as
   *    [median, band] — the exact rule the r18/r19 verdicts applied by
   *    hand to q101/q19/q59.
+  * The emitted `band` map is INTENTIONALLY the pre-run history: the
+  * current run's medians are appended to the ledger after the band is
+  * computed, so a new minimum set by this run appears in
+  * bench_bands.txt but not in this run's `band` field — flags judge a
+  * run against what was known before it, never against itself.
   * Only a FULL error-free run appends its medians to the ledger
   * (partial SPARK_GRAFT_ONLY runs and error runs read but never
   * write), so local profiling cannot pollute the bands.
@@ -254,7 +259,14 @@ object Bench {
           val parts = l.split("\\s+").toSeq
           val vs = parts.tail.flatMap(_.toDoubleOption)
           if (parts.nonEmpty && vs.nonEmpty) Some(parts.head -> vs)
-          else None
+          else {
+            // a malformed line is evidence of a corrupted ledger (the
+            // write below is atomic, so this should never fire) —
+            // surface it instead of silently erasing band history
+            System.err.println(
+              s"[bench] ledger line unparsable, ignored: $l")
+            None
+          }
         }.toMap
     val band: Map[String, Double] = history.map { case (k, vs) =>
       k -> vs.min }
@@ -284,10 +296,19 @@ object Bench {
             .takeRight(6)
           k + " " + vs.map(f3).mkString(" ")
       }
-      try java.nio.file.Files.write(bandsFile,
-        scala.jdk.CollectionConverters.SeqHasAsJava(updated).asJava,
-        java.nio.charset.StandardCharsets.UTF_8)
-      catch { case e: Throwable =>
+      // temp file + ATOMIC_MOVE: a crash mid-write can no longer leave
+      // a truncated ledger, and two racing full runs lose at most one
+      // run's append instead of interleaving bytes
+      try {
+        val tmp = java.nio.file.Files.createTempFile(
+          bandsFile.toAbsolutePath.getParent, ".bench_bands", ".tmp")
+        java.nio.file.Files.write(tmp,
+          scala.jdk.CollectionConverters.SeqHasAsJava(updated).asJava,
+          java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.move(tmp, bandsFile,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
         System.err.println(
           s"[bench] could not update $bandsFile: ${e.getMessage}") }
     }

@@ -834,8 +834,14 @@ object LlmPipeline {
     */
   private val q31: Q = (s, dir) => {
     graft.functions.Functions.register(s)
+    // ONE kernel pass feeds both pair sides (r21, the q90/q137
+    // pattern): the lazy two-side form ran shingle_hashes over the
+    // full corpus twice per execution
+    val keyed = kernelBarrier(t(s, dir, "documents"),
+        "shingle_hashes(text)", "shd")
+      .transform(graft.operators.Exec.materialize)
     def side(tag: String): DataFrame =
-      kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)", "shd")
+      keyed
         .select(col("doc_id").as(s"doc_$tag"), col("shd").as(s"shd_$tag"),
           element_at(col("shd"), 1).as("m0"))
     side("a").join(side("b"), "m0")
@@ -2796,8 +2802,12 @@ object LlmPipeline {
     */
   private val q103: Q = (s, dir) => {
     graft.functions.Functions.register(s)
+    // ONE shingle kernel pass feeds both audit sides (r21, the q90
+    // pattern); q28's two signature kernels remain — they live under
+    // minhashPairs' band join, a different frame
     val sets = kernelBarrier(t(s, dir, "documents"), "shingle_hashes(text)",
-      "shd")
+        "shd")
+      .transform(graft.operators.Exec.materialize)
     minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_match"))
       .join(sets.select(col("doc_id").as("doc_a"), col("shd").as("shd_a")),

@@ -155,17 +155,21 @@ class PlanSpec extends SparkSuite {
     assert(cnt(opt("q36_doc_fingerprint"), "min_gram_md5") === 1)
     assert(cnt(opt("q28_minhash_neardup"), "minhash_sig") === 2) // 1/side
     assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
-    assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 2)
+    // q31 (r21): the q90 treatment — ONE materialized kernel frame
+    // feeds both pair sides, so the final plan has NO kernel at all
+    assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 0)
+    // q53's two kernels are one CORPUS side + one BENCHMARK side —
+    // different inputs, both necessary
     assert(cnt(opt("q53_contamination"), "shingle_hashes") === 2)
     // q90 (r21): ONE materialized kernel frame feeds both pair sides —
     // the final plan re-reads the checkpointed RDD and contains NO
     // kernel at all (the q61/q86 barrier doctrine; 2 would mean the
     // lazy two-side form regressed)
     assert(cnt(opt("q90_containment"), "shingle_hashes") === 0)
-    // q103 joins ONE shingle-set frame from both pair sides (a/b) on
-    // top of the minhash candidate pipeline: 2 shingle kernels (one
-    // per side) + q28's 2 signature kernels, and no more.
-    assert(cnt(opt("q103_minhash_precision"), "shingle_hashes") === 2)
+    // q103 (r21): the shingle-set frame materializes once (q90
+    // pattern) — zero shingle kernels in the final plan; q28's 2
+    // signature kernels remain under the band join, and no more.
+    assert(cnt(opt("q103_minhash_precision"), "shingle_hashes") === 0)
     assert(cnt(opt("q103_minhash_precision"), "minhash_sig") === 2)
     for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
       val phys = SparkEntry.queries(q)(spark, sf)
