@@ -51,9 +51,10 @@ object SqlSurface {
     // at build (q108/q109 additionally inline it as plan literals);
     // q110 is lazy end to end; q111 materializes its labeled corpus
     // frame (r21 — the lazy form re-ran the tokenize+Gopher chain six
-    // times per execution); q31/q90/q103 materialize their shingle
-    // kernel frame (r21 — one kernel pass feeds both pair sides, the
-    // q137 pattern)
+    // times per execution); q28/q30/q31/q90/q103 materialize their
+    // signature/shingle kernel frame (r21 — one kernel pass feeds
+    // both pair sides, the q137 pattern)
+    "q28_minhash_neardup", "q30_simhash_neardup",
     "q31_ngram_jaccard", "q90_containment", "q103_minhash_precision",
     "q111_quality_model_score",
     "q112_semdedup", "q113_lm_score", "q116_curation_log",

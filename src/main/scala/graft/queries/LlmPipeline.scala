@@ -745,7 +745,17 @@ object LlmPipeline {
     */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Functions.register(s)
-    minhashPairsOf(t(s, dir, "documents"))
+    // CORPUS-shaped path only (r21, the q90/q137 pattern): the
+    // signature frame materializes once and the band join reads it
+    // from both sides — the lazy form ran the minhash_sig kernel over
+    // the full corpus twice per execution. The keeper-subset path
+    // ([[minhashPairsOf]]) stays lazy: over those smaller frames the
+    // extra checkpoint job costs more than the second kernel pass it
+    // saves (measured — q80/q116 regressed under a blanket
+    // materialize), and the snapshot path reads signatures at rest.
+    minhashPairsFromSignatures(
+      minhashedOf(t(s, dir, "documents"))
+        .transform(graft.operators.Exec.materialize))
   }
 
   /** [[minhashPairs]] over an arbitrary (doc_id, text, …) frame. */
@@ -801,13 +811,17 @@ object LlmPipeline {
     * materialized attribute and runs once per document.
     */
   private val q30: Q = (s, dir) => {
+    // ONE simhash kernel pass feeds both pair sides (r21, the q90
+    // pattern — the lazy two-side form ran the kernel twice)
+    val sh = simhashed(s, dir)
+      .transform(graft.operators.Exec.materialize)
     def side(tag: String): DataFrame = {
       val bandCols = array((0 until 4).map { b =>
         // position-tag each 15-bit band so bands don't cross-match
         shiftright(col("simhash"), 15 * b).bitwiseAND(lit(32767L)) +
           lit(32768L * b)
       }: _*)
-      simhashed(s, dir)
+      sh
         .select(col("doc_id").as(s"doc_$tag"),
           col("simhash").as(s"sh_$tag"),
           explode(bandCols).as("bk"))

@@ -153,8 +153,11 @@ class PlanSpec extends SparkSuite {
     def cnt(s: String, pat: String): Int = pat.r.findAllIn(s).length
     assert(cnt(opt("q29_simhash"), "simhash60") === 1)
     assert(cnt(opt("q36_doc_fingerprint"), "min_gram_md5") === 1)
-    assert(cnt(opt("q28_minhash_neardup"), "minhash_sig") === 2) // 1/side
-    assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 2)
+    // q28/q30 (r21): the q90 treatment — the signature frame
+    // materializes once and feeds both band-join sides, so the final
+    // plans have NO kernel at all
+    assert(cnt(opt("q28_minhash_neardup"), "minhash_sig") === 0)
+    assert(cnt(opt("q30_simhash_neardup"), "simhash60") === 0)
     // q31 (r21): the q90 treatment — ONE materialized kernel frame
     // feeds both pair sides, so the final plan has NO kernel at all
     assert(cnt(opt("q31_ngram_jaccard"), "shingle_hashes") === 0)
@@ -166,11 +169,11 @@ class PlanSpec extends SparkSuite {
     // kernel at all (the q61/q86 barrier doctrine; 2 would mean the
     // lazy two-side form regressed)
     assert(cnt(opt("q90_containment"), "shingle_hashes") === 0)
-    // q103 (r21): the shingle-set frame materializes once (q90
-    // pattern) — zero shingle kernels in the final plan; q28's 2
-    // signature kernels remain under the band join, and no more.
+    // q103 (r21): the shingle-set frame AND the minhash signature
+    // frame (via minhashPairsOf) each materialize once — zero kernels
+    // of either kind in the final plan
     assert(cnt(opt("q103_minhash_precision"), "shingle_hashes") === 0)
-    assert(cnt(opt("q103_minhash_precision"), "minhash_sig") === 2)
+    assert(cnt(opt("q103_minhash_precision"), "minhash_sig") === 0)
     for (q <- Seq("q29_simhash", "q36_doc_fingerprint")) {
       val phys = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
