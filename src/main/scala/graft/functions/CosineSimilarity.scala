@@ -315,6 +315,8 @@ object Functions {
       case other => throw new IllegalArgumentException(
         s"lid_features expects 3 arguments, got ${other.size}")
     }),
+    ("word_toks", classOf[WordToks],
+      unary("word_toks", WordToks.apply)),
     ("tok_bigram_counts", classOf[TokBigramCounts],
       unary("tok_bigram_counts", TokBigramCounts.apply)),
     ("tok_fids", classOf[TokFids], {

@@ -199,6 +199,39 @@ object TextSignatures {
     new GenericArrayData(out)
   }
 
+  /** The house tokenization as one byte-scan pass:
+    * `regexp_extract_all(lower(text), '\\w+', 0)` bit for bit. Java's
+    * `\w` (no UNICODE flag) is exactly [a-zA-Z0-9_] — pure ASCII — so
+    * a maximal `\w+` match in the lowered STRING is a maximal
+    * ASCII-word-byte run in its UTF-8 ENCODING (multi-byte sequences
+    * contain no ASCII bytes), and each token is the corresponding
+    * byte slice. Lowercasing is UTF8String.toLowerCase — the same
+    * operation Spark's lower() evaluates. The regex form pays a
+    * UTF-16 toString of every document plus matcher machinery per
+    * row; this is one pass over the lowered bytes.
+    */
+  def wordToks(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    def isWord(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+        (b >= 'A' && b <= 'Z') || b == '_'
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      if (isWord(bytes(i))) {
+        val start = i
+        while (i < n && isWord(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i)))
+      } else i += 1
+    }
+    val arr = new Array[Any](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Per-document distinct-bigram occurrence counts of a token array,
     * in first-seen order: array<struct<w1, w2, n_occ>> — the q113
     * bigram-LM feature frame as ONE compiled pass per row. Replaces
@@ -475,6 +508,28 @@ final case class LidFeatures(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): LidFeatures =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `word_toks(text)` → array<string>: the house `\w+`-over-lowered
+  * tokenization as a native byte-scan kernel (see
+  * [[TextSignatures.wordToks]] for the bit-identical SQL form).
+  */
+final case class WordToks(child: Expression)
+    extends TextSignatureExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_toks"
+  // Unlike the signature kernels, every non-null input has an output
+  // (possibly the empty array) — same as regexp_extract_all.
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.wordToks(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(input: String): String =
+    s"graft.functions.TextSignatures.wordToks($input)"
+  override protected def javaResultType: String =
+    "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def withNewChildInternal(
+      newChild: Expression): WordToks = copy(child = newChild)
 }
 
 /** `tok_bigram_counts(toks)` → array<struct<w1, w2, n_occ>> of the

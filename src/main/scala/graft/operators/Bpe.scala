@@ -32,10 +32,11 @@ object Bpe {
   /** (word, freq) over the shared `\w+` lowercase tokenization — one
     * corpus scan, hash agg.
     */
-  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(expr(
-      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("word"))
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
+    docs.select(explode(expr(s"word_toks($textCol)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+  }
 
   private def lit_(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -119,8 +120,9 @@ object Bpe {
     */
   def encodeDocs(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
     val pos = docs.select(col("doc_id"), posexplode(expr(
-      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+      s"word_toks($textCol)"))
       .as(Seq("pos", "word")))
     val encoded = encode(pos.select("word").distinct(), "word", merges)
     pos.join(encoded, "word")

@@ -305,7 +305,7 @@ object QualityModel {
     require(denseWeights.size == dims,
       s"dense weight vector must have size $dims")
     graft.functions.Functions.register(docs.sparkSession)
-    val toks = s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"
+    val toks = s"word_toks($textCol)"
     docs
       .withColumn("__w", typedLit(denseWeights))
       .withColumn("__toks", expr(toks))

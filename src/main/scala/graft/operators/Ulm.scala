@@ -189,8 +189,9 @@ object Ulm {
     */
   def scoreDocs(docs: DataFrame, textCol: String,
       vocab: Seq[(String, Long)], maxLen: Int = 4): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
     val words = docs.select(col("doc_id"), explode(expr(
-      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("word"))
+      s"word_toks($textCol)")).as("word"))
     val stats = segmentStats(words.select("word").distinct(), "word",
       vocab, maxLen)
     words.join(stats, "word")
@@ -286,8 +287,9 @@ object Ulm {
     */
   def encodeDocs(docs: DataFrame, textCol: String,
       vocab: Seq[(String, Long)], maxLen: Int = 4): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
     val pos = docs.select(col("doc_id"), posexplode(expr(
-      s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+      s"word_toks($textCol)"))
       .as(Seq("pos", "word")))
     val enc = segment(pos.select("word").distinct(), "word", vocab,
       maxLen)

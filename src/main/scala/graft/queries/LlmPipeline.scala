@@ -45,7 +45,14 @@ object LlmPipeline {
   // --- shared text primitives (Spark-SQL expression text) --------------
   // Word tokens of the lowercased text. Java and RE2 agree on \w+ over
   // ASCII corpora.
-  private[graft] val toksE = "regexp_extract_all(lower(text), '\\\\w+', 0)"
+  /** The house tokenization — since r21 the native `word_toks` kernel,
+    * bit-identical to `regexp_extract_all(lower(text), '\\w+', 0)`
+    * (FunctionsSpec parity law; one byte-scan pass instead of a UTF-16
+    * toString + regex matcher per row). Every `expr(toksE)` site needs
+    * `Functions.register` on its session — the builders and operators
+    * that tokenize all do.
+    */
+  private[graft] val toksE = "word_toks(text)"
 
   private val MinhashK = graft.functions.TextSignatures.MinhashK
   private val Bands = graft.functions.TextSignatures.Bands
@@ -95,11 +102,13 @@ object LlmPipeline {
   /** [[tokenized]] over an arbitrary frame carrying doc_id + text —
     * same Generate barrier, same ≥ 1-token domain.
     */
-  private def tokenizedOf(docs: DataFrame, extra: String*): DataFrame =
+  private def tokenizedOf(docs: DataFrame, extra: String*): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
     docs
       .select(col("doc_id") +: extra.map(col) :+
         explode(array(expr(toksE))).as("toks"): _*)
       .filter(size(col("toks")) >= 1)
+  }
 
   /** Content address of a document: md5 of the whitespace/case-
     * normalized text — q27's dedup key, shared by q80 (pipeline) and
@@ -2935,11 +2944,13 @@ object LlmPipeline {
     * same ≥ 1-token domain, same Gopher metrics and pass rule — ONE
     * definition, so the streamed model can never drift from q110's.
     */
-  private[graft] def qualityLabeledOf(docs: DataFrame): DataFrame =
+  private[graft] def qualityLabeledOf(docs: DataFrame): DataFrame = {
+    graft.functions.Functions.register(docs.sparkSession)
     gopherMetrics(docs
         .select(col("doc_id"), explode(array(expr(toksE))).as("toks"))
         .filter(size(col("toks")) >= 1))
       .withColumn("y", gopherPass)
+  }
 
   /** Hashed-feature width of the q110/q111 quality model — fixed and
     * tiny on purpose: the fitted model is ≤ 512 rows / KBs, so it

@@ -1697,11 +1697,14 @@ object Streams {
   def maintainTermStats(docs: DataFrame, statsPath: String,
       checkpointDir: String): StreamingQuery =
     maintainMergedSnapshot(docs, statsPath, checkpointDir, "term_stats")(
-      batch => batch
+      batch => {
+        graft.functions.Functions.register(batch.sparkSession)
+        batch
         .select(col("doc_id"),
           explode(expr(graft.queries.LlmPipeline.toksE)).as("term"))
         .distinct() // df counts documents, not occurrences
-        .groupBy("term").agg(count(lit(1)).as("df")),
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      },
       (prev, cur) => prev.unionByName(cur)
         .groupBy("term").agg(sum(col("df")).as("df")))
 
@@ -1751,10 +1754,13 @@ object Streams {
       checkpointDir: String): StreamingQuery =
     maintainMergedSnapshot(docs, statsPath, checkpointDir,
       "term_counts")(
-      batch => batch
-        .select(explode(expr(graft.queries.LlmPipeline.toksE))
-          .as("term"))
-        .groupBy("term").agg(count(lit(1)).as("n")),
+      batch => {
+        graft.functions.Functions.register(batch.sparkSession)
+        batch
+          .select(explode(expr(graft.queries.LlmPipeline.toksE))
+            .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+      },
       (prev, cur) => prev.unionByName(cur)
         .groupBy("term").agg(sum(col("n")).as("n")))
 

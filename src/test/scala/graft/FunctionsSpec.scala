@@ -192,6 +192,30 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("word_toks matches regexp_extract_all(lower(text), '\\w+', 0) " +
+    "on the real corpus and adversarial unicode") {
+    import spark.implicits._
+    Functions.register(spark)
+    val edge = Seq(
+      (900001L, "Hello, WORLD_42! naïve café 中文 test"),
+      (900002L, ""),
+      (900003L, "   \t\n  "),
+      (900004L, null.asInstanceOf[String]),
+      (900005L, "İstanbul STRASSE ß ﬀ a_b_c 1e9"),
+      (900006L, "__ __x 9"),
+      (900007L, "中文の間にwordが挟まる"))
+      .toDF("doc_id", "text")
+    val cmp = docs.select(col("doc_id"), col("text"))
+      .unionByName(edge)
+      .select(
+        expr("word_toks(text)").as("native"),
+        expr("regexp_extract_all(lower(text), '\\\\w+', 0)").as("ref"))
+    assert(cmp.filter(col("native").isNull =!= col("ref").isNull)
+      .count() === 0)
+    assert(cmp.filter(col("native").isNotNull &&
+      col("native") =!= col("ref")).count() === 0)
+  }
+
   test("tok_bigram_counts equals the zip_with explode + " +
     "(doc_id, w1, w2) groupBy row multiset on the real corpus") {
     Functions.register(spark)
