@@ -197,7 +197,12 @@ class PlanSpec extends SparkSuite {
     // regex work per document — the r3 hot spot in q32/q34/q54).
     def opt(name: String): String =
       SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
-    def cnt(s: String): Int = "regexp_extract_all".r.findAllIn(s).length
+    // r21: the house tokenization is the native word_toks kernel —
+    // the barrier property is unchanged (ONE tokenization per doc),
+    // the counted pattern covers both the kernel and any remaining
+    // regexp (q32/q34 carry separate punctuation regexes).
+    def cnt(s: String): Int =
+      "regexp_extract_all|word_toks".r.findAllIn(s).length
     assert(cnt(opt("q32_token_stats")) === 2, "q32: toks + n_punct")
     assert(cnt(opt("q34_quality_score")) === 2, "q34: toks + punct_ratio")
     assert(cnt(opt("q54_gopher_quality")) === 1, "q54: toks only")
