@@ -317,6 +317,8 @@ object Functions {
     }),
     ("word_toks", classOf[WordToks],
       unary("word_toks", WordToks.apply)),
+    ("gopher_stats", classOf[GopherStats],
+      unary("gopher_stats", GopherStats.apply)),
     ("tok_bigram_counts", classOf[TokBigramCounts],
       unary("tok_bigram_counts", TokBigramCounts.apply)),
     ("tok_fids", classOf[TokFids], {

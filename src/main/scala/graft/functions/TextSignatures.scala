@@ -232,6 +232,45 @@ object TextSignatures {
     new GenericArrayData(arr)
   }
 
+  /** The Gopher quality statistics of a token array in one compiled
+    * pass: struct(n_tokens, len_sum, n_alpha, n_distinct) —
+    * bit-identical inputs to the SQL chain it replaces (each of which
+    * traversed the array separately, two through interpreted HOF
+    * lambdas and one through a per-token REGEX):
+    *  - n_tokens   = size(toks)
+    *  - len_sum    = aggregate(transform(toks, x -> length(x)), 0, +)
+    *    (length counts code points; int accumulator — token arrays
+    *    can't overflow it)
+    *  - n_alpha    = size(filter(toks, x -> x rlike '^[a-z]+$')) — a
+    *    non-empty token of only a–z BYTES (any non-ASCII byte fails
+    *    the regex's [a-z] too)
+    *  - n_distinct = size(array_distinct(toks))
+    */
+  def gopherStats(toks: ArrayData): org.apache.spark.sql.catalyst
+      .expressions.GenericInternalRow = {
+    val n = toks.numElements()
+    var lenSum = 0L
+    var nAlpha = 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      lenSum += t.numChars()
+      val b = t.getBytes
+      var alpha = b.length > 0
+      var j = 0
+      while (alpha && j < b.length) {
+        if (b(j) < 'a' || b(j) > 'z') alpha = false
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      seen.add(t)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, lenSum, nAlpha, seen.size.toLong))
+  }
+
   /** Per-document distinct-bigram occurrence counts of a token array,
     * in first-seen order: array<struct<w1, w2, n_occ>> — the q113
     * bigram-LM feature frame as ONE compiled pass per row. Replaces
@@ -530,6 +569,37 @@ final case class WordToks(child: Expression)
     "org.apache.spark.sql.catalyst.util.ArrayData"
   override protected def withNewChildInternal(
       newChild: Expression): WordToks = copy(child = newChild)
+}
+
+/** `gopher_stats(toks)` → struct<n_tokens, len_sum, n_alpha,
+  * n_distinct> — the Gopher quality statistics in one compiled pass
+  * (see [[TextSignatures.gopherStats]]).
+  */
+final case class GopherStats(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gopher_stats expects array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("len_sum", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.gopherStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextSignatures.gopherStats($c);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherStats = copy(child = newChild)
 }
 
 /** `tok_bigram_counts(toks)` → array<struct<w1, w2, n_occ>> of the

@@ -134,18 +134,30 @@ object LlmPipeline {
     * (reporting) and q80 (filtering): a threshold tweak reaches both or
     * neither.
     */
+  /** r21: the four metrics derive from ONE `gopher_stats(toks)`
+    * kernel pass — the SQL chain traversed the array four times (two
+    * interpreted HOF lambdas + a per-token regex + array_distinct).
+    * The struct rides its own Generate barrier (`__g`) so field
+    * extraction can never re-run the kernel per reference; the
+    * arithmetic on top is the same casts and divisions, bit for bit
+    * (FunctionsSpec parity law on all four columns). Callers must
+    * have [[graft.functions.Functions.register]]ed — every
+    * gopherMetrics caller tokenizes first, which registers.
+    */
   private def gopherMetrics(df: DataFrame): DataFrame = df
-    .withColumn("n_tokens", size(col("toks")).cast(LongType))
+    .select(col("*"),
+      explode(array(expr("gopher_stats(toks)"))).as("__g"))
+    .withColumn("n_tokens", col("__g.n_tokens"))
     .withColumn("mean_tok_len",
-      expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
-        "(a, x) -> a + x) as double)")
+      col("__g.len_sum").cast(DoubleType)
         / col("n_tokens").cast(DoubleType))
     .withColumn("alpha_ratio",
-      expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as double)")
+      col("__g.n_alpha").cast(DoubleType)
         / col("n_tokens").cast(DoubleType))
     .withColumn("distinct_ratio",
-      size(array_distinct(col("toks"))).cast(DoubleType)
+      col("__g.n_distinct").cast(DoubleType)
         / col("n_tokens").cast(DoubleType))
+    .drop("__g")
   private def gopherPass: Column =
     col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
       col("mean_tok_len") >= 3.5 && col("mean_tok_len") <= 5.5 &&

@@ -192,6 +192,34 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("gopher_stats matches the four-traversal SQL chain it " +
+    "replaces (length fold, alpha regex, distinct count) on the " +
+    "real corpus plus adversarial tokens") {
+    import spark.implicits._
+    Functions.register(spark)
+    val edge = Seq(
+      (900001L, Seq("abc", "abc", "a1b", "_x", "", "ümläut", "zz")),
+      (900002L, Seq("onlyalpha")),
+      (900003L, Seq("42", "_", "a")))
+      .toDF("doc_id", "toks")
+    val base = docs.selectExpr("doc_id", "word_toks(text) AS toks")
+      .filter(size(col("toks")) >= 1)
+      .unionByName(edge)
+    val cmp = base.select(
+      expr("gopher_stats(toks)").as("g"),
+      size(col("toks")).cast("long").as("r_n"),
+      expr("cast(aggregate(transform(toks, x -> length(x)), 0, " +
+        "(a, x) -> a + x) as long)").as("r_len"),
+      expr("cast(size(filter(toks, x -> x rlike '^[a-z]+$')) as long)")
+        .as("r_alpha"),
+      size(array_distinct(col("toks"))).cast("long").as("r_dist"))
+    assert(cmp.filter(
+      col("g.n_tokens") =!= col("r_n") ||
+      col("g.len_sum") =!= col("r_len") ||
+      col("g.n_alpha") =!= col("r_alpha") ||
+      col("g.n_distinct") =!= col("r_dist")).count() === 0)
+  }
+
   test("word_toks matches regexp_extract_all(lower(text), '\\w+', 0) " +
     "on the real corpus and adversarial unicode") {
     import spark.implicits._
